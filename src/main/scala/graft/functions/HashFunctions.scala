@@ -1,0 +1,47 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.graft.Md5Long63
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 63-bit hashing used across the engine (MinHash, SimHash,
+  * LSH banding, fingerprints).
+  *
+  * Definition: `md5_63(s)` = little-endian unsigned integer of bytes 8..15
+  * of `MD5(utf8(s))`, masked to 63 bits (`& Long.MaxValue`) so the value is
+  * non-negative. This is exactly DuckDB's `md5_number_lower(s) &
+  * 9223372036854775807`, which makes every hash-derived operator
+  * oracle-checkable in ANSI-ish SQL. MD5 was chosen over xxhash64 purely
+  * for that cross-engine parity; at 100 TB scale swap in
+  * [[org.apache.spark.sql.functions.xxhash64]] (identical plumbing, no
+  * oracle).
+  */
+object HashUtil {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5Lower63(bytes: Array[Byte]): Long = {
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(bytes)
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v & Long.MaxValue
+  }
+
+  def md5Lower63(s: UTF8String): Long = md5Lower63(s.getBytes)
+
+  def md5Lower63(s: String): Long = md5Lower63(s.getBytes("UTF-8"))
+}
+
+object GraftFunctions {
+  /** 63-bit MD5-derived hash of a string column (see [[HashUtil]]), as a
+    * whole-stage-codegen'd native Catalyst expression — not a Scala UDF.
+    * DuckDB oracle equivalent:
+    * `(md5_number_lower(s) & 9223372036854775807)::BIGINT`. */
+  def md5_63(c: Column): Column = GraftShim.column(Md5Long63(GraftShim.expression(c)))
+}

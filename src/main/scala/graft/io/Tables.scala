@@ -1,0 +1,45 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed readers for the driver-provided parquet star schema
+  * (`/root/testdata/sf*`; see TESTDATA.md). All schemas are fixed by the
+  * parquet footers — no `inferSchema` anywhere (the reference's
+  * `inferSchema=True` CSV reads force an extra full scan per source;
+  * see SURVEY.md §1.2).
+  *
+  * Column pruning and predicate pushdown reach the parquet scan because
+  * every reader returns the raw lazy `DataFrame` — callers `select`/
+  * `filter` and Catalyst pushes both into the `FileScan`.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The MovieLens-shaped ratings fact table the reference consumes
+    * (`userId, movieId, rating, timestamp` — reference
+    * `codes/Movie Recommendation/part3/partition.py:11`), synthesized from
+    * `events`: `user_id` → user, JSON `props.k` → item (100 distinct),
+    * `value` → rating, `ts` → timestamp. `get_json_object` is codegen'd;
+    * the projection prunes the parquet scan to 4 columns.
+    */
+  def ratings(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("item_id"),
+      col("value").as("rating"),
+      col("ts"),
+      col("event_id"))
+}

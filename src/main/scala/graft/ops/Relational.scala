@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Relational building blocks mirroring the reference's operator surface
+  * (SURVEY.md §2.2–§2.6): activity filters (J1), chronological splits
+  * (W1+P2), biased popularity scoring (A3+P2), global top-k pools (O2),
+  * candidate generation (J2), seen-removal (J3), per-user top-k (W2) and
+  * deterministic list collection (A5).
+  *
+  * Every operator is a pure `DataFrame => DataFrame` composition of
+  * Catalyst built-ins, so predicate pushdown / column pruning / partial
+  * aggregation / broadcast selection / AQE all apply unmodified.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double column: per-row double→decimal cast is
+    * deterministic, decimal addition is associative — so the sum is
+    * independent of partitioning/merge order, unlike a double sum. This is
+    * what makes money-sum queries hash-comparable against the DuckDB
+    * oracle at any parallelism. */
+  def decSum(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(precision, scale)))
+
+  /** J1 + A1 + P5 — keep only rows of keys with ≥ minCount occurrences
+    * (reference "active users", `top_100_pairs.py:34-36`). Implemented as
+    * an aggregate + inner join on the key: both sides shuffle on `key`, and
+    * when the distinct-key side is small Catalyst/AQE picks a broadcast
+    * hash join automatically. */
+  def filterActive(df: DataFrame, key: String, minCount: Long): DataFrame = {
+    val active = df.groupBy(key).agg(count(lit(1)).as("__n")).filter(col("__n") >= minCount)
+    df.join(active.select(key), Seq(key), "inner")
+  }
+
+  /** W1 + P2 — chronological per-key split label, reference
+    * `partition.py:22-35`: rank rows per key by (time, tiebreak), label
+    * with `floor((rn-1)/n * splits)`. A single shuffle on `key` serves
+    * both the count and the window (same partitioning). `tiebreak` makes
+    * the row_number total order deterministic for equal timestamps
+    * (SURVEY.md §7.4.1). */
+  def chronoSplit(df: DataFrame, key: String, time: String, tiebreak: String,
+                  splits: Int = 5): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time), col(tiebreak))
+    val wn = Window.partitionBy(key)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wn))
+      .withColumn("split",
+        floor((col("__rn") - 1).cast("double") / col("__cnt") * splits).cast("int"))
+      .drop("__rn", "__cnt")
+  }
+
+  /** A3 + P2 + O2 — biased popularity pool, reference
+    * `popularity_tuned.py:36-40`: score = Σ(value)/(count + bias), global
+    * top-k with deterministic key tiebreak. Catalyst plans the
+    * sort+limit as `TakeOrderedAndProject` (per-partition heap, no global
+    * sort) — the shape that survives a 100× scale-up. */
+  def biasedTopK(df: DataFrame, key: String, value: String, bias: Double,
+                 k: Int): DataFrame =
+    df.groupBy(key)
+      .agg(decSum(col(value)).as("__total"), count(lit(1)).as("cnt"))
+      .withColumn("score", col("__total").cast("double") / (col("cnt") + bias))
+      .drop("__total")
+      .orderBy(col("score").desc, col(key))
+      .limit(k)
+
+  /** J2 — candidate generation: every entity × a small top-k pool.
+    * `broadcast()` forces `BroadcastNestedLoopJoin` — the pool is ≤ k rows
+    * by construction, so no shuffle of the (large) entity side happens
+    * (reference `popularity_with_bias_evaluation.py:43`). */
+  def candidates(entities: DataFrame, pool: DataFrame): DataFrame =
+    entities.crossJoin(broadcast(pool))
+
+  /** J3 — remove already-seen (entity, item) pairs via multi-key left-anti
+    * join (reference `popularity_evalutaion.py:47-48`). */
+  def removeSeen(candidates: DataFrame, seen: DataFrame, keys: Seq[String]): DataFrame =
+    candidates.join(seen.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** W2 — per-key top-k by an explicit deterministic ordering. The
+    * reference's quirk (SURVEY.md §2.5): rank candidates by *ascending
+    * item id*, not score — preserved here by letting the caller pass the
+    * ordering. */
+  def perKeyTopK(df: DataFrame, key: String, order: Seq[Column], k: Int,
+                 rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** A5 with deterministic order — per-key sorted item list rendered as a
+    * comma-joined string (stable for hashing; arrays have
+    * order-nondeterministic `collect_list` after shuffle). */
+  def sortedList(df: DataFrame, key: String, item: String,
+                 out: String): DataFrame =
+    df.groupBy(key)
+      .agg(array_join(
+        transform(sort_array(collect_list(col(item))), _.cast("string")),
+        ",").as(out))
+}

@@ -1,0 +1,15 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry merging every query family exposed through
+  * [[graft.SparkEntry]]. */
+object Registry {
+  type Q = (SparkSession, String) => DataFrame
+
+  def all: Map[String, Q] =
+    RelationalQueries.queries
+
+  def oracles: Map[String, String] =
+    RelationalQueries.oracles
+}

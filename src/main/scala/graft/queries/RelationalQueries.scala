@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Relational._
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.8, §2.10) as
+  * oracle-checked queries over the driver's star schema.
+  *
+  * Determinism rules (SURVEY.md §7.4): every query ends in an explicit
+  * `orderBy` over a unique key set; double sums go through exact decimal
+  * accumulation ([[graft.ops.Relational.decSum]]); window orderings carry a
+  * unique tiebreak column.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01 — TPC-H-Q1-style pricing summary: multi-aggregate grouped scan
+    * (A1/A2/A3). Partial aggregation happens map-side; only 6 groups
+    * shuffle. */
+  val q01: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).cast("double").as("sum_qty"),
+        decSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02 — flagship: biased popularity pool over parts (reference
+    * `popularity_tuned.py:36-40` re-targeted to lineitem). Sort+limit plans
+    * as TakeOrderedAndProject: per-partition top-k heaps, no global sort —
+    * the 100 TB-safe shape. */
+  val q02: Q = (spark, dir) =>
+    biasedTopK(Tables.lineitem(spark, dir), "l_partkey", "l_extendedprice",
+      bias = 1000.0, k = 100)
+      .select(col("l_partkey"), col("cnt"), col("score"))
+
+  /** q03 — active-entity filter (J1+A1+P5, reference
+    * `top_100_pairs.py:34-38`): users with ≥50 events, via aggregate +
+    * join-back, re-aggregated for a compact deterministic output. */
+  val q03: Q = (spark, dir) =>
+    filterActive(Tables.ratings(spark, dir), "user_id", 50L)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** q04 — chronological per-user split labels (W1+P2, reference
+    * `partition.py:22-35`): one shuffle on user_id serves both window
+    * functions. */
+  val q04: Q = (spark, dir) =>
+    chronoSplit(Tables.ratings(spark, dir), "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "split")
+      .orderBy("user_id", "event_id")
+
+  /** q05 — candidate generation + seen-removal + per-user top-k
+    * (J2+J3+W2, reference `popularity_with_bias_evaluation.py:42-47`).
+    * Pool is broadcast (≤50 rows); anti-join shuffles on the compound key;
+    * ranking preserves the reference's ascending-item quirk (SURVEY §2.5). */
+  val q05: Q = (spark, dir) => {
+    val ratings = Tables.ratings(spark, dir)
+    val pool = biasedTopK(ratings, "item_id", "rating", bias = 100.0, k = 50)
+      .select("item_id")
+    val users = ratings.select("user_id").distinct()
+    val unseen = removeSeen(candidates(users, pool), ratings,
+      Seq("user_id", "item_id"))
+    perKeyTopK(unseen, "user_id", Seq(col("item_id")), k = 20)
+      .select("user_id", "item_id", "rank")
+      .orderBy("user_id", "rank")
+  }
+
+  /** q06 — deterministic truth lists (A5, reference
+    * `popularity_evalutaion.py:58-61`): validation-split items per user as
+    * a sorted comma-joined string (stable under shuffle reorder). */
+  val q06: Q = (spark, dir) => {
+    val split = chronoSplit(Tables.ratings(spark, dir), "user_id", "ts", "event_id")
+    sortedList(split.filter(col("split") === 3), "user_id", "item_id", "items")
+      .orderBy("user_id")
+  }
+
+  /** q07 — star-schema join chain (J1/J4): lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region with grouped revenue. Dimensions broadcast
+    * automatically (all under the 10 MB threshold at any SF here; `nation`/
+    * `region` are broadcast-hinted explicitly since they stay tiny at any
+    * scale). */
+  val q07: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q08 — filtered anti-join (J3 variant): customers with no fulfilled
+    * ('F') order. The filter is pushed below the anti-join build side;
+    * distinct custkeys broadcast. */
+  val q08: Q = (spark, dir) => {
+    val fulfilled = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct()
+    Tables.customer(spark, dir)
+      .join(fulfilled, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q09 — distinct projection (A6): hash aggregate on both columns. */
+  val q09: Q = (spark, dir) =>
+    Tables.ratings(spark, dir).select("user_id", "item_id").distinct()
+      .orderBy("user_id", "item_id")
+
+  /** q10 — global top-k with deterministic tiebreak (O2):
+    * TakeOrderedAndProject, no full sort. */
+  val q10: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+
+  /** q11 — sessionization via lag window: 30-minute inactivity gap starts a
+    * new session. Single shuffle on user_id; the session count folds into
+    * the same partitioning. */
+  val q11: Q = (spark, dir) => {
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** q12 — time-bucketed aggregation over the event stream (batch form of
+    * the streaming windowed agg; `ts` is ns-epoch). Bucket arithmetic is
+    * integral → exact. */
+  val q12: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("bucket_s", expr("ts div 3600000000000") * 3600)
+      .groupBy("event_type", "bucket_s")
+      .agg(count(lit(1)).as("n"), decSum(col("value")).cast("double").as("total"))
+      .orderBy("event_type", "bucket_s")
+
+  /** q13 — JSON extraction + aggregation: `get_json_object` is codegen'd;
+    * the projection prunes the scan to (props, value). */
+  val q13: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+        col("value"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n"), decSum(col("value")).cast("double").as("total"))
+      .orderBy("item")
+
+  // --- DuckDB oracle SQL --------------------------------------------------
+
+  private val ratingsCte =
+    """SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+      |       value AS rating, epoch_ns(ts) AS ts, event_id
+      |FROM events""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_top_parts_biased" -> q02,
+    "q03_active_users" -> q03,
+    "q04_chrono_split" -> q04,
+    "q05_user_topk_unseen" -> q05,
+    "q06_truth_lists" -> q06,
+    "q07_nation_revenue" -> q07,
+    "q08_customers_no_fulfilled" -> q08,
+    "q09_distinct_pairs" -> q09,
+    "q10_top_orders" -> q10,
+    "q11_sessionize" -> q11,
+    "q12_hour_buckets" -> q12,
+    "q13_json_extract" -> q13)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_parts_biased" ->
+      """SELECT l_partkey, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 1000.0) AS score
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY score DESC, l_partkey LIMIT 100""".stripMargin,
+    "q03_active_users" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id HAVING COUNT(*) >= 50 ORDER BY user_id""".stripMargin,
+    "q04_chrono_split" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events)
+         |SELECT user_id, event_id,
+         |  CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    "q05_user_topk_unseen" ->
+      s"""WITH ratings AS ($ratingsCte),
+         |pool AS (
+         |  SELECT item_id FROM (
+         |    SELECT item_id, COUNT(*) AS cnt,
+         |      CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 100.0) AS score
+         |    FROM ratings GROUP BY item_id)
+         |  ORDER BY score DESC, item_id LIMIT 50),
+         |users AS (SELECT DISTINCT user_id FROM ratings),
+         |seen AS (SELECT DISTINCT user_id, item_id FROM ratings),
+         |unseen AS (
+         |  SELECT c.user_id, c.item_id
+         |  FROM (SELECT u.user_id, p.item_id FROM users u CROSS JOIN pool p) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen s
+         |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id))
+         |SELECT user_id, item_id, rank FROM (
+         |  SELECT user_id, item_id,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY item_id) AS INT) AS rank
+         |  FROM unseen)
+         |WHERE rank <= 20 ORDER BY user_id, rank""".stripMargin,
+    "q06_truth_lists" ->
+      s"""WITH r AS (
+         |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INT) AS item_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events)
+         |SELECT user_id, array_to_string(list_sort(list(item_id)), ',') AS items
+         |FROM r WHERE CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) = 3
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q07_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q08_customers_no_fulfilled" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_distinct_pairs" ->
+      """SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+        |FROM events ORDER BY user_id, item_id""".stripMargin,
+    "q10_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q11_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS t,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS pt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q12_hour_buckets" ->
+      """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, bucket_s
+        |ORDER BY event_type, bucket_s""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY item ORDER BY item""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.HashUtil
+import graft.ops.Relational._
+import graft.queries.RelationalQueries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("md5_63 matches DuckDB md5_number_lower & Long.MaxValue") {
+    // Constants cross-checked against DuckDB 1.0:
+    //   select md5_number_lower(s) & 9223372036854775807
+    assert(HashUtil.md5Lower63("abc") == 8250560606382298838L)
+    assert(HashUtil.md5Lower63("""{"k": 87}""") == 2552075499855540706L)
+    assert(HashUtil.md5Lower63("0:42") == 7669701293610444416L)
+    // duckdb md5_number_lower('hello world') = 14109032780988074899 (unsigned);
+    // & Long.MaxValue = 14109032780988074899 - 2^63 = 4885660744133299091
+    assert(HashUtil.md5Lower63("hello world") == 4885660744133299091L)
+  }
+
+  test("chronoSplit: 5 rows → splits 0,1,2,3,4 (partition.py:32-35 edges)") {
+    val df = Seq((1, 10L, 1L), (1, 20L, 2L), (1, 30L, 3L), (1, 40L, 4L), (1, 50L, 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = chronoSplit(df, "user_id", "ts", "event_id")
+      .orderBy("ts").select("split").as[Int].collect().toSeq
+    assert(got == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("chronoSplit: ties broken deterministically by tiebreak column") {
+    val df = Seq((1, 10L, 2L), (1, 10L, 1L), (1, 10L, 3L), (1, 10L, 4L), (1, 10L, 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = chronoSplit(df, "user_id", "ts", "event_id")
+      .orderBy("event_id").select("split").as[Int].collect().toSeq
+    assert(got == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("biasedTopK: score = sum/(count+bias), tiebreak on key") {
+    val df = Seq((1, 100.0), (1, 100.0), (2, 150.0), (3, 150.0))
+      .toDF("item", "v")
+    val got = biasedTopK(df, "item", "v", bias = 1000.0, k = 2)
+      .select("item", "score").as[(Int, Double)].collect().toSeq
+    // item1: 200/1002; item2: 150/1001; item3: 150/1001 → tie → item2 first
+    assert(got.head == (1, 200.0 / 1002))
+    assert(got(1) == (2, 150.0 / 1001))
+  }
+
+  test("removeSeen: anti-join removes exactly the seen pairs") {
+    val cand = Seq((1, 1), (1, 2), (2, 1)).toDF("u", "i")
+    val seen = Seq((1, 1)).toDF("u", "i")
+    val got = removeSeen(cand, seen, Seq("u", "i"))
+      .orderBy("u", "i").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((1, 2), (2, 1)))
+  }
+
+  test("perKeyTopK: ascending-item quirk (SURVEY §2.5 W2)") {
+    val df = Seq((1, 5), (1, 2), (1, 9)).toDF("u", "i")
+    val got = perKeyTopK(df, "u", Seq(col("i")), k = 2)
+      .orderBy("rank").select("i").as[Int].collect().toSeq
+    assert(got == Seq(2, 5))
+  }
+
+  test("filterActive keeps only rows of keys with >= minCount") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    assert(filterActive(df, "k", 2).count() == 2)
+  }
+
+  test("all relational queries return rows on sf0.001") {
+    RelationalQueries.queries.foreach { case (name, q) =>
+      assert(q(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q01 pricing summary: groups and exact count") {
+    val rows = RelationalQueries.q01(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("count_order")).sum == 6000L)
+  }
+
+  test("q05 output disjoint from seen pairs") {
+    val topk = RelationalQueries.q05(spark, sf).select("user_id", "item_id")
+    val seen = graft.io.Tables.ratings(spark, sf)
+      .select("user_id", "item_id").distinct()
+    assert(topk.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+  }
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+Reads <outDir>/<name>/ parquet (written by graft.Verify) and
+<outDir>/oracle_sql.json, runs each oracle SQL in DuckDB against the
+sfDir parquet tables, and compares values column-name-sorted, like the
+driver does. Purely a builder-side development aid — not part of the
+shipped library.
+"""
+import json
+import sys
+import glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"[MISS] {name}: no spark output")
+            fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"[ERR ] {name}: {e}")
+            fail += 1
+            continue
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        if list(got.columns) != list(want.columns):
+            print(f"[COLS] {name}: {list(got.columns)} vs {list(want.columns)}")
+            fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
+            fail += 1
+            continue
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c].tolist(), want[c].tolist()
+            if a != b:
+                bad = next(i for i in range(len(a)) if a[i] != b[i])
+                mismatch = (c, bad, a[bad], b[bad])
+                break
+        if mismatch:
+            c, i, a, b = mismatch
+            print(f"[VAL ] {name}: col={c} row={i} spark={a!r} duck={b!r}")
+            fail += 1
+        else:
+            print(f"[ OK ] {name}: {len(got)} rows")
+            ok += 1
+    print(f"== {ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
