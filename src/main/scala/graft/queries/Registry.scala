@@ -8,8 +8,8 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   def all: Map[String, Q] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries
 
   def oracles: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles
 }

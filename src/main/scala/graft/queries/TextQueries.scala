@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.text.TextAnalysis._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis / deduplication surface over the `documents` table
+  * (training-data-pipeline extensions; SURVEY.md §7.2 step 4). Every query
+  * except none here is DuckDB-oracle-checked — including MinHash and
+  * SimHash, via the md5-derived 63-bit hash (see
+  * [[graft.functions.HashUtil]]).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q20 — per-document token statistics + md5 fingerprint. */
+  val q20: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        col("n_chars"),
+        md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** q21 — heuristic quality score: stopword ratio × length saturation
+    * (punct-free synthetic corpus ⇒ the two signals that matter here). */
+  val q21: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        (lit(1.0) - col("stop_ratio")) *
+          least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "quality")
+      .orderBy("doc_id")
+
+  /** q22 — corpus-trained n-gram-profile language ID (Cavnar–Trenkle
+    * style): top-20 token profile per language, classify by max overlap. */
+  val q22: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    languageClassify(docs, "doc_id", "text", "lang")
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .withColumn("correct", (col("predicted") === col("actual")).cast("int"))
+      .select("doc_id", "predicted", "actual", "n_overlap", "correct")
+      .orderBy("doc_id")
+  }
+
+  /** q23 — exact deduplication by content hash: canonical = min doc_id per
+    * md5(text) group. */
+  val q23: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  /** q24 — 63-bit SimHash fingerprints. */
+  val q24: Q = (spark, dir) =>
+    simhash(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q25 — MinHash signatures (16 perms) over distinct 3-gram shingle
+    * sets. Shingles, not unigrams: the corpus vocabulary is tiny, so
+    * unigram token sets are near-identical across unrelated documents —
+    * only n-gram sets carry discriminating structure. */
+  val q25: Q = (spark, dir) =>
+    minhashSignatures(
+      shingles(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("shingle", "token"),
+      "doc_id", numPerm = 16)
+      .orderBy("doc_id", "p")
+
+  /** q26 — exact 3-gram Jaccard near-duplicate pairs (J ≥ 0.4; the corpus
+    * has clean separation: planted near-dups sit at J ≥ 0.4, background
+    * pairs below 0.2). */
+  val q26: Q = (spark, dir) =>
+    shingleJaccardPairs(
+      shingles(Tables.documents(spark, dir), "doc_id", "text", n = 3),
+      "doc_id", minJaccard = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** q27 — full distributed MinHash + LSH near-dup pipeline (the
+    * reference's M1+M2+M3, SURVEY §2.9, re-expressed as shuffle joins):
+    * sign → band → bucket-join candidates → estimate → threshold. */
+  val q27: Q = (spark, dir) => {
+    val sigs = minhashSignatures(
+      shingles(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("shingle", "token"),
+      "doc_id", numPerm = 16)
+    val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
+    estimatedJaccard(cands, sigs, "doc_id", numPerm = 16)
+      .filter(col("est_jaccard") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q20_token_stats" -> q20,
+    "q21_quality_score" -> q21,
+    "q22_lang_id" -> q22,
+    "q23_exact_dedup" -> q23,
+    "q24_simhash" -> q24,
+    "q25_minhash_sigs" -> q25,
+    "q26_ngram_jaccard_dups" -> q26,
+    "q27_minhash_lsh_dups" -> q27)
+
+  private val H = "9223372036854775807"
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  n_chars, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stop,
+        |  len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(toks) AS stop_ratio,
+        |  (1.0 - len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(toks))
+        |    * least(1.0, len(toks)::DOUBLE / 100.0) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q22_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |profiles AS (
+        |  SELECT lang AS cand_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS r
+        |    FROM tok GROUP BY lang, token) WHERE r <= 20),
+        |doctok AS (SELECT DISTINCT doc_id, token FROM tok),
+        |scores AS (
+        |  SELECT doc_id, cand_lang, count(*) AS n_overlap
+        |  FROM doctok JOIN profiles USING (token) GROUP BY doc_id, cand_lang),
+        |best AS (
+        |  SELECT doc_id, cand_lang AS predicted, n_overlap,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, cand_lang) AS r
+        |  FROM scores)
+        |SELECT b.doc_id, b.predicted, d.lang AS actual, b.n_overlap,
+        |  CAST(b.predicted = d.lang AS INT) AS correct
+        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |WHERE b.r = 1 ORDER BY b.doc_id""".stripMargin,
+    "q23_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "q24_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(md5_number_lower(token) & $H AS BIGINT) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b) g
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q25_minhash_sigs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
+         |  FROM t)
+         |SELECT doc_id, p,
+         |  CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+         |FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
+         |GROUP BY doc_id, p ORDER BY doc_id, p""".stripMargin,
+    "q26_ngram_jaccard_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  shared::DOUBLE / (x.n + y.n - shared) AS jaccard
+        |FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+        |WHERE shared::DOUBLE / (x.n + y.n - shared) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_minhash_lsh_dups" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
+         |  FROM t),
+         |sigs AS (
+         |  SELECT doc_id, p,
+         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
+         |  GROUP BY doc_id, p),
+         |bands AS (
+         |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
+         |  FROM sigs GROUP BY doc_id, band),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+         |  FROM cands
+         |  JOIN sigs sa ON sa.doc_id = id_a
+         |  JOIN sigs sb ON sb.doc_id = id_b AND sb.p = sa.p
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,148 @@
+package graft.text
+
+import graft.functions.GraftFunctions.md5_63
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed text-analysis and near-duplicate operators for the
+  * training-data-pipeline surface: token statistics, quality scoring,
+  * n-gram-profile language ID, exact dedup, SimHash, MinHash + LSH.
+  *
+  * None of this existed distributed in the reference — its MinHash/LSH ran
+  * driver-side in datasketch (`top_100_pairs.py:54-94`); here the whole
+  * pipeline is shuffle-based Spark built-ins plus the codegen'd
+  * [[graft.functions.HashUtil.md5Lower63]] hash, so it scales horizontally
+  * and stays DuckDB-oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Explode a whitespace-tokenized text column into (id, token) rows.
+    * `distinct = true` gives set semantics (required for MinHash/Jaccard). */
+  def tokens(df: DataFrame, id: String, text: String,
+             distinct: Boolean = false): DataFrame = {
+    val t = df.select(col(id), explode(split(col(text), " ")).as("token"))
+    if (distinct) t.distinct() else t
+  }
+
+  /** SimHash over the token multiset: bit b of the 63-bit fingerprint is
+    * set iff Σ_tokens (±1 by bit b of md5_63(token)) > 0.
+    *
+    * Two partial-aggregating shuffles ((id,b) then id); the 63× row blowup
+    * happens map-side post-scan and is aggregated before the shuffle, so
+    * network volume is O(docs × 63), not O(tokens × 63).
+    */
+  def simhash(df: DataFrame, id: String, text: String,
+              bits: Int = 63): DataFrame =
+    tokens(df, id, text)
+      .withColumn("h", md5_63(col("token")))
+      .select(col(id), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .groupBy(col(id), col("b"))
+      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)).as("s"))
+      .groupBy(col(id))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(lit(0L))).as("simhash"))
+
+  /** MinHash signatures: numPerm rows per id, `mh(p) = min over tokens of
+    * md5_63(p ++ ":" ++ token)`. Signature building is a single
+    * partial-aggregated min — no `collect_set` of whole token sets ever
+    * materializes (the reference's driver-side bottleneck, SURVEY §7.4.4).
+    */
+  def minhashSignatures(tok: DataFrame, id: String,
+                        numPerm: Int): DataFrame =
+    tok
+      .select(col(id), explode(sequence(lit(0), lit(numPerm - 1))).as("p"),
+        col("token"))
+      .withColumn("h", md5_63(concat(col("p").cast("string"), lit(":"), col("token"))))
+      .groupBy(col(id), col("p"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH banding: group a signature's perms into bands of `rowsPerBand`,
+    * fingerprint each band, and emit candidate pairs that collide in at
+    * least one band (canonicalized id_a < id_b, deduplicated).
+    *
+    * The band join shuffles on (band, band_sig) — collision buckets, not
+    * all-pairs. This is the O(candidates) scale path that replaces the
+    * reference's driver-side LSH index query loop.
+    */
+  def lshCandidatePairs(sigs: DataFrame, id: String,
+                        rowsPerBand: Int): DataFrame = {
+    val bands = sigs
+      .withColumn("band", expr(s"p div $rowsPerBand"))
+      .groupBy(col(id), col("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, mh))), x -> cast(x.mh as string)), ':')")
+        .as("band_sig"))
+    val a = bands.select(col(id).as("id_a"), col("band"), col("band_sig"))
+    val b = bands.select(col(id).as("id_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs: fraction of agreeing minhash
+    * perms. Joins each side's signature once — 2 shuffle-joins on id, one
+    * aggregate on the pair. */
+  def estimatedJaccard(pairs: DataFrame, sigs: DataFrame, id: String,
+                       numPerm: Int): DataFrame = {
+    val sa = sigs.select(col(id).as("id_a"), col("p"), col("mh").as("mh_a"))
+    val sb = sigs.select(col(id).as("id_b"), col("p"), col("mh").as("mh_b"))
+    pairs.join(sa, "id_a").join(sb, Seq("id_b", "p"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
+        lit(numPerm.toDouble)).as("est_jaccard"))
+  }
+
+  /** Exact n-gram (shingle) sets: (id, shingle) rows, distinct. Documents
+    * shorter than n tokens produce no shingles. */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(id),
+        explode(expr(s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))))"))
+          .as("shingle"))
+
+  /** Exact Jaccard over shingle sets for all pairs sharing ≥1 shingle:
+    * co-occurrence join on the shingle (shuffle key = shingle), then
+    * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize. */
+  def shingleJaccardPairs(sh: DataFrame, id: String,
+                          minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(id).as("id_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("shingle"))
+    val shared = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col(id).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** Cavnar–Trenkle-style profile language classifier, corpus-trained:
+    * learn the top-`profileSize` tokens per label from `labeled`, then
+    * classify each document by maximal profile overlap (ties → label
+    * ascending). Both phases are joins + window ranks — no driver state. */
+  def languageClassify(df: DataFrame, id: String, text: String,
+                       label: String, profileSize: Int = 20): DataFrame = {
+    val tok = tokens(df, id, text)
+      .join(df.select(col(id), col(label)), Seq(id))
+    val profiles = tok.groupBy(col(label), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(label).orderBy(col("cnt").desc, col("token"))))
+      .filter(col("r") <= profileSize)
+      .select(col(label).as("cand_lang"), col("token"))
+    val docTokens = tokens(df, id, text, distinct = true)
+    val scores = docTokens.join(profiles, "token")
+      .groupBy(col(id), col("cand_lang"))
+      .agg(count(lit(1)).as("n_overlap"))
+    scores.withColumn("r", row_number().over(
+        Window.partitionBy(id).orderBy(col("n_overlap").desc, col("cand_lang"))))
+      .filter(col("r") === 1)
+      .select(col(id), col("cand_lang").as("predicted"), col("n_overlap"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.TextQueries
+import graft.text.TextAnalysis._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("shingles: 'a b c d' → {'a b c','b c d'}") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = shingles(df, "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSet
+    assert(got == Set("a b c", "b c d"))
+  }
+
+  test("shingles: doc shorter than n produces no rows") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(shingles(df, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("shingleJaccardPairs: exact jaccard on hand-computed fixture") {
+    // A={x,y,z}, B={y,z,w} → J = 2/4 = 0.5
+    val sh = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "y"), (2L, "z"), (2L, "w"))
+      .toDF("doc_id", "shingle")
+    val got = shingleJaccardPairs(sh, "doc_id", 0.0).collect().head
+    assert(got.getAs[Long]("shared") == 2L)
+    assert(got.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("minhash estimate tracks exact jaccard (identical docs → est 1.0)") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val sigs = minhashSignatures(
+      shingles(df, "doc_id", "text", 3).withColumnRenamed("shingle", "token"),
+      "doc_id", 16)
+    val cands = lshCandidatePairs(sigs, "doc_id", 4)
+    val est = estimatedJaccard(cands, sigs, "doc_id", 16).collect()
+    assert(est.length == 1) // only (1,2) collide; 3 shares nothing
+    val r = est.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs get identical fingerprints, fingerprint >= 0") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z w")).toDF("doc_id", "text")
+    val fp = simhash(df, "doc_id", "text").orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp.forall(_ >= 0L))
+    assert(fp(0) != fp(2))
+  }
+
+  test("languageClassify: learns separable profiles") {
+    val df = Seq(
+      (1L, "aa bb cc", "x"), (2L, "aa bb dd", "x"),
+      (3L, "zz yy ww", "y"), (4L, "zz yy vv", "y"))
+      .toDF("doc_id", "text", "lang")
+    val got = languageClassify(df, "doc_id", "text", "lang")
+      .orderBy("doc_id").select("predicted").as[String].collect().toSeq
+    assert(got == Seq("x", "x", "y", "y"))
+  }
+
+  test("exact dedup groups duplicates under min doc_id") {
+    val got = TextQueries.q23(spark, sf)
+    assert(got.count() > 0)
+    assert(got.agg(min(col("n_copies"))).as[Long].head() >= 1L)
+  }
+
+  test("q26 and q27 agree on the planted near-dup pairs at sf0.001") {
+    val exact = TextQueries.q26(spark, sf).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = TextQueries.q27(spark, sf).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exact == lsh)
+  }
+}
