@@ -8,8 +8,10 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   def all: Map[String, Q] =
-    RelationalQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++
+      SimilarityQueries.queries
 
   def oracles: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles
 }

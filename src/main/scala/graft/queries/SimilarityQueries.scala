@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.ops.Relational.perKeyTopK
+import graft.sim.VectorOps._
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table + customer segmentation
+  * (RFM, KMeans) — the "classic Spark MLlib use case" surface plus the
+  * ANN extensions.
+  *
+  * Scale design: the brute-force KNN (q30) broadcasts the small query set
+  * against the corpus — O(|Q|·N), the right baseline shape. The LSH ANN
+  * (q32) replaces that with a bucket-equi-join — O(collisions) — which is
+  * the path that survives N → 10⁹ vectors.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = "9223372036854775807"
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  /** q30 — brute-force cosine top-5: query vectors (vec_id < 10) ×
+    * corpus (vec_id ≥ 10). Queries are broadcast; norms precomputed per
+    * side so each pair does one fold. */
+  val q30: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", l2norm(col("q_emb")))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+    perKeyTopK(scored, "q_id", Seq(col("cos").desc, col("n_id")), k = 5)
+      .select("q_id", "rank", "n_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** q31 — per-vector L2 norms (array fold exercise). */
+  val q31: Q = (spark, dir) =>
+    emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(l2norm(col("embedding")), 6).as("l2norm"))
+      .orderBy("vec_id")
+
+  /** q32 — LSH-bucketed ANN: 8 deterministic random hyperplanes → 256
+    * sign buckets; neighbors only join within a bucket (equi-join on
+    * bucket replaces the cross join — the 10⁹-vector scale path). Top-3
+    * per query by rounded cosine. */
+  val q32: Q = (spark, dir) => {
+    val dim = 64
+    val e = withLshBucket(emb(spark, dir), "embedding", planes = 8, dim = dim)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .withColumn("q_norm", l2norm(col("q_emb")))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
+    val scored = q.join(c, "bucket")
+      .withColumn("cos", cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+    perKeyTopK(scored, "q_id", Seq(col("cos").desc, col("n_id")), k = 3)
+      .select("q_id", "rank", "n_id", "bucket", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** q33 — KMeans clustering of the embeddings (MLlib, fixed seed);
+    * reported as cluster sizes. No SQL oracle (iterative ML) — rows-only
+    * driver check; determinism is covered by the ScalaTest spec. */
+  val q33: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(e)
+    model.transform(e)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+  }
+
+  /** q34 — RFM features per customer (the classic segmentation input):
+    * recency = last order epoch, frequency = order count, monetary =
+    * decimal-exact total. */
+  val q34: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        // o_orderdate is TIMESTAMP_NTZ; route through TIMESTAMP (session
+        // TZ is UTC) to get epoch seconds.
+        max(col("o_orderdate")).cast("timestamp").cast("long").as("recency_s"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("monetary"))
+    Tables.customer(spark, dir)
+      .join(o, Seq("c_custkey"))
+      .select("c_custkey", "c_mktsegment", "recency_s", "frequency", "monetary")
+      .orderBy("c_custkey")
+  }
+
+  /** q35 — KMeans customer segmentation on standardized RFM (fixed seed);
+    * segment sizes + centroids' member stats. Rows-only check. */
+  val q35: Q = (spark, dir) => {
+    val rfm = q34(spark, dir)
+    val stats = rfm.agg(
+      avg("recency_s").as("r_mu"), stddev_pop("recency_s").as("r_sd"),
+      avg("frequency").as("f_mu"), stddev_pop("frequency").as("f_sd"),
+      avg("monetary").as("m_mu"), stddev_pop("monetary").as("m_sd"))
+    val scaled = rfm.crossJoin(broadcast(stats))
+      .withColumn("features", array_to_vector(array(
+        (col("recency_s") - col("r_mu")) / col("r_sd"),
+        (col("frequency") - col("f_mu")) / col("f_sd"),
+        (col("monetary") - col("m_mu")) / col("m_sd"))))
+    val model = new KMeans().setK(4).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features")
+      .fit(scaled)
+    model.transform(scaled)
+      .groupBy(col("prediction").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("frequency"), 4).as("avg_frequency"),
+        round(avg("monetary"), 2).as("avg_monetary"))
+      .orderBy("segment")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_knn_bruteforce" -> q30,
+    "q31_vector_norms" -> q31,
+    "q32_ann_lsh" -> q32,
+    "q33_kmeans_embeddings" -> q33,
+    "q34_rfm_features" -> q34,
+    "q35_kmeans_segments" -> q35)
+
+  val oracles: Map[String, String] = Map(
+    "q30_knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT q.q_id, c.n_id,
+        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, cos FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q31_vector_norms" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q32_ann_lsh" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, p,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      list_transform(generate_series(0, 63),
+         |        d -> (((md5_number_lower(p::VARCHAR || ':' || d::VARCHAR) & $H)::BIGINT % 2001) - 1000)::DOUBLE / 1000.0)) AS s
+         |  FROM embeddings CROSS JOIN generate_series(0, 7) g(p)),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |q AS (
+         |  SELECT e.vec_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS emb, b.bucket,
+         |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 10),
+         |c AS (
+         |  SELECT e.vec_id AS n_id, CAST(e.embedding AS DOUBLE[]) AS emb, b.bucket,
+         |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id >= 10),
+         |scored AS (
+         |  SELECT q.q_id, c.n_id, q.bucket,
+         |    round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM q JOIN c USING (bucket)),
+         |ranked AS (
+         |  SELECT q_id, n_id, bucket, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, bucket, cos FROM ranked WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+    "q34_rfm_features" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(epoch(max(o_orderdate)) AS BIGINT) AS recency_s,
+        |  COUNT(*) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)
+}

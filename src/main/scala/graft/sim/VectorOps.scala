@@ -1,0 +1,51 @@
+package graft.sim
+
+import graft.functions.HashUtil
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Vector similarity operators over `array<float>` embedding columns.
+  *
+  * All dot products run as sequential left-folds over the array
+  * (`aggregate(zip_with(...))`) in double precision — deterministic
+  * regardless of partitioning (unlike summing exploded rows), which is what
+  * makes cosine scores DuckDB-oracle-comparable bit-for-bit.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two array<float> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 decimals (rounding absorbs any
+    * cross-engine summation-order residue; ranking ties then break on id). */
+  def cosine6(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dot(a, b) / (normA * normB), 6)
+
+  /** Deterministic pseudo-random hyperplane weights for LSH: plane p,
+    * dimension d → ((md5_63("p:d") mod 2001) − 1000) / 1000 ∈ [−1, 1].
+    * Matches the DuckDB expression
+    * `(((md5_number_lower(p || ':' || d) & MAX) % 2001) - 1000) / 1000.0`. */
+  def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      ((HashUtil.md5Lower63(s"$p:$d") % 2001L) - 1000L).toDouble / 1000.0
+    }
+
+  /** Sign-of-projection LSH bucket id from `planes` hyperplanes: bit p set
+    * iff dot(v, plane_p) > 0. Each projection is an in-row array fold — no
+    * shuffle, no per-dimension explosion; the bucket computation is a pure
+    * map over the scan. */
+  def withLshBucket(df: DataFrame, emb: String, planes: Int, dim: Int,
+                    out: String = "bucket"): DataFrame = {
+    val bucket = (0 until planes).map { p =>
+      val w = typedLit(hyperplane(p, dim))
+      when(dot(col(emb), w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn(out, bucket)
+  }
+}

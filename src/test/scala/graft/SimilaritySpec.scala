@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import graft.sim.VectorOps._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("dot/l2norm: hand-computed values") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")).as("d"),
+      l2norm(col("a")).as("n")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((Array(0.5f, -0.25f, 2.0f))).toDF("a")
+      .withColumn("n", l2norm(col("a")))
+    val c = df.select(cosine6(col("a"), col("a"), col("n"), col("n"))).head.getDouble(0)
+    assert(c == 1.0)
+  }
+
+  test("hyperplane weights are deterministic and in [-1, 1]") {
+    val w1 = hyperplane(3, 64)
+    val w2 = hyperplane(3, 64)
+    assert(w1 == w2)
+    assert(w1.forall(v => v >= -1.0 && v <= 1.0))
+    assert(hyperplane(4, 64) != w1)
+  }
+
+  test("q30 brute-force KNN: ranks are 1..5 per query, cos within [-1,1]") {
+    val r = SimilarityQueries.q30(spark, sf)
+    val byQ = r.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+      .collect()
+    assert(byQ.nonEmpty)
+    byQ.foreach { row =>
+      assert(row.getAs[Long]("n") == 5L)
+      assert(row.getAs[Int]("mr") == 5)
+    }
+    assert(r.filter(col("cos") > 1.0 || col("cos") < -1.0).count() == 0)
+  }
+
+  test("q32 ANN results are a subset of brute-force candidates by cosine") {
+    // Every ANN neighbor must score <= the brute-force best for its query.
+    val ann = SimilarityQueries.q32(spark, sf)
+      .groupBy("q_id").agg(max("cos").as("ann_best"))
+    val bf = SimilarityQueries.q30(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("bf_best"))
+    val joined = ann.join(bf, "q_id")
+    assert(joined.filter(col("ann_best") > col("bf_best")).count() == 0)
+  }
+
+  test("q33 KMeans is seeded-deterministic across runs") {
+    val a = SimilarityQueries.q33(spark, sf).collect().toSeq
+    val b = SimilarityQueries.q33(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getAs[Long]("n")).sum == 500L)
+  }
+
+  test("q34 RFM: frequency sums to order count") {
+    val freq = SimilarityQueries.q34(spark, sf)
+      .agg(sum("frequency")).as[Long].head()
+    val orders = graft.io.Tables.orders(spark, sf).count()
+    assert(freq == orders)
+  }
+}
