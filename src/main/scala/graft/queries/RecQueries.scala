@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.metrics.RankingRelational
+import graft.rec.{AlsRec, Popularity}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Recommendation parity surface (reference parts 3–5): chronological
+  * split → popularity baseline with bias → relational ranking metrics →
+  * ALS. The popularity pipeline and its metrics are DuckDB-oracle-checked
+  * end-to-end; ALS (iterative ML) is seeded + rows-only.
+  */
+object RecQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tagged(spark: SparkSession, dir: String): DataFrame =
+    Popularity.withSplits(Tables.ratings(spark, dir))
+
+  /** q50 — popularity recommendations for validation users: train-split
+    * pool (bias 100, top-50), seen-removal against train, per-user top-20
+    * by ascending item id (reference quirk preserved). */
+  val q50: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    Popularity.recommend(Popularity.train(t), Popularity.validation(t),
+      bias = 100.0, poolK = 50, k = 20)
+      .orderBy("user_id", "rank")
+  }
+
+  /** q51 — ranking metrics (P@20 / MAP@20 / NDCG@20) of q50 against the
+    * validation truth — computed relationally (see
+    * [[graft.metrics.RankingRelational]] for the exact metric spec). */
+  val q51: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val recs = Popularity.recommend(Popularity.train(t),
+      Popularity.validation(t), bias = 100.0, poolK = 50, k = 20)
+    RankingRelational.metrics(spark, recs, Popularity.validation(t), k = 20)
+  }
+
+  /** q52 — ALS top-10 recommendations for validation users (seeded,
+    * rank 8 × 8 iters; rows-only check — iterative ML has no SQL oracle). */
+  val q52: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val model = AlsRec.fit(Popularity.train(t))
+    AlsRec.recommendFor(model,
+      Popularity.validation(t).select("user_id").distinct(), n = 10)
+      .orderBy("user_id", "rank")
+  }
+
+  /** q53 — ALS validation RMSE + ranking metrics of the ALS recs, one row
+    * (rows-only check). */
+  val q53: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val train = Popularity.train(t)
+    val valid = Popularity.validation(t)
+    val model = AlsRec.fit(train)
+    val recs = AlsRec.recommendFor(model,
+      valid.select("user_id").distinct(), n = 20)
+      .select("user_id", "item_id", "rank")
+    val m = RankingRelational.metrics(spark, recs, valid, k = 20)
+    m.withColumn("rmse", round(lit(AlsRec.rmse(model, valid)), 6))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q50_popularity_recs" -> q50,
+    "q51_popularity_metrics" -> q51,
+    "q52_als_recs" -> q52,
+    "q53_als_eval" -> q53)
+
+  // Oracle: the whole popularity pipeline + metrics in SQL.
+  private val pipelineCte =
+    """r AS (
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+      |    value AS rating,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |tagged AS (
+      |  SELECT user_id, item_id, rating,
+      |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+      |  FROM r),
+      |train AS (SELECT * FROM tagged WHERE split <= 2),
+      |val AS (SELECT * FROM tagged WHERE split = 3),
+      |pool AS (
+      |  SELECT item_id FROM (
+      |    SELECT item_id, COUNT(*) AS cnt,
+      |      CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 100.0) AS score
+      |    FROM train GROUP BY item_id)
+      |  ORDER BY score DESC, item_id LIMIT 50),
+      |vusers AS (SELECT DISTINCT user_id FROM val),
+      |seen AS (SELECT DISTINCT user_id, item_id FROM train),
+      |unseen AS (
+      |  SELECT c.user_id, c.item_id
+      |  FROM (SELECT u.user_id, p.item_id FROM vusers u CROSS JOIN pool p) c
+      |  WHERE NOT EXISTS (SELECT 1 FROM seen s
+      |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id)),
+      |recs AS (
+      |  SELECT user_id, item_id, rank FROM (
+      |    SELECT user_id, item_id,
+      |      CAST(row_number() OVER (PARTITION BY user_id ORDER BY item_id) AS INT) AS rank
+      |    FROM unseen)
+      |  WHERE rank <= 20)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q50_popularity_recs" ->
+      s"""WITH $pipelineCte
+         |SELECT user_id, item_id, rank FROM recs ORDER BY user_id, rank""".stripMargin,
+    "q51_popularity_metrics" ->
+      s"""WITH $pipelineCte,
+         |truth AS (SELECT DISTINCT user_id, item_id FROM val),
+         |tsize AS (SELECT user_id, COUNT(*) AS n_truth FROM truth GROUP BY user_id),
+         |hits AS (
+         |  SELECT r.user_id, r.rank,
+         |    CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM recs r LEFT JOIN truth t
+         |    ON t.user_id = r.user_id AND t.item_id = r.item_id),
+         |cum AS (
+         |  SELECT user_id, rank, hit,
+         |    SUM(hit) OVER (PARTITION BY user_id ORDER BY rank) AS ch
+         |  FROM hits),
+         |peruser AS (
+         |  SELECT user_id,
+         |    CAST(SUM(hit) AS DOUBLE) / 20 AS p,
+         |    SUM(CASE WHEN hit = 1 THEN ch::DOUBLE / rank ELSE 0 END) AS ap_num,
+         |    SUM(CASE WHEN hit = 1 THEN 1.0 / (ln(rank + 1) / ln(2)) ELSE 0 END) AS dcg
+         |  FROM cum GROUP BY user_id),
+         |idcg AS (
+         |  SELECT m, SUM(1.0 / (ln(i + 1) / ln(2))) AS v
+         |  FROM generate_series(1, 20) g(m) JOIN generate_series(1, 20) h(i) ON i <= m
+         |  GROUP BY m)
+         |SELECT COUNT(*) AS n_users,
+         |  round(AVG(p), 6) AS p_at_k,
+         |  round(AVG(ap_num / least(n_truth, 20)), 6) AS map_at_k,
+         |  round(AVG(dcg / v), 6) AS ndcg_at_k
+         |FROM peruser
+         |JOIN tsize USING (user_id)
+         |JOIN idcg ON m = least(n_truth, 20)""".stripMargin)
+}

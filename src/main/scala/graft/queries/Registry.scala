@@ -9,9 +9,11 @@ object Registry {
 
   def all: Map[String, Q] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++ TwinsQueries.queries ++
+      RecQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++ TwinsQueries.oracles ++
+      RecQueries.oracles
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.io.Tables
+import graft.segment.Twins
+import graft.text.TextAnalysis
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Customer-segmentation parity surface: the reference's "movie twins"
+  * pipeline (MinHash → LSH → top-100 pairs → Pearson validation),
+  * re-targeted to the events-derived ratings table and fully distributed +
+  * oracle-checked (SURVEY.md §2.9 M1–M5).
+  */
+object TwinsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = "9223372036854775807"
+
+  private def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables.ratings(spark, dir)
+
+  /** q40 — 32-perm MinHash signatures of each user's item set. */
+  val q40: Q = (spark, dir) =>
+    TextAnalysis.minhashSignatures(
+      ratings(spark, dir).select(col("user_id"),
+        col("item_id").cast("string").as("token")).distinct(),
+      "user_id", numPerm = 32)
+      .orderBy("user_id", "p")
+
+  /** q41 — exact top-100 twins by Jaccard (deterministic tiebreak). */
+  val q41: Q = (spark, dir) =>
+    Twins.topTwinsExact(ratings(spark, dir), k = 100)
+
+  /** q42 — LSH top-100 twins: the reference's approximate pipeline,
+    * distributed (candidates only from band collisions). */
+  val q42: Q = (spark, dir) =>
+    Twins.topTwinsLsh(ratings(spark, dir), numPerm = 32, rowsPerBand = 4,
+      k = 100)
+
+  /** q43 — Pearson correlation per exact-top-100 twin pair over co-rated
+    * items (≥2 co-ratings), via self-join + built-in `corr`. */
+  val q43: Q = (spark, dir) => {
+    val r = ratings(spark, dir)
+    Twins.pairCorrelation(Twins.topTwinsExact(r, 100), r)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q44 — statistical validation (reference part2): average twin-pair
+    * correlation vs a deterministic stride-pair baseline (u, u+7). The
+    * reference sampled random pairs; a fixed stride keeps the same
+    * statistical role (arbitrary non-similar pairs) while staying
+    * oracle-reproducible. */
+  val q44: Q = (spark, dir) => {
+    val r = ratings(spark, dir)
+    val twins = Twins.pairCorrelation(Twins.topTwinsExact(r, 100), r)
+      .withColumn("cohort", lit("twins"))
+    val users = r.select("user_id").distinct()
+    val base = users.select(col("user_id").as("id_a"))
+      .join(users.select(col("user_id").as("id_b")),
+        col("id_b") === col("id_a") + 7)
+    val baseCorr = Twins.pairCorrelation(base, r)
+      .withColumn("cohort", lit("baseline"))
+    twins.unionByName(baseCorr)
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("corr6")), 6).as("avg_corr"))
+      .orderBy("cohort")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_user_minhash" -> q40,
+    "q41_top_twins_exact" -> q41,
+    "q42_top_twins_lsh" -> q42,
+    "q43_twin_correlation" -> q43,
+    "q44_twin_validation" -> q44)
+
+  // Shared oracle CTE fragments.
+  private val setsCte =
+    """sets AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+      |  FROM events)""".stripMargin
+
+  private val ratCte =
+    """rat AS (
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+      |    MAX(value) AS rating
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private val exactPairsCte =
+    """sz AS (SELECT user_id, COUNT(*) AS n FROM sets GROUP BY user_id),
+      |inter AS (
+      |  SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS shared
+      |  FROM sets a JOIN sets b USING (item_id) WHERE a.user_id < b.user_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b, shared,
+      |    shared::DOUBLE / (x.n + y.n - shared) AS jaccard
+      |  FROM inter JOIN sz x ON id_a = x.user_id JOIN sz y ON id_b = y.user_id
+      |  ORDER BY jaccard DESC, id_a, id_b LIMIT 100)""".stripMargin
+
+  private val corrSelect =
+    """corrs AS (
+      |  SELECT p.id_a, p.id_b, COUNT(*) AS n_corated,
+      |    round(corr(r1.rating, r2.rating), 6) AS corr6
+      |  FROM pairs p
+      |  JOIN rat r1 ON r1.user_id = p.id_a
+      |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
+      |  GROUP BY p.id_a, p.id_b HAVING COUNT(*) >= 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q40_user_minhash" ->
+      s"""WITH $setsCte
+         |SELECT user_id, p,
+         |  CAST(MIN(md5_number_lower(p::VARCHAR || ':' || item_id::VARCHAR) & $H) AS BIGINT) AS mh
+         |FROM sets CROSS JOIN generate_series(0, 31) g(p)
+         |GROUP BY user_id, p ORDER BY user_id, p""".stripMargin,
+    "q41_top_twins_exact" ->
+      s"""WITH $setsCte,
+         |$exactPairsCte
+         |SELECT id_a, id_b, shared, jaccard FROM pairs
+         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    "q42_top_twins_lsh" ->
+      s"""WITH $setsCte,
+         |sigs AS (
+         |  SELECT user_id, p,
+         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || item_id::VARCHAR) & $H) AS BIGINT) AS mh
+         |  FROM sets CROSS JOIN generate_series(0, 31) g(p)
+         |  GROUP BY user_id, p),
+         |bands AS (
+         |  SELECT user_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
+         |  FROM sigs GROUP BY user_id, band),
+         |cands AS (
+         |  SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.user_id < b.user_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32.0 AS est_jaccard
+         |  FROM cands
+         |  JOIN sigs sa ON sa.user_id = id_a
+         |  JOIN sigs sb ON sb.user_id = id_b AND sb.p = sa.p
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q43_twin_correlation" ->
+      s"""WITH $setsCte,
+         |$exactPairsCte,
+         |$ratCte,
+         |$corrSelect
+         |SELECT id_a, id_b, n_corated, corr6 FROM corrs
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q44_twin_validation" ->
+      s"""WITH $setsCte,
+         |$exactPairsCte,
+         |$ratCte,
+         |$corrSelect,
+         |users AS (SELECT DISTINCT user_id FROM events),
+         |bpairs AS (
+         |  SELECT a.user_id AS id_a, b.user_id AS id_b
+         |  FROM users a JOIN users b ON b.user_id = a.user_id + 7),
+         |bcorrs AS (
+         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_corated,
+         |    round(corr(r1.rating, r2.rating), 6) AS corr6
+         |  FROM bpairs p
+         |  JOIN rat r1 ON r1.user_id = p.id_a
+         |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
+         |  GROUP BY p.id_a, p.id_b HAVING COUNT(*) >= 2),
+         |u AS (
+         |  SELECT 'twins' AS cohort, corr6 FROM corrs
+         |  UNION ALL
+         |  SELECT 'baseline' AS cohort, corr6 FROM bcorrs)
+         |SELECT cohort, COUNT(*) AS n_pairs, round(AVG(corr6), 6) AS avg_corr
+         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin)
+}

@@ -1,0 +1,61 @@
+package graft.rec
+
+import graft.segment.Twins
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ALS collaborative filtering (reference part5,
+  * `als_latent_factors.py:32-106`): explicit feedback, nonnegative
+  * factors, cold-start drop — the spark.ml blocked-ALS implementation the
+  * reference already used, wrapped with deterministic seeding and the
+  * per-(user,item) dedup the engine standardizes on.
+  */
+object AlsRec {
+
+  /** Fit on (user_id, item_id, rating) with a fixed seed. */
+  def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 8,
+          regParam: Double = 0.1, seed: Long = 42L): ALSModel =
+    new ALS()
+      .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setNonnegative(true).setColdStartStrategy("drop")
+      .setSeed(seed)
+      .fit(Twins.userItemRatings(train)
+        .select(col("user_id").cast("int"), col("item_id").cast("int"),
+          col("rating").cast("float")))
+
+  /** Top-n per user of `users`, exploded to (user_id, rank, item_id,
+    * score) rows with deterministic ordering. */
+  def recommendFor(model: ALSModel, users: DataFrame, n: Int): DataFrame =
+    model.recommendForUserSubset(users.select(col("user_id").cast("int")), n)
+      .select(col("user_id"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).as("rank"),
+        col("rec.item_id").as("item_id"),
+        col("rec.rating").cast("double").as("score"))
+
+  /** RMSE of model predictions on a held-out split (reference M11). */
+  def rmse(model: ALSModel, heldOut: DataFrame): Double = {
+    val scored = model.transform(Twins.userItemRatings(heldOut)
+      .select(col("user_id").cast("int"), col("item_id").cast("int"),
+        col("rating").cast("float")))
+    new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(scored)
+  }
+
+  /** Hyperparameter grid search by validation MAP-style score (reference
+    * M12) — explicit loops, matching the reference's fixed chronological
+    * validation set (no CV). Returns (rank, regParam, metricValue) rows. */
+  def gridSearch(train: DataFrame, validation: DataFrame,
+                 ranks: Seq[Int], regs: Seq[Double], topN: Int,
+                 evalFn: (DataFrame, DataFrame) => Double): Seq[(Int, Double, Double)] =
+    for (r <- ranks; g <- regs) yield {
+      val model = fit(train, rank = r, regParam = g)
+      val recs = recommendFor(model, validation.select("user_id").distinct(), topN)
+      (r, g, evalFn(recs, validation))
+    }
+}

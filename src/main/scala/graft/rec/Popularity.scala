@@ -1,0 +1,37 @@
+package graft.rec
+
+import graft.ops.Relational._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Popularity-baseline recommender (reference part4 scripts): biased
+  * popularity pool from the training split, cross-join candidates to the
+  * target users, remove seen, rank per user by ascending item id (the
+  * reference's quirk — SURVEY §2.5 W2) and keep top-k.
+  */
+object Popularity {
+
+  /** Chronological 60/20/20 split labels on the ratings fact table
+    * (reference `partition.py`): split 0–2 train, 3 validation, 4 test. */
+  def withSplits(ratings: DataFrame): DataFrame =
+    chronoSplit(ratings, "user_id", "ts", "event_id")
+
+  def train(tagged: DataFrame): DataFrame = tagged.filter(col("split") <= 2)
+  def validation(tagged: DataFrame): DataFrame = tagged.filter(col("split") === 3)
+  def test(tagged: DataFrame): DataFrame = tagged.filter(col("split") === 4)
+
+  /** Top-k recommendations for every user of `target`, from a biased
+    * popularity pool over `trainDf`. The pool (≤ poolK rows) is broadcast;
+    * the anti-join on (user, item) is the only large shuffle. */
+  def recommend(trainDf: DataFrame, target: DataFrame, bias: Double,
+                poolK: Int, k: Int): DataFrame = {
+    val pool = biasedTopK(trainDf, "item_id", "rating", bias, poolK)
+      .select("item_id")
+    val users = target.select("user_id").distinct()
+    val unseen = removeSeen(candidates(users, pool), trainDf,
+      Seq("user_id", "item_id"))
+    perKeyTopK(unseen, "user_id", Seq(col("item_id")), k)
+      .select("user_id", "item_id", "rank")
+  }
+}

@@ -102,15 +102,17 @@ object TextAnalysis {
         explode(expr(s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))))"))
           .as("shingle"))
 
-  /** Exact Jaccard over shingle sets for all pairs sharing ≥1 shingle:
-    * co-occurrence join on the shingle (shuffle key = shingle), then
-    * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize. */
-  def shingleJaccardPairs(sh: DataFrame, id: String,
-                          minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(id).as("id_a"), col("shingle"))
-    val b = sh.select(col(id).as("id_b"), col("shingle"))
-    val shared = a.join(b, "shingle")
+  /** Exact Jaccard over item sets for all pairs sharing ≥1 item:
+    * co-occurrence join on the item (shuffle key = item), then
+    * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize —
+    * the distributed replacement for driver-side all-pairs set math
+    * (reference `correlation_optimised.py:46,84`). */
+  def setJaccardPairs(sets: DataFrame, id: String, item: String,
+                      minJaccard: Double): DataFrame = {
+    val sizes = sets.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = sets.select(col(id).as("id_a"), col(item))
+    val b = sets.select(col(id).as("id_b"), col(item))
+    val shared = a.join(b, item)
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
@@ -121,6 +123,11 @@ object TextAnalysis {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "shared", "jaccard")
   }
+
+  /** Shingle-set specialization of [[setJaccardPairs]]. */
+  def shingleJaccardPairs(sh: DataFrame, id: String,
+                          minJaccard: Double): DataFrame =
+    setJaccardPairs(sh, id, "shingle", minJaccard)
 
   /** Cavnar–Trenkle-style profile language classifier, corpus-trained:
     * learn the top-`profileSize` tokens per label from `labeled`, then

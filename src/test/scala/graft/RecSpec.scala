@@ -1,0 +1,90 @@
+package graft
+
+import graft.metrics.RankingRelational
+import graft.queries.{RecQueries, TwinsQueries}
+import graft.segment.Twins
+
+import org.apache.spark.mllib.evaluation.RankingMetrics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RecSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("ranking metrics: hand-computed AP/P/NDCG (pred [1,2,3], truth [2])") {
+    val recs = Seq((1, 1, 1), (1, 2, 2), (1, 3, 3)).toDF("user_id", "item_id", "rank")
+    val truth = Seq((1, 2)).toDF("user_id", "item_id")
+    val m = RankingRelational.metrics(spark, recs, truth, k = 3).head()
+    assert(m.getAs[Double]("p_at_k") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    // AP@3 = (1/2) / min(1,3) = 0.5
+    assert(m.getAs[Double]("map_at_k") == 0.5)
+    // NDCG: dcg = 1/log2(3) ; idcg(m=1) = 1/log2(2) = 1
+    val expNdcg = math.rint(1.0 / (math.log(3) / math.log(2)) * 1e6) / 1e6
+    assert(m.getAs[Double]("ndcg_at_k") == expNdcg)
+  }
+
+  test("ranking metrics agree with mllib RankingMetrics on popularity recs") {
+    val t = graft.rec.Popularity.withSplits(graft.io.Tables.ratings(spark, sf))
+    val recs = graft.rec.Popularity.recommend(
+      graft.rec.Popularity.train(t), graft.rec.Popularity.validation(t),
+      bias = 100.0, poolK = 50, k = 20)
+    val truth = graft.rec.Popularity.validation(t)
+      .select("user_id", "item_id").distinct()
+
+    val ours = RankingRelational.metrics(spark, recs, truth, k = 20).head()
+
+    val predByUser = recs.orderBy("user_id", "rank")
+      .groupBy("user_id").agg(collect_list(struct(col("rank"), col("item_id"))).as("l"))
+      .select(col("user_id"), expr("transform(array_sort(l), x -> x.item_id)").as("pred"))
+    val labByUser = truth.groupBy("user_id").agg(collect_set("item_id").as("lab"))
+    val joined = predByUser.join(labByUser, "user_id")
+      .select("pred", "lab").as[(Array[Int], Array[Int])]
+      .rdd.map { case (p, l) => (p.map(_.asInstanceOf[Any]), l.map(_.asInstanceOf[Any])) }
+    val mllib = new RankingMetrics(joined)
+
+    assert(math.abs(ours.getAs[Double]("p_at_k") - mllib.precisionAt(20)) < 1e-5)
+    assert(math.abs(ours.getAs[Double]("ndcg_at_k") - mllib.ndcgAt(20)) < 1e-5)
+    assert(math.abs(ours.getAs[Double]("map_at_k") - mllib.meanAveragePrecisionAt(20)) < 1e-5)
+  }
+
+  test("pairCorrelation: perfectly linear ratings → corr 1.0; <2 co-rated dropped") {
+    val ratings = Seq(
+      (1, 10, 1.0), (1, 11, 2.0), (1, 12, 3.0),
+      (2, 10, 2.0), (2, 11, 4.0), (2, 12, 6.0),
+      (3, 99, 1.0)) // user 3 co-rates nothing
+      .map { case (u, i, v) => (u, i, v, 0L, 0L) }
+      .toDF("user_id", "item_id", "rating", "ts", "event_id")
+    val pairs = Seq((1, 2), (1, 3)).toDF("id_a", "id_b")
+    val got = Twins.pairCorrelation(pairs, ratings).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_corated") == 3L)
+    assert(got.head.getAs[Double]("corr6") == 1.0)
+  }
+
+  test("statistical validation invariant: twins correlate more than baseline") {
+    // sf0.001 has only 15 users (105 pairs), so "top-100" has no
+    // selectivity there; the invariant is meaningful from sf0.01 up
+    // (150 users → top-100 of 11k pairs).
+    val rows = TwinsQueries.q44(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Double]("avg_corr")).toMap
+    assert(rows("twins") > rows("baseline"))
+  }
+
+  test("ALS recs are deterministic under fixed seed") {
+    val a = RecQueries.q52(spark, sf).collect().toSeq
+    val b = RecQueries.q52(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("popularity recs never contain train-seen items") {
+    val t = graft.rec.Popularity.withSplits(graft.io.Tables.ratings(spark, sf))
+    val recs = graft.rec.Popularity.recommend(
+      graft.rec.Popularity.train(t), graft.rec.Popularity.validation(t),
+      100.0, 50, 20)
+    val seen = graft.rec.Popularity.train(t).select("user_id", "item_id").distinct()
+    assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+  }
+}
