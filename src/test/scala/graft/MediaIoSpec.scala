@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.Tables
+import graft.multimodal.Media
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaIoSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  test("media featurize: deterministic, binary length preserved") {
+    val feats = Media.featurize(spark, Media.mediaTable(Tables.documents(spark, sf)))
+    val joined = feats.toDF().join(
+      Tables.documents(spark, sf).select(col("doc_id").as("media_id"), col("n_chars")),
+      "media_id")
+    // ASCII corpus: byte length == char count.
+    assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() == 0)
+    val a = feats.collect().sortBy(_.media_id).toSeq
+    val b = feats.collect().sortBy(_.media_id).toSeq
+    assert(a == b)
+    assert(a.forall(f => f.width >= 64 && f.width < 1088))
+  }
+
+  test("media kinds cycle deterministically by id") {
+    val kinds = Media.mediaTable(Tables.documents(spark, sf))
+      .filter(col("media_id") < 3).orderBy("media_id")
+      .select("kind").as[String].collect().toSeq
+    assert(kinds == Seq("image", "audio", "video"))
+  }
+
+  test("CSV source/sink roundtrip preserves schema and data (S1/S3 parity)") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/ratings"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("item_id", IntegerType),
+      StructField("rating", DoubleType)))
+    val orig = Tables.ratings(spark, sf).select("user_id", "item_id", "rating")
+    Tables.writeCsv(orig, dir)
+    val back = Tables.readCsv(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.count() == orig.count())
+    val sumOrig = orig.agg(sum(col("rating").cast("decimal(18,2)"))).head.getDecimal(0)
+    val sumBack = back.agg(sum(col("rating").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(sumOrig == sumBack)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.queries.RelationalQueries
+import graft.streaming.EventStreams
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+  val sf = GraftSpark.sf
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def streamDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming hourly buckets == batch q12 on the same events") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir())
+    // Complete mode: append would hold back the trailing (< watermark)
+    // windows, which never close in a finite test input.
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.hourlyBuckets(stream), "hourly", OutputMode.Complete)
+      .select("event_type", "bucket_s", "n", "total")
+      .orderBy("event_type", "bucket_s")
+      .collect().toSeq
+    val want = RelationalQueries.q12(spark, sf)
+      .select("event_type", "bucket_s", "n", "total")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming sessionize == batch q11 on the same events") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir())
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.sessionize(stream).toDF(), "sessions", OutputMode.Update)
+    // Update mode may emit several rows per user across micro-batches;
+    // the final state per user is the last emission.
+    val finalPerUser = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .orderBy("user_id").collect().toSeq
+    val want = RelationalQueries.q11(spark, sf)
+      .select("user_id", "n_events", "n_sessions")
+      .orderBy("user_id").collect().toSeq
+    assert(finalPerUser.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      want.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+}
