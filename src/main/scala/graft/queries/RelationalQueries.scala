@@ -47,7 +47,7 @@ object RelationalQueries {
     * `top_100_pairs.py:34-38`): users with ≥50 events, via aggregate +
     * join-back, re-aggregated for a compact deterministic output. */
   val q03: Q = (spark, dir) =>
-    filterActive(Tables.ratings(spark, dir), "user_id", 50L)
+    filterActive(Tables.ratingsCached(spark, dir), "user_id", 50L)
       .groupBy("user_id").agg(count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
@@ -55,7 +55,7 @@ object RelationalQueries {
     * `partition.py:22-35`): one shuffle on user_id serves both window
     * functions. */
   val q04: Q = (spark, dir) =>
-    chronoSplit(Tables.ratings(spark, dir), "user_id", "ts", "event_id")
+    chronoSplit(Tables.ratingsCached(spark, dir), "user_id", "ts", "event_id")
       .select("user_id", "event_id", "split")
       .orderBy("user_id", "event_id")
 
@@ -64,7 +64,7 @@ object RelationalQueries {
     * Pool is broadcast (≤50 rows); anti-join shuffles on the compound key;
     * ranking preserves the reference's ascending-item quirk (SURVEY §2.5). */
   val q05: Q = (spark, dir) => {
-    val ratings = Tables.ratings(spark, dir)
+    val ratings = Tables.ratingsCached(spark, dir)
     val pool = biasedTopK(ratings, "item_id", "rating", bias = 100.0, k = 50)
       .select("item_id")
     val users = ratings.select("user_id").distinct()
@@ -79,7 +79,7 @@ object RelationalQueries {
     * `popularity_evalutaion.py:58-61`): validation-split items per user as
     * a sorted comma-joined string (stable under shuffle reorder). */
   val q06: Q = (spark, dir) => {
-    val split = chronoSplit(Tables.ratings(spark, dir), "user_id", "ts", "event_id")
+    val split = chronoSplit(Tables.ratingsCached(spark, dir), "user_id", "ts", "event_id")
     sortedList(split.filter(col("split") === 3), "user_id", "item_id", "items")
       .orderBy("user_id")
   }
@@ -123,7 +123,7 @@ object RelationalQueries {
 
   /** q09 — distinct projection (A6): hash aggregate on both columns. */
   val q09: Q = (spark, dir) =>
-    Tables.ratings(spark, dir).select("user_id", "item_id").distinct()
+    Tables.ratingsCached(spark, dir).select("user_id", "item_id").distinct()
       .orderBy("user_id", "item_id")
 
   /** q10 — global top-k with deterministic tiebreak (O2):

@@ -80,6 +80,7 @@ object SimilarityQueries {
     val e = emb(spark, dir)
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+      .setInitMode("random") // seeded; k-means|| costs ~5 extra passes
       .setFeaturesCol("features")
       .fit(e)
     model.transform(e)
@@ -120,7 +121,8 @@ object SimilarityQueries {
         (col("recency_s") - col("r_mu")) / col("r_sd"),
         (col("frequency") - col("f_mu")) / col("f_sd"),
         (col("monetary") - col("m_mu")) / col("m_sd"))))
-    val model = new KMeans().setK(4).setSeed(42L).setMaxIter(20)
+    val model = new KMeans().setK(4).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .setFeaturesCol("features")
       .fit(scaled)
     model.transform(scaled)

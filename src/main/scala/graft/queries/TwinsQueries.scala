@@ -18,7 +18,20 @@ object TwinsQueries {
   private val H = "9223372036854775807"
 
   private def ratings(spark: SparkSession, dir: String): DataFrame =
-    Tables.ratings(spark, dir)
+    Tables.ratingsCached(spark, dir)
+
+  /** Memoized top-100 exact twin pairs (persisted, ≤100 rows): q41, q43
+    * and q44 all consume this intermediate — the distributed analogue of
+    * the reference materializing `top_100_pairs.csv` between part1 and
+    * part2. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def topPairsCached(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir),
+      Twins.topTwinsExact(ratings(spark, dir), k = 100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
 
   /** q40 — 32-perm MinHash signatures of each user's item set. */
   val q40: Q = (spark, dir) =>
@@ -29,8 +42,7 @@ object TwinsQueries {
       .orderBy("user_id", "p")
 
   /** q41 — exact top-100 twins by Jaccard (deterministic tiebreak). */
-  val q41: Q = (spark, dir) =>
-    Twins.topTwinsExact(ratings(spark, dir), k = 100)
+  val q41: Q = (spark, dir) => topPairsCached(spark, dir)
 
   /** q42 — LSH top-100 twins: the reference's approximate pipeline,
     * distributed (candidates only from band collisions). */
@@ -42,7 +54,7 @@ object TwinsQueries {
     * items (≥2 co-ratings), via self-join + built-in `corr`. */
   val q43: Q = (spark, dir) => {
     val r = ratings(spark, dir)
-    Twins.pairCorrelation(Twins.topTwinsExact(r, 100), r)
+    Twins.pairCorrelation(topPairsCached(spark, dir), r)
       .orderBy("id_a", "id_b")
   }
 
@@ -53,15 +65,17 @@ object TwinsQueries {
     * oracle-reproducible. */
   val q44: Q = (spark, dir) => {
     val r = ratings(spark, dir)
-    val twins = Twins.pairCorrelation(Twins.topTwinsExact(r, 100), r)
-      .withColumn("cohort", lit("twins"))
+    val twins = topPairsCached(spark, dir)
+      .select("id_a", "id_b").withColumn("cohort", lit("twins"))
     val users = r.select("user_id").distinct()
     val base = users.select(col("user_id").as("id_a"))
       .join(users.select(col("user_id").as("id_b")),
         col("id_b") === col("id_a") + 7)
-    val baseCorr = Twins.pairCorrelation(base, r)
       .withColumn("cohort", lit("baseline"))
-    twins.unionByName(baseCorr)
+    // One correlation pass over the unioned pair list (cohort carried
+    // through the aggregate) — halves the ratings-dedup/join work vs two
+    // separate pipelines.
+    Twins.pairCorrelation(twins.unionByName(base), r, carryCols = Seq("cohort"))
       .groupBy("cohort")
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("corr6")), 6).as("avg_corr"))

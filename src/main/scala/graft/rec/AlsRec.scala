@@ -15,10 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object AlsRec {
 
-  /** Fit on (user_id, item_id, rating) with a fixed seed. */
+  /** Memoized fits: several registered queries evaluate the same seeded
+    * model (recs + metrics + RMSE); a fit is deterministic given
+    * (session, input, params), so re-fitting is pure waste. Keyed by
+    * session identity — models are not valid across SparkSessions. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int, Double, Long), ALSModel]
+
+  /** Fit on (user_id, item_id, rating) with a fixed seed. `cacheKey`
+    * (e.g. the sf dir) enables model memoization within a session. */
   def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 8,
-          regParam: Double = 0.1, seed: Long = 42L): ALSModel =
-    new ALS()
+          regParam: Double = 0.1, seed: Long = 42L,
+          cacheKey: String = ""): ALSModel = {
+    def doFit(): ALSModel = new ALS()
       .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
       .setNonnegative(true).setColdStartStrategy("drop")
@@ -26,6 +35,12 @@ object AlsRec {
       .fit(Twins.userItemRatings(train)
         .select(col("user_id").cast("int"), col("item_id").cast("int"),
           col("rating").cast("float")))
+    if (cacheKey.isEmpty) doFit()
+    else cache.getOrElseUpdate(
+      (System.identityHashCode(train.sparkSession), cacheKey, rank, maxIter,
+        regParam, seed),
+      doFit())
+  }
 
   /** Top-n per user of `users`, exploded to (user_id, rank, item_id,
     * score) rows with deterministic ordering. */

@@ -27,9 +27,15 @@ object Twins {
 
   /** Exact top-k most similar user pairs by Jaccard over item sets,
     * deterministic order (jaccard desc, user_a, user_b) →
-    * TakeOrderedAndProject. */
+    * TakeOrderedAndProject.
+    *
+    * Uses the dense all-pairs strategy ([[TextAnalysis.setJaccardPairsDense]]):
+    * the item universe here is tiny (100 ids), which starves the sparse
+    * co-occurrence join of shuffle keys; with MovieLens-shaped data
+    * (86k-item universe, ≥50-item sets) switch to
+    * [[TextAnalysis.setJaccardPairs]] or the LSH path. */
   def topTwinsExact(ratings: DataFrame, k: Int): DataFrame =
-    TextAnalysis.setJaccardPairs(
+    TextAnalysis.setJaccardPairsDense(
       ratings.select("user_id", "item_id").distinct(), "user_id", "item_id",
       minJaccard = 0.0)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -55,16 +61,18 @@ object Twins {
     * `pairs` is small (top-k) → broadcast; the two rating joins shuffle on
     * user and (user, item). Pairs with <2 co-rated items are dropped, like
     * the reference. */
-  def pairCorrelation(pairs: DataFrame, ratings: DataFrame): DataFrame = {
+  def pairCorrelation(pairs: DataFrame, ratings: DataFrame,
+                      carryCols: Seq[String] = Nil): DataFrame = {
     val r = userItemRatings(ratings)
     val r1 = r.select(col("user_id").as("id_a"), col("item_id"),
       col("rating").as("rating_a"))
     val r2 = r.select(col("user_id").as("id_b"), col("item_id"),
       col("rating").as("rating_b"))
-    broadcast(pairs.select("id_a", "id_b"))
+    val keyCols = Seq("id_a", "id_b") ++ carryCols
+    broadcast(pairs.select(keyCols.map(col): _*))
       .join(r1, "id_a")
       .join(r2, Seq("id_b", "item_id"))
-      .groupBy("id_a", "id_b")
+      .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_corated"),
         corr(col("rating_a"), col("rating_b")).as("c"))
       .filter(col("n_corated") >= 2)

@@ -129,6 +129,40 @@ object TextAnalysis {
                           minJaccard: Double): DataFrame =
     setJaccardPairs(sh, id, "shingle", minJaccard)
 
+  /** Dense variant of [[setJaccardPairs]] for SMALL universes: collect each
+    * entity's item set into a sorted array, broadcast one side, evaluate
+    * all canonical pairs with `array_intersect` — no shuffle at all beyond
+    * the initial per-entity aggregate.
+    *
+    * Strategy selection: the co-occurrence join ([[setJaccardPairs]]) is
+    * the general sparse path — cost O(Σ_item |owners|²), shuffle key =
+    * item; it degrades when the item universe is tiny (few shuffle keys ⇒
+    * skew-limited parallelism, e.g. 100 items × 1000 owners each = 50M
+    * join partials through 100 keys). This dense path costs O(|entities|² ×
+    * avg-set-size) with perfect parallelism and wins when |entities| is
+    * bounded (≲10⁵) and sets are short; at 100 TB with huge universes and
+    * entity counts, use the sparse path (or LSH). Same output contract.
+    */
+  def setJaccardPairsDense(sets: DataFrame, id: String, item: String,
+                           minJaccard: Double): DataFrame = {
+    val packed = sets.groupBy(col(id))
+      .agg(sort_array(collect_set(col(item))).as("items"))
+      .select(col(id), col("items"), size(col("items")).as("n"))
+    val a = packed.select(col(id).as("id_a"), col("items").as("items_a"),
+      col("n").as("n_a"))
+    val b = packed.select(col(id).as("id_b"), col("items").as("items_b"),
+      col("n").as("n_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("shared",
+        graft.functions.GraftFunctions.sorted_intersect_count(
+          col("items_a"), col("items_b")))
+      .filter(col("shared") > 0)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
   /** Cavnar–Trenkle-style profile language classifier, corpus-trained:
     * learn the top-`profileSize` tokens per label from `labeled`, then
     * classify each document by maximal profile overlap (ties → label
