@@ -133,8 +133,29 @@ object SimilarityQueries {
       .orderBy("segment")
   }
 
+  /** q36 — embedding-cosine near-duplicate pairs: all corpus vectors,
+    * candidates restricted to same LSH bucket (never all-pairs), verified
+    * at cosine ≥ 0.4. The corpus is isotropic-random, so matches are rare
+    * by construction — the query validates the dedup shape, not corpus
+    * structure. */
+  val q36: Q = (spark, dir) => {
+    val e = withLshBucket(emb(spark, dir), "embedding", planes = 8, dim = 64)
+      .withColumn("nrm", l2norm(col("embedding")))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine6(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "bucket", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_knn_bruteforce" -> q30,
+    "q36_embedding_neardup" -> q36,
     "q31_vector_norms" -> q31,
     "q32_ann_lsh" -> q32,
     "q33_kmeans_embeddings" -> q33,
@@ -194,6 +215,27 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT q_id, rank, n_id, bucket, cos FROM ranked WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin,
+    "q36_embedding_neardup" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, p,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      list_transform(generate_series(0, 63),
+         |        d -> (((md5_number_lower(p::VARCHAR || ':' || d::VARCHAR) & $H)::BIGINT % 2001) - 1000)::DOUBLE / 1000.0)) AS s
+         |  FROM embeddings CROSS JOIN generate_series(0, 7) g(p)),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |e AS (
+         |  SELECT x.vec_id, CAST(x.embedding AS DOUBLE[]) AS emb, b.bucket,
+         |    sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings x JOIN buckets b USING (vec_id))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+         |FROM e a JOIN e b USING (bucket)
+         |WHERE a.vec_id < b.vec_id
+         |  AND round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
     "q34_rfm_features" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(epoch(max(o_orderdate)) AS BIGINT) AS recency_s,

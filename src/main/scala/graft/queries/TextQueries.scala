@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** q20 — per-document token statistics + md5 fingerprint. */
+  /** q20 — per-document token statistics + md5 fingerprint. n_subtokens
+    * is a BPE-ish proxy count (each word contributes ceil(len/4) units). */
   val q20: Q = (spark, dir) =>
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -23,6 +24,8 @@ object TextQueries {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
+        expr("aggregate(transform(toks, t -> cast(ceil(length(t) / 4.0) as bigint)), 0L, (a, x) -> a + x)")
+          .as("n_subtokens"),
         col("n_chars"),
         md5(col("text")).as("fp"))
       .orderBy("doc_id")
@@ -101,8 +104,17 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q28 — SimHash near-duplicate pairs (Hamming ≤ 3) via pigeonhole
+    * chunk blocking — the third dedup family (exact, MinHash/Jaccard,
+    * SimHash/Hamming). */
+  val q28: Q = (spark, dir) =>
+    simhashNearDupPairs(
+      simhash(Tables.documents(spark, dir), "doc_id", "text"), "doc_id")
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20,
+    "q28_simhash_neardup" -> q28,
     "q21_quality_score" -> q21,
     "q22_lang_id" -> q22,
     "q23_exact_dedup" -> q23,
@@ -118,6 +130,8 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
         |  n_chars, md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_quality_score" ->
@@ -150,6 +164,30 @@ object TextQueries {
         |  CAST(b.predicted = d.lang AS INT) AS correct
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
         |WHERE b.r = 1 ORDER BY b.doc_id""".stripMargin,
+    "q28_simhash_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (
+         |  SELECT doc_id, CAST(md5_number_lower(token) & $H AS BIGINT) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b) g
+         |  GROUP BY doc_id, b),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |chunks AS (
+         |  SELECT doc_id, simhash, i, (simhash >> (i * 16)) & 65535 AS cv
+         |  FROM sh CROSS JOIN generate_series(0, 3) g(i)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM chunks a JOIN chunks b USING (i, cv)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         |FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q23_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,

@@ -44,6 +44,30 @@ object TextAnalysis {
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(lit(0L))).as("simhash"))
 
+  /** SimHash near-duplicate pairs by Hamming distance, via the pigeonhole
+    * block technique: split the 63-bit fingerprint into 4 × 16-bit chunks;
+    * any pair within distance ≤ 3 must agree exactly on ≥1 chunk, so
+    * candidates come from an equi-join on (chunk index, chunk value) —
+    * O(collisions), never all-pairs — and are then verified with
+    * `bit_count(xor)`. maxDist must stay < #chunks for the guarantee. */
+  def simhashNearDupPairs(sh: DataFrame, id: String,
+                          maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "pigeonhole guarantee needs maxDist < #chunks (4)")
+    val chunks = sh.select(col(id), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("cv", expr("(simhash >> (i * 16)) & 65535"))
+    val a = chunks.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+      col("i"), col("cv"))
+    val b = chunks.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      col("i"), col("cv"))
+    a.join(b, Seq("i", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** MinHash signatures: numPerm rows per id, `mh(p) = min over tokens of
     * md5_63(p ++ ":" ++ token)`. Signature building is a single
     * partial-aggregated min — no `collect_set` of whole token sets ever
