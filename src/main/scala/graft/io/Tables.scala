@@ -57,6 +57,25 @@ object Tables {
       col("ts"),
       col("event_id"))
 
+  /** S2 — load-and-clean composite (reference
+    * `als_latent_factors.py:14-20`): drop rows with nulls in the key
+    * columns, cast to the requested types, project. */
+  def loadAndClean(df: DataFrame,
+                   casts: Seq[(String, String)]): DataFrame =
+    df.na.drop(casts.map(_._1))
+      .select(casts.map { case (c, t) => col(c).cast(t).as(c) }: _*)
+
+  /** M5 — deterministic pseudo-random sampling: order by a hash of the
+    * key and take n. Unlike `df.sample` (partition-layout-dependent) or
+    * `takeSample` (driver RDD action), this is a pure
+    * `TakeOrderedAndProject` — reproducible on any cluster layout, seeded
+    * by the salt. */
+  def hashSample(df: DataFrame, key: String, n: Int,
+                 salt: String = "42"): DataFrame =
+    df.orderBy(graft.functions.GraftFunctions.md5_63(
+      concat(lit(salt), lit(":"), col(key).cast("string"))), col(key))
+      .limit(n)
+
   private val ratingsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
