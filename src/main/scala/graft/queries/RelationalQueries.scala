@@ -170,6 +170,26 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), decSum(col("value")).cast("double").as("total"))
       .orderBy("item")
 
+  /** q14 — IN-list predicate (P6, reference
+    * `correlation_optimised.py:32`): small literal list → Catalyst `In`
+    * (a broadcast semi-join is the large-list variant, see q08/J-family). */
+  val q14: Q = (spark, dir) =>
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        decSum(col("c_acctbal")).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+
+  /** q15 — hierarchical rollup (engine extension beyond the reference's
+    * flat groupBys): per (returnflag, linestatus) with subtotals and a
+    * grand total in one pass. */
+  val q15: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).cast("double").as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -190,7 +210,9 @@ object RelationalQueries {
     "q10_top_orders" -> q10,
     "q11_sessionize" -> q11,
     "q12_hour_buckets" -> q12,
-    "q13_json_extract" -> q13)
+    "q13_json_extract" -> q13,
+    "q14_inlist_filter" -> q14,
+    "q15_rollup" -> q15)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -287,5 +309,15 @@ object RelationalQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY item ORDER BY item""".stripMargin)
+        |FROM events GROUP BY item ORDER BY item""".stripMargin,
+    "q14_inlist_filter" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 }
