@@ -21,6 +21,17 @@ object Popularity {
   def validation(tagged: DataFrame): DataFrame = tagged.filter(col("split") === 3)
   def test(tagged: DataFrame): DataFrame = tagged.filter(col("split") === 4)
 
+  /** Bias hyperparameter sweep (reference `popularity_tuned.py:26-41`,
+    * Table 2): evaluate the recommender at each bias value with the
+    * caller's metric. Explicit loop, like the reference — the validation
+    * set is fixed and chronological, not cross-validated. */
+  def biasSweep(trainDf: DataFrame, target: DataFrame, biases: Seq[Double],
+                poolK: Int, k: Int,
+                evalFn: DataFrame => Double): Seq[(Double, Double)] =
+    biases.map { b =>
+      b -> evalFn(recommend(trainDf, target, b, poolK, k))
+    }
+
   /** Top-k recommendations for every user of `target`, from a biased
     * popularity pool over `trainDf`. The pool (≤ poolK rows) is broadcast;
     * the anti-join on (user, item) is the only large shuffle. */

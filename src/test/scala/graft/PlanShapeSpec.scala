@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.Registry
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the scale-critical plan shapes
+  * (SURVEY §4.3 / ARCHITECTURE.md) must not silently degrade — a global
+  * sort where TakeOrderedAndProject belongs, a shuffled join where a
+  * broadcast belongs, or a scan that stops pruning would pass correctness
+  * and still be wrong at 100 TB. Pinned to Spark 4.1.2 plan strings.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  private def plan(q: String): String =
+    Registry.all(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 top-k pool plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q02_top_parts_biased")
+    assert(p.contains("TakeOrderedAndProject"))
+    // scan pruned to the two referenced columns
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"))
+  }
+
+  test("q05 anti-join broadcasts and per-key top-k uses WindowGroupLimit") {
+    val p = plan("q05_user_topk_unseen")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastNestedLoopJoin")) // tiny pool cross join
+  }
+
+  test("q07 star join broadcasts every dimension and pushes filters") {
+    val p = plan("q07_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull"))
+  }
+
+  test("q30 KNN pushes the id-range filters into the parquet scan") {
+    val p = plan("q30_knn_bruteforce")
+    assert(p.contains("GreaterThanOrEqual(vec_id,10)"))
+    assert(p.contains("LessThan(vec_id,10)"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q01 aggregates partially before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("partial_count"))
+  }
+}
