@@ -51,4 +51,12 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftShim.column(org.apache.spark.sql.graft.SortedIntersectCount(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** One-pass MinHash signature aggregate → array<long> of numPerm mins
+    * per group (custom TypedImperativeAggregate; see
+    * [[org.apache.spark.sql.graft.MinHashAgg]] — the fast/scale variant
+    * of [[graft.text.TextAnalysis.minhashSignatures]]). */
+  def minhash_agg(token: Column, numPerm: Int): Column =
+    GraftShim.column(org.apache.spark.sql.graft.MinHashAgg(
+      GraftShim.expression(token), numPerm).toAggregateExpression())
 }

@@ -190,6 +190,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).cast("double").as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q16 — approximate distinct counting (HLL++ sketch): the cardinality
+    * primitive of a 100 TB pipeline (exact countDistinct needs a full
+    * shuffle of the keys; the sketch merges in fixed space). Engine-
+    * specific sketch values ⇒ rows-only check; the ≤2% error bound vs
+    * exact is asserted in spec. */
+  val q16: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+      .orderBy("l_returnflag")
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -212,7 +225,8 @@ object RelationalQueries {
     "q12_hour_buckets" -> q12,
     "q13_json_extract" -> q13,
     "q14_inlist_filter" -> q14,
-    "q15_rollup" -> q15)
+    "q15_rollup" -> q15,
+    "q16_approx_distinct" -> q16)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -126,9 +126,20 @@ object TextQueries {
     simhashNearDupPairs(simhashCached(spark, dir), "doc_id")
       .orderBy("id_a", "id_b")
 
+  /** q29 — MinHash signatures via the custom one-pass
+    * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
+    * the 100 TB-scale variant of q25 (no numPerm× explosion; affine-mixed
+    * hash family ⇒ rows-only check, contract asserted in MinHashAggSpec). */
+  val q29: Q = (spark, dir) =>
+    minhashSignaturesFast(
+      shinglesCached(spark, dir).withColumnRenamed("shingle", "token"),
+      "doc_id", numPerm = 16)
+      .orderBy("doc_id", "p")
+
   val queries: Map[String, Q] = Map(
     "q20_token_stats" -> q20,
     "q28_simhash_neardup" -> q28,
+    "q29_minhash_fast" -> q29,
     "q21_quality_score" -> q21,
     "q22_lang_id" -> q22,
     "q23_exact_dedup" -> q23,

@@ -82,6 +82,18 @@ object TextAnalysis {
       .groupBy(col(id), col("p"))
       .agg(min(col("h")).as("mh"))
 
+  /** Scale variant of [[minhashSignatures]]: one custom aggregate call
+    * per entity instead of a numPerm× row explosion — shuffle volume is
+    * one 8·numPerm-byte buffer per (entity, partition). Different (faster,
+    * affine-mixed) hash family ⇒ no SQL oracle; estimator statistics and
+    * the downstream LSH/estimate contract are identical, asserted in
+    * PropertySpec. Output schema matches: (id, p, mh). */
+  def minhashSignaturesFast(tok: DataFrame, id: String,
+                            numPerm: Int): DataFrame =
+    tok.groupBy(col(id))
+      .agg(graft.functions.GraftFunctions.minhash_agg(col("token"), numPerm).as("sig"))
+      .select(col(id), posexplode(col("sig")).as(Seq("p", "mh")))
+
   /** LSH banding: group a signature's perms into bands of `rowsPerBand`,
     * fingerprint each band, and emit candidate pairs that collide in at
     * least one band (canonicalized id_a < id_b, deduplicated).

@@ -76,6 +76,17 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q16 approx distinct within 2% of exact") {
+    val approx = RelationalQueries.q16(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
+    val exact = graft.io.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
   test("q01 pricing summary: groups and exact count") {
     val rows = RelationalQueries.q01(spark, sf).collect()
     assert(rows.length == 6)
