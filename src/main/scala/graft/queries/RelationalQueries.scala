@@ -203,6 +203,25 @@ object RelationalQueries {
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** q17 — analytic window frame (extension beyond the reference's
+    * rank-only windows): per-supplier running revenue in shipdate order,
+    * decimal-exact. One shuffle on suppkey; the frame is
+    * rows-unbounded-preceding (streaming-friendly prefix sum). */
+  val q17: Q = (spark, dir) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("running_revenue",
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_revenue")
+      // (orderkey, linenumber) repeats across shipdates, so it is not a
+      // total order; the prefix sum is strictly increasing per supplier
+      // and reproduces the window order exactly.
+      .orderBy("l_suppkey", "running_revenue")
+  }
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -226,7 +245,8 @@ object RelationalQueries {
     "q13_json_extract" -> q13,
     "q14_inlist_filter" -> q14,
     "q15_rollup" -> q15,
-    "q16_approx_distinct" -> q16)
+    "q16_approx_distinct" -> q16,
+    "q17_running_revenue" -> q17)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -333,5 +353,14 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q17_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_revenue
+        |FROM lineitem
+        |ORDER BY l_suppkey, running_revenue""".stripMargin)
 }

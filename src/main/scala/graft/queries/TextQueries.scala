@@ -126,6 +126,28 @@ object TextQueries {
     simhashNearDupPairs(simhashCached(spark, dir), "doc_id")
       .orderBy("id_a", "id_b")
 
+  /** q18 — TF-IDF top terms per document: tf from the token multiset,
+    * idf = ln(N/df) over the corpus, top-3 terms per doc by (tfidf desc,
+    * term asc). Two aggregates + a join + a windowed top-k — the classic
+    * text-feature pipeline, all shuffle-partial-aggregated. */
+  val q18: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // corpus size: one cheap metadata-level count
+    val tf = tokens(docs, "doc_id", "text")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // Rank on the ROUNDED score: mathematically-equal tfidf reached via
+    // different (tf, df) routes could 1-ulp-flip cross-engine order;
+    // rounding collapses them into ties broken by token.
+    val scored = tf.join(df_, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    import graft.ops.Relational.perKeyTopK
+    perKeyTopK(scored, "doc_id", Seq(col("tfidf").desc, col("token")), k = 3)
+      .select("doc_id", "rank", "token", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
     * the 100 TB-scale variant of q25 (no numPerm× explosion; affine-mixed
@@ -137,6 +159,7 @@ object TextQueries {
       .orderBy("doc_id", "p")
 
   val queries: Map[String, Q] = Map(
+    "q18_tfidf" -> q18,
     "q20_token_stats" -> q20,
     "q28_simhash_neardup" -> q28,
     "q29_minhash_fast" -> q29,
@@ -151,6 +174,21 @@ object TextQueries {
   private val H = "9223372036854775807"
 
   val oracles: Map[String, String] = Map(
+    "q18_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, round(tf * ln(nd / df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q20_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
