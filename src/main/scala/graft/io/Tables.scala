@@ -14,8 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `filter` and Catalyst pushes both into the `FileScan`.
   */
 object Tables {
+  // One analyzed relation per (session, path): re-creating a reader per
+  // query rebuilds the file index (schema read + listing) every time;
+  // sharing the DataFrame object reuses it. Lazy — no data is cached.
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.getOrElseUpdate(
+      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
