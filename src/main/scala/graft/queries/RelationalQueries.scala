@@ -222,6 +222,19 @@ object RelationalQueries {
       .orderBy("l_suppkey", "running_revenue")
   }
 
+  /** q19 — pivot (long→wide conditional aggregation): per-user event-type
+    * counts as columns. Spark's `pivot` with an explicit value list is a
+    * single-pass conditional aggregate — no extra shuffle vs the flat
+    * groupBy. Missing combinations filled with 0 to match SQL COUNT
+    * FILTER semantics. */
+  val q19: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -246,7 +259,8 @@ object RelationalQueries {
     "q14_inlist_filter" -> q14,
     "q15_rollup" -> q15,
     "q16_approx_distinct" -> q16,
-    "q17_running_revenue" -> q17)
+    "q17_running_revenue" -> q17,
+    "q19_pivot_counts" -> q19)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -362,5 +376,13 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_revenue
         |FROM lineitem
-        |ORDER BY l_suppkey, running_revenue""".stripMargin)
+        |ORDER BY l_suppkey, running_revenue""".stripMargin,
+    "q19_pivot_counts" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
