@@ -232,7 +232,9 @@ object RelationalQueries {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
-      .na.fill(0L)
+      // fill scoped to the pivoted columns only — an unscoped fill would
+      // also rewrite a NULL group key to 0.
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   // --- DuckDB oracle SQL --------------------------------------------------

@@ -76,6 +76,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("pivot fill path: missing (user, type) combos become 0, not null") {
+    // The driver fixtures are dense (every user has every event type), so
+    // this exercises the branch the oracle data never reaches.
+    val df = Seq((1L, "click"), (1L, "view"), (2L, "click"))
+      .toDF("user_id", "event_type")
+    val got = df.groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("user_id")
+      .collect()
+    assert(got(0).getAs[Long]("error") == 0L)
+    assert(got(1).getAs[Long]("view") == 0L)
+    assert(got(0).getAs[Long]("click") == 1L)
+  }
+
   test("q16 approx distinct within 2% of exact") {
     val approx = RelationalQueries.q16(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
