@@ -17,12 +17,8 @@ object Tables {
   // One analyzed relation per (session, path): re-creating a reader per
   // query rebuilds the file index (schema read + listing) every time;
   // sharing the DataFrame object reuses it. Lazy — no data is cached.
-  private val relationCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.getOrElseUpdate(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
+    graft.util.SessionMemo(spark, s"relation:$dir/$name.parquet")(
       spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
@@ -84,16 +80,11 @@ object Tables {
       concat(lit(salt), lit(":"), col(key).cast("string"))), col(key))
       .limit(n)
 
-  private val ratingsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   /** Memory-cached ratings projection, one per (session, dir): a dozen
     * registered queries start from this exact 5-column projection, so the
     * JSON extraction + scan amortizes across them (the reference
     * recomputed its lineage on every action — SURVEY §4.2's first
     * anti-pattern; a cached hot projection is the engine-side fix). */
   def ratingsCached(spark: SparkSession, dir: String): DataFrame =
-    ratingsCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir),
-      ratings(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    graft.util.SessionMemo.cached(spark, s"ratings:$dir")(ratings(spark, dir))
 }

@@ -17,6 +17,13 @@ object Skew {
     * commutative+associative aggregate expressed as (partial, merge)
     * column pairs over the same column names.
     *
+    * The salt is a DETERMINISTIC function of the full row content
+    * (`xxhash64` over every column + seed): under task retries a
+    * recomputed row lands in the same sub-partition it did originally —
+    * a nondeterministic salt (partition id, random, monotonic id) is the
+    * SPARK-23207 row-loss/duplication class of bug, in exactly the
+    * retry-heavy environment this helper targets.
+    *
     * Example: salted count+sum:
     * {{{
     * saltedAgg(df, Seq("k"), salts = 16,
@@ -26,10 +33,12 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partial: Seq[org.apache.spark.sql.Column],
-                merge: Seq[org.apache.spark.sql.Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+                merge: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val saltInputs = df.columns.map(col).toSeq :+ lit("graft-salt")
+    df.withColumn("__salt", pmod(xxhash64(saltInputs: _*), lit(salts.toLong)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(merge.head, merge.tail: _*)
+  }
 }

@@ -42,7 +42,7 @@ object RecQueries {
     * rank 8 × 8 iters; rows-only check — iterative ML has no SQL oracle). */
   val q52: Q = (spark, dir) => {
     val t = tagged(spark, dir)
-    val model = AlsRec.fit(Popularity.train(t), cacheKey = dir)
+    val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
     AlsRec.recommendFor(model,
       Popularity.validation(t).select("user_id").distinct(), n = 10)
       .orderBy("user_id", "rank")
@@ -54,7 +54,7 @@ object RecQueries {
     val t = tagged(spark, dir)
     val train = Popularity.train(t)
     val valid = Popularity.validation(t)
-    val model = AlsRec.fit(train, cacheKey = dir)
+    val model = AlsRec.fit(train, cacheKey = s"$dir/train")
     val recs = AlsRec.recommendFor(model,
       valid.select("user_id").distinct(), n = 20)
       .select("user_id", "item_id", "rank")

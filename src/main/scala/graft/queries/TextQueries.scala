@@ -18,26 +18,18 @@ object TextQueries {
   // Session-scoped memoized intermediates: the 3-gram shingle sets feed
   // q25/q26/q27, the MinHash signatures feed q25/q27, and the SimHash
   // fingerprints feed q24/q28 — materialize each once per (session, dir).
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-
-  private def memo(spark: SparkSession, dir: String, what: String)
-                  (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, what),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-
   private def shinglesCached(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "shingles")(
+    graft.util.SessionMemo.cached(spark, s"doc-shingles3:$dir")(
       shingles(Tables.documents(spark, dir), "doc_id", "text", n = 3))
 
   private def sigsCached(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "sigs")(
+    graft.util.SessionMemo.cached(spark, s"doc-minhash16:$dir")(
       minhashSignatures(
         shinglesCached(spark, dir).withColumnRenamed("shingle", "token"),
         "doc_id", numPerm = 16))
 
   private def simhashCached(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "simhash")(
+    graft.util.SessionMemo.cached(spark, s"doc-simhash:$dir")(
       simhash(Tables.documents(spark, dir), "doc_id", "text"))
 
   /** q20 — per-document token statistics + md5 fingerprint. n_subtokens
@@ -132,16 +124,19 @@ object TextQueries {
     * text-feature pipeline, all shuffle-partial-aggregated. */
   val q18: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count() // corpus size: one cheap metadata-level count
+    // Corpus size as a broadcast 1-row aggregate (like the oracle's `n`
+    // CTE) — keeps the query fully lazy instead of running an eager
+    // count() job on every invocation.
+    val n = docs.agg(count(lit(1)).cast("double").as("nd"))
     val tf = tokens(docs, "doc_id", "text")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // Rank on the ROUNDED score: mathematically-equal tfidf reached via
     // different (tf, df) routes could 1-ulp-flip cross-engine order;
     // rounding collapses them into ties broken by token.
-    val scored = tf.join(df_, "token")
+    val scored = tf.join(df_, "token").crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("nd") / col("df")), 6))
     import graft.ops.Relational.perKeyTopK
     perKeyTopK(scored, "doc_id", Seq(col("tfidf").desc, col("token")), k = 3)
       .select("doc_id", "rank", "token", "tfidf")

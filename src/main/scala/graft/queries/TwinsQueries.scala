@@ -24,14 +24,9 @@ object TwinsQueries {
     * and q44 all consume this intermediate — the distributed analogue of
     * the reference materializing `top_100_pairs.csv` between part1 and
     * part2. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   private def topPairsCached(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir),
-      Twins.topTwinsExact(ratings(spark, dir), k = 100)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    graft.util.SessionMemo.cached(spark, s"top-twins-100:$dir")(
+      Twins.topTwinsExact(ratings(spark, dir), k = 100))
 
   /** q40 — 32-perm MinHash signatures of each user's item set. */
   val q40: Q = (spark, dir) =>
@@ -74,8 +69,10 @@ object TwinsQueries {
       .withColumn("cohort", lit("baseline"))
     // One correlation pass over the unioned pair list (cohort carried
     // through the aggregate) — halves the ratings-dedup/join work vs two
-    // separate pipelines.
-    Twins.pairCorrelation(twins.unionByName(base), r, carryCols = Seq("cohort"))
+    // separate pipelines. The baseline list is O(|users|) pairs, so it is
+    // NOT broadcast (the top-k-only precondition doesn't hold here).
+    Twins.pairCorrelation(twins.unionByName(base), r,
+      carryCols = Seq("cohort"), broadcastPairs = false)
       .groupBy("cohort")
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("corr6")), 6).as("avg_corr"))

@@ -15,15 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object AlsRec {
 
-  /** Memoized fits: several registered queries evaluate the same seeded
-    * model (recs + metrics + RMSE); a fit is deterministic given
-    * (session, input, params), so re-fitting is pure waste. Keyed by
-    * session identity — models are not valid across SparkSessions. */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int, Double, Long), ALSModel]
-
-  /** Fit on (user_id, item_id, rating) with a fixed seed. `cacheKey`
-    * (e.g. the sf dir) enables model memoization within a session. */
+  /** Fit on (user_id, item_id, rating) with a fixed seed.
+    *
+    * `cacheKey` memoizes the fitted model within the session: it MUST
+    * uniquely identify the training DATASET (e.g. `s"$dir/train"`), not
+    * just the run — two different train DataFrames sharing a key would
+    * silently share one model. Empty key = no memoization. */
   def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 8,
           regParam: Double = 0.1, seed: Long = 42L,
           cacheKey: String = ""): ALSModel = {
@@ -36,10 +33,8 @@ object AlsRec {
         .select(col("user_id").cast("int"), col("item_id").cast("int"),
           col("rating").cast("float")))
     if (cacheKey.isEmpty) doFit()
-    else cache.getOrElseUpdate(
-      (System.identityHashCode(train.sparkSession), cacheKey, rank, maxIter,
-        regParam, seed),
-      doFit())
+    else graft.util.SessionMemo(train.sparkSession,
+      s"als:$cacheKey:$rank:$maxIter:$regParam:$seed")(doFit())
   }
 
   /** Top-n per user of `users`, exploded to (user_id, rank, item_id,

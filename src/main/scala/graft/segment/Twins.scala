@@ -62,14 +62,18 @@ object Twins {
     * user and (user, item). Pairs with <2 co-rated items are dropped, like
     * the reference. */
   def pairCorrelation(pairs: DataFrame, ratings: DataFrame,
-                      carryCols: Seq[String] = Nil): DataFrame = {
+                      carryCols: Seq[String] = Nil,
+                      broadcastPairs: Boolean = true): DataFrame = {
     val r = userItemRatings(ratings)
     val r1 = r.select(col("user_id").as("id_a"), col("item_id"),
       col("rating").as("rating_a"))
     val r2 = r.select(col("user_id").as("id_b"), col("item_id"),
       col("rating").as("rating_b"))
     val keyCols = Seq("id_a", "id_b") ++ carryCols
-    broadcast(pairs.select(keyCols.map(col): _*))
+    val p = pairs.select(keyCols.map(col): _*)
+    // broadcastPairs = true only for genuinely small pair lists (top-k);
+    // a pair list proportional to the user population must shuffle-join.
+    (if (broadcastPairs) broadcast(p) else p)
       .join(r1, "id_a")
       .join(r2, Seq("id_b", "item_id"))
       .groupBy(keyCols.map(col): _*)

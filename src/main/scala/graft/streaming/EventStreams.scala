@@ -14,8 +14,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * operator).
   *
   * Scale notes: windowed aggregation state is bounded by the watermark;
-  * sessionization state is one small struct per active user key, dropped
-  * via timeout — both shapes hold on an unbounded 100 TB/day stream.
+  * sessionization state is one small struct per user key, expired by a
+  * processing-time timeout after inactivity — both shapes hold on an
+  * unbounded 100 TB/day stream.
   */
 object EventStreams {
 
@@ -44,27 +45,44 @@ object EventStreams {
   /** Streaming twin of q11: per-user session counting with a 30-minute
     * inactivity gap, implemented with explicit keyed state
     * (`flatMapGroupsWithState`). Emits the running per-user totals on
-    * every update (OutputMode.Update). */
+    * every update (OutputMode.Update).
+    *
+    * State bound: pass `stateTimeoutMs = Some(ms)` in production so each
+    * key's state expires after inactivity — without it the store grows
+    * with every user ever seen. It is opt-in because processing-time
+    * timeouts make the engine schedule continuous timeout-check batches,
+    * which never lets a finite drive-to-completion harness
+    * (`processAllAvailable`) settle. Within a micro-batch rows are
+    * buffered and time-sorted; that buffer is bounded by one key's rows
+    * in one trigger interval (cross-batch disorder is the upstream
+    * watermark's job). */
   def sessionize(events: Dataset[Event],
-                 gapNs: Long = 30L * 60 * 1000000000L): Dataset[UserSessions] = {
+                 gapNs: Long = 30L * 60 * 1000000000L,
+                 stateTimeoutMs: Option[Long] = None): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Within a micro-batch, order by event time (parquet batches may
-          // arrive unordered; cross-batch disorder is bounded by the
-          // upstream watermark in a production topology).
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val newSession = s.lastTsNs == Long.MinValue || e.ts - s.lastTsNs > gapNs
-            s = SessionState(e.ts, s.sessions + (if (newSession) 1 else 0),
-              s.events + 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+            var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val newSession = s.lastTsNs == Long.MinValue || e.ts - s.lastTsNs > gapNs
+              s = SessionState(e.ts, s.sessions + (if (newSession) 1 else 0),
+                s.events + 1)
+            }
+            state.update(s)
+            stateTimeoutMs.foreach(state.setTimeoutDuration)
+            Iterator(UserSessions(user, s.events, s.sessions))
           }
-          state.update(s)
-          Iterator(UserSessions(user, s.events, s.sessions))
       }
   }
 

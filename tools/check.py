@@ -49,11 +49,18 @@ def main(sf_dir, out_dir):
             print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
             fail += 1
             continue
+        def same(x, y):
+            # SQL NULL doubles come back as NaN from fetchdf; NaN != NaN
+            # would flag identical NULLs as mismatches.
+            if x != x and y != y:
+                return True
+            return x == y
+
         mismatch = None
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()
-            if a != b:
-                bad = next(i for i in range(len(a)) if a[i] != b[i])
+            bad = next((i for i in range(len(a)) if not same(a[i], b[i])), None)
+            if bad is not None:
                 mismatch = (c, bad, a[bad], b[bad])
                 break
         if mismatch:
