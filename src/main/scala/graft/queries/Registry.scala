@@ -10,10 +10,12 @@ object Registry {
   def all: Map[String, Q] =
     RelationalQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ TwinsQueries.queries ++
-      RecQueries.queries ++ MediaQueries.queries
+      RecQueries.queries ++ MediaQueries.queries ++
+      StreamingQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ TwinsQueries.oracles ++
-      RecQueries.oracles ++ MediaQueries.oracles
+      RecQueries.oracles ++ MediaQueries.oracles ++
+      StreamingQueries.oracles
 }

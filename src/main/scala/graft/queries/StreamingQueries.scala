@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.streaming.EventStreams
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming surface, driven to completion over the batch
+  * parquet input and validated against the SAME DuckDB oracles as the
+  * batch twins (q12/q11) — the defining correctness property of an
+  * incremental operator is agreement with its batch semantics, and here
+  * the driver's oracle gate checks it every round.
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val runId = new AtomicLong(0)
+
+  /** Streaming file sources need a directory; stage the single events
+    * parquet into a temp dir (per (session, dir), memoized). */
+  private def stagedDir(spark: SparkSession, dir: String): String =
+    graft.util.SessionMemo(spark, s"stream-stage:$dir") {
+      val d = Files.createTempDirectory("graft-stream-src")
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      d.toString
+    }
+
+  private def stream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(stagedDir(spark, dir))
+
+  /** q61 — the streaming hourly windowed aggregation, run to completion;
+    * oracle identical to batch q12. Complete mode: a finite input never
+    * closes its trailing watermarked windows in append mode. */
+  val q61: Q = (spark, dir) => {
+    val name = s"q61_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark,
+      EventStreams.hourlyBuckets(stream(spark, dir)), name, OutputMode.Complete)
+      .select("event_type", "bucket_s", "n", "total")
+      .orderBy("event_type", "bucket_s")
+  }
+
+  /** q62 — the stateful streaming sessionization
+    * (`flatMapGroupsWithState`), run to completion; final per-user state
+    * (last Update-mode emission) must equal batch q11. */
+  val q62: Q = (spark, dir) => {
+    import spark.implicits._
+    val name = s"q62_out_${runId.incrementAndGet()}"
+    val events = stream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    EventStreams.runToMemory(spark,
+      EventStreams.sessionize(events).toDF(), name, OutputMode.Update)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .select("user_id", "n_events", "n_sessions")
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q61_stream_hourly" -> q61,
+    "q62_stream_sessions" -> q62)
+
+  val oracles: Map[String, String] = Map(
+    // Identical semantics to the batch twins — same oracle SQL.
+    "q61_stream_hourly" ->
+      """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, bucket_s
+        |ORDER BY event_type, bucket_s""".stripMargin,
+    "q62_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS t,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS pt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

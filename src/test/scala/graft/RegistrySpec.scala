@@ -11,7 +11,8 @@ class RegistrySpec extends AnyFunSuite {
     val families = Seq(
       RelationalQueries.queries, TextQueries.queries,
       SimilarityQueries.queries, TwinsQueries.queries,
-      RecQueries.queries, MediaQueries.queries)
+      RecQueries.queries, MediaQueries.queries,
+      StreamingQueries.queries)
     assert(Registry.all.size == families.map(_.size).sum,
       "a family key collided and silently dropped a query")
   }
