@@ -1,0 +1,49 @@
+package graft
+
+import graft.segment.Twins
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe (dev tool, not part of the driver contract): inflates the
+  * sf0.1 events table N× by user-id translation (same item universe,
+  * N×1500 users, N×100k events) and times the twin-pair strategies, to
+  * measure — not just assert — where the dense all-pairs path gives way
+  * to LSH as user count grows. Results recorded in ARCHITECTURE.md.
+  *
+  * Usage: runMain graft.ScaleProbe [factor]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = graft.io.Tables.ratings(spark, "/root/testdata/sf0.1")
+    val nUsers = 1500L
+    val inflated = (0 until factor).map { i =>
+      base.withColumn("user_id", col("user_id") + lit(i * nUsers))
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    println(s"PROBE inflated: ${inflated.count()} events, " +
+      s"${factor * nUsers} users, factor $factor")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$n")
+    }
+
+    time("lsh_top100")(
+      Twins.topTwinsLsh(inflated, numPerm = 32, rowsPerBand = 4, k = 100).count())
+    time("exact_dense_top100")(
+      Twins.topTwinsExact(inflated, k = 100).count())
+    spark.stop()
+  }
+}
