@@ -88,6 +88,16 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** O5 — stable global row index over an explicit total order (the
+    * engine replacement for the reference's `rdd.zipWithIndex` slicing,
+    * `top_100_pairs.py:69-71`, which was partition-layout-dependent and
+    * recomputed per batch). A single un-partitioned window is the simple
+    * form; for genuinely huge inputs prefer ranking within a keyed window
+    * or `hashSample`. */
+  def withRowIndex(df: DataFrame, order: Seq[Column],
+                   out: String = "row_idx"): DataFrame =
+    df.withColumn(out, row_number().over(Window.orderBy(order: _*)).cast("long"))
+
   /** A5 with deterministic order — per-key sorted item list rendered as a
     * comma-joined string (stable for hashing; arrays have
     * order-nondeterministic `collect_list` after shuffle). */

@@ -65,6 +65,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Seq(2, 5))
   }
 
+  test("withRowIndex: stable 1..n index independent of partition layout (O5)") {
+    val df = Seq(30, 10, 20).toDF("v")
+    val a = withRowIndex(df, Seq(col("v"))).orderBy("v")
+      .select("v", "row_idx").as[(Int, Long)].collect().toSeq
+    val b = withRowIndex(df.repartition(5), Seq(col("v"))).orderBy("v")
+      .select("v", "row_idx").as[(Int, Long)].collect().toSeq
+    assert(a == Seq((10, 1L), (20, 2L), (30, 3L)))
+    assert(a == b)
+  }
+
   test("filterActive keeps only rows of keys with >= minCount") {
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     assert(filterActive(df, "k", 2).count() == 2)
