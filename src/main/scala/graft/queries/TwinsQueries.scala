@@ -28,11 +28,12 @@ object TwinsQueries {
     graft.util.SessionMemo.cached(spark, s"top-twins-100:$dir")(
       Twins.topTwinsExact(ratings(spark, dir), k = 100))
 
-  /** q40 — 32-perm MinHash signatures of each user's item set. */
+  /** q40 — 32-perm MinHash signatures of each user's sparse
+    * (item, rating-bucket) token set (see [[Twins.ratingBucketTokens]] for
+    * why raw item ids are a degenerate LSH feature space here). */
   val q40: Q = (spark, dir) =>
     TextAnalysis.minhashSignatures(
-      ratings(spark, dir).select(col("user_id"),
-        col("item_id").cast("string").as("token")).distinct(),
+      Twins.ratingBucketTokens(ratings(spark, dir)),
       "user_id", numPerm = 32)
       .orderBy("user_id", "p")
 
@@ -99,6 +100,15 @@ object TwinsQueries {
       |    MAX(value) AS rating
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  // Sparse LSH tokens: (item, floor(rating/100)) — mirrors
+  // Twins.ratingBucketTokens (identical double arithmetic both engines).
+  private val tokCte =
+    s"""$ratCte,
+       |tok AS (
+       |  SELECT user_id,
+       |    item_id::VARCHAR || ':' || CAST(FLOOR(rating / 100.0) AS BIGINT)::VARCHAR AS token
+       |  FROM rat)""".stripMargin
+
   private val exactPairsCte =
     """sz AS (SELECT user_id, COUNT(*) AS n FROM sets GROUP BY user_id),
       |inter AS (
@@ -122,10 +132,10 @@ object TwinsQueries {
 
   val oracles: Map[String, String] = Map(
     "q40_user_minhash" ->
-      s"""WITH $setsCte
+      s"""WITH $tokCte
          |SELECT user_id, p,
-         |  CAST(MIN(md5_number_lower(p::VARCHAR || ':' || item_id::VARCHAR) & $H) AS BIGINT) AS mh
-         |FROM sets CROSS JOIN generate_series(0, 31) g(p)
+         |  CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+         |FROM tok CROSS JOIN generate_series(0, 31) g(p)
          |GROUP BY user_id, p ORDER BY user_id, p""".stripMargin,
     "q41_top_twins_exact" ->
       s"""WITH $setsCte,
@@ -133,11 +143,11 @@ object TwinsQueries {
          |SELECT id_a, id_b, shared, jaccard FROM pairs
          |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
     "q42_top_twins_lsh" ->
-      s"""WITH $setsCte,
+      s"""WITH $tokCte,
          |sigs AS (
          |  SELECT user_id, p,
-         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || item_id::VARCHAR) & $H) AS BIGINT) AS mh
-         |  FROM sets CROSS JOIN generate_series(0, 31) g(p)
+         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+         |  FROM tok CROSS JOIN generate_series(0, 31) g(p)
          |  GROUP BY user_id, p),
          |bands AS (
          |  SELECT user_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig

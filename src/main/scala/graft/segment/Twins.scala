@@ -27,27 +27,42 @@ object Twins {
 
   /** Exact top-k most similar user pairs by Jaccard over item sets,
     * deterministic order (jaccard desc, user_a, user_b) →
-    * TakeOrderedAndProject.
-    *
-    * Uses the dense all-pairs strategy ([[TextAnalysis.setJaccardPairsDense]]):
-    * the item universe here is tiny (100 ids), which starves the sparse
-    * co-occurrence join of shuffle keys; with MovieLens-shaped data
-    * (86k-item universe, ≥50-item sets) switch to
-    * [[TextAnalysis.setJaccardPairs]] or the LSH path. */
+    * TakeOrderedAndProject. Strategy (dense broadcast all-pairs vs sparse
+    * co-occurrence join) is picked from input statistics — see
+    * [[TextAnalysis.setJaccardPairsAuto]]. */
   def topTwinsExact(ratings: DataFrame, k: Int): DataFrame =
-    TextAnalysis.setJaccardPairsDense(
+    TextAnalysis.setJaccardPairsAuto(
       ratings.select("user_id", "item_id").distinct(), "user_id", "item_id",
       minJaccard = 0.0)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(k)
 
+  /** Sparse LSH feature tokens for a ratings table: one token per
+    * (item, rating-bucket) with `bucket = floor(rating / bucketWidth)`.
+    *
+    * Raw item ids make a degenerate LSH feature space when the item
+    * universe is small relative to set sizes (at 100 items × ~49-item
+    * sets every user pair sits near Jaccard 0.5 and band collisions
+    * approach all-pairs — the round-1 scale-killer). Conditioning each
+    * item on its rating bucket multiplies the universe by the bucket
+    * count, dropping random-pair Jaccard to ~0.05 so banding
+    * discriminates; genuinely twin-like users (same items, similar
+    * ratings) keep high overlap. Mirrors how the document pipeline fixed
+    * the same issue with 3-gram shingles (q25–q27). */
+  def ratingBucketTokens(ratings: DataFrame,
+                         bucketWidth: Double = 100.0): DataFrame =
+    userItemRatings(ratings)
+      .select(col("user_id"),
+        concat(col("item_id").cast("string"), lit(":"),
+          floor(col("rating") / bucketWidth).cast("string")).as("token"))
+
   /** Approximate top-k twins: MinHash (numPerm) + LSH banding + estimated
     * Jaccard, the reference's M1+M2+M3 pipeline fully distributed. Only
-    * band-colliding pairs are ever scored. */
+    * band-colliding pairs are ever scored; tokens are the sparse
+    * (item, rating-bucket) features of [[ratingBucketTokens]]. */
   def topTwinsLsh(ratings: DataFrame, numPerm: Int, rowsPerBand: Int,
                   k: Int): DataFrame = {
-    val sets = ratings.select(col("user_id"), col("item_id").cast("string").as("token"))
-      .distinct()
+    val sets = ratingBucketTokens(ratings)
     val sigs = TextAnalysis.minhashSignatures(sets, "user_id", numPerm)
     val cands = TextAnalysis.lshCandidatePairs(sigs, "user_id", rowsPerBand)
     TextAnalysis.estimatedJaccard(cands, sigs, "user_id", numPerm)

@@ -208,6 +208,39 @@ object TextAnalysis {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** Stats-driven strategy selection between [[setJaccardPairs]] (sparse
+    * co-occurrence join) and [[setJaccardPairsDense]] (broadcast
+    * all-pairs). Same output contract as both.
+    *
+    * Cost model (one cheap aggregate job over `sets` decides):
+    *  - dense  ≈ n² · s      comparisons, n = distinct entities,
+    *    s = avg set size — plus an n·s-token broadcast;
+    *  - sparse ≈ (n·s)² / m  join partials, m = item-universe size
+    *    (each item co-locates its ~n·s/m owners; partials = Σ owners²).
+    *
+    * So sparse wins roughly when m > s (universe much wider than one
+    * set — the MovieLens/document shape), dense when the universe is
+    * tiny (the 100-item events shape, where the sparse join has only m
+    * shuffle keys and degenerates). Dense is additionally hard-capped:
+    * never broadcast above 10⁵ entities or ~5×10⁶ set elements — beyond
+    * that an exact all-pairs answer is quadratic no matter the strategy
+    * and the caller should move to LSH ([[lshCandidatePairs]]). */
+  def setJaccardPairsAuto(sets: DataFrame, id: String, item: String,
+                          minJaccard: Double): DataFrame = {
+    val st = sets.agg(
+      countDistinct(col(id)).as("n"),
+      countDistinct(col(item)).as("m"),
+      count(lit(1)).as("rows")).head()
+    val (n, m, rows) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val s = if (n > 0) rows.toDouble / n else 0.0
+    val denseOk = n <= 100000L && rows <= 5000000L
+    val densePreferred = m <= 4 * s || n <= 2000L
+    if (denseOk && densePreferred)
+      setJaccardPairsDense(sets, id, item, minJaccard)
+    else
+      setJaccardPairs(sets, id, item, minJaccard)
+  }
+
   /** Cavnar–Trenkle-style profile language classifier, corpus-trained:
     * learn the top-`profileSize` tokens per label from `labeled`, then
     * classify each document by maximal profile overlap (ties → label
