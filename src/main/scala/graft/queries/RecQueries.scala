@@ -18,6 +18,20 @@ object RecQueries {
   private def tagged(spark: SparkSession, dir: String): DataFrame =
     Popularity.withSplits(Tables.ratingsCached(spark, dir))
 
+  /** Memoized ALS top-20 recommendations for the validation users
+    * (persisted, |val users| × 20 rows). `recommendForUserSubset` is the
+    * expensive cross-scoring of the factor matrices — q52 and q53 both
+    * need it, so it runs ONCE at the larger n and q52 slices ranks ≤ 10
+    * (the first 10 of a top-20 are the top-10: ordering is by score with
+    * ALSModel's own deterministic selection, model and data fixed). */
+  private def alsRecs20(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"als-recs20:$dir") {
+      val t = tagged(spark, dir)
+      val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
+      AlsRec.recommendFor(model,
+        Popularity.validation(t).select("user_id").distinct(), n = 20)
+    }
+
   /** q50 — popularity recommendations for validation users: train-split
     * pool (bias 100, top-50), seen-removal against train, per-user top-20
     * by ascending item id (reference quirk preserved). */
@@ -39,25 +53,20 @@ object RecQueries {
   }
 
   /** q52 — ALS top-10 recommendations for validation users (seeded,
-    * rank 8 × 8 iters; rows-only check — iterative ML has no SQL oracle). */
-  val q52: Q = (spark, dir) => {
-    val t = tagged(spark, dir)
-    val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
-    AlsRec.recommendFor(model,
-      Popularity.validation(t).select("user_id").distinct(), n = 10)
+    * rank 8 × 8 iters; rows-only check — iterative ML has no SQL oracle).
+    * Sliced from the memoized top-20 shared with q53. */
+  val q52: Q = (spark, dir) =>
+    alsRecs20(spark, dir)
+      .filter(col("rank") <= 10)
       .orderBy("user_id", "rank")
-  }
 
   /** q53 — ALS validation RMSE + ranking metrics of the ALS recs, one row
-    * (rows-only check). */
+    * (rows-only check). Reuses q52's memoized top-20 recommendations. */
   val q53: Q = (spark, dir) => {
     val t = tagged(spark, dir)
-    val train = Popularity.train(t)
     val valid = Popularity.validation(t)
-    val model = AlsRec.fit(train, cacheKey = s"$dir/train")
-    val recs = AlsRec.recommendFor(model,
-      valid.select("user_id").distinct(), n = 20)
-      .select("user_id", "item_id", "rank")
+    val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
+    val recs = alsRecs20(spark, dir).select("user_id", "item_id", "rank")
     val m = RankingRelational.metrics(spark, recs, valid, k = 20)
     m.withColumn("rmse", round(lit(AlsRec.rmse(model, valid)), 6))
   }

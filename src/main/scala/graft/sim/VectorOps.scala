@@ -37,14 +37,20 @@ object VectorOps {
     }
 
   /** Sign-of-projection LSH bucket id from `planes` hyperplanes: bit p set
-    * iff dot(v, plane_p) > 0. Each projection is an in-row array fold — no
-    * shuffle, no per-dimension explosion; the bucket computation is a pure
-    * map over the scan. */
+    * iff round(dot(v, plane_p), 6) > 0. Each projection is an in-row array
+    * fold — no shuffle, no per-dimension explosion; the bucket computation
+    * is a pure map over the scan.
+    *
+    * The projection is rounded to 6 decimals BEFORE the sign test (engine
+    * determinism rule #3, ARCHITECTURE.md): a near-zero projection summed
+    * in a different association order by another engine could otherwise
+    * flip a bucket bit and break the cross-engine hash compare. The oracle
+    * SQL applies the same `round(s, 6) > 0`. */
   def withLshBucket(df: DataFrame, emb: String, planes: Int, dim: Int,
                     out: String = "bucket"): DataFrame = {
     val bucket = (0 until planes).map { p =>
       val w = typedLit(hyperplane(p, dim))
-      when(dot(col(emb), w) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(round(dot(col(emb), w), 6) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn(out, bucket)
   }

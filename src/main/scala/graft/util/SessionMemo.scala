@@ -14,13 +14,39 @@ import org.apache.spark.sql.SparkSession
   * the intended lifecycle for the driver's one-session-per-run
   * Verify/Bench processes. Long-lived multi-session JVMs should call
   * [[clear]] on session stop (persisted DataFrames are unpersisted).
+  *
+  * Concurrency: `build` runs exactly once per key. Concurrent callers of
+  * the same key block on the winner's evaluation (a lost race would leak
+  * the loser's side effects — e.g. an orphaned `persist` handle).
   */
 object SessionMemo {
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Any]
+  /** Holder giving each key one evaluation lock; `peek` exposes the value
+    * only if already computed (so [[clear]] never forces a build). */
+  private final class Memo(build: () => Any) {
+    @volatile private var result: Option[Any] = None
+    def value: Any = result match {
+      case Some(v) => v
+      case None => this.synchronized {
+        result match {
+          case Some(v) => v
+          case None =>
+            val v = build()
+            result = Some(v)
+            v
+        }
+      }
+    }
+    def peek: Option[Any] = result
+  }
 
-  def apply[T](spark: SparkSession, key: String)(build: => T): T =
-    cache.getOrElseUpdate((spark, key), build).asInstanceOf[T]
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
+
+  def apply[T](spark: SparkSession, key: String)(build: => T): T = {
+    val fresh = new Memo(() => build)
+    cache.putIfAbsent((spark, key), fresh).getOrElse(fresh)
+      .value.asInstanceOf[T]
+  }
 
   /** Memoize a DataFrame and persist it in memory. */
   def cached(spark: SparkSession, key: String)
@@ -28,10 +54,11 @@ object SessionMemo {
     apply(spark, key)(
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
 
-  /** Drop (and unpersist) everything memoized for a session. */
+  /** Drop (and unpersist) everything memoized for a session. Entries whose
+    * build is still in flight are removed from the map but not awaited. */
   def clear(spark: SparkSession): Unit =
     cache.keys.filter(_._1 eq spark).foreach { k =>
-      cache.remove(k).foreach {
+      cache.remove(k).flatMap(_.peek).foreach {
         case df: org.apache.spark.sql.DataFrame =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
         case _ => ()
