@@ -21,19 +21,30 @@ object RankingRelational {
   /** `recs`: (user_id, item_id, rank 1..K); `truth`: (user_id, item_id).
     * Returns a single row (n_users, p_at_k, map_at_k, ndcg_at_k). */
   def metrics(spark: SparkSession, recs: DataFrame, truth: DataFrame,
-              k: Int): DataFrame = {
+              k: Int): DataFrame =
+    metricsBy(spark, recs, truth, k, keys = Nil)
+
+  /** Keyed variant: one metrics row per distinct value of `keys` in `recs`
+    * (e.g. a hyperparameter column from a sweep — reference Table 2 runs
+    * one evaluation per bias). `keys` columns must be carried on `recs`;
+    * truth stays per-user. With `keys = Nil` this is the single global
+    * row. All shuffles key on (keys..., user_id) — a sweep over B
+    * parameter values is one pipeline, not B query plans. */
+  def metricsBy(spark: SparkSession, recs: DataFrame, truth: DataFrame,
+                k: Int, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
     val t = truth.select("user_id", "item_id").distinct()
     val tsize = t.groupBy("user_id").agg(count(lit(1)).as("n_truth"))
 
     val hits = recs
       .join(t.withColumn("hit", lit(1)), Seq("user_id", "item_id"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0)))
-    val w = Window.partitionBy("user_id").orderBy("rank")
+    val w = Window.partitionBy(keyCols :+ col("user_id"): _*).orderBy("rank")
     val cum = hits.withColumn("ch", sum(col("hit")).over(w))
 
     // log2 via ln to mirror the oracle SQL exactly (ln(x)/ln(2)).
     val log2rank = log(col("rank") + 1) / log(lit(2.0))
-    val perUser = cum.groupBy("user_id").agg(
+    val perUser = cum.groupBy(keyCols :+ col("user_id"): _*).agg(
       (sum(col("hit")).cast("double") / k).as("p"),
       sum(when(col("hit") === 1, col("ch").cast("double") / col("rank"))
         .otherwise(0.0)).as("ap_num"),
@@ -48,6 +59,7 @@ object RankingRelational {
       .join(tsize, "user_id")
       .withColumn("m", least(col("n_truth"), lit(k.toLong)))
       .join(broadcast(idcg), "m")
+      .groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_users"),
         round(avg(col("p")), 6).as("p_at_k"),

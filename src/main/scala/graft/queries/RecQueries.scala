@@ -71,11 +71,49 @@ object RecQueries {
     m.withColumn("rmse", round(lit(AlsRec.rmse(model, valid)), 6))
   }
 
+  /** q54 — the bias hyperparameter sweep (reference Table 2,
+    * `popularity_tuned.py:26-41`): one ranking-metrics row per bias ∈
+    * {1, 10, 100, 1000}, computed as a single bias-keyed pipeline (see
+    * [[graft.rec.Popularity.recommendSweep]]) rather than four plans. */
+  val q54: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val recs = Popularity.recommendSweep(Popularity.train(t),
+      Popularity.validation(t), biases = Seq(1.0, 10.0, 100.0, 1000.0),
+      poolK = 50, k = 20)
+    RankingRelational.metricsBy(spark, recs, Popularity.validation(t),
+      k = 20, keys = Seq("bias"))
+      .orderBy("bias")
+  }
+
+  /** q55 — the ALS hyperparameter grid (reference Table 3,
+    * `als_latent_factors.py:32-72`): seeded 2×2 grid over rank ×
+    * regParam, one (rank, reg_param, map_at_k) row per combo, ranked by
+    * validation MAP@20. The (8, 0.1) combo is exactly q52/q53's model, so
+    * its fit is memoized-shared. Rows-only check (iterative ML); the
+    * determinism + tuned-popularity-beats-ALS headline is spec-asserted. */
+  val q55: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val valid = Popularity.validation(t)
+    val grid = graft.util.SessionMemo(spark, s"als-grid:$dir") {
+      AlsRec.gridSearch(Popularity.train(t), valid,
+        ranks = Seq(4, 8), regs = Seq(0.05, 0.1), topN = 20,
+        evalFn = (recs, v) => RankingRelational
+          .metrics(spark, recs.select("user_id", "item_id", "rank"), v, k = 20)
+          .select("map_at_k").head().getDouble(0),
+        cacheKey = s"$dir/train")
+    }
+    import spark.implicits._
+    grid.toDF("rank", "reg_param", "map_at_k")
+      .orderBy("rank", "reg_param")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
     "q52_als_recs" -> q52,
-    "q53_als_eval" -> q53)
+    "q53_als_eval" -> q53,
+    "q54_bias_sweep" -> q54,
+    "q55_als_grid" -> q55)
 
   // Oracle: the whole popularity pipeline + metrics in SQL.
   private val pipelineCte =
@@ -144,5 +182,74 @@ object RecQueries {
          |  round(AVG(dcg / v), 6) AS ndcg_at_k
          |FROM peruser
          |JOIN tsize USING (user_id)
-         |JOIN idcg ON m = least(n_truth, 20)""".stripMargin)
+         |JOIN idcg ON m = least(n_truth, 20)""".stripMargin,
+    "q54_bias_sweep" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, item_id, rating,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |train AS (SELECT * FROM tagged WHERE split <= 2),
+        |val AS (SELECT * FROM tagged WHERE split = 3),
+        |biases AS (SELECT CAST(b AS DOUBLE) AS bias
+        |           FROM (VALUES (1), (10), (100), (1000)) v(b)),
+        |itemagg AS (
+        |  SELECT item_id, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM train GROUP BY item_id),
+        |pool AS (
+        |  SELECT bias, item_id FROM (
+        |    SELECT b.bias, i.item_id,
+        |      row_number() OVER (PARTITION BY b.bias
+        |        ORDER BY i.total / (i.cnt + b.bias) DESC, i.item_id) AS prank
+        |    FROM biases b CROSS JOIN itemagg i)
+        |  WHERE prank <= 50),
+        |vusers AS (SELECT DISTINCT user_id FROM val),
+        |seen AS (SELECT DISTINCT user_id, item_id FROM train),
+        |unseen AS (
+        |  SELECT c.bias, c.user_id, c.item_id
+        |  FROM (SELECT u.user_id, p.bias, p.item_id
+        |        FROM vusers u CROSS JOIN pool p) c
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s
+        |                    WHERE s.user_id = c.user_id AND s.item_id = c.item_id)),
+        |recs AS (
+        |  SELECT bias, user_id, item_id, rank FROM (
+        |    SELECT bias, user_id, item_id,
+        |      CAST(row_number() OVER (PARTITION BY bias, user_id ORDER BY item_id) AS INT) AS rank
+        |    FROM unseen)
+        |  WHERE rank <= 20),
+        |truth AS (SELECT DISTINCT user_id, item_id FROM val),
+        |tsize AS (SELECT user_id, COUNT(*) AS n_truth FROM truth GROUP BY user_id),
+        |hits AS (
+        |  SELECT r.bias, r.user_id, r.rank,
+        |    CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM recs r LEFT JOIN truth t
+        |    ON t.user_id = r.user_id AND t.item_id = r.item_id),
+        |cum AS (
+        |  SELECT bias, user_id, rank, hit,
+        |    SUM(hit) OVER (PARTITION BY bias, user_id ORDER BY rank) AS ch
+        |  FROM hits),
+        |peruser AS (
+        |  SELECT bias, user_id,
+        |    CAST(SUM(hit) AS DOUBLE) / 20 AS p,
+        |    SUM(CASE WHEN hit = 1 THEN ch::DOUBLE / rank ELSE 0 END) AS ap_num,
+        |    SUM(CASE WHEN hit = 1 THEN 1.0 / (ln(rank + 1) / ln(2)) ELSE 0 END) AS dcg
+        |  FROM cum GROUP BY bias, user_id),
+        |idcg AS (
+        |  SELECT m, SUM(1.0 / (ln(i + 1) / ln(2))) AS v
+        |  FROM generate_series(1, 20) g(m) JOIN generate_series(1, 20) h(i) ON i <= m
+        |  GROUP BY m)
+        |SELECT bias, COUNT(*) AS n_users,
+        |  round(AVG(p), 6) AS p_at_k,
+        |  round(AVG(ap_num / least(n_truth, 20)), 6) AS map_at_k,
+        |  round(AVG(dcg / v), 6) AS ndcg_at_k
+        |FROM peruser
+        |JOIN tsize USING (user_id)
+        |JOIN idcg ON m = least(n_truth, 20)
+        |GROUP BY bias ORDER BY bias""".stripMargin)
 }

@@ -59,12 +59,16 @@ object AlsRec {
 
   /** Hyperparameter grid search by validation MAP-style score (reference
     * M12) — explicit loops, matching the reference's fixed chronological
-    * validation set (no CV). Returns (rank, regParam, metricValue) rows. */
+    * validation set (no CV). Returns (rank, regParam, metricValue) rows.
+    * `cacheKey` (dataset identity, e.g. `s"$dir/train"`) memoizes each
+    * combo's fitted model — a combo matching another query's (rank, reg)
+    * reuses that model instead of refitting. */
   def gridSearch(train: DataFrame, validation: DataFrame,
                  ranks: Seq[Int], regs: Seq[Double], topN: Int,
-                 evalFn: (DataFrame, DataFrame) => Double): Seq[(Int, Double, Double)] =
+                 evalFn: (DataFrame, DataFrame) => Double,
+                 cacheKey: String = ""): Seq[(Int, Double, Double)] =
     for (r <- ranks; g <- regs) yield {
-      val model = fit(train, rank = r, regParam = g)
+      val model = fit(train, rank = r, regParam = g, cacheKey = cacheKey)
       val recs = recommendFor(model, validation.select("user_id").distinct(), topN)
       (r, g, evalFn(recs, validation))
     }

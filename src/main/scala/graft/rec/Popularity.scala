@@ -32,6 +32,38 @@ object Popularity {
       b -> evalFn(recommend(trainDf, target, b, poolK, k))
     }
 
+  /** Multi-bias recommendations in ONE pipeline (the distributed form of
+    * the reference's Table 2 sweep loop, `popularity_tuned.py:26-41`):
+    * the per-item aggregate runs once and is cross-joined to the bias
+    * list, per-bias pools rank in a single window, and candidate
+    * generation / seen-removal / per-user ranking all carry `bias` as an
+    * extra key — B bias values cost one scan of train plus a B×-wider
+    * (still tiny, broadcast) pool, instead of B full pipelines.
+    * Output: (bias, user_id, item_id, rank ≤ k). */
+  def recommendSweep(trainDf: DataFrame, target: DataFrame,
+                     biases: Seq[Double], poolK: Int, k: Int): DataFrame = {
+    val spark = trainDf.sparkSession
+    import spark.implicits._
+    val itemAgg = trainDf.groupBy("item_id")
+      .agg(decSum(col("rating")).as("__total"), count(lit(1)).as("cnt"))
+    val pools = itemAgg.crossJoin(broadcast(biases.toDF("bias")))
+      .withColumn("score",
+        col("__total").cast("double") / (col("cnt") + col("bias")))
+    val poolW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bias").orderBy(col("score").desc, col("item_id"))
+    val pool = pools
+      .withColumn("__prank", row_number().over(poolW))
+      .filter(col("__prank") <= poolK)
+      .select("bias", "item_id")
+    val users = target.select("user_id").distinct()
+    val unseen = removeSeen(candidates(users, pool), trainDf,
+      Seq("user_id", "item_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bias", "user_id").orderBy(col("item_id"))
+    unseen.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("bias", "user_id", "item_id", "rank")
+  }
+
   /** Top-k recommendations for every user of `target`, from a biased
     * popularity pool over `trainDf`. The pool (≤ poolK rows) is broadcast;
     * the anti-join on (user, item) is the only large shuffle. */
