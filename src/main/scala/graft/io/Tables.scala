@@ -80,6 +80,53 @@ object Tables {
       concat(lit(salt), lit(":"), col(key).cast("string"))), col(key))
       .limit(n)
 
+  /** Uniform-[0,1) keyed PRNG column: `u = md5_63(seed ":" key) / 2^63`.
+    *
+    * The seeded-*random* primitive (true M5, reference
+    * `correlation_optimised.py:56-68` `takeSample`): a pure deterministic
+    * function of (seed, key), so — unlike `df.sample`/`rand(seed)`, whose
+    * XORShift streams re-seed per *partition index* and therefore change
+    * with the physical layout — the same rows are selected on any cluster,
+    * any partitioning, and in DuckDB
+    * (`md5_number_lower(seed || ':' || key) & 2^63-1`), which keeps every
+    * sampling-derived query oracle-checkable. Uniformity + seed
+    * sensitivity are property-checked in SampleSpec. */
+  def seededUniform(key: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.md5_63(
+      concat(lit(seed.toString), lit(":"), key.cast("string")))
+      .cast("double") / lit(9.223372036854775808e18) // 2^63
+
+  /** Seeded Bernoulli sample: keep rows whose [[seededUniform]] draw on
+    * `key` falls below `fraction`. Expected |out| = fraction · |df|;
+    * layout-independent and reproducible under a fixed seed (see
+    * [[seededUniform]] — this is the scalable, oracle-able replacement for
+    * the reference's driver-side `takeSample`). */
+  def randomSample(df: DataFrame, key: String, fraction: Double,
+                   seed: Long): DataFrame =
+    df.filter(seededUniform(col(key), seed) < fraction)
+
+  /** `n` seeded-random disjoint pairs from the distinct values of `key`
+    * (reference part2's random-pair protocol: sample users, pair them up).
+    * Two-stage for scale: a distributed `TakeOrderedAndProject` selects
+    * the 2n keys with the smallest PRNG draws, then consecutive ranks
+    * pair up inside the tiny 2n-row frame (single-partition window on
+    * ≤ 2n rows by construction). Output: (id_a < id_b). */
+  def randomPairs(df: DataFrame, key: String, n: Int, seed: Long): DataFrame = {
+    // Raw 63-bit hash (not the [0,1) double) as the sort key: the double
+    // projection loses 11 mantissa bits, and an oracle sorting the exact
+    // BIGINT could order a (vanishingly rare) near-tie differently.
+    val u = graft.functions.GraftFunctions.md5_63(
+      concat(lit(seed.toString), lit(":"), col(key).cast("string"))).as("__u")
+    val sampled = df.select(col(key), u).orderBy(col("__u"), col(key)).limit(2 * n)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__u"), col(key))
+    sampled
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__partner", lead(col(key), 1).over(w))
+      .filter(col("__rn") % 2 === 1 && col("__partner").isNotNull)
+      .select(least(col(key), col("__partner")).as("id_a"),
+        greatest(col(key), col("__partner")).as("id_b"))
+  }
+
   /** Memory-cached ratings projection, one per (session, dir): a dozen
     * registered queries start from this exact 5-column projection, so the
     * JSON extraction + scan amortizes across them (the reference

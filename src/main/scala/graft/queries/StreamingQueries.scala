@@ -27,12 +27,19 @@ object StreamingQueries {
   private val runId = new AtomicLong(0)
 
   /** Streaming file sources need a directory; stage the single events
-    * parquet into a temp dir (per (session, dir), memoized). */
+    * parquet into a temp dir (per (session, dir), memoized — repeated runs
+    * in one JVM reuse the copy; a shutdown hook removes it so long-lived
+    * JVMs don't leak temp space). */
   private def stagedDir(spark: SparkSession, dir: String): String =
     graft.util.SessionMemo(spark, s"stream-stage:$dir") {
       val d = Files.createTempDirectory("graft-stream-src")
+      val staged = d.resolve("events.parquet")
       Files.copy(Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        staged, StandardCopyOption.REPLACE_EXISTING)
+      sys.addShutdownHook {
+        try { Files.deleteIfExists(staged); Files.deleteIfExists(d) }
+        catch { case _: Throwable => () }
+      }
       d.toString
     }
 
@@ -67,9 +74,28 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q63 — append-mode watermarked hourly windows: the scale-safe
+    * production shape of q61. Append mode only emits a window once the
+    * watermark passes its end, so state is bounded by the 2-hour
+    * watermark horizon instead of holding every window ever seen
+    * (Complete mode's unbounded-state posture — fine for a finite
+    * harness, fatal on an unbounded stream). On a finite input the
+    * emitted set is exactly the watermark-closed windows; the oracle is
+    * batch q12 restricted to windows whose end ≤ final watermark
+    * (max event time − 2 h). The trailing still-open windows are the
+    * delta q61 covers. */
+  val q63: Q = (spark, dir) => {
+    val name = s"q63_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark,
+      EventStreams.hourlyBuckets(stream(spark, dir)), name, OutputMode.Append)
+      .select("event_type", "bucket_s", "n", "total")
+      .orderBy("event_type", "bucket_s")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_stream_hourly" -> q61,
-    "q62_stream_sessions" -> q62)
+    "q62_stream_sessions" -> q62,
+    "q63_stream_hourly_append" -> q63)
 
   val oracles: Map[String, String] = Map(
     // Identical semantics to the batch twins — same oracle SQL.
@@ -86,5 +112,20 @@ object StreamingQueries {
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Batch q12 restricted to watermark-closed windows. Watermark ms
+    // arithmetic mirrors Spark exactly: event-time µs = ts div 1000,
+    // tracked max in ms = µs div 1000, watermark = max ms − 7 200 000;
+    // a window is emitted when its end ≤ watermark.
+    "q63_stream_hourly_append" ->
+      """WITH wm AS (
+        |  SELECT ((MAX(epoch_ns(ts) // 1000) // 1000) - 7200000) AS wm_ms
+        |  FROM events)
+        |SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events, wm
+        |GROUP BY event_type, bucket_s, wm_ms
+        |HAVING (bucket_s + 3600) * 1000 <= wm_ms
+        |ORDER BY event_type, bucket_s""".stripMargin)
 }

@@ -55,10 +55,11 @@ object TwinsQueries {
   }
 
   /** q44 — statistical validation (reference part2): average twin-pair
-    * correlation vs a deterministic stride-pair baseline (u, u+7). The
-    * reference sampled random pairs; a fixed stride keeps the same
-    * statistical role (arbitrary non-similar pairs) while staying
-    * oracle-reproducible. */
+    * correlation vs TWO control cohorts — a deterministic stride baseline
+    * (u, u+7) and 50 seeded-*random* pairs (the reference's actual
+    * protocol, `correlation_optimised.py:56-68`, re-expressed with the
+    * keyed PRNG of [[Tables.randomPairs]] so the draw is layout-independent
+    * and oracle-reproducible). */
   val q44: Q = (spark, dir) => {
     val r = ratings(spark, dir)
     val twins = topPairsCached(spark, dir)
@@ -68,11 +69,13 @@ object TwinsQueries {
       .join(users.select(col("user_id").as("id_b")),
         col("id_b") === col("id_a") + 7)
       .withColumn("cohort", lit("baseline"))
+    val rand = Tables.randomPairs(users, "user_id", n = 50, seed = 77L)
+      .withColumn("cohort", lit("random"))
     // One correlation pass over the unioned pair list (cohort carried
-    // through the aggregate) — halves the ratings-dedup/join work vs two
+    // through the aggregate) — one ratings-dedup/join instead of three
     // separate pipelines. The baseline list is O(|users|) pairs, so it is
     // NOT broadcast (the top-k-only precondition doesn't hold here).
-    Twins.pairCorrelation(twins.unionByName(base), r,
+    Twins.pairCorrelation(twins.unionByName(base).unionByName(rand), r,
       carryCols = Seq("cohort"), broadcastPairs = false)
       .groupBy("cohort")
       .agg(count(lit(1)).as("n_pairs"),
@@ -181,17 +184,34 @@ object TwinsQueries {
          |bpairs AS (
          |  SELECT a.user_id AS id_a, b.user_id AS id_b
          |  FROM users a JOIN users b ON b.user_id = a.user_id + 7),
-         |bcorrs AS (
-         |  SELECT p.id_a, p.id_b, COUNT(*) AS n_corated,
+         |rsamp AS (
+         |  SELECT user_id,
+         |    CAST(md5_number_lower('77:' || user_id::VARCHAR) & $H AS BIGINT) AS u
+         |  FROM users ORDER BY u, user_id LIMIT 100),
+         |rranked AS (
+         |  SELECT user_id,
+         |    row_number() OVER (ORDER BY u, user_id) AS rn,
+         |    lead(user_id) OVER (ORDER BY u, user_id) AS partner
+         |  FROM rsamp),
+         |rpairs AS (
+         |  SELECT LEAST(user_id, partner) AS id_a,
+         |         GREATEST(user_id, partner) AS id_b
+         |  FROM rranked WHERE rn % 2 = 1 AND partner IS NOT NULL),
+         |ctrl AS (
+         |  SELECT 'baseline' AS cohort, id_a, id_b FROM bpairs
+         |  UNION ALL
+         |  SELECT 'random' AS cohort, id_a, id_b FROM rpairs),
+         |ccorrs AS (
+         |  SELECT p.cohort, p.id_a, p.id_b, COUNT(*) AS n_corated,
          |    round(corr(r1.rating, r2.rating), 6) AS corr6
-         |  FROM bpairs p
+         |  FROM ctrl p
          |  JOIN rat r1 ON r1.user_id = p.id_a
          |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
-         |  GROUP BY p.id_a, p.id_b HAVING COUNT(*) >= 2),
+         |  GROUP BY p.cohort, p.id_a, p.id_b HAVING COUNT(*) >= 2),
          |u AS (
          |  SELECT 'twins' AS cohort, corr6 FROM corrs
          |  UNION ALL
-         |  SELECT 'baseline' AS cohort, corr6 FROM bcorrs)
+         |  SELECT cohort, corr6 FROM ccorrs)
          |SELECT cohort, COUNT(*) AS n_pairs, round(AVG(corr6), 6) AS avg_corr
          |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin)
 }

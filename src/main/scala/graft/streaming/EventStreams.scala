@@ -87,8 +87,14 @@ object EventStreams {
   }
 
   /** Convenience: run a streaming DataFrame to completion against a memory
-    * sink and return the materialized result table (test/batch-drive
-    * harness for the streaming operators). */
+    * sink and return the materialized result (test/batch-drive harness for
+    * the streaming operators).
+    *
+    * The memory sink holds its rows on the driver for as long as its temp
+    * view exists, so the rows are copied out and the view dropped before
+    * returning — repeated runs in one long-lived JVM stay at zero retained
+    * sink tables instead of accumulating one per run. The copy is bounded
+    * by the sink's own design (memory sinks are only for small results). */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   mode: OutputMode): DataFrame = {
     val q = streamed.writeStream
@@ -97,6 +103,11 @@ object EventStreams {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val sunk = spark.table(name)
+    val rows = sunk.collect().toIndexedSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, numSlices = 1), sunk.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.io.Tables
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the seeded-random sampling primitives (true M5 —
+  * reference `correlation_optimised.py:56-68`): uniformity of the keyed
+  * PRNG, seed stability/sensitivity, partition-layout independence, and
+  * the random-pair protocol's structural invariants.
+  */
+class SampleSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private lazy val keys = spark.range(0, 10000).toDF("k")
+
+  test("seededUniform draws are uniform on [0,1) (decile counts)") {
+    val deciles = keys
+      .select(floor(Tables.seededUniform(col("k"), seed = 7L) * 10).as("d"))
+      .groupBy("d").count().as[(Long, Long)].collect().toMap
+    assert(deciles.keySet == (0L to 9L).toSet)
+    // 1000 expected per decile; 3-sigma ≈ 90. Loose bound: ±150.
+    deciles.foreach { case (d, n) =>
+      assert(math.abs(n - 1000L) <= 150, s"decile $d count $n not ~1000")
+    }
+  }
+
+  test("randomSample: expected fraction, seed-stable, layout-independent") {
+    val a = Tables.randomSample(keys, "k", 0.3, seed = 42L).as[Long].collect().toSet
+    // E|a| = 3000, sd ≈ 46; loose ±200.
+    assert(math.abs(a.size - 3000) <= 200, s"|sample| ${a.size} not ~3000")
+    val b = Tables.randomSample(keys, "k", 0.3, seed = 42L).as[Long].collect().toSet
+    assert(a == b)
+    val c = Tables.randomSample(keys.repartition(13), "k", 0.3, seed = 42L)
+      .as[Long].collect().toSet
+    assert(a == c, "sample changed with partition layout")
+    val d = Tables.randomSample(keys, "k", 0.3, seed = 43L).as[Long].collect().toSet
+    assert(a != d, "different seed produced identical sample")
+  }
+
+  test("randomPairs: n disjoint ordered pairs, seed-stable, layout-independent") {
+    val p = Tables.randomPairs(keys, "k", n = 100, seed = 77L)
+      .as[(Long, Long)].collect().toSeq
+    assert(p.size == 100)
+    assert(p.forall { case (a, b) => a < b })
+    val members = p.flatMap { case (a, b) => Seq(a, b) }
+    assert(members.distinct.size == 200, "pairs share a member")
+    val q = Tables.randomPairs(keys.repartition(9), "k", n = 100, seed = 77L)
+      .as[(Long, Long)].collect().toSeq
+    assert(p == q)
+    val r = Tables.randomPairs(keys, "k", n = 100, seed = 78L)
+      .as[(Long, Long)].collect().toSeq
+    assert(p != r)
+  }
+
+  test("randomPairs degrades gracefully when the population is short") {
+    val small = spark.range(0, 5).toDF("k") // 5 keys → at most 2 pairs
+    val p = Tables.randomPairs(small, "k", n = 100, seed = 1L)
+      .as[(Long, Long)].collect().toSeq
+    assert(p.size == 2)
+  }
+}
