@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * measure — not just assert — where the dense all-pairs path gives way
   * to LSH as user count grows. Results recorded in ARCHITECTURE.md.
   *
-  * Usage: runMain graft.ScaleProbe [factor]
+  * Usage: runMain graft.ScaleProbe [factor] [probes]
+  * `probes` (default "lsh"): comma-list of lsh, dense — the dense
+  * all-pairs probe is opt-in because it is deliberately quadratic
+  * (~10 min at 10×; its 240× growth is already recorded in
+  * ARCHITECTURE.md).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val probes = args.lift(1).getOrElse("lsh").split(",").toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -40,10 +45,12 @@ object ScaleProbe {
       println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$n")
     }
 
-    time("lsh_top100")(
-      Twins.topTwinsLsh(inflated, numPerm = 32, rowsPerBand = 4, k = 100).count())
-    time("exact_dense_top100")(
-      Twins.topTwinsExact(inflated, k = 100).count())
+    if (probes("lsh"))
+      time("lsh_top100")(
+        Twins.topTwinsLsh(inflated, numPerm = 32, rowsPerBand = 4, k = 100).count())
+    if (probes("dense"))
+      time("exact_dense_top100")(
+        Twins.topTwinsExact(inflated, k = 100).count())
     spark.stop()
   }
 }

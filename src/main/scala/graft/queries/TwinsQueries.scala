@@ -46,6 +46,13 @@ object TwinsQueries {
     Twins.topTwinsLsh(ratings(spark, dir), numPerm = 32, rowsPerBand = 4,
       k = 100)
 
+  /** q45 — exact top-100 twins over the SAME (item, rating-bucket) token
+    * space q42 estimates: the exactly-computed counterpart of q42's
+    * `est_jaccard` (q41 ranks by raw item-set Jaccard instead — see the
+    * similarity-definition note on [[Twins.topTwinsLsh]]). */
+  val q45: Q = (spark, dir) =>
+    Twins.topTwinsExactTokens(ratings(spark, dir), k = 100)
+
   /** q43 — Pearson correlation per exact-top-100 twin pair over co-rated
     * items (≥2 co-ratings), via self-join + built-in `corr`. */
   val q43: Q = (spark, dir) => {
@@ -88,7 +95,8 @@ object TwinsQueries {
     "q41_top_twins_exact" -> q41,
     "q42_top_twins_lsh" -> q42,
     "q43_twin_correlation" -> q43,
-    "q44_twin_validation" -> q44)
+    "q44_twin_validation" -> q44,
+    "q45_twin_exact_tokens" -> q45)
 
   // Shared oracle CTE fragments.
   private val setsCte =
@@ -168,6 +176,20 @@ object TwinsQueries {
          |  GROUP BY id_a, id_b)
          |SELECT id_a, id_b, est_jaccard FROM est
          |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q45_twin_exact_tokens" ->
+      s"""WITH $tokCte,
+         |tsz AS (SELECT user_id, COUNT(*) AS n FROM tok GROUP BY user_id),
+         |tinter AS (
+         |  SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS shared
+         |  FROM tok a JOIN tok b USING (token) WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2),
+         |tpairs AS (
+         |  SELECT id_a, id_b, shared,
+         |    shared::DOUBLE / (x.n + y.n - shared) AS jaccard
+         |  FROM tinter JOIN tsz x ON id_a = x.user_id JOIN tsz y ON id_b = y.user_id
+         |  ORDER BY jaccard DESC, id_a, id_b LIMIT 100)
+         |SELECT id_a, id_b, shared, jaccard FROM tpairs
+         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
     "q43_twin_correlation" ->
       s"""WITH $setsCte,
          |$exactPairsCte,

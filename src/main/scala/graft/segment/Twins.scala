@@ -44,11 +44,24 @@ object Twins {
     * universe is small relative to set sizes (at 100 items × ~49-item
     * sets every user pair sits near Jaccard 0.5 and band collisions
     * approach all-pairs — the round-1 scale-killer). Conditioning each
-    * item on its rating bucket multiplies the universe by the bucket
-    * count, dropping random-pair Jaccard to ~0.05 so banding
+    * item on its rating bucket widens the universe so banding
     * discriminates; genuinely twin-like users (same items, similar
     * ratings) keep high overlap. Mirrors how the document pipeline fixed
-    * the same issue with 3-gram shingles (q25–q27). */
+    * the same issue with 3-gram shingles (q25–q27).
+    *
+    * Measured effect on the events data at sf0.01 (value range 0.01–490,
+    * default width 100 → 299-token universe, ~83% of post-dedup tokens
+    * in bucket 0): average random-pair Jaccard drops from ~0.5 to ~0.21
+    * — a real but value-skew-limited sparsification; the floor-bucket
+    * form is kept because it is exactly reproducible in the SQL oracle.
+    * If band collisions grow too dense at larger scale, narrow
+    * `bucketWidth` (more buckets ⇒ sparser tokens) before reaching for
+    * equal-frequency bucketing, which would need a quantile pass and an
+    * oracle-side ntile mirror. `bucketWidth` must sit at the data's value
+    * scale: MovieLens-style 0.5–5.0 ratings need width ~1.0 — at the
+    * default 100.0 every rating lands in bucket 0 and tokens silently
+    * degenerate to raw item ids (covered by the e2e planted-twins test,
+    * which runs width 1.0). */
   def ratingBucketTokens(ratings: DataFrame,
                          bucketWidth: Double = 100.0): DataFrame =
     userItemRatings(ratings)
@@ -56,13 +69,35 @@ object Twins {
         concat(col("item_id").cast("string"), lit(":"),
           floor(col("rating") / bucketWidth).cast("string")).as("token"))
 
+  /** Exact top-k twins over the SAME (item, rating-bucket) token space
+    * that [[topTwinsLsh]] estimates — so `est_jaccard` has an exactly
+    * computed counterpart on the same similarity definition (q45 gates
+    * it against the oracle; see the divergence note on [[topTwinsLsh]]). */
+  def topTwinsExactTokens(ratings: DataFrame, k: Int,
+                          bucketWidth: Double = 100.0): DataFrame =
+    TextAnalysis.setJaccardPairsAuto(
+      ratingBucketTokens(ratings, bucketWidth), "user_id", "token",
+      minJaccard = 0.0)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+
   /** Approximate top-k twins: MinHash (numPerm) + LSH banding + estimated
     * Jaccard, the reference's M1+M2+M3 pipeline fully distributed. Only
     * band-colliding pairs are ever scored; tokens are the sparse
-    * (item, rating-bucket) features of [[ratingBucketTokens]]. */
+    * (item, rating-bucket) features of [[ratingBucketTokens]].
+    *
+    * SIMILARITY DEFINITION — deliberate divergence from [[topTwinsExact]]
+    * and the reference's movie-id MinHash (`top_100_pairs.py:77-78`):
+    * this pipeline ranks by Jaccard over (item, rating-bucket) tokens,
+    * not raw item sets, because raw ids are degenerate here (see
+    * [[ratingBucketTokens]]). Pairs with identical item sets but
+    * different ratings rank lower than under q41's raw-set Jaccard —
+    * by design: "twins" here means same items AND similar ratings. The
+    * exact query over the SAME token space is [[topTwinsExactTokens]]
+    * (q45), which is what `est_jaccard` is an estimator of. */
   def topTwinsLsh(ratings: DataFrame, numPerm: Int, rowsPerBand: Int,
-                  k: Int): DataFrame = {
-    val sets = ratingBucketTokens(ratings)
+                  k: Int, bucketWidth: Double = 100.0): DataFrame = {
+    val sets = ratingBucketTokens(ratings, bucketWidth)
     val sigs = TextAnalysis.minhashSignatures(sets, "user_id", numPerm)
     val cands = TextAnalysis.lshCandidatePairs(sigs, "user_id", rowsPerBand)
     TextAnalysis.estimatedJaccard(cands, sigs, "user_id", numPerm)

@@ -197,10 +197,17 @@ object TextAnalysis {
       col("n").as("n_a"))
     val b = packed.select(col(id).as("id_b"), col("items").as("items_b"),
       col("n").as("n_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("shared",
+    // Codegen'd merge-walk for int items; generic array_intersect for
+    // any other element type (e.g. string tokens) — same semantics, the
+    // sorted arrays just aren't exploited.
+    val itemType = sets.schema(sets.schema.fieldIndex(item)).dataType
+    val intersectCount =
+      if (itemType == org.apache.spark.sql.types.IntegerType)
         graft.functions.GraftFunctions.sorted_intersect_count(
-          col("items_a"), col("items_b")))
+          col("items_a"), col("items_b"))
+      else size(array_intersect(col("items_a"), col("items_b")))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("shared", intersectCount)
       .filter(col("shared") > 0)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
@@ -224,21 +231,43 @@ object TextAnalysis {
     * shuffle keys and degenerates). Dense is additionally hard-capped:
     * never broadcast above 10⁵ entities or ~5×10⁶ set elements — beyond
     * that an exact all-pairs answer is quadratic no matter the strategy
-    * and the caller should move to LSH ([[lshCandidatePairs]]). */
+    * and the caller should move to LSH ([[lshCandidatePairs]]).
+    *
+    * EAGER: deciding needs the statistics, so building this DataFrame
+    * runs one small aggregate job over `sets` immediately (an exception
+    * to the engine's otherwise lazy plan construction). The stats job is
+    * memoized per (session, plan), so registry enumeration or repeated
+    * calls on the same input scan once, not per call. When NEITHER
+    * strategy's preconditions hold — too many entities to broadcast AND
+    * a universe so narrow the co-occurrence join degenerates to m
+    * skew-limited shuffle keys — this logs a warning naming
+    * [[lshCandidatePairs]] and takes the sparse path anyway: exact
+    * all-pairs at that shape is quadratic no matter the strategy. */
   def setJaccardPairsAuto(sets: DataFrame, id: String, item: String,
                           minJaccard: Double): DataFrame = {
-    val st = sets.agg(
-      countDistinct(col(id)).as("n"),
-      countDistinct(col(item)).as("m"),
-      count(lit(1)).as("rows")).head()
-    val (n, m, rows) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val (n, m, rows) = graft.util.SessionMemo(sets.sparkSession,
+      s"jaccard-stats:${sets.queryExecution.analyzed.semanticHash()}:$id:$item") {
+      val st = sets.agg(
+        countDistinct(col(id)).as("n"),
+        countDistinct(col(item)).as("m"),
+        count(lit(1)).as("rows")).head()
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    }
     val s = if (n > 0) rows.toDouble / n else 0.0
     val denseOk = n <= 100000L && rows <= 5000000L
     val densePreferred = m <= 4 * s || n <= 2000L
     if (denseOk && densePreferred)
       setJaccardPairsDense(sets, id, item, minJaccard)
-    else
+    else {
+      if (!denseOk && densePreferred)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"setJaccardPairsAuto: n=$n entities exceed the dense-broadcast cap " +
+            s"but the item universe (m=$m, avg set size ~${s.round}) is too " +
+            "narrow for the sparse co-occurrence join to parallelize well; " +
+            "falling back to sparse anyway. At this shape exact all-pairs is " +
+            "quadratic — switch to lshCandidatePairs.")
       setJaccardPairs(sets, id, item, minJaccard)
+    }
   }
 
   /** Cavnar–Trenkle-style profile language classifier, corpus-trained:

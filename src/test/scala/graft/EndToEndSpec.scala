@@ -43,14 +43,18 @@ class EndToEndSpec extends AnyFunSuite {
       val items = rnd.shuffle((0 until nItems).toList).take(n)
       items.foreach(i => add(u, i, 0.5 + (rnd.nextInt(9) + 1) * 0.5))
     }
-    // planted twins: u' = u+1 copies ~95% of u's set with correlated ratings
+    // planted twins: u' = u+1 copies ~95% of u's set with IDENTICAL
+    // ratings — the (item, rating-bucket) token space only matches
+    // same-bucket ratings (a +0.5 offset straddles width-1.0 bucket
+    // boundaries for half the values and would halve twin token overlap;
+    // "twin" under bucketed tokens means same items AND same bucket).
     for (b <- twinBase) {
       val u = b.toLong; val t = u + 1
       val base = rnd.shuffle((0 until nItems).toList).take(60)
       base.foreach { i =>
         val r = 0.5 + (rnd.nextInt(9) + 1) * 0.5
         add(u, i, r)
-        if (rnd.nextDouble() < 0.95) add(t, i, math.min(5.0, r + 0.5))
+        if (rnd.nextDouble() < 0.95) add(t, i, r)
       }
     }
     rows.toSeq.toDF("user_id", "item_id", "rating", "ts", "event_id")
@@ -65,11 +69,21 @@ class EndToEndSpec extends AnyFunSuite {
   }
 
   test("LSH pipeline finds all planted twins (32 perms, reference params)") {
-    val found = Twins.topTwinsLsh(ratings, numPerm = 32, rowsPerBand = 4, k = 10)
+    // bucketWidth = 1.0: ratings here span 0.5–5.0, so the default width
+    // of 100.0 (tuned to the events value scale) would put every rating
+    // in bucket 0 and silently degrade tokens to raw item ids — this
+    // fixture must exercise the real multi-bucket token space. Planted
+    // twins copy ratings exactly, so their tokens collide by construction.
+    val found = Twins.topTwinsLsh(ratings, numPerm = 32, rowsPerBand = 4,
+      k = 10, bucketWidth = 1.0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     twinBase.foreach { b =>
       assert(found.contains((b.toLong, b + 1L)), s"twin ($b,${b + 1}) missed")
     }
+    // Sanity: the fixture really does span multiple buckets at width 1.0.
+    val nBuckets = Twins.ratingBucketTokens(ratings, bucketWidth = 1.0)
+      .select(split(col("token"), ":").getItem(1)).distinct().count()
+    assert(nBuckets >= 4, s"fixture only produced $nBuckets rating buckets")
   }
 
   test("twin correlation statistically beats stride baseline (part2 invariant)") {

@@ -48,4 +48,24 @@ class MediaIoSpec extends AnyFunSuite {
     val sumBack = back.agg(sum(col("rating").cast("decimal(18,2)"))).head.getDecimal(0)
     assert(sumOrig == sumBack)
   }
+
+  test("split persistence roundtrip equals in-memory splits (S3 end-to-end)") {
+    val dir = Files.createTempDirectory("graft-splits").toString
+    val ratings = Tables.ratings(spark, sf)
+    graft.io.Splits.persist(ratings, dir)
+    val (train, valid, test) = graft.io.Splits.read(spark, dir)
+    val tagged = graft.rec.Popularity.withSplits(ratings)
+    for ((back, mem) <- Seq(
+        train -> graft.rec.Popularity.train(tagged),
+        valid -> graft.rec.Popularity.validation(tagged),
+        test -> graft.rec.Popularity.test(tagged))) {
+      val want = mem.drop("split")
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        want.schema.map(f => (f.name, f.dataType)))
+      // set equality both directions (exceptAll catches dup-count drift)
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+    }
+    // the three splits partition the input: no row lost or duplicated
+    assert(train.count() + valid.count() + test.count() == ratings.count())
+  }
 }
