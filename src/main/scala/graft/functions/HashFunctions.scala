@@ -45,8 +45,8 @@ object GraftFunctions {
     * `(md5_number_lower(s) & 9223372036854775807)::BIGINT`. */
   def md5_63(c: Column): Column = GraftShim.column(Md5Long63(GraftShim.expression(c)))
 
-  /** Intersection cardinality of two ascending-sorted int-array columns
-    * (codegen'd merge-walk; see
+  /** Intersection cardinality of two ascending-sorted array columns with
+    * int, long, or string elements (codegen'd merge-walk; see
     * [[org.apache.spark.sql.graft.SortedIntersectCount]]). */
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftShim.column(org.apache.spark.sql.graft.SortedIntersectCount(

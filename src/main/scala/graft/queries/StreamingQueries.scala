@@ -92,10 +92,24 @@ object StreamingQueries {
       .orderBy("event_type", "bucket_s")
   }
 
+  /** q64 — streaming exact dedup on (user_id, event_type): watermark-
+    * bounded state (see [[EventStreams.dedupEvents]]); over the finite
+    * input the emitted set equals the batch DISTINCT, which is the
+    * oracle. */
+  val q64: Q = (spark, dir) => {
+    val name = s"q64_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark,
+      EventStreams.dedupEvents(stream(spark, dir), Seq("user_id", "event_type")),
+      name, OutputMode.Append)
+      .select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
-    "q63_stream_hourly_append" -> q63)
+    "q63_stream_hourly_append" -> q63,
+    "q64_stream_dedup" -> q64)
 
   val oracles: Map[String, String] = Map(
     // Identical semantics to the batch twins — same oracle SQL.
@@ -127,5 +141,8 @@ object StreamingQueries {
         |FROM events, wm
         |GROUP BY event_type, bucket_s, wm_ms
         |HAVING (bucket_s + 3600) * 1000 <= wm_ms
-        |ORDER BY event_type, bucket_s""".stripMargin)
+        |ORDER BY event_type, bucket_s""".stripMargin,
+    "q64_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }

@@ -177,7 +177,11 @@ object TwinsQueries {
          |SELECT id_a, id_b, est_jaccard FROM est
          |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q45_twin_exact_tokens" ->
-      s"""WITH $tokCte,
+      s"""WITH $ratCte,
+         |tok AS (
+         |  SELECT user_id,
+         |    item_id::BIGINT * 8 + CAST(FLOOR(rating / 100.0) AS BIGINT) AS token
+         |  FROM rat),
          |tsz AS (SELECT user_id, COUNT(*) AS n FROM tok GROUP BY user_id),
          |tinter AS (
          |  SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS shared

@@ -86,6 +86,24 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication — the training-pipeline dedup
+    * primitive (batch form: q23) in its scale-safe incremental shape.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per distinct
+    * key only within the watermark horizon (a plain streaming
+    * `dropDuplicates` would retain every key ever seen — unbounded);
+    * append mode emits each key's first occurrence. A duplicate arriving
+    * later than the horizon re-emits — at 100 TB/day that bounded-memory
+    * trade is the point, and horizon-wide exactness is the watermark
+    * contract, not a bug. Run to completion over a finite input the
+    * emitted set is exactly the batch DISTINCT (the driver's oracle for
+    * q64). */
+  def dedupEvents(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .select(keys.map(col) :+ col("event_time"): _*)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Convenience: run a streaming DataFrame to completion against a memory
     * sink and return the materialized result (test/batch-drive harness for
     * the streaming operators).

@@ -197,15 +197,17 @@ object TextAnalysis {
       col("n").as("n_a"))
     val b = packed.select(col(id).as("id_b"), col("items").as("items_b"),
       col("n").as("n_b"))
-    // Codegen'd merge-walk for int items; generic array_intersect for
-    // any other element type (e.g. string tokens) — same semantics, the
-    // sorted arrays just aren't exploited.
+    // Codegen'd merge-walk (int/long/string elements); generic
+    // array_intersect only for exotic element types — same semantics,
+    // ~10–20× slower (per-pair hash set + boxing + materialized array).
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val itemType = sets.schema(sets.schema.fieldIndex(item)).dataType
-    val intersectCount =
-      if (itemType == org.apache.spark.sql.types.IntegerType)
+    val intersectCount = itemType match {
+      case IntegerType | LongType | StringType =>
         graft.functions.GraftFunctions.sorted_intersect_count(
           col("items_a"), col("items_b"))
-      else size(array_intersect(col("items_a"), col("items_b")))
+      case _ => size(array_intersect(col("items_a"), col("items_b")))
+    }
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("shared", intersectCount)
       .filter(col("shared") > 0)

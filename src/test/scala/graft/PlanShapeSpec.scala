@@ -50,4 +50,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"))
     assert(p.contains("partial_count"))
   }
+
+  test("q54 sweep runs as one bias-keyed pipeline (group-limit windows, broadcast pool)") {
+    val p = plan("q54_bias_sweep")
+    // per-(bias, user) top-k and per-bias pool rank both group-limit
+    assert(p.contains("WindowGroupLimit"))
+    // the bias list and the <=|biases|*poolK pool stay broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q37 IVF broadcasts the centroid table into the probe join") {
+    val p = plan("q37_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin")) // 16-row centroid cross join
+    assert(p.contains("WindowGroupLimit"))        // nprobe + top-5 ranks
+  }
 }

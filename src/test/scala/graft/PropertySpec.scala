@@ -90,6 +90,26 @@ class PropertySpec extends AnyFunSuite {
     assert(got == 0)
   }
 
+  test("SortedIntersectCount: long and string element types (random arrays)") {
+    val rnd = new Random(31)
+    val longs = (1 to 100).map { _ =>
+      val a = (1 to rnd.nextInt(40)).map(_ => rnd.nextLong() % 50L).distinct.sorted
+      val b = (1 to rnd.nextInt(40)).map(_ => rnd.nextLong() % 50L).distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size.toLong)
+    }
+    assert(longs.toDF("a", "b", "want")
+      .withColumn("got", graft.functions.GraftFunctions.sorted_intersect_count(col("a"), col("b")))
+      .filter(col("got") =!= col("want")).count() == 0)
+    val strings = (1 to 100).map { _ =>
+      val a = (1 to rnd.nextInt(40)).map(_ => s"t${rnd.nextInt(60)}:${rnd.nextInt(4)}").distinct.sorted
+      val b = (1 to rnd.nextInt(40)).map(_ => s"t${rnd.nextInt(60)}:${rnd.nextInt(4)}").distinct.sorted
+      (a, b, a.toSet.intersect(b.toSet).size.toLong)
+    }
+    assert(strings.toDF("a", "b", "want")
+      .withColumn("got", graft.functions.GraftFunctions.sorted_intersect_count(col("a"), col("b")))
+      .filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("simhash is token-order invariant") {
     val doc = "x y z w q r s t u v"
     val shuffled = new Random(23).shuffle(doc.split(" ").toSeq).mkString(" ")

@@ -72,4 +72,37 @@ class SimilaritySpec extends AnyFunSuite {
     val orders = graft.io.Tables.orders(spark, sf).count()
     assert(freq == orders)
   }
+
+  test("q37 IVF ANN: well-formed, deterministic, never beats brute force, real recall") {
+    val ivf = SimilarityQueries.q37(spark, sf)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    // per query: ranks 1..n contiguous, <= 5
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"ranks not contiguous: $ranks")
+      assert(ranks.size <= 5)
+    }
+    // seeded-deterministic
+    assert(rows.toSeq == SimilarityQueries.q37(spark, sf).collect().toSeq)
+    // an IVF neighbor can never out-score the brute-force best
+    val bfTop = SimilarityQueries.q30(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("bf_best"))
+    val beat = ivf.groupBy("q_id").agg(max("cos").as("ivf_best"))
+      .join(bfTop, "q_id")
+      .filter(col("ivf_best") > col("bf_best")).count()
+    assert(beat == 0)
+    // recall@5 vs brute force must clearly beat the random-scan floor
+    // (nprobe/k = 2/16 = 12.5% of the corpus scanned → ~0.125 expected
+    // by chance). Isotropic-random corpus keeps absolute recall modest;
+    // the quantizer must still concentrate true neighbors into probed
+    // cells.
+    val bf5 = SimilarityQueries.q30(spark, sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf5 = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (bf5 & ivf5).size.toDouble / bf5.size
+    assert(recall >= 0.25, f"IVF recall@5 $recall%.3f below 0.25 floor")
+  }
 }

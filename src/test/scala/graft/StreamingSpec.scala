@@ -59,4 +59,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalPerUser.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
       want.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("repeated streaming runs retain no memory-sink tables (leak guard)") {
+    import graft.queries.StreamingQueries
+    val before = spark.catalog.listTables().count()
+    StreamingQueries.q61(spark, sf).count()
+    StreamingQueries.q64(spark, sf).count()
+    StreamingQueries.q61(spark, sf).count()
+    val after = spark.catalog.listTables().count()
+    assert(after == before,
+      s"memory-sink temp views leaked: $before tables before, $after after")
+  }
 }
