@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM warm-up: scheduler, whole-stage-codegen compiler, and
+    // the parquet datasource init path (via the 5-row region table —
+    // nothing any query reuses is cached here). Without it the
+    // alphabetically-first query absorbs ~3-4 s of one-time JVM costs
+    // that say nothing about its plan.
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // Stable name order: run-to-run comparable timings (Map order is
     // hash-dependent and reshuffles whenever a query is added).
     var failed = List.empty[String]
