@@ -102,6 +102,12 @@ class RecSpec extends AnyFunSuite {
     assert(grid.forall { r =>
       val m = r.getAs[Double]("map_at_k"); m >= 0.0 && m <= 1.0
     })
+    // Cross-surface consistency: the (8, 0.1) cell IS q53's model and
+    // recommendation set, so its MAP must equal q53's map_at_k exactly.
+    val cell = grid.find(r => r.getAs[Int]("rank") == 8 &&
+      r.getAs[Double]("reg_param") == 0.1).get.getAs[Double]("map_at_k")
+    val q53map = RecQueries.q53(spark, sf).head().getAs[Double]("map_at_k")
+    assert(cell == q53map, s"grid (8,0.1) MAP $cell != q53 MAP $q53map")
   }
 
   test("headline invariant: popularity P@20 >= default-ALS P@20 (sf0.01)") {
