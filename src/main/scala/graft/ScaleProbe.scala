@@ -51,6 +51,49 @@ object ScaleProbe {
     if (probes("dense"))
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())
+
+    if (probes("ann")) {
+      // ANN strategies at factor× the corpus: brute force scales O(N) per
+      // query; IVF pays a one-time quantizer build then probes
+      // ~nprobe/cells of N. Copies get a deterministic per-copy
+      // perturbation so they are near- but not exact duplicates.
+      import graft.sim.VectorOps._
+      val dim = 64
+      val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val corpus = (0 until factor).map { i =>
+        val pert = typedLit(hyperplane(i + 1, dim))
+        emb.filter(col("vec_id") >= 10)
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+          .withColumn("embedding",
+            zip_with(col("embedding"), pert,
+              (x, w) => x.cast("double") + w * lit(if (i == 0) 0.0 else 0.05)))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+        .withColumn("q_norm", l2norm(col("q_emb")))
+      println(s"PROBE ann corpus: ${corpus.count()} vectors")
+      time("ann_bruteforce_top5") {
+        val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          .withColumn("n_norm", l2norm(col("n_emb")))
+        val scored = c.crossJoin(broadcast(queries))
+          .withColumn("cos", cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+        graft.ops.Relational.perKeyTopK(
+          scored, "q_id", Seq(col("cos").desc, col("n_id")), k = 5).count()
+      }
+      // Grow the codebook with the corpus (k ~ N), capped: past ~256
+      // cells the local quantizer fit dominates the probe.
+      val cells = math.min(16 * factor, 256)
+      time("ann_ivf_build+query")(
+        graft.sim.IvfAnn.topK(corpus, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cells = cells, nprobe = 2,
+          seed = 7L, memoKey = "scaleprobe").count())
+      time("ann_ivf_query_amortized")(
+        graft.sim.IvfAnn.topK(corpus, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cells = cells, nprobe = 2,
+          seed = 7L, memoKey = "scaleprobe").count())
+    }
     spark.stop()
   }
 }

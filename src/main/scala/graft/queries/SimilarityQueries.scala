@@ -107,47 +107,13 @@ object SimilarityQueries {
     * equi-join on cell. Rows-only (KMeans centroids are not
     * SQL-expressible); recall vs the q30 brute-force baseline and
     * determinism are spec-asserted (SimilaritySpec). */
-  val q37: Q = (spark, dir) => {
-    val nprobe = 2
-    val e = graft.util.SessionMemo.cached(spark, s"emb-features:$dir")(
-      emb(spark, dir)
-        .withColumn("features", array_to_vector(col("embedding"))))
-    val corpus = e.filter(col("vec_id") >= 10)
-    val model = graft.util.SessionMemo(spark, s"kmeans-ivf:$dir:k16:seed7") {
-      new KMeans().setK(16).setSeed(7L).setMaxIter(10)
-        .setInitMode("random").setFeaturesCol("features")
-        .fit(corpus)
-    }
-    // 16 × 64-double centroid table — broadcast by construction.
-    val centroids = {
-      import spark.implicits._
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toArray) }.toDF("cell", "centroid")
-    }
-    val cells = model.transform(corpus)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("prediction").as("cell"))
-      .withColumn("n_norm", l2norm(col("n_emb")))
-    // Each query ranks the 16 centroids by (euclidean) distance — the
-    // quantizer's own metric — and probes the nprobe nearest cells.
-    val dist2 = aggregate(
-      zip_with(col("q_emb"), col("centroid"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
-    val probes = emb(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2)
-      .transform(df => perKeyTopK(df, "q_id", Seq(col("d2").asc, col("cell")), k = nprobe))
-      .select(col("q_id"), col("q_emb"), col("cell"))
-      .withColumn("q_norm", l2norm(col("q_emb")))
-    val scored = probes.join(cells, "cell")
-      .withColumn("cos", cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
-    perKeyTopK(scored.select("q_id", "n_id", "cell", "cos"),
-      "q_id", Seq(col("cos").desc, col("n_id")), k = 5)
-      .select("q_id", "rank", "n_id", "cell", "cos")
+  val q37: Q = (spark, dir) =>
+    graft.sim.IvfAnn.topK(
+      corpus = emb(spark, dir).filter(col("vec_id") >= 10),
+      queries = emb(spark, dir).filter(col("vec_id") < 10),
+      idCol = "vec_id", embCol = "embedding",
+      k = 5, cells = 16, nprobe = 2, seed = 7L, memoKey = dir)
       .orderBy("q_id", "rank")
-  }
 
   /** Memoized RFM feature frame (persisted): q34 serves it sorted, q35
     * standardizes + clusters it — the aggregation over orders runs once. */

@@ -110,6 +110,27 @@ class RecSpec extends AnyFunSuite {
     assert(cell == q53map, s"grid (8,0.1) MAP $cell != q53 MAP $q53map")
   }
 
+  test("recommendSweep == per-bias recommend loop (all biases)") {
+    // The single bias-keyed pipeline must be row-identical to running the
+    // plain recommender once per bias — the sweep is an execution
+    // strategy, not a semantics change.
+    val t = graft.rec.Popularity.withSplits(graft.io.Tables.ratings(spark, sf))
+    val train = graft.rec.Popularity.train(t)
+    val valid = graft.rec.Popularity.validation(t)
+    val biases = Seq(1.0, 100.0)
+    val sweep = graft.rec.Popularity
+      .recommendSweep(train, valid, biases, poolK = 50, k = 20)
+      .orderBy("bias", "user_id", "rank")
+      .collect().toSeq
+    val looped = biases.flatMap { b =>
+      graft.rec.Popularity.recommend(train, valid, b, poolK = 50, k = 20)
+        .withColumn("bias", org.apache.spark.sql.functions.lit(b))
+        .select("bias", "user_id", "item_id", "rank")
+        .orderBy("user_id", "rank").collect().toSeq
+    }
+    assert(sweep == looped)
+  }
+
   test("headline invariant: popularity P@20 >= default-ALS P@20 (sf0.01)") {
     // The reference's central published finding (report p.6): the biased
     // popularity baseline beats ALS on P@20 at this sparsity. Asserted in
