@@ -86,11 +86,15 @@ object RecQueries {
   }
 
   /** q55 — the ALS hyperparameter grid (reference Table 3,
-    * `als_latent_factors.py:32-72`): seeded 2×2 grid over rank ×
-    * regParam, one (rank, reg_param, map_at_k) row per combo, ranked by
-    * validation MAP@20. The (8, 0.1) combo is exactly q52/q53's model, so
-    * its fit is memoized-shared. Rows-only check (iterative ML); the
-    * determinism + tuned-popularity-beats-ALS headline is spec-asserted. */
+    * `als_latent_factors.py:31-44` runs ranks {5,10,20,50} × regs
+    * {0.01,0.05,0.1,1} at MAP@100): registered here as a seeded 2×2
+    * ({4,8} × {0.05,0.1}, MAP@20) — the same pipeline at bench-scale
+    * economics; [[AlsRec.gridSearch]] takes arbitrary rank/reg lists for
+    * the full reference grid. One (rank, reg_param, map_at_k) row per
+    * combo. The (8, 0.1) combo is exactly q52/q53's model, so its fit is
+    * memoized-shared (spec asserts its MAP == q53's bit-for-bit).
+    * Rows-only check (iterative ML); determinism and the
+    * popularity-vs-ALS headline are spec-asserted. */
   val q55: Q = (spark, dir) => {
     val t = tagged(spark, dir)
     val valid = Popularity.validation(t)
