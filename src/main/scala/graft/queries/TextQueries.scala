@@ -145,8 +145,12 @@ object TextQueries {
 
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
-    * the 100 TB-scale variant of q25 (no numPerm× explosion; affine-mixed
-    * hash family ⇒ rows-only check, contract asserted in MinHashAggSpec). */
+    * the 100 TB-scale variant of q25 (no numPerm× explosion). The
+    * affine-mixed family `h_p = (a_p·md5_63(tok) + b_p) mod 2⁶³` is
+    * itself oracle-expressible (DuckDB HUGEINT products reduced mod 2⁶³
+    * match Java's wrapping arithmetic exactly), so even the custom
+    * aggregate is hash-checked cross-engine; buffer contract additionally
+    * asserted in MinHashAggSpec. */
   val q29: Q = (spark, dir) =>
     minhashSignaturesFast(
       shinglesCached(spark, dir).withColumnRenamed("shingle", "token"),
@@ -261,6 +265,27 @@ object TextQueries {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The fast aggregate's affine mixing (a·h + b wrapping in 64-bit,
+    // masked to 63 bits) == (a·h + b) mod 2^63 in exact integer math —
+    // HUGEINT holds the ≤2^126 product, % (2^63) reduces it identically.
+    "q29_minhash_fast" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
+         |  FROM t),
+         |h AS (SELECT doc_id, CAST(md5_number_lower(token) & $H AS BIGINT) AS h FROM tok),
+         |c AS (SELECT p,
+         |        CAST((md5_number_lower('a:' || p::VARCHAR) & $H) | 1 AS BIGINT) AS a,
+         |        CAST(md5_number_lower('b:' || p::VARCHAR) & $H AS BIGINT) AS b
+         |      FROM (SELECT unnest(generate_series(0, 15)) AS p) g)
+         |SELECT doc_id, p,
+         |  CAST(MIN(CAST((a::HUGEINT * h::HUGEINT + b::HUGEINT) % ($H::HUGEINT + 1) AS BIGINT)) AS BIGINT) AS mh
+         |FROM h CROSS JOIN c
+         |GROUP BY doc_id, p ORDER BY doc_id, p""".stripMargin,
     "q25_minhash_sigs" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -24,10 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(entities × numPerm × tokens-exploded) rows to one 8·numPerm-byte
   * buffer per entity per partition.
   *
-  * Hash family differs from the oracle-checkable md5-per-(perm,token)
-  * variant by design (this is the fast path; same estimator statistics,
-  * no SQL oracle). Mixing constants are md5-derived odd/arbitrary values,
-  * deterministic across runs and cluster layouts.
+  * Hash family differs from the md5-per-(perm,token) variant by design
+  * (one md5 per token instead of numPerm; same estimator statistics) —
+  * but it is still oracle-checkable: Java's wrapping `(a·h + b) & 2⁶³−1`
+  * equals `(a·h + b) mod 2⁶³` in exact integer arithmetic, which DuckDB
+  * reproduces with HUGEINT products (q29's oracle). Mixing constants are
+  * md5-derived odd/arbitrary values, deterministic across runs and
+  * cluster layouts.
   */
 case class MinHashAgg(
     child: Expression,
