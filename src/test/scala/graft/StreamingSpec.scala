@@ -60,6 +60,24 @@ class StreamingSpec extends AnyFunSuite {
       want.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("q63 (closed windows) + trailing open windows == q61 (all windows)") {
+    import graft.queries.StreamingQueries
+    val all = StreamingQueries.q61(spark, sf).collect().toSet
+    val closed = StreamingQueries.q63(spark, sf).collect().toSet
+    assert(closed.subsetOf(all), "append emitted a window Complete mode lacks")
+    val open = all -- closed
+    // Every non-emitted window must genuinely be open at the final
+    // watermark: end > max event time - 2h.
+    val maxTsSec = graft.io.Tables.events(spark, sf)
+      .agg(max(col("ts"))).head().getLong(0) / 1000000000L
+    val wmSec = maxTsSec - 7200
+    open.foreach { r =>
+      val end = r.getAs[Long]("bucket_s") + 3600
+      assert(end > wmSec, s"window ending $end was closed by wm $wmSec but not emitted")
+    }
+    assert(open.nonEmpty, "fixture has no trailing open windows — test vacuous")
+  }
+
   test("repeated streaming runs retain no memory-sink tables (leak guard)") {
     import graft.queries.StreamingQueries
     val before = spark.catalog.listTables().count()
