@@ -105,11 +105,36 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q65 — sessionization with EVENT-TIME state expiry: the scale-safe
+    * form of q62 (a key's state dies once the watermark passes its last
+    * event + 2 h, so the store holds only recently-active users). On the
+    * finite replay the watermark only advances at the end, no state
+    * expires mid-run, and the final per-user totals match q62's batch
+    * oracle; mid-stream expiry semantics are spec-asserted with a
+    * multi-batch MemoryStream (WatermarkSpec). */
+  val q65: Q = (spark, dir) => {
+    import spark.implicits._
+    val name = s"q65_out_${runId.incrementAndGet()}"
+    val events = stream(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .select("event_id", "ts", "user_id", "event_type", "value", "event_time")
+      .as[EventStreams.EventT]
+    EventStreams.runToMemory(spark,
+      EventStreams.sessionizeExpiring(events).toDF(),
+      name, OutputMode.Update)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .select("user_id", "n_events", "n_sessions")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
     "q63_stream_hourly_append" -> q63,
-    "q64_stream_dedup" -> q64)
+    "q64_stream_dedup" -> q64,
+    "q65_stream_sessions_expiring" -> q65)
 
   val oracles: Map[String, String] = Map(
     // Identical semantics to the batch twins — same oracle SQL.
@@ -144,5 +169,15 @@ object StreamingQueries {
         |ORDER BY event_type, bucket_s""".stripMargin,
     "q64_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    // Identical oracle to q62: event-time expiry is inert on the finite
+    // replay (watermark advances only after the last batch).
+    "q65_stream_sessions_expiring" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS t,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS pt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

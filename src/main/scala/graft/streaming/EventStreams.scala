@@ -23,9 +23,22 @@ object EventStreams {
   case class Event(event_id: Long, ts: Long, user_id: Long,
                    event_type: String, value: Double)
 
+  /** [[Event]] + the event-time column: event-time state timeouts require
+    * the WATERMARKED column to flow into the stateful operator (Spark's
+    * checker rejects the plan if a projection drops it). */
+  case class EventT(event_id: Long, ts: Long, user_id: Long,
+                    event_type: String, value: Double,
+                    event_time: java.sql.Timestamp)
+
   case class SessionState(lastTsNs: Long, sessions: Long, events: Long)
 
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Advance a session fold by one (ts-sorted) event. */
+  private def advance(s: SessionState, tsNs: Long, gapNs: Long): SessionState = {
+    val newSession = s.lastTsNs == Long.MinValue || tsNs - s.lastTsNs > gapNs
+    SessionState(tsNs, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+  }
 
   /** Streaming twin of q12: hourly tumbling-window counts/sums per
     * event_type, with a 2-hour watermark bounding state. `ts` arrives as
@@ -47,15 +60,18 @@ object EventStreams {
     * (`flatMapGroupsWithState`). Emits the running per-user totals on
     * every update (OutputMode.Update).
     *
-    * State bound: pass `stateTimeoutMs = Some(ms)` in production so each
-    * key's state expires after inactivity — without it the store grows
-    * with every user ever seen. It is opt-in because processing-time
-    * timeouts make the engine schedule continuous timeout-check batches,
-    * which never lets a finite drive-to-completion harness
-    * (`processAllAvailable`) settle. Within a micro-batch rows are
-    * buffered and time-sorted; that buffer is bounded by one key's rows
-    * in one trigger interval (cross-batch disorder is the upstream
-    * watermark's job). */
+    * State bounds (without one the store grows with every user ever
+    * seen):
+    *  - `eventTimeTimeout = true` — the production form: a key's state
+    *    expires once the WATERMARK passes its last event + `expireAfterNs`
+    *    (requires `withWatermark` upstream). Deterministic in event time,
+    *    and inert on a finite replay whose watermark only advances at the
+    *    end — so the same query still matches the batch oracle (q65).
+    *  - `stateTimeoutMs` — processing-time expiry; opt-in because the
+    *    timeout-check batches never let `processAllAvailable` settle.
+    * Within a micro-batch rows are buffered and time-sorted; that buffer
+    * is bounded by one key's rows in one trigger interval (cross-batch
+    * disorder is the upstream watermark's job). */
   def sessionize(events: Dataset[Event],
                  gapNs: Long = 30L * 60 * 1000000000L,
                  stateTimeoutMs: Option[Long] = None): Dataset[UserSessions] = {
@@ -74,13 +90,42 @@ object EventStreams {
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
             var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-            sorted.foreach { e =>
-              val newSession = s.lastTsNs == Long.MinValue || e.ts - s.lastTsNs > gapNs
-              s = SessionState(e.ts, s.sessions + (if (newSession) 1 else 0),
-                s.events + 1)
-            }
+            sorted.foreach(e => s = advance(s, e.ts, gapNs))
             state.update(s)
             stateTimeoutMs.foreach(state.setTimeoutDuration)
+            Iterator(UserSessions(user, s.events, s.sessions))
+          }
+      }
+  }
+
+  /** [[sessionize]] with EVENT-TIME state expiry — the production bound:
+    * a key's state dies once the watermark passes its last event +
+    * `expireAfterNs`, so the store holds only recently-active keys, in
+    * event time (deterministic; a processing-time bound depends on
+    * wall-clock luck). Input must carry a watermarked `event_time`
+    * column ([[EventT]]); a key seen again after expiry restarts its
+    * counts — the horizon trade, same as the streaming dedup. Inert on a
+    * finite replay (the watermark only advances at the end), so results
+    * still match the batch oracle. */
+  def sessionizeExpiring(events: Dataset[EventT],
+                         gapNs: Long = 30L * 60 * 1000000000L,
+                         expireAfterNs: Long = 2L * 3600 * 1000000000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[EventT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+            var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            sorted.foreach(e => s = advance(s, e.ts, gapNs))
+            state.update(s)
+            state.setTimeoutTimestamp(
+              s.lastTsNs / 1000000L + expireAfterNs / 1000000L)
             Iterator(UserSessions(user, s.events, s.sessions))
           }
       }

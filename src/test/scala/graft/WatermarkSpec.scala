@@ -48,4 +48,48 @@ class WatermarkSpec extends AnyFunSuite {
     assert(out(0L) == (1L, 10.0), s"hour-0 window: ${out.get(0L)}")
     assert(out(3600L) == (1L, 20.0))
   }
+
+  test("event-time timeout expires idle session state; a late return restarts counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("event_time",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .select("event_id", "ts", "user_id", "event_type", "value", "event_time")
+      .as[EventStreams.EventT]
+
+    val q = EventStreams.sessionizeExpiring(events,
+        expireAfterNs = ns(2.0)).toDF()
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("et_timeout_test")
+      .start()
+    try {
+      // Batch 1: user 1 has two events in one session at hour 0.
+      input.addData(
+        (1L, ns(0.1), 1L, "click", 1.0, "{}"),
+        (2L, ns(0.2), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // Batch 2: another user far ahead — watermark → hour 8, which is
+      // past user 1's expiry (0.2 h + 2 h), so user 1's state dies.
+      input.addData((3L, ns(10.0), 2L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // Batch 3: user 1 returns — state restarted, counts begin again.
+      input.addData((4L, ns(11.0), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("et_timeout_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1's emissions: (2 events, 1 session) from batch 1, then a
+    // RESTARTED (1 event, 1 session) after expiry — not (3, 2), which is
+    // what un-expired state would have produced.
+    assert(rows.contains((1L, 2L, 1L)), s"missing pre-expiry emission: $rows")
+    assert(rows.contains((1L, 1L, 1L)), s"state did not restart after expiry: $rows")
+    assert(!rows.contains((1L, 3L, 2L)), s"state survived past its event-time expiry: $rows")
+    spark.catalog.dropTempView("et_timeout_test")
+  }
 }
