@@ -129,12 +129,35 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q66 — stream-static enrichment join: the events stream joins the
+    * static customer dimension (broadcast — stateless per micro-batch,
+    * nothing accumulates for the join itself) and aggregates counts/sums
+    * per (market segment, event type). Complete output mode is the
+    * CORRECT state posture here, unlike q61's windowed case: the group
+    * key space is a bounded product of two small dimensions, so the
+    * state store is O(|segments| × |event types|) forever — the
+    * canonical bounded-key running aggregate. */
+  val q66: Q = (spark, dir) => {
+    val name = s"q66_out_${runId.incrementAndGet()}"
+    val cust = graft.io.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = stream(spark, dir)
+      .join(broadcast(cust), "user_id")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    EventStreams.runToMemory(spark, enriched, name, OutputMode.Complete)
+      .select("c_mktsegment", "event_type", "n", "total")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
     "q63_stream_hourly_append" -> q63,
     "q64_stream_dedup" -> q64,
-    "q65_stream_sessions_expiring" -> q65)
+    "q65_stream_sessions_expiring" -> q65,
+    "q66_stream_enrich" -> q66)
 
   val oracles: Map[String, String] = Map(
     // Identical semantics to the batch twins — same oracle SQL.
@@ -179,5 +202,11 @@ object StreamingQueries {
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q66_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin)
 }
