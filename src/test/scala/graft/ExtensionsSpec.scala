@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.HashUtil
+
+import org.apache.spark.sql.graft.GraftExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the custom expressions (SURVEY §2.11):
+  * the same Catalyst nodes the Column API uses must be callable from
+  * `spark.sql`, both via runtime registration and via the
+  * `spark.sql.extensions` injector class. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("graft functions register into a live session and match the Column API") {
+    GraftExtensions.register(spark)
+    val md5 = spark.sql("SELECT graft_md5_63('hello')").head().getLong(0)
+    assert(md5 == HashUtil.md5Lower63("hello"))
+    val ic = spark.sql(
+      "SELECT graft_sorted_intersect_count(array(1, 3, 5, 7), array(3, 4, 5))")
+      .head().getLong(0)
+    assert(ic == 2L)
+    val sic = spark.sql(
+      "SELECT graft_sorted_intersect_count(array('a', 'c'), array('b', 'c'))")
+      .head().getLong(0)
+    assert(sic == 1L)
+    // aggregate: one-pass MinHash over a grouped token column
+    import spark.implicits._
+    Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("id", "token")
+      .createOrReplaceTempView("ext_tokens")
+    val sigs = spark.sql(
+      "SELECT id, graft_minhash_agg(token, 4) AS sig FROM ext_tokens GROUP BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).size == 4 && sigs(2L).size == 4)
+    // group 2's tokens ⊂ group 1's ⇒ element-wise min can only decrease
+    sigs(1L).zip(sigs(2L)).foreach { case (a, b) => assert(a <= b) }
+    spark.catalog.dropTempView("ext_tokens")
+  }
+
+  test("the SparkSessionExtensions injector exposes the same builders") {
+    // The injector and runtime registration share GraftExtensions.functions;
+    // assert the injector class instantiates and lists all three.
+    val names = GraftExtensions.functions.map(_._1).toSet
+    assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
+      "graft_minhash_agg"))
+    new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
+  }
+}
