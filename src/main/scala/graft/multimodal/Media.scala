@@ -61,6 +61,37 @@ object Media {
   def fakeDims(h: Long): (Int, Int) =
     ((64L + h % 1024L).toInt, (64L + (h / 1024L) % 1024L).toInt)
 
+  case class MediaFrame(media_id: Long, frame_idx: Int, off: Long,
+                        frame: Array[Byte])
+
+  /** Evenly-spaced frame sampling from "video" payloads: `n` frames of
+    * (at most) `frameLen` bytes, frame i starting at
+    * `i·(L−F) div (n−1)` — first frame at 0, last flush with the end.
+    *
+    * STUB DECODE: a real implementation seeks + decodes keyframes
+    * (ffmpeg/JNI) inside this exact `mapPartitions` seam — one decoder
+    * per partition, batched rows, no driver involvement; here frames are
+    * deterministic byte windows of the payload so the distributed path
+    * (typed Encoders, per-partition iteration, binary output column, the
+    * DuckDB oracle) runs end-to-end with stable values. */
+  def frameSample(spark: SparkSession, media: DataFrame, n: Int,
+                  frameLen: Int = 256): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(n >= 1, s"frame count must be >= 1, got $n")
+    media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
+      // One-time per-partition setup would go here (decoder init).
+      rows.flatMap { m =>
+        val len = m.content.length
+        val f = math.min(frameLen, len)
+        (0 until n).iterator.map { i =>
+          val off = if (n == 1) 0L else i.toLong * (len - f) / (n - 1)
+          MediaFrame(m.media_id, i, off,
+            java.util.Arrays.copyOfRange(m.content, off.toInt, off.toInt + f))
+        }
+      }
+    }
+  }
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map(b => f"$b%02x").mkString

@@ -22,7 +22,16 @@ object MediaQueries {
       .toDF()
       .orderBy("media_id")
 
-  val queries: Map[String, Q] = Map("q60_media_features" -> q60)
+  /** q67 — video frame sampling (4 evenly-spaced 256-byte stub frames
+    * per video payload; see [[Media.frameSample]] for the decode seam). */
+  val q67: Q = (spark, dir) =>
+    Media.frameSample(spark, Media.mediaTable(Tables.documents(spark, dir)), n = 4)
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+
+  val queries: Map[String, Q] = Map(
+    "q60_media_features" -> q60,
+    "q67_media_frames" -> q67)
 
   val oracles: Map[String, String] = Map(
     "q60_media_features" ->
@@ -36,5 +45,20 @@ object MediaQueries {
          |  CAST(64 + h % 1024 AS INT) AS width,
          |  CAST(64 + (h // 1024) % 1024 AS INT) AS height,
          |  md5(text) AS fp
-         |FROM m ORDER BY media_id""".stripMargin)
+         |FROM m ORDER BY media_id""".stripMargin,
+    // ASCII corpus ⇒ byte offsets == char offsets, so the byte-window
+    // frames are substrings; integer div keeps offsets exact.
+    "q67_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text, len(text) AS l,
+        |    LEAST(256, len(text)) AS f
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |idx AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+        |fr AS (
+        |  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |    (frame_idx * (l - f)) // 3 AS off, f, text
+        |  FROM v CROSS JOIN idx)
+        |SELECT media_id, frame_idx, CAST(off AS BIGINT) AS off,
+        |  CAST(substring(text, CAST(off + 1 AS INT), CAST(f AS INT)) AS BLOB) AS frame
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin)
 }

@@ -49,6 +49,27 @@ class MediaIoSpec extends AnyFunSuite {
     assert(sumOrig == sumBack)
   }
 
+  test("frameSample: 4 frames per video, windows inside the payload, deterministic") {
+    val media = Media.mediaTable(Tables.documents(spark, sf))
+    val nVideos = media.filter(col("kind") === "video").count()
+    val frames = Media.frameSample(spark, media, n = 4).collect()
+    assert(frames.length == nVideos * 4)
+    val sizes = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), length(col("text")).as("l"))
+      .as[(Long, Int)].collect().toMap
+    frames.foreach { f =>
+      val l = sizes(f.media_id)
+      assert(f.frame.length == math.min(256, l))
+      assert(f.off >= 0 && f.off + f.frame.length <= l,
+        s"frame window [${f.off}, ${f.off + f.frame.length}) outside payload $l")
+      if (f.frame_idx == 0) assert(f.off == 0L)
+    }
+    val again = Media.frameSample(spark, media, n = 4).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.off, f.frame.toSeq)).toSeq ==
+      again.map(f => (f.media_id, f.frame_idx, f.off, f.frame.toSeq)).toSeq)
+  }
+
   test("split persistence roundtrip equals in-memory splits (S3 end-to-end)") {
     val dir = Files.createTempDirectory("graft-splits").toString
     val ratings = Tables.ratings(spark, sf)
