@@ -64,6 +64,37 @@ object Media {
   case class MediaFrame(media_id: Long, frame_idx: Int, off: Long,
                         frame: Array[Byte])
 
+  case class ResizedMedia(media_id: Long, kind: String, n_bytes: Int,
+                          target_len: Int, resized: Array[Byte])
+
+  /** Resize / resample a payload to `targetLen` bytes by uniform stride
+    * sampling: output byte i = content[(i·L) div T]. The byte-stream
+    * analogue of image resize / audio resample — and the same
+    * `mapPartitions` seam where a real scaler (libswscale/soxr) would
+    * run. Payloads already ≤ targetLen pass through unchanged. Pure
+    * deterministic map ⇒ oracle-checkable. */
+  def resample(spark: SparkSession, media: DataFrame,
+               targetLen: Int = 128): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(targetLen >= 1, s"target length must be >= 1, got $targetLen")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val len = m.content.length
+        if (len <= targetLen)
+          ResizedMedia(m.media_id, m.kind, len, len, m.content)
+        else {
+          val out = new Array[Byte](targetLen)
+          var i = 0
+          while (i < targetLen) {
+            out(i) = m.content((i.toLong * len / targetLen).toInt)
+            i += 1
+          }
+          ResizedMedia(m.media_id, m.kind, len, targetLen, out)
+        }
+      }
+    }
+  }
+
   /** Evenly-spaced frame sampling from "video" payloads: `n` frames of
     * (at most) `frameLen` bytes, frame i starting at
     * `i·(L−F) div (n−1)` — first frame at 0, last flush with the end.

@@ -29,9 +29,18 @@ object MediaQueries {
       .toDF()
       .orderBy("media_id", "frame_idx")
 
+  /** q68 — media resample to 128 bytes by uniform stride sampling (the
+    * image-resize / audio-resample seam; see [[Media.resample]]). */
+  val q68: Q = (spark, dir) =>
+    Media.resample(spark, Media.mediaTable(Tables.documents(spark, dir)),
+      targetLen = 128)
+      .toDF()
+      .orderBy("media_id")
+
   val queries: Map[String, Q] = Map(
     "q60_media_features" -> q60,
-    "q67_media_frames" -> q67)
+    "q67_media_frames" -> q67,
+    "q68_media_resample" -> q68)
 
   val oracles: Map[String, String] = Map(
     "q60_media_features" ->
@@ -60,5 +69,21 @@ object MediaQueries {
         |  FROM v CROSS JOIN idx)
         |SELECT media_id, frame_idx, CAST(off AS BIGINT) AS off,
         |  CAST(substring(text, CAST(off + 1 AS INT), CAST(f AS INT)) AS BLOB) AS frame
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin)
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+    // Stride sampling: out[i] = content[(i*L) // T] — reproduced with a
+    // per-index substring list folded back to a string. ASCII corpus ⇒
+    // byte == char addressing.
+    "q68_media_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    text, len(text) AS l
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(l AS INT) AS n_bytes,
+        |  CAST(LEAST(l, 128) AS INT) AS target_len,
+        |  CAST(CASE WHEN l <= 128 THEN text ELSE
+        |    array_to_string(list_transform(generate_series(0, 127),
+        |      i -> substring(text, CAST((i * l) // 128 AS INT) + 1, 1)), '')
+        |  END AS BLOB) AS resized
+        |FROM m ORDER BY media_id""".stripMargin)
 }
