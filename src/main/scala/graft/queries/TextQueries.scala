@@ -157,8 +157,16 @@ object TextQueries {
       "doc_id", numPerm = 16)
       .orderBy("doc_id", "p")
 
+  /** q69 — Gopher-class repetition scoring: per-document duplicate
+    * 3-gram ratio (see [[graft.text.TextAnalysis.repetitionScore]]) — the
+    * repeated-n-gram quality filter of large-scale training pipelines. */
+  val q69: Q = (spark, dir) =>
+    repetitionScore(graft.io.Tables.documents(spark, dir), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q18_tfidf" -> q18,
+    "q69_repetition" -> q69,
     "q20_token_stats" -> q20,
     "q28_simhash_neardup" -> q28,
     "q29_minhash_fast" -> q29,
@@ -173,6 +181,19 @@ object TextQueries {
   private val H = "9223372036854775807"
 
   val oracles: Map[String, String] = Map(
+    "q69_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        |  FROM t)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  COUNT(DISTINCT shingle) AS n_distinct,
+        |  round(1.0 - COUNT(DISTINCT shingle)::DOUBLE / COUNT(*), 6) AS dup_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q18_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -147,6 +147,30 @@ object TextAnalysis {
         explode(expr(s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))))"))
           .as("shingle"))
 
+  /** All shingles INCLUDING duplicate occurrences — repetition analysis
+    * needs multiplicity ([[shingles]] dedups for set similarity). */
+  def shinglesAll(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(id),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+          .as("shingle"))
+
+  /** Gopher-class repetition scoring (the duplicate-n-gram quality filter
+    * of large-scale training-data pipelines): per document, the fraction
+    * of n-gram occurrences that repeat an earlier occurrence —
+    * `1 − distinct/total`, 0 for unique text, → 1 for loops. One
+    * aggregate over the exploded shingles; at 100 TB both counts partial-
+    * aggregate map-side on the doc key. */
+  def repetitionScore(df: DataFrame, id: String, text: String,
+                      n: Int = 3): DataFrame =
+    shinglesAll(df, id, text, n)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+
   /** Exact Jaccard over item sets for all pairs sharing ≥1 item:
     * co-occurrence join on the item (shuffle key = item), then
     * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize —

@@ -70,6 +70,26 @@ class MediaIoSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.frame_idx, f.off, f.frame.toSeq)).toSeq)
   }
 
+  test("resample: stride-sampled to target length, short payloads pass through") {
+    val media = Media.mediaTable(Tables.documents(spark, sf))
+    val out = Media.resample(spark, media, targetLen = 128).collect()
+    assert(out.length == media.count())
+    val contents = media.select("media_id", "content")
+      .as[(Long, Array[Byte])].collect().toMap
+    out.foreach { r =>
+      val c = contents(r.media_id)
+      assert(r.n_bytes == c.length)
+      if (c.length <= 128) {
+        assert(r.target_len == c.length && r.resized.toSeq == c.toSeq)
+      } else {
+        assert(r.target_len == 128 && r.resized.length == 128)
+        // spot-check the stride arithmetic at both ends
+        assert(r.resized(0) == c(0))
+        assert(r.resized(127) == c((127L * c.length / 128).toInt))
+      }
+    }
+  }
+
   test("split persistence roundtrip equals in-memory splits (S3 end-to-end)") {
     val dir = Files.createTempDirectory("graft-splits").toString
     val ratings = Tables.ratings(spark, sf)
