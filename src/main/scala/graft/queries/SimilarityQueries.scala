@@ -115,6 +115,21 @@ object SimilarityQueries {
       k = 5, cells = 16, nprobe = 2, seed = 7L, memoKey = dir)
       .orderBy("q_id", "rank")
 
+  /** q38 — L2-normalized embeddings (the standard vector-serving prep:
+    * normalize once so cosine == dot at query time), exploded to
+    * (vec_id, dim, component) rows with components rounded to 6 decimals
+    * (determinism rule #3 — the division's last ulp may differ
+    * cross-engine; row-exploded output keeps the driver compare on
+    * scalars). Zero-norm vectors are filtered (none in this corpus). */
+  val q38: Q = (spark, dir) =>
+    emb(spark, dir)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") / col("nrm"), 6))).as(Seq("d", "u")))
+      .orderBy("vec_id", "d")
+
   /** Memoized RFM feature frame (persisted): q34 serves it sorted, q35
     * standardizes + clusters it — the aggregation over orders runs once. */
   private def rfmCached(spark: SparkSession, dir: String): DataFrame =
@@ -199,6 +214,7 @@ object SimilarityQueries {
     "q32_ann_lsh" -> q32,
     "q33_kmeans_embeddings" -> q33,
     "q37_ann_ivf" -> q37,
+    "q38_embedding_normalize" -> q38,
     "q34_rfm_features" -> q34,
     "q35_kmeans_segments" -> q35)
 
@@ -226,6 +242,15 @@ object SimilarityQueries {
       """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q38_embedding_normalize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS d, round(emb[i] / nrm, 6) AS u
+        |FROM e CROSS JOIN generate_series(1, 64) g(i)
+        |WHERE nrm > 0
+        |ORDER BY vec_id, d""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH proj AS (
          |  SELECT vec_id, p,
