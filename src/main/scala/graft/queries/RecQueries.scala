@@ -111,13 +111,31 @@ object RecQueries {
       .orderBy("rank", "reg_param")
   }
 
+  /** q56 — the reference's FINAL evaluation (part5,
+    * `als_latent_factors.py:73-106`): the fixed (rank=50, regParam=0.05)
+    * model, scored on the held-out TEST split (the val splits tune, the
+    * test split reports) — ranking metrics @20 + RMSE, one row.
+    * Rows-only (iterative ML); seeded + memoized per session. */
+  val q56: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val test = Popularity.test(t)
+    val model = AlsRec.fit(Popularity.train(t), rank = 50, regParam = 0.05,
+      cacheKey = s"$dir/train")
+    val recs = AlsRec.recommendFor(model,
+      test.select("user_id").distinct(), n = 20)
+      .select("user_id", "item_id", "rank")
+    RankingRelational.metrics(spark, recs, test, k = 20)
+      .withColumn("rmse", round(lit(AlsRec.rmse(model, test)), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
     "q52_als_recs" -> q52,
     "q53_als_eval" -> q53,
     "q54_bias_sweep" -> q54,
-    "q55_als_grid" -> q55)
+    "q55_als_grid" -> q55,
+    "q56_als_test_eval" -> q56)
 
   // Oracle: the whole popularity pipeline + metrics in SQL.
   private val pipelineCte =
