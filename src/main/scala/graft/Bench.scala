@@ -13,12 +13,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JVM warm-up: scheduler, whole-stage-codegen compiler, and
-    // the parquet datasource init path (via the 5-row region table —
-    // nothing any query reuses is cached here). Without it the
-    // alphabetically-first query absorbs ~3-4 s of one-time JVM costs
-    // that say nothing about its plan.
+    // the parquet datasource init path — against a throwaway parquet
+    // written here, NOT any input table (warming an input would
+    // pre-populate file-listing/footer caches some timed query reads).
+    // Without it the alphabetically-first query absorbs ~3-4 s of
+    // one-time JVM costs that say nothing about its plan.
     spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+    spark.range(100).write.mode("overwrite").parquet(s"$warmDir/w")
+    spark.read.parquet(s"$warmDir/w").count()
     // Stable name order: run-to-run comparable timings (Map order is
     // hash-dependent and reshuffles whenever a query is added).
     var failed = List.empty[String]

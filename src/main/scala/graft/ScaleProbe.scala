@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * to LSH as user count grows. Results recorded in ARCHITECTURE.md.
   *
   * Usage: runMain graft.ScaleProbe [factor] [probes]
-  * `probes` (default "lsh"): comma-list of lsh, dense — the dense
+  * `probes` (default "lsh"): comma-list of lsh, dense, ann. The dense
   * all-pairs probe is opt-in because it is deliberately quadratic
   * (~10 min at 10×; its 240× growth is already recorded in
-  * ARCHITECTURE.md).
+  * ARCHITECTURE.md); `ann` times brute-force vs IVF top-5 on a
+  * factor×-replicated embedding corpus.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

@@ -117,7 +117,11 @@ object Tables {
     // BIGINT could order a (vanishingly rare) near-tie differently.
     val u = graft.functions.GraftFunctions.md5_63(
       concat(lit(seed.toString), lit(":"), col(key).cast("string"))).as("__u")
-    val sampled = df.select(col(key), u).orderBy(col("__u"), col(key)).limit(2 * n)
+    // distinct() enforces the documented contract ("from the DISTINCT
+    // values of key"): duplicate keys hash identically, sort adjacently,
+    // and would otherwise pair a key with itself.
+    val sampled = df.select(col(key)).distinct()
+      .select(col(key), u).orderBy(col("__u"), col(key)).limit(2 * n)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__u"), col(key))
     sampled
       .withColumn("__rn", row_number().over(w))

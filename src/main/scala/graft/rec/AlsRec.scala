@@ -80,6 +80,7 @@ object AlsRec {
                  cacheKey: String = ""): Seq[(Int, Double, Double)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     val combos = for (r <- ranks; g <- regs) yield (r, g)
+    if (combos.isEmpty) return Seq.empty
     // The combo chains (fit → recommend → eval) are independent, and at
     // iterative-ML shape the wall-clock is dominated by scheduling many
     // tiny per-iteration stages, not by compute — so the chains are

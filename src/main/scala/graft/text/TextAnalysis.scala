@@ -84,10 +84,13 @@ object TextAnalysis {
 
   /** Scale variant of [[minhashSignatures]]: one custom aggregate call
     * per entity instead of a numPerm× row explosion — shuffle volume is
-    * one 8·numPerm-byte buffer per (entity, partition). Different (faster,
-    * affine-mixed) hash family ⇒ no SQL oracle; estimator statistics and
-    * the downstream LSH/estimate contract are identical, asserted in
-    * PropertySpec. Output schema matches: (id, p, mh). */
+    * one 8·numPerm-byte buffer per (entity, partition). Different (faster)
+    * hash family — one md5 per token affine-mixed per perm — but still
+    * oracle-checkable: the wrapping arithmetic is exactly (a·h + b) mod
+    * 2⁶³, which q29's DuckDB oracle reproduces with HUGEINT products; the
+    * estimator statistics and downstream LSH/estimate contract are
+    * asserted in PropertySpec/MinHashAggSpec. Output schema matches:
+    * (id, p, mh). */
   def minhashSignaturesFast(tok: DataFrame, id: String,
                             numPerm: Int): DataFrame =
     tok.groupBy(col(id))
@@ -138,23 +141,30 @@ object TextAnalysis {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** SQL fragment producing the n-gram array of a tokenized `toks`
+    * column — the single source of truth for shingling ([[shingles]] and
+    * [[shinglesAll]] differ only in dedup). */
+  private def shingleArrayExpr(n: Int): String =
+    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"
+
+  private def explodedShingles(df: DataFrame, id: String, text: String,
+                               n: Int, distinct: Boolean): DataFrame = {
+    val arr = if (distinct) s"array_distinct(${shingleArrayExpr(n)})"
+              else shingleArrayExpr(n)
+    df.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(id), explode(expr(arr)).as("shingle"))
+  }
+
   /** Exact n-gram (shingle) sets: (id, shingle) rows, distinct. Documents
     * shorter than n tokens produce no shingles. */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), split(col(text), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(id),
-        explode(expr(s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n))))"))
-          .as("shingle"))
+    explodedShingles(df, id, text, n, distinct = true)
 
   /** All shingles INCLUDING duplicate occurrences — repetition analysis
     * needs multiplicity ([[shingles]] dedups for set similarity). */
   def shinglesAll(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), split(col(text), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(id),
-        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
-          .as("shingle"))
+    explodedShingles(df, id, text, n, distinct = false)
 
   /** Gopher-class repetition scoring (the duplicate-n-gram quality filter
     * of large-scale training-data pipelines): per document, the fraction
