@@ -64,4 +64,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin")) // 16-row centroid cross join
     assert(p.contains("WindowGroupLimit"))        // nprobe + top-5 ranks
   }
+
+  test("q45 token twins pick the dense broadcast strategy and a top-k sink") {
+    val p = plan("q45_twin_exact_tokens")
+    // stats-driven selection must land on the packed-array broadcast
+    // all-pairs at this shape (small entity count, tiny universe) ...
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // ... with the final top-100 as TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
