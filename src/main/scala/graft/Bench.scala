@@ -19,9 +19,17 @@ object Bench {
     // Without it the alphabetically-first query absorbs ~3-4 s of
     // one-time JVM costs that say nothing about its plan.
     spark.range(100000).selectExpr("sum(id)").collect()
-    val warmDir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-warm")
     spark.range(100).write.mode("overwrite").parquet(s"$warmDir/w")
     spark.read.parquet(s"$warmDir/w").count()
+    sys.addShutdownHook { // don't accumulate warm-up dirs across runs
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
     // Stable name order: run-to-run comparable timings (Map order is
     // hash-dependent and reshuffles whenever a query is added).
     var failed = List.empty[String]

@@ -73,16 +73,13 @@ object ScaleProbe {
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"),
           transform(col("embedding"), x => x.cast("double")).as("q_emb"))
-        .withColumn("q_norm", l2norm(col("q_emb")))
       println(s"PROBE ann corpus: ${corpus.count()} vectors")
-      time("ann_bruteforce_top5") {
-        val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-          .withColumn("n_norm", l2norm(col("n_emb")))
-        val scored = c.crossJoin(broadcast(queries))
-          .withColumn("cos", cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
-        graft.ops.Relational.perKeyTopK(
-          scored, "q_id", Seq(col("cos").desc, col("n_id")), k = 5).count()
-      }
+      // Same pipeline as q30 (shared helper) so the recorded crossover
+      // compares the shipped brute-force shape, not a probe-local clone.
+      time("ann_bruteforce_top5")(
+        graft.sim.VectorOps.bruteForceTopK(
+          corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+          queries, k = 5).count())
       // Grow the codebook with the corpus (k ~ N), capped: past ~256
       // cells the local quantizer fit dominates the probe.
       val cells = math.min(16 * factor, 256)

@@ -98,7 +98,10 @@ object RecQueries {
   val q55: Q = (spark, dir) => {
     val t = tagged(spark, dir)
     val valid = Popularity.validation(t)
-    val grid = graft.util.SessionMemo(spark, s"als-grid:$dir") {
+    // Key carries the grid itself — another grid over the same dir must
+    // not get this one's memoized rows back (SessionMemo key contract).
+    val grid = graft.util.SessionMemo(spark,
+      s"als-grid:$dir:r4,8:g0.05,0.1:top20") {
       AlsRec.gridSearch(Popularity.train(t), valid,
         ranks = Seq(4, 8), regs = Seq(0.05, 0.1), topN = 20,
         evalFn = (recs, v) => RankingRelational

@@ -28,20 +28,15 @@ object SimilarityQueries {
     Tables.embeddings(spark, dir)
 
   /** q30 — brute-force cosine top-5: query vectors (vec_id < 10) ×
-    * corpus (vec_id ≥ 10). Queries are broadcast; norms precomputed per
-    * side so each pair does one fold. */
+    * corpus (vec_id ≥ 10); see [[graft.sim.VectorOps.bruteForceTopK]]. */
   val q30: Q = (spark, dir) => {
     val e = emb(spark, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("q_norm", l2norm(col("q_emb")))
-    val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      .withColumn("n_norm", l2norm(col("n_emb")))
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
-    perKeyTopK(scored, "q_id", Seq(col("cos").desc, col("n_id")), k = 5)
-      .select("q_id", "rank", "n_id", "cos")
+    bruteForceTopK(
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 5)
       .orderBy("q_id", "rank")
   }
 

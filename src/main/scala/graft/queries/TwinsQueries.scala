@@ -180,7 +180,7 @@ object TwinsQueries {
       s"""WITH $ratCte,
          |tok AS (
          |  SELECT user_id,
-         |    item_id::BIGINT * 8 + CAST(FLOOR(rating / 100.0) AS BIGINT) AS token
+         |    item_id::BIGINT * 4294967296 + CAST(FLOOR(rating / 100.0) AS BIGINT) AS token
          |  FROM rat),
          |tsz AS (SELECT user_id, COUNT(*) AS n FROM tok GROUP BY user_id),
          |tinter AS (

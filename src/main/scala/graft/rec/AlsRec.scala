@@ -93,13 +93,20 @@ object AlsRec {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fs = combos.map { case (r, g) =>
+        // Lifted to Try so the sequence always waits for EVERY combo:
+        // failing fast on the first error would orphan the other
+        // in-flight fits, which keep submitting Spark jobs on non-daemon
+        // threads long after the caller has moved on.
         Future {
-          val model = fit(train, rank = r, regParam = g, cacheKey = cacheKey)
-          (r, g, evalFn(recommendFor(model, users, topN), validation))
+          scala.util.Try {
+            val model = fit(train, rank = r, regParam = g, cacheKey = cacheKey)
+            (r, g, evalFn(recommendFor(model, users, topN), validation))
+          }
         }
       }
       Await.result(Future.sequence(fs),
         scala.concurrent.duration.Duration.Inf)
+        .map(_.get) // all combos settled; now surface the first failure
     } finally pool.shutdown()
   }
 }

@@ -69,19 +69,21 @@ object Twins {
         concat(col("item_id").cast("string"), lit(":"),
           floor(col("rating") / bucketWidth).cast("string")).as("token"))
 
-  /** Long-packed (item, rating-bucket) token: `item_id * 8 + bucket` —
-    * the same token identity as [[ratingBucketTokens]] (injective while
-    * bucket < 8, which holds for both supported value scales: events
-    * values /100 → ≤ 4, MovieLens ratings /1.0 → ≤ 5) as one numeric
-    * column. Exact set operations over numeric tokens stay on the
-    * codegen'd merge-walk; the string form exists for MinHash, whose
-    * md5 needs bytes (measured: string-array all-pairs costs ~20× in
-    * row width + compares — 31.5 s vs ~1.5 s at sf0.1). */
+  /** Long-packed (item, rating-bucket) token:
+    * `item_id · 2³² + bucket` — the same token identity as
+    * [[ratingBucketTokens]] as one numeric column, injective for any
+    * item_id < 2³¹ and bucket ∈ [0, 2³²) (i.e. any non-negative rating
+    * at any sane bucketWidth — a narrow width cannot overflow the bucket
+    * field into a neighboring item the way a small multiplier would).
+    * Exact set operations over numeric tokens stay on the codegen'd
+    * merge-walk; the string form exists for MinHash, whose md5 needs
+    * bytes (measured: string-array all-pairs costs ~20× in row width +
+    * compares — 31.5 s vs ~1.5 s at sf0.1). */
   def ratingBucketTokensLong(ratings: DataFrame,
                              bucketWidth: Double = 100.0): DataFrame =
     userItemRatings(ratings)
       .select(col("user_id"),
-        (col("item_id").cast("long") * 8 +
+        (col("item_id").cast("long") * lit(4294967296L) +
           floor(col("rating") / bucketWidth).cast("long")).as("token"))
 
   /** Exact top-k twins over the SAME (item, rating-bucket) token space

@@ -33,23 +33,33 @@ object IvfAnn {
            k: Int, cells: Int, nprobe: Int, seed: Long,
            memoKey: String = ""): DataFrame = {
     val spark = corpus.sparkSession
+    // The memo key must encode the full identity of the cached value
+    // (SessionMemo contract): the caller's label alone would let two
+    // different corpora over the same label share one quantizer, so the
+    // corpus plan's semantic hash is folded in.
+    def keyed(what: String): String =
+      s"ivf-$what:$memoKey:${corpus.queryExecution.analyzed.semanticHash()}:$idCol:$embCol:k$cells:seed$seed"
     def featurized = corpus
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
       .withColumn("features", array_to_vector(col("n_emb")))
     val feats =
       if (memoKey.isEmpty) featurized
-      else graft.util.SessionMemo.cached(spark,
-        s"ivf-feats:$memoKey")(featurized)
+      else graft.util.SessionMemo.cached(spark, keyed("feats"))(featurized)
     def doFit = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
       .setInitMode("random").setFeaturesCol("features")
       .fit(feats)
     val model =
       if (memoKey.isEmpty) doFit
-      else graft.util.SessionMemo(spark,
-        s"ivf-model:$memoKey:k$cells:seed$seed")(doFit)
-    val corpusCells = model.transform(feats)
+      else graft.util.SessionMemo(spark, keyed("model"))(doFit)
+    // The cell assignment + norms ARE the IVF index — memoized/persisted
+    // so repeated query batches probe it instead of re-scanning the
+    // corpus through model.transform every call.
+    def assigned = model.transform(feats)
       .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))
       .withColumn("n_norm", l2norm(col("n_emb")))
+    val corpusCells =
+      if (memoKey.isEmpty) assigned
+      else graft.util.SessionMemo.cached(spark, keyed("cells"))(assigned)
     // cells × dim doubles — broadcast by construction.
     val centroids = {
       import spark.implicits._

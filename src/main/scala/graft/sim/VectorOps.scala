@@ -36,6 +36,22 @@ object VectorOps {
       ((HashUtil.md5Lower63(s"$p:$d") % 2001L) - 1000L).toDouble / 1000.0
     }
 
+  /** Exact cosine top-k of each query among the corpus — the O(|Q|·N)
+    * brute-force baseline shape (small query side broadcast; each pair
+    * costs one in-row fold). `corpus`: (n_id, n_emb); `queries`:
+    * (q_id, q_emb). Output: (q_id, rank, n_id, cos) — shared by q30 and
+    * the ScaleProbe ANN baseline so both measure the same pipeline. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.withColumn("n_norm", l2norm(col("n_emb")))
+    val q = queries.withColumn("q_norm", l2norm(col("q_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos",
+        cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+    graft.ops.Relational.perKeyTopK(
+      scored, "q_id", Seq(col("cos").desc, col("n_id")), k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** Sign-of-projection LSH bucket id from `planes` hyperplanes: bit p set
     * iff round(dot(v, plane_p), 6) > 0. Each projection is an in-row array
     * fold — no shuffle, no per-dimension explosion; the bucket computation
