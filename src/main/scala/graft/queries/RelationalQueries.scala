@@ -237,6 +237,26 @@ object RelationalQueries {
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
+  /** q70 — hot-key-safe aggregation: per-user event count + decimal-exact
+    * value total via the two-phase SALTED aggregate
+    * ([[graft.ops.Skew.saltedAgg]], 16 sub-partitions per key). The
+    * result is identical to a plain groupBy (the oracle) — salting only
+    * reshapes the shuffle so a power-law hot key spreads across
+    * sub-partitions before merging, the 100 TB answer to a key whose
+    * single partition would dwarf the stage. The salt is retry-
+    * deterministic (SPARK-23207 class handled; see the Skew scaladoc);
+    * the decimal merge-of-partials equals the direct decimal sum by
+    * associativity. */
+  val q70: Q = (spark, dir) =>
+    graft.ops.Skew.saltedAgg(
+      Tables.events(spark, dir).select("user_id", "value", "event_id"),
+      keys = Seq("user_id"), salts = 16,
+      partial = Seq(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total")),
+      merge = Seq(sum(col("n")).as("n"),
+        sum(col("total")).cast("double").as("total")))
+      .orderBy("user_id")
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -262,9 +282,14 @@ object RelationalQueries {
     "q15_rollup" -> q15,
     "q16_approx_distinct" -> q16,
     "q17_running_revenue" -> q17,
-    "q19_pivot_counts" -> q19)
+    "q19_pivot_counts" -> q19,
+    "q70_salted_totals" -> q70)
 
   val oracles: Map[String, String] = Map(
+    "q70_salted_totals" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
