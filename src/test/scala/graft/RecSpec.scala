@@ -146,6 +146,18 @@ class RecSpec extends AnyFunSuite {
       s"popularity P@20 $pop < ALS P@20 $als — headline inverted")
   }
 
+  test("q56 final test eval: one deterministic row, sane metric ranges") {
+    val a = RecQueries.q56(spark, sf).collect().toSeq
+    assert(a.size == 1)
+    assert(a == RecQueries.q56(spark, sf).collect().toSeq)
+    val r = a.head
+    for (c <- Seq("p_at_k", "map_at_k", "ndcg_at_k")) {
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+    }
+    assert(r.getAs[Double]("rmse") > 0.0)
+  }
+
   test("popularity recs never contain train-seen items") {
     val t = graft.rec.Popularity.withSplits(graft.io.Tables.ratings(spark, sf))
     val recs = graft.rec.Popularity.recommend(

@@ -66,6 +66,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("n")).sum == 500L)
   }
 
+  test("q35 KMeans segments: deterministic, sizes partition the customers") {
+    val a = SimilarityQueries.q35(spark, sf).collect().toSeq
+    assert(a == SimilarityQueries.q35(spark, sf).collect().toSeq)
+    val nCust = SimilarityQueries.q34(spark, sf).count()
+    assert(a.map(_.getAs[Long]("n_customers")).sum == nCust)
+  }
+
   test("q34 RFM: frequency sums to order count") {
     val freq = SimilarityQueries.q34(spark, sf)
       .agg(sum("frequency")).as[Long].head()
