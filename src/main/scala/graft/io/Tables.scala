@@ -92,9 +92,15 @@ object Tables {
     * sampling-derived query oracle-checkable. Uniformity + seed
     * sensitivity are property-checked in SampleSpec. */
   def seededUniform(key: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
-    graft.functions.GraftFunctions.md5_63(
-      concat(lit(seed.toString), lit(":"), key.cast("string")))
-      .cast("double") / lit(9.223372036854775808e18) // 2^63
+    // Hash values within ~512 ulps of 2^63 round UP when cast to double,
+    // making the quotient exactly 1.0 — clamp to nextDown(1.0) so the
+    // documented [0,1) contract holds for floor(u*k)-style bucketing too
+    // (the `< fraction` filters never see the difference).
+    least(
+      graft.functions.GraftFunctions.md5_63(
+        concat(lit(seed.toString), lit(":"), key.cast("string")))
+        .cast("double") / lit(9.223372036854775808e18), // 2^63
+      lit(0.9999999999999999)) // math.nextDown(1.0)
 
   /** Seeded Bernoulli sample: keep rows whose [[seededUniform]] draw on
     * `key` falls below `fraction`. Expected |out| = fraction · |df|;

@@ -23,18 +23,28 @@ object MediaQueries {
       .orderBy("media_id")
 
   /** q67 — video frame sampling (4 evenly-spaced 256-byte stub frames
-    * per video payload; see [[Media.frameSample]] for the decode seam). */
+    * per video payload; see [[Media.frameSample]] for the decode seam).
+    * The frame bytes are hex-encoded in the registered output: the
+    * driver's comparator cannot hash raw binary cells, and hex is a
+    * lossless, order-stable encoding both engines share (the library
+    * surface, [[Media.frameSample]], still returns the typed binary
+    * column). */
   val q67: Q = (spark, dir) =>
     Media.frameSample(spark, Media.mediaTable(Tables.documents(spark, dir)), n = 4)
       .toDF()
+      .select(col("media_id"), col("frame_idx"), col("off"),
+        lower(hex(col("frame"))).as("frame_hex"))
       .orderBy("media_id", "frame_idx")
 
   /** q68 — media resample to 128 bytes by uniform stride sampling (the
-    * image-resize / audio-resample seam; see [[Media.resample]]). */
+    * image-resize / audio-resample seam; see [[Media.resample]]). Output
+    * payload hex-encoded for the comparator, as in q67. */
   val q68: Q = (spark, dir) =>
     Media.resample(spark, Media.mediaTable(Tables.documents(spark, dir)),
       targetLen = 128)
       .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("target_len"),
+        lower(hex(col("resized"))).as("resized_hex"))
       .orderBy("media_id")
 
   val queries: Map[String, Q] = Map(
@@ -68,7 +78,7 @@ object MediaQueries {
         |    (frame_idx * (l - f)) // 3 AS off, f, text
         |  FROM v CROSS JOIN idx)
         |SELECT media_id, frame_idx, CAST(off AS BIGINT) AS off,
-        |  CAST(substring(text, CAST(off + 1 AS INT), CAST(f AS INT)) AS BLOB) AS frame
+        |  lower(hex(CAST(substring(text, CAST(off + 1 AS INT), CAST(f AS INT)) AS BLOB))) AS frame_hex
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
     // Stride sampling: out[i] = content[(i*L) // T] — reproduced with a
     // per-index substring list folded back to a string. ASCII corpus ⇒
@@ -81,9 +91,9 @@ object MediaQueries {
         |  FROM documents)
         |SELECT media_id, kind, CAST(l AS INT) AS n_bytes,
         |  CAST(LEAST(l, 128) AS INT) AS target_len,
-        |  CAST(CASE WHEN l <= 128 THEN text ELSE
+        |  lower(hex(CAST(CASE WHEN l <= 128 THEN text ELSE
         |    array_to_string(list_transform(generate_series(0, 127),
         |      i -> substring(text, CAST((i * l) // 128 AS INT) + 1, 1)), '')
-        |  END AS BLOB) AS resized
+        |  END AS BLOB))) AS resized_hex
         |FROM m ORDER BY media_id""".stripMargin)
 }

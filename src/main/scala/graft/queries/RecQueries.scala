@@ -15,8 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object RecQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Memoized + persisted split-tagged ratings, one per (session, dir):
+    * q50/q51/q54 and the whole ALS family start from this exact frame, and
+    * the chronoSplit window + JSON-extract lineage is expensive enough
+    * that recomputing it per query dominated those queries in round 3
+    * (MEMORY_ONLY eviction under the grown memo footprint → full lineage
+    * recompute; see VERDICT r3 "What's wrong" #2). */
   private def tagged(spark: SparkSession, dir: String): DataFrame =
-    Popularity.withSplits(Tables.ratingsCached(spark, dir))
+    graft.util.SessionMemo.cached(spark, s"tagged-splits:$dir")(
+      Popularity.withSplits(Tables.ratingsCached(spark, dir)))
 
   /** Memoized ALS top-20 recommendations for the validation users
     * (persisted, |val users| × 20 rows). `recommendForUserSubset` is the

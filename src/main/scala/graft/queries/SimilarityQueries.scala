@@ -237,15 +237,20 @@ object SimilarityQueries {
       """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Indices derive from the array itself (select-list unnest of a
+    // per-row generate_series list — the lateral form the table-function
+    // generate_series can't do), so the oracle tracks the fixture's
+    // dimensionality instead of hardcoding 64.
     "q38_embedding_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, emb, nrm, unnest(generate_series(1, len(emb))) AS i
+        |  FROM e WHERE nrm > 0)
         |SELECT vec_id, CAST(i - 1 AS INT) AS d, round(emb[i] / nrm, 6) AS u
-        |FROM e CROSS JOIN generate_series(1, 64) g(i)
-        |WHERE nrm > 0
-        |ORDER BY vec_id, d""".stripMargin,
+        |FROM x ORDER BY vec_id, d""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH proj AS (
          |  SELECT vec_id, p,

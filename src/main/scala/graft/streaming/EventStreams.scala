@@ -159,12 +159,27 @@ object EventStreams {
     * sink tables instead of accumulating one per run. The copy is bounded
     * by the sink's own design (memory sinks are only for small results). */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
-                  mode: OutputMode): DataFrame = {
-    val q = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+                  mode: OutputMode, shufflePartitions: Int = 4): DataFrame = {
+    // Stateful streaming cost scales with shuffle partitions — one state
+    // store instance per partition per operator, each snapshotted and
+    // committed EVERY micro-batch — while the result is partition-count
+    // independent. The batch session's 32 partitions made q63 the single
+    // most expensive query in round 3 (~12% of the bench); the finite
+    // harness inputs need only a few. Production streams size this to
+    // throughput via their own session conf — the override applies at
+    // query START and is restored right after, so surrounding batch plans
+    // keep the session default.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(confKey)
+    val q =
+      try {
+        spark.conf.set(confKey, shufflePartitions.toString)
+        streamed.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .start()
+      } finally spark.conf.set(confKey, prev)
     try q.processAllAvailable() finally q.stop()
     val sunk = spark.table(name)
     val rows = sunk.collect().toIndexedSeq

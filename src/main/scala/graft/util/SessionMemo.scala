@@ -48,17 +48,25 @@ object SessionMemo {
       .value.asInstanceOf[T]
   }
 
-  /** Memoize a DataFrame and persist it in memory. */
-  def cached(spark: SparkSession, key: String)
+  /** Memoize a DataFrame and persist it. MEMORY_AND_DISK by default: these
+    * are hot intermediates shared by several queries, and under cache
+    * pressure an evicted MEMORY_ONLY block silently recomputes its whole
+    * lineage per downstream query (the round-3 q50/q51 regression) — disk
+    * spill degrades to a local read instead. */
+  def cached(spark: SparkSession, key: String,
+             level: org.apache.spark.storage.StorageLevel =
+               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    apply(spark, key)(
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    apply(spark, key)(build.persist(level))
 
-  /** Drop (and unpersist) everything memoized for a session. Entries whose
-    * build is still in flight are removed from the map but not awaited. */
+  /** Drop (and unpersist) everything memoized for a session. Acquiring
+    * each Memo's evaluation lock awaits in-flight builds, so a
+    * concurrently-built persisted DataFrame is unpersisted rather than
+    * leaked (a build that STARTS after its entry is removed is the
+    * caller's sequencing problem — clear on session stop). */
   def clear(spark: SparkSession): Unit =
     cache.keys.filter(_._1 eq spark).foreach { k =>
-      cache.remove(k).flatMap(_.peek).foreach {
+      cache.remove(k).flatMap(m => m.synchronized(m.peek)).foreach {
         case df: org.apache.spark.sql.DataFrame =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
         case _ => ()
