@@ -48,7 +48,8 @@ object ScaleProbe {
 
     if (probes("lsh"))
       time("lsh_top100")(
-        Twins.topTwinsLsh(inflated, numPerm = 32, rowsPerBand = 4, k = 100).count())
+        Twins.topTwinsLsh(inflated, numPerm = 32, rowsPerBand = 4, k = 100,
+          bucketWidth = 100.0).count())
     if (probes("dense"))
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())

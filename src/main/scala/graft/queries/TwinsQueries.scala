@@ -33,7 +33,7 @@ object TwinsQueries {
     * why raw item ids are a degenerate LSH feature space here). */
   val q40: Q = (spark, dir) =>
     TextAnalysis.minhashSignatures(
-      Twins.ratingBucketTokens(ratings(spark, dir)),
+      Twins.ratingBucketTokens(ratings(spark, dir), bucketWidth = 100.0),
       "user_id", numPerm = 32)
       .orderBy("user_id", "p")
 
@@ -44,14 +44,30 @@ object TwinsQueries {
     * distributed (candidates only from band collisions). */
   val q42: Q = (spark, dir) =>
     Twins.topTwinsLsh(ratings(spark, dir), numPerm = 32, rowsPerBand = 4,
-      k = 100)
+      k = 100, bucketWidth = 100.0)
 
   /** q45 — exact top-100 twins over the SAME (item, rating-bucket) token
     * space q42 estimates: the exactly-computed counterpart of q42's
     * `est_jaccard` (q41 ranks by raw item-set Jaccard instead — see the
     * similarity-definition note on [[Twins.topTwinsLsh]]). */
   val q45: Q = (spark, dir) =>
-    Twins.topTwinsExactTokens(ratings(spark, dir), k = 100)
+    Twins.topTwinsExactTokens(ratings(spark, dir), k = 100,
+      bucketWidth = 100.0)
+
+  /** q71 — exact top-100 twins over the EQUAL-FREQUENCY quantile token
+    * space (within-item rating quartiles): the opt-in skew-proof variant
+    * of q45 — see [[Twins.ratingQuantileTokensLong]] for why the floor
+    * buckets are value-skew-limited (measured random-pair Jaccard ~0.21
+    * floor vs ~0.07 quantile at sf0.01). */
+  val q71: Q = (spark, dir) =>
+    Twins.topTwinsExactQuantile(ratings(spark, dir), k = 100, nBuckets = 4)
+
+  /** q72 — LSH top-100 twins over the same quantile token space: the
+    * skew-proof variant of q42; q71 is the exact counterpart of its
+    * `est_jaccard`. */
+  val q72: Q = (spark, dir) =>
+    Twins.topTwinsLshQuantile(ratings(spark, dir), numPerm = 32,
+      rowsPerBand = 4, k = 100, nBuckets = 4)
 
   /** q43 — Pearson correlation per exact-top-100 twin pair over co-rated
     * items (≥2 co-ratings), via self-join + built-in `corr`. */
@@ -96,7 +112,9 @@ object TwinsQueries {
     "q42_top_twins_lsh" -> q42,
     "q43_twin_correlation" -> q43,
     "q44_twin_validation" -> q44,
-    "q45_twin_exact_tokens" -> q45)
+    "q45_twin_exact_tokens" -> q45,
+    "q71_twin_exact_quantile" -> q71,
+    "q72_twin_lsh_quantile" -> q72)
 
   // Shared oracle CTE fragments.
   private val setsCte =
@@ -119,6 +137,11 @@ object TwinsQueries {
        |  SELECT user_id,
        |    item_id::VARCHAR || ':' || CAST(FLOOR(rating / 100.0) AS BIGINT)::VARCHAR AS token
        |  FROM rat)""".stripMargin
+
+  // Equal-frequency quantile tokens — mirrors Twins.ratingQuantileTokens*
+  // (ANSI ntile with the same full tiebreak on both engines).
+  private val qntile =
+    "ntile(4) OVER (PARTITION BY item_id ORDER BY rating, user_id) - 1"
 
   private val exactPairsCte =
     """sz AS (SELECT user_id, COUNT(*) AS n FROM sets GROUP BY user_id),
@@ -194,6 +217,51 @@ object TwinsQueries {
          |  ORDER BY jaccard DESC, id_a, id_b LIMIT 100)
          |SELECT id_a, id_b, shared, jaccard FROM tpairs
          |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    "q71_twin_exact_quantile" ->
+      s"""WITH $ratCte,
+         |tok AS (
+         |  SELECT user_id,
+         |    item_id::BIGINT * 4294967296 + ($qntile) AS token
+         |  FROM rat),
+         |tsz AS (SELECT user_id, COUNT(*) AS n FROM tok GROUP BY user_id),
+         |tinter AS (
+         |  SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS shared
+         |  FROM tok a JOIN tok b USING (token) WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2),
+         |tpairs AS (
+         |  SELECT id_a, id_b, shared,
+         |    shared::DOUBLE / (x.n + y.n - shared) AS jaccard
+         |  FROM tinter JOIN tsz x ON id_a = x.user_id JOIN tsz y ON id_b = y.user_id
+         |  ORDER BY jaccard DESC, id_a, id_b LIMIT 100)
+         |SELECT id_a, id_b, shared, jaccard FROM tpairs
+         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    "q72_twin_lsh_quantile" ->
+      s"""WITH $ratCte,
+         |tok AS (
+         |  SELECT user_id,
+         |    item_id::VARCHAR || ':' || ($qntile)::VARCHAR AS token
+         |  FROM rat),
+         |sigs AS (
+         |  SELECT user_id, p,
+         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+         |  FROM tok CROSS JOIN generate_series(0, 31) g(p)
+         |  GROUP BY user_id, p),
+         |bands AS (
+         |  SELECT user_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
+         |  FROM sigs GROUP BY user_id, band),
+         |cands AS (
+         |  SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.user_id < b.user_id),
+         |est AS (
+         |  SELECT id_a, id_b,
+         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32.0 AS est_jaccard
+         |  FROM cands
+         |  JOIN sigs sa ON sa.user_id = id_a
+         |  JOIN sigs sb ON sb.user_id = id_b AND sb.p = sa.p
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q43_twin_correlation" ->
       s"""WITH $setsCte,
          |$exactPairsCte,

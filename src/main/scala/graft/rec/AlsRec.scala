@@ -77,7 +77,7 @@ object AlsRec {
   def gridSearch(train: DataFrame, validation: DataFrame,
                  ranks: Seq[Int], regs: Seq[Double], topN: Int,
                  evalFn: (DataFrame, DataFrame) => Double,
-                 cacheKey: String = ""): Seq[(Int, Double, Double)] = {
+                 cacheKey: String = "", maxIter: Int = 8): Seq[(Int, Double, Double)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     val combos = for (r <- ranks; g <- regs) yield (r, g)
     if (combos.isEmpty) return Seq.empty
@@ -89,7 +89,7 @@ object AlsRec {
     // the deterministic combo order regardless of completion order.
     val users = validation.select("user_id").distinct()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(combos.size, 4))
+      math.min(combos.size, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fs = combos.map { case (r, g) =>
@@ -99,7 +99,8 @@ object AlsRec {
         // threads long after the caller has moved on.
         Future {
           scala.util.Try {
-            val model = fit(train, rank = r, regParam = g, cacheKey = cacheKey)
+            val model = fit(train, rank = r, maxIter = maxIter, regParam = g,
+              cacheKey = cacheKey)
             (r, g, evalFn(recommendFor(model, users, topN), validation))
           }
         }

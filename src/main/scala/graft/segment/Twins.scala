@@ -50,20 +50,20 @@ object Twins {
     * the same issue with 3-gram shingles (q25–q27).
     *
     * Measured effect on the events data at sf0.01 (value range 0.01–490,
-    * default width 100 → 299-token universe, ~83% of post-dedup tokens
-    * in bucket 0): average random-pair Jaccard drops from ~0.5 to ~0.21
+    * width 100 → 299-token universe, ~83% of post-dedup tokens in
+    * bucket 0): average random-pair Jaccard drops from ~0.5 to ~0.21
     * — a real but value-skew-limited sparsification; the floor-bucket
     * form is kept because it is exactly reproducible in the SQL oracle.
     * If band collisions grow too dense at larger scale, narrow
-    * `bucketWidth` (more buckets ⇒ sparser tokens) before reaching for
-    * equal-frequency bucketing, which would need a quantile pass and an
-    * oracle-side ntile mirror. `bucketWidth` must sit at the data's value
-    * scale: MovieLens-style 0.5–5.0 ratings need width ~1.0 — at the
-    * default 100.0 every rating lands in bucket 0 and tokens silently
-    * degenerate to raw item ids (covered by the e2e planted-twins test,
-    * which runs width 1.0). */
+    * `bucketWidth` (more buckets ⇒ sparser tokens) or switch to the
+    * value-skew-proof equal-frequency space of
+    * [[ratingQuantileTokensLong]]. `bucketWidth` has NO default — it must
+    * sit at the data's value scale (MovieLens-style 0.5–5.0 ratings need
+    * width ~1.0; the events data needs ~100), and a too-wide width
+    * silently degenerates every token to its raw item id, changing the
+    * similarity definition — so callers are forced to choose. */
   def ratingBucketTokens(ratings: DataFrame,
-                         bucketWidth: Double = 100.0): DataFrame =
+                         bucketWidth: Double): DataFrame =
     userItemRatings(ratings)
       .select(col("user_id"),
         concat(col("item_id").cast("string"), lit(":"),
@@ -80,11 +80,77 @@ object Twins {
     * bytes (measured: string-array all-pairs costs ~20× in row width +
     * compares — 31.5 s vs ~1.5 s at sf0.1). */
   def ratingBucketTokensLong(ratings: DataFrame,
-                             bucketWidth: Double = 100.0): DataFrame =
+                             bucketWidth: Double): DataFrame =
     userItemRatings(ratings)
       .select(col("user_id"),
         (col("item_id").cast("long") * lit(4294967296L) +
           floor(col("rating") / bucketWidth).cast("long")).as("token"))
+
+  /** Equal-frequency (within-item quantile) rating tokens — the
+    * value-skew-proof alternative to [[ratingBucketTokens]]'s global
+    * floor buckets: `bucket = ntile(nBuckets) over (partition by item
+    * order by rating, user_id) − 1`, token = `item_id · 2³² + bucket`.
+    *
+    * Each item's ratings split into `nBuckets` equal-count groups BY
+    * CONSTRUCTION, so no value distribution can collapse the token space
+    * the way the events data's skew collapses floor buckets (~83% of
+    * tokens in bucket 0 → random-pair Jaccard ~0.21; quantile tokens
+    * measure ~0.07 at sf0.01, ≈ the 1/nBuckets ideal — QuantileTwinsSpec).
+    * The semantics shift from "similar absolute rating" to "similar
+    * rating RELATIVE to this item's raters" — the collaborative-filtering
+    * notion of agreement, and what "twins" should mean when items have
+    * idiosyncratic value scales.
+    *
+    * Scale: the window partitions by item — state is one item's ratings,
+    * distributed across the cluster by item key (a pathological hot item
+    * would need the q70 salting treatment first). The full tiebreak
+    * (rating, user_id) makes the assignment deterministic and exactly
+    * mirrorable by SQL `ntile` (both engines implement ANSI ntile:
+    * first `count % n` buckets take the extra row). */
+  def ratingQuantileTokensLong(ratings: DataFrame, nBuckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item_id").orderBy(col("rating"), col("user_id"))
+    userItemRatings(ratings)
+      .select(col("user_id"),
+        (col("item_id").cast("long") * lit(4294967296L) +
+          (ntile(nBuckets).over(w) - 1).cast("long")).as("token"))
+  }
+
+  /** String form of [[ratingQuantileTokensLong]] (`"item:bucket"`) for
+    * MinHash, whose md5 needs bytes — same token identity. */
+  def ratingQuantileTokens(ratings: DataFrame, nBuckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item_id").orderBy(col("rating"), col("user_id"))
+    userItemRatings(ratings)
+      .select(col("user_id"),
+        concat(col("item_id").cast("string"), lit(":"),
+          (ntile(nBuckets).over(w) - 1).cast("string")).as("token"))
+  }
+
+  /** Exact top-k twins over the equal-frequency quantile token space
+    * ([[ratingQuantileTokensLong]]) — the opt-in skew-proof variant of
+    * [[topTwinsExactTokens]] (q71). */
+  def topTwinsExactQuantile(ratings: DataFrame, k: Int,
+                            nBuckets: Int): DataFrame =
+    TextAnalysis.setJaccardPairsAuto(
+      ratingQuantileTokensLong(ratings, nBuckets), "user_id", "token",
+      minJaccard = 0.0)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+
+  /** Approximate top-k twins (MinHash + LSH banding) over the quantile
+    * token space — the skew-proof variant of [[topTwinsLsh]] (q72);
+    * [[topTwinsExactQuantile]] computes the exact counterpart of its
+    * `est_jaccard`. */
+  def topTwinsLshQuantile(ratings: DataFrame, numPerm: Int, rowsPerBand: Int,
+                          k: Int, nBuckets: Int): DataFrame = {
+    val sets = ratingQuantileTokens(ratings, nBuckets)
+    val sigs = TextAnalysis.minhashSignatures(sets, "user_id", numPerm)
+    val cands = TextAnalysis.lshCandidatePairs(sigs, "user_id", rowsPerBand)
+    TextAnalysis.estimatedJaccard(cands, sigs, "user_id", numPerm)
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
 
   /** Exact top-k twins over the SAME (item, rating-bucket) token space
     * that [[topTwinsLsh]] estimates — so `est_jaccard` has an exactly
@@ -93,7 +159,7 @@ object Twins {
     * Tokens are the long-packed form ([[ratingBucketTokensLong]]) — same
     * identity, numeric merge-walk speed. */
   def topTwinsExactTokens(ratings: DataFrame, k: Int,
-                          bucketWidth: Double = 100.0): DataFrame =
+                          bucketWidth: Double): DataFrame =
     TextAnalysis.setJaccardPairsAuto(
       ratingBucketTokensLong(ratings, bucketWidth), "user_id", "token",
       minJaccard = 0.0)
@@ -115,7 +181,7 @@ object Twins {
     * exact query over the SAME token space is [[topTwinsExactTokens]]
     * (q45), which is what `est_jaccard` is an estimator of. */
   def topTwinsLsh(ratings: DataFrame, numPerm: Int, rowsPerBand: Int,
-                  k: Int, bucketWidth: Double = 100.0): DataFrame = {
+                  k: Int, bucketWidth: Double): DataFrame = {
     val sets = ratingBucketTokens(ratings, bucketWidth)
     val sigs = TextAnalysis.minhashSignatures(sets, "user_id", numPerm)
     val cands = TextAnalysis.lshCandidatePairs(sigs, "user_id", rowsPerBand)

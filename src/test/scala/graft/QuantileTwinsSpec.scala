@@ -1,0 +1,71 @@
+package graft
+
+import graft.io.Tables
+import graft.segment.Twins
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The equal-frequency quantile token space (q71/q72): skew-proofing
+  * claim, token-identity between the long and string forms, and the
+  * within-item equal-count property that defines it.
+  */
+class QuantileTwinsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  /** Average Jaccard over 50 seeded-random user pairs of `tok`'s
+    * per-user token sets (pairs with zero overlap count as 0). */
+  private def avgRandomPairJaccard(tok: DataFrame): Double = {
+    val users = tok.select("user_id").distinct()
+    val pairs = Tables.randomPairs(users, "user_id", n = 50, seed = 123L)
+    val sz = tok.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val ta = tok.select(col("user_id").as("id_a"), col("token"))
+    val tb = tok.select(col("user_id").as("id_b"), col("token"))
+    val shared = pairs.join(ta, "id_a").join(tb, Seq("id_b", "token"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(shared, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("shared"))
+      .join(sz.withColumnRenamed("n", "na"), col("id_a") === col("user_id")).drop("user_id")
+      .join(sz.withColumnRenamed("n", "nb"), col("id_b") === col("user_id")).drop("user_id")
+      .select(avg(col("shared") / (col("na") + col("nb") - col("shared"))).as("j"))
+      .head().getDouble(0)
+  }
+
+  test("quantile tokens sparsify the pair space below 0.1 (floor buckets don't)") {
+    // The round-3 verdict's acceptance bar for the skew escape hatch:
+    // avg random-pair Jaccard <= 0.1 at sf0.01 under quantile tokens,
+    // vs the documented ~0.21 value-skew floor of width-100 buckets.
+    val r = Tables.ratings(spark, sf001)
+    val quant = avgRandomPairJaccard(Twins.ratingQuantileTokensLong(r, nBuckets = 4))
+    val floor = avgRandomPairJaccard(Twins.ratingBucketTokensLong(r, bucketWidth = 100.0))
+    assert(quant <= 0.1, s"quantile-token random-pair Jaccard $quant > 0.1")
+    assert(quant < floor,
+      s"quantile tokens ($quant) no sparser than floor buckets ($floor)")
+  }
+
+  test("long and string quantile tokens carry the same identity") {
+    val r = Tables.ratings(spark, GraftSpark.sf)
+    val long = Twins.ratingQuantileTokensLong(r, nBuckets = 4)
+      .select(col("user_id"),
+        concat((col("token") / 4294967296L).cast("long").cast("string"),
+          lit(":"), (col("token") % 4294967296L).cast("string")).as("token"))
+    val str = Twins.ratingQuantileTokens(r, nBuckets = 4)
+    assert(long.exceptAll(str).isEmpty && str.exceptAll(long).isEmpty)
+  }
+
+  test("within each item, quantile bucket counts differ by at most 1") {
+    val r = Tables.ratings(spark, GraftSpark.sf)
+    val perBucket = Twins.ratingQuantileTokensLong(r, nBuckets = 4)
+      .groupBy((col("token") / 4294967296L).cast("long").as("item_id"),
+        (col("token") % 4294967296L).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val spread = perBucket.groupBy("item_id")
+      .agg((max("n") - min("n")).as("spread"))
+      .agg(max("spread")).head().getLong(0)
+    assert(spread <= 1L, s"equal-frequency violated: max within-item spread $spread")
+  }
+}

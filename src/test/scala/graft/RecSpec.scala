@@ -95,19 +95,36 @@ class RecSpec extends AnyFunSuite {
         s"sweep bias=100 column $c diverges from q51")
   }
 
-  test("q55 ALS grid: full 2x2 grid, valid MAP range, deterministic") {
+  test("q55 ALS grid: the reference's full 4x4 shape, deterministic cells") {
+    // Table 3 shape (als_latent_factors.py:31-44): ranks {5,10,20,50} ×
+    // regs {0.01,0.05,0.1,1} — 16 combos, every cell a valid MAP.
     val grid = RecQueries.q55(spark, sf).collect()
     assert(grid.map(r => (r.getAs[Int]("rank"), r.getAs[Double]("reg_param"))).toSeq ==
-      Seq((4, 0.05), (4, 0.1), (8, 0.05), (8, 0.1)))
+      (for (r <- Seq(5, 10, 20, 50); g <- Seq(0.01, 0.05, 0.1, 1.0)) yield (r, g)))
     assert(grid.forall { r =>
       val m = r.getAs[Double]("map_at_k"); m >= 0.0 && m <= 1.0
     })
-    // Cross-surface consistency: the (8, 0.1) cell IS q53's model and
-    // recommendation set, so its MAP must equal q53's map_at_k exactly.
-    val cell = grid.find(r => r.getAs[Int]("rank") == 8 &&
-      r.getAs[Double]("reg_param") == 0.1).get.getAs[Double]("map_at_k")
-    val q53map = RecQueries.q53(spark, sf).head().getAs[Double]("map_at_k")
-    assert(cell == q53map, s"grid (8,0.1) MAP $cell != q53 MAP $q53map")
+    // Seeded determinism, memo-independent: an INDEPENDENT fit of the
+    // reference's Table 3 winning combo (rank 50, reg 0.05) — empty
+    // cacheKey bypasses every session memo — must reproduce that grid
+    // cell bit-for-bit.
+    val t = graft.rec.Popularity.withSplits(graft.io.Tables.ratings(spark, sf))
+    val valid = graft.rec.Popularity.validation(t)
+    val fresh = graft.rec.AlsRec.gridSearch(
+      graft.rec.Popularity.train(t), valid,
+      ranks = Seq(50), regs = Seq(0.05), topN = 20, maxIter = 4,
+      evalFn = (recs, v) => RankingRelational
+        .metrics(spark, recs.select("user_id", "item_id", "rank"), v, k = 20)
+        .select("map_at_k").head().getDouble(0)).head._3
+    val cell = grid.find(r => r.getAs[Int]("rank") == 50 &&
+      r.getAs[Double]("reg_param") == 0.05).get.getAs[Double]("map_at_k")
+    assert(cell == fresh, s"grid (50,0.05) MAP $cell != fresh fit $fresh")
+    // NOT asserted: that (50, 0.05) is the arg-max. On MovieLens it is
+    // (the reference's Table 3 winner); on the synthetic events data the
+    // MAP spread across combos is narrow (~0.05–0.08) and the arg-max is
+    // data-dependent — measured (10, 0.01) at sf0.001 and (50, 0.01) at
+    // sf0.01. Same class of divergence as the popularity-vs-ALS headline
+    // below: a property of MovieLens sparsity, not of the pipeline.
   }
 
   test("recommendSweep == per-bias recommend loop (all biases)") {
