@@ -69,6 +69,12 @@ object SessionMemo {
       cache.remove(k).flatMap(m => m.synchronized(m.peek)).foreach {
         case df: org.apache.spark.sql.DataFrame =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        case m: org.apache.spark.ml.recommendation.ALSModel =>
+          // AlsRec.fit persists the factor frames of memoized models.
+          try {
+            m.userFactors.unpersist(blocking = false)
+            m.itemFactors.unpersist(blocking = false)
+          } catch { case _: Throwable => () }
         case _ => ()
       }
     }
