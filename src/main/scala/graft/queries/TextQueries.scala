@@ -100,16 +100,42 @@ object TextQueries {
     shingleJaccardPairs(shinglesCached(spark, dir), "doc_id", minJaccard = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** Memoized near-dup pair list (tiny — |pairs| rows): q27 serves it
+    * sorted, q73/q74 resolve it into clusters / the deduplicated corpus. */
+  private def lshPairsCached(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"doc-lsh-pairs:$dir") {
+      val sigs = sigsCached(spark, dir)
+      val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
+      estimatedJaccard(cands, sigs, "doc_id", numPerm = 16)
+        .filter(col("est_jaccard") >= 0.4)
+    }
+
   /** q27 — full distributed MinHash + LSH near-dup pipeline (the
     * reference's M1+M2+M3, SURVEY §2.9, re-expressed as shuffle joins):
     * sign → band → bucket-join candidates → estimate → threshold. */
-  val q27: Q = (spark, dir) => {
-    val sigs = sigsCached(spark, dir)
-    val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
-    estimatedJaccard(cands, sigs, "doc_id", numPerm = 16)
-      .filter(col("est_jaccard") >= 0.4)
-      .orderBy("id_a", "id_b")
-  }
+  val q27: Q = (spark, dir) =>
+    lshPairsCached(spark, dir).orderBy("id_a", "id_b")
+
+  /** q73 — near-dup CLUSTER resolution: connected components over q27's
+    * pair graph (iterative distributed min-label propagation — see
+    * [[graft.text.Dedup.connectedComponents]]), canonical = component
+    * minimum, component size carried. The step between "similar pairs"
+    * and "a deduplicated corpus" that the reference leaves to the reader
+    * (`top_100_pairs.py` stops at the pair CSV). */
+  val q73: Q = (spark, dir) =>
+    graft.text.Dedup.nearDupClusters(lshPairsCached(spark, dir), "id_a", "id_b")
+      .orderBy("doc_id")
+
+  /** q74 — the deduplicated corpus: documents minus non-canonical
+    * cluster members (keep-min-id policy), via a broadcast anti-join on
+    * the bounded victim list. */
+  val q74: Q = (spark, dir) =>
+    graft.text.Dedup.survivors(
+      Tables.documents(spark, dir),
+      graft.text.Dedup.nearDupClusters(lshPairsCached(spark, dir), "id_a", "id_b"),
+      "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
 
   /** q28 — SimHash near-duplicate pairs (Hamming ≤ 3) via pigeonhole
     * chunk blocking — the third dedup family (exact, MinHash/Jaccard,
@@ -176,9 +202,58 @@ object TextQueries {
     "q24_simhash" -> q24,
     "q25_minhash_sigs" -> q25,
     "q26_ngram_jaccard_dups" -> q26,
-    "q27_minhash_lsh_dups" -> q27)
+    "q27_minhash_lsh_dups" -> q27,
+    "q73_neardup_clusters" -> q73,
+    "q74_neardup_survivors" -> q74)
 
   private val H = "9223372036854775807"
+
+  // The q27 MinHash+LSH pair pipeline as a reusable CTE chain (ends in
+  // `est`); q27 thresholds it, q73/q74 resolve it into components.
+  private lazy val lshPairsCte =
+    s"""t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
+       |  FROM t),
+       |sigs AS (
+       |  SELECT doc_id, p,
+       |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
+       |  GROUP BY doc_id, p),
+       |bands AS (
+       |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
+       |  FROM sigs GROUP BY doc_id, band),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, band_sig)
+       |  WHERE a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM cands
+       |  JOIN sigs sa ON sa.doc_id = id_a
+       |  JOIN sigs sb ON sb.doc_id = id_b AND sb.p = sa.p
+       |  GROUP BY id_a, id_b)""".stripMargin
+
+  // Transitive closure of the thresholded pair graph (component label =
+  // min reachable id) — the SQL mirror of Dedup.connectedComponents'
+  // fixpoint, via a recursive CTE.
+  private lazy val componentsCte =
+    s"""$lshPairsCte,
+       |prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.4),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM prs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM sym
+       |  UNION
+       |  SELECT s.src AS id, reach.r FROM sym s JOIN reach ON s.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q69_repetition" ->
@@ -340,33 +415,20 @@ object TextQueries {
         |WHERE shared::DOUBLE / (x.n + y.n - shared) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_minhash_lsh_dups" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |tok AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, len(toks) - 2),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
-         |  FROM t),
-         |sigs AS (
-         |  SELECT doc_id, p,
-         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
-         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
-         |  GROUP BY doc_id, p),
-         |bands AS (
-         |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
-         |  FROM sigs GROUP BY doc_id, band),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band, band_sig)
-         |  WHERE a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT id_a, id_b,
-         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
-         |  FROM cands
-         |  JOIN sigs sa ON sa.doc_id = id_a
-         |  JOIN sigs sb ON sb.doc_id = id_b AND sb.p = sa.p
-         |  GROUP BY id_a, id_b)
+      s"""WITH $lshPairsCte
          |SELECT id_a, id_b, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+         |WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q73_neardup_clusters" ->
+      s"""WITH RECURSIVE $componentsCte,
+         |csz AS (SELECT canonical_id, COUNT(*) AS cluster_size
+         |        FROM comp GROUP BY canonical_id)
+         |SELECT comp.id AS doc_id, comp.canonical_id, csz.cluster_size
+         |FROM comp JOIN csz USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q74_neardup_survivors" ->
+      s"""WITH RECURSIVE $componentsCte,
+         |victims AS (SELECT id FROM comp WHERE id <> canonical_id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM victims)
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTER resolution — the step every dedup pipeline
+  * needs between "similar pairs" (q26/q27/q28/q36 emit edges) and "a
+  * deduplicated corpus" (keep one canonical document per group of
+  * transitively-connected near-dups).
+  *
+  * The reference stops at pair lists (`top_100_pairs.py` writes the
+  * pairs CSV and part2 consumes it as-is); grouping them is left to the
+  * reader. Here it is a first-class distributed operator.
+  */
+object Dedup {
+
+  /** Connected components of an undirected edge list by iterative
+    * min-label propagation: every vertex starts labeled with itself;
+    * each round a vertex takes the minimum label among itself and its
+    * neighbors; fixpoint = every vertex labeled with its component's
+    * minimum id. Output: (id, label).
+    *
+    * Execution model — the driver runs the CONVERGENCE LOOP only (one
+    * comparison of two scalar aggregates per round, exactly like
+    * MLlib's iterative fits); per round the data-side work is one
+    * shuffle join (labels onto edge endpoints) + one groupBy-min, all
+    * distributed. `localCheckpoint` truncates the otherwise
+    * linearly-growing lineage each round.
+    *
+    * Scale posture: rounds = component DIAMETER. Near-dup graphs are
+    * piles of small dense clusters (LSH band collisions make them
+    * clique-ish), so diameter stays in the single digits at any corpus
+    * size — the iteration count does not grow with data volume, only
+    * with graph pathology. For adversarial long-chain graphs the
+    * log-diameter alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) is
+    * the upgrade path; `maxIter` caps the walk and failure is LOUD
+    * (IllegalStateException), never a silently-wrong fixpoint.
+    *
+    * Labels only ever decrease, so convergence is detected by comparing
+    * consecutive rounds' label SUMS (decimal — overflow-proof for any
+    * id domain) instead of a per-row change join: one cheap aggregate
+    * action per round.
+    */
+  def connectedComponents(edges: DataFrame, idA: String, idB: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = labelSum(labels)
+    if (prev == null) return labels // no edges → no clustered vertices
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nl").as("nmin"))
+      labels = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val cur = labelSum(labels)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the cap; raise maxIter or switch to " +
+        "large-star/small-star")
+    labels
+  }
+
+  /** Resolve near-dup pair edges into clusters: every vertex of `pairs`
+    * mapped to its component's canonical (minimum) id, with the
+    * component size carried. Documents in no pair are untouched by
+    * definition (singletons are the complement, see
+    * [[survivors]]). Output: (doc_id, canonical_id, cluster_size). */
+  def nearDupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame = {
+    val cc = connectedComponents(pairs, idA, idB)
+    val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"),
+        col("cluster_size"))
+  }
+
+  /** The deduplicated corpus: all of `docs` minus non-canonical cluster
+    * members (keep-first-by-id policy — deterministic and the industry
+    * default). A broadcast-able anti-join: the victim list is bounded by
+    * the number of near-dup documents, a vanishing fraction of any real
+    * corpus. */
+  def survivors(docs: DataFrame, clusters: DataFrame,
+                idCol: String): DataFrame = {
+    val victims = clusters
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(broadcast(victims), Seq(idCol), "left_anti")
+  }
+}

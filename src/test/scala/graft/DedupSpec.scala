@@ -1,0 +1,65 @@
+package graft
+
+import graft.text.Dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  // Chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22.
+  private def graph = Seq(
+    (2L, 1L), (2L, 3L), (3L, 4L),
+    (10L, 11L),
+    (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+
+  test("connectedComponents: chain, pair, triangle resolve to min labels") {
+    val got = Dedup.connectedComponents(graph, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: empty edge list → empty labels, no exception") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+  }
+
+  test("connectedComponents fails LOUDLY when the diameter exceeds maxIter") {
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(graph, "id_a", "id_b", maxIter = 1).collect()
+    }
+  }
+
+  test("nearDupClusters carries component sizes; survivors drop non-canonicals") {
+    val clusters = Dedup.nearDupClusters(graph, "id_a", "id_b")
+    val sizes = clusters.select("canonical_id", "cluster_size").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 4L, 10L -> 2L, 20L -> 3L))
+    val docs = (1L to 30L).toDF("doc_id")
+    val kept = Dedup.survivors(docs, clusters, "doc_id")
+      .as[Long].collect().toSet
+    // Victims: 2,3,4 / 11 / 21,22. Everything else (incl. docs in no
+    // pair) survives.
+    assert(kept == (1L to 30L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L))
+  }
+
+  test("q73/q74 cluster math agrees with the pair list at sf0.001") {
+    val dir = GraftSpark.sf
+    val pairs = graft.queries.TextQueries.q27(spark, dir)
+      .select("id_a", "id_b")
+    val members = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct().count()
+    val clusters = graft.queries.TextQueries.q73(spark, dir)
+    // Every paired doc is clustered, canonical ids are component members,
+    // and cluster_size sums back to the member count.
+    assert(clusters.count() == members)
+    assert(clusters.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    val survivorCount = graft.queries.TextQueries.q74(spark, dir).count()
+    val victims = clusters.filter(col("doc_id") =!= col("canonical_id")).count()
+    val total = graft.io.Tables.documents(spark, dir).count()
+    assert(survivorCount == total - victims)
+  }
+}
