@@ -137,6 +137,24 @@ object Tables {
         greatest(col(key), col("__partner")).as("id_b"))
   }
 
+  /** Seeded stratified cap — the training-data curation primitive for
+    * domain/language balancing: keep at most `n` rows per group, chosen
+    * by the keyed PRNG order of [[seededUniform]]'s underlying hash (so
+    * the SAMPLE, not just its size, is layout-independent, reproducible
+    * and oracle-able — contrast `df.sample` per stratum). One window per
+    * group key: distributed by group, and Spark's WindowGroupLimit
+    * pushes the rank filter below the shuffle as a partial top-n — the
+    * scale shape of a per-domain quota over a 100 TB corpus. */
+  def stratifiedCap(df: DataFrame, groups: Seq[String], key: String,
+                    n: Int, seed: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*)
+      .orderBy(graft.functions.GraftFunctions.md5_63(
+        concat(lit(seed.toString), lit(":"), col(key).cast("string"))), col(key))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Memory-cached ratings projection, one per (session, dir): a dozen
     * registered queries start from this exact 5-column projection, so the
     * JSON extraction + scan amortizes across them (the reference

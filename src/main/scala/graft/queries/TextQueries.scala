@@ -126,6 +126,16 @@ object TextQueries {
     graft.text.Dedup.nearDupClusters(lshPairsCached(spark, dir), "id_a", "id_b")
       .orderBy("doc_id")
 
+  /** q75 — seeded stratified per-(source, lang) cap: keep ≤ 5 documents
+    * per group, selected by the keyed PRNG (domain/language balancing —
+    * the curation step that stops one crawl domain from dominating a
+    * training mix; see [[Tables.stratifiedCap]]). */
+  val q75: Q = (spark, dir) =>
+    Tables.stratifiedCap(Tables.documents(spark, dir),
+      groups = Seq("source", "lang"), key = "doc_id", n = 5, seed = 7L)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+
   /** q74 — the deduplicated corpus: documents minus non-canonical
     * cluster members (keep-min-id policy), via a broadcast anti-join on
     * the bounded victim list. */
@@ -204,7 +214,8 @@ object TextQueries {
     "q26_ngram_jaccard_dups" -> q26,
     "q27_minhash_lsh_dups" -> q27,
     "q73_neardup_clusters" -> q73,
-    "q74_neardup_survivors" -> q74)
+    "q74_neardup_survivors" -> q74,
+    "q75_stratified_cap" -> q75)
 
   private val H = "9223372036854775807"
 
@@ -430,5 +441,14 @@ object TextQueries {
          |victims AS (SELECT id FROM comp WHERE id <> canonical_id)
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM victims)
+         |ORDER BY doc_id""".stripMargin,
+    "q75_stratified_cap" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    row_number() OVER (PARTITION BY source, lang
+         |      ORDER BY CAST(md5_number_lower('7:' || doc_id::VARCHAR) & $H AS BIGINT),
+         |               doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source, lang, n_chars FROM r WHERE rn <= 5
          |ORDER BY doc_id""".stripMargin)
 }

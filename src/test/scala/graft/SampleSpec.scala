@@ -61,4 +61,25 @@ class SampleSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(p.size == 2)
   }
+
+  test("stratifiedCap: per-group quota, seed-stable, layout-independent, seed-sensitive") {
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("g", org.apache.spark.sql.functions.col("k") % 7)
+    val a = Tables.stratifiedCap(df, Seq("g"), "k", n = 20, seed = 5L)
+    val aSet = a.as[(Long, Long)].collect().toSet
+    // Quota exactly met (every group here has > 20 members).
+    val perGroup = a.groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(perGroup.size == 7 && perGroup.values.forall(_ == 20L))
+    // Undersized groups pass through whole.
+    val tiny = Tables.stratifiedCap(df.filter($"k" < 10), Seq("g"), "k",
+      n = 20, seed = 5L).count()
+    assert(tiny == 10L)
+    // Same rows regardless of physical layout; different rows per seed.
+    val b = Tables.stratifiedCap(df.repartition(13), Seq("g"), "k",
+      n = 20, seed = 5L).as[(Long, Long)].collect().toSet
+    assert(aSet == b, "sample changed with partition layout")
+    val c = Tables.stratifiedCap(df, Seq("g"), "k", n = 20, seed = 6L)
+      .as[(Long, Long)].collect().toSet
+    assert(aSet != c, "different seed produced identical sample")
+  }
 }
