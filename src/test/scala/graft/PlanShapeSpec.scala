@@ -73,4 +73,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // ... with the final top-100 as TakeOrderedAndProject, not a global sort
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q71 quantile twins keep the strategy selection and top-k sink") {
+    val p = plan("q71_twin_exact_quantile")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q74 survivors anti-join broadcasts the bounded victim list") {
+    val p = plan("q74_neardup_survivors")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q75 stratified cap group-limits below the shuffle and prunes the scan") {
+    val p = plan("q75_stratified_cap")
+    assert(p.contains("WindowGroupLimit"))
+    // projection pruned — the text column never leaves the scan
+    assert(!p.contains("text"))
+  }
 }
