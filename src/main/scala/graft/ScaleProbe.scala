@@ -50,6 +50,24 @@ object ScaleProbe {
       time("lsh_top100")(
         Twins.topTwinsLsh(inflated, numPerm = 32, rowsPerBand = 4, k = 100,
           bucketWidth = 100.0).count())
+
+    if (probes("cc")) {
+      // Connected components at factor× the cluster count: 100k·factor
+      // star-shaped 5-vertex clusters (the near-dup graph shape — many
+      // small dense components). The claim under test: ROUNDS track
+      // component diameter (constant here), so wall-clock grows linearly
+      // with edge count, not with graph size × rounds.
+      val k = factor * 100000L
+      val edges = spark.range(k).select(
+        (col("id") * 5).as("id_a"),
+        explode(array((1 to 4).map(j => col("id") * 5 + j): _*)).as("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      edges.count()
+      time(s"cc_${5 * k}_vertices")(
+        graft.text.Dedup.connectedComponents(edges, "id_a", "id_b")
+          .select("label").distinct().count())
+      edges.unpersist(blocking = false)
+    }
     if (probes("dense"))
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())
