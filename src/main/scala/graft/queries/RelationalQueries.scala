@@ -257,6 +257,31 @@ object RelationalQueries {
         sum(col("total")).cast("double").as("total")))
       .orderBy("user_id")
 
+  /** q76 — as-of (temporal) enrichment: each event picks up the user's
+    * most recent order at event time (order date ≤ event time,
+    * inclusive) — the classic point-in-time-correct feature join that
+    * Spark has no native operator for; see [[graft.ops.AsOf.asofJoin]]
+    * for the single-shuffle union+window encoding. Orders are
+    * pre-deduped to one row per (user, second) with a deterministic
+    * arg-max (the asof contract); the oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN`. */
+  val q76: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      expr("ts div 1000000000").as("t_s"),
+      col("event_type"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").cast("long").as("t_s"),
+        col("o_orderkey"), col("o_totalprice"))
+      .groupBy("user_id", "t_s")
+      .agg(max("o_orderkey").as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    graft.ops.AsOf.asofJoin(e, o, key = "user_id", time = "t_s",
+      payload = Seq("o_orderkey", "o_totalprice"))
+      .orderBy("event_id")
+  }
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -283,13 +308,27 @@ object RelationalQueries {
     "q16_approx_distinct" -> q16,
     "q17_running_revenue" -> q17,
     "q19_pivot_counts" -> q19,
-    "q70_salted_totals" -> q70)
+    "q70_salted_totals" -> q70,
+    "q76_asof_enrich" -> q76)
 
   val oracles: Map[String, String] = Map(
     "q70_salted_totals" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q76_asof_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey AS user_id, epoch_ns(o_orderdate) // 1000000000 AS t_s,
+        |    MAX(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.t_s, e.event_type,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t_s >= o.t_s
+        |ORDER BY e.event_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
