@@ -139,9 +139,10 @@ object TwinsQueries {
        |  FROM rat)""".stripMargin
 
   // Equal-frequency quantile tokens — mirrors Twins.ratingQuantileTokens*
-  // (ANSI ntile with the same full tiebreak on both engines).
+  // (rank-based: ties share a bucket; both engines compute percent_rank
+  // as (rank-1)/(n-1) from the same integers, so floor() agrees exactly).
   private val qntile =
-    "ntile(4) OVER (PARTITION BY item_id ORDER BY rating, user_id) - 1"
+    "CAST(LEAST(3, FLOOR(percent_rank() OVER (PARTITION BY item_id ORDER BY rating) * 4)) AS BIGINT)"
 
   private val exactPairsCte =
     """sz AS (SELECT user_id, COUNT(*) AS n FROM sets GROUP BY user_id),

@@ -88,43 +88,53 @@ object Twins {
 
   /** Equal-frequency (within-item quantile) rating tokens — the
     * value-skew-proof alternative to [[ratingBucketTokens]]'s global
-    * floor buckets: `bucket = ntile(nBuckets) over (partition by item
-    * order by rating, user_id) − 1`, token = `item_id · 2³² + bucket`.
+    * floor buckets: `bucket = min(nBuckets−1, floor(percent_rank over
+    * (partition by item order by rating) · nBuckets))`, token =
+    * `item_id · 2³² + bucket`.
     *
-    * Each item's ratings split into `nBuckets` equal-count groups BY
-    * CONSTRUCTION, so no value distribution can collapse the token space
-    * the way the events data's skew collapses floor buckets (~83% of
-    * tokens in bucket 0 → random-pair Jaccard ~0.21; quantile tokens
-    * measure ~0.07 at sf0.01, ≈ the 1/nBuckets ideal — QuantileTwinsSpec).
-    * The semantics shift from "similar absolute rating" to "similar
-    * rating RELATIVE to this item's raters" — the collaborative-filtering
-    * notion of agreement, and what "twins" should mean when items have
-    * idiosyncratic value scales.
+    * Rank-based bucketing adapts to each item's empirical rating
+    * distribution, so no value skew can collapse the token space the way
+    * the events data collapses floor buckets (~83% of tokens in
+    * bucket 0 → random-pair Jaccard ~0.21; quantile tokens measure
+    * ~0.07 at sf0.01, ≈ the 1/nBuckets ideal — QuantileTwinsSpec). The
+    * semantics shift from "similar absolute rating" to "similar rating
+    * RELATIVE to this item's raters" — the collaborative-filtering
+    * notion of agreement when items have idiosyncratic value scales.
+    *
+    * `percent_rank` (ordered by rating ONLY), not `ntile`: ntile must
+    * split ties to keep its counts equal, so two users rating an item
+    * IDENTICALLY could straddle a bucket boundary and tokenize
+    * differently — exactly the users a twin pipeline exists to match
+    * (the planted-twins e2e test catches this: discrete rating scales
+    * make ties pervasive). percent_rank gives tied ratings the same
+    * bucket by construction, is deterministic with no tiebreak column,
+    * and buckets stay equal-count up to tie mass (exact on tie-free
+    * data). Both engines compute it as `(rank−1)/(n−1)` (0 for a
+    * single-row partition) from the same integers — bit-identical, so
+    * the SQL mirror is exact.
     *
     * Scale: the window partitions by item — state is one item's ratings,
     * distributed across the cluster by item key (a pathological hot item
-    * would need the q70 salting treatment first). The full tiebreak
-    * (rating, user_id) makes the assignment deterministic and exactly
-    * mirrorable by SQL `ntile` (both engines implement ANSI ntile:
-    * first `count % n` buckets take the extra row). */
-  def ratingQuantileTokensLong(ratings: DataFrame, nBuckets: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("item_id").orderBy(col("rating"), col("user_id"))
+    * would need the q70 salting treatment first). */
+  def ratingQuantileTokensLong(ratings: DataFrame, nBuckets: Int): DataFrame =
     userItemRatings(ratings)
       .select(col("user_id"),
         (col("item_id").cast("long") * lit(4294967296L) +
-          (ntile(nBuckets).over(w) - 1).cast("long")).as("token"))
-  }
+          quantileBucket(nBuckets)).as("token"))
 
   /** String form of [[ratingQuantileTokensLong]] (`"item:bucket"`) for
     * MinHash, whose md5 needs bytes — same token identity. */
-  def ratingQuantileTokens(ratings: DataFrame, nBuckets: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("item_id").orderBy(col("rating"), col("user_id"))
+  def ratingQuantileTokens(ratings: DataFrame, nBuckets: Int): DataFrame =
     userItemRatings(ratings)
       .select(col("user_id"),
         concat(col("item_id").cast("string"), lit(":"),
-          (ntile(nBuckets).over(w) - 1).cast("string")).as("token"))
+          quantileBucket(nBuckets).cast("string")).as("token"))
+
+  private def quantileBucket(nBuckets: Int): org.apache.spark.sql.Column = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item_id").orderBy(col("rating"))
+    least(lit(nBuckets - 1).cast("long"),
+      floor(percent_rank().over(w) * nBuckets))
   }
 
   /** Exact top-k twins over the equal-frequency quantile token space

@@ -86,6 +86,22 @@ class EndToEndSpec extends AnyFunSuite {
     assert(nBuckets >= 4, s"fixture only produced $nBuckets rating buckets")
   }
 
+  test("quantile-token LSH pipeline also finds all planted twins") {
+    // The equal-frequency space needs no width tuning at all — the
+    // planted twins copy ratings exactly, so per-item quantile buckets
+    // collide for them by construction, on ANY rating scale.
+    val found = Twins.topTwinsLshQuantile(ratings, numPerm = 32,
+      rowsPerBand = 4, k = 10, nBuckets = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    twinBase.foreach { b =>
+      assert(found.contains((b.toLong, b + 1L)), s"twin ($b,${b + 1}) missed")
+    }
+    // And the exact-quantile ranking agrees on who the twins are.
+    val exact = Twins.topTwinsExactQuantile(ratings, k = 5, nBuckets = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == twinBase.map(b => (b.toLong, b + 1L)).toSet)
+  }
+
   test("twin correlation statistically beats stride baseline (part2 invariant)") {
     val twins = Twins.topTwinsExact(ratings, 5)
     val twinCorr = Twins.pairCorrelation(twins, ratings)

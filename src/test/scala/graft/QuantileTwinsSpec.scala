@@ -57,15 +57,42 @@ class QuantileTwinsSpec extends AnyFunSuite {
     assert(long.exceptAll(str).isEmpty && str.exceptAll(long).isEmpty)
   }
 
-  test("within each item, quantile bucket counts differ by at most 1") {
+  test("identical (item, rating) pairs always share a bucket; buckets are monotone") {
+    // The property ntile CANNOT give (it splits ties to equalize counts)
+    // and the reason the token space uses percent_rank: users who rate
+    // an item identically must tokenize identically — they are exactly
+    // the users a twin pipeline exists to match.
     val r = Tables.ratings(spark, GraftSpark.sf)
+    val tok = Twins.ratingQuantileTokensLong(r, nBuckets = 4)
+      .select(col("user_id"), (col("token") / 4294967296L).cast("long").as("item_id"),
+        (col("token") % 4294967296L).as("bucket"))
+    val rated = Twins.userItemRatings(r)
+    val joined = rated.join(tok, Seq("user_id", "item_id"))
+    val splitTies = joined.groupBy("item_id", "rating")
+      .agg(countDistinct("bucket").as("nb")).filter(col("nb") > 1).count()
+    assert(splitTies == 0L, s"$splitTies (item, rating) groups straddle buckets")
+    // Monotone: within an item, a higher rating never gets a lower bucket.
+    val a = joined.select(col("item_id"), col("rating").as("ra"), col("bucket").as("ba"))
+    val b = joined.select(col("item_id"), col("rating").as("rb"), col("bucket").as("bb"))
+    val inversions = a.join(b, "item_id")
+      .filter(col("ra") < col("rb") && col("ba") > col("bb")).count()
+    assert(inversions == 0L, s"$inversions rating/bucket inversions")
+  }
+
+  test("on tie-free data the buckets are equal-count up to 1") {
+    import spark.implicits._
+    // 3 items × 40 distinct ratings each (no ties) → exact quartiles.
+    val rows = for (i <- 1 to 3; u <- 1 to 40)
+      yield (u.toLong, i.toLong, u * 1.0 + i * 0.01, 0L, 0L)
+    val r = rows.toDF("user_id", "item_id", "rating", "ts", "event_id")
     val perBucket = Twins.ratingQuantileTokensLong(r, nBuckets = 4)
       .groupBy((col("token") / 4294967296L).cast("long").as("item_id"),
         (col("token") % 4294967296L).as("bucket"))
       .agg(count(lit(1)).as("n"))
+    assert(perBucket.count() == 12) // 3 items × 4 buckets all populated
     val spread = perBucket.groupBy("item_id")
       .agg((max("n") - min("n")).as("spread"))
       .agg(max("spread")).head().getLong(0)
-    assert(spread <= 1L, s"equal-frequency violated: max within-item spread $spread")
+    assert(spread <= 1L, s"equal-frequency violated on tie-free data: $spread")
   }
 }
