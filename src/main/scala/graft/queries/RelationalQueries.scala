@@ -282,6 +282,29 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q77 — post-purchase attribution window: for each purchase event,
+    * the same user's follow-up events within the next 30 minutes
+    * (exclusive of the purchase instant itself) — counted and typed. A
+    * keyed RANGE join, which Spark would plan as a nested-loop; see
+    * [[graft.ops.RangeJoin.bucketed]] for the bounded-fan-out equi-join
+    * encoding. */
+  val q77: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t_s"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("t_s"))
+    val follows = ev.select(col("user_id"), col("t_s").as("f_s"),
+      col("event_type").as("f_type"))
+    graft.ops.RangeJoin.bucketed(purchases, follows, key = "user_id",
+      lTime = "t_s", rTime = "f_s", lower = 1L, upper = 1801L)
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_follow"),
+        countDistinct(col("f_type")).as("n_types"))
+      .orderBy("purchase_id")
+  }
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -309,7 +332,8 @@ object RelationalQueries {
     "q17_running_revenue" -> q17,
     "q19_pivot_counts" -> q19,
     "q70_salted_totals" -> q70,
-    "q76_asof_enrich" -> q76)
+    "q76_asof_enrich" -> q76,
+    "q77_purchase_window" -> q77)
 
   val oracles: Map[String, String] = Map(
     "q70_salted_totals" ->
@@ -329,6 +353,19 @@ object RelationalQueries {
         |  o.o_orderkey, o.o_totalprice
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t_s >= o.t_s
         |ORDER BY e.event_id""".stripMargin,
+    "q77_purchase_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, t_s FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, COUNT(*) AS n_follow,
+        |  COUNT(DISTINCT e.event_type) AS n_types
+        |FROM p JOIN ev e
+        |  ON e.user_id = p.user_id
+        | AND e.t_s >= p.t_s + 1 AND e.t_s < p.t_s + 1801
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
