@@ -92,4 +92,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // projection pruned — the text column never leaves the scan
     assert(!p.contains("text"))
   }
+
+  test("q76 as-of join plans with NO join operator — one keyed window pass") {
+    val p = plan("q76_asof_enrich")
+    // the whole point of the union+window encoding: no per-key range
+    // scan, no nested loop — the temporal match is a window aggregate
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"))
+    assert(p.contains("Window ["))
+    assert(p.contains("last(o_orderkey"))
+  }
+
+  test("q77 range join plans as a HASH equi-join, never a nested loop") {
+    val p = plan("q77_purchase_window")
+    // the band predicate must ride a (key, bucket) hash join as its
+    // residual condition — a BNLJ/cartesian here is the scale-killer
+    // this operator exists to avoid
+    assert(p.contains("HashJoin"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
