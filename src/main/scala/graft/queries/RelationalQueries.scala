@@ -305,6 +305,57 @@ object RelationalQueries {
       .orderBy("purchase_id")
   }
 
+  /** q78 — exact grouped percentiles (p50/p90/p99 event value per type):
+    * `percentile` sorts each group's values and interpolates at
+    * `p·(n−1)`, the same definition as the oracle's `quantile_cont`.
+    * Exact percentile is a per-group sort — fine when groups are few and
+    * values-per-group bounded; the 100 TB path is `approx_percentile`
+    * (KLL-class sketch, fixed space, mergeable map-side) which this
+    * query's spec cross-checks to within its accuracy bound. */
+  val q78: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** q79 — full grouping-sets lattice (CUBE) over (returnflag,
+    * linestatus) with the grouping_id disambiguator: all four
+    * aggregation granularities in ONE pass (Spark expands the cube into
+    * a single Expand + hash aggregate — no rescan per grouping set).
+    * Complements q15's ROLLUP. `gid` bit layout (first key = MSB) is the
+    * SQL standard's, matched by DuckDB's `GROUPING(a, b)`. */
+  val q79: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        decSum(col("l_quantity")).cast("double").as("qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q83 — sliding (hopping) time windows: 1-hour windows every 30
+    * minutes, so each event lands in exactly 2 windows (the overlap
+    * factor w/h). Spark plans `window()` as a generate (the per-row
+    * window replication) + one hash aggregate — the batch twin of the
+    * streaming hop-window aggregation, and the same shape Structured
+    * Streaming runs incrementally with watermark-bounded state. Window
+    * starts are epoch-aligned (origin 0, UTC session), emitted as epoch
+    * seconds to stay timezone-inert. */
+  val q83: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value")).cast("double").as("total"))
+      .select(unix_timestamp(col("window.start")).as("win_s"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("event_type", "win_s")
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -333,9 +384,36 @@ object RelationalQueries {
     "q19_pivot_counts" -> q19,
     "q70_salted_totals" -> q70,
     "q76_asof_enrich" -> q76,
-    "q77_purchase_window" -> q77)
+    "q77_purchase_window" -> q77,
+    "q78_group_percentiles" -> q78,
+    "q79_cube_totals" -> q79,
+    "q83_sliding_windows" -> q83)
 
   val oracles: Map[String, String] = Map(
+    "q78_group_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q79_cube_totals" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q83_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_ns(ts) // 1000000000 AS t_s
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    unnest([(t_s // 1800) * 1800, (t_s // 1800) * 1800 - 1800]) AS win_s
+        |  FROM e)
+        |SELECT win_s, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY win_s, event_type
+        |ORDER BY event_type, win_s""".stripMargin,
     "q70_salted_totals" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

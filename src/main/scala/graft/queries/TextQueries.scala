@@ -179,6 +179,18 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** q80 — top-100 most-similar document pairs by TF-IDF cosine over
+    * 3-gram shingles ([[TextAnalysis.tfidfCosinePairs]]): the sparse
+    * complement to the dense-embedding similarity family (q30/q32/q36/
+    * q37) — an inverted-index join, so only pairs sharing a vocabulary
+    * shingle materialize, with the df ≤ 20 vocabulary cap bounding the
+    * per-shingle pair fan-out at any corpus size. At sf0.01 every shingle
+    * df ≤ 7, so the cap is inert and the oracle checks the exact full
+    * cosine. */
+  val q80: Q = (spark, dir) =>
+    TextAnalysis.tfidfCosinePairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, maxDf = 20, k = 100)
+
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
     * the 100 TB-scale variant of q25 (no numPerm× explosion). The
@@ -215,7 +227,8 @@ object TextQueries {
     "q27_minhash_lsh_dups" -> q27,
     "q73_neardup_clusters" -> q73,
     "q74_neardup_survivors" -> q74,
-    "q75_stratified_cap" -> q75)
+    "q75_stratified_cap" -> q75,
+    "q80_tfidf_cosine_pairs" -> q80)
 
   private val H = "9223372036854775807"
 
@@ -267,6 +280,37 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q80_tfidf_cosine_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        |  FROM t),
+        |tf AS (SELECT doc_id, shingle, COUNT(*) AS tf FROM sh GROUP BY doc_id, shingle),
+        |dfq AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
+        |        HAVING COUNT(*) <= 20),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |w AS (
+        |  SELECT doc_id, shingle, df,
+        |    CAST(round(tf * ln(nd / df), 6) AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfq USING (shingle) CROSS JOIN n),
+        |norms AS (
+        |  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
+        |  FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.doc_id = id_a
+        |JOIN norms nb ON nb.doc_id = id_b
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q69_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -5,6 +5,7 @@ import graft.functions.GraftFunctions.md5_63
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed text-analysis and near-duplicate operators for the
   * training-data-pipeline surface: token statistics, quality scoring,
@@ -180,6 +181,56 @@ object TextAnalysis {
         countDistinct(col("shingle")).as("n_distinct"))
       .withColumn("dup_ratio",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+
+  /** Top-k most-similar document pairs by TF-IDF cosine over n-gram
+    * shingles — sparse vector similarity WITHOUT materializing vectors:
+    * the (shingle → documents) inverted index IS the join key, so only
+    * pairs sharing at least one vocabulary shingle ever exist as rows.
+    *
+    * Vocabulary = shingles with document frequency ≤ `maxDf`. That cap is
+    * the scale valve: a shingle in d documents contributes d·(d−1)/2 pair
+    * rows, so without it one ubiquitous n-gram quadratically floods the
+    * shuffle (the same reason TF-IDF down-weights it to ≈0 anyway).
+    * Within the capped vocabulary the cosine is EXACT: df=1 shingles are
+    * excluded from the pair join (they cannot co-occur — zero dot
+    * contribution) but still count toward the norms.
+    *
+    * Cross-engine determinism: weights are rounded then fixed to
+    * DECIMAL(18,6), so dot products and squared norms are exact decimal
+    * sums (associativity-free); the only floating steps — sqrt and the
+    * final divide — are IEEE-deterministic on identical inputs, and the
+    * result is rounded before the top-k ordering (ties broken by pair
+    * id).
+    */
+  def tfidfCosinePairs(df: DataFrame, id: String, text: String, n: Int = 3,
+                       maxDf: Long = 20, k: Int = 100): DataFrame = {
+    val nd = df.agg(count(lit(1)).cast("double").as("nd"))
+    val tf = shinglesAll(df, id, text, n)
+      .groupBy(col(id), col("shingle")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(dfq, "shingle").crossJoin(broadcast(nd))
+      .select(col(id), col("shingle"), col("df"),
+        round(col("tf") * log(col("nd") / col("df")), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+    val norms = w.groupBy(col(id))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
+    val wj = w.filter(col("df") >= 2).select(col(id), col("shingle"), col("w"))
+    val dots = wj.as("a")
+      .join(wj.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col(id).as("id_a"), col("norm").as("norm_a")), "id_a")
+      .join(norms.select(col(id).as("id_b"), col("norm").as("norm_b")), "id_b")
+      .withColumn("cosine",
+        round(col("dot").cast("double") / (col("norm_a") * col("norm_b")), 6))
+      .select("id_a", "id_b", "cosine")
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
 
   /** Exact Jaccard over item sets for all pairs sharing ≥1 item:
     * co-occurrence join on the item (shuffle key = item), then
