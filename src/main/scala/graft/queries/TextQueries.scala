@@ -188,7 +188,7 @@ object TextQueries {
     * df ≤ 7, so the cap is inert and the oracle checks the exact full
     * cosine. */
   val q80: Q = (spark, dir) =>
-    TextAnalysis.tfidfCosinePairs(Tables.documents(spark, dir),
+    tfidfCosinePairs(Tables.documents(spark, dir),
       "doc_id", "text", n = 3, maxDf = 20, k = 100)
 
   /** q29 — MinHash signatures via the custom one-pass
