@@ -151,7 +151,24 @@ object StreamingQueries {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** q81 — stream-stream interval join (click→purchase attribution within
+    * a 24-hour lookback, [[EventStreams.clickAttribution]]): the
+    * watermark + time-interval condition is what bounds BOTH join buffers
+    * (state eviction horizon = watermark + lookback); run to completion
+    * the emitted pairs equal the batch interval self-join, which is the
+    * oracle. The lookback is sized to the synthetic stream's density
+    * (~0.3 clicks/user/day — a 30-minute window almost never pairs). */
+  val q81: Q = (spark, dir) => {
+    val name = s"q81_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark,
+      EventStreams.clickAttribution(stream(spark, dir), lookback = "24 hours"),
+      name, OutputMode.Append)
+      .select("purchase_id", "click_id", "user_id")
+      .orderBy("purchase_id", "click_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_stream_attribution" -> q81,
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
     "q63_stream_hourly_append" -> q63,
@@ -160,6 +177,15 @@ object StreamingQueries {
     "q66_stream_enrich" -> q66)
 
   val oracles: Map[String, String] = Map(
+    // Batch interval self-join over the same µs-truncated event times.
+    "q81_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_ns(c.ts) // 1000 BETWEEN epoch_ns(p.ts) // 1000 - 86400000000
+        |                                AND epoch_ns(p.ts) // 1000
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // Identical semantics to the batch twins — same oracle SQL.
     "q61_stream_hourly" ->
       """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,

@@ -196,6 +196,22 @@ object TextQueries {
           "doc_id", "text", n = 3, maxDf = 20)),
       "doc_id", k = 100)
 
+  /** q82 — benchmark decontamination ([[TextAnalysis.contaminationReport]]):
+    * training docs sharing any 8-word-gram with the held-out benchmark
+    * slice (doc_id ≡ 0 mod 17 — a deterministic stand-in for an eval
+    * set). The benchmark n-gram set stays broadcast, so the corpus side
+    * never shuffles — the posture that holds when the corpus is 100 TB
+    * and the benchmark is megabytes. The planted near-dup pairs that
+    * straddle the split are exactly what it catches. */
+  val q82: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    contaminationReport(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
     * the 100 TB-scale variant of q25 (no numPerm× explosion). The
@@ -233,7 +249,8 @@ object TextQueries {
     "q73_neardup_clusters" -> q73,
     "q74_neardup_survivors" -> q74,
     "q75_stratified_cap" -> q75,
-    "q80_tfidf_cosine_pairs" -> q80)
+    "q80_tfidf_cosine_pairs" -> q80,
+    "q82_decontaminate" -> q82)
 
   private val H = "9223372036854775807"
 
@@ -285,6 +302,20 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q82_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+        |  FROM t),
+        |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+        |tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 17 != 0)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM tr JOIN b USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q80_tfidf_cosine_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

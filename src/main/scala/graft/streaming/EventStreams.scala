@@ -149,6 +149,42 @@ object EventStreams {
       .select(keys.map(col) :+ col("event_time"): _*)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * purchase pairs with the SAME user's clicks in the preceding
+    * `lookback` (event time, inclusive both ends). The canonical
+    * watermarked two-stream join: both sides carry a watermark and the
+    * join condition time-bounds each side relative to the other, which is
+    * exactly what lets Spark's symmetric hash join EVICT state — a click
+    * older than (watermark − lookback) can never match a future purchase
+    * and is dropped, so each side's buffer holds only a watermark+lookback
+    * horizon of rows regardless of stream length. Without the interval
+    * condition both buffers grow forever; that unbounded form is the
+    * anti-pattern this operator exists to avoid.
+    *
+    * Inner-join append semantics: pairs emit as soon as both rows have
+    * arrived; run to completion over a finite input the emitted set is
+    * exactly the batch interval self-join (the oracle). Event times are
+    * µs-truncated ns (the parquet convention), mirrored by the oracle's
+    * `// 1000` µs arithmetic. */
+  def clickAttribution(events: DataFrame,
+                       lookback: String = "30 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withColumn("p_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("p_time", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("p_time"))
+    val clicks = events.filter(col("event_type") === "click")
+      .withColumn("c_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("c_time", "2 hours")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("c_time"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $lookback") &&
+        col("c_time") <= col("p_time"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a memory
     * sink and return the materialized result (test/batch-drive harness for
     * the streaming operators).

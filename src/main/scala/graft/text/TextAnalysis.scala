@@ -245,6 +245,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Benchmark decontamination report — the train/eval hygiene pass every
+    * training-data pipeline needs: a training document is contaminated if
+    * it shares ANY n-gram with a benchmark (eval-set) document, the
+    * standard n-gram-overlap definition (n≈8 word-grams). Returns one row
+    * per contaminated training doc with its count of DISTINCT shared
+    * n-grams; anti-joining the corpus against these ids yields the clean
+    * training set (same survivor shape as the near-dup dedup, q74).
+    *
+    * Scale shape: eval benchmarks are tiny next to a 100 TB corpus —
+    * MBs, bounded by what humans curate — so the benchmark n-gram set is
+    * broadcast and the corpus side never shuffles; flagging is one
+    * map-side semi-join-shaped pass plus a per-doc count. If the
+    * benchmark side ever outgrew broadcast, drop the hint and the same
+    * plan degrades to a shuffle on the shingle (and the string key can
+    * shrink to its 63-bit hash); nothing else changes. */
+  def contaminationReport(train: DataFrame, bench: DataFrame, id: String,
+                          text: String, n: Int = 8): DataFrame = {
+    val t = shingles(train, id, text, n) // distinct (id, shingle)
+    val b = shingles(bench, id, text, n).select("shingle").distinct()
+    // t is distinct per (id, shingle) and b per shingle, so the join has
+    // one row per (doc, shared n-gram): count(*) IS the distinct count.
+    t.join(broadcast(b), "shingle")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact Jaccard over item sets for all pairs sharing ≥1 item:
     * co-occurrence join on the item (shuffle key = item), then
     * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize —

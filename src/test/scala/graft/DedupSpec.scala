@@ -62,4 +62,23 @@ class DedupSpec extends AnyFunSuite {
     val total = graft.io.Tables.documents(spark, dir).count()
     assert(survivorCount == total - victims)
   }
+
+  test("contaminationReport flags exactly the docs sharing an 8-gram") {
+    import graft.text.TextAnalysis.contaminationReport
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains benchmark 8-grams: positions 1..8 and 2..9 of the
+      // benchmark text both appear → n_shared = 2
+      (1L, "xx alpha beta gamma delta epsilon zeta eta theta iota yy"),
+      // shares only a 7-gram tail — BELOW n, must not flag
+      (2L, "beta gamma delta epsilon zeta eta theta"),
+      // no overlap at all
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = contaminationReport(train, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L))
+  }
 }

@@ -134,6 +134,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q82 decontamination broadcasts the benchmark n-gram set") {
+    val p = plan("q82_decontaminate")
+    // the corpus side must NOT shuffle for the flagging join — the
+    // benchmark set rides a broadcast, the whole point at corpus scale
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q77 range join plans as a HASH equi-join, never a nested loop") {
     val p = plan("q77_purchase_window")
     // the band predicate must ride a (key, bucket) hash join as its

@@ -92,4 +92,41 @@ class WatermarkSpec extends AnyFunSuite {
     assert(!rows.contains((1L, 3L, 2L)), s"state survived past its event-time expiry: $rows")
     spark.catalog.dropTempView("et_timeout_test")
   }
+
+  test("stream-stream interval join: on-time pair emits, post-watermark match does not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventStreams.clickAttribution(df).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_test")
+      .start()
+    try {
+      // Batch 1: click then purchase 6 min later for user 1 → one pair.
+      // The t=10h click/purchase (disjoint users) advance BOTH sides'
+      // watermarks to hour 8 — the click side's watermark only moves on
+      // click events (each side is filtered before its watermark).
+      input.addData(
+        (1L, ns(0.2), 1L, "click", 1.0, "{}"),
+        (2L, ns(0.3), 1L, "purchase", 2.0, "{}"),
+        (3L, ns(10.0), 98L, "click", 3.0, "{}"),
+        (4L, ns(10.0), 99L, "purchase", 4.0, "{}"))
+      q.processAllAvailable()
+      // Batch 2: a purchase at t=0.4h whose matching click exists but is
+      // hours behind the watermark — the click's join state is evicted
+      // (it can no longer match any on-time purchase) and the late
+      // purchase itself is watermark-dropped. No new pair may emit;
+      // unbounded-buffer semantics would have produced (5,1).
+      input.addData((5L, ns(0.4), 1L, "purchase", 5.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = spark.table("ssj_test")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)), s"got $pairs")
+    spark.catalog.dropTempView("ssj_test")
+  }
 }
