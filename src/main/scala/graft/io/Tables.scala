@@ -111,6 +111,22 @@ object Tables {
                    seed: Long): DataFrame =
     df.filter(seededUniform(col(key), seed) < fraction)
 
+  /** Weighted (per-row-probability) seeded sampling: keep a row iff its
+    * [[seededUniform]] draw falls below that row's OWN `keepProb` — the
+    * training-mix downsampling primitive ("CommonCrawl at 0.3×, books at
+    * 1.0×", or p ∝ a per-doc quality weight). Per-row independent
+    * Bernoulli, so there is no top-k boundary where a float ulp could
+    * flip membership cross-engine: both the draw and the probability are
+    * IEEE-deterministic functions of integers, and the same rows are kept
+    * on any cluster layout and in the DuckDB oracle. (The fixed-k
+    * alternative — Efraimidis–Spirakis keys u^(1/w) — trades that for an
+    * order-statistic boundary; prefer this form when the budget can be a
+    * rate.) */
+  def weightedSample(df: DataFrame, key: String,
+                     keepProb: org.apache.spark.sql.Column,
+                     seed: Long): DataFrame =
+    df.filter(seededUniform(col(key), seed) < keepProb)
+
   /** `n` seeded-random disjoint pairs from the distinct values of `key`
     * (reference part2's random-pair protocol: sample users, pair them up).
     * Two-stage for scale: a distributed `TakeOrderedAndProject` selects

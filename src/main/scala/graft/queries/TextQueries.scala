@@ -212,6 +212,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q84 — token chunking ([[TextAnalysis.chunkDocuments]], 32-token
+    * chunks, stride 24 → 8 tokens of shared context between consecutive
+    * chunks): the sequence-prep map that fans each document onto its
+    * deterministic chunk grid. Shuffle-free — the only exchange in the
+    * plan is the oracle's output ORDER BY. */
+  val q84: Q = (spark, dir) =>
+    chunkDocuments(Tables.documents(spark, dir), "doc_id", "text",
+      chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  /** q85 — sequence packing ([[TextAnalysis.packSequences]]): lay each
+    * (source, lang) mixture component's documents end-to-end and assign
+    * every document its 128-token-budget bin span. Docs with
+    * `first_bin < last_bin` straddle a context boundary — the split the
+    * chopper applies downstream. One shuffle (the group-keyed window);
+    * parallel across components. */
+  val q85: Q = (spark, dir) =>
+    packSequences(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("source", "lang"), budget = 128)
+      .orderBy("source", "lang", "doc_id")
+
+  /** q86 — quality-weighted downsampling ([[Tables.weightedSample]]):
+    * keep each document with probability proportional to its length,
+    * p = clamp(n_chars/2000, 0.05, 0.9) — the mixture-weighting pass that
+    * up-samples substantive documents and keeps a floor of everything.
+    * Seeded keyed PRNG → layout-independent, reproducible, and exactly
+    * mirrored by the oracle's md5 arithmetic. */
+  val q86: Q = (spark, dir) => {
+    val p = least(lit(0.9),
+      greatest(lit(0.05), col("n_chars").cast("double") / 2000.0))
+    Tables.weightedSample(Tables.documents(spark, dir), "doc_id", p,
+      seed = 99L)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        round(p, 6).as("p_keep"))
+      .orderBy("doc_id")
+  }
+
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
     * the 100 TB-scale variant of q25 (no numPerm× explosion). The
@@ -250,7 +287,10 @@ object TextQueries {
     "q74_neardup_survivors" -> q74,
     "q75_stratified_cap" -> q75,
     "q80_tfidf_cosine_pairs" -> q80,
-    "q82_decontaminate" -> q82)
+    "q82_decontaminate" -> q82,
+    "q84_token_chunks" -> q84,
+    "q85_sequence_packing" -> q85,
+    "q86_weighted_sample" -> q86)
 
   private val H = "9223372036854775807"
 
@@ -302,6 +342,46 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // seededUniform mirror: u = least((md5_63('seed:key'))/2^63, nextDown(1)).
+    "q86_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    least(0.9, greatest(0.05, n_chars / 2000.0)) AS p,
+         |    least(CAST((md5_number_lower('99:' || doc_id::VARCHAR) & $H)
+         |            AS BIGINT)::DOUBLE / 9.223372036854775808e18,
+         |          0.9999999999999999) AS u
+         |  FROM documents)
+         |SELECT doc_id, source, lang, n_chars, round(p, 6) AS p_keep
+         |FROM t WHERE u < p ORDER BY doc_id""".stripMargin,
+    "q85_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (
+        |    PARTITION BY source, lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, lang, n_tokens,
+        |  cum - n_tokens AS off_tokens,
+        |  (cum - n_tokens) // 128 AS first_bin,
+        |  (cum - 1) // 128 AS last_bin
+        |FROM c ORDER BY source, lang, doc_id""".stripMargin,
+    "q84_token_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(1, ceil((len(toks) - 32) / 24.0) + 1) AS BIGINT) - 1))
+        |      AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  len(toks[chunk_id*24 + 1 : chunk_id*24 + 32]) AS chunk_len,
+        |  list_aggregate(toks[chunk_id*24 + 1 : chunk_id*24 + 32],
+        |    'string_agg', ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q82_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

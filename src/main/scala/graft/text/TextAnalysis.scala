@@ -245,6 +245,63 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Fixed-size token chunking with overlap — the sequence-prep step
+    * between cleaning and tokenization in a training pipeline: each
+    * document becomes ⌈(len − chunkSize)/stride⌉ + 1 (min 1) chunks on
+    * the deterministic grid start = chunkId·stride, so consecutive
+    * chunks share (chunkSize − stride) tokens of context and a document
+    * shorter than one chunk still yields its single short chunk.
+    *
+    * Pure per-row map + explode: no shuffle anywhere, and the whole
+    * sequence/slice/concat pipeline stays inside whole-stage codegen —
+    * at corpus scale this runs at scan speed with output ≈ len/stride
+    * rows per doc. */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize > 0, "chunkSize and stride must be positive")
+    df.select(col(id), split(col(text), " ").as("toks"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        (ceil((size(col("toks")) - lit(chunkSize)).cast("double") / stride)
+          + lit(1)).cast("long")))
+      .select(col(id), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(id), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("ctoks"))
+      .select(col(id), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("chunk_len"),
+        concat_ws(" ", col("ctoks")).as("chunk"))
+  }
+
+  /** Sequence packing — the concat-then-chop step that turns a cleaned
+    * corpus into fixed-budget context windows: within each pack group the
+    * documents are laid end-to-end in doc-id order into one virtual token
+    * stream, and a document's bin span is just its [offset, offset+len)
+    * interval divided by the budget (GPT-style pretraining packing, where
+    * a document may straddle a window boundary — `first_bin < last_bin`
+    * marks the straddlers). One window cumsum computes every offset.
+    *
+    * The pack group is the scale unit: packing is embarrassingly parallel
+    * across groups (here the (source, lang) mixture components — which is
+    * also what training mixtures want), and a global single-stream pack
+    * would serialize the cumsum into one partition, the exact bottleneck
+    * grouping avoids. A group too large for one task gets sharded by a
+    * hash suffix in the group key; determinism survives because the
+    * order-by stays (doc-id) within shards. */
+  def packSequences(df: DataFrame, id: String, text: String,
+                    groupCols: Seq[String], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(id))
+    df.select(col(id) +: groupCols.map(col) :+
+        size(split(col(text), " ")).cast("long").as("n_tokens"): _*)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("off_tokens", col("cum") - col("n_tokens"))
+      .withColumn("first_bin", floor(col("off_tokens") / budget))
+      .withColumn("last_bin", floor((col("cum") - 1) / budget))
+      .drop("cum")
+  }
+
   /** Benchmark decontamination report — the train/eval hygiene pass every
     * training-data pipeline needs: a training document is contaminated if
     * it shares ANY n-gram with a benchmark (eval-set) document, the

@@ -134,6 +134,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q84 chunking is shuffle-free up to the output sort") {
+    val p = plan("q84_token_chunks")
+    // pure map + explode: the ONLY exchange is the final ORDER BY's
+    // range partitioning — a chunker that shuffles per-doc data is wrong
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert(p.contains("rangepartitioning"))
+  }
+
   test("q82 decontamination broadcasts the benchmark n-gram set") {
     val p = plan("q82_decontaminate")
     // the corpus side must NOT shuffle for the flagging join — the

@@ -82,4 +82,22 @@ class SampleSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(aSet != c, "different seed produced identical sample")
   }
+
+  test("weightedSample keeps ~sum(p) rows and tracks per-row probability") {
+    import org.apache.spark.sql.functions._
+    // Two weight tiers: p=0.1 for k<5000, p=0.8 for k>=5000.
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("p", when($"k" < 5000, 0.1).otherwise(0.8))
+    val kept = Tables.weightedSample(df, "k", col("p"), seed = 11L)
+      .groupBy("p").count().as[(Double, Long)].collect().toMap
+    // Binomial 4σ bands: n=5000 at p → mean 500/4000, σ≈21.2/28.3.
+    assert(math.abs(kept(0.1) - 500.0) < 4 * 21.3, s"low tier: ${kept(0.1)}")
+    assert(math.abs(kept(0.8) - 4000.0) < 4 * 28.3, s"high tier: ${kept(0.8)}")
+    // Layout-independence: same kept set after a repartition.
+    val a = Tables.weightedSample(df, "k", col("p"), seed = 11L)
+      .select("k").as[Long].collect().toSet
+    val b = Tables.weightedSample(df.repartition(13), "k", col("p"), seed = 11L)
+      .select("k").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

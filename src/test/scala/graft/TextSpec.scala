@@ -95,6 +95,39 @@ class TextSpec extends AnyFunSuite {
     assert(got.tail.forall(p => p._3 > 0.0 && p._3 < 1.0))
   }
 
+  test("chunkDocuments: grid boundaries, overlap, and the short-doc case") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // len 10
+      (2L, "a b c"))                                  // shorter than one chunk
+      .toDF("doc_id", "text")
+    val got = chunkDocuments(docs, "doc_id", "text", chunkSize = 8, stride = 4)
+      .select("doc_id", "chunk_id", "chunk_len", "chunk")
+      .as[(Long, Long, Long, String)].collect().toSet
+    // len 10, size 8, stride 4 → ⌈(10−8)/4⌉+1 = 2 chunks: tokens 1–8 and
+    // 5–10 (the trailing short window, NOT a third fully-contained one)
+    assert(got == Set(
+      (1L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, 6L, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0L, 3L, "a b c")))
+  }
+
+  test("packSequences: offsets, bin spans, and boundary straddlers") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, "g", words(100)), // [0,100)   → bins 0..0
+      (2L, "g", words(50)),  // [100,150) → bins 0..1 (straddles 128)
+      (3L, "g", words(30)),  // [150,180) → bins 1..1
+      (9L, "h", words(10)))  // other group packs independently from 0
+      .toDF("doc_id", "grp", "text")
+    val got = graft.text.TextAnalysis
+      .packSequences(docs, "doc_id", "text", Seq("grp"), budget = 128)
+      .select("doc_id", "off_tokens", "first_bin", "last_bin")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L), (2L, 100L, 0L, 1L), (3L, 150L, 1L, 1L),
+      (9L, 0L, 0L, 0L)))
+  }
+
   test("tfidfCosinePairs: a shingle over the df cap contributes no pairs") {
     // 3 identical docs, maxDf = 2: every shingle has df = 3 > cap, the
     // vocabulary is empty, and the pair join must produce ZERO rows —
