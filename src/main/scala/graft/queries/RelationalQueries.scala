@@ -322,6 +322,42 @@ object RelationalQueries {
         round(expr("percentile(value, 0.99D)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** q87 — per-group winsorization (clip event values to the type's
+    * [p1, p99] band): the outlier-capping cleanup pass — compute the tiny
+    * per-group percentile frame once, broadcast it back onto the fact
+    * scan, clip with pure scalar math. The fact side never shuffles; at
+    * 100 TB the percentile side switches to `approx_percentile` (same
+    * broadcast shape, the q78 spec bounds the band drift). Clipped
+    * values are rounded before emission so the IEEE interpolation of the
+    * band edges compares stably cross-engine. */
+  val q87: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val bands = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.01D)").as("p01"),
+      expr("percentile(value, 0.99D)").as("p99"))
+    ev.join(broadcast(bands), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("v"),
+        round(least(greatest(col("value"), col("p01")), col("p99")), 6)
+          .as("v_clipped"),
+        (col("value") < col("p01") || col("value") > col("p99"))
+          .cast("long").as("clipped"))
+      .orderBy("event_id")
+  }
+
+  /** q88 — fixed-width value histogram per event type (bin = ⌊value/10⌋):
+    * the profiling primitive behind q87's band choice. Pure integer bin
+    * math + one partial-aggregated group-by — the shape that histograms
+    * 100 TB in one pass (contrast `percentile`'s per-group sort: bins
+    * are mergeable, order-free, and fixed-space like any sketch). */
+  val q88: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value")).cast("double").as("total"))
+      .orderBy("event_type", "bin")
+
   /** q79 — full grouping-sets lattice (CUBE) over (returnflag,
     * linestatus) with the grouping_id disambiguator: all four
     * aggregation granularities in ONE pass (Spark expands the cube into
@@ -387,9 +423,28 @@ object RelationalQueries {
     "q77_purchase_window" -> q77,
     "q78_group_percentiles" -> q78,
     "q79_cube_totals" -> q79,
-    "q83_sliding_windows" -> q83)
+    "q83_sliding_windows" -> q83,
+    "q87_winsorize" -> q87,
+    "q88_value_histogram" -> q88)
 
   val oracles: Map[String, String] = Map(
+    "q87_winsorize" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS p01,
+        |    quantile_cont(value, 0.99) AS p99
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, round(value, 6) AS v,
+        |  round(least(greatest(value, p01), p99), 6) AS v_clipped,
+        |  CAST(value < p01 OR value > p99 AS BIGINT) AS clipped
+        |FROM events JOIN p USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q88_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
     "q78_group_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

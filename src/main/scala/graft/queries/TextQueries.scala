@@ -249,6 +249,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q89 — text normalization (the canonicalization map that runs before
+    * any dedup/fingerprint pass): lowercase, strip every character
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Pure per-row
+    * scalar pipeline — codegen'd regexes, no shuffle except the output
+    * sort. Spark's regexp_replace is replace-ALL by default; the DuckDB
+    * mirror says so explicitly with the 'g' flag, and the character-class
+    * patterns used here mean the same thing in Java regex and RE2. */
+  val q89: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm"))
+      .withColumn("n_tokens",
+        when(col("norm") === "", lit(0L))
+          .otherwise(size(split(col("norm"), " ")).cast("long")))
+      .orderBy("doc_id")
+
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
     * the 100 TB-scale variant of q25 (no numPerm× explosion). The
@@ -290,7 +308,8 @@ object TextQueries {
     "q82_decontaminate" -> q82,
     "q84_token_chunks" -> q84,
     "q85_sequence_packing" -> q85,
-    "q86_weighted_sample" -> q86)
+    "q86_weighted_sample" -> q86,
+    "q89_normalize_text" -> q89)
 
   private val H = "9223372036854775807"
 
@@ -342,6 +361,16 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q89_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm,
+        |  CASE WHEN norm = '' THEN 0
+        |       ELSE CAST(len(string_split(norm, ' ')) AS BIGINT) END AS n_tokens
+        |FROM n ORDER BY doc_id""".stripMargin,
     // seededUniform mirror: u = least((md5_63('seed:key'))/2^63, nextDown(1)).
     "q86_weighted_sample" ->
       s"""WITH t AS (

@@ -168,6 +168,31 @@ class RelationalSpec extends AnyFunSuite {
       !r.isNullAt(r.fieldIndex("l_returnflag"))))
   }
 
+  test("q87 winsorize: outputs stay in-band and ~2% of each group clips") {
+    val rows = RelationalQueries.q87(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val clipped = rs.count(_.getAs[Long]("clipped") == 1L)
+      // 2% of the mass lies outside [p1, p99] by definition (continuous
+      // values, no ties at the band edges in this synthetic data)
+      assert(math.abs(clipped.toDouble / rs.length - 0.02) < 0.015,
+        s"$t: $clipped/${rs.length} clipped")
+      // every clipped value moved; every unclipped value is unchanged
+      rs.foreach { r =>
+        val moved = r.getAs[Double]("v") != r.getAs[Double]("v_clipped")
+        assert(moved == (r.getAs[Long]("clipped") == 1L))
+      }
+    }
+  }
+
+  test("q88 histogram partitions every event into exactly one bin") {
+    val rows = RelationalQueries.q88(spark, sf).collect()
+    val events = graft.io.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == events)
+    // bin arithmetic: all values in [0.01, 500) → bins within [0, 50)
+    assert(rows.forall(r => r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") < 50))
+  }
+
   test("q83 hop windows: every event lands in exactly w/h = 2 windows") {
     val rows = RelationalQueries.q83(spark, sf).collect()
     val events = graft.io.Tables.events(spark, sf).count()

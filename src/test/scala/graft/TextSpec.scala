@@ -111,6 +111,21 @@ class TextSpec extends AnyFunSuite {
       (2L, 0L, 3L, "a b c")))
   }
 
+  test("q89 normalization: hand case and idempotence on real docs") {
+    val got = graft.queries.TextQueries.q89(spark, sf)
+    // idempotence: normalizing an already-normal string changes nothing
+    val renorm = got.select(
+      col("doc_id"), col("norm"),
+      trim(regexp_replace(regexp_replace(lower(col("norm")),
+        "[^a-z0-9 ]", ""), " +", " ")).as("norm2"))
+    assert(renorm.filter(col("norm") =!= col("norm2")).count() == 0)
+    // n_tokens is consistent with the normalized text
+    val bad = got.filter(col("n_tokens") =!=
+      when(col("norm") === "", lit(0L))
+        .otherwise(size(split(col("norm"), " ")).cast("long"))).count()
+    assert(bad == 0)
+  }
+
   test("packSequences: offsets, bin spans, and boundary straddlers") {
     def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
     val docs = Seq(
