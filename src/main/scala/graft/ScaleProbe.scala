@@ -72,6 +72,29 @@ object ScaleProbe {
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())
 
+    if (probes("tfidf")) {
+      // TF-IDF cosine pairs at factor× the corpus. Each copy's tokens get
+      // a copy-index prefix, so copy vocabularies are DISJOINT: the df
+      // distribution per copy stays that of the base corpus (exact
+      // replication would instead multiply every df by factor — a
+      // different, near-dup-explosion experiment). The claim under test:
+      // with a stable df profile the inverted-index join's work — pair
+      // rows = Σ_shingle df·(df−1)/2 — grows linearly with corpus size,
+      // because the maxDf cap keeps per-shingle fan-out constant.
+      val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      val corpus = (0 until factor).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(^| )", "$1" + i + "_"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE tfidf corpus: ${corpus.count()} docs")
+      time("tfidf_pairs_top100")(
+        graft.text.TextAnalysis.tfidfCosinePairs(
+          corpus, "doc_id", "text", n = 3, maxDf = 20, k = 100).count())
+      corpus.unpersist(blocking = false)
+    }
+
     if (probes("ann")) {
       // ANN strategies at factor× the corpus: brute force scales O(N) per
       // query; IVF pays a one-time quantizer build then probes
