@@ -107,4 +107,32 @@ object Relational {
       .agg(array_join(
         transform(sort_array(collect_list(col(item))), _.cast("string")),
         ",").as(out))
+
+  /** Sequential conversion funnel — the ordered-pattern analytic
+    * (first `stages(0)`, then the first `stages(1)` STRICTLY after it,
+    * then the first `stages(2)` after that, …): one row per key that
+    * entered the funnel, with each stage's event time `t0..tN`, null
+    * from the first missed stage on.
+    *
+    * Shape: a cascade of (filter → co-keyed join → partial-aggregated
+    * min) per stage, then left-joins back onto the entry frame — every
+    * shuffle in the plan is on the SAME key, so AQE coalesces the
+    * cascade into co-partitioned stages; nothing is ordered globally and
+    * no per-key event list is ever materialized (the window-sort
+    * alternative would buffer each key's full history to walk it once —
+    * this form only ever aggregates mins). */
+  def funnel(df: DataFrame, key: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val entry = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(key)).agg(min(col(tsCol)).as("t0"))
+    val reached = stages.indices.tail.scanLeft(entry) { (acc, i) =>
+      df.filter(col(typeCol) === stages(i))
+        .select(col(key), col(tsCol))
+        .join(acc.select(col(key), col(s"t${i - 1}")), key)
+        .filter(col(tsCol) > col(s"t${i - 1}"))
+        .groupBy(col(key)).agg(min(col(tsCol)).as(s"t$i"))
+    }
+    reached.tail.foldLeft(reached.head)((l, r) => l.join(r, Seq(key), "left"))
+  }
 }

@@ -358,6 +358,43 @@ object RelationalQueries {
         decSum(col("value")).cast("double").as("total"))
       .orderBy("event_type", "bin")
 
+  /** q90 — sequential conversion funnel view→click→purchase
+    * ([[graft.ops.Relational.funnel]]): per-user first-view time, first
+    * click strictly after it, first purchase after that — null from the
+    * first missed stage. Every shuffle in the cascade is on user_id;
+    * timestamps emitted as epoch seconds via integer division (ns Long →
+    * s), so the whole result is integer-exact cross-engine. */
+  val q90: Q = (spark, dir) =>
+    funnel(Tables.events(spark, dir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        expr("t0 div 1000000000").as("view_s"),
+        expr("t1 div 1000000000").as("click_s"),
+        expr("t2 div 1000000000").as("purchase_s"))
+      .orderBy("user_id")
+
+  /** q91 — full-outer reconciliation of the two fact tables' per-customer
+    * aggregates (order count/spend vs event count): the audit-join that
+    * surfaces keys present on either side only. Both inputs pre-aggregate
+    * to one row per key BEFORE the join — full-outer on raw facts would
+    * shuffle everything to build mostly-null pairs; on aggregates it is
+    * a |keys|-sized join, and the spend sum rides the decimal domain. */
+  val q91: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).cast("double").as("spend"))
+    val e = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("id")
+  }
+
   /** q79 — full grouping-sets lattice (CUBE) over (returnflag,
     * linestatus) with the grouping_id disambiguator: all four
     * aggregation granularities in ONE pass (Spark expands the cube into
@@ -425,9 +462,39 @@ object RelationalQueries {
     "q79_cube_totals" -> q79,
     "q83_sliding_windows" -> q83,
     "q87_winsorize" -> q87,
-    "q88_value_histogram" -> q88)
+    "q88_value_histogram" -> q88,
+    "q90_funnel" -> q90,
+    "q91_full_outer_reconcile" -> q91)
 
   val oracles: Map[String, String] = Map(
+    "q90_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t0
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t1
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t0 // 1000000000 AS view_s,
+        |  c.t1 // 1000000000 AS click_s, p.t2 // 1000000000 AS purchase_s
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q91_full_outer_reconcile" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS id, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |e AS (SELECT user_id AS id, COUNT(*) AS n_events
+        |      FROM events GROUP BY user_id)
+        |SELECT id, COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(spend, 0.0) AS spend, COALESCE(n_events, 0) AS n_events
+        |FROM o FULL OUTER JOIN e USING (id) ORDER BY id""".stripMargin,
     "q87_winsorize" ->
       """WITH p AS (
         |  SELECT event_type,

@@ -168,6 +168,25 @@ class RelationalSpec extends AnyFunSuite {
       !r.isNullAt(r.fieldIndex("l_returnflag"))))
   }
 
+  test("funnel: strictly-after chaining, dropouts null, non-entrants absent") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 5L), (1L, "click", 20L),
+      (1L, "purchase", 15L), (1L, "purchase", 30L),
+      (2L, "view", 10L),                    // entered, never clicked
+      (3L, "click", 5L))                    // never viewed → not in funnel
+      .toDF("user_id", "event_type", "ts")
+    val got = funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.get(r.fieldIndex("t0"))), Option(r.get(r.fieldIndex("t1"))),
+          Option(r.get(r.fieldIndex("t2")))))).toMap
+    // user 1: click@5 precedes the first view, purchase@15 precedes the
+    // first qualifying click — both must be skipped by the strict chain
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((Some(10L), None, None)))
+    assert(!got.contains(3L))
+  }
+
   test("q87 winsorize: outputs stay in-band and ~2% of each group clips") {
     val rows = RelationalQueries.q87(spark, sf).collect()
     val byType = rows.groupBy(_.getAs[String]("event_type"))
