@@ -167,8 +167,37 @@ object StreamingQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** q92 — native `session_window` sessions over the BATCH events frame
+    * ([[EventStreams.sessionWindowAgg]]): one row per (user, session)
+    * with start, duration, event count. The oracle is the classic
+    * gaps-and-islands rewrite; the boundary convention (an event at
+    * exactly last+gap starts a NEW session) is the operator's strict-<
+    * overlap rule, mirrored with `>=` in the island test. */
+  val q92: Q = (spark, dir) =>
+    EventStreams.sessionWindowAgg(
+      spark.read.schema(eventsSchema)
+        .parquet(s"$dir/events.parquet"))
+      .orderBy("user_id", "start_s")
+
+  /** q93 — the streaming twin of q92 in append mode: Spark's NATIVE
+    * session state (vs q62/q65's explicit flatMapGroupsWithState) — a
+    * session emits once the watermark passes its end, so the state store
+    * holds only open sessions within the watermark horizon. Oracle =
+    * q92's islands restricted to watermark-closed sessions, same ms
+    * arithmetic as q63. */
+  val q93: Q = (spark, dir) => {
+    val name = s"q93_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark,
+      EventStreams.sessionWindowAgg(stream(spark, dir)),
+      name, OutputMode.Append)
+      .select("user_id", "start_s", "dur_us", "n")
+      .orderBy("user_id", "start_s")
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_stream_attribution" -> q81,
+    "q92_session_windows" -> q92,
+    "q93_stream_session_windows" -> q93,
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
     "q63_stream_hourly_append" -> q63,
@@ -176,7 +205,41 @@ object StreamingQueries {
     "q65_stream_sessions_expiring" -> q65,
     "q66_stream_enrich" -> q66)
 
+  private val sessionIslandsCte =
+    """x AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+      |y AS (
+      |  SELECT user_id, t_us,
+      |    CASE WHEN lag(t_us) OVER w IS NULL
+      |           OR t_us - lag(t_us) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+      |z AS (
+      |  SELECT user_id, t_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM y)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Gaps-and-islands mirror of session_window: an event at exactly
+    // last+gap starts a new session (>= in the island test = the
+    // operator's strict-< overlap rule).
+    "q92_session_windows" ->
+      s"""WITH $sessionIslandsCte
+         |SELECT user_id, MIN(t_us) // 1000000 AS start_s,
+         |  MAX(t_us) - MIN(t_us) AS dur_us, COUNT(*) AS n
+         |FROM z GROUP BY user_id, sess_id
+         |ORDER BY user_id, start_s""".stripMargin,
+    // q92 restricted to watermark-closed sessions (session end =
+    // last event + gap; same ms watermark arithmetic as q63).
+    "q93_stream_session_windows" ->
+      s"""WITH $sessionIslandsCte,
+         |wm AS (SELECT (MAX(epoch_ns(ts) // 1000) // 1000) - 7200000 AS wm_ms
+         |       FROM events)
+         |SELECT user_id, MIN(t_us) // 1000000 AS start_s,
+         |  MAX(t_us) - MIN(t_us) AS dur_us, COUNT(*) AS n
+         |FROM z, wm GROUP BY user_id, sess_id, wm_ms
+         |HAVING (MAX(t_us) + 1800000000) // 1000 <= wm_ms
+         |ORDER BY user_id, start_s""".stripMargin,
     // Batch interval self-join over the same µs-truncated event times.
     "q81_stream_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

@@ -149,6 +149,36 @@ object EventStreams {
       .select(keys.map(col) :+ col("event_time"): _*)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Native `session_window` aggregation (per-user 30-minute-gap
+    * sessions): the built-in merging-window operator — each event opens a
+    * [t, t+gap) window and overlapping windows merge, so a session's end
+    * is its last event + gap and an event at EXACTLY end starts a new
+    * session (strict `<` overlap — note this differs from the custom
+    * [[sessionize]]'s `>` gap test only on exact-boundary ties).
+    *
+    * Works identically over a batch frame (the q92 registration) and a
+    * watermarked stream (q93, append mode — a session emits once the
+    * watermark passes its end, so state is bounded by the watermark
+    * horizon; this is the operator Spark maintains session state for
+    * natively, vs [[sessionize]]'s hand-rolled flatMapGroupsWithState
+    * which exists to show the explicit-state shape). Duration is emitted
+    * in µs WITHOUT the trailing gap (last − first event), integer-exact
+    * cross-engine. */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = "30 minutes",
+                       gapUs: Long = 30L * 60 * 1000000L): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        (unix_micros(col("session_window.end"))
+          - unix_micros(col("session_window.start")) - lit(gapUs))
+          .as("dur_us"),
+        col("n"))
+
   /** Stream-stream interval join — click→purchase attribution: each
     * purchase pairs with the SAME user's clicks in the preceding
     * `lookback` (event time, inclusive both ends). The canonical
