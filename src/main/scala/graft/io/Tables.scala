@@ -32,6 +32,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** The documents table staged as JSONL (one JSON object per line — the
+    * interchange format of LLM training corpora) and read back with the
+    * table's own explicit schema. The write happens once per
+    * (session, dir) (memoized; shutdown hook removes the staging dir);
+    * the read is lazy and schema-pinned — NO inference pass, which at
+    * 100 TB would be a full extra scan. Exercises the JSON source/sink
+    * under the oracle gate: any serialization drift (encoding, escaping,
+    * type round-trip) surfaces as a checksum mismatch vs the
+    * parquet-direct oracle. */
+  def documentsJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val schema = documents(spark, dir).schema
+    val staged = graft.util.SessionMemo(spark, s"jsonl-stage:$dir") {
+      val d = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      documents(spark, dir).write.mode("overwrite").json(d.toString)
+      sys.addShutdownHook {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+      d.toString
+    }
+    spark.read.schema(schema).json(staged)
+  }
+
   /** CSV source with a fixed schema (reference S1,
     * `top_100_pairs.py:26` — but without `inferSchema`, which costs an
     * extra full scan; SURVEY.md §1.2). */

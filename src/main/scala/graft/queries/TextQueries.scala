@@ -212,6 +212,63 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q94 — q82's decontamination via the two-phase Bloom band-pass
+    * ([[TextAnalysis.contaminationReportBloom]]): benchmark n-grams →
+    * distributed Bloom aggregate → native `might_contain` prefilter on
+    * the corpus side → exact confirming join. Same output, same oracle as
+    * q82 — the Bloom phase must be invisible in the result (false
+    * positives die in the exact join), which makes this a cross-check of
+    * the whole prefilter path. */
+  val q94: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    contaminationReportBloom(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** q95 — vocabulary df-spectrum (the "how heavy is the tail" corpus
+    * diagnostic behind vocab-size / min-df choices): for each document
+    * frequency, how many distinct tokens have it and how many occurrences
+    * they carry. Two partial-aggregated shuffles, output rows bounded by
+    * max(df) ≤ |corpus|. */
+  val q95: Q = (spark, dir) =>
+    tokens(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy("token")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("occ"))
+      .groupBy("df")
+      .agg(count(lit(1)).as("n_tokens"), sum("occ").as("n_occ"))
+      .orderBy("df")
+
+  /** q96 — JSONL source/sink roundtrip under the oracle gate
+    * ([[Tables.documentsJsonl]]): documents → write JSONL → read back
+    * (explicit schema, no inference) → per-(source, lang) counts, char
+    * totals, and an order-independent content checksum
+    * (`bit_xor(md5_63(text))`). The oracle reads the parquet directly, so
+    * any drift introduced by the JSON round-trip breaks the hash. */
+  val q96: Q = (spark, dir) =>
+    Tables.documentsJsonl(spark, dir)
+      .withColumn("h", graft.functions.GraftFunctions.md5_63(col("text")))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("source", "lang")
+
+  /** q97 — per-document dedup disposition ledger
+    * ([[graft.text.Dedup.dedupLedger]]): every document classified
+    * exact_dup / near_dup / kept with its canonical id — the audit
+    * artifact between q23 (exact groups), q73 (near clusters) and q74
+    * (survivors). Exact-hash identity outranks near-dup membership; the
+    * corpus has no exact twins at any SF, so that branch is pinned by
+    * DedupSpec's planted fixture instead of the oracle. */
+  val q97: Q = (spark, dir) =>
+    graft.text.Dedup.dedupLedger(
+      Tables.documents(spark, dir), "doc_id", "text",
+      graft.text.Dedup.nearDupClusters(lshPairsCached(spark, dir), "id_a", "id_b"))
+      .orderBy("doc_id")
+
   /** q84 — token chunking ([[TextAnalysis.chunkDocuments]], 32-token
     * chunks, stride 24 → 8 tokens of shared context between consecutive
     * chunks): the sequence-prep map that fans each document onto its
@@ -309,9 +366,31 @@ object TextQueries {
     "q84_token_chunks" -> q84,
     "q85_sequence_packing" -> q85,
     "q86_weighted_sample" -> q86,
-    "q89_normalize_text" -> q89)
+    "q89_normalize_text" -> q89,
+    "q94_bloom_decontaminate" -> q94,
+    "q95_vocab_spectrum" -> q95,
+    "q96_jsonl_roundtrip" -> q96,
+    "q97_dedup_ledger" -> q97)
 
   private val H = "9223372036854775807"
+
+  // Shared by q82 (exact path) and q94 (Bloom-prefiltered path): the
+  // prefilter must be invisible in the result, so both gate against the
+  // identical exact-semantics SQL.
+  private lazy val contaminationOracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 7),
+      |      i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+      |  FROM t),
+      |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+      |tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 17 != 0)
+      |SELECT doc_id, COUNT(*) AS n_shared
+      |FROM tr JOIN b USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // The q27 MinHash+LSH pair pipeline as a reusable CTE chain (ends in
   // `est`); q27 thresholds it, q73/q74 resolve it into components.
@@ -411,20 +490,41 @@ object TextQueries {
         |  list_aggregate(toks[chunk_id*24 + 1 : chunk_id*24 + 32],
         |    'string_agg', ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-    "q82_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 8),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, len(toks) - 7),
-        |      i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
-        |  FROM t),
-        |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
-        |tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 17 != 0)
-        |SELECT doc_id, COUNT(*) AS n_shared
-        |FROM tr JOIN b USING (shingle)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q82_decontaminate" -> contaminationOracle,
+    // q94 is the Bloom-prefiltered implementation of the same
+    // contamination semantics — one oracle, two engines' worth of plan.
+    "q94_bloom_decontaminate" -> contaminationOracle,
+    "q95_vocab_spectrum" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |per AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS occ
+        |  FROM tok GROUP BY token)
+        |SELECT df, COUNT(*) AS n_tokens, CAST(SUM(occ) AS BIGINT) AS n_occ
+        |FROM per GROUP BY df ORDER BY df""".stripMargin,
+    "q96_jsonl_roundtrip" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(CAST(md5_number_lower(text) & $H AS BIGINT)) AS checksum
+         |FROM documents GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
+    "q97_dedup_ledger" ->
+      s"""WITH RECURSIVE $componentsCte,
+         |ex AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS exact_canon
+         |  FROM documents)
+         |SELECT ex.doc_id,
+         |  CASE WHEN ex.doc_id <> ex.exact_canon THEN 'exact_dup'
+         |       WHEN comp.id IS NOT NULL AND ex.doc_id <> comp.canonical_id
+         |         THEN 'near_dup'
+         |       ELSE 'kept' END AS status,
+         |  CASE WHEN ex.doc_id <> ex.exact_canon THEN ex.exact_canon
+         |       WHEN comp.id IS NOT NULL THEN comp.canonical_id
+         |       ELSE ex.doc_id END AS canonical_id
+         |FROM ex LEFT JOIN comp ON comp.id = ex.doc_id
+         |ORDER BY ex.doc_id""".stripMargin,
     "q80_tfidf_cosine_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

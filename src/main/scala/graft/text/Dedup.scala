@@ -101,4 +101,34 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(broadcast(victims), Seq(idCol), "left_anti")
   }
+
+  /** Per-document dedup disposition ledger — the audit artifact a corpus
+    * curation run ships alongside the deduplicated output: every document
+    * mapped to (status, canonical_id) where status ∈ {exact_dup, near_dup,
+    * kept}, with exact-hash identity taking precedence over near-dup
+    * cluster membership (an exact copy is reported as exact even when the
+    * near-dup graph also catches it).
+    *
+    * `nearClusters` is [[nearDupClusters]] output ((doc_id, canonical_id,
+    * …)) — bounded by the number of near-dup documents, so the left join
+    * broadcasts. The exact pass is one hash-groupBy over the corpus (the
+    * q23 shape); no step holds driver-side state. */
+  def dedupLedger(docs: DataFrame, idCol: String, textCol: String,
+                  nearClusters: DataFrame): DataFrame = {
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("__fp"))
+    val exactCanon = hashed.groupBy("__fp")
+      .agg(min(col(idCol)).as("__exact_canon"))
+    val near = nearClusters
+      .select(col("doc_id").as(idCol), col("canonical_id").as("__near_canon"))
+    hashed.join(exactCanon, "__fp")
+      .join(broadcast(near), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(idCol) =!= col("__exact_canon"), lit("exact_dup"))
+          .when(col("__near_canon").isNotNull &&
+            col(idCol) =!= col("__near_canon"), lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        when(col(idCol) =!= col("__exact_canon"), col("__exact_canon"))
+          .when(col("__near_canon").isNotNull, col("__near_canon"))
+          .otherwise(col(idCol)).as("canonical_id"))
+  }
 }

@@ -327,6 +327,45 @@ object TextAnalysis {
       .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Two-phase benchmark decontamination — [[contaminationReport]]'s
+    * exact semi-join preceded by a Bloom-filter band-pass on the corpus
+    * side, the shape that matters when the corpus is 100 TB and the
+    * benchmark is megabytes: without it every corpus n-gram flows into
+    * the (broadcast) join's probe; with it the probe input drops to the
+    * maybe-contaminated sliver (true hits + ~fpp of the rest) before any
+    * join runs.
+    *
+    * The benchmark n-gram set is folded into a Bloom filter by the
+    * distributed `stat.bloomFilter` aggregate over `xxhash64(shingle)`
+    * (partial filters merged executor-side, ~1 MB result), embedded in
+    * the plan as a binary literal, and probed with Spark's native
+    * codegen'd `BloomFilterMightContain` — no Scala UDF in the hot path.
+    * Bloom false positives are removed by the exact join that follows,
+    * so the output is bit-identical to [[contaminationReport]] and the
+    * two share one oracle (q82/q94). */
+  def contaminationReportBloom(train: DataFrame, bench: DataFrame,
+                               id: String, text: String, n: Int = 8,
+                               expectedItems: Long = 1L << 20,
+                               fpp: Double = 0.01): DataFrame = {
+    val t = shingles(train, id, text, n)
+    val b = shingles(bench, id, text, n).select("shingle").distinct()
+    val bf = b.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(baos)
+      baos.toByteArray
+    }
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val mightContain = GraftShim.column(BloomFilterMightContain(
+      Literal(bytes),
+      GraftShim.expression(xxhash64(col("shingle")))))
+    t.filter(mightContain)
+      .join(broadcast(b), "shingle")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact Jaccard over item sets for all pairs sharing ≥1 item:
     * co-occurrence join on the item (shuffle key = item), then
     * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize —

@@ -67,7 +67,7 @@ object SessionMemo {
   def clear(spark: SparkSession): Unit =
     cache.keys.filter(_._1 eq spark).foreach { k =>
       cache.remove(k).flatMap(m => m.synchronized(m.peek)).foreach {
-        case df: org.apache.spark.sql.DataFrame =>
+        case df: org.apache.spark.sql.Dataset[_] =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
         case m: org.apache.spark.ml.recommendation.ALSModel =>
           // AlsRec.fit persists the factor frames of memoized models.

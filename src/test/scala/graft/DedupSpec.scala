@@ -81,4 +81,47 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L))
   }
+
+  test("dedupLedger: exact outranks near; kept docs are their own canonical") {
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb"),   // exact twins — canonical 1
+      (3L, "cc dd"), (4L, "cc dd x"), // near pair — cluster canonical 3
+      (5L, "zz"),                     // untouched
+      (6L, "ee ff"), (7L, "ee ff")    // exact twins ALSO in a near cluster
+    ).toDF("doc_id", "text")
+    val nearClusters = Seq(
+      (3L, 3L, 2L), (4L, 3L, 2L),
+      (6L, 6L, 2L), (7L, 6L, 2L)
+    ).toDF("doc_id", "canonical_id", "cluster_size")
+    val got = Dedup.dedupLedger(docs, "doc_id", "text", nearClusters)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, st, c) => id -> ((st, c)) }.toMap
+    assert(got == Map(
+      1L -> (("kept", 1L)),
+      2L -> (("exact_dup", 1L)),
+      3L -> (("kept", 3L)),
+      4L -> (("near_dup", 3L)),
+      5L -> (("kept", 5L)),
+      6L -> (("kept", 6L)),
+      // exact identity wins over near-cluster membership
+      7L -> (("exact_dup", 6L))))
+  }
+
+  test("contaminationReportBloom ≡ contaminationReport, with might_contain in the plan") {
+    import graft.text.TextAnalysis.{contaminationReport, contaminationReportBloom}
+    val docs = graft.io.Tables.documents(spark, GraftSpark.sf)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val exact = contaminationReport(train, bench, "doc_id", "text", n = 8)
+    val bloom = contaminationReportBloom(train, bench, "doc_id", "text", n = 8)
+    // The Bloom prefilter is in the plan (native expression, not a UDF)…
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"Bloom prefilter missing from plan:\n$plan")
+    // …and invisible in the result: false positives die in the exact join.
+    val e = exact.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val b = bloom.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(e == b)
+    assert(e.nonEmpty) // the sf0.001 corpus does plant cross-split dups
+  }
 }

@@ -1,6 +1,10 @@
 package graft
 
-object ExplainTmp {
+/** Dev aid: print the executed plan of one or more registered queries at
+  * sf0.001 (`Test/runMain graft.ExplainTool q01_pricing_summary …`).
+  * Used when iterating on plan shape; the pinned assertions live in
+  * PlanShapeSpec. */
+object ExplainTool {
   def main(args: Array[String]): Unit = {
     val spark = GraftSpark.spark
     val sf = GraftSpark.sf
