@@ -95,6 +95,43 @@ object ScaleProbe {
       corpus.unpersist(blocking = false)
     }
 
+    if (probes("bloom")) {
+      // Decontamination at factor× the training corpus against a FIXED
+      // benchmark (the sf0.1 bench slice): the exact path feeds every
+      // corpus 8-gram into the confirming join; the Bloom path's join
+      // input stays ~(true hits + fpp·corpus). Replicated copies get
+      // disjoint vocabularies (the tfidf probe's trick), so planted
+      // contamination stays that of copy 0 and the added copies
+      // contribute only Bloom-FP noise — the 100 TB shape, where the
+      // corpus dwarfs the contaminated sliver.
+      import graft.text.TextAnalysis
+      val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val train0 = docs.filter(col("doc_id") % 17 =!= 0)
+      val corpus = (0 until factor).map { i =>
+        if (i == 0) train0
+        else train0.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(^| )", "$1" + i + "_"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE bloom corpus: ${corpus.count()} docs")
+      time("contam_exact")(
+        TextAnalysis.contaminationReport(corpus, bench, "doc_id", "text", n = 8)
+          .count())
+      time("contam_bloom")(
+        TextAnalysis.contaminationReportBloom(corpus, bench, "doc_id", "text", n = 8)
+          .count())
+      // Prefilter selectivity: corpus 8-grams in total vs surviving the
+      // Bloom band-pass (true hits + false positives).
+      val t = TextAnalysis.shingles(corpus, "doc_id", "text", n = 8)
+      val b = TextAnalysis.shingles(bench, "doc_id", "text", n = 8)
+        .select("shingle").distinct()
+      val total = t.count()
+      val pass = t.filter(TextAnalysis.bloomMightContainShingle(b)).count()
+      println(f"PROBE bloom selectivity: $pass%d / $total%d corpus 8-grams pass (${100.0 * pass / total}%.2f%%)")
+      corpus.unpersist(blocking = false)
+    }
+
     if (probes("ann")) {
       // ANN strategies at factor× the corpus: brute force scales O(N) per
       // query; IVF pays a one-time quantizer build then probes

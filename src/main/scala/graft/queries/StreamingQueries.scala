@@ -194,10 +194,78 @@ object StreamingQueries {
       .orderBy("user_id", "start_s")
   }
 
+  /** Streaming file source for the documents corpus (same staging
+    * pattern as [[stagedDir]] for events). */
+  private def stagedDocsDir(spark: SparkSession, dir: String): String =
+    graft.util.SessionMemo(spark, s"stream-docs-stage:$dir") {
+      val d = Files.createTempDirectory("graft-stream-docs")
+      val staged = d.resolve("documents.parquet")
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        staged, StandardCopyOption.REPLACE_EXISTING)
+      sys.addShutdownHook {
+        try { Files.deleteIfExists(staged); Files.deleteIfExists(d) }
+        catch { case _: Throwable => () }
+      }
+      d.toString
+    }
+
+  /** q99 — INCREMENTAL near-duplicate detection: newly-ingested documents
+    * (doc_id ≡ 3 mod 10, streamed from files) flagged against the LSH
+    * index of the already-ingested corpus, entirely inside micro-batches.
+    *
+    * The stream side is stateless end-to-end — per-row signatures
+    * ([[graft.text.TextAnalysis.minhashSignatureArray]], the q98 map
+    * path), per-row band fingerprints, then two stream-static equi-joins
+    * (band index, packed index signatures) and a per-row agreement fold.
+    * No watermark, no state store: at 100 TB/day this ingests at file-
+    * arrival rate with the static index as the only non-stream input
+    * (rebuilt by a periodic batch compaction in production). A pair that
+    * collides in several bands is emitted once per band (at-least-once);
+    * the idempotent-sink `distinct` after run-to-completion is the
+    * standard downstream dedup. Oracle: the batch LSH pipeline restricted
+    * to stream×index pairs — stream-vs-batch agreement, gate-checked. */
+  val q99: Q = (spark, dir) => {
+    import graft.text.TextAnalysis
+    val isStream = col("doc_id") % 10 === 3
+    // Static index side: signatures of the already-ingested corpus,
+    // banded + packed once per (session, dir).
+    val idxSigs = TextQueries.sigsCached(spark, dir).filter(!isStream)
+    val idxBands = graft.util.SessionMemo.cached(spark, s"neardup-idx-bands:$dir")(
+      TextAnalysis.lshBands(idxSigs, "doc_id", rowsPerBand = 4)
+        .withColumnRenamed("doc_id", "idx_id"))
+    val idxPacked = graft.util.SessionMemo.cached(spark, s"neardup-idx-packed:$dir")(
+      TextAnalysis.packedSignatures(idxSigs, "doc_id")
+        .select(col("doc_id").as("idx_id"), col("sig").as("sig_i")))
+
+    val docsSchema = graft.io.Tables.documents(spark, dir).schema
+    val incoming = spark.readStream.schema(docsSchema)
+      .parquet(stagedDocsDir(spark, dir))
+      .filter(isStream)
+    val flagged = TextAnalysis.lshBandsFromArray(
+      TextAnalysis.minhashSignatureArray(incoming, "doc_id", "text",
+        n = 3, numPerm = 16),
+      "doc_id", numPerm = 16, rowsPerBand = 4)
+      .join(idxBands, Seq("band", "band_sig"))
+      .join(idxPacked, "idx_id")
+      .withColumn("est_jaccard",
+        expr("aggregate(zip_with(sig, sig_i, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+          .cast("double") / lit(16.0))
+      .filter(col("est_jaccard") >= 0.4)
+      .select(least(col("doc_id"), col("idx_id")).as("id_a"),
+        greatest(col("doc_id"), col("idx_id")).as("id_b"),
+        col("est_jaccard"))
+
+    val name = s"q99_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark, flagged, name, OutputMode.Append)
+      .distinct() // at-least-once per band → idempotent-sink dedup
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_stream_attribution" -> q81,
     "q92_session_windows" -> q92,
     "q93_stream_session_windows" -> q93,
+    "q99_stream_neardup" -> q99,
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
     "q63_stream_hourly_append" -> q63,
@@ -220,6 +288,26 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The batch LSH pipeline (same band prefix as q27's oracle)
+    // restricted to stream-side × index-side candidate pairs: the
+    // incremental flagger must agree with what a batch re-run would say.
+    "q99_stream_neardup" ->
+      s"""WITH ${TextQueries.lshBandsCte},
+         |cands AS (
+         |  SELECT DISTINCT s.doc_id AS id_s, i.doc_id AS id_i
+         |  FROM bands s JOIN bands i USING (band, band_sig)
+         |  WHERE s.doc_id % 10 = 3 AND i.doc_id % 10 != 3),
+         |est AS (
+         |  SELECT id_s, id_i,
+         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+         |  FROM cands
+         |  JOIN sigs sa ON sa.doc_id = id_s
+         |  JOIN sigs sb ON sb.doc_id = id_i AND sb.p = sa.p
+         |  GROUP BY id_s, id_i)
+         |SELECT least(id_s, id_i) AS id_a, greatest(id_s, id_i) AS id_b,
+         |  est_jaccard
+         |FROM est WHERE est_jaccard >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
     // Gaps-and-islands mirror of session_window: an event at exactly
     // last+gap starts a new session (>= in the island test = the
     // operator's strict-< overlap rule).

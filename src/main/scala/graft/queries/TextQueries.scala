@@ -22,7 +22,7 @@ object TextQueries {
     graft.util.SessionMemo.cached(spark, s"doc-shingles3:$dir")(
       shingles(Tables.documents(spark, dir), "doc_id", "text", n = 3))
 
-  private def sigsCached(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def sigsCached(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"doc-minhash16:$dir")(
       minhashSignatures(
         shinglesCached(spark, dir).withColumnRenamed("shingle", "token"),
@@ -324,6 +324,21 @@ object TextQueries {
           .otherwise(size(split(col("norm"), " ")).cast("long")))
       .orderBy("doc_id")
 
+  /** q98 — MinHash signatures computed fully per-row
+    * ([[TextAnalysis.minhashSignatureArray]]): the ZERO-shuffle signature
+    * pass — shingle array → per-perm min fold inside one projection, then
+    * posexploded only to match the oracle's (doc_id, p, mh) shape. Where
+    * q25 partial-aggregates an exploded (doc, p, token) stream and q29
+    * runs the one-pass custom aggregate, q98 never exchanges at all: the
+    * map-side form a 100 TB corpus pass (or a streaming micro-batch, q99)
+    * wants. Same hash family as q25 — one oracle pins all three
+    * signature paths to identical values. */
+  val q98: Q = (spark, dir) =>
+    minhashSignatureArray(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, numPerm = 16)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("p", "mh")))
+      .orderBy("doc_id", "p")
+
   /** q29 — MinHash signatures via the custom one-pass
     * TypedImperativeAggregate ([[org.apache.spark.sql.graft.MinHashAgg]]):
     * the 100 TB-scale variant of q25 (no numPerm× explosion). The
@@ -370,7 +385,8 @@ object TextQueries {
     "q94_bloom_decontaminate" -> q94,
     "q95_vocab_spectrum" -> q95,
     "q96_jsonl_roundtrip" -> q96,
-    "q97_dedup_ledger" -> q97)
+    "q97_dedup_ledger" -> q97,
+    "q98_minhash_rowsig" -> q98)
 
   private val H = "9223372036854775807"
 
@@ -392,9 +408,26 @@ object TextQueries {
       |FROM tr JOIN b USING (shingle)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  // The q27 MinHash+LSH pair pipeline as a reusable CTE chain (ends in
-  // `est`); q27 thresholds it, q73/q74 resolve it into components.
-  private lazy val lshPairsCte =
+  // One signature oracle for both the aggregate path (q25) and the
+  // per-row map path (q98) — they must produce identical values.
+  private lazy val minhashSigOracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
+       |  FROM t)
+       |SELECT doc_id, p,
+       |  CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+       |FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
+       |GROUP BY doc_id, p ORDER BY doc_id, p""".stripMargin
+
+  // The shared signature/band prefix (t → tok → sigs → bands): q27/q73/
+  // q74 chain all-pairs candidates onto it; q99 chains the stream-vs-index
+  // candidate split instead.
+  private[queries] lazy val lshBandsCte =
     s"""t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -410,7 +443,12 @@ object TextQueries {
        |  GROUP BY doc_id, p),
        |bands AS (
        |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
-       |  FROM sigs GROUP BY doc_id, band),
+       |  FROM sigs GROUP BY doc_id, band)""".stripMargin
+
+  // The q27 MinHash+LSH pair pipeline as a reusable CTE chain (ends in
+  // `est`); q27 thresholds it, q73/q74 resolve it into components.
+  private lazy val lshPairsCte =
+    s"""$lshBandsCte,
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b USING (band, band_sig)
@@ -682,19 +720,10 @@ object TextQueries {
          |  CAST(MIN(CAST((a::HUGEINT * h::HUGEINT + b::HUGEINT) % ($H::HUGEINT + 1) AS BIGINT)) AS BIGINT) AS mh
          |FROM h CROSS JOIN c
          |GROUP BY doc_id, p ORDER BY doc_id, p""".stripMargin,
-    "q25_minhash_sigs" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |tok AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(generate_series(1, len(toks) - 2),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
-         |  FROM t)
-         |SELECT doc_id, p,
-         |  CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
-         |FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
-         |GROUP BY doc_id, p ORDER BY doc_id, p""".stripMargin,
+    "q25_minhash_sigs" -> minhashSigOracle,
+    // q98 computes the same signatures per-row (no shuffle); one oracle
+    // pins q25 (agg path) and q98 (map path) to identical values.
+    "q98_minhash_rowsig" -> minhashSigOracle,
     "q26_ngram_jaccard_dups" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -98,6 +98,63 @@ object TextAnalysis {
       .agg(graft.functions.GraftFunctions.minhash_agg(col("token"), numPerm).as("sig"))
       .select(col(id), posexplode(col("sig")).as(Seq("p", "mh")))
 
+  /** Fully per-row MinHash signature: one (id, sig: array<long>) row per
+    * document with `sig[p] = min over distinct shingles of
+    * md5_63(p ++ ":" ++ shingle)` — the whole signature computed inside a
+    * single projection. No explode, no aggregate, NO exchange: at 100 TB
+    * the signature pass is a pure map over the corpus, and because it is
+    * stateless it also runs unchanged inside a streaming micro-batch
+    * (the incremental-ingestion path, q99). Same hash family and values
+    * as [[minhashSignatures]] (q25's oracle checks the exploded form).
+    * Documents with < n tokens are dropped (no shingles — the
+    * [[shingles]] contract). */
+  def minhashSignatureArray(df: DataFrame, id: String, text: String,
+                            n: Int, numPerm: Int): DataFrame = {
+    val perms = (0 until numPerm).map { p =>
+      array_min(transform(col("sh"),
+        s => md5_63(concat(lit(s"$p:"), s))))
+    }
+    df.select(col(id), split(col(text), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(id), expr(s"array_distinct(${shingleArrayExpr(n)})").as("sh"))
+      .select(col(id), array(perms: _*).as("sig"))
+  }
+
+  /** Per-id LSH band fingerprints from exploded (id, p, mh) signatures:
+    * perms grouped into bands of `rowsPerBand`, each band fingerprinted
+    * as its ':'-joined perm-ordered minhash string. */
+  def lshBands(sigs: DataFrame, id: String, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", expr(s"p div $rowsPerBand"))
+      .groupBy(col(id), col("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, mh))), x -> cast(x.mh as string)), ':')")
+        .as("band_sig"))
+
+  /** Band fingerprints straight from a per-row signature ARRAY
+    * ([[minhashSignatureArray]] output): same strings as [[lshBands]],
+    * but computed without any aggregate — (id, sig, band, band_sig) rows,
+    * streamable. */
+  def lshBandsFromArray(withSig: DataFrame, id: String, numPerm: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numPerm / rowsPerBand).map { b =>
+      // long band id: matches lshBands' `p div rowsPerBand` (BIGINT), so
+      // a stream-static join on (band, band_sig) needs no key cast.
+      struct(lit(b.toLong).as("band"),
+        concat_ws(":", (0 until rowsPerBand).map(i =>
+          col("sig")(b * rowsPerBand + i).cast("string")): _*).as("band_sig"))
+    }
+    withSig.select(col(id), col("sig"), explode(array(bandCols: _*)).as("bd"))
+      .select(col(id), col("sig"),
+        col("bd.band").as("band"), col("bd.band_sig").as("band_sig"))
+  }
+
+  /** One perm-ordered `array<long>` signature row per id, packed from the
+    * exploded (id, p, mh) form. */
+  def packedSignatures(sigs: DataFrame, id: String): DataFrame =
+    sigs.groupBy(col(id))
+      .agg(expr("transform(array_sort(collect_list(struct(p, mh))), x -> x.mh)")
+        .as("sig"))
+
   /** LSH banding: group a signature's perms into bands of `rowsPerBand`,
     * fingerprint each band, and emit candidate pairs that collide in at
     * least one band (canonicalized id_a < id_b, deduplicated).
@@ -108,11 +165,7 @@ object TextAnalysis {
     */
   def lshCandidatePairs(sigs: DataFrame, id: String,
                         rowsPerBand: Int): DataFrame = {
-    val bands = sigs
-      .withColumn("band", expr(s"p div $rowsPerBand"))
-      .groupBy(col(id), col("band"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, mh))), x -> cast(x.mh as string)), ':')")
-        .as("band_sig"))
+    val bands = lshBands(sigs, id, rowsPerBand)
     val a = bands.select(col(id).as("id_a"), col("band"), col("band_sig"))
     val b = bands.select(col(id).as("id_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
@@ -130,9 +183,7 @@ object TextAnalysis {
     * is the difference between a 112M-row and a 3.6B-row join. */
   def estimatedJaccard(pairs: DataFrame, sigs: DataFrame, id: String,
                        numPerm: Int): DataFrame = {
-    val packed = sigs.groupBy(col(id))
-      .agg(expr("transform(array_sort(collect_list(struct(p, mh))), x -> x.mh)")
-        .as("sig"))
+    val packed = packedSignatures(sigs, id)
     val sa = packed.select(col(id).as("id_a"), col("sig").as("sig_a"))
     val sb = packed.select(col(id).as("id_b"), col("sig").as("sig_b"))
     pairs.join(sa, "id_a").join(sb, "id_b")
@@ -349,7 +400,20 @@ object TextAnalysis {
                                fpp: Double = 0.01): DataFrame = {
     val t = shingles(train, id, text, n)
     val b = shingles(bench, id, text, n).select("shingle").distinct()
-    val bf = b.select(xxhash64(col("shingle")).as("h"))
+    t.filter(bloomMightContainShingle(b, expectedItems, fpp))
+      .join(broadcast(b), "shingle")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The Bloom band-pass predicate over a `shingle` column: folds
+    * `benchShingles` (distinct single-column frame) into a Bloom filter
+    * via the distributed aggregate, embeds it as a binary plan literal,
+    * and probes with the native codegen'd `might_contain`. Exposed
+    * package-private for the ScaleProbe selectivity measurement. */
+  private[graft] def bloomMightContainShingle(
+      benchShingles: DataFrame, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): org.apache.spark.sql.Column = {
+    val bf = benchShingles.select(xxhash64(col("shingle")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
     val bytes = {
       val baos = new java.io.ByteArrayOutputStream()
@@ -358,12 +422,9 @@ object TextAnalysis {
     }
     import org.apache.spark.sql.GraftShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val mightContain = GraftShim.column(BloomFilterMightContain(
+    GraftShim.column(BloomFilterMightContain(
       Literal(bytes),
       GraftShim.expression(xxhash64(col("shingle")))))
-    t.filter(mightContain)
-      .join(broadcast(b), "shingle")
-      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
   }
 
   /** Exact Jaccard over item sets for all pairs sharing ≥1 item:

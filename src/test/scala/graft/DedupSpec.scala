@@ -107,6 +107,41 @@ class DedupSpec extends AnyFunSuite {
       7L -> (("exact_dup", 6L))))
   }
 
+  test("per-row signature path ≡ aggregate path (values, bands)") {
+    import graft.text.TextAnalysis
+    val docs = graft.io.Tables.documents(spark, GraftSpark.sf)
+    // Exploded values: q98's map path == q25's aggregate path.
+    val viaAgg = TextAnalysis.minhashSignatures(
+      TextAnalysis.shingles(docs, "doc_id", "text", n = 3)
+        .withColumnRenamed("shingle", "token"), "doc_id", numPerm = 16)
+    val viaRow = TextAnalysis.minhashSignatureArray(docs, "doc_id", "text",
+        n = 3, numPerm = 16)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("p", "mh")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("p").cast("int").as("p"), col("mh"))
+        .orderBy("doc_id", "p").as[(Long, Int, Long)].collect().toSeq
+    val a = norm(viaAgg)
+    val r = norm(viaRow)
+    assert(a == r)
+    // Band fingerprints: the streaming (array) banding emits the same
+    // strings as the batch (aggregate) banding — q99's join keys match
+    // its static index.
+    val bandsAgg = TextAnalysis.lshBands(viaAgg, "doc_id", rowsPerBand = 4)
+      .select("doc_id", "band", "band_sig")
+      .as[(Long, Long, String)].collect().toSet
+    val bandsRow = TextAnalysis.lshBandsFromArray(
+      TextAnalysis.minhashSignatureArray(docs, "doc_id", "text", 3, 16),
+      "doc_id", numPerm = 16, rowsPerBand = 4)
+      .select("doc_id", "band", "band_sig")
+      .as[(Long, Long, String)].collect().toSet
+    assert(bandsAgg == bandsRow)
+    // No shuffle in the per-row signature plan.
+    val rowPlan = TextAnalysis.minhashSignatureArray(docs, "doc_id", "text", 3, 16)
+      .queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("Exchange"),
+      s"per-row signature pass must not exchange:\n$rowPlan")
+  }
+
   test("contaminationReportBloom ≡ contaminationReport, with might_contain in the plan") {
     import graft.text.TextAnalysis.{contaminationReport, contaminationReportBloom}
     val docs = graft.io.Tables.documents(spark, GraftSpark.sf)
