@@ -46,17 +46,63 @@ object Tables {
     val staged = graft.util.SessionMemo(spark, s"jsonl-stage:$dir") {
       val d = java.nio.file.Files.createTempDirectory("graft-jsonl")
       documents(spark, dir).write.mode("overwrite").json(d.toString)
-      sys.addShutdownHook {
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }
+      sys.addShutdownHook(deleteRecursively(d))
       d.toString
     }
     spark.read.schema(schema).json(staged)
   }
+
+  /** The documents table staged as ORC and read back — the columnar
+    * interchange format counterpart to [[documentsJsonl]] (warehouse
+    * pipelines routinely land ORC from Hive/Trino writers). Same staging
+    * lifecycle: one write per (session, dir), lazy schema-pinned read,
+    * shutdown-hook cleanup. ORC round-trips the exact logical types
+    * (long/string), so the oracle's parquet-direct checksum must match
+    * bit-for-bit — any writer/reader drift surfaces under the gate. */
+  def documentsOrc(spark: SparkSession, dir: String): DataFrame = {
+    val schema = documents(spark, dir).schema
+    val staged = graft.util.SessionMemo(spark, s"orc-stage:$dir") {
+      val d = java.nio.file.Files.createTempDirectory("graft-orc")
+      documents(spark, dir).write.mode("overwrite").orc(d.toString)
+      sys.addShutdownHook(deleteRecursively(d))
+      d.toString
+    }
+    spark.read.schema(schema).orc(staged)
+  }
+
+  /** The documents table staged as a HIVE-PARTITIONED parquet layout
+    * (`lang=<v>/part-*.parquet`) and read back partition-aware. This is
+    * the 100 TB physical-layout primitive: a predicate on the partition
+    * column never touches data files outside its directories — the scan's
+    * `PartitionFilters` prune at the DRIVER from the file listing, zero
+    * I/O for excluded partitions (vs. row-group zone maps, which still
+    * read footers). PlanShapeSpec pins the pruned-partition count.
+    *
+    * The write repartitions by the partition column first so each
+    * partition directory gets ONE file per final task rather than one
+    * file per (input-partition × lang) — at scale the small-files problem
+    * is the sink-side killer, and aligning the shuffle with the directory
+    * layout is the standard fix. */
+  def documentsPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val schema = documents(spark, dir).schema
+    val staged = graft.util.SessionMemo(spark, s"part-stage:$dir") {
+      val d = java.nio.file.Files.createTempDirectory("graft-part")
+      documents(spark, dir).repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(d.toString)
+      sys.addShutdownHook(deleteRecursively(d))
+      d.toString
+    }
+    // basePath keeps column order stable; partition column comes back
+    // from the directory names with the pinned schema's type.
+    spark.read.schema(schema).parquet(staged)
+  }
+
+  private def deleteRecursively(d: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
 
   /** CSV source with a fixed schema (reference S1,
     * `top_100_pairs.py:26` — but without `inferSchema`, which costs an

@@ -125,6 +125,27 @@ object SimilarityQueries {
           x => round(x.cast("double") / col("nrm"), 6))).as(Seq("d", "u")))
       .orderBy("vec_id", "d")
 
+  /** q39 — symmetric per-vector int8 quantization (the serving/storage
+    * compression prep: 4× smaller than float32, dot products in integer
+    * SIMD): scale = max|x|/127, code = round(x/scale) ∈ [-127, 127],
+    * exploded to (vec_id, d, q) INTEGER rows + the 6-decimal-rounded
+    * scale. Cross-engine determinism: max/abs/divide are single IEEE
+    * double ops and both engines round half away from zero, so the codes
+    * compare EXACTLY — only the scale needs rounding (rule #3). Pure map,
+    * shuffle-free but for the output sort. */
+  val q39: Q = (spark, dir) =>
+    emb(spark, dir)
+      .withColumn("mx", aggregate(
+        transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (a, b) => greatest(a, b)))
+      .filter(col("mx") > 0)
+      .withColumn("scale", col("mx") / lit(127.0))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") / col("scale"), 0).cast("long")))
+          .as(Seq("d", "q")))
+      .orderBy("vec_id", "d")
+
   /** Memoized RFM feature frame (persisted): q34 serves it sorted, q35
     * standardizes + clusters it — the aggregation over orders runs once. */
   private def rfmCached(spark: SparkSession, dir: String): DataFrame =
@@ -210,6 +231,7 @@ object SimilarityQueries {
     "q33_kmeans_embeddings" -> q33,
     "q37_ann_ivf" -> q37,
     "q38_embedding_normalize" -> q38,
+    "q39_embedding_quantize" -> q39,
     "q34_rfm_features" -> q34,
     "q35_kmeans_segments" -> q35)
 
@@ -251,6 +273,20 @@ object SimilarityQueries {
         |  FROM e WHERE nrm > 0)
         |SELECT vec_id, CAST(i - 1 AS INT) AS d, round(emb[i] / nrm, 6) AS u
         |FROM x ORDER BY vec_id, d""".stripMargin,
+    // Codes are exact integers cross-engine (single-IEEE-op scale +
+    // half-away rounding in both engines); only scale_r is rounded.
+    "q39_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, emb, mx / 127.0 AS scale,
+        |    unnest(generate_series(1, len(emb))) AS i
+        |  FROM e WHERE mx > 0)
+        |SELECT vec_id, round(scale, 6) AS scale_r, CAST(i - 1 AS INT) AS d,
+        |  CAST(round(emb[i] / scale, 0) AS BIGINT) AS q
+        |FROM s ORDER BY vec_id, d""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH proj AS (
          |  SELECT vec_id, p,

@@ -256,6 +256,59 @@ object TextQueries {
         expr("bit_xor(h)").as("checksum"))
       .orderBy("source", "lang")
 
+  /** q57 — partition-pruned scan over the Hive-partitioned staging of
+    * documents ([[Tables.documentsPartitioned]]): a `lang IN (en, zh)`
+    * predicate on the PARTITION column, so the scan lists only those two
+    * directories — driver-side pruning, zero I/O on the other languages
+    * (PlanShapeSpec pins `PartitionFilters` + the pruned file count). The
+    * oracle reads the unpartitioned parquet: identical results prove the
+    * partitioned roundtrip (including the string→directory→string trip
+    * of the partition values) is lossless. */
+  val q57: Q = (spark, dir) =>
+    Tables.documentsPartitioned(spark, dir)
+      .filter(col("lang").isin("en", "zh"))
+      .withColumn("h", graft.functions.GraftFunctions.md5_63(col("text")))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("lang", "source")
+
+  /** q58 — ORC source/sink roundtrip ([[Tables.documentsOrc]]): documents
+    * → write ORC → schema-pinned read → per-lang doc counts, id ranges,
+    * and the order-independent `bit_xor(md5_63(text))` checksum. The
+    * oracle reads the parquet directly, so any type or encoding drift in
+    * the ORC writer/reader round-trip breaks the hash. */
+  val q58: Q = (spark, dir) =>
+    Tables.documentsOrc(spark, dir)
+      .withColumn("h", graft.functions.GraftFunctions.md5_63(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy("lang")
+
+  /** q59 — PII redaction ([[TextAnalysis.redactPii]]): mask emails and
+    * URLs before fingerprinting/training. The corpus is synthetic
+    * word-salad with no real PII, so the query PLANTS a deterministic
+    * email + URL per document (same construction in the oracle) — the
+    * gate then actually exercises both replacement patterns rather than
+    * hashing an identity map. Pure codegen'd regex map, shuffle-free;
+    * patterns use only character classes so the Java-regex and RE2
+    * dialects agree (same portability argument as q89). */
+  val q59: Q = (spark, dir) => {
+    val planted = concat(col("text"),
+      lit(" contact_"), col("doc_id"), lit("@example.com via https://ex.org/d/"),
+      col("doc_id"), lit(" end"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        redactPii(planted).as("redacted"))
+      .withColumn("n_masked",
+        (size(split(col("redacted"), "<EMAIL>", -1)) - 1 +
+          size(split(col("redacted"), "<URL>", -1)) - 1).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** q97 — per-document dedup disposition ledger
     * ([[graft.text.Dedup.dedupLedger]]): every document classified
     * exact_dup / near_dup / kept with its canonical id — the audit
@@ -373,6 +426,9 @@ object TextQueries {
     "q25_minhash_sigs" -> q25,
     "q26_ngram_jaccard_dups" -> q26,
     "q27_minhash_lsh_dups" -> q27,
+    "q57_partitioned_prune" -> q57,
+    "q58_orc_roundtrip" -> q58,
+    "q59_redact" -> q59,
     "q73_neardup_clusters" -> q73,
     "q74_neardup_survivors" -> q74,
     "q75_stratified_cap" -> q75,
@@ -478,6 +534,41 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The oracle reads the UNPARTITIONED parquet — matching results prove
+    // the partitioned staging + pruned read is lossless.
+    "q57_partitioned_prune" ->
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  bit_xor(CAST(md5_number_lower(text) & $H AS BIGINT)) AS checksum
+         |FROM documents WHERE lang IN ('en', 'zh')
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q58_orc_roundtrip" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+         |  bit_xor(CAST(md5_number_lower(text) & $H AS BIGINT)) AS checksum
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Plants the same synthetic email+URL per doc, then redacts — the
+    // regex dialects agree because only character classes + bounded
+    // quantifiers appear (see TextAnalysis.redactPii).
+    "q59_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact_' || doc_id::VARCHAR ||
+        |    '@example.com via https://ex.org/d/' || doc_id::VARCHAR ||
+        |    ' end' AS planted
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(planted,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, redacted,
+        |  CAST(len(string_split(redacted, '<EMAIL>')) - 1
+        |     + len(string_split(redacted, '<URL>')) - 1 AS BIGINT) AS n_masked
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q89_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id,

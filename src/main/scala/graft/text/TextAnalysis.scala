@@ -27,6 +27,21 @@ object TextAnalysis {
     if (distinct) t.distinct() else t
   }
 
+  /** Mask emails then URLs in a text column — the PII-redaction map that
+    * runs before fingerprinting or training-set export. Pure codegen'd
+    * `regexp_replace` chain (replace-ALL), shuffle-free; both patterns use
+    * only character classes and bounded quantifiers, which mean the same
+    * thing in Java regex (Spark) and RE2 (DuckDB), so the operator stays
+    * oracle-checkable (q59). Email first: an email inside a URL's query
+    * string would otherwise be swallowed whole by the URL mask, which is
+    * fine, but a URL-like tail in an email's domain must not split the
+    * email mask. */
+  def redactPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "https?://[^ ]+", "<URL>")
+
   /** SimHash over the token multiset: bit b of the 63-bit fingerprint is
     * set iff Σ_tokens (±1 by bit b of md5_63(token)) > 0.
     *

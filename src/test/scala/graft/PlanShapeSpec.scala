@@ -150,6 +150,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q57 lang predicate prunes partitions at listing time") {
+    val p = plan("q57_partitioned_prune")
+    // the IN-list must land in PartitionFilters (driver-side directory
+    // pruning — zero I/O for the other languages), NOT in PushedFilters
+    // or a row-level Filter over a full scan
+    val pf = "(?s).*PartitionFilters: \\[([^\\]]*)\\].*".r
+    p match {
+      case pf(filters) => assert(filters.contains("lang"),
+        s"lang predicate missing from PartitionFilters:\n$p")
+      case _ => fail(s"no PartitionFilters in q57 scan:\n$p")
+    }
+  }
+
   test("q77 range join plans as a HASH equi-join, never a nested loop") {
     val p = plan("q77_purchase_window")
     // the band predicate must ride a (key, bucket) hash join as its

@@ -112,4 +112,24 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (bf5 & ivf5).size.toDouble / bf5.size
     assert(recall >= 0.25, f"IVF recall@5 $recall%.3f below 0.25 floor")
   }
+
+  test("q39 int8 quantization: codes bounded, reconstruction within half-step") {
+    val q = SimilarityQueries.q39(spark, sf)
+    val joined = q.join(
+      graft.io.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x"))),
+      Seq("vec_id", "d"))
+    assert(joined.filter(abs(col("q")) > 127).count() == 0)
+    // every code row round-trips: |x - q·scale| ≤ scale/2 (+ the 6-decimal
+    // rounding slack on the published scale)
+    val bad = joined.filter(
+      abs(col("x").cast("double") - col("q") * col("scale_r")) >
+        col("scale_r") / 2 + lit(1e-4)).count()
+    assert(bad == 0)
+    // the max-|x| component always quantizes to ±127 exactly
+    val extremes = joined.groupBy("vec_id")
+      .agg(max(abs(col("q"))).as("mq"))
+      .filter(col("mq") =!= 127).count()
+    assert(extremes == 0)
+  }
 }

@@ -143,6 +143,27 @@ class TextSpec extends AnyFunSuite {
       (9L, 0L, 0L, 0L)))
   }
 
+  test("redactPii masks emails and URLs, leaves clean text intact") {
+    val df = Seq(
+      (1L, "write to a.b+tag@sub.domain.org today"),
+      (2L, "see https://x.io/path?q=1&r=2 and http://plain.example/z"),
+      (3L, "both j@d.co http://u.v/w here"),
+      (4L, "no pii at all"),
+      (5L, "not-an-email @ half http:/broken")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "write to <EMAIL> today")
+    assert(got(2L) == "see <URL> and <URL>")
+    assert(got(3L) == "both <EMAIL> <URL> here")
+    assert(got(4L) == "no pii at all")
+    // malformed candidates must NOT be masked (no false positives)
+    assert(got(5L) == "not-an-email @ half http:/broken")
+    // idempotent: a redacted string redacts to itself
+    val twice = df.select(redactPii(redactPii(col("text"))).as("r"))
+      .as[String].collect().toSet
+    assert(twice == got.values.toSet)
+  }
+
   test("tfidfCosinePairs: a shingle over the df cap contributes no pairs") {
     // 3 identical docs, maxDf = 2: every shingle has df = 3 > cap, the
     // vocabulary is empty, and the pair join must produce ZERO rows —
