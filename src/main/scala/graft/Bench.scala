@@ -32,8 +32,15 @@ object Bench {
     }
     // Stable name order: run-to-run comparable timings (Map order is
     // hash-dependent and reshuffles whenever a query is added).
+    // Driver contract: no args. An optional first arg (comma-separated
+    // query names) is a builder-side dev aid — time only that subset in
+    // an otherwise-identical fresh JVM.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

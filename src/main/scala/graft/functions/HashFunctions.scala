@@ -33,6 +33,20 @@ object HashUtil {
     v & Long.MaxValue
   }
 
+  /** md5Lower63 of `prefix ++ bytes` without concatenating (two digest
+    * updates) — the per-(perm, shingle) hot call of
+    * [[org.apache.spark.sql.graft.MinHashSig]]. */
+  def md5Lower63(prefix: Array[Byte], bytes: Array[Byte]): Long = {
+    val digest = md.get()
+    digest.reset()
+    digest.update(prefix)
+    val d = digest.digest(bytes)
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v & Long.MaxValue
+  }
+
   def md5Lower63(s: UTF8String): Long = md5Lower63(s.getBytes)
 
   def md5Lower63(s: String): Long = md5Lower63(s.getBytes("UTF-8"))
@@ -59,4 +73,14 @@ object GraftFunctions {
   def minhash_agg(token: Column, numPerm: Int): Column =
     GraftShim.column(org.apache.spark.sql.graft.MinHashAgg(
       GraftShim.expression(token), numPerm).toAggregateExpression())
+
+  /** Whole per-row MinHash signature (array<string> shingles →
+    * array<long> of numPerm mins) as one codegen'd expression — the
+    * zero-shuffle/streaming signature path (see
+    * [[org.apache.spark.sql.graft.MinHashSig]]). Values are identical to
+    * the exploded `min md5_63(p:shingle)` family (q25's — DedupSpec pins
+    * the paths equal), NOT to [[minhash_agg]]'s affine family. */
+  def minhash_sig(shingles: Column, numPerm: Int): Column =
+    GraftShim.column(org.apache.spark.sql.graft.MinHashSig(
+      GraftShim.expression(shingles), numPerm))
 }

@@ -11,11 +11,11 @@ object Registry {
     RelationalQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ TwinsQueries.queries ++
       RecQueries.queries ++ MediaQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++ AnalyticsQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ TwinsQueries.oracles ++
       RecQueries.oracles ++ MediaQueries.oracles ++
-      StreamingQueries.oracles
+      StreamingQueries.oracles ++ AnalyticsQueries.oracles
 }

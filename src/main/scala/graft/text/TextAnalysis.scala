@@ -124,16 +124,18 @@ object TextAnalysis {
     * Documents with < n tokens are dropped (no shingles — the
     * [[shingles]] contract). */
   def minhashSignatureArray(df: DataFrame, id: String, text: String,
-                            n: Int, numPerm: Int): DataFrame = {
-    val perms = (0 until numPerm).map { p =>
-      array_min(transform(col("sh"),
-        s => md5_63(concat(lit(s"$p:"), s))))
-    }
+                            n: Int, numPerm: Int): DataFrame =
+    // One codegen'd expression for the whole signature
+    // ([[org.apache.spark.sql.graft.MinHashSig]]): the per-perm
+    // `array_min(transform(...))` composition evaluated its lambdas on
+    // the interpreted path and re-walked the shingles numPerm times —
+    // measured 4× slower than even the aggregate path. No array_distinct:
+    // min is idempotent under duplicate shingles.
     df.select(col(id), split(col(text), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col(id), expr(s"array_distinct(${shingleArrayExpr(n)})").as("sh"))
-      .select(col(id), array(perms: _*).as("sig"))
-  }
+      .select(col(id), expr(shingleArrayExpr(n)).as("sh"))
+      .select(col(id),
+        graft.functions.GraftFunctions.minhash_sig(col("sh"), numPerm).as("sig"))
 
   /** Per-id LSH band fingerprints from exploded (id, p, mh) signatures:
     * perms grouped into bands of `rowsPerBand`, each band fingerprinted

@@ -42,7 +42,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     ("graft_minhash_agg",
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
-      (args: Seq[Expression]) => MinHashAgg(args(0), numPermOf(args(1)))))
+      (args: Seq[Expression]) => MinHashAgg(args(0), numPermOf(args(1)))),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), numPermOf(args(1)))))
 
   /** Register the graft functions into an already-built session. */
   def register(spark: SparkSession): Unit =

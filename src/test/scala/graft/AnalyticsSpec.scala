@@ -1,0 +1,105 @@
+package graft
+
+import graft.graph.PageRank
+import graft.ops.{Cohort, Merge}
+import graft.sketch.CountMin
+import graft.text.Fuzzy
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the round-6 analytics operators (cohort retention,
+  * fuzzy matching, count-min, PageRank, merge/upsert). Cross-engine
+  * correctness is the q46–q49/q100 oracle gate; these pin the hand-
+  * checkable algebra on tiny frames. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val DAY = 86400000000000L // ns
+
+  test("cohort retention: two cohorts, hand-computed triangle") {
+    // u1 first at day 0, active days 0 and 8 (offsets 0, 1);
+    // u2 first at day 1 (same week), active day 1 only;
+    // u3 first at day 7 (week 1), active days 7 and 21 (offsets 0, 2).
+    val ev = Seq((1L, 0L), (1L, 8L), (2L, 1L), (3L, 7L), (3L, 21L))
+      .map { case (u, d) => (u, d * DAY) }.toDF("user_id", "ts")
+    val got = Cohort.retention(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("fuzzy pairs: same-block near names match, cross-block never joins") {
+    val df = Seq("red bolt", "red bolt", "rod bolt", "red ring", "rad ring")
+      .toDF("nm")
+    val got = Fuzzy.nearNamePairs(df, "nm", maxDist = 2)
+      .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // "red bolt"–"rod bolt" dist 1 (block bolt, dup count carried);
+    // "rad ring"–"red ring" dist 1 (block ring);
+    // bolt×ring pairs are blocked apart even though lev("red bolt","red ring")=4.
+    assert(got == Set(("red bolt", "rod bolt", 1L, 2L, 1L),
+      ("rad ring", "red ring", 1L, 1L, 1L)))
+  }
+
+  test("count-min: estimates dominate true counts; no-collision keys exact") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k0")
+    val got = CountMin.estimates(df, col("k0"), depth = 4, width = 64)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, c, e) => k -> ((c, e)) }.toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    got.values.foreach { case (c, e) => assert(e >= c) }
+    // 3 keys in 64 buckets × 4 rows: some row separates every pair, so
+    // the min-cell estimate is exact here.
+    assert(got("a") == ((5L, 5L)) && got("b") == ((3L, 3L))
+      && got("c") == ((1L, 1L)))
+  }
+
+  test("pagerank: symmetric star — hub outranks leaves, mass sums to 1") {
+    // Star: hub h <-> leaves l1..l4 (symmetrized by the caller).
+    val one = Seq.tabulate(4)(i => ("h", s"l$i")).toDF("src", "dst")
+    val edges = one.union(one.select(col("dst"), col("src")))
+    val r = PageRank.pageRank(edges, iters = 3, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r.size == 5)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // no dangling leakage
+    assert(r("h") > r("l0"))
+    // Leaves are symmetric: identical ranks.
+    assert((0 to 3).map(i => r(s"l$i")).distinct.size == 1)
+    // Hand value: leaves alternate 0.15/5 + 0.85·(r_h/4) with
+    // r_h = 0.15/5 + 0.85·Σ r_l; after 3 iters hub = 0.03 + 0.85·(4·l2).
+    val h1 = 0.15 / 5 + 0.85 * (4 * (1.0 / 5))
+    val l2 = 0.15 / 5 + 0.85 * (h1 / 4)
+    val h3 = 0.15 / 5 + 0.85 * (4 * l2)
+    assert(math.abs(r("h") - h3) < 1e-12)
+  }
+
+  test("pagerank: determinism across runs") {
+    val one = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val edges = one.union(one.select(col("dst"), col("src")))
+    val a = PageRank.pageRank(edges, 4, 0.85).as[(String, Double)].collect().toMap
+    val b = PageRank.pageRank(edges, 4, 0.85).as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("merge upsert: insert/update/unchanged/retain classified null-safely") {
+    val base = Seq((1L, Some("x"), 10.0), (2L, Some("y"), 20.0),
+      (3L, Some("z"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("id", "nm", "bal")
+    val upd = Seq((2L, Some("y"), 20.0), (3L, Some("z"), 31.0),
+      (4L, Some("w"), 40.0), (5L, Some("n"), 50.0))
+      .toDF("id", "nm", "bal")
+    val got = Merge.mergeUpsert(base, upd, "id", Seq("nm", "bal"))
+      .select("id", "nm", "bal", "action")
+      .as[(Long, Option[String], Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, Some("x"), 10.0, "retain")))
+    assert(got(2L) == ((2L, Some("y"), 20.0, "unchanged")))
+    assert(got(3L) == ((3L, Some("z"), 31.0, "update")))
+    // NULL -> value must classify as update, not unchanged (null-safe <=>).
+    assert(got(4L) == ((4L, Some("w"), 40.0, "update")))
+    assert(got(5L) == ((5L, Some("n"), 50.0, "insert")))
+    assert(got.size == 5)
+  }
+}

@@ -39,10 +39,10 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("the SparkSessionExtensions injector exposes the same builders") {
     // The injector and runtime registration share GraftExtensions.functions;
-    // assert the injector class instantiates and lists all three.
+    // assert the injector class instantiates and lists all four.
     val names = GraftExtensions.functions.map(_._1).toSet
     assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
-      "graft_minhash_agg"))
+      "graft_minhash_agg", "graft_minhash_sig"))
     new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
   }
 }
