@@ -49,7 +49,11 @@ object Bench {
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Per-query progress on stderr: makes a stalled query identifiable
+      // mid-run (the stdout JSON line stays the single driver artifact).
+      System.err.println(f"[bench] $name done in $secs%.2f s")
+      name -> secs
     }
     // Millisecond precision: full-double values made the 69-query JSON
     // line ~3.9 kB, which overflowed the driver's output-tail capture —
