@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the data-quality summary (row count,
+  * null count, distinct count, min/max) every ingestion pipeline runs
+  * before trusting a new batch.
+  *
+  * ALL columns profile in a single aggregate over a single scan: the
+  * per-column measures are flat aggregate expressions of one global
+  * `agg(...)`, then the one result row is melted to a row per column
+  * (explode of a struct array — no second pass, no per-column query).
+  * min/max are cast to string AFTER aggregating, so the comparison runs
+  * on the native type and the output schema is column-type-agnostic.
+  *
+  * Scale shape: the scan partial-aggregates map-side; only the exact
+  * `countDistinct`s add weight (Spark plans k distinct aggregates as one
+  * Expand pass — (k+1)× row multiplication through ONE shuffle). At
+  * 100 TB swap `countDistinct` for `approx_count_distinct` (HLL++,
+  * mergeable, no Expand) — the one-line change is the standard
+  * exact→sketch trade documented across this engine (q16, q78).
+  */
+object Profile {
+
+  /** (col_name, n_rows, n_nulls, n_distinct, min_s, max_s) per requested
+    * column. `n_distinct` excludes NULLs (SQL count-distinct semantics);
+    * min_s/max_s are NULL for all-null columns. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val perCol = columns.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+}

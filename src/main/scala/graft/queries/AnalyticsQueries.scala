@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.graph.PageRank
 import graft.io.Tables
-import graft.ops.{Cohort, Merge}
+import graft.ops.{Cohort, Merge, Profile}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -91,12 +91,25 @@ object AnalyticsQueries {
       .orderBy("c_custkey")
   }
 
+  /** q101 — one-pass column profiling of the customer table (see
+    * [[graft.ops.Profile.profile]]): all five columns' stats from one
+    * scan + one Expand-planned aggregate. `c_acctbal` is pre-cast to
+    * DECIMAL(18,2) in BOTH engines so its min/max stringify identically
+    * (raw double→string formatting differs cross-engine). */
+  val q101: Q = (spark, dir) =>
+    Profile.profile(
+      Tables.customer(spark, dir).withColumn("c_acctbal",
+        col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .orderBy("col_name")
+
   val queries: Map[String, Q] = Map(
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
     "q48_heavy_hitters" -> q48,
     "q49_pagerank" -> q49,
-    "q100_merge_upsert" -> q100)
+    "q100_merge_upsert" -> q100,
+    "q101_column_profile" -> q101)
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
@@ -111,7 +124,33 @@ object AnalyticsQueries {
        |    FROM ed e JOIN $prev p ON p.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
 
+  /** q101 oracle: the same single-aggregate + melt, written as one stats
+    * CTE and a UNION ALL stanza per column (generated — 5 identical
+    * shapes). */
+  private val profCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  private def profOracle: String = {
+    val measures = profCols.zipWithIndex.map { case (c, i) =>
+      s"CAST(count($c) AS BIGINT) AS nn$i, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS nd$i,\n  " +
+        s"CAST(min($c) AS VARCHAR) AS mn$i, CAST(max($c) AS VARCHAR) AS mx$i"
+    }.mkString(",\n  ")
+    val rows = profCols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS col_name, n_rows, n_rows - nn$i AS n_nulls, " +
+        s"nd$i AS n_distinct, mn$i AS min_s, mx$i AS max_s FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c2 AS (SELECT c_custkey, c_name, c_nationkey,
+       |  CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment
+       |  FROM customer),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  $measures
+       |FROM c2)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q101_column_profile" -> profOracle,
     "q46_cohort_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),

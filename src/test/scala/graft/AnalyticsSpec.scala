@@ -1,7 +1,7 @@
 package graft
 
 import graft.graph.PageRank
-import graft.ops.{Cohort, Merge}
+import graft.ops.{Cohort, Merge, Profile}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -81,6 +81,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val a = PageRank.pageRank(edges, 4, 0.85).as[(String, Double)].collect().toMap
     val b = PageRank.pageRank(edges, 4, 0.85).as[(String, Double)].collect().toMap
     assert(a == b)
+  }
+
+  test("profile: null/distinct/min-max per column from one pass") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (3L, Some("b"))).toDF("id", "s")
+    val got = Profile.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 4L, 0L, 3L, Some("1"), Some("3"))))
+    // n_distinct excludes the NULL; min/max skip it too.
+    assert(got("s") == (("s", 4L, 1L, 2L, Some("a"), Some("b"))))
   }
 
   test("merge upsert: insert/update/unchanged/retain classified null-safely") {
