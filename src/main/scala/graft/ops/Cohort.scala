@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention — the classic product-analytics triangle: users
@@ -12,13 +13,13 @@ import org.apache.spark.sql.functions._
   * and the DuckDB oracle agree bit-for-bit and the result is
   * timezone-free).
   *
-  * Scale shape: two shuffles total — (1) the per-user min reduces
-  * map-side before the user_id exchange, and the join back to events is
-  * co-keyed on user_id so AQE reuses that exchange; (2) the final
-  * (cohort, offset) aggregate is tiny (weeks², not users). The
-  * count_distinct is the only cardinality-bearing state and it is
-  * bounded per cell by cohort size; at extreme scale swap in
-  * approx_count_distinct for fixed-space cells.
+  * Scale shape: ONE scan of the event table. The per-user first day is
+  * an unordered `min over (partition by user)` window — one user_id
+  * exchange, no aggregate-and-join-back (the join form scans the fact
+  * table twice and shuffles both sides). The final (cohort, offset)
+  * aggregate is tiny (weeks², not users); the count_distinct is the only
+  * cardinality-bearing state and it is bounded per cell by cohort size —
+  * at extreme scale swap in approx_count_distinct for fixed-space cells.
   */
 object Cohort {
 
@@ -31,8 +32,8 @@ object Cohort {
     val d = events.select(col(userCol).as("__user"),
       (col(tsNsCol) cast "long").as("__ns"))
       .withColumn("day", expr("__ns div 86400000000000"))
-    val first = d.groupBy("__user").agg(min("day").as("first_day"))
-    d.join(first, "__user")
+    d.withColumn("first_day",
+        min("day").over(Window.partitionBy("__user")))
       .select(expr("first_day div 7").as("cohort_week"),
         expr("(day - first_day) div 7").as("week_offset"),
         col("__user"))

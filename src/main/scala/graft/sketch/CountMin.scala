@@ -31,8 +31,12 @@ object CountMin {
   def estimates(df: DataFrame, key: Column,
                 depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    // Materialize the per-key counts once (|distinct keys| rows): both the
+    // cell build and the estimate join read them, and without the
+    // checkpoint each consumer re-scans and re-aggregates the corpus.
     val counts = df.groupBy(key.cast("string").as("k"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val keyed = counts.select(col("k"), col("c"),
         explode(array((0 until depth).map(lit): _*)).as("r"))
       .withColumn("b",
