@@ -171,4 +171,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q46 cohort retention reads the event table exactly once") {
+    val p = plan("q46_cohort_retention")
+    // the window-min form's whole point: no aggregate-and-join-back
+    // double scan of the fact table
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    assert(p.contains("partial_count(distinct")) // map-side distinct partials
+  }
+
+  test("q48 count-min estimate join broadcasts the fixed-size cells") {
+    val p = plan("q48_heavy_hitters")
+    // cells are depth×width rows regardless of data volume — the big
+    // side must never shuffle for the estimate join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // top-25, no global sort
+    // the corpus was scanned once into the checkpointed counts frame;
+    // neither sketch consumer re-reads parquet
+    assert(!p.contains("FileScan parquet"), s"unexpected corpus re-scan:\n$p")
+  }
+
+  test("q100 merge plans ONE full-outer join on the key") {
+    val p = plan("q100_merge_upsert")
+    assert("FullOuter".r.findAllIn(p).size == 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q101 profile is one Expand pass over one scan") {
+    val p = plan("q101_column_profile")
+    // k exact distincts rewrite to a single Expand — not k separate
+    // aggregate subtrees, not k scans
+    assert("Expand".r.findAllIn(p).size == 1, s"expected 1 Expand:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+  }
 }
