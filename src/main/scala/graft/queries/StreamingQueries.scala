@@ -261,7 +261,35 @@ object StreamingQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q102 — streaming count-min sketch: the event stream's item keys
+    * update depth×width cells in a Complete-mode aggregate. The state IS
+    * the sketch — depth·width rows regardless of key cardinality, the
+    * bounded-state answer to "frequency over an unbounded key space"
+    * where a per-key streaming count grows without limit. Cells use the
+    * same keyed-md5 hashing as batch q48, so the oracle (batch-computed
+    * cells over the same events) gates the stream EXACTLY — and because
+    * cell updates are associative sums, the same query shape merges
+    * shard-local sketches on a real cluster. */
+  val q102: Q = (spark, dir) => {
+    val name = s"q102_out_${runId.incrementAndGet()}"
+    val keyed = stream(spark, dir)
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .filter(col("k").isNotNull)
+      .select(col("k"),
+        explode(array((0 until 4).map(lit): _*)).as("r"))
+      .withColumn("b", pmod(
+        graft.functions.GraftFunctions.md5_63(
+          concat(col("r").cast("string"), lit(":"), col("k"))),
+        lit(64L)))
+    EventStreams.runToMemory(spark,
+      keyed.groupBy("r", "b").agg(count(lit(1)).as("cell")),
+      name, OutputMode.Complete)
+      .select(col("r").cast("long").as("r"), col("b"), col("cell"))
+      .orderBy("r", "b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_stream_heavy_hitters" -> q102,
     "q81_stream_attribution" -> q81,
     "q92_session_windows" -> q92,
     "q93_stream_session_windows" -> q93,
@@ -288,6 +316,17 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Batch-computed CMS cells over the same events: stream-final state
+    // must equal the batch sketch (associative cell sums).
+    "q102_stream_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT json_extract_string(props, '$.k') AS k FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT r, ((md5_number_lower(r::VARCHAR || ':' || k)
+        |            & 9223372036854775807)::BIGINT % 64) AS b,
+        |       CAST(count(*) AS BIGINT) AS cell
+        |FROM k CROSS JOIN generate_series(0, 3) g(r)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The batch LSH pipeline (same band prefix as q27's oracle)
     // restricted to stream-side × index-side candidate pairs: the
     // incremental flagger must agree with what a batch re-run would say.
