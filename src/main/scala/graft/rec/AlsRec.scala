@@ -1,6 +1,7 @@
 package graft.rec
 
 import graft.segment.Twins
+import graft.util.SessionMemo
 
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
@@ -28,6 +29,35 @@ object AlsRec {
       s"als-train:$cacheKey")(build)
   }
 
+  /** Size-aware ALS blocking. spark.ml defaults to 10 user × 10 item
+    * blocks regardless of input size, so every one of the solver's
+    * 2·maxIter half-iterations schedules 10-task stages (plus the
+    * block-to-block exchange) even when a block holds a few thousand
+    * ratings — at small per-fit inputs the whole solve is scheduler
+    * overhead, multiplied by 16 for the q55 grid. One block per ~1M
+    * ratings (floor 1, cap = session default parallelism) keeps
+    * per-block work meaningful at every scale: the sf0.1 fit runs
+    * single-block, a MovieLens-20M fit gets its ~20 blocks back, and a
+    * cluster-scale fit caps at the cluster's parallelism exactly like
+    * the default. Block count does not change ALS math — only the
+    * float-summation grouping — and every fit in a session derives the
+    * same count from the same memoized input, so same-seed determinism
+    * and the q53==grid(8,0.1) identity hold unchanged. */
+  private val RatingsPerBlock = 1000000L
+  private def numBlocks(ratings: DataFrame, cacheKey: String): Int = {
+    def compute = {
+      val rows =
+        if (cacheKey.isEmpty) ratings.count()
+        else SessionMemo(ratings.sparkSession, s"als-train-rows:$cacheKey")(
+          ratings.count())
+      val ideal = ((rows + RatingsPerBlock - 1) / RatingsPerBlock).toInt
+      math.max(1, math.min(ratings.sparkSession.sparkContext.defaultParallelism,
+        ideal))
+    }
+    if (cacheKey.isEmpty) compute
+    else SessionMemo(ratings.sparkSession, s"als-blocks:$cacheKey")(compute)
+  }
+
   /** Fit on (user_id, item_id, rating) with a fixed seed.
     *
     * `cacheKey` memoizes the fitted model within the session: it MUST
@@ -38,12 +68,15 @@ object AlsRec {
           regParam: Double = 0.1, seed: Long = 42L,
           cacheKey: String = ""): ALSModel = {
     def doFit(): ALSModel = {
+      val ratings = prepared(train, cacheKey)
+      val blocks = numBlocks(ratings, cacheKey)
       val m = new ALS()
         .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
         .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
         .setNonnegative(true).setColdStartStrategy("drop")
+        .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
         .setSeed(seed)
-        .fit(prepared(train, cacheKey))
+        .fit(ratings)
       // The factor FRAMES re-run their RDD→row conversion on every
       // action, and recommend/transform/rmse each act on them several
       // times — persisting them halves recommendForUserSubset (measured
