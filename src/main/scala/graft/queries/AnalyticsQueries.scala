@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.graph.PageRank
+import graft.graph.{PageRank, Triangles}
 import graft.io.Tables
-import graft.ops.{Cohort, Merge, Profile}
+import graft.ops.{Cohort, Incremental, Merge, Outliers, Profile, Scd, TimeSeries}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -103,13 +103,123 @@ object AnalyticsQueries {
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .orderBy("col_name")
 
+  /** q103 — incremental materialized-view refresh (see
+    * [[graft.ops.Incremental]]): the stored 30-day-period × status order
+    * summary (simulated from the ⅞ "historical" keys) merged with the
+    * delta partition's partials (the remaining ⅛) — algebraic merge, no
+    * history re-scan. The oracle recomputes from scratch over ALL orders;
+    * equality IS the MV-maintenance correctness property. */
+  val q103: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      expr("cast(cast(o_orderdate as timestamp) as long) div 2592000")
+        .as("period"))
+    val keys = Seq("period", "o_orderstatus")
+    val mv = Incremental.partials(
+      o.filter(col("o_orderkey") % 8 =!= 0), keys, col("o_totalprice"))
+    val delta = Incremental.partials(
+      o.filter(col("o_orderkey") % 8 === 0), keys, col("o_totalprice"))
+    Incremental.merge(Seq(mv, delta), keys)
+      .select(col("period"), col("o_orderstatus"),
+        col("n").as("n_orders"),
+        col("s").cast("double").as("sum_total"),
+        col("mn").cast("double").as("min_total"),
+        col("mx").cast("double").as("max_total"))
+      .orderBy("period", "o_orderstatus")
+  }
+
+  /** q104 — per-part triangle participation in the co-purchase graph
+    * (parts co-ordered in ≥2 orders; the support threshold prunes
+    * singleton co-occurrence noise AND is what keeps a 100 TB co-purchase
+    * graph sparse). Degree-oriented wedge counting — see
+    * [[graft.graph.Triangles]] for why orientation bounds the fan-out. */
+  val q104: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("dst"))
+    val edges = a.join(b, "k").filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("src", "dst")
+    Triangles.triangleCounts(edges)
+      .select(col("node").cast("long").as("part_key"), col("n_triangles"))
+      .orderBy(desc("n_triangles"), col("part_key"))
+      .limit(25)
+  }
+
+  /** q105 — SCD Type 2 history of each user's event_type (see
+    * [[graft.ops.Scd.type2]]): run-length intervals with ns-precision
+    * boundaries, REPORTED at second granularity (exact in the
+    * comparator's float64 path). Sort-key ties can only occur between
+    * all-columns-identical rows (adjacent runs differ in value by
+    * construction), so the positional compare is deterministic. */
+  val q105: Q = (spark, dir) =>
+    Scd.type2(Tables.events(spark, dir), "user_id", "event_type", "ts",
+        "event_id")
+      .select(col("user_id"), col("event_type"),
+        expr("cast(valid_from as long) div 1000000000").as("valid_from_s"),
+        expr("cast(valid_to as long) div 1000000000").as("valid_to_s"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_s"), col("event_type"),
+        col("valid_to_s").asc_nulls_first)
+
+  /** q106 — daily per-nation revenue on the dense calendar grid with
+    * zero-fill and forward-fill (see [[graft.ops.TimeSeries
+    * .gapFillDaily]]). Grid rows are calendar-bounded (nations × span
+    * days ≈ 60k at EVERY scale factor — the op's output is invariant to
+    * fact-table volume, only the observed aggregate changes). */
+  val q106: Q = (spark, dir) => {
+    val pts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("day"),
+        col("o_totalprice"))
+      .groupBy("nation", "day")
+      .agg(sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("revenue"))
+    TimeSeries.gapFillDaily(pts, "nation", "day", "revenue")
+      .select("nation", "day", "revenue", "revenue_ffill", "is_gap")
+      .orderBy("nation", "day")
+  }
+
+  /** q109 — per-nation customer-spend outliers at |z| ≥ 2.5 (see
+    * [[graft.ops.Outliers.zscoreOutliers]]): aggregate once on the
+    * customer key, score with window stats on the nation partition —
+    * two exchanges total, threshold applied to the ROUNDED score on both
+    * engines. */
+  val q109: Q = (spark, dir) => {
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("spend"))
+    Outliers.zscoreOutliers(spend, Seq(col("nation")), col("spend"), 2.5)
+      .select("c_custkey", "nation", "n_orders", "spend", "z")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
     "q48_heavy_hitters" -> q48,
     "q49_pagerank" -> q49,
     "q100_merge_upsert" -> q100,
-    "q101_column_profile" -> q101)
+    "q101_column_profile" -> q101,
+    "q103_incremental_mv" -> q103,
+    "q104_triangle_counts" -> q104,
+    "q105_scd2_history" -> q105,
+    "q106_gap_fill" -> q106,
+    "q109_spend_outliers" -> q109)
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
@@ -151,6 +261,94 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q101_column_profile" -> profOracle,
+    "q103_incremental_mv" ->
+      """SELECT (epoch_ns(o_orderdate) // 1000000000) // 2592000 AS period,
+        |       o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_total,
+        |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q104_triangle_counts" ->
+      """WITH pr AS (SELECT l_orderkey AS k, l_partkey::VARCHAR AS p,
+        |                   l_partkey AS pn FROM lineitem),
+        |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+        |          FROM pr a JOIN pr b ON a.k = b.k AND a.pn < b.pn
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND pairs.u < pairs.v)
+        |                    THEN pairs.u ELSE pairs.v END AS s,
+        |               CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND pairs.u < pairs.v)
+        |                    THEN pairs.v ELSE pairs.u END AS t
+        |        FROM pairs JOIN deg d1 ON d1.n = pairs.u
+        |        JOIN deg d2 ON d2.n = pairs.v),
+        |tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        |        FROM ori w1 JOIN ori w2 ON w1.s = w2.s AND w1.t < w2.t
+        |        JOIN (SELECT least(s, t) AS b, greatest(s, t) AS c FROM ori) cl
+        |          ON cl.b = w1.t AND cl.c = w2.t),
+        |roles AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri)
+        |SELECT CAST(node AS BIGINT) AS part_key,
+        |       CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM roles GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25""".stripMargin,
+    "q105_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+        |           FROM events),
+        |r AS (SELECT user_id, event_type, t, event_id,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, event_type, t,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS run_id
+        |      FROM r),
+        |g AS (SELECT user_id, run_id, min(event_type) AS event_type,
+        |             min(t) AS vf
+        |      FROM s GROUP BY 1, 2),
+        |iv AS (SELECT user_id, event_type, vf, lead(vf) OVER w2 AS vt
+        |       FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id, event_type,
+        |       CAST(vf // 1000000000 AS BIGINT) AS valid_from_s,
+        |       CAST(vt // 1000000000 AS BIGINT) AS valid_to_s,
+        |       vt IS NULL AS is_current
+        |FROM iv
+        |ORDER BY user_id, valid_from_s, event_type,
+        |         valid_to_s NULLS FIRST""".stripMargin,
+    "q106_gap_fill" ->
+      """WITH pts AS (
+        |  SELECT n_name AS nation,
+        |         (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT nation, min(day) AS d0, max(day) AS d1 FROM pts GROUP BY 1),
+        |grid AS (SELECT nation, unnest(generate_series(d0, d1)) AS day FROM b),
+        |j AS (SELECT grid.nation, grid.day, pts.revenue
+        |      FROM grid LEFT JOIN pts
+        |        ON grid.nation = pts.nation AND grid.day = pts.day)
+        |SELECT nation, day, coalesce(revenue, 0.0) AS revenue,
+        |       last_value(revenue IGNORE NULLS) OVER
+        |         (PARTITION BY nation ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS revenue_ffill,
+        |       revenue IS NULL AS is_gap
+        |FROM j ORDER BY 1, 2""".stripMargin,
+    "q109_spend_outliers" ->
+      """WITH spend AS (
+        |  SELECT c_custkey, n_name AS nation,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |z AS (SELECT c_custkey, nation, n_orders, spend,
+        |        round((spend - avg(spend) OVER (PARTITION BY nation))
+        |              / stddev_samp(spend) OVER (PARTITION BY nation), 6) AS z
+        |      FROM spend)
+        |SELECT * FROM z WHERE abs(z) >= 2.5 ORDER BY c_custkey""".stripMargin,
     "q46_cohort_retention" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),

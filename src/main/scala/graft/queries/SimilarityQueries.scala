@@ -125,6 +125,19 @@ object SimilarityQueries {
           x => round(x.cast("double") / col("nrm"), 6))).as(Seq("d", "u")))
       .orderBy("vec_id", "d")
 
+  /** q110 — Johnson–Lindenstrauss random projection 64→16 (see
+    * [[graft.sim.VectorOps.randomProject]]): deterministic md5-derived
+    * weight matrix, each output coordinate an in-row fold against a
+    * literal weight row — a pure map over the scan, no shuffle, no
+    * explode-join. Row-exploded (vec_id, p, y·6dp) for the gate; the
+    * DuckDB oracle rebuilds the identical matrix from
+    * `md5_number_lower('rp:p:d')` and takes the same sequential
+    * `list_dot_product`. */
+  val q110: Q = (spark, dir) =>
+    graft.sim.VectorOps.randomProject(emb(spark, dir), "vec_id",
+        "embedding", outDim = 16, dim = 64)
+      .orderBy("vec_id", "p")
+
   /** q39 — symmetric per-vector int8 quantization (the serving/storage
     * compression prep: 4× smaller than float32, dot products in integer
     * SIMD): scale = max|x|/127, code = round(x/scale) ∈ [-127, 127],
@@ -232,6 +245,7 @@ object SimilarityQueries {
     "q37_ann_ivf" -> q37,
     "q38_embedding_normalize" -> q38,
     "q39_embedding_quantize" -> q39,
+    "q110_random_projection" -> q110,
     "q34_rfm_features" -> q34,
     "q35_kmeans_segments" -> q35)
 
@@ -263,6 +277,16 @@ object SimilarityQueries {
     // per-row generate_series list — the lateral form the table-function
     // generate_series can't do), so the oracle tracks the fixture's
     // dimensionality instead of hardcoding 64.
+    "q110_random_projection" ->
+      s"""WITH w AS (
+         |  SELECT p, d,
+         |    (((md5_number_lower('rp:' || p || ':' || d)
+         |        & 9223372036854775807)::BIGINT % 2001) - 1000) / 1000.0 AS wt
+         |  FROM generate_series(0, 15) gp(p), generate_series(0, 63) gd(d)),
+         |wl AS (SELECT p, list(wt ORDER BY d) AS wv FROM w GROUP BY 1)
+         |SELECT vec_id, p,
+         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), wv), 6) AS y
+         |FROM embeddings CROSS JOIN wl ORDER BY 1, 2""".stripMargin,
     "q38_embedding_normalize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -406,6 +406,25 @@ object TextQueries {
       "doc_id", numPerm = 16)
       .orderBy("doc_id", "p")
 
+  /** q107 — perplexity-proxy quality scoring: each document's average
+    * bigram log-likelihood under the corpus-fitted MLE model (see
+    * [[graft.text.LangModel.bigramLogLikelihood]]) — the
+    * distribution-based sibling of the heuristic quality filters
+    * (q21/q69). */
+  val q107: Q = (spark, dir) =>
+    graft.text.LangModel.bigramLogLikelihood(
+      Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q108 — one character-level BPE training round: corpus-weighted
+    * adjacent-symbol-pair frequencies over the word VOCABULARY (see
+    * [[graft.text.LangModel.bpePairCounts]] for why vocab-not-corpus is
+    * the 100 TB shape), top-25 merge candidates. */
+  val q108: Q = (spark, dir) =>
+    graft.text.LangModel.bpePairCounts(Tables.documents(spark, dir), "text")
+      .orderBy(desc("n"), col("pair"))
+      .limit(25)
+
   /** q69 — Gopher-class repetition scoring: per-document duplicate
     * 3-gram ratio (see [[graft.text.TextAnalysis.repetitionScore]]) — the
     * repeated-n-gram quality filter of large-scale training pipelines. */
@@ -442,7 +461,9 @@ object TextQueries {
     "q95_vocab_spectrum" -> q95,
     "q96_jsonl_roundtrip" -> q96,
     "q97_dedup_ledger" -> q97,
-    "q98_minhash_rowsig" -> q98)
+    "q98_minhash_rowsig" -> q98,
+    "q107_bigram_loglik" -> q107,
+    "q108_bpe_pairs" -> q108)
 
   private val H = "9223372036854775807"
 
@@ -815,6 +836,29 @@ object TextQueries {
     // q98 computes the same signatures per-row (no shuffle); one oracle
     // pins q25 (agg path) and q98 (map path) to identical values.
     "q98_minhash_rowsig" -> minhashSigOracle,
+    "q107_bigram_loglik" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+        |bg0 AS (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i FROM n2),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM bg0),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |m AS (SELECT c2.w1, c2.w2, ln(c2.c2::DOUBLE / c1.c1::DOUBLE) AS logp
+        |      FROM c2 JOIN c1 USING (w1))
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(m.logp), 6) AS avg_logp
+        |FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q108_bpe_pairs" ->
+      """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wd
+        |      WHERE len(w) >= 2 GROUP BY 1),
+        |p0 AS (SELECT w, cnt,
+        |              unnest(generate_series(1, len(w) - 1)) AS i FROM v),
+        |p AS (SELECT substr(w, i, 2) AS pair, cnt FROM p0)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 25""".stripMargin,
     "q26_ngram_jaccard_dups" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -52,6 +52,35 @@ object VectorOps {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  /** Johnson–Lindenstrauss-style random projection of an `array<float>`
+    * embedding column onto `outDim` deterministic pseudo-random
+    * directions: y_p = Σ_d x_d · w(p,d), with the weight matrix derived
+    * from the engine-standard keyed md5 (`md5_63("rp:p:d")`, mapped to
+    * [−1, 1] like [[hyperplane]] — the "rp:" tag keeps the matrix
+    * disjoint from the LSH planes). The JL lemma is distribution-free in
+    * the data, so a hash-derived matrix serves: pairwise distances are
+    * preserved to 1±ε at outDim = O(log n / ε²), which is what makes
+    * 64→16 a usable pre-filter for ANN and a 4× storage cut.
+    *
+    * Shape at scale: each output coordinate is an in-row sequential fold
+    * against a LITERAL weight row (broadcast by the plan, zero shuffle,
+    * codegen'd) — a pure map over the scan, like [[withLshBucket]]. The
+    * alternative explode-join-reaggregate shape shuffles |rows|·dim
+    * intermediates; never do that for a fixed small matrix.
+    *
+    * Output is row-exploded (id, p, y·6dp) for oracle comparison; the
+    * serving form would keep the projected array in-row. */
+  def randomProject(df: DataFrame, id: String, emb: String,
+                    outDim: Int, dim: Int): DataFrame = {
+    val projected = array((0 until outDim).map { p =>
+      val w = typedLit((0 until dim).map { d =>
+        ((HashUtil.md5Lower63(s"rp:$p:$d") % 2001L) - 1000L).toDouble / 1000.0
+      })
+      round(dot(col(emb), w), 6)
+    }: _*)
+    df.select(col(id), posexplode(projected).as(Seq("p", "y")))
+  }
+
   /** Sign-of-projection LSH bucket id from `planes` hyperplanes: bit p set
     * iff round(dot(v, plane_p), 6) > 0. Each projection is an in-row array
     * fold — no shuffle, no per-dimension explosion; the bucket computation

@@ -113,4 +113,71 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(5L) == ((5L, Some("n"), 50.0, "insert")))
     assert(got.size == 5)
   }
+
+  test("incremental MV: merged partials equal the from-scratch aggregate") {
+    val rows = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 5.0),
+      ("b", 4L, 7.0), ("b", 5L, 9.0), ("c", 6L, 1.0))
+      .toDF("k", "id", "x")
+    val full = graft.ops.Incremental.partials(rows, Seq("k"), col("x"))
+    val merged = graft.ops.Incremental.merge(Seq(
+      graft.ops.Incremental.partials(rows.filter(col("id") % 2 === 0),
+        Seq("k"), col("x")),
+      graft.ops.Incremental.partials(rows.filter(col("id") % 2 =!= 0),
+        Seq("k"), col("x"))), Seq("k"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("n"), col("s").cast("double"),
+        col("mn").cast("double"), col("mx").cast("double"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(shape(merged) == shape(full))
+    assert(shape(full) == Set(("a", 3L, 35.0, 5.0, 20.0),
+      ("b", 2L, 16.0, 7.0, 9.0), ("c", 1L, 1.0, 1.0, 1.0)))
+  }
+
+  test("triangles: diamond graph (K4 minus ad), each triangle counted once") {
+    // Edges ab, ac, bc, bd, cd -> triangles abc and bcd; a,d in 1 each,
+    // b,c in 2 each. Duplicate + reversed + self edges must not matter.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("c", "b"), ("a", "b"), ("a", "a"))
+      .toDF("src", "dst")
+    val got = graft.graph.Triangles.triangleCounts(edges)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("scd type 2: runs collapse, intervals chain, last is current") {
+    val log = Seq((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 50L, 4L), (2L, "X", 5L, 5L))
+      .toDF("user", "v", "t", "id")
+    val got = graft.ops.Scd.type2(log, "user", "v", "t", "id")
+      .select("user", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(50L), false),
+      (1L, "A", 50L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
+  test("gap fill: grid densifies, zeros fill, last observation carries") {
+    val pts = Seq(("k", 10L, 7.0), ("k", 13L, 3.0), ("j", 5L, 1.0))
+      .toDF("key", "day", "v")
+    val got = graft.ops.TimeSeries.gapFillDaily(pts, "key", "day", "v")
+      .select("key", "day", "v", "v_ffill", "is_gap")
+      .as[(String, Long, Double, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      ("k", 10L, 7.0, 7.0, false), ("k", 11L, 0.0, 7.0, true),
+      ("k", 12L, 0.0, 7.0, true), ("k", 13L, 3.0, 3.0, false),
+      ("j", 5L, 1.0, 1.0, false)))
+  }
+
+  test("z-score outliers: hand-computed grouped score, rounded threshold") {
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 10.0),
+      ("g", 4L, 10.0), ("g", 5L, 110.0), ("h", 6L, 1.0), ("h", 7L, 2.0))
+      .toDF("grp", "id", "x")
+    val got = graft.ops.Outliers.zscoreOutliers(df, Seq(col("grp")),
+        col("x"), 1.5)
+      .select("id", "z").as[(Long, Double)].collect().toSeq
+    // mean 30, sd_samp sqrt(2000) -> z = 80/44.72136 = 1.7888544
+    assert(got == Seq((5L, 1.788854)))
+  }
 }

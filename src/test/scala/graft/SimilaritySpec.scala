@@ -132,4 +132,23 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("mq") =!= 127).count()
     assert(extremes == 0)
   }
+
+  test("random projection: one-hot vectors read the weight matrix back") {
+    import graft.functions.HashUtil
+    // Projecting e_d yields exactly w(p, d) -- the md5-derived entry.
+    def w(p: Int, d: Int): Double =
+      math.rint(((HashUtil.md5Lower63(s"rp:$p:$d") % 2001L) - 1000L)
+        .toDouble / 1000.0 * 1e6) / 1e6
+    val vecs = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.VectorOps
+      .randomProject(vecs, "vec_id", "embedding", outDim = 3, dim = 4)
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, p, y) => (id, p) -> y }.toMap
+    assert(got.size == 6)
+    (0 until 3).foreach { p =>
+      assert(got((0L, p)) == w(p, 0))
+      assert(got((1L, p)) == w(p, 2))
+    }
+  }
 }

@@ -173,4 +173,24 @@ class TextSpec extends AnyFunSuite {
     assert(tfidfCosinePairs(docs, "doc_id", "text", n = 3, maxDf = 2, k = 10)
       .count() == 0)
   }
+
+  test("bigram LM: hand-computed MLE log-likelihoods; short docs dropped") {
+    // Corpus bigrams: (a,b) x2, (a,c) x1 -> P(b|a)=2/3, P(c|a)=1/3.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.text.LangModel
+      .bigramLogLikelihood(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // doc 4 has no bigram
+    assert(got(1L) == ((1L, 1L, math.rint(math.log(2.0 / 3) * 1e6) / 1e6)))
+    assert(got(3L) == ((3L, 1L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
+  }
+
+  test("bpe pair counts: vocab-weighted adjacent pairs, 1-char words skipped") {
+    // vocab: abc x2 (pairs ab, bc), de x1 (pair de), "x" skipped.
+    val docs = Seq((1L, "abc de x"), (2L, "abc")).toDF("doc_id", "text")
+    val got = graft.text.LangModel.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ab" -> 2L, "bc" -> 2L, "de" -> 1L))
+  }
 }
