@@ -204,4 +204,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Expand".r.findAllIn(p).size == 1, s"expected 1 Expand:\n$p")
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
   }
+
+  test("q103 MV merge aggregates partially on both branches") {
+    val p = plan("q103_incremental_mv")
+    // partials on base and delta, algebraic merge on top — and the
+    // per-branch aggregates themselves map-side combine
+    assert("partial_sum".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin")) // merge is a union+agg, no join
+  }
+
+  test("q105 SCD2 runs every window + the run agg on ONE entity exchange") {
+    val p = plan("q105_scd2_history")
+    // change-flag lag, run-id cumsum, interval agg and the lead close all
+    // partition by user_id — one hashpartitioning of the fact table (the
+    // only other exchange is the output sort's range partitioning)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected 1 user_id exchange:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("q106 gap-fill joins agg-to-agg and fills on the grid partitioning") {
+    val p = plan("q106_gap_fill")
+    // the observed side is (nation, day)-aggregated BEFORE the grid
+    // join: no fact-table rows reach the sequence()/explode side
+    assert(p.contains("Generate explode(sequence"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q110 random projection is a pure map: no exchange before the sort") {
+    val p = plan("q110_random_projection")
+    // one scan, posexplode of 16 in-row folds, then only the output
+    // range-sort — any hash exchange means the matrix got joined
+    assert(!p.contains("hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("q107 bigram scoring shuffles the fact side once per phase, no resort") {
+    val p = plan("q107_bigram_loglik")
+    // the model join keys (w1, w2) — fact bigrams exchange once for the
+    // join; the per-doc agg re-keys by doc_id. No nested-loop anywhere.
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
