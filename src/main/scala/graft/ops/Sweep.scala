@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed sweep-line over intervals: how many are active at once,
+  * per day — the concurrency/occupancy profile (peak simultaneous
+  * sessions, connections, jobs).
+  *
+  * The naive sweep is a GLOBAL running sum over time-ordered ±1
+  * boundary events — a single sort partition, the classic
+  * does-not-scale shape. This op splits it into the standard two-phase
+  * prefix sum:
+  *   1. within-day running sums (hash-partitioned by day — parallel,
+  *      partition-local sort);
+  *   2. a per-day carry = prefix sum of per-day delta TOTALS over the
+  *      tiny (calendar-bounded) day frame — the only global window, over
+  *      |days| rows, never over boundaries;
+  *   3. day concurrency = carry + within-day run.
+  * The same decomposition cascades (day → hour → minute) if single days
+  * are still too hot.
+  *
+  * Boundary tie rule: at equal timestamps, ends (−1) apply before starts
+  * (+1) — back-to-back intervals don't overlap, and a zero-length
+  * interval never registers. Both the engine sort and the oracle sort
+  * order by (t, delta), making the rule engine-neutral.
+  */
+object Sweep {
+
+  private val DayNs = 86400000000000L
+
+  /** (day, max_concurrency, n_boundaries) for each day containing at
+    * least one interval boundary. `startCol`/`endCol` are ns-epoch longs;
+    * a day's max includes its carried-in start-of-day level (a day of
+    * pure endings peaks at its opening concurrency, not below it). */
+  def dailyConcurrency(intervals: DataFrame, startCol: String,
+                       endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("t"), lit(1L).as("d"))
+      .unionAll(intervals
+        .select(col(endCol).cast("long").as("t"), lit(-1L).as("d")))
+      .withColumn("day", expr(s"t div $DayNs"))
+    val withinDay = Window.partitionBy("day").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = deltas
+      .withColumn("run", sum(col("d")).over(withinDay))
+      .groupBy("day")
+      .agg(max(col("run")).as("max_run"),
+        sum(col("d")).as("day_delta"),
+        count(lit(1)).as("n_boundaries"))
+    // The only unpartitioned window: |days| rows, calendar-bounded.
+    val carried = perDay.withColumn("carry",
+      coalesce(sum(col("day_delta")).over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    carried.select(col("day"),
+      (col("carry") + greatest(col("max_run"), lit(0L)))
+        .as("max_concurrency"),
+      col("n_boundaries"))
+  }
+}

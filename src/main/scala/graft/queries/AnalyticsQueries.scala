@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.graph.{PageRank, Triangles}
 import graft.io.Tables
-import graft.ops.{Cohort, Incremental, Merge, Outliers, Profile, Scd, TimeSeries}
+import graft.ops.{Cohort, Incremental, Merge, Outliers, Profile, Scd, Sweep, TimeSeries}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -208,6 +208,29 @@ object AnalyticsQueries {
       .orderBy("c_custkey")
   }
 
+  /** q111 — peak concurrent sessions per day via the distributed
+    * sweep-line (see [[graft.ops.Sweep.dailyConcurrency]] for the
+    * two-phase prefix-sum decomposition that kills the global-sort
+    * bottleneck). Intervals = the q11-convention 30-minute-gap sessions;
+    * the session build shares its user_id exchange across both windows
+    * and the interval aggregate. */
+  val q111: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val intervals = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    Sweep.dailyConcurrency(intervals, "st", "en")
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -219,7 +242,8 @@ object AnalyticsQueries {
     "q104_triangle_counts" -> q104,
     "q105_scd2_history" -> q105,
     "q106_gap_fill" -> q106,
-    "q109_spend_outliers" -> q109)
+    "q109_spend_outliers" -> q109,
+    "q111_session_concurrency" -> q111)
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
@@ -336,6 +360,37 @@ object AnalyticsQueries {
         |          ROWS UNBOUNDED PRECEDING) AS revenue_ffill,
         |       revenue IS NULL AS is_gap
         |FROM j ORDER BY 1, 2""".stripMargin,
+    "q111_session_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events),
+        |r AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |               OR t - lag(t) OVER w > 1800000000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, t,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM r),
+        |iv AS (SELECT user_id, sid, min(t) AS st, max(t) AS en
+        |       FROM s GROUP BY 1, 2),
+        |d AS (SELECT st AS t, CAST(1 AS BIGINT) AS dd FROM iv
+        |      UNION ALL SELECT en, CAST(-1 AS BIGINT) FROM iv),
+        |dd AS (SELECT t, dd, t // 86400000000000 AS day FROM d),
+        |w1 AS (SELECT day, t, dd,
+        |         sum(dd) OVER (PARTITION BY day ORDER BY t, dd
+        |                       ROWS UNBOUNDED PRECEDING) AS run
+        |       FROM dd),
+        |pd AS (SELECT day, max(run) AS max_run, sum(dd) AS day_delta,
+        |              CAST(count(*) AS BIGINT) AS n_boundaries
+        |       FROM w1 GROUP BY 1),
+        |c AS (SELECT day, max_run, n_boundaries,
+        |        coalesce(sum(day_delta) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        |      FROM pd)
+        |SELECT day,
+        |       CAST(carry + greatest(max_run, 0) AS BIGINT) AS max_concurrency,
+        |       n_boundaries
+        |FROM c ORDER BY day""".stripMargin,
     "q109_spend_outliers" ->
       """WITH spend AS (
         |  SELECT c_custkey, n_name AS nation,

@@ -170,6 +170,20 @@ class AnalyticsSpec extends AnyFunSuite {
       ("j", 5L, 1.0, 1.0, false)))
   }
 
+  test("sweep concurrency: carries across days, ends before starts on ties") {
+    val D = 86400000000000L
+    // Day 0: [1,2] and [2,5] — end-before-start at t=2, so peak 1, until
+    // [4,D+3] overlaps [2,5] -> peak 2. Day 1 opens at concurrency 1
+    // (the spanning interval) and only ENDS it: peak must be the carried
+    // opening level 1, not 0.
+    val iv = Seq((1L, 2L), (2L, 5L), (4L, D + 3L))
+      .toDF("st", "en")
+    val got = graft.ops.Sweep.dailyConcurrency(iv, "st", "en")
+      .orderBy("day")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 5L), (1L, 1L, 1L)))
+  }
+
   test("z-score outliers: hand-computed grouped score, rounded threshold") {
     val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 10.0),
       ("g", 4L, 10.0), ("g", 5L, 110.0), ("h", 6L, 1.0), ("h", 7L, 2.0))
