@@ -288,8 +288,36 @@ object StreamingQueries {
       .orderBy("r", "b")
   }
 
+  /** q112 — streaming CDC log compaction (see [[EventStreams
+    * .compactLatest]]): the maintained last-write-wins per-user view of
+    * the event change stream, winner chosen by change order
+    * (ts, event_id) so arrival order is irrelevant. Update-mode
+    * emissions accumulate in the memory sink; the per-key FINAL state is
+    * the struct-max on the monotone change counter. Oracle = the batch
+    * `row_number() = 1` latest-change view — stream/batch equality is
+    * the compaction correctness property. */
+  val q112: Q = (spark, dir) => {
+    import spark.implicits._
+    val name = s"q112_out_${runId.incrementAndGet()}"
+    val events = stream(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    EventStreams.runToMemory(spark,
+      EventStreams.compactLatest(events).toDF(), name, OutputMode.Update)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_changes"), col("last_s"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))).as("fin"))
+      .select(col("user_id"), col("fin.last_s").as("last_s"),
+        col("fin.last_event_id").as("last_event_id"),
+        col("fin.last_event_type").as("last_event_type"),
+        col("fin.last_value").as("last_value"),
+        col("fin.n_changes").as("n_changes"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q102_stream_heavy_hitters" -> q102,
+    "q112_stream_compact" -> q112,
     "q81_stream_attribution" -> q81,
     "q92_session_windows" -> q92,
     "q93_stream_session_windows" -> q93,
@@ -316,6 +344,21 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Batch latest-change view: the stream's compacted state must equal
+    // the row_number()=1 pick in change order.
+    "q112_stream_compact" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+        |                  event_type, value FROM events),
+        |r AS (SELECT user_id, t, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY t DESC, event_id DESC) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |          AS n_changes
+        |      FROM e)
+        |SELECT user_id, CAST(t // 1000000000 AS BIGINT) AS last_s,
+        |       event_id AS last_event_id, event_type AS last_event_type,
+        |       value AS last_value, n_changes
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Batch-computed CMS cells over the same events: stream-final state
     // must equal the batch sketch (associative cell sums).
     "q102_stream_heavy_hitters" ->

@@ -98,6 +98,48 @@ object EventStreams {
       }
   }
 
+  case class CompactState(ts: Long, eventId: Long, eventType: String,
+                          value: Double, changes: Long)
+
+  case class CompactRow(user_id: Long, last_s: Long, last_event_id: Long,
+                        last_event_type: String, last_value: Double,
+                        n_changes: Long)
+
+  /** Streaming CDC log compaction: the continuously-maintained
+    * last-write-wins view of a keyed change stream (the Kafka-compacted-
+    * topic / MERGE-from-change-feed shape, streaming twin of the batch
+    * q100 upsert). State is ONE small struct per key — the winning
+    * change and a change counter — and the winner is chosen by the
+    * CHANGE ORDER key (ts, event_id), not arrival order, so out-of-order
+    * and cross-batch arrivals converge to the same view a batch
+    * `row_number() = 1` would pick: that equality is the oracle.
+    *
+    * Scale: state size tracks live keyspace, not stream length. On an
+    * unbounded keyspace pair it with event-time expiry exactly like
+    * [[sessionizeExpiring]] (the horizon trade is the same); compaction
+    * output feeds downstream as updates, so the sink sees per-key upserts
+    * rather than the raw firehose. */
+  def compactLatest(events: Dataset[Event]): Dataset[CompactRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CompactState, CompactRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[CompactState]) =>
+          var s = state.getOption
+            .getOrElse(CompactState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+          rows.foreach { e =>
+            val newer = e.ts > s.ts || (e.ts == s.ts && e.event_id > s.eventId)
+            s =
+              if (newer) CompactState(e.ts, e.event_id, e.event_type,
+                e.value, s.changes + 1)
+              else s.copy(changes = s.changes + 1)
+          }
+          state.update(s)
+          CompactRow(user, s.ts / 1000000000L, s.eventId, s.eventType,
+            s.value, s.changes)
+      }
+  }
+
   /** [[sessionize]] with EVENT-TIME state expiry — the production bound:
     * a key's state dies once the watermark passes its last event +
     * `expireAfterNs`, so the store holds only recently-active keys, in

@@ -88,4 +88,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before,
       s"memory-sink temp views leaked: $before tables before, $after after")
   }
+
+  test("CDC compaction converges on change order despite out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val q = EventStreams.compactLatest(input.toDS()).toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("cdc_test")
+      .start()
+    try {
+      // Batch 1 delivers the LATEST change (ts 30) first.
+      input.addData(EventStreams.Event(3L, 30L, 1L, "purchase", 9.0))
+      q.processAllAvailable()
+      // Batch 2 arrives later but carries EARLIER changes — they must
+      // bump the change count without stealing the win.
+      input.addData(EventStreams.Event(1L, 10L, 1L, "view", 1.0),
+        EventStreams.Event(2L, 20L, 1L, "click", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("cdc_test")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_changes"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))).as("f"))
+      .select("user_id", "f.*")
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    spark.catalog.dropTempView("cdc_test")
+    assert(fin == Seq((1L, 3L, 3L, "purchase", 9.0)))
+  }
 }
