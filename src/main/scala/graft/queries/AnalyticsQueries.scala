@@ -129,16 +129,27 @@ object AnalyticsQueries {
   }
 
   /** q104 — per-part triangle participation in the co-purchase graph
-    * (parts co-ordered in ≥2 orders; the support threshold prunes
-    * singleton co-occurrence noise AND is what keeps a 100 TB co-purchase
-    * graph sparse). Degree-oriented wedge counting — see
+    * (parts co-ordered in ≥2 DISTINCT orders; the support threshold
+    * prunes singleton co-occurrence noise AND is what keeps a 100 TB
+    * co-purchase graph sparse). Degree-oriented wedge counting — see
     * [[graft.graph.Triangles]] for why orientation bounds the fan-out. */
   val q104: Q = (spark, dir) => {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("dst"))
-    val edges = a.join(b, "k").filter(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // Pair generation as collect_set + in-row pair explode: ONE shuffle
+    // on the order key instead of a self-join (two shuffled sides + a
+    // third for the count). Per-order fan-out is k·(k−1)/2 on the
+    // basket size — bounded (~7 lines/order here); an unbounded-basket
+    // corpus would cap k before exploding. The pair SET per order is
+    // order-insensitive (least/greatest), so collect_set's
+    // nondeterministic ordering is harmless.
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("src", "dst")
     Triangles.triangleCounts(edges)
@@ -294,8 +305,9 @@ object AnalyticsQueries {
         |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q104_triangle_counts" ->
-      """WITH pr AS (SELECT l_orderkey AS k, l_partkey::VARCHAR AS p,
-        |                   l_partkey AS pn FROM lineitem),
+      """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
+        |                   l_partkey::VARCHAR AS p, l_partkey AS pn
+        |            FROM lineitem),
         |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
         |          FROM pr a JOIN pr b ON a.k = b.k AND a.pn < b.pn
         |          GROUP BY 1, 2 HAVING count(*) >= 2),
