@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.graph.{PageRank, Triangles}
 import graft.io.Tables
-import graft.ops.{Cohort, Incremental, Merge, Outliers, Profile, Scd, Sweep, TimeSeries}
+import graft.ops.{Cohort, Incremental, Merge, Outliers, Profile, Scd, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -242,6 +242,33 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** q113 — z-order skipping index over (l_partkey, l_suppkey) (see
+    * [[graft.ops.ZOrder]]): both keys range-normalized to 8 bits (the
+    * integer-exact `x·256 div (max+1)` — z-order always interleaves
+    * RANGE-scaled coordinates, else the curve degenerates to whichever
+    * key has more raw bits), then 64 z-range buckets with per-bucket
+    * min/max of BOTH original keys — the stats frame a lakehouse writer
+    * persists as file-skipping metadata after `OPTIMIZE ZORDER`.
+    * Locality (both spans tight per bucket, vs a single-key sort leaving
+    * the other dimension unbounded) is spec-asserted on a dense grid. */
+  val q113: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val mx = li.agg(max(col("l_partkey")).as("mxp"),
+      max(col("l_suppkey")).as("mxs"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("xb", expr("l_partkey * 256 div (mxp + 1)"))
+      .withColumn("yb", expr("l_suppkey * 256 div (mxs + 1)"))
+      .withColumn("bucket",
+        shiftright(ZOrder.zValue(col("xb"), col("yb"), 8), 10))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_l_partkey"),
+        max(col("l_partkey")).as("max_l_partkey"),
+        min(col("l_suppkey")).as("min_l_suppkey"),
+        max(col("l_suppkey")).as("max_l_suppkey"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -254,7 +281,8 @@ object AnalyticsQueries {
     "q105_scd2_history" -> q105,
     "q106_gap_fill" -> q106,
     "q109_spend_outliers" -> q109,
-    "q111_session_concurrency" -> q111)
+    "q111_session_concurrency" -> q111,
+    "q113_zorder_stats" -> q113)
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
@@ -294,8 +322,31 @@ object AnalyticsQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** The q113 oracle's Morton interleave, generated term-by-term —
+    * shift/and/or on BIGINT is engine-neutral. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
   val oracles: Map[String, String] = Map(
     "q101_column_profile" -> profOracle,
+    "q113_zorder_stats" ->
+      s"""WITH m AS (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs
+         |           FROM lineitem),
+         |s AS (SELECT l_partkey, l_suppkey,
+         |        (l_partkey * 256) // (mxp + 1) AS xb,
+         |        (l_suppkey * 256) // (mxs + 1) AS yb
+         |      FROM lineitem CROSS JOIN m),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |        (${zSql("xb", "yb", 8)}) AS zv
+         |      FROM s)
+         |SELECT (zv >> 10) AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |       min(l_partkey) AS min_l_partkey,
+         |       max(l_partkey) AS max_l_partkey,
+         |       min(l_suppkey) AS min_l_suppkey,
+         |       max(l_suppkey) AS max_l_suppkey
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q103_incremental_mv" ->
       """SELECT (epoch_ns(o_orderdate) // 1000000000) // 2592000 AS period,
         |       o_orderstatus,

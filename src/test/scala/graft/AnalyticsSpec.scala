@@ -184,6 +184,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L, 5L), (1L, 1L, 1L)))
   }
 
+  test("z-order buckets are aligned 2-D tiles: tight in BOTH dimensions") {
+    // Dense 256x256 grid, 8-bit interleave, 64 buckets -> every bucket
+    // must be an exact 32x32 tile (span 31 in x AND y, 1024 rows). A
+    // single-key sort into 64 buckets would leave the other dimension
+    // spanning the full 0..255.
+    val grid = spark.range(256).select(col("id").as("x"))
+      .crossJoin(spark.range(256).select(col("id").as("y")))
+    val stats = graft.ops.ZOrder.bucketStats(grid, "x", "y",
+        bits = 8, buckets = 64)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 64)
+    stats.foreach { case (b, n, mnx, mxx, mny, mxy) =>
+      assert(n == 1024L, s"bucket $b: $n rows")
+      assert(mxx - mnx == 31L && mxy - mny == 31L,
+        s"bucket $b spans: x ${mxx - mnx}, y ${mxy - mny}")
+    }
+  }
+
   test("z-score outliers: hand-computed grouped score, rounded threshold") {
     val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 10.0),
       ("g", 4L, 10.0), ("g", 5L, 110.0), ("h", 6L, 1.0), ("h", 7L, 2.0))
