@@ -43,4 +43,26 @@ object Profile {
     }
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Pairwise Pearson correlation of `columns` in ONE pass: all
+    * k·(k−1)/2 `corr` co-moment aggregates ride a single scan and a
+    * single reduce (contrast k² separate jobs, or collecting vectors to
+    * the driver), melted to (col_a, col_b, r·6dp) rows. The co-moments
+    * are distributed double reductions — rounded per rule #3. At
+    * 100 TB this is the feature-correlation screen before training:
+    * cost is one scan regardless of k, state is k² doubles. */
+  def corrMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- columns.indices
+      j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a|$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perPair = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(col(s"$a|$b"), 6).as("r"))
+    }
+    row.select(explode(array(perPair: _*)).as("p")).select("p.*")
+  }
 }

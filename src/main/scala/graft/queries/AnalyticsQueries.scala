@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.graph.{PageRank, Triangles}
 import graft.io.Tables
-import graft.ops.{Cohort, Incremental, Merge, Outliers, Profile, Scd, Sweep, TimeSeries, ZOrder}
+import graft.ops.{Cohort, Drift, Incremental, Merge, Outliers, Profile, Scd, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -269,6 +269,31 @@ object AnalyticsQueries {
       .orderBy("bucket")
   }
 
+  /** q114 — one-pass pairwise correlation matrix over lineitem's four
+    * numeric measures (see [[graft.ops.Profile.corrMatrix]]): 6 co-moment
+    * aggregates on one scan, melted. */
+  val q114: Q = (spark, dir) =>
+    Profile.corrMatrix(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+
+  /** q115 — PSI distribution drift of order totals between the first and
+    * second halves of the date range (see [[graft.ops.Drift.psiByBin]]).
+    * The period split (integer midpoint day) and the fixed-width bin
+    * (`floor(total/50000)` — one IEEE divide on identical doubles) are
+    * both engine-exact; only the log term needs rounding. */
+  val q115: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir).select(
+      expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+        .as("day"),
+      col("o_totalprice"))
+    val m = o.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val binned = o.crossJoin(broadcast(m)).select(
+      when(col("day") < col("mid"), "a").otherwise("b").as("period"),
+      floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+    Drift.psiByBin(binned, col("period"), col("bin")).orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -282,7 +307,9 @@ object AnalyticsQueries {
     "q106_gap_fill" -> q106,
     "q109_spend_outliers" -> q109,
     "q111_session_concurrency" -> q111,
-    "q113_zorder_stats" -> q113)
+    "q113_zorder_stats" -> q113,
+    "q114_corr_matrix" -> q114,
+    "q115_psi_drift" -> q115)
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
@@ -329,8 +356,48 @@ object AnalyticsQueries {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" | ")
 
+  /** q114 oracle: one UNION ALL stanza per pair (generated). */
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private def corrOracle: String = {
+    val stanzas = for {
+      i <- corrCols.indices
+      j <- (i + 1) until corrCols.size
+    } yield {
+      val (a, b) = (corrCols(i), corrCols(j))
+      s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+        s"round(corr($a, $b), 6) AS r FROM lineitem"
+    }
+    stanzas.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+  }
+
   val oracles: Map[String, String] = Map(
     "q101_column_profile" -> profOracle,
+    "q114_corr_matrix" -> corrOracle,
+    "q115_psi_drift" ->
+      """WITH o AS (SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400
+        |                    AS day,
+        |                  o_totalprice FROM orders),
+        |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM o),
+        |b AS (SELECT CASE WHEN day < mid THEN 'a' ELSE 'b' END AS period,
+        |             CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin
+        |      FROM o CROSS JOIN m),
+        |c AS (SELECT bin,
+        |        CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_a,
+        |        CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_b
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nbins,
+        |             CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |             CAST(sum(n_b) AS BIGINT) AS tot_b FROM c)
+        |SELECT bin, n_a, n_b,
+        |       round(((n_a + 1.0) / (tot_a + nbins)
+        |               - (n_b + 1.0) / (tot_b + nbins))
+        |             * ln(((n_a + 1.0) / (tot_a + nbins))
+        |                  / ((n_b + 1.0) / (tot_b + nbins))), 6)
+        |         AS psi_contrib
+        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
     "q113_zorder_stats" ->
       s"""WITH m AS (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs
          |           FROM lineitem),

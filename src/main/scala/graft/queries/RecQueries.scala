@@ -139,7 +139,16 @@ object RecQueries {
       .withColumn("rmse", round(lit(AlsRec.rmse(model, test)), 6))
   }
 
+  /** q116 — negative sampling for implicit-feedback training (see
+    * [[graft.rec.Negatives.sample]]): 5 keyed-PRNG unseen items per
+    * user — broadcast item pool, in-map candidate stream, hash
+    * anti-join, WindowGroupLimit top-k. */
+  val q116: Q = (spark, dir) =>
+    graft.rec.Negatives.sample(Tables.ratingsCached(spark, dir), k = 5)
+      .orderBy("user_id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q116_negative_samples" -> q116,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
     "q52_als_recs" -> q52,
@@ -183,6 +192,27 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q116_negative_samples" ->
+      """WITH r AS (SELECT DISTINCT user_id,
+        |             CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+        |           FROM events
+        |           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |items AS (SELECT DISTINCT item_id FROM r),
+        |users AS (SELECT DISTINCT user_id FROM r),
+        |cand AS (SELECT u.user_id, i.item_id,
+        |           (md5_number_lower(u.user_id || ':' || i.item_id)
+        |             & 9223372036854775807)::BIGINT AS h
+        |         FROM users u CROSS JOIN items i),
+        |neg AS (SELECT c.user_id, c.item_id, c.h FROM cand c
+        |        WHERE NOT EXISTS (SELECT 1 FROM r
+        |                          WHERE r.user_id = c.user_id
+        |                            AND r.item_id = c.item_id)),
+        |rk AS (SELECT user_id, item_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY h, item_id) AS rank
+        |       FROM neg)
+        |SELECT user_id, CAST(rank AS BIGINT) AS rank, item_id
+        |FROM rk WHERE rank <= 5 ORDER BY user_id, rank""".stripMargin,
     "q50_popularity_recs" ->
       s"""WITH $pipelineCte
          |SELECT user_id, item_id, rank FROM recs ORDER BY user_id, rank""".stripMargin,

@@ -202,6 +202,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("corr matrix: perfect/anti/zero correlations on a hand frame") {
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("a", "b", "c", "d")
+    val got = graft.ops.Profile.corrMatrix(df, Seq("a", "b", "c"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "b")) == 1.0)   // b = 2a
+    assert(got(("a", "c")) == -1.0)  // c = -a
+    assert(got.size == 3)
+  }
+
+  test("psi drift: identical slices score ~0, a shifted bin scores > 0") {
+    // Same counts in both periods -> smoothed p == q -> every term 0.
+    val same = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("period", "bin")
+    val z = graft.ops.Drift.psiByBin(same, col("period"), col("bin"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(z.forall(_._4 == 0.0), z.mkString(","))
+    // All of period b mass moved to bin 1 -> both bins contribute > 0.
+    val moved = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L))
+      .toDF("period", "bin")
+    val m = graft.ops.Drift.psiByBin(moved, col("period"), col("bin"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(m.forall(_._4 > 0.0), m.mkString(","))
+  }
+
   test("z-score outliers: hand-computed grouped score, rounded threshold") {
     val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 10.0),
       ("g", 4L, 10.0), ("g", 5L, 110.0), ("h", 6L, 1.0), ("h", 7L, 2.0))

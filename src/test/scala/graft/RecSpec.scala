@@ -183,4 +183,20 @@ class RecSpec extends AnyFunSuite {
     val seen = graft.rec.Popularity.train(t).select("user_id", "item_id").distinct()
     assert(recs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
   }
+
+  test("negative samples: k per user, never seen, hash-rank deterministic") {
+    val ratings = graft.io.Tables.ratings(spark, sf)
+    val negs = graft.rec.Negatives.sample(ratings, k = 5)
+    val seen = ratings.select("user_id", "item_id")
+      .filter(org.apache.spark.sql.functions.col("item_id").isNotNull)
+      .distinct()
+    assert(negs.join(seen, Seq("user_id", "item_id"), "left_semi").count() == 0)
+    val perUser = negs.groupBy("user_id").count().select("count")
+      .distinct().as[Long].collect().toSet
+    assert(perUser == Set(5L), s"per-user counts: $perUser")
+    // keyed PRNG: a re-run is bit-identical
+    val again = graft.rec.Negatives.sample(ratings, k = 5)
+    assert(negs.exceptAll(again).count() == 0 &&
+      again.exceptAll(negs).count() == 0)
+  }
 }
