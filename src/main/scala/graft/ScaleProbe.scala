@@ -72,6 +72,42 @@ object ScaleProbe {
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())
 
+    if (probes("triangles")) {
+      // factor×100k disjoint K6 cliques (15 edges / 20 triangles each):
+      // constant degree, so oriented wedge volume — and wall-clock —
+      // must grow LINEARLY with edge count. Then the same graph plus one
+      // 100k-degree hub: degree orientation points every hub edge INTO
+      // the hub, so its out-degree stays 0 and the hub's ~250k extra
+      // triangles (one per clique edge among its neighbours) are found
+      // from the LOW-degree endpoints' wedges — the probe should cost
+      // about the same, not explode. Unoriented, the hub alone emits
+      // C(100k, 2) ≈ 5·10⁹ wedges: the straggler the orientation
+      // exists to kill.
+      val k = factor * 100000L
+      val cliquePairs = for (a <- 0 until 6; b <- (a + 1) until 6)
+        yield (a, b)
+      val cliques = spark.range(k).select(explode(array(cliquePairs.map {
+          case (a, b) => struct((col("id") * 6 + a).as("src"),
+            (col("id") * 6 + b).as("dst"))
+        }: _*)).as("e"))
+        .select("e.src", "e.dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      cliques.count()
+      time(s"triangles_${15 * k}_edges")(
+        graft.graph.Triangles.triangleCounts(cliques)
+          .agg(sum("n_triangles")).collect()(0).getLong(0) / 3)
+      val hub = -1L
+      val withHub = cliques.unionByName(
+        spark.range(100000L).select(lit(hub).as("src"), col("id").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      withHub.count()
+      time(s"triangles_hub100k")(
+        graft.graph.Triangles.triangleCounts(withHub)
+          .agg(sum("n_triangles")).collect()(0).getLong(0) / 3)
+      cliques.unpersist(blocking = false)
+      withHub.unpersist(blocking = false)
+    }
+
     if (probes("tfidf")) {
       // TF-IDF cosine pairs at factor× the corpus. Each copy's tokens get
       // a copy-index prefix, so copy vocabularies are DISJOINT: the df
