@@ -199,6 +199,36 @@ object Tables {
                      seed: Long): DataFrame =
     df.filter(seededUniform(col(key), seed) < keepProb)
 
+  /** Fixed-k weighted sample WITHOUT replacement — the Efraimidis–
+    * Spirakis order-statistic form the [[weightedSample]] scaladoc
+    * trades against: every row draws u ∈ (0, 1] from the seeded keyed
+    * PRNG and the k largest u^(1/w) win (ranked as ln(u)/w — same
+    * order, no tiny-power underflow). Inclusion probability tracks
+    * weight exactly as A-ES guarantees, the budget is EXACTLY k rows,
+    * and the sample is layout-independent + oracle-reproducible.
+    *
+    * Scale: the rank-and-keep is a global top-k → TakeOrderedAndProject
+    * (per-partition heaps, no global sort); the only caveat is the
+    * order-statistic float boundary at rank k, which the keyed-PRNG
+    * keys make astronomically unlikely to straddle engines. Output:
+    * (rank, row..., es·6dp). */
+  def weightedTopK(df: DataFrame, key: String,
+                   weight: org.apache.spark.sql.Column, k: Int,
+                   seed: Long): DataFrame = {
+    val h = graft.functions.GraftFunctions.md5_63(
+      concat(lit(s"$seed:"), col(key).cast("string")))
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 63))
+    val ranked = df.withColumn("__es", log(u) / weight)
+      .orderBy(col("__es").desc, col(key))
+      .limit(k)
+    // rank over the ≤k-row result — single-partition window on a tiny
+    // frame by construction (the randomPairs pattern).
+    ranked.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__es").desc, col(key))))
+      .withColumn("es", round(col("__es"), 6)).drop("__es")
+  }
+
   /** `n` seeded-random disjoint pairs from the distinct values of `key`
     * (reference part2's random-pair protocol: sample users, pair them up).
     * Two-stage for scale: a distributed `TakeOrderedAndProject` selects

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.graph.{PageRank, Triangles}
 import graft.io.Tables
-import graft.ops.{Cohort, Drift, Incremental, Merge, Outliers, Profile, Scd, Sweep, TimeSeries, ZOrder}
+import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
 
@@ -294,6 +294,34 @@ object AnalyticsQueries {
     Drift.psiByBin(binned, col("period"), col("bin")).orderBy("bin")
   }
 
+  /** q117 — next-event-prediction training rows (see
+    * [[graft.ops.Features.nextEventRows]]): features from the previous
+    * event (type, dwell), label = the current one; one user_id exchange
+    * serves all three windows. */
+  val q117: Q = (spark, dir) =>
+    Features.nextEventRows(Tables.events(spark, dir), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("user_id", "seq_n")
+
+  /** q118 — customer Pareto frontier on (avg order value, n_orders),
+    * both maximized — the "many orders AND big orders" trade-off, whose
+    * anti-correlation gives a real frontier (see
+    * [[graft.ops.Skyline.frontier2D]] for the bucket-carry sweep that
+    * replaces the O(n²) dominance self-join; the oracle IS that
+    * dominance NOT EXISTS, so the gate proves the decomposition equals
+    * the definition). */
+  val q118: Q = (spark, dir) => {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double") / count(lit(1))).as("avg_value"))
+    Skyline.frontier2D(spend, "avg_value", "n_orders")
+      .select("c_custkey", "n_orders", "avg_value")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -309,7 +337,9 @@ object AnalyticsQueries {
     "q111_session_concurrency" -> q111,
     "q113_zorder_stats" -> q113,
     "q114_corr_matrix" -> q114,
-    "q115_psi_drift" -> q115)
+    "q115_psi_drift" -> q115,
+    "q117_next_event_rows" -> q117,
+    "q118_pareto_customers" -> q118)
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
@@ -374,6 +404,33 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q101_column_profile" -> profOracle,
     "q114_corr_matrix" -> corrOracle,
+    "q117_next_event_rows" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_ns(ts) AS t FROM events),
+        |r AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER w AS seq_n,
+        |        lag(event_type) OVER w AS prev_type,
+        |        (t - lag(t) OVER w) AS gap_ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY t, event_id))
+        |SELECT user_id, event_id, CAST(seq_n AS BIGINT) AS seq_n,
+        |       prev_type, CAST(gap_ns // 1000000000 AS BIGINT) AS dwell_s,
+        |       event_type AS label
+        |FROM r WHERE seq_n >= 2
+        |ORDER BY user_id, seq_n""".stripMargin,
+    "q118_pareto_customers" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS avg_value
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey, n_orders, avg_value FROM s x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s y
+        |  WHERE y.avg_value >= x.avg_value AND y.n_orders >= x.n_orders
+        |    AND (y.avg_value > x.avg_value OR y.n_orders > x.n_orders))
+        |ORDER BY c_custkey""".stripMargin,
     "q115_psi_drift" ->
       """WITH o AS (SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400
         |                    AS day,

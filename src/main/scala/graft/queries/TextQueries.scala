@@ -425,6 +425,16 @@ object TextQueries {
       .orderBy(desc("n"), col("pair"))
       .limit(25)
 
+  /** q119 — fixed-k weighted sample without replacement
+    * (Efraimidis–Spirakis, see [[graft.io.Tables.weightedTopK]]): the
+    * 100 longest-biased documents — the exact-budget counterpart of
+    * q86's Bernoulli rate sampling for training-mix construction. */
+  val q119: Q = (spark, dir) =>
+    graft.io.Tables.weightedTopK(Tables.documents(spark, dir), "doc_id",
+        col("n_chars"), k = 100, seed = 7L)
+      .select("rank", "doc_id", "n_chars", "es")
+      .orderBy("rank")
+
   /** q69 — Gopher-class repetition scoring: per-document duplicate
     * 3-gram ratio (see [[graft.text.TextAnalysis.repetitionScore]]) — the
     * repeated-n-gram quality filter of large-scale training pipelines. */
@@ -463,7 +473,8 @@ object TextQueries {
     "q97_dedup_ledger" -> q97,
     "q98_minhash_rowsig" -> q98,
     "q107_bigram_loglik" -> q107,
-    "q108_bpe_pairs" -> q108)
+    "q108_bpe_pairs" -> q108,
+    "q119_weighted_topk" -> q119)
 
   private val H = "9223372036854775807"
 
@@ -850,6 +861,18 @@ object TextQueries {
         |       round(avg(m.logp), 6) AS avg_logp
         |FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q119_weighted_topk" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(((md5_number_lower('7:' || doc_id) & 9223372036854775807) + 1)
+        |       / 9223372036854775808.0) / n_chars AS es
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, es,
+        |        row_number() OVER (ORDER BY es DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
+        |       round(es, 6) AS es
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "q108_bpe_pairs" ->
       """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wd

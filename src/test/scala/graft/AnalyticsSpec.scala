@@ -228,6 +228,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(m.forall(_._4 > 0.0), m.mkString(","))
   }
 
+  test("skyline: hand frontier, in-group dominance, exact ties both kept") {
+    val pts = Seq((1L, 1.0, 5L), (2L, 2.0, 4L), (3L, 3.0, 3L),
+      (4L, 2.0, 2L),  // dominated within a-group by (2.0, 4)
+      (5L, 3.0, 1L),  // dominated by (3.0, 3)
+      (6L, 1.0, 5L),  // exact tie of id 1 — mutually non-dominating
+      (7L, 0.5, 4L))  // dominated by (2.0, 4)
+      .toDF("id", "a", "b")
+    val got = graft.ops.Skyline.frontier2D(pts, "a", "b", buckets = 4)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("next-event rows: prev-type features, integer dwell, first row dropped") {
+    val S = 1000000000L
+    val ev = Seq((1L, 10 * S, 7L, "view"), (2L, 25 * S, 7L, "click"),
+      (3L, 40 * S, 7L, "purchase"), (9L, 5 * S, 8L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Features.nextEventRows(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .select("user_id", "event_id", "seq_n", "prev_type", "dwell_s", "label")
+      .as[(Long, Long, Int, String, Long, String)].collect().toSet
+    assert(got == Set(
+      (7L, 2L, 2, "view", 15L, "click"),
+      (7L, 3L, 3, "click", 15L, "purchase")))
+  }
+
   test("z-score outliers: hand-computed grouped score, rounded threshold") {
     val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 10.0),
       ("g", 4L, 10.0), ("g", 5L, 110.0), ("h", 6L, 1.0), ("h", 7L, 2.0))

@@ -239,6 +239,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size == 1)
   }
 
+  test("q114 corr matrix rides ONE scan and one aggregate") {
+    val p = plan("q114_corr_matrix")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"expected 1 scan:\n$p")
+    // all six co-moment partials in one HashAggregate pair, no joins
+    assert(!p.contains("Join"))
+  }
+
+  test("q116 negative sampling broadcasts the pool and group-limits") {
+    val p = plan("q116_negative_samples")
+    assert(p.contains("BroadcastNestedLoopJoin")) // users × broadcast items
+    assert(p.contains("LeftAnti"))                // seen-set removal
+    assert(p.contains("WindowGroupLimit"))        // per-user top-k
+  }
+
   test("q107 bigram scoring shuffles the fact side once per phase, no resort") {
     val p = plan("q107_bigram_loglik")
     // the model join keys (w1, w2) — fact bigrams exchange once for the

@@ -100,4 +100,22 @@ class SampleSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("weighted top-k: exact budget, ES key formula, weight bias") {
+    import graft.functions.HashUtil
+    val docs = (1L to 400L).map(i => (i, if (i <= 200) 10L else 1000L))
+      .toDF("doc_id", "w")
+    val got = Tables.weightedTopK(docs, "doc_id", col("w"), k = 50, seed = 7L)
+      .select("rank", "doc_id", "w", "es")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.length == 50)
+    assert(got.map(_._1).toSeq == (1 to 50))
+    // es matches the closed-form A-ES key for the top row
+    val (_, id1, w1, es1) = got.head
+    val u = (HashUtil.md5Lower63(s"7:$id1") + 1).toDouble / math.pow(2, 63)
+    assert(es1 == math.rint(math.log(u) / w1 * 1e6) / 1e6)
+    // 100x weight must dominate the sample (P[inclusion] tracks weight)
+    val heavy = got.count(_._3 == 1000L)
+    assert(heavy >= 45, s"only $heavy/50 heavy-weight rows sampled")
+  }
 }
