@@ -315,9 +315,52 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q120 — streaming distribution-drift monitor: each hourly window's
+    * value histogram scored against the GLOBAL reference distribution
+    * with the q115 smoothed-PSI formula — the live "did traffic shift
+    * this hour?" alarm. The STREAMING state is the watermark-less
+    * Complete-mode (window, bin) count table — fixed-size: windows ×
+    * bins, independent of event volume (the mergeable-histogram
+    * property); the PSI arithmetic is a tiny batch transform on the
+    * sink (Spark disallows joins after streaming aggregations, and the
+    * reference frame is static anyway). Oracle = the identical batch
+    * computation. */
+  val q120: Q = (spark, dir) => {
+    val name = s"q120_out_${runId.incrementAndGet()}"
+    val binned = stream(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"),
+        floor(col("value") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_s"),
+        col("bin"), col("n"))
+    val winBins = EventStreams.runToMemory(spark, binned, name,
+      OutputMode.Complete)
+    // Post-sink batch scoring against the static global reference.
+    val ref = graft.io.Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+    val refTot = ref.agg(count(lit(1)).as("nbins"),
+      sum(col("n_ref")).as("tot_ref"))
+    val grid = winBins.select("win_s").distinct()
+      .crossJoin(ref.select("bin", "n_ref"))
+      .join(winBins, Seq("win_s", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val winTot = grid.groupBy("win_s").agg(sum(col("n")).as("tot_win"))
+    val p = (col("n") + lit(1.0)) / (col("tot_win") + col("nbins"))
+    val q = (col("n_ref") + lit(1.0)) / (col("tot_ref") + col("nbins"))
+    grid.join(winTot, "win_s").crossJoin(broadcast(refTot))
+      .withColumn("contrib", (p - q) * log(p / q))
+      .groupBy("win_s")
+      .agg(max(col("tot_win")).as("n_events"),
+        round(sum(col("contrib")), 6).as("psi"))
+      .orderBy("win_s")
+  }
+
   val queries: Map[String, Q] = Map(
     "q102_stream_heavy_hitters" -> q102,
     "q112_stream_compact" -> q112,
+    "q120_stream_drift" -> q120,
     "q81_stream_attribution" -> q81,
     "q92_session_windows" -> q92,
     "q93_stream_session_windows" -> q93,
@@ -344,6 +387,34 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Batch-computed per-window PSI against the global reference — the
+    // stream's Complete-mode histogram must land on identical counts.
+    "q120_stream_drift" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600
+        |             AS win_s,
+        |           CAST(floor(value / 10) AS BIGINT) AS bin FROM events),
+        |wb AS (SELECT win_s, bin, CAST(count(*) AS BIGINT) AS n
+        |       FROM e GROUP BY 1, 2),
+        |ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+        |        FROM e GROUP BY 1),
+        |rt AS (SELECT CAST(count(*) AS BIGINT) AS nbins,
+        |              CAST(sum(n_ref) AS BIGINT) AS tot_ref FROM ref),
+        |wins AS (SELECT DISTINCT win_s FROM wb),
+        |grid AS (SELECT w.win_s, r.bin, r.n_ref, coalesce(wb.n, 0) AS n
+        |         FROM wins w CROSS JOIN ref r
+        |         LEFT JOIN wb ON wb.win_s = w.win_s AND wb.bin = r.bin),
+        |wt AS (SELECT win_s, CAST(sum(n) AS BIGINT) AS tot_win
+        |       FROM grid GROUP BY 1),
+        |c AS (SELECT g.win_s, wt.tot_win,
+        |        ((g.n + 1.0) / (wt.tot_win + rt.nbins)
+        |          - (g.n_ref + 1.0) / (rt.tot_ref + rt.nbins))
+        |        * ln(((g.n + 1.0) / (wt.tot_win + rt.nbins))
+        |             / ((g.n_ref + 1.0) / (rt.tot_ref + rt.nbins)))
+        |          AS contrib
+        |      FROM grid g JOIN wt ON wt.win_s = g.win_s CROSS JOIN rt)
+        |SELECT win_s, max(tot_win) AS n_events,
+        |       round(sum(contrib), 6) AS psi
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Batch latest-change view: the stream's compacted state must equal
     // the row_number()=1 pick in change order.
     "q112_stream_compact" ->
