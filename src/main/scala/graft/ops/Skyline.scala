@@ -32,7 +32,11 @@ object Skyline {
     * null in either measure are excluded. */
   def frontier2D(df: DataFrame, a: String, b: String,
                  buckets: Int = 256): DataFrame = {
+    // Three consumers read the input (bounds agg, the a-group collapse,
+    // the survivor semi-join) — materialize it once or the upstream
+    // lineage (often a fact-table aggregate) re-scans per consumer.
     val pts = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .localCheckpoint()
     // Bucket by a-rank-range via fixed-width division on the a range.
     val bounds = pts.agg(min(col(a)).as("a0"), max(col(a)).as("a1"))
     val g = pts.groupBy(col(a)).agg(max(col(b)).as("__b"))
@@ -55,6 +59,9 @@ object Skyline {
         coalesce(col("__run"), lit(Double.MinValue))))
       .filter(col("__b") > col("__thresh"))
       .select(col(a), col("__b").as(b))
-    df.join(survivors, Seq(a, b), "left_semi")
+    // Join from the checkpointed frame: null-measure rows can never
+    // match a survivor, so this equals joining from `df` — without
+    // re-running df's lineage a fourth time.
+    pts.join(survivors, Seq(a, b), "left_semi")
   }
 }

@@ -253,6 +253,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))        // per-user top-k
   }
 
+  test("q118 skyline consumers all read the one checkpointed aggregate") {
+    val p = plan("q118_pareto_customers")
+    // bounds agg, group collapse and the survivor semi-join share the
+    // localCheckpoint — the fact table is scanned once, at build
+    assert(!p.contains("FileScan parquet"), s"unexpected fact re-scan:\n$p")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q107 bigram scoring shuffles the fact side once per phase, no resort") {
     val p = plan("q107_bigram_loglik")
     // the model join keys (w1, w2) — fact bigrams exchange once for the
