@@ -11,11 +11,13 @@ object Registry {
     RelationalQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ TwinsQueries.queries ++
       RecQueries.queries ++ MediaQueries.queries ++
-      StreamingQueries.queries ++ AnalyticsQueries.queries
+      StreamingQueries.queries ++ AnalyticsQueries.queries ++
+      OlapQueries.queries
 
   def oracles: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ TwinsQueries.oracles ++
       RecQueries.oracles ++ MediaQueries.oracles ++
-      StreamingQueries.oracles ++ AnalyticsQueries.oracles
+      StreamingQueries.oracles ++ AnalyticsQueries.oracles ++
+      OlapQueries.oracles
 }

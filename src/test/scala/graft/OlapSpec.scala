@@ -1,0 +1,106 @@
+package graft
+
+import graft.queries.Registry
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-6 OLAP wave 2 (q121–q126): semantic properties the DuckDB
+  * hash gate can't express (probability normalization, equi-depth
+  * balance, MAD breakdown resistance) plus the scale-critical plan
+  * shapes. */
+class OlapSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  private def plan(q: String): String =
+    Registry.all(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q122 transition probabilities normalize per prev_type") {
+    val rows = Registry.all("q122_markov_transitions")(spark, sf)
+      .groupBy("prev_type").agg(sum("p").as("ptot")).collect()
+    assert(rows.nonEmpty)
+    // each row of the matrix sums to 1 up to the 6-decimal rounding of
+    // its ≤|types| entries
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r.toString))
+  }
+
+  test("q124 shares normalize and the cumulative share ends at 1") {
+    val rows = Registry.all("q124_abc_contribution")(spark, sf).collect()
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-6)
+    // classes are monotone along the descending-revenue sweep
+    val classes = rows.map(_.getAs[String]("abc_class")).mkString
+    assert("^A*B*C*$".r.findFirstIn(classes).isDefined, classes)
+  }
+
+  test("q125 buckets are equi-depth within interpolation slack") {
+    val rows = Registry.all("q125_equidepth_histogram")(spark, sf).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    val total = ns.sum.toDouble
+    // each decile holds 10% ± 2% of the rows (boundary ties/interpolation)
+    ns.foreach(n => assert(math.abs(n / total - 0.1) < 0.02, ns.mkString(",")))
+    // bucket value ranges are disjoint and ordered
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("mx") <= b.getAs[Double]("mn"))
+    }
+  }
+
+  test("q126 MAD flags a planted extreme and resists contamination") {
+    import spark.implicits._
+    // 100 inliers in [0, 99] plus one extreme: the median/MAD of the
+    // contaminated frame barely move (breakdown resistance), so the
+    // plant scores far over threshold while inliers stay under it.
+    val base = (0 until 100).map(i => (i.toLong, "t", i.toDouble))
+    val ev = (base :+ ((999L, "t", 1e6))).toDF("event_id", "event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+    val rz = dev.join(broadcast(mad), "event_type")
+      .withColumn("rz",
+        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+    val flagged = rz.filter(abs(col("rz")) >= 3.5)
+      .select("event_id").as[Long].collect()
+    assert(flagged.toSet == Set(999L), flagged.mkString(","))
+  }
+
+  test("q121 windows over the aggregated frame, not fact rows") {
+    val p = plan("q121_moving_revenue")
+    // map-side partial agg, then the window's exchange keys only the
+    // (nation)-partitioned DAILY frame — fact rows never sort
+    assert(p.contains("partial_sum"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q123 slice filter sits below the Expand, at the scan") {
+    val p = plan("q123_unpivot_measures")
+    assert(p.contains("Expand"))
+    val scan = p.indexOf("FileScan parquet")
+    val expand = p.indexOf("Expand")
+    val filt = p.indexOf("% 997")
+    // executedPlan prints top-down: Expand above Filter above FileScan
+    assert(expand < filt && filt < scan, p)
+  }
+
+  test("q125 plans sort-free: percentile reduce + broadcast, no ntile") {
+    val p = plan("q125_equidepth_histogram")
+    assert("\\bntile\\(".r.findFirstIn(p).isEmpty) // \b: "percentile(" ends in "ntile("
+    assert(p.contains("partial_percentile")) // mergeable map-side partials
+    assert(p.contains("BroadcastNestedLoopJoin")) // 1-row bounds frame
+    // the only Sorts are the final 10-row output ordering
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q126 stats frames broadcast back; facts never shuffle-join") {
+    val p = plan("q126_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
