@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,4 +43,49 @@ object TimeSeries {
         last(col(measure), ignoreNulls = true).over(w))
       .withColumn(measure, coalesce(col(measure), lit(0).cast("double")))
   }
+
+  /** Exponentially-weighted moving average per key:
+    * `s_1 = x_1; s_i = α·x_i + (1−α)·s_{i−1}`.
+    *
+    * The recursion is inherently sequential WITHIN a key — no window
+    * frame expresses it (the closed-form weight `(1−α)^(i−j)` underflows
+    * or explodes re-normalized), so this is the repo's one legitimate
+    * typed-iterator operator: `groupByKey(key).mapGroups` with an
+    * in-group sort. Parallelism is per-key (the Spark execution model's
+    * natural unit for sequential-state ops — the same shape
+    * flatMapGroupsWithState uses in streaming); group size is
+    * calendar-bounded (≤ span days), so the in-group array sort is O(1)
+    * at any fact volume.
+    *
+    * Determinism: the fold multiplies/adds the SAME literals in the SAME
+    * order as the oracle's recursive CTE, so the doubles are
+    * bit-identical cross-engine; callers round on output only.
+    *
+    * Input must be one row per (key, day) — aggregate first. */
+  def ewma(points: DataFrame, key: String, day: String, measure: String,
+           alpha: Double): DataFrame = {
+    val enc = Encoders.product[EwmaRow]
+    points
+      .select(col(key).cast("string").as("k"), col(day).cast("long").as("d"),
+        col(measure).cast("double").as("x"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (k: String, rows: Iterator[Row]) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
+        var s = 0.0
+        var first = true
+        sorted.iterator.map { case (d, x) =>
+          s = if (first) x else alpha * x + (1.0 - alpha) * s
+          first = false
+          EwmaRow(k, d, x, s)
+        }
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("d").as(day), col("x").as(measure),
+        col("ewma"))
+  }
 }
+
+/** Output row of [[TimeSeries.ewma]] (top-level for the product
+  * Encoder). */
+case class EwmaRow(k: String, d: Long, x: Double, ewma: Double)

@@ -176,13 +176,196 @@ object OlapQueries {
       .orderBy("event_id")
   }
 
+  /** q127 — EWMA-smoothed daily nation revenue (α = 0.2): the
+    * exponential-smoothing pass an anomaly/forecast pipeline layers over
+    * the q106/q121 daily frames. The recursion `s_i = α·x_i +
+    * (1−α)·s_{i−1}` is sequential within a key — no window frame
+    * expresses it — so this is the surface's typed-iterator operator:
+    * [[graft.ops.TimeSeries.ewma]] (`groupByKey.flatMapGroups`,
+    * per-key parallelism, calendar-bounded group size). Both engines run
+    * the identical multiply-add chain, so the doubles agree bit-for-bit
+    * BEFORE the output rounding; the oracle is a recursive CTE. */
+  val q127: Q = (spark, dir) => {
+    val daily = nationOrders(spark, dir)
+      .select(col("n_name").as("nation"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .groupBy("nation", "day")
+      .agg(sum(col("p")).cast("double").as("revenue"))
+    graft.ops.TimeSeries.ewma(daily, "nation", "day", "revenue", 0.2)
+      .select(col("nation"), col("day"), col("revenue"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy("nation", "day")
+  }
+
+  /** q128 — data-quality constraint report (the Deequ/dbt-test shape):
+    * declarative rules — range, null-rate, uniqueness, referential
+    * integrity — evaluated to one (rule, n_checked, n_violations, pass)
+    * row each. Same-table rules share ONE conditional aggregate scan;
+    * the referential check is a left-anti join on the key (never a
+    * driver-side set). A 100 TB run emits this exact frame as the
+    * pipeline's quality gate artifact. */
+  val q128: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    // lineitem rules share one scan/aggregate; the 1-row result is
+    // checkpointed because two report rows consume it
+    val liAgg = li.agg(count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qty_bad"))
+      .localCheckpoint()
+    val liQty = liAgg.select(lit("lineitem_quantity_in_1_50").as("rule"),
+      col("n").as("n_checked"), col("qty_bad").as("n_violations"))
+    val orders2 = o.agg(count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("neg"))
+      .select(lit("orders_totalprice_positive").as("rule"),
+        col("n").as("n_checked"), col("neg").as("n_violations"))
+    val custUnique = Tables.customer(spark, dir)
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("nd"))
+      .select(lit("customer_custkey_unique").as("rule"),
+        col("n").as("n_checked"), (col("n") - col("nd")).as("n_violations"))
+    val evNull = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nulls"))
+      .select(lit("events_value_nonnull").as("rule"),
+        col("n").as("n_checked"), col("nulls").as("n_violations"))
+    val orphans = li.select("l_orderkey")
+      .join(o.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("viol"))
+      .crossJoin(broadcast(liAgg.select(col("n"))))
+      .select(lit("lineitem_orderkey_in_orders").as("rule"),
+        col("n").as("n_checked"), col("viol").as("n_violations"))
+    liQty.unionByName(orders2).unionByName(custUnique)
+      .unionByName(evNull).unionByName(orphans)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
+  /** q129 — multi-pass sorted-neighborhood dedup blocking (the classic
+    * entity-resolution alternative to q47's token blocking and q27's
+    * LSH): sort the DISTINCT name vocabulary, compare each name to its
+    * next `w = 3` neighbors via a lead-chain, two passes (prefix order +
+    * reversed-name order) to recover pairs a single sort key would
+    * split, union → distinct → verify with edit distance ≤ 2. Windows
+    * partition on the pass's first character, so there is no global
+    * sort; the quadratic never materializes — each name generates
+    * exactly `w` candidates per pass regardless of vocabulary size. */
+  val q129: Q = (spark, dir) => {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name")).distinct()
+    def pass(sort: org.apache.spark.sql.Column,
+             block: org.apache.spark.sql.Column): DataFrame = {
+      val w = Window.partitionBy(block).orderBy(sort)
+      names
+        // windows first, explode second — Spark rejects a generator and
+        // window expressions in one projection
+        .select(col("name"), lead(col("name"), 1).over(w).as("n1"),
+          lead(col("name"), 2).over(w).as("n2"),
+          lead(col("name"), 3).over(w).as("n3"))
+        .select(col("name"), explode(array(col("n1"), col("n2"),
+          col("n3"))).as("nb"))
+        .filter(col("nb").isNotNull)
+        .select(least(col("name"), col("nb")).as("name_a"),
+          greatest(col("name"), col("nb")).as("name_b"))
+    }
+    pass(col("name"), substring(col("name"), 1, 1))
+      .unionByName(pass(reverse(col("name")),
+        substring(reverse(col("name")), 1, 1)))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist").between(1, 2))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q130 — reciprocal rank fusion of two part rankings (by revenue, by
+    * order count): `rrf = Σ 1/(60 + rank)` over the lists the item
+    * appears in — the standard hybrid-search list-fusion (k = 60 from
+    * the original RRF paper). Fusion operates on the top-100 LISTS, not
+    * the full corpora — each ranking is a TakeOrderedAndProject (no
+    * global sort), the fused frame is 2×100 rows, and absent-from-list
+    * items contribute nothing, exactly as in serving. Integer ranks ⇒
+    * the fused score is engine-exact before its output rounding. */
+  val q130: Q = (spark, dir) => {
+    val stats = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(decSum(col("l_extendedprice")).as("rev"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // two top-k consumers, one aggregate build
+    val byRev = stats.orderBy(col("rev").desc, col("l_partkey")).limit(100)
+      .withColumn("r_rev",
+        row_number().over(Window.orderBy(col("rev").desc, col("l_partkey"))))
+      .select(col("l_partkey"), col("r_rev"))
+    val byN = stats.orderBy(col("n").desc, col("l_partkey")).limit(100)
+      .withColumn("r_n",
+        row_number().over(Window.orderBy(col("n").desc, col("l_partkey"))))
+      .select(col("l_partkey").as("pk2"), col("r_n"))
+    byRev.join(byN, col("l_partkey") === col("pk2"), "full_outer")
+      .select(coalesce(col("l_partkey"), col("pk2")).as("part_key"),
+        col("r_rev"), col("r_n"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_rev")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_n")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("part_key"))
+      .limit(25)
+  }
+
+  /** q131 — A/B experiment readout (two-proportion z-test): users hashed
+    * into variants with the repo's keyed md5 (deterministic,
+    * layout-independent — the SAME split both engines compute),
+    * conversion = any purchase event, z = (p_A−p_B)/√(p̂(1−p̂)(1/n_A+1/n_B))
+    * with the pooled p̂. Counts reduce per variant map-side; the final
+    * stat is scalar arithmetic on exact integers, written identically in
+    * both engines and rounded once. */
+  val q131: Q = (spark, dir) => {
+    val users = Tables.events(spark, dir).select("user_id").distinct()
+      .withColumn("variant",
+        when(pmod(graft.functions.GraftFunctions.md5_63(
+          concat(lit("ab:"), col("user_id"))), lit(2)) === 0, "A")
+          .otherwise("B"))
+    // conversion = a HIGH-VALUE purchase (>150): the raw any-purchase
+    // event saturates (p̂ = 1 ⇒ zero-variance z) on the fixture
+    val conv = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 150)
+      .select("user_id").distinct().withColumn("c", lit(1L))
+    val byVar = users.join(conv, Seq("user_id"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("c"), lit(0L))).as("k"))
+    val wide = byVar.agg(
+      sum(when(col("variant") === "A", col("n"))).as("n_a"),
+      sum(when(col("variant") === "A", col("k"))).as("conv_a"),
+      sum(when(col("variant") === "B", col("n"))).as("n_b"),
+      sum(when(col("variant") === "B", col("k"))).as("conv_b"))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      round(
+        (col("conv_a").cast("double") / col("n_a") -
+          col("conv_b").cast("double") / col("n_b")) /
+        sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+             (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+             (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_moving_revenue" -> q121,
     "q122_markov_transitions" -> q122,
     "q123_unpivot_measures" -> q123,
     "q124_abc_contribution" -> q124,
     "q125_equidepth_histogram" -> q125,
-    "q126_mad_outliers" -> q126)
+    "q126_mad_outliers" -> q126,
+    "q127_ewma_revenue" -> q127,
+    "q128_dq_report" -> q128,
+    "q129_sorted_neighborhood" -> q129,
+    "q130_rank_fusion" -> q130,
+    "q131_ab_ztest" -> q131)
+
+  private val H = "9223372036854775807"
 
   private val nationOrdersSql =
     """FROM orders
@@ -274,6 +457,130 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q127_ewma_revenue" ->
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT nation, day, revenue,
+         |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |            AS revenue
+         |        $nationOrdersSql
+         |        GROUP BY 1, 2)),
+         |rec AS (
+         |  SELECT nation, day, revenue, i, revenue AS s
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT idx.nation, idx.day, idx.revenue, idx.i,
+         |         CAST(0.2 AS DOUBLE) * idx.revenue
+         |           + CAST(0.8 AS DOUBLE) * rec.s
+         |  FROM idx JOIN rec ON idx.nation = rec.nation
+         |                   AND idx.i = rec.i + 1)
+         |SELECT nation, day, revenue, round(s, 6) AS ewma
+         |FROM rec ORDER BY nation, day""".stripMargin,
+    "q128_dq_report" ->
+      """WITH rules AS (
+        |  SELECT 'lineitem_quantity_in_1_50' AS rule,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer_custkey_unique',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'events_value_nonnull',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_in_orders',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN NOT EXISTS
+        |                (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
+    "q129_sorted_neighborhood" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |p1 AS (SELECT name, lead(name, 1) OVER w AS n1,
+        |              lead(name, 2) OVER w AS n2, lead(name, 3) OVER w AS n3
+        |       FROM names
+        |       WINDOW w AS (PARTITION BY substring(name, 1, 1)
+        |                    ORDER BY name)),
+        |p2 AS (SELECT name, lead(name, 1) OVER w AS n1,
+        |              lead(name, 2) OVER w AS n2, lead(name, 3) OVER w AS n3
+        |       FROM names
+        |       WINDOW w AS (PARTITION BY substring(reverse(name), 1, 1)
+        |                    ORDER BY reverse(name))),
+        |cand AS (
+        |  SELECT least(name, nb) AS name_a, greatest(name, nb) AS name_b
+        |  FROM (SELECT name, unnest([n1, n2, n3]) AS nb FROM p1
+        |        UNION ALL
+        |        SELECT name, unnest([n1, n2, n3]) AS nb FROM p2)
+        |  WHERE nb IS NOT NULL)
+        |SELECT DISTINCT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q130_rank_fusion" ->
+      """WITH stats AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |           AS rev,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |br AS (SELECT l_partkey,
+        |         row_number() OVER (ORDER BY rev DESC, l_partkey) AS r_rev
+        |       FROM stats ORDER BY rev DESC, l_partkey LIMIT 100),
+        |bn AS (SELECT l_partkey AS pk2,
+        |         row_number() OVER (ORDER BY n DESC, l_partkey) AS r_n
+        |       FROM stats ORDER BY n DESC, l_partkey LIMIT 100)
+        |SELECT coalesce(br.l_partkey, bn.pk2) AS part_key, r_rev, r_n,
+        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + r_rev), 0)
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + r_n), 0), 6)
+        |         AS rrf
+        |FROM br FULL OUTER JOIN bn ON br.l_partkey = bn.pk2
+        |ORDER BY rrf DESC, part_key LIMIT 25""".stripMargin,
+    "q131_ab_ztest" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT user_id,
+         |        CASE WHEN ((md5_number_lower('ab:' || user_id::VARCHAR)
+         |                    & $H)::BIGINT % 2) = 0
+         |             THEN 'A' ELSE 'B' END AS variant
+         |      FROM u),
+         |c AS (SELECT DISTINCT user_id FROM events
+         |      WHERE event_type = 'purchase' AND value > 150),
+         |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS k
+         |      FROM a LEFT JOIN c ON a.user_id = c.user_id GROUP BY 1),
+         |w AS (SELECT
+         |  CAST(sum(CASE WHEN variant = 'A' THEN n END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant = 'A' THEN k END) AS BIGINT) AS conv_a,
+         |  CAST(sum(CASE WHEN variant = 'B' THEN n END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN variant = 'B' THEN k END) AS BIGINT) AS conv_b
+         |  FROM v)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+         |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |  round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |        / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+         |                        / (n_a + n_b))
+         |               * (CAST(1 AS DOUBLE) / n_a
+         |                  + CAST(1 AS DOUBLE) / n_b)), 6) AS z
+         |FROM w""".stripMargin,
     "q126_mad_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6)

@@ -103,4 +103,60 @@ class OlapSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("TimeSeries.ewma matches the closed recursion on exact inputs") {
+    import spark.implicits._
+    // α = 0.5 on powers of two: every intermediate is FP-exact, so the
+    // assertion is equality, not tolerance
+    val pts = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 30.0),
+      ("j", 5L, 4.0), ("j", 7L, 8.0))
+      .toDF("key", "day", "x")
+    val out = graft.ops.TimeSeries.ewma(pts, "key", "day", "x", 0.5)
+      .orderBy("key", "day")
+      .select("key", "day", "ewma").as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("j", 5L, 4.0), ("j", 7L, 6.0),
+      ("k", 1L, 10.0), ("k", 2L, 15.0), ("k", 3L, 22.5)))
+  }
+
+  test("q128 report is internally consistent and the fixture is clean") {
+    val rows = Registry.all("q128_dq_report")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass") == (r.getAs[Long]("n_violations") == 0L))
+      assert(r.getAs[Long]("n_checked") > 0L)
+    }
+    assert(rows.forall(_.getAs[Boolean]("pass"))) // driver fixture is clean
+  }
+
+  test("q129 emits only verified near-pairs, canonically ordered") {
+    val rows = Registry.all("q129_sorted_neighborhood")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b) // least/greatest canonicalization held
+      val d = r.getAs[Long]("dist")
+      assert(d >= 1 && d <= 2)
+    }
+  }
+
+  test("q130 fusion scores are monotone and ranks in-list") {
+    val rows = Registry.all("q130_rank_fusion")(spark, sf).collect()
+    assert(rows.length == 25)
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sliding(2).forall { case Array(a, b) => a >= b })
+    rows.foreach { r =>
+      Seq("r_rev", "r_n").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) {
+          val v = r.getAs[Int](c)
+          assert(v >= 1 && v <= 100)
+        }
+      }
+    }
+  }
+
+  test("q131 z-stat is finite and the hash split is two-sided") {
+    val r = Registry.all("q131_ab_ztest")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+  }
 }
