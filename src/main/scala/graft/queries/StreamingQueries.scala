@@ -315,6 +315,49 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** 4-file staged copy of the events table (hash-split on event_id):
+    * with `maxFilesPerTrigger = 1` the stream runs FOUR genuine
+    * micro-batches, so q132's per-batch merge is exercised for real —
+    * a single staged file would collapse to one batch and never merge.
+    * Memoized per (session, dir) like [[stagedDir]]. */
+  private def staged4Dir(spark: SparkSession, dir: String): String =
+    graft.util.SessionMemo(spark, s"stream-stage4:$dir") {
+      val d = Files.createTempDirectory("graft-stream-src4")
+      graft.io.Tables.events(spark, dir)
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(d.resolve("ev").toString)
+      sys.addShutdownHook {
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+      d.resolve("ev").toString
+    }
+
+  /** q132 — streaming incremental materialized-view maintenance (see
+    * [[EventStreams.maintainIncrementalMv]]): the per-(event_type, day)
+    * count/sum/min/max view maintained across four micro-batches by
+    * algebraic partial merge — the streaming twin of q103, and the
+    * foreachBatch + MERGE INTO shape of every lakehouse streaming MV.
+    * The oracle recomputes from scratch over all events: equality proves
+    * the maintained view is independent of micro-batch slicing. */
+  val q132: Q = (spark, dir) => {
+    val s = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged4Dir(spark, dir))
+      .withColumn("day", expr("ts div 86400000000000"))
+    EventStreams.maintainIncrementalMv(s, Seq("event_type", "day"),
+        col("value"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("s").cast("double").as("sum_value"),
+        col("mn").cast("double").as("min_value"),
+        col("mx").cast("double").as("max_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** q120 — streaming distribution-drift monitor: each hourly window's
     * value histogram scored against the GLOBAL reference distribution
     * with the q115 smoothed-PSI formula — the live "did traffic shift
@@ -360,6 +403,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "q102_stream_heavy_hitters" -> q102,
     "q112_stream_compact" -> q112,
+    "q132_stream_incremental_mv" -> q132,
     "q120_stream_drift" -> q120,
     "q81_stream_attribution" -> q81,
     "q92_session_windows" -> q92,
@@ -387,6 +431,18 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // From-scratch batch aggregation over ALL events: the maintained
+    // MV must equal it regardless of micro-batch slicing.
+    "q132_stream_incremental_mv" ->
+      """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value,
+        |       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS min_value,
+        |       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Batch-computed per-window PSI against the global reference — the
     // stream's Complete-mode histogram must land on identical counts.
     "q120_stream_drift" ->

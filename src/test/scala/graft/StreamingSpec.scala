@@ -117,4 +117,41 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView("cdc_test")
     assert(fin == Seq((1L, 3L, 3L, "purchase", 9.0)))
   }
+
+  test("incremental MV maintenance is micro-batch-slicing invariant") {
+    import graft.ops.Incremental
+    val ev = graft.io.Tables.events(spark, GraftSpark.sf)
+      .withColumn("day", expr("ts div 86400000000000"))
+    val keys = Seq("event_type", "day")
+    // fold three arbitrary slices through the same partial-merge step
+    // the foreachBatch sink runs, then compare to the one-shot partials
+    val slices = Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    val maintained = slices.tail.foldLeft(
+      Incremental.partials(slices.head, keys, col("value"))) { (mv, b) =>
+      Incremental.merge(Seq(mv, Incremental.partials(b, keys, col("value"))),
+        keys).localCheckpoint()
+    }
+    val oneShot = Incremental.partials(ev, keys, col("value"))
+    assert(maintained.unionByName(oneShot).distinct().count() ==
+      oneShot.count()) // exact-set equality: decimal merge is slice-proof
+  }
+
+  test("q132 streamed MV == batch aggregation over the same events") {
+    val got = graft.queries.Registry
+      .all("q132_stream_incremental_mv")(spark, GraftSpark.sf)
+    val want = graft.io.Tables.events(spark, GraftSpark.sf)
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"),
+        min(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("min_value"),
+        max(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("max_value"))
+    assert(got.unionByName(want).distinct().count() == want.count())
+  }
 }
