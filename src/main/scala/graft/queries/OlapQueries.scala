@@ -352,6 +352,51 @@ object OlapQueries {
              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
   }
 
+  /** q133 — point-in-time (PIT) join against SCD2 history: each purchase
+    * looks up the user's state AS OF `ts − 1ns` — strictly before the
+    * purchase itself, the label-leakage-safe lookup a feature store must
+    * produce (joining "as of now" silently leaks the label event into
+    * its own features). Both sides hash-partition on the entity key, so
+    * the interval predicate evaluates co-located — per-user interval
+    * counts are bounded, and time intervals PARTITION each user's
+    * timeline, so at most one dimension row matches (no fan-out). First
+    * events have no prior state: left join, NULL feature. */
+  val q133: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val dim = graft.ops.Scd
+      .type2(ev, "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id").as("d_user"), col("event_type").as("prior_state"),
+        col("valid_from"), col("valid_to"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("valid_from") <= col("ts") - 1 &&
+        (col("valid_to").isNull || col("ts") - 1 < col("valid_to")), "left")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("ts_s"), col("prior_state"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
+  /** q134 — order-3 event-path mining (top user journeys): the lead-chain
+    * manufactures each 3-step path in-row on ONE user_id exchange — no
+    * self-join of the log against shifted copies — then a |types|³-bounded
+    * aggregate and a TakeOrderedAndProject top-20. The order-3 sibling of
+    * q122's transition matrix; at 100 TB the exchange carries only the
+    * 4 projected columns. */
+  val q134: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("s1"), col("s2"), col("s3"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_moving_revenue" -> q121,
     "q122_markov_transitions" -> q122,
@@ -363,7 +408,9 @@ object OlapQueries {
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
     "q130_rank_fusion" -> q130,
-    "q131_ab_ztest" -> q131)
+    "q131_ab_ztest" -> q131,
+    "q133_pit_join" -> q133,
+    "q134_event_paths" -> q134)
 
   private val H = "9223372036854775807"
 
@@ -581,6 +628,44 @@ object OlapQueries {
          |               * (CAST(1 AS DOUBLE) / n_a
          |                  + CAST(1 AS DOUBLE) / n_b)), 6) AS z
          |FROM w""".stripMargin,
+    "q133_pit_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+        |                  value FROM events),
+        |r AS (SELECT user_id, event_type, t, event_id,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, event_type, t,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS run_id
+        |      FROM r),
+        |g AS (SELECT user_id, run_id, min(event_type) AS prior_state,
+        |             min(t) AS vf
+        |      FROM s GROUP BY 1, 2),
+        |dim AS (SELECT user_id, prior_state, vf, lead(vf) OVER w2 AS vt
+        |        FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)),
+        |f AS (SELECT user_id, event_id, t, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id,
+        |       CAST(f.t // 1000000000 AS BIGINT) AS ts_s,
+        |       d.prior_state, f.value
+        |FROM f LEFT JOIN dim d
+        |  ON d.user_id = f.user_id AND d.vf <= f.t - 1
+        | AND (d.vt IS NULL OR f.t - 1 < d.vt)
+        |ORDER BY f.event_id""".stripMargin,
+    "q134_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |p AS (SELECT event_type AS s1,
+        |        lead(event_type, 1) OVER w AS s2,
+        |        lead(event_type, 2) OVER w AS s3
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY t, event_id))
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
     "q126_mad_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6)

@@ -154,6 +154,22 @@ class OlapSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 PIT join never fans out: one row per purchase, no leakage") {
+    val out = Registry.all("q133_pit_join")(spark, sf)
+    val purchases = graft.io.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    // intervals partition each user's timeline ⇒ exactly one output row
+    // per purchase, even through the left join
+    assert(out.count() == purchases.count())
+    assert(out.select("event_id").distinct().count() == out.count())
+  }
+
+  test("q134 top paths plan as TakeOrderedAndProject over one exchange") {
+    val p = plan("q134_event_paths")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"))
+  }
+
   test("q131 z-stat is finite and the hash split is two-sided") {
     val r = Registry.all("q131_ab_ztest")(spark, sf).collect().head
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
