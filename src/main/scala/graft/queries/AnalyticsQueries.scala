@@ -180,19 +180,11 @@ object AnalyticsQueries {
     * days ≈ 60k at EVERY scale factor — the op's output is invariant to
     * fact-table volume, only the observed aggregate changes). */
   val q106: Q = (spark, dir) => {
-    val pts = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.nation(spark, dir),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("nation"),
-        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
-          .as("day"),
-        col("o_totalprice"))
-      .groupBy("nation", "day")
-      .agg(sum(col("o_totalprice")
-        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-        .cast("double").as("revenue"))
+    // the memoized cross-query daily frame — q106/q121/q127 share one
+    // fact scan + join ([[SharedFrames.dailyNationRevenue]])
+    val pts = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("double").as("revenue"))
     TimeSeries.gapFillDaily(pts, "nation", "day", "revenue")
       .select("nation", "day", "revenue", "revenue_ffill", "is_gap")
       .orderBy("nation", "day")

@@ -40,13 +40,7 @@ object OlapQueries {
     * scale factor), never order rows. Moving sum stays decimal-exact in
     * the frame; the average is one double divide of exact operands. */
   val q121: Q = (spark, dir) => {
-    val daily = nationOrders(spark, dir)
-      .select(col("n_name").as("nation"),
-        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
-          .as("day"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
-      .groupBy("nation", "day")
-      .agg(sum(col("p")).as("rev"))
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
     val w = Window.partitionBy("nation").orderBy("day").rowsBetween(-6, 0)
     daily.select(col("nation"), col("day"),
         col("rev").cast("double").as("revenue"),
@@ -186,13 +180,8 @@ object OlapQueries {
     * the identical multiply-add chain, so the doubles agree bit-for-bit
     * BEFORE the output rounding; the oracle is a recursive CTE. */
   val q127: Q = (spark, dir) => {
-    val daily = nationOrders(spark, dir)
-      .select(col("n_name").as("nation"),
-        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
-          .as("day"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
-      .groupBy("nation", "day")
-      .agg(sum(col("p")).cast("double").as("revenue"))
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"), col("rev").cast("double").as("revenue"))
     graft.ops.TimeSeries.ewma(daily, "nation", "day", "revenue", 0.2)
       .select(col("nation"), col("day"), col("revenue"),
         round(col("ewma"), 6).as("ewma"))
