@@ -386,6 +386,29 @@ object OlapQueries {
       .limit(20)
   }
 
+  /** q135 — explicit GROUPING SETS ((nation), (status), ()): the third
+    * lattice form next to q15's ROLLUP and q79's CUBE, through Spark 4's
+    * native `Dataset.groupingSets` API — arbitrary set lists the other
+    * two can't express (here: both one-dimension marginals + grand
+    * total, WITHOUT the (nation, status) cross cells a CUBE would also
+    * compute). Plans as one Expand + a single hash aggregate — cost is
+    * |sets| × input partials in one pass, never a rescan per set. `gid`
+    * uses the SQL-standard first-key-MSB layout, matched by DuckDB's
+    * GROUPING(). */
+  val q135: Q = (spark, dir) =>
+    nationOrders(spark, dir)
+      .select(col("n_name").as("nation"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .groupingSets(
+        Seq(Seq(col("nation")), Seq(col("status")), Seq.empty),
+        col("nation"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("double").as("revenue"),
+        (grouping(col("nation")) * 2 + grouping(col("status")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), col("nation").asc_nulls_first,
+        col("status").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "q121_moving_revenue" -> q121,
     "q122_markov_transitions" -> q122,
@@ -399,7 +422,8 @@ object OlapQueries {
     "q130_rank_fusion" -> q130,
     "q131_ab_ztest" -> q131,
     "q133_pit_join" -> q133,
-    "q134_event_paths" -> q134)
+    "q134_event_paths" -> q134,
+    "q135_grouping_sets" -> q135)
 
   private val H = "9223372036854775807"
 
@@ -655,6 +679,16 @@ object OlapQueries {
         |FROM p WHERE s2 IS NOT NULL AND s3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+    "q135_grouping_sets" ->
+      s"""SELECT n_name AS nation, o_orderstatus AS status,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS revenue,
+         |       CAST(2 * GROUPING(n_name) + GROUPING(o_orderstatus)
+         |            AS BIGINT) AS gid
+         |$nationOrdersSql
+         |GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+         |ORDER BY gid, nation NULLS FIRST, status NULLS FIRST""".stripMargin,
     "q126_mad_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6)

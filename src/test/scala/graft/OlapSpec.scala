@@ -170,6 +170,15 @@ class OlapSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"))
   }
 
+  test("q135 grouping sets plan as one Expand + one aggregate pass") {
+    val p = plan("q135_grouping_sets")
+    assert(p.contains("Expand"))
+    // one partial/final hash-aggregate pair over the expanded rows — a
+    // rescan-per-set plan would show multiple scans or a union
+    assert("FileScan parquet".r.findAllIn(p).size == 3) // orders+cust+nation
+    assert(!p.contains("Union"))
+  }
+
   test("q131 z-stat is finite and the hash split is two-sided") {
     val r = Registry.all("q131_ab_ztest")(spark, sf).collect().head
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
