@@ -207,6 +207,39 @@ object ScaleProbe {
           "vec_id", "embedding", k = 5, cells = cells, nprobe = 2,
           seed = 7L, memoKey = "scaleprobe").count())
     }
+
+    if (probes("snm")) {
+      // Sorted-neighborhood blocking at factor×100k synthetic names: the
+      // claim under test is candidate volume EXACTLY ≤ 2·w·|vocab| —
+      // linear where the naive pair space is |vocab|²/2 — and wall-clock
+      // tracking it. Names are md5-hex-derived (realistic high-entropy
+      // sort keys, ~uniform first-char blocks → 16 balanced windows).
+      val n = factor * 100000L
+      val names = spark.range(n)
+        .select(md5(concat(lit("snm:"), col("id"))).as("name"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      names.count()
+      time(s"snm_${n}_names")(
+        graft.text.Fuzzy.sortedNeighborhoodPairs(names, w = 3).count())
+      names.unpersist(blocking = false)
+    }
+
+    if (probes("ewma")) {
+      // Typed-iterator throughput: factor×10k keys × 100 days streamed
+      // through groupByKey.flatMapGroups. Per-key work is constant, so
+      // wall-clock should grow linearly with keys — the op's parallelism
+      // unit — with no skew (uniform group sizes by construction).
+      val keys = factor * 10000L
+      val pts = spark.range(keys * 100).select(
+        (col("id") % keys).cast("string").as("k"),
+        (col("id") / keys).cast("long").as("d"),
+        (col("id") % 97).cast("double").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      pts.count()
+      time(s"ewma_${keys}_keys")(
+        graft.ops.TimeSeries.ewma(pts, "k", "d", "x", 0.2).count())
+      pts.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }

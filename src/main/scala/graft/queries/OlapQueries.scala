@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.io.Tables
 import graft.ops.Relational.decSum
+import graft.text.Fuzzy
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -241,33 +242,14 @@ object OlapQueries {
     * partition on the pass's first character, so there is no global
     * sort; the quadratic never materializes — each name generates
     * exactly `w` candidates per pass regardless of vocabulary size. */
-  val q129: Q = (spark, dir) => {
-    val names = Tables.part(spark, dir)
-      .select(col("p_name").as("name")).distinct()
-    def pass(sort: org.apache.spark.sql.Column,
-             block: org.apache.spark.sql.Column): DataFrame = {
-      val w = Window.partitionBy(block).orderBy(sort)
-      names
-        // windows first, explode second — Spark rejects a generator and
-        // window expressions in one projection
-        .select(col("name"), lead(col("name"), 1).over(w).as("n1"),
-          lead(col("name"), 2).over(w).as("n2"),
-          lead(col("name"), 3).over(w).as("n3"))
-        .select(col("name"), explode(array(col("n1"), col("n2"),
-          col("n3"))).as("nb"))
-        .filter(col("nb").isNotNull)
-        .select(least(col("name"), col("nb")).as("name_a"),
-          greatest(col("name"), col("nb")).as("name_b"))
-    }
-    pass(col("name"), substring(col("name"), 1, 1))
-      .unionByName(pass(reverse(col("name")),
-        substring(reverse(col("name")), 1, 1)))
-      .distinct()
+  val q129: Q = (spark, dir) =>
+    Fuzzy.sortedNeighborhoodPairs(
+        Tables.part(spark, dir).select(col("p_name").as("name")).distinct(),
+        w = 3)
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist").between(1, 2))
       .orderBy("name_a", "name_b")
-  }
 
   /** q130 — reciprocal rank fusion of two part rankings (by revenue, by
     * order count): `rrf = Σ 1/(60 + rank)` over the lists the item

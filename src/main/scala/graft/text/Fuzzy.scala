@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy (edit-distance) matching — the entity-resolution
@@ -38,5 +39,35 @@ object Fuzzy {
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
         col("dist"), col("a.n_rows").as("n_rows_a"),
         col("b.n_rows").as("n_rows_b"))
+  }
+
+  /** Multi-pass sorted-neighborhood candidate pairs over a distinct-name
+    * frame (column `name`): each pass sorts the vocabulary on a key and
+    * pairs every name with its next `w` neighbors via a lead-chain —
+    * candidate volume is EXACTLY ≤ passes·w·|vocab|, linear in the
+    * vocabulary where the naive pair space is quadratic. Two passes
+    * (prefix order, reversed-name order) recover pairs a single sort key
+    * would split — the standard multi-pass SNM recall lever, same
+    * argument as multi-band LSH. Windows partition on the pass's first
+    * character, so no global sort appears; callers verify candidates
+    * with their own distance predicate. Output: (name_a, name_b)
+    * canonical (name_a < name_b), distinct. */
+  def sortedNeighborhoodPairs(names: DataFrame, w: Int): DataFrame = {
+    def pass(sort: org.apache.spark.sql.Column,
+             block: org.apache.spark.sql.Column): DataFrame = {
+      val win = Window.partitionBy(block).orderBy(sort)
+      names
+        .select(col("name") +: (1 to w).map(i =>
+          lead(col("name"), i).over(win).as(s"n$i")): _*)
+        .select(col("name"),
+          explode(array((1 to w).map(i => col(s"n$i")): _*)).as("nb"))
+        .filter(col("nb").isNotNull)
+        .select(least(col("name"), col("nb")).as("name_a"),
+          greatest(col("name"), col("nb")).as("name_b"))
+    }
+    pass(col("name"), substring(col("name"), 1, 1))
+      .unionByName(pass(reverse(col("name")),
+        substring(reverse(col("name")), 1, 1)))
+      .distinct()
   }
 }
