@@ -391,8 +391,48 @@ object OlapQueries {
       .orderBy(col("gid"), col("nation").asc_nulls_first,
         col("status").asc_nulls_first)
 
+  /** q137 — market-basket lift over order co-occurrence: for every pair
+    * of parts appearing in the same order at least twice,
+    * `lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` — the
+    * association-rule strength behind "customers who bought X also
+    * bought Y". The pair explode shuffles on the order key and fans out
+    * C(parts-per-order, 2) rows per order — naturally bounded by basket
+    * size (≤ C(17,2) here; baskets, unlike users, don't grow with the
+    * dataset), so the plan carries to 100 TB unchanged. Counts stay in
+    * exact integer arithmetic; one double division at the end. The part
+    * marginals join is a plain equi-join on the part key: at real scale
+    * the marginals frame is |catalog|-sized and AQE picks broadcast vs
+    * shuffle from its measured size. Top-100 by lift is a
+    * TakeOrderedAndProject, not a global sort. */
+  val q137: Q = (spark, dir) => {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = Tables.lineitem(spark, dir)
+      .agg(countDistinct("l_orderkey").as("n_orders"))
+    val marginals = baskets.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_p"))
+    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = baskets.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    pairs
+      .join(marginals.select(col("l_partkey").as("part_a"),
+        col("n_p").as("na")), "part_a")
+      .join(marginals.select(col("l_partkey").as("part_b"),
+        col("n_p").as("nb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_moving_revenue" -> q121,
+    "q137_basket_lift" -> q137,
     "q122_markov_transitions" -> q122,
     "q123_unpivot_measures" -> q123,
     "q124_abc_contribution" -> q124,
@@ -448,6 +488,24 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q137_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |pc AS (SELECT l_partkey, COUNT(*) AS n_p FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b, COUNT(*) AS support
+        |  FROM b a JOIN b b2
+        |    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |scored AS (
+        |  SELECT p.part_a, p.part_b, p.support,
+        |    round(CAST(p.support * n.n_orders AS DOUBLE) /
+        |          CAST(x.n_p * y.n_p AS DOUBLE), 6) AS lift
+        |  FROM pairs p CROSS JOIN n
+        |  JOIN pc x ON x.l_partkey = p.part_a
+        |  JOIN pc y ON y.l_partkey = p.part_b)
+        |SELECT part_a, part_b, support, lift FROM scored
+        |ORDER BY lift DESC, part_a, part_b LIMIT 100""".stripMargin,
     "q121_moving_revenue" ->
       s"""WITH daily AS (
          |  SELECT n_name AS nation,

@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.io.Tables
 import graft.metrics.RankingRelational
-import graft.rec.{AlsRec, Popularity}
+import graft.rec.{AlsRec, ItemCf, Popularity}
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -147,8 +148,50 @@ object RecQueries {
     graft.rec.Negatives.sample(Tables.ratingsCached(spark, dir), k = 5)
       .orderBy("user_id", "rank")
 
+  /** q136 — item–item CF neighbors ([[graft.rec.ItemCf.itemNeighbors]]):
+    * top-10 most-similar items per item by rating-vector cosine, latest
+    * rating per (user, item), support ≥ 5 co-raters. The `maxPerUser`
+    * pair-explode cap is set above the observed per-user maximum so the
+    * oracle's uncapped SQL computes the identical exact result. */
+  val q136: Q = (spark, dir) =>
+    ItemCf.itemNeighbors(Tables.ratingsCached(spark, dir),
+        k = 10, minSupport = 5, maxPerUser = 1000)
+      .orderBy("item_id", "rank")
+
+  /** q138 — recommendation exposure diagnostics over the q50 popularity
+    * lists: catalog coverage (share of train-catalog items that appear
+    * in at least one top-20 list) and the Gini coefficient of per-item
+    * exposure counts (zeros included — unexposed catalog items are the
+    * long tail the metric exists to expose). All-integer sums feed one
+    * final double division, so the row is bit-deterministic; the global
+    * rank window runs over the already-aggregated |catalog| rows, not
+    * the fact table. */
+  val q138: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val recs = Popularity.recommend(Popularity.train(t),
+      Popularity.validation(t), bias = 100.0, poolK = 50, k = 20)
+    val catalog = Popularity.train(t).select("item_id").distinct()
+    val exposure = recs.groupBy("item_id").agg(count(lit(1)).as("x"))
+    val e = catalog.join(exposure, Seq("item_id"), "left")
+      .select(col("item_id"), coalesce(col("x"), lit(0L)).as("x"))
+    val rk = e.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("item_id"))))
+    rk.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"),
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("nrec"))
+      .select(col("n").as("n_items"), col("nrec").as("n_recommended"),
+        round(col("nrec").cast("double") / col("n").cast("double"), 6)
+          .as("coverage"),
+        round(lit(2.0) * col("six").cast("double") /
+            (col("n") * col("sx")).cast("double") -
+            (col("n") + lit(1L)).cast("double") / col("n").cast("double"),
+          6).as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
+    "q136_item_cf" -> q136,
+    "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
     "q52_als_recs" -> q52,
@@ -192,6 +235,55 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q136_item_cf" ->
+      """WITH r0 AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, CAST(json_extract_string(props, '$.k') AS INT)
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS r
+        |      FROM r0 WHERE rn = 1),
+        |stats AS (SELECT item_id, SUM(r*r) AS norm2 FROM r GROUP BY item_id),
+        |pairs AS (
+        |  SELECT a.item_id AS ia, b.item_id AS ib,
+        |    SUM(a.r * b.r) AS dot, COUNT(*) AS support
+        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |sym AS (
+        |  SELECT ia AS item_id, ib AS neighbor_id, dot, support FROM pairs
+        |  UNION ALL
+        |  SELECT ib, ia, dot, support FROM pairs),
+        |scored AS (
+        |  SELECT s.item_id, s.neighbor_id,
+        |    round(CAST(s.dot AS DOUBLE) /
+        |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))), 6) AS sim,
+        |    s.support
+        |  FROM sym s JOIN stats x ON x.item_id = s.item_id
+        |             JOIN stats y ON y.item_id = s.neighbor_id),
+        |rk AS (SELECT item_id, neighbor_id, sim, support,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY item_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |       FROM scored)
+        |SELECT item_id, neighbor_id, sim, support, rank
+        |FROM rk WHERE rank <= 10 ORDER BY item_id, rank""".stripMargin,
+    "q138_rec_exposure" ->
+      s"""WITH $pipelineCte,
+         |expo AS (
+         |  SELECT c.item_id, COALESCE(e.x, 0) AS x
+         |  FROM (SELECT DISTINCT item_id FROM train) c
+         |  LEFT JOIN (SELECT item_id, COUNT(*) AS x FROM recs GROUP BY 1) e
+         |    USING (item_id)),
+         |rk AS (SELECT x, row_number() OVER (ORDER BY x, item_id) AS i FROM expo),
+         |agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i*x) AS six,
+         |          SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS nrec FROM rk)
+         |SELECT CAST(n AS BIGINT) AS n_items, CAST(nrec AS BIGINT) AS n_recommended,
+         |  round(CAST(nrec AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coverage,
+         |  round(2.0 * CAST(six AS DOUBLE) / CAST(n*sx AS DOUBLE)
+         |    - CAST(n+1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+         |FROM agg""".stripMargin,
     "q116_negative_samples" ->
       """WITH r AS (SELECT DISTINCT user_id,
         |             CAST(json_extract_string(props, '$.k') AS INT) AS item_id
