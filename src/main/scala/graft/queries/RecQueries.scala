@@ -188,9 +188,24 @@ object RecQueries {
           6).as("gini"))
   }
 
+  /** q139 — item-CF rating prediction on the held-out validation split
+    * ([[graft.rec.ItemCf.rmseReport]]): neighbors fit on the TRAIN
+    * split only (no leakage), weighted-average prediction for every
+    * val (user, item), one summary row of n/coverage/RMSE/MAE — the
+    * oracle-exact error eval the ALS family can't offer (q53 is
+    * rows-only by iterative-ML nature). k=20 neighbors, support ≥ 3
+    * co-raters; `maxPerUser` above the observed per-user maximum so
+    * the uncapped oracle SQL is exact. */
+  val q139: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    ItemCf.rmseReport(Popularity.train(t), Popularity.validation(t),
+      k = 20, minSupport = 3, maxPerUser = 1000)
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
+    "q139_item_cf_rmse" -> q139,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -235,6 +250,71 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q139_item_cf_rmse" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, item_id, rating, ts, event_id,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |tr0 AS (
+        |  SELECT user_id, item_id, rating,
+        |    row_number() OVER (PARTITION BY user_id, item_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM tagged
+        |  WHERE split <= 2 AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |tr AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |       FROM tr0 WHERE rn = 1),
+        |va0 AS (
+        |  SELECT user_id, item_id, rating,
+        |    row_number() OVER (PARTITION BY user_id, item_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM tagged
+        |  WHERE split = 3 AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |va AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS r_true
+        |       FROM va0 WHERE rn = 1),
+        |stats AS (SELECT item_id, SUM(rr*rr) AS norm2 FROM tr GROUP BY item_id),
+        |pairs AS (
+        |  SELECT a.item_id AS ia, b.item_id AS ib,
+        |    SUM(a.rr * b.rr) AS dot
+        |  FROM tr a JOIN tr b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (
+        |  SELECT ia AS item_id, ib AS neighbor_id, dot FROM pairs
+        |  UNION ALL
+        |  SELECT ib, ia, dot FROM pairs),
+        |scored AS (
+        |  SELECT s.item_id, s.neighbor_id,
+        |    round(CAST(s.dot AS DOUBLE) /
+        |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))), 6) AS sim
+        |  FROM sym s JOIN stats x ON x.item_id = s.item_id
+        |             JOIN stats y ON y.item_id = s.neighbor_id),
+        |nbrs AS (
+        |  SELECT item_id, neighbor_id, CAST(sim AS DECIMAL(10,6)) AS w
+        |  FROM (SELECT item_id, neighbor_id, sim,
+        |          row_number() OVER (PARTITION BY item_id
+        |            ORDER BY sim DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 20),
+        |preds AS (
+        |  SELECT v.user_id, v.item_id,
+        |    CAST(round(CAST(SUM(n.w * t.rr) AS DOUBLE) /
+        |      CAST(SUM(n.w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred
+        |  FROM va v
+        |  JOIN nbrs n ON n.item_id = v.item_id
+        |  JOIN tr t ON t.user_id = v.user_id AND t.item_id = n.neighbor_id
+        |  GROUP BY 1, 2 HAVING SUM(n.w) > 0)
+        |SELECT COUNT(*) AS n_val, COUNT(p.pred) AS n_pred,
+        |  round(COUNT(p.pred)::DOUBLE / COUNT(*)::DOUBLE, 6) AS coverage,
+        |  round(sqrt(CAST(SUM((v.r_true - p.pred) * (v.r_true - p.pred)) AS DOUBLE)
+        |    / COUNT(p.pred)), 6) AS rmse,
+        |  round(CAST(SUM(ABS(v.r_true - p.pred)) AS DOUBLE) / COUNT(p.pred), 6) AS mae
+        |FROM va v LEFT JOIN preds p
+        |  ON p.user_id = v.user_id AND p.item_id = v.item_id""".stripMargin,
     "q136_item_cf" ->
       """WITH r0 AS (
         |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,

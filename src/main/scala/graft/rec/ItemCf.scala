@@ -97,4 +97,62 @@ object ItemCf {
       .filter(col("rank") <= k)
       .select("item_id", "neighbor_id", "sim", "support", "rank")
   }
+
+  /** Neighborhood rating prediction + error report — the item-CF
+    * counterpart of the ALS validation eval (reference
+    * `als_latent_factors.py` RMSE protocol), but oracle-EXACT where
+    * ALS is rows-only: every arithmetic step stays in the decimal
+    * domain or is a single IEEE double op on decimal-exact inputs, so
+    * the one output row is bit-deterministic cross-engine.
+    *
+    * pred(u, i) = Σ_{j ∈ N_k(i)} sim(i,j)·r_uj / Σ sim(i,j) over the
+    * user's TRAIN ratings on i's top-k neighbors (weighted-average
+    * item-CF in its standard form). Pairs with no rated neighbor (or
+    * all-zero rounded weights) are uncovered — reported via
+    * `coverage`, not imputed, so the RMSE measures the neighborhood
+    * model alone and the fallback policy stays a caller decision.
+    *
+    * Determinism: `sim` (6-dp-rounded double) casts exactly to
+    * decimal(10,6); weighted sums then run decimal-exact
+    * (order-independent); the division is one double op rounded to
+    * 6 dp and recast to decimal, so squared/absolute errors and their
+    * sums are again exact. Only the final RMSE/MAE divisions are
+    * doubles. Scale: `truth` is |val| rows, neighbors |catalog|×k —
+    * the contribution join shuffles on (user, item), never fans out
+    * beyond k rows per validation pair.
+    */
+  def rmseReport(train: DataFrame, valSet: DataFrame, k: Int,
+                 minSupport: Int, maxPerUser: Int): DataFrame = {
+    val nbrs = itemNeighbors(train, k, minSupport, maxPerUser)
+      .select(col("item_id"), col("neighbor_id"),
+        col("sim").cast("decimal(10,6)").as("w"))
+    val truth = latestRatings(valSet)
+      .select(col("user_id"), col("item_id"),
+        col("rating").cast("decimal(18,2)").as("r_true"))
+    val hist = latestRatings(train)
+      .select(col("user_id"), col("item_id").as("neighbor_id"),
+        col("rating").cast("decimal(18,2)").as("r_n"))
+
+    val preds = truth.join(nbrs, "item_id")
+      .join(hist, Seq("user_id", "neighbor_id"))
+      .groupBy("user_id", "item_id", "r_true")
+      .agg(sum(col("w") * col("r_n")).as("num"), sum(col("w")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("item_id"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .cast("decimal(18,6)").as("pred"))
+
+    truth.join(preds, Seq("user_id", "item_id"), "left")
+      .agg(count(lit(1)).as("n_val"), count(col("pred")).as("n_pred"),
+        sum((col("r_true") - col("pred")) *
+          (col("r_true") - col("pred"))).as("sse"),
+        sum(abs(col("r_true") - col("pred"))).as("sae"))
+      .select(col("n_val"), col("n_pred"),
+        round(col("n_pred").cast("double") / col("n_val").cast("double"), 6)
+          .as("coverage"),
+        round(sqrt(col("sse").cast("double") / col("n_pred").cast("double")),
+          6).as("rmse"),
+        round(col("sae").cast("double") / col("n_pred").cast("double"), 6)
+          .as("mae"))
+  }
 }

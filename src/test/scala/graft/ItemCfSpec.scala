@@ -68,4 +68,27 @@ class ItemCfSpec extends AnyFunSuite {
       .as[(Int, Int)].collect().toSet
     assert(out == Set((20, 30), (30, 20)))
   }
+
+  test("rmseReport: weighted-average prediction, coverage, hand-checked errors") {
+    // Train cosines (from the itemNeighbors test geometry):
+    // sim(10,20)=1.0, sim(10,30)=0.4, sim(20,30)=0.4
+    val train = ratings(
+      (1, 10, 4.0, 1L, 1L), (2, 10, 2.0, 1L, 2L),
+      (1, 20, 2.0, 1L, 3L), (2, 20, 1.0, 1L, 4L),
+      (2, 30, 2.0, 1L, 5L), (3, 30, 1.0, 1L, 6L))
+    // u1→30: pred = (0.4·4 + 0.4·2)/0.8 = 3.0 (err 0)
+    // u3→10: pred = (0.4·1)/0.4 = 1.0 (err 1)
+    // u4→10: no train history → uncovered
+    val valSet = ratings(
+      (1, 30, 3.0, 9L, 7L), (3, 10, 2.0, 9L, 8L), (4, 10, 5.0, 9L, 9L))
+    val row = ItemCf.rmseReport(train, valSet, k = 10, minSupport = 1,
+      maxPerUser = 100)
+      .select("n_val", "n_pred", "coverage", "rmse", "mae")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(row._1 == 3L && row._2 == 2L)
+    assert(row._3 == 0.666667)
+    assert(row._4 == BigDecimal(math.sqrt(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row._5 == 0.5)
+  }
 }
