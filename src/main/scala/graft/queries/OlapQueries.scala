@@ -430,7 +430,17 @@ object OlapQueries {
       .limit(100)
   }
 
+  /** q140 — Poisson-bootstrap 95% CI for the mean order value
+    * ([[graft.ops.Bootstrap.meanCI]]): 200 replicas in ONE scan via
+    * per-(row, replica) Poisson(1) weights from the keyed PRNG — the
+    * scale-native replacement for materializing 200 resamples. The
+    * interval the reference's point-estimate stats never ship. */
+  val q140: Q = (spark, dir) =>
+    graft.ops.Bootstrap.meanCI(Tables.orders(spark, dir),
+      col("o_orderkey"), col("o_totalprice"), replicas = 200, seed = 140L)
+
   val queries: Map[String, Q] = Map(
+    "q140_bootstrap_ci" -> q140,
     "q121_moving_revenue" -> q121,
     "q137_basket_lift" -> q137,
     "q122_markov_transitions" -> q122,
@@ -487,7 +497,46 @@ object OlapQueries {
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q140 oracle: the inverse-CDF CASE is generated from the SAME
+    * literals as the engine ([[graft.ops.Bootstrap.poissonWeightSql]])
+    * so the branch constants cannot drift. */
+  private def bootstrapOracle: String = {
+    val u = s"least(CAST((md5_number_lower('140:' || o_orderkey::VARCHAR" +
+      s" || ':' || b::VARCHAR) & $H) AS BIGINT)::DOUBLE / " +
+      "9.223372036854775808e18, 0.9999999999999999)"
+    val w = graft.ops.Bootstrap.poissonWeightSql("u")
+    s"""WITH base AS (
+       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+       |  FROM orders),
+       |rep AS (
+       |  SELECT o_orderkey, v, b, $u AS u
+       |  FROM base, generate_series(0, 199) t(b)),
+       |wtd AS (SELECT b, v, ($w) AS w FROM rep),
+       |means AS (
+       |  SELECT b, CAST(round(CAST(SUM(w * v) AS DOUBLE) /
+       |      CAST(SUM(w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m
+       |  FROM wtd GROUP BY b),
+       |ranked AS (
+       |  SELECT m, b, row_number() OVER (ORDER BY m, b) AS r FROM means),
+       |ci AS (
+       |  SELECT COUNT(*) AS n_replicas,
+       |    MIN(CASE WHEN r = 5 THEN m END) AS ci_lo,
+       |    MIN(CASE WHEN r = 195 THEN m END) AS ci_hi,
+       |    SUM(m) AS s1, SUM(CAST(m AS DECIMAL(24,6)) * m) AS s2
+       |  FROM ranked),
+       |fullagg AS (SELECT COUNT(*) AS n_rows, SUM(v) AS sv FROM base)
+       |SELECT n_rows,
+       |  round(CAST(sv AS DOUBLE) / n_rows, 6) AS mean,
+       |  n_replicas,
+       |  CAST(ci_lo AS DOUBLE) AS ci_lo, CAST(ci_hi AS DOUBLE) AS ci_hi,
+       |  round(sqrt((CAST(s2 AS DOUBLE) -
+       |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_replicas) /
+       |    (n_replicas - 1.0)), 6) AS se_boot
+       |FROM fullagg CROSS JOIN ci""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q140_bootstrap_ci" -> bootstrapOracle,
     "q137_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
