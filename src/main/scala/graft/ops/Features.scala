@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,5 +33,66 @@ object Features {
       .filter(col("seq_n") >= 2)
       .select(col(user), col(tiebreak), col("seq_n"), col("prev_type"),
         col("dwell_s"), col(typeCol).as("label"))
+  }
+
+  /** Out-of-fold (leakage-safe) target encoding of a categorical
+    * column — the standard mean-encoding feature for tabular models,
+    * built so no row's own target ever contributes to its feature:
+    * rows are assigned to `folds` folds by the keyed PRNG (layout- and
+    * cluster-independent, reproducible), and fold f's encoding of a
+    * category is the target mean over the OTHER folds, smoothed toward
+    * the (also out-of-fold) global mean with pseudo-count `smoothing`
+    * — the empirical-Bayes shrinkage that keeps rare categories from
+    * memorizing their few labels.
+    *
+    * Returns the ENCODING TABLE, (cat, fold) → (n_fold, n_oof,
+    * enc_raw, enc_smooth): |categories|×folds rows, the broadcastable
+    * artifact a feature pipeline joins onto training rows (serving
+    * joins the full-data variant; this table is the train-time one).
+    * A category seen ONLY inside one fold has no out-of-fold evidence:
+    * `enc_raw` is null and `enc_smooth` collapses to the global mean —
+    * the correct cold-start answer, not an accidental label leak.
+    *
+    * Scale: one (cat, fold) grouped aggregate with map-side partials;
+    * every window below it runs on that aggregate-sized frame. Sums
+    * stay decimal-exact; the global mean is rounded to 6 dp BEFORE the
+    * smoothing arithmetic so both engines shrink toward the identical
+    * constant.
+    */
+  def targetEncodeOof(df: DataFrame, cat: Column, key: Column,
+                      target: Column, folds: Int, smoothing: Int,
+                      seed: Long): DataFrame = {
+    val rows = df.select(cat.as("cat"),
+      pmod(graft.functions.GraftFunctions.md5_63(
+        concat(lit(seed.toString), lit(":"), key.cast("string"))),
+        lit(folds)).cast("int").as("fold"),
+      target.cast("decimal(18,2)").as("v"))
+
+    val perFold = rows.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+
+    val byCat = Window.partitionBy("cat")
+    val byFold = Window.partitionBy("fold")
+    val all = Window.partitionBy()
+    val enc = perFold
+      .withColumn("tot_cnt", sum("cnt").over(byCat))
+      .withColumn("tot_s", sum("s").over(byCat))
+      .withColumn("f_cnt", sum("cnt").over(byFold))
+      .withColumn("f_s", sum("s").over(byFold))
+      .withColumn("g_cnt", sum("cnt").over(all))
+      .withColumn("g_s", sum("s").over(all))
+      .withColumn("g_oof", round(
+        (col("g_s") - col("f_s")).cast("double") /
+          (col("g_cnt") - col("f_cnt")).cast("double"), 6))
+      .withColumn("oof_cnt", col("tot_cnt") - col("cnt"))
+      .withColumn("enc_raw", when(col("oof_cnt") > 0, round(
+        (col("tot_s") - col("s")).cast("double") /
+          col("oof_cnt").cast("double"), 6)))
+      .withColumn("enc_smooth", round(
+        ((col("tot_s") - col("s")).cast("double") +
+          lit(smoothing.toDouble) * col("g_oof")) /
+          (col("oof_cnt") + lit(smoothing)).cast("double"), 6))
+    enc.select(col("cat"), col("fold"), col("cnt").as("n_fold"),
+      col("oof_cnt").as("n_oof"), col("enc_raw"), col("enc_smooth"))
   }
 }

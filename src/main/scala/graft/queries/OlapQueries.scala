@@ -439,8 +439,19 @@ object OlapQueries {
     graft.ops.Bootstrap.meanCI(Tables.orders(spark, dir),
       col("o_orderkey"), col("o_totalprice"), replicas = 200, seed = 140L)
 
+  /** q141 — out-of-fold target encoding of customer nation by order
+    * value ([[graft.ops.Features.targetEncodeOof]]): the leakage-safe
+    * mean-encoding table (5 PRNG folds, smoothing pseudo-count 20) a
+    * tabular feature pipeline broadcasts onto its training rows. */
+  val q141: Q = (spark, dir) =>
+    graft.ops.Features.targetEncodeOof(nationOrders(spark, dir),
+      col("n_name"), col("o_orderkey"), col("o_totalprice"),
+      folds = 5, smoothing = 20, seed = 141L)
+      .orderBy("cat", "fold")
+
   val queries: Map[String, Q] = Map(
     "q140_bootstrap_ci" -> q140,
+    "q141_target_encode" -> q141,
     "q121_moving_revenue" -> q121,
     "q137_basket_lift" -> q137,
     "q122_markov_transitions" -> q122,
@@ -537,6 +548,34 @@ object OlapQueries {
 
   val oracles: Map[String, String] = Map(
     "q140_bootstrap_ci" -> bootstrapOracle,
+    "q141_target_encode" ->
+      s"""WITH rows0 AS (
+         |  SELECT n_name AS cat,
+         |    CAST((md5_number_lower('141:' || o_orderkey::VARCHAR) & $H)
+         |      % 5 AS INT) AS fold,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey),
+         |pf AS (SELECT cat, fold, COUNT(*) AS cnt, SUM(v) AS s
+         |       FROM rows0 GROUP BY 1, 2),
+         |e AS (
+         |  SELECT cat, fold, cnt, s,
+         |    SUM(cnt) OVER (PARTITION BY cat) AS tot_cnt,
+         |    SUM(s) OVER (PARTITION BY cat) AS tot_s,
+         |    SUM(cnt) OVER (PARTITION BY fold) AS f_cnt,
+         |    SUM(s) OVER (PARTITION BY fold) AS f_s,
+         |    SUM(cnt) OVER () AS g_cnt,
+         |    SUM(s) OVER () AS g_s
+         |  FROM pf)
+         |SELECT cat, fold, CAST(cnt AS BIGINT) AS n_fold,
+         |  CAST(tot_cnt - cnt AS BIGINT) AS n_oof,
+         |  CASE WHEN tot_cnt - cnt > 0 THEN
+         |    round(CAST(tot_s - s AS DOUBLE) / (tot_cnt - cnt), 6)
+         |  END AS enc_raw,
+         |  round((CAST(tot_s - s AS DOUBLE) + 20.0 *
+         |      round(CAST(g_s - f_s AS DOUBLE) / (g_cnt - f_cnt), 6)) /
+         |    (tot_cnt - cnt + 20), 6) AS enc_smooth
+         |FROM e ORDER BY cat, fold""".stripMargin,
     "q137_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
