@@ -202,10 +202,37 @@ object RecQueries {
       k = 20, minSupport = 3, maxPerUser = 1000)
   }
 
+  /** q142 — popularity-score AUC on the validation split
+    * ([[graft.metrics.Auc.binaryAuc]]): candidates = val users × the
+    * biased top-50 pool, label = the user actually rated the item in
+    * val, score = the 6-dp-rounded popularity score. The
+    * threshold-free counterpart of q51's @k ranking metrics — and
+    * integer-exact through the rank sum, so it gates hash-green where
+    * AUC implementations usually drift on tie handling. */
+  val q142: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val train = Popularity.train(t)
+      .filter(col("item_id").isNotNull && col("rating").isNotNull)
+    val va = Popularity.validation(t)
+      .filter(col("item_id").isNotNull && col("rating").isNotNull)
+    val pool = train.groupBy("item_id")
+      .agg(round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
+        (count(lit(1)) + lit(100.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("item_id")).limit(50)
+    val vusers = va.select("user_id").distinct()
+    val vitems = va.select("user_id", "item_id").distinct()
+      .withColumn("y", lit(1))
+    val lab = vusers.crossJoin(broadcast(pool))
+      .join(vitems, Seq("user_id", "item_id"), "left")
+      .select(col("score"), coalesce(col("y"), lit(0)).as("y"))
+    graft.metrics.Auc.binaryAuc(lab, col("score"), col("y"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
     "q139_item_cf_rmse" -> q139,
+    "q142_popularity_auc" -> q142,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -250,6 +277,49 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_popularity_auc" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, item_id, rating,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |train AS (SELECT * FROM tagged
+        |          WHERE split <= 2 AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |val AS (SELECT * FROM tagged
+        |        WHERE split = 3 AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |pool AS (
+        |  SELECT item_id,
+        |    round(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE)
+        |      / (COUNT(*) + 100.0), 6) AS score
+        |  FROM train GROUP BY item_id
+        |  ORDER BY score DESC, item_id LIMIT 50),
+        |vusers AS (SELECT DISTINCT user_id FROM val),
+        |vitems AS (SELECT DISTINCT user_id, item_id FROM val),
+        |lab AS (
+        |  SELECT c.score,
+        |    CASE WHEN v.item_id IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM (SELECT u.user_id, p.item_id, p.score
+        |        FROM vusers u CROSS JOIN pool p) c
+        |  LEFT JOIN vitems v
+        |    ON v.user_id = c.user_id AND v.item_id = c.item_id),
+        |bys AS (SELECT score AS s, COUNT(*) AS m, SUM(y) AS mp
+        |        FROM lab GROUP BY 1),
+        |g AS (SELECT m, mp,
+        |        COALESCE(SUM(m) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |      FROM bys),
+        |a AS (SELECT SUM(mp * (2 * below + m + 1)) AS r2,
+        |        SUM(mp) AS np, SUM(m - mp) AS nn FROM g)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  round((CAST(r2 AS DOUBLE) / 2.0
+        |      - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+        |FROM a""".stripMargin,
     "q139_item_cf_rmse" ->
       """WITH r AS (
         |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
