@@ -95,4 +95,31 @@ object Features {
     enc.select(col("cat"), col("fold"), col("cnt").as("n_fold"),
       col("oof_cnt").as("n_oof"), col("enc_raw"), col("enc_smooth"))
   }
+
+  /** The hashing trick (signed feature hashing, Weinberger et al. 2009,
+    * public): project an unbounded token vocabulary into `buckets`
+    * dimensions with NO vocabulary pass — bucket and sign are pure
+    * hashes of the token, so the encoding needs no fitted dictionary,
+    * no broadcast state, and is identical on any cluster (and in the
+    * DuckDB oracle). The ± sign hash makes collisions cancel in
+    * expectation, which keeps hashed inner products unbiased — the
+    * property that lets linear models train on the hashed space.
+    *
+    * Output: sparse (id, bucket, val = Σ sign, n_tokens) rows — at most
+    * `buckets` per document regardless of length. One (id, bucket)
+    * grouped aggregate with map-side partials; integer-exact.
+    */
+  def hashedTokenFeatures(df: DataFrame, id: String, text: String,
+                          buckets: Int, seed: Long): DataFrame = {
+    val md5 = graft.functions.GraftFunctions.md5_63 _
+    df.select(col(id), explode(split(col(text), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(id),
+        pmod(md5(concat(lit(s"$seed:b:"), col("tok"))), lit(buckets))
+          .cast("int").as("bucket"),
+        when(pmod(md5(concat(lit(s"$seed:s:"), col("tok"))), lit(2)) === 0,
+          1).otherwise(-1).as("sign"))
+      .groupBy(col(id), col("bucket"))
+      .agg(sum("sign").as("val"), count(lit(1)).as("n_tokens"))
+  }
 }

@@ -314,7 +314,29 @@ object AnalyticsQueries {
       .orderBy("c_custkey")
   }
 
+  /** q143 — χ² independence test of document language vs crawl source
+    * ([[graft.metrics.Contingency.chiSquare]]): the corpus-balance
+    * check a curation pipeline runs per ingest — a χ² spike means one
+    * source's language mix drifted. Cell-level report + the broadcast
+    * statistic, decimal-exact through the total. */
+  val q143: Q = (spark, dir) =>
+    graft.metrics.Contingency.chiSquare(
+      Tables.documents(spark, dir), col("lang"), col("source"))
+      .orderBy("r", "c")
+
+  /** q144 — signed feature hashing of document tokens into 64 buckets
+    * ([[graft.ops.Features.hashedTokenFeatures]]): the fit-free
+    * vectorizer for unbounded vocabularies — no dictionary job, no
+    * broadcast state, layout-independent, integer-exact. */
+  val q144: Q = (spark, dir) =>
+    graft.ops.Features.hashedTokenFeatures(
+      Tables.documents(spark, dir), "doc_id", "text",
+      buckets = 64, seed = 144L)
+      .orderBy("doc_id", "bucket")
+
   val queries: Map[String, Q] = Map(
+    "q143_chi_square" -> q143,
+    "q144_feature_hashing" -> q144,
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
     "q48_heavy_hitters" -> q48,
@@ -394,6 +416,49 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q143_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang AS r, source AS c, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT r, c, o,
+        |    SUM(o) OVER (PARTITION BY r) AS rt,
+        |    SUM(o) OVER (PARTITION BY c) AS ct,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |x AS (
+        |  SELECT r, c, o,
+        |    round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 6) AS expected
+        |  FROM m),
+        |y AS (
+        |  SELECT r, c, o, expected,
+        |    round(CAST((o - CAST(expected AS DECIMAL(18,6))) *
+        |          (o - CAST(expected AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(CAST(expected AS DECIMAL(18,6)) AS DOUBLE), 6) AS contrib
+        |  FROM x),
+        |d AS (SELECT COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
+        |      FROM cells)
+        |SELECT y.r, y.c, CAST(y.o AS BIGINT) AS observed, y.expected,
+        |  y.contrib,
+        |  CAST(SUM(CAST(y.contrib AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS chi2,
+        |  CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof
+        |FROM y CROSS JOIN d ORDER BY y.r, y.c""".stripMargin,
+    "q144_feature_hashing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST((md5_number_lower('144:b:' || tok) & $H) % 64 AS INT)
+         |      AS bucket,
+         |    CASE WHEN (md5_number_lower('144:s:' || tok) & $H) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM t WHERE len(tok) > 0)
+         |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS val,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "q101_column_profile" -> profOracle,
     "q114_corr_matrix" -> corrOracle,
     "q117_next_event_rows" ->
