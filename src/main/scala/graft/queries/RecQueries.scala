@@ -228,11 +228,22 @@ object RecQueries {
     graft.metrics.Auc.binaryAuc(lab, col("score"), col("y"))
   }
 
+  /** q145 — 5-fold CV of the item-mean bias hyperparameter
+    * ([[graft.rec.CrossVal.biasCvRmse]]): K folds × 4 bias values in
+    * one pipeline via out-of-fold subtraction — the leakage-safe
+    * version of the reference's Table 2 sweep, per-(bias, fold) RMSE
+    * plus the CV mean that actually selects b. */
+  val q145: Q = (spark, dir) =>
+    graft.rec.CrossVal.biasCvRmse(Tables.ratingsCached(spark, dir),
+      folds = 5, biases = Seq(1, 5, 20, 100), seed = 145L)
+      .orderBy("bias", "fold")
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
     "q139_item_cf_rmse" -> q139,
     "q142_popularity_auc" -> q142,
+    "q145_bias_cv" -> q145,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -277,6 +288,50 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q145_bias_cv" ->
+      """WITH r0 AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating, event_id
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |    AND value IS NOT NULL),
+        |rows0 AS (
+        |  SELECT item_id,
+        |    CAST((md5_number_lower('145:' || event_id::VARCHAR)
+        |      & 9223372036854775807) % 5 AS INT) AS fold,
+        |    CAST(rating AS DECIMAL(18,2)) AS v
+        |  FROM r0),
+        |pf AS (SELECT item_id, fold, COUNT(*) AS cnt, SUM(v) AS s
+        |       FROM rows0 GROUP BY 1, 2),
+        |e AS (
+        |  SELECT item_id, fold,
+        |    SUM(cnt) OVER (PARTITION BY item_id) - cnt AS oof_cnt,
+        |    SUM(s) OVER (PARTITION BY item_id) - s AS oof_s,
+        |    round(CAST(SUM(s) OVER () - SUM(s) OVER (PARTITION BY fold)
+        |        AS DOUBLE) /
+        |      CAST(SUM(cnt) OVER () - SUM(cnt) OVER (PARTITION BY fold)
+        |        AS DOUBLE), 6) AS g_oof
+        |  FROM pf),
+        |b AS (SELECT unnest([1, 5, 20, 100]) AS bias),
+        |pred AS (
+        |  SELECT item_id, fold, bias,
+        |    CAST(round((CAST(oof_s AS DOUBLE) + bias * g_oof) /
+        |      CAST(oof_cnt + bias AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred
+        |  FROM e CROSS JOIN b),
+        |ev AS (
+        |  SELECT p.bias, r.fold, r.v - p.pred AS err
+        |  FROM rows0 r
+        |  JOIN pred p ON p.item_id = r.item_id AND p.fold = r.fold),
+        |pfold AS (
+        |  SELECT bias, fold, COUNT(*) AS n_eval,
+        |    CAST(round(sqrt(CAST(SUM(err * err) AS DOUBLE) / COUNT(*)), 6)
+        |      AS DECIMAL(18,6)) AS rmse
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT bias, fold, CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(rmse AS DOUBLE) AS rmse,
+        |  round(CAST(SUM(rmse) OVER (PARTITION BY bias) AS DOUBLE) / 5.0, 6)
+        |    AS cv_rmse
+        |FROM pfold ORDER BY bias, fold""".stripMargin,
     "q142_popularity_auc" ->
       """WITH r AS (
         |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
