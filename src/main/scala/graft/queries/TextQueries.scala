@@ -435,6 +435,19 @@ object TextQueries {
       .select("rank", "doc_id", "n_chars", "es")
       .orderBy("rank")
 
+  /** q146 — per-source OLS of token count on char count
+    * ([[graft.metrics.Ols.fitPerGroup]]): the chars-per-token line is a
+    * cheap per-source tokenizer-cost model (and a drift alarm — a
+    * slope change means a source's markup/encoding changed). Closed
+    * form from decimal-exact sufficient statistics, one aggregate. */
+  val q146: Q = (spark, dir) =>
+    graft.metrics.Ols.fitPerGroup(
+      Tables.documents(spark, dir).select(col("source"), col("n_chars"),
+        size(filter(split(col("text"), " "),
+          t => length(t) > 0)).as("n_toks")),
+      col("source"), col("n_chars"), col("n_toks"))
+      .orderBy("grp")
+
   /** q69 — Gopher-class repetition scoring: per-document duplicate
     * 3-gram ratio (see [[graft.text.TextAnalysis.repetitionScore]]) — the
     * repeated-n-gram quality filter of large-scale training pipelines. */
@@ -474,9 +487,36 @@ object TextQueries {
     "q98_minhash_rowsig" -> q98,
     "q107_bigram_loglik" -> q107,
     "q108_bpe_pairs" -> q108,
-    "q119_weighted_topk" -> q119)
+    "q119_weighted_topk" -> q119,
+    "q146_ols_per_source" -> q146)
 
   private val H = "9223372036854775807"
+
+  private val olsOracle =
+    """WITH t AS (
+      |  SELECT source AS g, CAST(n_chars AS DECIMAL(18,0)) AS x,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      tok -> len(tok) > 0)) AS DECIMAL(18,0)) AS y
+      |  FROM documents),
+      |s AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |      FROM t GROUP BY g),
+      |d AS (SELECT g, n,
+      |        CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |        CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+      |        CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+      |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |      FROM s),
+      |f AS (SELECT g, n, num, dx, dy, sxd, syd,
+      |        CASE WHEN n >= 2 AND dx > 0 THEN round(num / dx, 6) END
+      |          AS slope
+      |      FROM d)
+      |SELECT g AS grp, CAST(n AS BIGINT) AS n, slope,
+      |  CASE WHEN slope IS NOT NULL THEN
+      |    round((syd - slope * sxd) / n, 6) END AS intercept,
+      |  CASE WHEN slope IS NOT NULL AND dy > 0 THEN
+      |    round(num * num / (dx * dy), 6) END AS r2
+      |FROM f ORDER BY grp""".stripMargin
 
   // Shared by q82 (exact path) and q94 (Bloom-prefiltered path): the
   // prefilter must be invisible in the result, so both gate against the
@@ -861,6 +901,7 @@ object TextQueries {
         |       round(avg(m.logp), 6) AS avg_logp
         |FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q146_ols_per_source" -> olsOracle,
     "q119_weighted_topk" ->
       """WITH s AS (
         |  SELECT doc_id, n_chars,
