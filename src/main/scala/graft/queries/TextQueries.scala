@@ -448,6 +448,17 @@ object TextQueries {
       col("source"), col("n_chars"), col("n_toks"))
       .orderBy("grp")
 
+  /** q147 — quantile normalization of document length across sources
+    * ([[graft.ops.QuantileNorm.normalize]]): maps every source's
+    * n_chars distribution onto the pooled one via broadcast percentile
+    * boundaries + piecewise-linear interpolation — per-source scores
+    * become threshold-comparable with zero row shuffles (the two
+    * global sorts of the textbook algorithm never happen). */
+  val q147: Q = (spark, dir) =>
+    graft.ops.QuantileNorm.normalize(Tables.documents(spark, dir),
+      col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("rid")
+
   /** q69 — Gopher-class repetition scoring: per-document duplicate
     * 3-gram ratio (see [[graft.text.TextAnalysis.repetitionScore]]) — the
     * repeated-n-gram quality filter of large-scale training pipelines. */
@@ -488,7 +499,8 @@ object TextQueries {
     "q107_bigram_loglik" -> q107,
     "q108_bpe_pairs" -> q108,
     "q119_weighted_topk" -> q119,
-    "q146_ols_per_source" -> q146)
+    "q146_ols_per_source" -> q146,
+    "q147_quantile_norm" -> q147)
 
   private val H = "9223372036854775807"
 
@@ -902,6 +914,38 @@ object TextQueries {
         |FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q146_ols_per_source" -> olsOracle,
+    "q147_quantile_norm" -> {
+      val probs = (0 to 10).map(i => s"${i / 10.0}").mkString(", ")
+      s"""WITH rows0 AS (
+         |  SELECT doc_id AS rid, source AS grp, CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents),
+         |gb AS (
+         |  SELECT list_transform(quantile_cont(v, [$probs]),
+         |    b -> round(b, 6)) AS gb
+         |  FROM rows0),
+         |sb AS (
+         |  SELECT grp, list_transform(quantile_cont(v, [$probs]),
+         |    b -> round(b, 6)) AS sb
+         |  FROM rows0 GROUP BY grp),
+         |j1 AS (
+         |  SELECT rid, grp, v, sb, gb,
+         |    greatest(1, least(10, len(list_filter(sb, b -> b < v)))) AS i
+         |  FROM rows0 JOIN sb USING (grp) CROSS JOIN gb),
+         |j2 AS (
+         |  SELECT rid, grp, v, gb,
+         |    round((CAST(i - 1 AS DOUBLE) + CASE WHEN sb[i+1] > sb[i]
+         |      THEN (v - sb[i]) / (sb[i+1] - sb[i]) ELSE 0.0 END)
+         |      / 10.0, 6) AS p_src
+         |  FROM j1),
+         |j3 AS (
+         |  SELECT rid, grp, v, p_src, gb,
+         |    least(CAST(floor(p_src * 10) AS INT), 9) AS j
+         |  FROM j2)
+         |SELECT rid, grp, v, p_src,
+         |  round(gb[j+1] + (p_src * 10.0 - j) * (gb[j+2] - gb[j+1]), 6)
+         |    AS v_norm
+         |FROM j3 ORDER BY rid""".stripMargin
+    },
     "q119_weighted_topk" ->
       """WITH s AS (
         |  SELECT doc_id, n_chars,
