@@ -334,9 +334,20 @@ object AnalyticsQueries {
       buckets = 64, seed = 144L)
       .orderBy("doc_id", "bucket")
 
+  /** q148 — time-decay multi-touch attribution
+    * ([[graft.ops.Attribution.timeDecay]]): every click in the 24 h
+    * lookback of its user's purchase earns exp(−Δt/6h) weight, credits
+    * renormalized per purchase — the priced form of q81's
+    * click→purchase pairs. */
+  val q148: Q = (spark, dir) =>
+    graft.ops.Attribution.timeDecay(Tables.events(spark, dir),
+      lookbackHours = 24, tauSeconds = 21600.0)
+      .orderBy("purchase_id", "click_id")
+
   val queries: Map[String, Q] = Map(
     "q143_chi_square" -> q143,
     "q144_feature_hashing" -> q144,
+    "q148_decay_attribution" -> q148,
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
     "q48_heavy_hitters" -> q48,
@@ -416,6 +427,24 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q148_decay_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |pr AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id,
+        |    CAST(round(exp(CAST(ct - pt AS DOUBLE) / 1e9 / 21600.0), 6)
+        |      AS DECIMAL(10,6)) AS w
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND ct <= pt AND ct > pt - 86400000000000)
+        |SELECT purchase_id, click_id, user_id, CAST(w AS DOUBLE) AS w,
+        |  round(CAST(w AS DOUBLE) /
+        |    CAST(SUM(w) OVER (PARTITION BY purchase_id) AS DOUBLE), 6)
+        |    AS credit
+        |FROM pr ORDER BY purchase_id, click_id""".stripMargin,
     "q143_chi_square" ->
       """WITH cells AS (
         |  SELECT lang AS r, source AS c, COUNT(*) AS o
