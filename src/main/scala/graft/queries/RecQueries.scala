@@ -238,12 +238,25 @@ object RecQueries {
       folds = 5, biases = Seq(1, 5, 20, 100), seed = 145L)
       .orderBy("bias", "fold")
 
+  /** q149 — split-conformal prediction intervals for the smoothed
+    * item-mean predictor ([[graft.rec.Conformal.itemMeanIntervals]]):
+    * calibrated on the val split, coverage audited on the test split —
+    * the distribution-free "how wide must the interval be" companion
+    * to q139/q145's RMSEs, α = 0.1. */
+  val q149: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    graft.rec.Conformal.itemMeanIntervals(Popularity.train(t),
+      Popularity.validation(t), Popularity.test(t),
+      bias = 20, alpha = 0.1)
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
     "q139_item_cf_rmse" -> q139,
     "q142_popularity_auc" -> q142,
     "q145_bias_cv" -> q145,
+    "q149_conformal" -> q149,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -288,6 +301,59 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q149_conformal" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, item_id, rating,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |tr AS (SELECT item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |       FROM tagged WHERE split <= 2
+        |         AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |ca AS (SELECT item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |       FROM tagged WHERE split = 3
+        |         AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |te AS (SELECT item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |       FROM tagged WHERE split = 4
+        |         AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |g AS (SELECT round(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS g
+        |      FROM tr),
+        |pred AS (
+        |  SELECT item_id,
+        |    CAST(round((CAST(SUM(rr) AS DOUBLE) + 20.0 * g.g)
+        |      / (COUNT(*) + 20), 6) AS DECIMAL(18,6)) AS pred
+        |  FROM tr CROSS JOIN g GROUP BY item_id, g.g),
+        |cal AS (
+        |  SELECT ABS(c.rr - COALESCE(p.pred,
+        |    CAST(round(g.g, 6) AS DECIMAL(18,6)))) AS res
+        |  FROM ca c LEFT JOIN pred p ON p.item_id = c.item_id
+        |  CROSS JOIN g),
+        |byres AS (SELECT res, COUNT(*) AS m FROM cal GROUP BY 1),
+        |cum AS (SELECT res, m,
+        |          SUM(m) OVER (ORDER BY res ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM byres),
+        |nc AS (SELECT SUM(m) AS n_calib FROM byres),
+        |qh AS (SELECT MIN(res) AS qhat, MIN(n_calib) AS n_calib
+        |       FROM cum CROSS JOIN nc
+        |       WHERE cum >= least(
+        |         CAST(ceil((n_calib + 1) * 0.9) AS BIGINT), n_calib)),
+        |tes AS (
+        |  SELECT ABS(t.rr - COALESCE(p.pred,
+        |    CAST(round(g.g, 6) AS DECIMAL(18,6)))) AS res
+        |  FROM te t LEFT JOIN pred p ON p.item_id = t.item_id
+        |  CROSS JOIN g)
+        |SELECT CAST(0.1 AS DOUBLE) AS alpha,
+        |  CAST(q.n_calib AS BIGINT) AS n_calib,
+        |  CAST(q.qhat AS DOUBLE) AS qhat,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  round(CAST(SUM(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*), 6) AS coverage
+        |FROM tes s CROSS JOIN qh q GROUP BY q.n_calib, q.qhat""".stripMargin,
     "q145_bias_cv" ->
       """WITH r0 AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
