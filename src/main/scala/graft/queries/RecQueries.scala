@@ -40,24 +40,29 @@ object RecQueries {
         Popularity.validation(t).select("user_id").distinct(), n = 20)
     }
 
+  /** Memoized q50 recommendation lists — q50/q51/q138/q150 all consume
+    * the same popularity top-20; one per (session, dir) like [[tagged]]
+    * (the r3-verdict eviction lesson: shared lineage, computed once). */
+  private def popRecs(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"pop-recs20:$dir") {
+      val t = tagged(spark, dir)
+      Popularity.recommend(Popularity.train(t), Popularity.validation(t),
+        bias = 100.0, poolK = 50, k = 20)
+    }
+
   /** q50 — popularity recommendations for validation users: train-split
     * pool (bias 100, top-50), seen-removal against train, per-user top-20
     * by ascending item id (reference quirk preserved). */
-  val q50: Q = (spark, dir) => {
-    val t = tagged(spark, dir)
-    Popularity.recommend(Popularity.train(t), Popularity.validation(t),
-      bias = 100.0, poolK = 50, k = 20)
-      .orderBy("user_id", "rank")
-  }
+  val q50: Q = (spark, dir) =>
+    popRecs(spark, dir).orderBy("user_id", "rank")
 
   /** q51 — ranking metrics (P@20 / MAP@20 / NDCG@20) of q50 against the
     * validation truth — computed relationally (see
     * [[graft.metrics.RankingRelational]] for the exact metric spec). */
   val q51: Q = (spark, dir) => {
     val t = tagged(spark, dir)
-    val recs = Popularity.recommend(Popularity.train(t),
-      Popularity.validation(t), bias = 100.0, poolK = 50, k = 20)
-    RankingRelational.metrics(spark, recs, Popularity.validation(t), k = 20)
+    RankingRelational.metrics(spark, popRecs(spark, dir),
+      Popularity.validation(t), k = 20)
   }
 
   /** q52 — ALS top-10 recommendations for validation users (seeded,
@@ -168,8 +173,7 @@ object RecQueries {
     * the fact table. */
   val q138: Q = (spark, dir) => {
     val t = tagged(spark, dir)
-    val recs = Popularity.recommend(Popularity.train(t),
-      Popularity.validation(t), bias = 100.0, poolK = 50, k = 20)
+    val recs = popRecs(spark, dir)
     val catalog = Popularity.train(t).select("item_id").distinct()
     val exposure = recs.groupBy("item_id").agg(count(lit(1)).as("x"))
     val e = catalog.join(exposure, Seq("item_id"), "left")
@@ -250,6 +254,50 @@ object RecQueries {
       bias = 20, alpha = 0.1)
   }
 
+  /** q150 — IPS / SNIPS debiased precision@20 of the q50 lists: offline
+    * metrics over logged feedback are exposure-biased (popular items
+    * get rated because they get shown); inverse-propensity weighting
+    * (propensity ∝ train exposure share, weights clipped at 1000)
+    * reweights hits toward the uniform-exposure estimand, and the
+    * self-normalized (SNIPS) variant divides by each user's realized
+    * weight mass to cut variance. Plain P@20 reported alongside —
+    * three estimators, one scan of the recs. */
+  val q150: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val train = Popularity.train(t)
+      .filter(col("item_id").isNotNull && col("rating").isNotNull)
+    val nT = train.agg(count(lit(1)).as("n_train"))
+    val prop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nT))
+      .select(col("item_id"),
+        round(col("cnt").cast("double") / col("n_train").cast("double"),
+          6).as("p"))
+    val w = popRecs(spark, dir).join(broadcast(prop), "item_id")
+      .select(col("user_id"), col("item_id"),
+        round(least(lit(1.0) / col("p"), lit(1000.0)), 6)
+          .cast("decimal(18,6)").as("w"))
+    val truth = Popularity.validation(t)
+      .filter(col("item_id").isNotNull)
+      .select("user_id", "item_id").distinct().withColumn("hit", lit(1))
+    val per = w.join(truth, Seq("user_id", "item_id"), "left")
+      .groupBy("user_id")
+      .agg(sum(when(col("hit") === 1, col("w"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("hit_w"),
+        sum("w").as("tot_w"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).as("hits"))
+    per.agg(count(lit(1)).as("n_users"), sum("hits").as("sh"),
+        sum("hit_w").as("shw"),
+        sum(round(col("hit_w").cast("double") / col("tot_w").cast("double"),
+          6).cast("decimal(18,6)")).as("ssn"))
+      .select(col("n_users"),
+        round(col("sh").cast("double") /
+          (col("n_users") * 20).cast("double"), 6).as("precision_at_20"),
+        round(col("shw").cast("double") /
+          (col("n_users") * 20).cast("double"), 6).as("ips_at_20"),
+        round(col("ssn").cast("double") / col("n_users").cast("double"), 6)
+          .as("snips_at_20"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
@@ -257,6 +305,7 @@ object RecQueries {
     "q142_popularity_auc" -> q142,
     "q145_bias_cv" -> q145,
     "q149_conformal" -> q149,
+    "q150_ips_eval" -> q150,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -301,6 +350,39 @@ object RecQueries {
       |  WHERE rank <= 20)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q150_ips_eval" ->
+      s"""WITH $pipelineCte,
+         |trainf AS (SELECT * FROM train
+         |           WHERE item_id IS NOT NULL AND rating IS NOT NULL),
+         |nt AS (SELECT COUNT(*) AS n_train FROM trainf),
+         |prop AS (
+         |  SELECT item_id,
+         |    round(COUNT(*)::DOUBLE / nt.n_train, 6) AS p
+         |  FROM trainf CROSS JOIN nt GROUP BY item_id, nt.n_train),
+         |w AS (
+         |  SELECT r.user_id, r.item_id,
+         |    CAST(round(least(1.0 / p.p, 1000.0), 6) AS DECIMAL(18,6)) AS w
+         |  FROM recs r JOIN prop p ON p.item_id = r.item_id),
+         |truth AS (SELECT DISTINCT user_id, item_id FROM val
+         |          WHERE item_id IS NOT NULL),
+         |per AS (
+         |  SELECT w.user_id,
+         |    SUM(CASE WHEN t.item_id IS NOT NULL THEN w.w
+         |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS hit_w,
+         |    SUM(w.w) AS tot_w,
+         |    SUM(CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM w LEFT JOIN truth t
+         |    ON t.user_id = w.user_id AND t.item_id = w.item_id
+         |  GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  round(CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 20.0), 6)
+         |    AS precision_at_20,
+         |  round(CAST(SUM(hit_w) AS DOUBLE) / (COUNT(*) * 20.0), 6)
+         |    AS ips_at_20,
+         |  round(CAST(SUM(CAST(round(CAST(hit_w AS DOUBLE)
+         |      / CAST(tot_w AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS snips_at_20
+         |FROM per""".stripMargin,
     "q149_conformal" ->
       """WITH r AS (
         |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
