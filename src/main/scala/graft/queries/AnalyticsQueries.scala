@@ -344,10 +344,22 @@ object AnalyticsQueries {
       lookbackHours = 24, tauSeconds = 21600.0)
       .orderBy("purchase_id", "click_id")
 
+  /** q151 — Kaplan–Meier user-retention curve
+    * ([[graft.metrics.Survival.kaplanMeier]]): hour-granularity
+    * lifetimes with right-censoring (still active within 12 h of the
+    * observation end), the product-limit estimator over one row per
+    * distinct lifetime — q46's cohort triangle tells you WHO returned,
+    * this gives the censoring-unbiased P(survive past t). */
+  val q151: Q = (spark, dir) =>
+    graft.metrics.Survival.kaplanMeier(Tables.events(spark, dir),
+      "user_id", "ts", unitNs = 3600000000000L, censorUnits = 12)
+      .orderBy("t")
+
   val queries: Map[String, Q] = Map(
     "q143_chi_square" -> q143,
     "q144_feature_hashing" -> q144,
     "q148_decay_attribution" -> q148,
+    "q151_kaplan_meier" -> q151,
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
     "q48_heavy_hitters" -> q48,
@@ -427,6 +439,43 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q151_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l
+        |  FROM events GROUP BY 1),
+        |oe AS (SELECT max(l) AS obs_end FROM pu),
+        |lives AS (
+        |  SELECT (l - f) // 3600000000000 AS t,
+        |    CASE WHEN l >= oe.obs_end - 43200000000000
+        |      THEN 1 ELSE 0 END AS censored
+        |  FROM pu CROSS JOIN oe),
+        |byt AS (
+        |  SELECT t, COUNT(*) AS m, SUM(1 - censored) AS d,
+        |    SUM(censored) AS c
+        |  FROM lives GROUP BY 1),
+        |w AS (
+        |  SELECT t, d, c,
+        |    SUM(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+        |      AS n_risk
+        |  FROM byt),
+        |x AS (
+        |  SELECT t, n_risk, d, c,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |      ELSE 0.0 END AS DECIMAL(18,9)) AS lnf,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead0
+        |  FROM w),
+        |y AS (
+        |  SELECT t, n_risk, d, c,
+        |    SUM(lnf) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+        |    MAX(dead0) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS dead
+        |  FROM x)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_death, CAST(c AS BIGINT) AS n_censor,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS s_hat
+        |FROM y ORDER BY t""".stripMargin,
     "q148_decay_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pt
