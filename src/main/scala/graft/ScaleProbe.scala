@@ -240,6 +240,18 @@ object ScaleProbe {
         graft.ops.TimeSeries.ewma(pts, "k", "d", "x", 0.2).count())
       pts.unpersist(blocking = false)
     }
+
+    if (probes("bootstrap")) {
+      // Poisson bootstrap at factor× rows, B=200 replicas: the explode
+      // feeds a map-side-combined groupBy(replica), so each task emits
+      // ≤ B partial rows whatever the input size. The claim: wall-clock
+      // grows linearly with rows (pure per-row hash+CDF compute), the
+      // shuffle stays B rows — resampling with NO scale cliff.
+      time(s"bootstrap_${factor}x")(
+        graft.ops.Bootstrap.meanCI(inflated,
+          col("event_id"), col("rating"), replicas = 200, seed = 1L)
+          .count())
+    }
     spark.stop()
   }
 }

@@ -269,4 +269,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q140 bootstrap combines replica sums map-side below the exchange") {
+    val p = plan("q140_bootstrap_ci")
+    // the 200× explode must reduce to ≤ B partial rows per task BEFORE
+    // shuffling — partial aggregation on the replica key is the scale story
+    assert(p.contains("Generate explode"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q141 target encoding is join-free — windows over one aggregate") {
+    val p = plan("q141_target_encode")
+    assert(p.contains("partial_count")) // (cat, fold) agg combines map-side
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q142 AUC reduces to distinct scores before its one global window") {
+    val p = plan("q142_popularity_auc")
+    assert(p.contains("partial_count")) // per-score reduction is map-side
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q147 quantile norm joins rows only against broadcast boundary tables") {
+    val p = plan("q147_quantile_norm")
+    assert(p.contains("BroadcastHashJoin"))        // per-group boundaries
+    assert(p.contains("BroadcastNestedLoopJoin")) // one-row pooled table
+    assert(!p.contains("SortMergeJoin")) // rows never shuffle for the join
+  }
+
+  test("q148 attribution never degenerates to a nested-loop pair join") {
+    val p = plan("q148_decay_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
