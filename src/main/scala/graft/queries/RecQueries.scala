@@ -298,6 +298,36 @@ object RecQueries {
           .as("snips_at_20"))
   }
 
+  /** q152 — MMR diversified re-ranking
+    * ([[graft.rec.Diversify.mmrRerank]]): the q50-style candidate lists
+    * (top-20 unseen pool items, rel = rounded popularity score)
+    * greedily re-ranked to 10 picks by λ·rel − μ·max-sim-to-selected
+    * (λ=0.7, μ=0.3), with within-pool rating cosines
+    * ([[graft.rec.Diversify.poolCosines]]) as the redundancy signal.
+    * Oracle = the greedy unrolled as 10 chained CTE steps (the q49
+    * PageRank technique applied to a sequential set-construction). */
+  val q152: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val train = Popularity.train(t)
+      .filter(col("item_id").isNotNull && col("rating").isNotNull)
+    val pool = train.groupBy("item_id")
+      .agg(round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
+        (count(lit(1)) + lit(100.0)), 6).as("rel"))
+      .orderBy(col("rel").desc, col("item_id")).limit(50)
+    val users = Popularity.validation(t).select("user_id").distinct()
+    val seen = train.select("user_id", "item_id").distinct()
+    val cands = users.crossJoin(broadcast(pool))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("item_id")))
+      .filter(col("rn") <= 20).drop("rn")
+    val sims = graft.rec.Diversify.poolCosines(train,
+      pool.select("item_id"))
+    graft.rec.Diversify.mmrRerank(cands, sims,
+      relWeight = 0.7, divWeight = 0.3, k = 10)
+      .orderBy("user_id", "mmr_rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
@@ -306,6 +336,7 @@ object RecQueries {
     "q145_bias_cv" -> q145,
     "q149_conformal" -> q149,
     "q150_ips_eval" -> q150,
+    "q152_mmr_rerank" -> q152,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -349,7 +380,101 @@ object RecQueries {
       |    FROM unseen)
       |  WHERE rank <= 20)""".stripMargin
 
+  /** q152 oracle: the greedy MMR loop unrolled as chained CTE steps —
+    * pick n joins the not-yet-picked candidates against picked set n−1
+    * for the max-similarity penalty, QUALIFY-style row_number picks the
+    * arg-max, and picked_n = picked_{n−1} ∪ pick_n. Score literals
+    * (0.7/0.3) are written identically to the engine's parameters. */
+  private def mmrOracle: String = {
+    val steps = (2 to 10).map { n =>
+      s"""p$n AS MATERIALIZED (
+         |  SELECT user_id, item_id, score, $n AS step FROM (
+         |    SELECT x.user_id, x.item_id,
+         |      0.7 * x.rel - 0.3 * x.pen AS score,
+         |      row_number() OVER (PARTITION BY x.user_id
+         |        ORDER BY 0.7 * x.rel - 0.3 * x.pen DESC, x.item_id) AS rn
+         |    FROM (
+         |      SELECT c.user_id, c.item_id, c.rel,
+         |        MAX(COALESCE(s.sim, 0.0)) AS pen
+         |      FROM cand c
+         |      JOIN picked${n - 1} p ON p.user_id = c.user_id
+         |      LEFT JOIN sims s
+         |        ON s.ia = c.item_id AND s.ib = p.item_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM picked${n - 1} q
+         |        WHERE q.user_id = c.user_id AND q.item_id = c.item_id)
+         |      GROUP BY 1, 2, 3) x)
+         |  WHERE rn = 1),
+         |picked$n AS MATERIALIZED (SELECT * FROM picked${n - 1}
+         |             UNION ALL SELECT * FROM p$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INT) AS item_id,
+       |    value AS rating, ts, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |tagged AS (
+       |  SELECT user_id, item_id, rating, ts, event_id,
+       |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+       |  FROM r),
+       |train AS (SELECT * FROM tagged WHERE split <= 2
+       |          AND item_id IS NOT NULL AND rating IS NOT NULL),
+       |pool AS (
+       |  SELECT item_id,
+       |    round(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE)
+       |      / (COUNT(*) + 100.0), 6) AS rel
+       |  FROM train GROUP BY 1 ORDER BY rel DESC, item_id LIMIT 50),
+       |vusers AS (SELECT DISTINCT user_id FROM tagged WHERE split = 3),
+       |seen AS (SELECT DISTINCT user_id, item_id FROM train),
+       |cand AS MATERIALIZED (
+       |  SELECT user_id, item_id, rel FROM (
+       |    SELECT u.user_id, p.item_id, p.rel,
+       |      row_number() OVER (PARTITION BY u.user_id
+       |        ORDER BY p.item_id) AS rn
+       |    FROM vusers u CROSS JOIN pool p
+       |    WHERE NOT EXISTS (SELECT 1 FROM seen s
+       |      WHERE s.user_id = u.user_id AND s.item_id = p.item_id))
+       |  WHERE rn <= 20),
+       |tr0 AS (
+       |  SELECT user_id, item_id, rating,
+       |    row_number() OVER (PARTITION BY user_id, item_id
+       |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+       |  FROM train),
+       |tru AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+       |        FROM tr0 WHERE rn = 1),
+       |trp AS (SELECT t.* FROM tru t
+       |        WHERE EXISTS (SELECT 1 FROM pool p
+       |                      WHERE p.item_id = t.item_id)),
+       |st AS (SELECT item_id, SUM(rr * rr) AS norm2 FROM trp GROUP BY 1),
+       |pr AS (
+       |  SELECT a.item_id AS ia, b.item_id AS ib, SUM(a.rr * b.rr) AS dot
+       |  FROM trp a JOIN trp b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT ia, ib, dot FROM pr
+       |        UNION ALL SELECT ib, ia, dot FROM pr),
+       |sims AS MATERIALIZED (
+       |  SELECT s.ia, s.ib,
+       |    round(CAST(s.dot AS DOUBLE) /
+       |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))),
+       |      6) AS sim
+       |  FROM sym s JOIN st x ON x.item_id = s.ia
+       |             JOIN st y ON y.item_id = s.ib),
+       |p1 AS (
+       |  SELECT user_id, item_id, score, 1 AS step FROM (
+       |    SELECT user_id, item_id, 0.7 * rel - 0.3 * 0.0 AS score,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY 0.7 * rel DESC, item_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |picked1 AS MATERIALIZED (SELECT * FROM p1),
+       |$steps
+       |SELECT user_id, item_id, CAST(step AS INT) AS mmr_rank,
+       |  score AS mmr_score
+       |FROM picked10 ORDER BY user_id, mmr_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q152_mmr_rerank" -> mmrOracle,
     "q150_ips_eval" ->
       s"""WITH $pipelineCte,
          |trainf AS (SELECT * FROM train

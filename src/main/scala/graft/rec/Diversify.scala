@@ -1,0 +1,125 @@
+package graft.rec
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+  * public) — trade relevance against redundancy when finalizing a
+  * recommendation (or retrieval) list: greedily pick
+  * argmax λ·rel(i) − μ·max_{j∈S} sim(i, j), so the second copy of a
+  * near-identical item loses to a fresh one. The list-construction
+  * step between scoring (q50/q136) and serving that plain top-k
+  * cannot express.
+  *
+  * Scale: MMR is sequential PER LIST but embarrassingly parallel
+  * across lists — exactly the EWMA shape ([[graft.ops.TimeSeries
+  * .ewma]]): candidate rows (with their within-list similarity
+  * adjacency pre-joined, so groups are self-contained) hash to their
+  * user and the greedy fold runs inside `flatMapGroups`. Work per
+  * group is k·|cands| over a ≤ k_cand-row group; nothing global.
+  *
+  * Determinism: scores are the literal expression λ·rel − μ·pen on
+  * 6-dp-rounded inputs — the identical IEEE ops the unrolled-CTE
+  * oracle runs — with the item id as the tie-break, shipped UNROUNDED
+  * (see the output note below). λ and μ are SEPARATE parameters:
+  * deriving μ = 1−λ in one engine and writing the literal in the other
+  * would diverge (1−0.7 ≠ 0.3 in binary).
+  */
+object Diversify {
+
+  /** Greedy MMR top-`k` per user. `cands`: (user_id, item_id, rel);
+    * `sims`: symmetric (ia, ib, sim) — absent pairs count as 0.
+    * Output: (user_id, item_id, mmr_rank, mmr_score). */
+  def mmrRerank(cands: DataFrame, sims: DataFrame, relWeight: Double,
+                divWeight: Double, k: Int): DataFrame = {
+    val c = cands.select(col("user_id").cast("long"),
+      col("item_id").cast("int"), col("rel").cast("double"))
+    // within-list adjacency: only pairs where BOTH ends are in the same
+    // user's candidate set survive — groups become self-contained
+    val within = c.select(col("user_id"), col("item_id").as("ia"))
+      .join(sims, "ia")
+      .join(c.select(col("user_id"), col("item_id").as("ib")),
+        Seq("user_id", "ib"))
+      .groupBy(col("user_id"), col("ia").as("item_id"))
+      .agg(collect_list(struct(col("ib"), col("sim"))).as("simList"))
+    val rows = c.join(within, Seq("user_id", "item_id"), "left")
+
+    rows
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (u: Long, it: Iterator[Row]) =>
+        val cs = it.map { r =>
+          val simSeq = if (r.isNullAt(3)) Seq.empty[(Int, Double)]
+            else r.getSeq[Row](3).map(s => (s.getInt(0), s.getDouble(1)))
+          (r.getInt(1), r.getDouble(2), simSeq)
+        }.toArray.sortBy(_._1)
+        val simMap = cs.flatMap { case (i, _, ss) =>
+          ss.map { case (j, s) => (i, j) -> s }
+        }.toMap
+        val picked = scala.collection.mutable.ArrayBuffer[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
+        while (out.length < math.min(k, cs.length)) {
+          var bestItem = -1
+          var bestScore = Double.NegativeInfinity
+          cs.foreach { case (i, rel, _) =>
+            if (!picked.contains(i)) {
+              var pen = 0.0
+              picked.foreach { j =>
+                val s = simMap.getOrElse((i, j), 0.0)
+                if (s > pen) pen = s
+              }
+              val sc = relWeight * rel - divWeight * pen
+              if (sc > bestScore) { bestScore = sc; bestItem = i }
+            }
+          }
+          picked += bestItem
+          out += MmrPick(u, bestItem, out.length + 1, bestScore)
+        }
+        out.iterator
+      }(Encoders.product[MmrPick])
+      .toDF()
+      // mmr_score ships UNROUNDED: it is a per-row scalar of two 6-dp
+      // inputs (λ·rel − μ·pen lands on 7-decimal half-boundaries, where
+      // the engines' round() directions diverge) — the raw double is
+      // the same IEEE expression both sides and bit-identical
+      .select(col("user_id"), col("item_id"), col("mmr_rank"),
+        col("mmr_score"))
+  }
+
+  /** All-pairs rating-vector cosines restricted to a bounded item set
+    * (both directions, 6-dp-rounded) — the similarity side of
+    * [[mmrRerank]] for catalog-bounded candidate pools; the same
+    * decimal dot/norm discipline as [[ItemCf.itemNeighbors]] without
+    * the top-k rank or support floor. */
+  def poolCosines(ratings: DataFrame, poolItems: DataFrame): DataFrame = {
+    val r = ItemCf.latestRatings(ratings)
+      .join(broadcast(poolItems.select(col("item_id"))), Seq("item_id"))
+      .select(col("user_id"), col("item_id"),
+        col("rating").cast("decimal(18,2)").as("rr"))
+    val stats = r.groupBy("item_id")
+      .agg(sum(col("rr") * col("rr")).as("norm2"))
+    val a = r.select(col("user_id"), col("item_id").as("ia"),
+      col("rr").as("ra"))
+    val b = r.select(col("user_id"), col("item_id").as("ib"),
+      col("rr").as("rb"))
+    val pairs = a.join(b, a("user_id") === b("user_id") &&
+        col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+    val sym = pairs.unionByName(pairs.select(col("ib").as("ia"),
+      col("ia").as("ib"), col("dot")))
+    sym
+      .join(stats.select(col("item_id").as("ia"), col("norm2").as("na")),
+        "ia")
+      .join(stats.select(col("item_id").as("ib"), col("norm2").as("nb")),
+        "ib")
+      .select(col("ia"), col("ib"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("sim"))
+  }
+}
+
+/** Output row of [[Diversify.mmrRerank]] (top-level for the product
+  * Encoder). */
+case class MmrPick(user_id: Long, item_id: Int, mmr_rank: Int,
+                   mmr_score: Double)
