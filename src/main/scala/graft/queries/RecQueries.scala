@@ -306,26 +306,95 @@ object RecQueries {
     * ([[graft.rec.Diversify.poolCosines]]) as the redundancy signal.
     * Oracle = the greedy unrolled as 10 chained CTE steps (the q49
     * PageRank technique applied to a sequential set-construction). */
-  val q152: Q = (spark, dir) => {
-    val t = tagged(spark, dir)
-    val train = Popularity.train(t)
+  private def cleanTrain(spark: SparkSession, dir: String): DataFrame =
+    Popularity.train(tagged(spark, dir))
       .filter(col("item_id").isNotNull && col("rating").isNotNull)
-    val pool = train.groupBy("item_id")
+
+  /** The MMR candidate frame: (user_id, item_id, rel, rn ≤ 20) —
+    * q50's construction with the ROUNDED pool score carried as `rel`
+    * (rounded-score pool ordering, so q152/q153 share one oracle
+    * definition of the candidate set). */
+  private def roundedPool(spark: SparkSession, dir: String): DataFrame =
+    cleanTrain(spark, dir).groupBy("item_id")
       .agg(round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
         (count(lit(1)) + lit(100.0)), 6).as("rel"))
       .orderBy(col("rel").desc, col("item_id")).limit(50)
-    val users = Popularity.validation(t).select("user_id").distinct()
+
+  private def mmrCands(spark: SparkSession, dir: String): DataFrame = {
+    val train = cleanTrain(spark, dir)
+    val users = Popularity.validation(tagged(spark, dir))
+      .select("user_id").distinct()
     val seen = train.select("user_id", "item_id").distinct()
-    val cands = users.crossJoin(broadcast(pool))
+    users.crossJoin(broadcast(roundedPool(spark, dir)))
       .join(seen, Seq("user_id", "item_id"), "left_anti")
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id").orderBy("item_id")))
-      .filter(col("rn") <= 20).drop("rn")
-    val sims = graft.rec.Diversify.poolCosines(train,
-      pool.select("item_id"))
-    graft.rec.Diversify.mmrRerank(cands, sims,
-      relWeight = 0.7, divWeight = 0.3, k = 10)
-      .orderBy("user_id", "mmr_rank")
+      .filter(col("rn") <= 20)
+  }
+
+  /** Memoized within-pool cosines — q152's redundancy signal and
+    * q153's ILS numerator read the same tiny symmetric frame. */
+  private def poolSims(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"pool-sims:$dir") {
+      graft.rec.Diversify.poolCosines(cleanTrain(spark, dir),
+        roundedPool(spark, dir).select("item_id"))
+    }
+
+  /** Memoized MMR lists (q152 output, q153 input). */
+  private def mmrLists(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"mmr10:$dir")(
+      graft.rec.Diversify.mmrRerank(mmrCands(spark, dir).drop("rn"),
+        poolSims(spark, dir), relWeight = 0.7, divWeight = 0.3, k = 10))
+
+  val q152: Q = (spark, dir) =>
+    mmrLists(spark, dir).orderBy("user_id", "mmr_rank")
+
+  /** q153 — list-quality report: mean intra-list similarity (ILS,
+    * lower = more diverse) and mean novelty (−log₂ train-exposure
+    * propensity, higher = less obvious) for the plain top-10 vs the
+    * q152 MMR lists — the measurement that justifies re-ranking.
+    * Per-user metrics reduce over ≤ 45-pair groups; everything joins
+    * broadcast-sized frames. */
+  val q153: Q = (spark, dir) => {
+    val topk = mmrCands(spark, dir).filter(col("rn") <= 10)
+      .select(lit("topk").as("method"), col("user_id"), col("item_id"))
+    val mmr = mmrLists(spark, dir)
+      .select(lit("mmr").as("method"), col("user_id"), col("item_id"))
+    val lists = topk.unionByName(mmr)
+    val a = lists.select(col("method"), col("user_id"),
+      col("item_id").as("ia"))
+    val b = lists.select(col("method"), col("user_id"),
+      col("item_id").as("ib"))
+    val ilsU = a.join(b, Seq("method", "user_id"))
+      .filter(col("ia") < col("ib"))
+      .join(poolSims(spark, dir), Seq("ia", "ib"), "left")
+      .withColumn("sv", coalesce(col("sim"), lit(0.0)).cast("decimal(10,6)"))
+      .groupBy("method", "user_id")
+      .agg(round(sum("sv").cast("double") / count(lit(1)).cast("double"), 6)
+        .cast("decimal(18,6)").as("ils"))
+
+    val train = cleanTrain(spark, dir)
+    val nT = train.agg(count(lit(1)).as("n_train"))
+    val prop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nT))
+      .select(col("item_id"),
+        round(col("cnt").cast("double") / col("n_train").cast("double"), 6)
+          .as("p"))
+    val novU = lists.join(broadcast(prop), "item_id")
+      .withColumn("nov",
+        round(-log(col("p")) / log(lit(2.0)), 6).cast("decimal(18,6)"))
+      .groupBy("method", "user_id")
+      .agg(round(sum("nov").cast("double") / count(lit(1)).cast("double"), 6)
+        .cast("decimal(18,6)").as("novelty"))
+
+    ilsU.join(novU, Seq("method", "user_id"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("ils").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_ils"),
+        round(sum("novelty").cast("double") / count(lit(1)).cast("double"),
+          6).as("mean_novelty"))
+      .orderBy("method")
   }
 
   val queries: Map[String, Q] = Map(
@@ -337,6 +406,7 @@ object RecQueries {
     "q149_conformal" -> q149,
     "q150_ips_eval" -> q150,
     "q152_mmr_rerank" -> q152,
+    "q153_list_quality" -> q153,
     "q138_rec_exposure" -> q138,
     "q50_popularity_recs" -> q50,
     "q51_popularity_metrics" -> q51,
@@ -385,7 +455,15 @@ object RecQueries {
     * for the max-similarity penalty, QUALIFY-style row_number picks the
     * arg-max, and picked_n = picked_{n−1} ∪ pick_n. Score literals
     * (0.7/0.3) are written identically to the engine's parameters. */
-  private def mmrOracle: String = {
+  private def mmrOracle: String =
+    s"""WITH $mmrCoreCtes
+       |SELECT user_id, item_id, CAST(step AS INT) AS mmr_rank,
+       |  score AS mmr_score
+       |FROM picked10 ORDER BY user_id, mmr_rank""".stripMargin
+
+  /** Shared CTE chain of the MMR family (q152/q153): candidates, pool
+    * sims, and the 10 unrolled greedy steps through `picked10`. */
+  private def mmrCoreCtes: String = {
     val steps = (2 to 10).map { n =>
       s"""p$n AS MATERIALIZED (
          |  SELECT user_id, item_id, score, $n AS step FROM (
@@ -407,7 +485,7 @@ object RecQueries {
          |picked$n AS MATERIALIZED (SELECT * FROM picked${n - 1}
          |             UNION ALL SELECT * FROM p$n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH r AS (
+    s"""r AS (
        |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INT) AS item_id,
        |    value AS rating, ts, event_id,
        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
@@ -426,8 +504,8 @@ object RecQueries {
        |  FROM train GROUP BY 1 ORDER BY rel DESC, item_id LIMIT 50),
        |vusers AS (SELECT DISTINCT user_id FROM tagged WHERE split = 3),
        |seen AS (SELECT DISTINCT user_id, item_id FROM train),
-       |cand AS MATERIALIZED (
-       |  SELECT user_id, item_id, rel FROM (
+       |cand0 AS MATERIALIZED (
+       |  SELECT user_id, item_id, rel, rn FROM (
        |    SELECT u.user_id, p.item_id, p.rel,
        |      row_number() OVER (PARTITION BY u.user_id
        |        ORDER BY p.item_id) AS rn
@@ -435,6 +513,7 @@ object RecQueries {
        |    WHERE NOT EXISTS (SELECT 1 FROM seen s
        |      WHERE s.user_id = u.user_id AND s.item_id = p.item_id))
        |  WHERE rn <= 20),
+       |cand AS (SELECT user_id, item_id, rel FROM cand0),
        |tr0 AS (
        |  SELECT user_id, item_id, rating,
        |    row_number() OVER (PARTITION BY user_id, item_id
@@ -467,14 +546,52 @@ object RecQueries {
        |        ORDER BY 0.7 * rel DESC, item_id) AS rn
        |    FROM cand) WHERE rn = 1),
        |picked1 AS MATERIALIZED (SELECT * FROM p1),
-       |$steps
-       |SELECT user_id, item_id, CAST(step AS INT) AS mmr_rank,
-       |  score AS mmr_score
-       |FROM picked10 ORDER BY user_id, mmr_rank""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** q153 oracle: the same core chain, finished with the ILS/novelty
+    * metric CTEs over the plain top-10 slice vs the MMR picks. */
+  private def listQualityOracle: String =
+    s"""WITH $mmrCoreCtes,
+       |lists AS MATERIALIZED (
+       |  SELECT 'topk' AS method, user_id, item_id FROM cand0
+       |  WHERE rn <= 10
+       |  UNION ALL
+       |  SELECT 'mmr' AS method, user_id, item_id FROM picked10),
+       |prs AS (
+       |  SELECT l1.method, l1.user_id,
+       |    CAST(COALESCE(s.sim, 0.0) AS DECIMAL(10,6)) AS sv
+       |  FROM lists l1 JOIN lists l2
+       |    ON l2.method = l1.method AND l2.user_id = l1.user_id
+       |   AND l1.item_id < l2.item_id
+       |  LEFT JOIN sims s ON s.ia = l1.item_id AND s.ib = l2.item_id),
+       |ilsu AS (
+       |  SELECT method, user_id,
+       |    CAST(round(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 6)
+       |      AS DECIMAL(18,6)) AS ils
+       |  FROM prs GROUP BY 1, 2),
+       |nt AS (SELECT COUNT(*) AS n_train FROM train),
+       |prop AS (
+       |  SELECT item_id, round(COUNT(*)::DOUBLE / nt.n_train, 6) AS p
+       |  FROM train CROSS JOIN nt GROUP BY item_id, nt.n_train),
+       |novu AS (
+       |  SELECT l.method, l.user_id,
+       |    CAST(round(CAST(SUM(CAST(round(-ln(p.p) / ln(2.0), 6)
+       |        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       |      AS DECIMAL(18,6)) AS novelty
+       |  FROM lists l JOIN prop p ON p.item_id = l.item_id
+       |  GROUP BY 1, 2)
+       |SELECT i.method, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  round(CAST(SUM(i.ils) AS DOUBLE) / COUNT(*), 6) AS mean_ils,
+       |  round(CAST(SUM(n.novelty) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_novelty
+       |FROM ilsu i JOIN novu n
+       |  ON n.method = i.method AND n.user_id = i.user_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q152_mmr_rerank" -> mmrOracle,
+    "q153_list_quality" -> listQualityOracle,
     "q150_ips_eval" ->
       s"""WITH $pipelineCte,
          |trainf AS (SELECT * FROM train
