@@ -459,6 +459,17 @@ object TextQueries {
       col("doc_id"), col("source"), col("n_chars"))
       .orderBy("rid")
 
+  /** q154 — span-level exact-substring dedup coverage
+    * ([[TextAnalysis.duplicateSpanCoverage]]): per document, the token
+    * positions under at least one corpus-duplicated 10-gram — what a
+    * span-masking pass (Lee et al. 2022) would remove. The
+    * exact-substring complement of whole-doc (q23) and near-dup
+    * (q27/q73) dedup. */
+  val q154: Q = (spark, dir) =>
+    duplicateSpanCoverage(Tables.documents(spark, dir),
+      "doc_id", "text", n = 10)
+      .orderBy("doc_id")
+
   /** q69 — Gopher-class repetition scoring: per-document duplicate
     * 3-gram ratio (see [[graft.text.TextAnalysis.repetitionScore]]) — the
     * repeated-n-gram quality filter of large-scale training pipelines. */
@@ -500,7 +511,8 @@ object TextQueries {
     "q108_bpe_pairs" -> q108,
     "q119_weighted_topk" -> q119,
     "q146_ols_per_source" -> q146,
-    "q147_quantile_norm" -> q147)
+    "q147_quantile_norm" -> q147,
+    "q154_span_dedup" -> q154)
 
   private val H = "9223372036854775807"
 
@@ -914,6 +926,32 @@ object TextQueries {
         |FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q146_ols_per_source" -> olsOracle,
+    "q154_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, n_tokens - 10),
+        |    i -> {'pos': i,
+        |          'sh': list_aggregate(toks[i+1:i+10], 'string_agg', ' ')}))
+        |    AS s
+        |  FROM base WHERE n_tokens >= 10),
+        |sh AS (SELECT doc_id, s.pos AS pos, s.sh AS sh FROM sh0),
+        |dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) >= 2),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS p
+        |  FROM sh JOIN dup USING (sh)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        |cv AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(CAST(b.n_tokens - COALESCE(cv.covered, 0) AS DOUBLE)
+        |    / b.n_tokens, 6) AS keep_ratio
+        |FROM base b LEFT JOIN cv ON cv.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q147_quantile_norm" -> {
       val probs = (0 to 10).map(i => s"${i / 10.0}").mkString(", ")
       s"""WITH rows0 AS (

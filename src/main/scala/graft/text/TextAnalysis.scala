@@ -395,6 +395,51 @@ object TextAnalysis {
       .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Span-level exact-substring dedup coverage (the measurement behind
+    * Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better", public): an n-token span that occurs MORE THAN
+    * ONCE anywhere in the corpus (across documents or within one) is a
+    * duplicated span; per document, report how many token positions
+    * fall under at least one such span — the quantity a span-masking
+    * dedup pass would remove. The exact-substring complement of the
+    * whole-document (q23) and near-dup (q27/q73) families: boilerplate
+    * headers and license blocks repeat verbatim inside otherwise-unique
+    * documents, and only a span-level pass sees them.
+    *
+    * Scale: positional shingles explode to one row per (doc, pos) —
+    * same volume as every shingle pipeline here; the duplicate test is
+    * one count on the shingle shuffle key; position-coverage unions
+    * overlapping spans with an in-row `sequence` explode + distinct,
+    * never a driver loop. All-integer output.
+    */
+  def duplicateSpanCoverage(docs: DataFrame, id: String, text: String,
+                            n: Int): DataFrame = {
+    val toks = docs.select(col(id),
+      expr(s"filter(split($text, ' '), t -> length(t) > 0)").as("toks"))
+    val base = toks.select(col(id), size(col("toks")).as("n_tokens"),
+      col("toks"))
+    val sh = base.filter(col("n_tokens") >= n)
+      .select(col(id), explode(expr(
+        s"transform(sequence(0, n_tokens - $n), i -> " +
+          s"struct(i AS pos, concat_ws(' ', slice(toks, i + 1, $n)) AS sh))"))
+        .as("s"))
+      .select(col(id), col("s.pos").as("pos"), col("s.sh").as("sh"))
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("sh")
+    val covered = sh.join(dup, "sh")
+      .select(col(id), explode(sequence(col("pos"),
+        col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col(id)).agg(count(lit(1)).as("covered_tokens"))
+    base.select(col(id), col("n_tokens"))
+      .join(covered, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round((col("n_tokens") - coalesce(col("covered_tokens"), lit(0L)))
+          .cast("double") / col("n_tokens").cast("double"), 6)
+          .as("keep_ratio"))
+  }
+
   /** Two-phase benchmark decontamination — [[contaminationReport]]'s
     * exact semi-join preceded by a Bloom-filter band-pass on the corpus
     * side, the shape that matters when the corpus is 100 TB and the
