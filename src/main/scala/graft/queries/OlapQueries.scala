@@ -449,9 +449,58 @@ object OlapQueries {
       folds = 5, smoothing = 20, seed = 141L)
       .orderBy("cat", "fold")
 
+  /** q155 — hierarchical ratio-to-parent: nation share within region,
+    * region share of total, one pass. The drill-path complement of
+    * q124's flat percent-of-total — every share window runs on the
+    * dimension-bounded (region × nation) frame, facts reduce first. */
+  val q155: Q = (spark, dir) => {
+    val rev = nationOrders(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val byRegion = Window.partitionBy("region")
+    val all = Window.partitionBy()
+    rev.select(col("region"), col("nation"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum(col("rev")).over(byRegion).cast("double"), 6)
+          .as("share_of_region"),
+        sum(col("rev")).over(byRegion).cast("double").as("region_revenue"),
+        round(sum(col("rev")).over(byRegion).cast("double") /
+          sum(col("rev")).over(all).cast("double"), 6).as("region_share"))
+      .orderBy("region", "nation")
+  }
+
+  /** q156 — day-of-week seasonality index over the memoized daily
+    * frame: avg daily revenue per weekday vs overall, the classical
+    * seasonal-naive decomposition input. dow from integer epoch-day
+    * arithmetic ((day + 4) mod 7; 1970-01-01 was a Thursday) — no
+    * calendar functions, engine-neutral. */
+  val q156: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .groupBy("day").agg(sum("rev").as("drev"))
+    val perDow = daily
+      .withColumn("dow", pmod(col("day") + 4, lit(7)).cast("int"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("drev").as("s"))
+    val tot = perDow.agg(sum("n_days").as("tn"), sum(col("s")).as("ts"))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"),
+        round(col("s").cast("double") / col("n_days").cast("double"), 6)
+          .as("avg_daily_rev"),
+        round((col("s").cast("double") / col("n_days").cast("double")) /
+          (col("ts").cast("double") / col("tn").cast("double")), 6)
+          .as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_bootstrap_ci" -> q140,
     "q141_target_encode" -> q141,
+    "q155_ratio_to_parent" -> q155,
+    "q156_dow_seasonality" -> q156,
     "q121_moving_revenue" -> q121,
     "q137_basket_lift" -> q137,
     "q122_markov_transitions" -> q122,
@@ -547,6 +596,42 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q155_ratio_to_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) /
+        |    CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+        |    AS region_revenue,
+        |  round(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE) /
+        |    CAST(SUM(rev) OVER () AS DOUBLE), 6) AS region_share
+        |FROM rev ORDER BY region, nation""".stripMargin,
+    "q156_dow_seasonality" ->
+      """WITH nd AS (
+        |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |daily AS (SELECT day, SUM(p) AS drev FROM nd GROUP BY 1),
+        |perdow AS (
+        |  SELECT CAST((day + 4) % 7 AS INT) AS dow, COUNT(*) AS n_days,
+        |    SUM(drev) AS s
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT SUM(n_days) AS tn, SUM(s) AS ts FROM perdow)
+        |SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+        |  round(CAST(s AS DOUBLE) / n_days, 6) AS avg_daily_rev,
+        |  round((CAST(s AS DOUBLE) / n_days) /
+        |    (CAST(ts AS DOUBLE) / tn), 6) AS seasonal_index
+        |FROM perdow CROSS JOIN tot ORDER BY dow""".stripMargin,
     "q140_bootstrap_ci" -> bootstrapOracle,
     "q141_target_encode" ->
       s"""WITH rows0 AS (

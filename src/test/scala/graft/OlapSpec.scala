@@ -184,4 +184,24 @@ class OlapSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
     assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
   }
+
+  test("q155 shares sum to ~1 within each region and across regions") {
+    val rows = Registry.all("q155_ratio_to_parent")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("region")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share_of_region")).sum - 1.0)
+        < 1e-4)
+    }
+    val regionShares = rows.groupBy(_.getAs[String]("region"))
+      .map(_._2.head.getAs[Double]("region_share")).sum
+    assert(math.abs(regionShares - 1.0) < 1e-4)
+  }
+
+  test("q156 emits 7 weekday rows whose day-weighted index averages 1") {
+    val rows = Registry.all("q156_dow_seasonality")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("dow")).toSet == (0 to 6).toSet)
+    val tot = rows.map(_.getAs[Long]("n_days")).sum.toDouble
+    val w = rows.map(r => r.getAs[Double]("seasonal_index") *
+      r.getAs[Long]("n_days")).sum / tot
+    assert(math.abs(w - 1.0) < 1e-3)
+  }
 }
