@@ -84,6 +84,37 @@ object TimeSeries {
       .select(col("k").as(key), col("d").as(day), col("x").as(measure),
         col("ewma"))
   }
+  /** Lagged cross-correlation of two daily series — "do clicks lead
+    * revenue, and by how many days?": Pearson r between x[d] and
+    * y[d+lag] for every lag in [−maxLag, maxLag]. The lead–lag scan
+    * behind attribution windows and demand forecasting.
+    *
+    * `a` carries (day, x), `b` (day, y), both integer/decimal-valued.
+    * Scale: series are calendar-bounded aggregates, so the lag cross
+    * join is 2·maxLag+1 × |days| rows reducing map-side to one row per
+    * lag; correlations come from decimal-exact sufficient statistics
+    * (the [[graft.metrics.Ols]] discipline) with one double sqrt per
+    * lag. Degenerate lags (n < 2 or zero variance) yield null r. */
+  def laggedCrossCorr(a: DataFrame, b: DataFrame,
+                      maxLag: Int): DataFrame = {
+    val spark = a.sparkSession
+    val lags = broadcast(spark.createDataFrame(
+      (-maxLag to maxLag).map(Tuple1(_))).toDF("lag"))
+    val s = a.crossJoin(lags)
+      .join(b.withColumnRenamed("day", "bday"),
+        col("bday") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("lag"), col("n").as("n_days"),
+      when(col("n") >= 2 && dx > 0.0 && dy > 0.0,
+        round(num / sqrt(dx * dy), 6)).as("r"))
+  }
 }
 
 /** Output row of [[TimeSeries.ewma]] (top-level for the product

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.io.Tables
 import graft.ops.Relational.decSum
+import graft.ops.TimeSeries
 import graft.text.Fuzzy
 
 import org.apache.spark.sql.expressions.Window
@@ -496,11 +497,28 @@ object OlapQueries {
       .orderBy("dow")
   }
 
+  /** q157 — lead–lag scan: Pearson r between daily click counts and
+    * daily purchase revenue at lags −7..+7
+    * ([[graft.ops.TimeSeries.laggedCrossCorr]]) — "do clicks lead
+    * revenue?" answered from decimal-exact per-lag sufficient stats. */
+  val q157: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    def day = expr("ts div 86400000000000")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(day.as("day"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("x"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .groupBy(day.as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+    TimeSeries.laggedCrossCorr(clicks, rev, maxLag = 7).orderBy("lag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q140_bootstrap_ci" -> q140,
     "q141_target_encode" -> q141,
     "q155_ratio_to_parent" -> q155,
     "q156_dow_seasonality" -> q156,
+    "q157_lead_lag_corr" -> q157,
     "q121_moving_revenue" -> q121,
     "q137_basket_lift" -> q137,
     "q122_markov_transitions" -> q122,
@@ -596,6 +614,29 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q157_lead_lag_corr" ->
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(COUNT(*) AS DECIMAL(18,0)) AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        |j AS (SELECT l.lag, c.x, p.y
+        |      FROM c CROSS JOIN l JOIN p ON p.day = c.day + l.lag),
+        |s AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |      FROM j GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM s ORDER BY lag""".stripMargin,
     "q155_ratio_to_parent" ->
       """WITH rev AS (
         |  SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_orders,
