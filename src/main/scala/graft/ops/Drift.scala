@@ -37,4 +37,47 @@ object Drift {
       .select(col("bin"), col("n_a"), col("n_b"),
         round((p - q) * log(p / q), 6).as("psi_contrib"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov test — the binning-free sibling
+    * of [[psiByBin]]: D = max over observed values of the ECDF gap
+    * |F_a(v) − F_b(v)|, plus the α=0.05 asymptotic critical value
+    * c·√((n_a+n_b)/(n_a·n_b)), c = 1.358.
+    *
+    * Determinism: the max is taken over the INTEGER cross-products
+    * |cum_a·n_b − cum_b·n_a| (decimal(38,0), overflow-safe into the
+    * trillions of rows) — no per-value double division whose last ulp
+    * could pick a different argmax cross-engine; the single end division
+    * and the one sqrt are rounded to 6dp.
+    *
+    * Scale: one map-side-combined aggregate to per-distinct-value
+    * conditional counts (|values| ≪ |rows| for measures), then one
+    * single-partition cumulative window over the distinct values — the
+    * same distinct-value-walk shape as q149's conformal quantile. For
+    * truly high-cardinality measures, pre-round the measure (ECDF on a
+    * grid) to bound the distinct count. */
+  def ksTwoSample(df: DataFrame, value: Column, period: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(value.as("v")).agg(
+      sum(when(period === "a", 1L).otherwise(0L)).as("c_a"),
+      sum(when(period === "b", 1L).otherwise(0L)).as("c_b"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gaps = counts
+      .select(sum(col("c_a")).over(wCum).cast(dec).as("cum_a"),
+        sum(col("c_b")).over(wCum).cast(dec).as("cum_b"),
+        sum(col("c_a")).over(wAll).cast(dec).as("tot_a"),
+        sum(col("c_b")).over(wAll).cast(dec).as("tot_b"))
+    gaps.agg(max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"),
+        max(abs(col("cum_a") * col("tot_b") -
+          col("cum_b") * col("tot_a"))).as("dnum"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        round(col("dnum").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d"),
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"))
+  }
 }

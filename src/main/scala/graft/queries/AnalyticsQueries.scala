@@ -286,6 +286,23 @@ object AnalyticsQueries {
     Drift.psiByBin(binned, col("period"), col("bin")).orderBy("bin")
   }
 
+  /** q158 — exact two-sample KS test on order totals between the same
+    * first/second-half periods as q115 ([[graft.ops.Drift.ksTwoSample]]):
+    * the binning-free drift check — D is the max ECDF gap over observed
+    * values, argmax'd on integer cross-products so no double division
+    * participates in the comparison. */
+  val q158: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir).select(
+      expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+        .as("day"),
+      col("o_totalprice"))
+    val m = o.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val tagged = o.crossJoin(broadcast(m)).select(
+      when(col("day") < col("mid"), "a").otherwise("b").as("period"),
+      col("o_totalprice"))
+    Drift.ksTwoSample(tagged, col("o_totalprice"), col("period"))
+  }
+
   /** q117 — next-event-prediction training rows (see
     * [[graft.ops.Features.nextEventRows]]): features from the previous
     * event (type, dwell), label = the current one; one user_id exchange
@@ -375,6 +392,7 @@ object AnalyticsQueries {
     "q113_zorder_stats" -> q113,
     "q114_corr_matrix" -> q114,
     "q115_psi_drift" -> q115,
+    "q158_ks_drift" -> q158,
     "q117_next_event_rows" -> q117,
     "q118_pareto_customers" -> q118)
 
@@ -566,6 +584,33 @@ object AnalyticsQueries {
         |  WHERE y.avg_value >= x.avg_value AND y.n_orders >= x.n_orders
         |    AND (y.avg_value > x.avg_value OR y.n_orders > x.n_orders))
         |ORDER BY c_custkey""".stripMargin,
+    "q158_ks_drift" ->
+      """WITH o AS (SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400
+        |                    AS day,
+        |                  o_totalprice FROM orders),
+        |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM o),
+        |b AS (SELECT CASE WHEN day < mid THEN 'a' ELSE 'b' END AS period,
+        |             o_totalprice AS v FROM o CROSS JOIN m),
+        |c AS (SELECT v,
+        |        sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS c_a,
+        |        sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS c_b
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT
+        |        CAST(sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS DECIMAL(38,0)) AS cum_a,
+        |        CAST(sum(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |          AS DECIMAL(38,0)) AS cum_b,
+        |        CAST(sum(c_a) OVER () AS DECIMAL(38,0)) AS tot_a,
+        |        CAST(sum(c_b) OVER () AS DECIMAL(38,0)) AS tot_b
+        |      FROM c),
+        |s AS (SELECT max(tot_a) AS n_a, max(tot_b) AS n_b,
+        |             max(abs(cum_a * tot_b - cum_b * tot_a)) AS dnum
+        |      FROM g)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d,
+        |  round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |                     / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05
+        |FROM s""".stripMargin,
     "q115_psi_drift" ->
       """WITH o AS (SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400
         |                    AS day,
