@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.graph.{PageRank, Triangles}
+import graft.graph.{Bfs, PageRank, Triangles}
 import graft.io.Tables
 import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
@@ -303,6 +303,32 @@ object AnalyticsQueries {
     Drift.ksTwoSample(tagged, col("o_totalprice"), col("period"))
   }
 
+  /** q159 — multi-source BFS reach ([[graft.graph.Bfs.hops]]) on the
+    * q49 co-purchase graph: how many nodes sit 0/1/2/3 purchase-hops
+    * from the nation-0 supplier cohort (hop −1 = in-graph but
+    * unreached). All-integer frontier expansion — one join + one
+    * anti-join per hop, no path enumeration. */
+  val q159: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pair.union(pair.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    val reached = Bfs.hops(edges, seeds, maxHops = 3)
+    val unreached = edges.select(col("src").as("node")).distinct()
+      .join(reached, Seq("node"), "left_anti")
+      .select(lit(-1).as("hop"))
+    reached.select(col("hop")).union(unreached)
+      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+  }
+
   /** q117 — next-event-prediction training rows (see
     * [[graft.ops.Features.nextEventRows]]): features from the previous
     * event (type, dwell), label = the current one; one user_id exchange
@@ -393,6 +419,7 @@ object AnalyticsQueries {
     "q114_corr_matrix" -> q114,
     "q115_psi_drift" -> q115,
     "q158_ks_drift" -> q158,
+    "q159_bfs_reach" -> q159,
     "q117_next_event_rows" -> q117,
     "q118_pareto_customers" -> q118)
 
@@ -584,6 +611,38 @@ object AnalyticsQueries {
         |  WHERE y.avg_value >= x.avg_value AND y.n_orders >= x.n_orders
         |    AND (y.avg_value > x.avg_value OR y.n_orders > x.n_orders))
         |ORDER BY c_custkey""".stripMargin,
+    "q159_bfs_reach" ->
+      """WITH pair AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM pair
+        |          UNION ALL SELECT dst, src FROM pair),
+        |f0 AS (SELECT DISTINCT 's' || s_suppkey AS node
+        |       FROM supplier WHERE s_nationkey = 0),
+        |v0 AS (SELECT node FROM f0),
+        |f1 AS (SELECT DISTINCT e.dst AS node
+        |       FROM edges e JOIN f0 ON f0.node = e.src
+        |       EXCEPT SELECT node FROM v0),
+        |v1 AS (SELECT node FROM v0 UNION SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS node
+        |       FROM edges e JOIN f1 ON f1.node = e.src
+        |       EXCEPT SELECT node FROM v1),
+        |v2 AS (SELECT node FROM v1 UNION SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS node
+        |       FROM edges e JOIN f2 ON f2.node = e.src
+        |       EXCEPT SELECT node FROM v2),
+        |v3 AS (SELECT node FROM v2 UNION SELECT node FROM f3),
+        |reached AS (
+        |  SELECT 0 AS hop, node FROM f0
+        |  UNION ALL SELECT 1, node FROM f1
+        |  UNION ALL SELECT 2, node FROM f2
+        |  UNION ALL SELECT 3, node FROM f3),
+        |unre AS (SELECT -1 AS hop, node FROM
+        |  (SELECT DISTINCT src AS node FROM edges
+        |   EXCEPT SELECT node FROM v3)),
+        |allh AS (SELECT hop FROM reached UNION ALL SELECT hop FROM unre)
+        |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM allh GROUP BY 1 ORDER BY 1""".stripMargin,
     "q158_ks_drift" ->
       """WITH o AS (SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400
         |                    AS day,
