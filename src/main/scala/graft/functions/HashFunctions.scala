@@ -66,6 +66,13 @@ object GraftFunctions {
     GraftShim.column(org.apache.spark.sql.graft.SortedIntersectCount(
       GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Jaro–Winkler similarity of two string columns (codegen'd native
+    * expression, DuckDB-`jaro_winkler_similarity`-pinned semantics; see
+    * [[graft.functions.StringSim]] / [[org.apache.spark.sql.graft.JaroWinkler]]). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    GraftShim.column(org.apache.spark.sql.graft.JaroWinkler(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
   /** One-pass MinHash signature aggregate → array<long> of numPerm mins
     * per group (custom TypedImperativeAggregate; see
     * [[org.apache.spark.sql.graft.MinHashAgg]] — the fast/scale variant

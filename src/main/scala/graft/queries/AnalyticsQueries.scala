@@ -35,7 +35,25 @@ object AnalyticsQueries {
       .withColumn("dist", col("dist").cast("long"))
       .orderBy("name_a", "name_b")
 
-  /** q48 — count-min sketch (depth 4 × width 256) frequency estimates for
+  /** q160 — Jaro–Winkler scored name pairs over the 64-name part
+    * vocabulary ([[graft.functions.GraftFunctions.jaro_winkler]], the
+    * codegen'd custom expression — Spark has no built-in; semantics
+    * pinned to DuckDB's `jaro_winkler_similarity`). The q47 discipline:
+    * the quadratic runs on the VOCABULARY (64×63/2 pairs, broadcast),
+    * never on rows; scores rounded to 6dp before the threshold. */
+  val q160: Q = (spark, dir) => {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name")).distinct()
+    names.select(col("name").as("name_a"))
+      .join(broadcast(names.select(col("name").as("name_b"))),
+        col("name_a") < col("name_b"))
+      .withColumn("jw", round(graft.functions.GraftFunctions
+        .jaro_winkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.75)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** q48 —count-min sketch (depth 4 × width 256) frequency estimates for
     * part keys in lineitem, top-25 by estimate. The md5-keyed hashing
     * makes the sketch bit-identical cross-engine, so the gate checks the
     * OVER-count guarantee exactly (est ≥ true, equal without collisions).
@@ -420,6 +438,7 @@ object AnalyticsQueries {
     "q115_psi_drift" -> q115,
     "q158_ks_drift" -> q158,
     "q159_bfs_reach" -> q159,
+    "q160_jaro_winkler" -> q160,
     "q117_next_event_rows" -> q117,
     "q118_pareto_customers" -> q118)
 
@@ -611,6 +630,13 @@ object AnalyticsQueries {
         |  WHERE y.avg_value >= x.avg_value AND y.n_orders >= x.n_orders
         |    AND (y.avg_value > x.avg_value OR y.n_orders > x.n_orders))
         |ORDER BY c_custkey""".stripMargin,
+    "q160_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.75
+        |ORDER BY 1, 2""".stripMargin,
     "q159_bfs_reach" ->
       """WITH pair AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -43,6 +43,9 @@ object GraftExtensions {
     ("graft_minhash_agg",
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (args: Seq[Expression]) => MinHashAgg(args(0), numPermOf(args(1)))),
+    ("graft_jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0), numPermOf(args(1)))))

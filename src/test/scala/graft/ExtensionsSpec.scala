@@ -42,7 +42,36 @@ class ExtensionsSpec extends AnyFunSuite {
     // assert the injector class instantiates and lists all four.
     val names = GraftExtensions.functions.map(_._1).toSet
     assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
-      "graft_minhash_agg", "graft_minhash_sig"))
+      "graft_minhash_agg", "graft_minhash_sig", "graft_jaro_winkler"))
     new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
+  }
+
+  test("jaro_winkler matches DuckDB's jaro_winkler_similarity semantics") {
+    // Expected values captured from DuckDB (the oracle engine) — the
+    // textbook pairs plus the edge cases that pin the variant: integer
+    // floor half-transpositions, window-0 behavior, boost threshold,
+    // both-empty = 0.
+    val cases = Seq(
+      ("MARTHA", "MARHTA") -> 0.9611111111111111,
+      ("DIXON", "DICKSONX") -> 0.8133333333333332,
+      ("JELLYFISH", "SMELLYFISH") -> 0.8962962962962964,
+      ("abc", "abc") -> 1.0,
+      ("", "abc") -> 0.0,
+      ("", "") -> 0.0,
+      ("ab", "ba") -> 0.0,
+      ("CRATE", "TRACE") -> 0.7333333333333334,
+      ("DwAyNE", "DuANE") -> 0.8400000000000001,
+      ("apple inc", "apple incorporated") -> 0.9,
+      ("abcdef", "bcadef") -> 0.9444444444444445, // 3 mismatches, t = 1
+      ("abxxxx", "abyyyy") -> 0.5555555555555555) // prefix but no boost <= 0.7
+    cases.foreach { case ((a, b), want) =>
+      val got = graft.functions.StringSim.jaroWinkler(a, b)
+      assert(math.abs(got - want) < 1e-12, s"($a, $b): $got != $want")
+    }
+    // SQL surface runs the same codegen'd expression
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA')").head().getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-12)
   }
 }
