@@ -429,6 +429,43 @@ object RelationalQueries {
         col("event_type"), col("n"), col("total"))
       .orderBy("event_type", "win_s")
 
+  /** q161 — the TPC-H Q21 shape: suppliers who were the SOLE late
+    * shipper in a multi-supplier order (late = shipped > 90 days after
+    * the order date, integer epoch-day arithmetic). One fact join, then
+    * a left-semi ("some OTHER supplier exists in the order") and a
+    * left-anti ("no OTHER supplier was late") on (orderkey, suppkey)
+    * pairs — the exists/not-exists pair expressed as shuffle-joins over
+    * the DISTINCT pair frame (far smaller than lineitem), never a
+    * correlated per-row subquery. Top 25 offenders. */
+  val q161: Q = (spark, dir) => {
+    def day(c: org.apache.spark.sql.Column) =
+      expr(s"cast(cast(${c.toString} as timestamp) as long) div 86400")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (day(col("l_shipdate")) - day(col("o_orderdate"))).as("lag_days"))
+    val pairs = j.select("l_orderkey", "l_suppkey").distinct()
+    val late = j.filter(col("lag_days") > 90)
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = pairs.select(col("l_orderkey").as("ok2"),
+      col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"),
+      col("l_suppkey").as("sk3"))
+    val sole = late
+      .join(others, col("ok2") === col("l_orderkey") &&
+        col("sk2") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("ok3") === col("l_orderkey") &&
+        col("sk3") =!= col("l_suppkey"), "left_anti")
+    sole.join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(25)
+  }
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -464,9 +501,30 @@ object RelationalQueries {
     "q87_winsorize" -> q87,
     "q88_value_histogram" -> q88,
     "q90_funnel" -> q90,
-    "q91_full_outer_reconcile" -> q91)
+    "q91_full_outer_reconcile" -> q91,
+    "q161_sole_late_supplier" -> q161)
 
   val oracles: Map[String, String] = Map(
+    "q161_sole_late_supplier" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (epoch_ns(l_shipdate) // 1000000000) // 86400
+        |      - (epoch_ns(o_orderdate) // 1000000000) // 86400 AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM j),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM j
+        |         WHERE lag_days > 90),
+        |sole AS (
+        |  SELECT l.l_orderkey, l.l_suppkey FROM late l
+        |  WHERE EXISTS (SELECT 1 FROM pairs p
+        |                WHERE p.l_orderkey = l.l_orderkey
+        |                  AND p.l_suppkey <> l.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late x
+        |                    WHERE x.l_orderkey = l.l_orderkey
+        |                      AND x.l_suppkey <> l.l_suppkey))
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
     "q90_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
