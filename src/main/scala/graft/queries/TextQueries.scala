@@ -416,6 +416,20 @@ object TextQueries {
       Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q162 — supervised language classification: multinomial Naive Bayes
+    * ([[graft.text.NaiveBayes]]) trained on the doc_id%5≠0 split,
+    * confusion matrix on the held-out fifth — the learned counterpart of
+    * q22's heuristic lang-id. 9dp-decimal log factors make the argmax
+    * engine-exact. */
+  val q162: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    graft.text.NaiveBayes.confusion(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", "lang")
+      .orderBy("truth", "predicted")
+  }
+
   /** q108 — one character-level BPE training round: corpus-weighted
     * adjacent-symbol-pair frequencies over the word VOCABULARY (see
     * [[graft.text.LangModel.bpePairCounts]] for why vocab-not-corpus is
@@ -512,7 +526,8 @@ object TextQueries {
     "q119_weighted_topk" -> q119,
     "q146_ols_per_source" -> q146,
     "q147_quantile_norm" -> q147,
-    "q154_span_dedup" -> q154)
+    "q154_span_dedup" -> q154,
+    "q162_naive_bayes" -> q162)
 
   private val H = "9223372036854775807"
 
@@ -630,6 +645,41 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q162_naive_bayes" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |trt AS (SELECT lang AS c,
+        |          unnest(list_filter(string_split(text, ' '),
+        |            t -> len(t) > 0)) AS w FROM tr),
+        |cnt AS (SELECT c, w, count(*) AS n FROM trt GROUP BY 1, 2),
+        |tc AS (SELECT c, sum(n) AS tokens_c FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM cnt),
+        |dc AS (SELECT lang AS c, count(*) AS docs_c FROM tr GROUP BY 1),
+        |dt AS (SELECT count(*) AS docs_tot FROM tr),
+        |classes AS (SELECT tc.c,
+        |    CAST(round(ln(CAST(docs_c AS DOUBLE) / docs_tot), 9)
+        |      AS DECIMAL(28,9)) AS prior,
+        |    CAST(round(ln(1.0 / (tokens_c + v)), 9)
+        |      AS DECIMAL(28,9)) AS logp0
+        |  FROM tc JOIN dc ON tc.c = dc.c CROSS JOIN v CROSS JOIN dt),
+        |model AS (SELECT cnt.c, w,
+        |    CAST(round(ln(CAST(n + 1 AS DOUBLE) / (tokens_c + v)), 9)
+        |      AS DECIMAL(28,9)) AS logp
+        |  FROM cnt JOIN tc ON cnt.c = tc.c CROSS JOIN v),
+        |tet AS (SELECT doc_id, lang AS truth,
+        |          unnest(list_filter(string_split(text, ' '),
+        |            t -> len(t) > 0)) AS w FROM te),
+        |sc AS (SELECT doc_id, truth, cl.c, cl.prior,
+        |    sum(coalesce(m.logp, cl.logp0)) AS sumlogp
+        |  FROM tet CROSS JOIN classes cl
+        |  LEFT JOIN model m ON m.c = cl.c AND m.w = tet.w
+        |  GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT doc_id, truth, c AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY prior + sumlogp DESC, c) AS rn
+        |  FROM sc)
+        |SELECT truth, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The oracle reads the UNPARTITIONED parquet — matching results prove
     // the partitioned staging + pruned read is lossless.
     "q57_partitioned_prune" ->
