@@ -73,6 +73,15 @@ object GraftFunctions {
     GraftShim.column(org.apache.spark.sql.graft.JaroWinkler(
       GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Per-group top-k aggregate: the k SMALLEST values of `c` under
+    * Spark's natural ordering, as a sorted array — the map-side-combined
+    * replacement for the row_number-window top-k (see
+    * [[org.apache.spark.sql.graft.TopKAgg]]; encode composite/descending
+    * ranks as struct fields, negating numerics for descending). */
+  def topk_agg(c: Column, k: Int): Column =
+    GraftShim.column(org.apache.spark.sql.graft.TopKAgg(
+      GraftShim.expression(c), k).toAggregateExpression())
+
   /** One-pass MinHash signature aggregate → array<long> of numPerm mins
     * per group (custom TypedImperativeAggregate; see
     * [[org.apache.spark.sql.graft.MinHashAgg]] — the fast/scale variant

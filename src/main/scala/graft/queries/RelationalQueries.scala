@@ -466,6 +466,30 @@ object RelationalQueries {
       .limit(25)
   }
 
+  /** q163 — per-nation top-5 customers by account balance via the
+    * bounded-heap aggregate ([[graft.functions.GraftFunctions.topk_agg]])
+    * instead of the row_number window: map partitions pre-reduce to ≤5
+    * rows per nation before the shuffle (O(groups·k) shuffle volume, not
+    * O(rows) — the W2 idiom's 100 TB form). Descending balance is
+    * encoded by negating the decimal inside the rank struct; custkey
+    * breaks ties ascending. */
+  val q163: Q = (spark, dir) => {
+    val tops = Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(graft.functions.GraftFunctions.topk_agg(
+        struct(negate(col("c_acctbal")).as("negbal"),
+          col("c_custkey").as("ck")), 5).as("tops"))
+    tops.select(col("c_nationkey"),
+        posexplode(col("tops")).as(Seq("pos", "t")))
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.ck").as("c_custkey"),
+        negate(col("t.negbal")).as("c_acctbal"))
+      .orderBy("nation", "rank")
+  }
+
   // --- DuckDB oracle SQL --------------------------------------------------
 
   private val ratingsCte =
@@ -502,9 +526,18 @@ object RelationalQueries {
     "q88_value_histogram" -> q88,
     "q90_funnel" -> q90,
     "q91_full_outer_reconcile" -> q91,
-    "q161_sole_late_supplier" -> q161)
+    "q161_sole_late_supplier" -> q161,
+    "q163_topk_agg" -> q163)
 
   val oracles: Map[String, String] = Map(
+    "q163_topk_agg" ->
+      """WITH r AS (
+        |  SELECT n_name AS nation, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rank
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT nation, rank, c_custkey, c_acctbal
+        |FROM r WHERE rank <= 5 ORDER BY nation, rank""".stripMargin,
     "q161_sole_late_supplier" ->
       """WITH j AS (
         |  SELECT l_orderkey, l_suppkey,

@@ -25,10 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def numPermOf(e: Expression): Int = e match {
+  private def intLitOf(e: Expression): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"minhash_agg numPerm must be an integer literal, got $other")
+      s"expected an integer literal argument, got $other")
   }
 
   /** (name, info, builder) for every SQL-registered graft function. */
@@ -42,13 +42,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     ("graft_minhash_agg",
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
-      (args: Seq[Expression]) => MinHashAgg(args(0), numPermOf(args(1)))),
+      (args: Seq[Expression]) => MinHashAgg(args(0), intLitOf(args(1)))),
+    ("graft_topk_agg",
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk_agg"),
+      (args: Seq[Expression]) => TopKAgg(args(0), intLitOf(args(1)))),
     ("graft_jaro_winkler",
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), numPermOf(args(1)))))
+      (args: Seq[Expression]) => MinHashSig(args(0), intLitOf(args(1)))))
 
   /** Register the graft functions into an already-built session. */
   def register(spark: SparkSession): Unit =

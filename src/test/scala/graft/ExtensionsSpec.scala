@@ -42,8 +42,43 @@ class ExtensionsSpec extends AnyFunSuite {
     // assert the injector class instantiates and lists all four.
     val names = GraftExtensions.functions.map(_._1).toSet
     assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
-      "graft_minhash_agg", "graft_minhash_sig", "graft_jaro_winkler"))
+      "graft_minhash_agg", "graft_minhash_sig", "graft_jaro_winkler",
+      "graft_topk_agg"))
     new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
+  }
+
+  test("topk_agg equals the row_number-window top-k and partial-aggregates") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8 input partitions force map-side partials + heap merges + the
+    // serialize/deserialize path across the shuffle.
+    val df = (1 to 5000)
+      .map(i => (i % 37, (i * 2654435761L) % 1000, i))
+      .toDF("key", "score", "id").repartition(8)
+    val w = Window.partitionBy("key").orderBy(col("score"), col("id"))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("key", "score", "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = df.groupBy("key").agg(graft.functions.GraftFunctions
+      .topk_agg(struct(col("score"), col("id")), 3).as("t"))
+    val got = agg.select(col("key"), explode(col("t")).as("s"))
+      .select(col("key"), col("s.score"), col("s.id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+    // the aggregate plans as a (partial-capable) ObjectHashAggregate,
+    // not a Window sort
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"))
+    // string elements via the SQL surface
+    GraftExtensions.register(spark)
+    Seq(("a", "zz"), ("a", "mm"), ("a", "aa"), ("b", "q"))
+      .toDF("g", "s").createOrReplaceTempView("topk_strings")
+    val rows = spark.sql(
+      "SELECT g, graft_topk_agg(s, 2) FROM topk_strings GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(rows.toSeq == Seq("a" -> Seq("aa", "mm"), "b" -> Seq("q")))
+    spark.catalog.dropTempView("topk_strings")
   }
 
   test("jaro_winkler matches DuckDB's jaro_winkler_similarity semantics") {
