@@ -88,6 +88,25 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** W2's 100 TB form for the ascending-single-column ordering: per-key
+    * top-k via the bounded-heap aggregate
+    * ([[org.apache.spark.sql.graft.TopKAgg]]) instead of the row_number
+    * window. Output is IDENTICAL to [[perKeyTopK]] with
+    * `order = Seq(col(item))` (total order required: `item` unique per
+    * key), but map partitions pre-reduce to ≤ k items per key before
+    * the shuffle — O(keys·k) shuffle rows, not O(rows), and no per-key
+    * sort on the reduce side. */
+  def perKeyTopKAggAsc(df: DataFrame, keys: Seq[String], item: String,
+                       k: Int, rankCol: String = "rank"): DataFrame = {
+    val keyCols = keys.map(col)
+    df.groupBy(keyCols: _*)
+      .agg(graft.functions.GraftFunctions.topk_agg(col(item), k)
+        .as("__topk"))
+      .select(keyCols :+ posexplode(col("__topk")).as(Seq("__pos", item)): _*)
+      .withColumn(rankCol, (col("__pos") + 1).cast("int"))
+      .drop("__pos")
+  }
+
   /** O5 — stable global row index over an explicit total order (the
     * engine replacement for the reference's `rdd.zipWithIndex` slicing,
     * `top_100_pairs.py:69-71`, which was partition-layout-dependent and

@@ -58,9 +58,7 @@ object Popularity {
     val users = target.select("user_id").distinct()
     val unseen = removeSeen(candidates(users, pool), trainDf,
       Seq("user_id", "item_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bias", "user_id").orderBy(col("item_id"))
-    unseen.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    perKeyTopKAggAsc(unseen, Seq("bias", "user_id"), "item_id", k)
       .select("bias", "user_id", "item_id", "rank")
   }
 
@@ -74,7 +72,7 @@ object Popularity {
     val users = target.select("user_id").distinct()
     val unseen = removeSeen(candidates(users, pool), trainDf,
       Seq("user_id", "item_id"))
-    perKeyTopK(unseen, "user_id", Seq(col("item_id")), k)
+    perKeyTopKAggAsc(unseen, Seq("user_id"), "item_id", k)
       .select("user_id", "item_id", "rank")
   }
 }

@@ -78,17 +78,27 @@ case class TopKAgg(
 
   // Serialize via a single-field UnsafeProjection of the child type —
   // generic over any orderable DataType (primitives, strings, structs).
-  @transient private lazy val proj =
-    UnsafeProjection.create(Array(child.dataType))
-  @transient private lazy val holder = new Array[Any](1)
+  // The aggregate INSTANCE is shared by every task thread of the
+  // operator, and UnsafeProjection reuses one result-row buffer — so the
+  // projection must be per-thread, not per-instance (a shared one races
+  // under the sort-based ObjectHashAggregate fallback, silently
+  // duplicating/losing heap elements).
+  @transient private lazy val projTl = new ThreadLocal[UnsafeProjection] {
+    override def initialValue(): UnsafeProjection =
+      UnsafeProjection.create(Array(child.dataType))
+  }
 
   override def serialize(pq: java.util.PriorityQueue[Any]): Array[Byte] = {
+    val proj = projTl.get()
     val rows = new scala.collection.mutable.ArrayBuffer[Array[Byte]](pq.size)
     var total = 4
     val it = pq.iterator()
     while (it.hasNext) {
-      holder(0) = it.next()
-      val bytes = proj(InternalRow.fromSeq(holder.toIndexedSeq)).getBytes
+      // .copy(): the projection reuses ONE result row whose backing
+      // array getBytes returns UNCOPIED (it exactly spans the buffer) —
+      // without the copy every serialized element aliases the same
+      // bytes and the heap collapses to k duplicates of the last value.
+      val bytes = proj(InternalRow(it.next())).copy().getBytes
       rows += bytes
       total += 4 + bytes.length
     }
