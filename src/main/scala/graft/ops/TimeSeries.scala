@@ -84,6 +84,49 @@ object TimeSeries {
       .select(col("k").as(key), col("d").as(day), col("x").as(measure),
         col("ewma"))
   }
+  /** Holt's linear (double-exponential) smoothing per key — [[ewma]]
+    * plus a trend state, the one-step-ahead forecaster for trending
+    * series EWMA systematically lags:
+    * `l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})`,
+    * `b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}`, init `l_1 = x_1,
+    * b_1 = 0`; `forecast_i = l_i + b_i` (the i+1 prediction).
+    *
+    * Same execution shape and determinism contract as [[ewma]]: the
+    * recursion is sequential within a key (typed iterator, per-key
+    * parallelism, calendar-bounded groups), and BOTH engines evaluate
+    * the identical multiply-add chain — 1−α and 1−β are computed (not
+    * pre-folded literals: 1−0.7 ≠ 0.3 in binary), so doubles agree
+    * bit-for-bit before output rounding. */
+  def holtLinear(points: DataFrame, key: String, day: String,
+                 measure: String, alpha: Double, beta: Double): DataFrame = {
+    val enc = Encoders.product[HoltRow]
+    val oma = 1.0 - alpha
+    val omb = 1.0 - beta
+    points
+      .select(col(key).cast("string").as("k"), col(day).cast("long").as("d"),
+        col(measure).cast("double").as("x"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (k: String, rows: Iterator[Row]) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        sorted.iterator.map { case (d, x) =>
+          if (first) { l = x; b = 0.0; first = false }
+          else {
+            val lNew = alpha * x + oma * (l + b)
+            b = beta * (lNew - l) + omb * b
+            l = lNew
+          }
+          HoltRow(k, d, x, l, b, l + b)
+        }
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("d").as(day), col("x").as(measure),
+        col("level"), col("trend"), col("forecast"))
+  }
+
   /** Lagged cross-correlation of two daily series — "do clicks lead
     * revenue, and by how many days?": Pearson r between x[d] and
     * y[d+lag] for every lag in [−maxLag, maxLag]. The lead–lag scan
@@ -120,3 +163,7 @@ object TimeSeries {
 /** Output row of [[TimeSeries.ewma]] (top-level for the product
   * Encoder). */
 case class EwmaRow(k: String, d: Long, x: Double, ewma: Double)
+
+/** Output row of [[TimeSeries.holtLinear]]. */
+case class HoltRow(k: String, d: Long, x: Double, level: Double,
+                   trend: Double, forecast: Double)

@@ -190,6 +190,24 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q164 — Holt linear-trend forecast of daily nation revenue
+    * (α = 0.3, β = 0.1; [[graft.ops.TimeSeries.holtLinear]]): q127's
+    * smoother plus a trend state and the one-step-ahead forecast —
+    * same typed-iterator execution, same bit-identical multiply-add
+    * chain, oracle as a two-state recursive CTE. */
+  val q164: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("double").as("revenue"))
+    TimeSeries.holtLinear(daily, "nation", "day", "revenue",
+        alpha = 0.3, beta = 0.1)
+      .select(col("nation"), col("day"), col("revenue"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+      .orderBy("nation", "day")
+  }
+
   /** q128 — data-quality constraint report (the Deequ/dbt-test shape):
     * declarative rules — range, null-rate, uniqueness, referential
     * integrity — evaluated to one (rule, n_checked, n_violations, pass)
@@ -527,6 +545,7 @@ object OlapQueries {
     "q125_equidepth_histogram" -> q125,
     "q126_mad_outliers" -> q126,
     "q127_ewma_revenue" -> q127,
+    "q164_holt_forecast" -> q164,
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
     "q130_rank_fusion" -> q130,
@@ -771,6 +790,34 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q164_holt_forecast" ->
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT nation, day, revenue,
+         |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |            AS revenue
+         |        $nationOrdersSql
+         |        GROUP BY 1, 2)),
+         |rec AS (
+         |  SELECT nation, day, revenue, i, revenue AS l,
+         |         CAST(0.0 AS DOUBLE) AS b
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT nation, day, revenue, i, l_new,
+         |         CAST(0.1 AS DOUBLE) * (l_new - l_prev)
+         |           + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * b_prev
+         |  FROM (SELECT idx.nation, idx.day, idx.revenue, idx.i,
+         |          rec.l AS l_prev, rec.b AS b_prev,
+         |          CAST(0.3 AS DOUBLE) * idx.revenue
+         |            + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+         |              * (rec.l + rec.b) AS l_new
+         |        FROM idx JOIN rec ON idx.nation = rec.nation
+         |                         AND idx.i = rec.i + 1))
+         |SELECT nation, day, revenue, round(l, 6) AS level,
+         |  round(b, 6) AS trend, round(l + b, 6) AS forecast
+         |FROM rec ORDER BY nation, day""".stripMargin,
     "q127_ewma_revenue" ->
       s"""WITH RECURSIVE idx AS (
          |  SELECT nation, day, revenue,
