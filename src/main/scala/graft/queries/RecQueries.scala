@@ -242,6 +242,40 @@ object RecQueries {
       folds = 5, biases = Seq(1, 5, 20, 100), seed = 145L)
       .orderBy("bias", "fold")
 
+  /** q165 — calibration (reliability) curve of the shrunk item-mean
+    * predictor on the validation split: predictions `(Σr + b·μ)/(n+b)`
+    * (b = 20, μ = train global mean) bucketed to half-rating bins,
+    * mean predicted vs mean actual per bin — the "is the model
+    * over/under-confident where" diagnostic behind q139/q145's scalar
+    * RMSEs. Preds round to 6dp then ride DECIMAL sums (a distributed
+    * double mean would be summation-order-dependent). */
+  val q165: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val notNull = col("item_id").isNotNull && col("rating").isNotNull
+    val train = Popularity.train(t).filter(notNull)
+    val va = Popularity.validation(t).filter(notNull)
+    val g = train.agg(
+        sum(col("rating").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(round(col("s").cast("double") / col("n"), 6).as("mu"))
+    val preds = train.groupBy("item_id")
+      .agg(sum(col("rating").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      .crossJoin(broadcast(g))
+      .select(col("item_id"),
+        round((col("s").cast("double") + lit(20.0) * col("mu")) /
+          (col("n") + lit(20.0)), 6).as("pred"))
+    va.join(preds, "item_id")
+      .withColumn("bucket", floor(col("pred") * 2).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("pred").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_pred"),
+        round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("avg_actual"))
+      .orderBy("bucket")
+  }
+
   /** q149 — split-conformal prediction intervals for the smoothed
     * item-mean predictor ([[graft.rec.Conformal.itemMeanIntervals]]):
     * calibrated on the val split, coverage audited on the test split —
@@ -404,6 +438,7 @@ object RecQueries {
     "q142_popularity_auc" -> q142,
     "q145_bias_cv" -> q145,
     "q149_conformal" -> q149,
+    "q165_calibration" -> q165,
     "q150_ips_eval" -> q150,
     "q152_mmr_rerank" -> q152,
     "q153_list_quality" -> q153,
@@ -678,6 +713,38 @@ object RecQueries {
         |  round(CAST(SUM(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
         |      AS DOUBLE) / COUNT(*), 6) AS coverage
         |FROM tes s CROSS JOIN qh q GROUP BY q.n_calib, q.qhat""".stripMargin,
+    "q165_calibration" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, item_id, rating,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |train AS (SELECT * FROM tagged WHERE split <= 2
+        |          AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |val AS (SELECT * FROM tagged WHERE split = 3
+        |        AND item_id IS NOT NULL AND rating IS NOT NULL),
+        |g AS (SELECT round(CAST(sum(CAST(rating AS DECIMAL(18,2)))
+        |        AS DOUBLE) / count(*), 6) AS mu FROM train),
+        |preds AS (
+        |  SELECT item_id,
+        |    round((CAST(sum(CAST(rating AS DECIMAL(18,2))) AS DOUBLE)
+        |      + 20.0 * mu) / (count(*) + 20.0), 6) AS pred
+        |  FROM train CROSS JOIN g GROUP BY item_id, mu),
+        |b AS (SELECT CAST(floor(pred * 2) AS BIGINT) AS bucket,
+        |        CAST(pred AS DECIMAL(18,6)) AS p,
+        |        CAST(rating AS DECIMAL(18,2)) AS a
+        |      FROM val JOIN preds USING (item_id))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_pred,
+        |  round(CAST(sum(a) AS DOUBLE) / count(*), 6) AS avg_actual
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_bias_cv" ->
       """WITH r0 AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
