@@ -190,6 +190,49 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q166 — session co-visitation "also viewed" lists: distinct items
+    * per 30-minute-gap view session (the q11 sessionizer restricted to
+    * views), directed within-session pairs counted across sessions,
+    * top-5 per item. The per-item ranking runs through the bounded-heap
+    * aggregate ([[graft.functions.GraftFunctions.topk_agg]]) with a
+    * struct rank — (negated count, item) encodes (count DESC, item ASC)
+    * — so map partitions pre-reduce to ≤5 rows per item instead of
+    * window-sorting every pair. Pair volume is Σ items-per-session²;
+    * cap items per session upstream when sessions are unbounded. */
+  val q166: Q = (spark, dir) => {
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val views = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item_id"))
+      .filter(col("item_id").isNotNull)
+    val si = views
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "session_id", "item_id").distinct()
+    val pairs = si.as("a").join(si.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_id") === col("b.session_id") &&
+        col("a.item_id") =!= col("b.item_id"))
+      .groupBy(col("a.item_id").as("item_id"),
+        col("b.item_id").as("also_item"))
+      .agg(count(lit(1)).as("n_sessions"))
+    pairs.groupBy("item_id")
+      .agg(graft.functions.GraftFunctions.topk_agg(
+        struct(negate(col("n_sessions")).as("nn"),
+          col("also_item").as("ai")), 5).as("t"))
+      .select(col("item_id"), posexplode(col("t")).as(Seq("pos", "s")))
+      .select(col("item_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.ai").as("also_item"), negate(col("s.nn")).as("n_sessions"))
+      .orderBy("item_id", "rank")
+  }
+
   /** q164 — Holt linear-trend forecast of daily nation revenue
     * (α = 0.3, β = 0.1; [[graft.ops.TimeSeries.holtLinear]]): q127's
     * smoother plus a trend state and the one-step-ahead forecast —
@@ -546,6 +589,7 @@ object OlapQueries {
     "q126_mad_outliers" -> q126,
     "q127_ewma_revenue" -> q127,
     "q164_holt_forecast" -> q164,
+    "q166_covisitation" -> q166,
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
     "q130_rank_fusion" -> q130,
@@ -790,6 +834,32 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q166_covisitation" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+        |  FROM events WHERE event_type = 'view'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |s AS (SELECT user_id, item_id,
+        |    sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > 1800000000000
+        |          THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev_ts FROM v)),
+        |si AS (SELECT DISTINCT user_id, session_id, item_id FROM s),
+        |p AS (SELECT a.item_id, b.item_id AS also_item,
+        |        count(*) AS n_sessions
+        |      FROM si a JOIN si b ON a.user_id = b.user_id
+        |        AND a.session_id = b.session_id
+        |        AND a.item_id <> b.item_id
+        |      GROUP BY 1, 2),
+        |r AS (SELECT item_id, also_item, n_sessions,
+        |        row_number() OVER (PARTITION BY item_id
+        |          ORDER BY n_sessions DESC, also_item) AS rank
+        |      FROM p)
+        |SELECT item_id, rank, also_item, n_sessions
+        |FROM r WHERE rank <= 5 ORDER BY item_id, rank""".stripMargin,
     "q164_holt_forecast" ->
       s"""WITH RECURSIVE idx AS (
          |  SELECT nation, day, revenue,
