@@ -190,6 +190,79 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q167 — per-nation weighted median of line price, quantity-weighted:
+    * the robust "typical price actually shipped" statistic. No global or
+    * per-group row sort: rows reduce to one row per DISTINCT price per
+    * nation first (exact decimal weights), a cumulative window walks the
+    * distinct values, and the median is the smallest price whose
+    * doubled cumulative weight reaches the total — all-integer/decimal,
+    * tie-free by construction. */
+  val q167: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast("decimal(18,2)").as("wq"))
+    val byV = li.groupBy("nation", "v").agg(sum(col("wq")).as("wv"))
+    val wCum = Window.partitionBy("nation").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("nation")
+    byV.withColumn("cumw", sum(col("wv")).over(wCum))
+      .withColumn("totw", sum(col("wv")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy("nation")
+      .agg(min(col("v")).as("weighted_median"),
+        max(col("totw")).as("total_qty"))
+      .orderBy("nation")
+  }
+
+  /** q168 — single-feature decision stump: the best order-total
+    * threshold separating urgent/high-priority orders, scanned over
+    * 10k-wide bucket boundaries. ONE aggregate to per-bucket
+    * (n, positives), a cumulative window turns every boundary into a
+    * (left, right) contingency in O(buckets), weighted Gini per
+    * boundary (identical IEEE formula both engines, 6dp), best row
+    * flagged — the split-search inner loop of tree training, shuffle
+    * volume = bucket count regardless of fact volume. */
+  val q168: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir).select(
+      (floor(col("o_totalprice") / 10000) * 10000).cast("long").as("bkt"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L).as("y"))
+    val b = o.groupBy("bkt").agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val wCum = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = b
+      .withColumn("nl", sum(col("n")).over(wCum))
+      .withColumn("pl", sum(col("p")).over(wCum))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("pt", sum(col("p")).over(wAll))
+      .filter(col("nl") < col("nt")) // a boundary must leave a right side
+    val fl = col("pl").cast("double") / col("nl").cast("double")
+    val fr = (col("pt") - col("pl")).cast("double") /
+      (col("nt") - col("nl")).cast("double")
+    val gl = lit(1.0) - fl * fl - (lit(1.0) - fl) * (lit(1.0) - fl)
+    val gr = lit(1.0) - fr * fr - (lit(1.0) - fr) * (lit(1.0) - fr)
+    val wg = (col("nl").cast("double") / col("nt").cast("double")) * gl +
+      ((col("nt") - col("nl")).cast("double") /
+        col("nt").cast("double")) * gr
+    val scored = c.select(col("bkt").as("threshold"),
+      col("nl").as("n_left"), col("pl").as("pos_left"),
+      (col("nt") - col("nl")).as("n_right"),
+      (col("pt") - col("pl")).as("pos_right"),
+      round(wg, 6).as("weighted_gini"))
+    scored.withColumn("is_best",
+        col("weighted_gini") === min(col("weighted_gini")).over(
+          Window.orderBy("threshold").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      .orderBy("threshold")
+  }
+
   /** q166 — session co-visitation "also viewed" lists: distinct items
     * per 30-minute-gap view session (the q11 sessionizer restricted to
     * views), directed within-session pairs counted across sessions,
@@ -590,6 +663,8 @@ object OlapQueries {
     "q127_ewma_revenue" -> q127,
     "q164_holt_forecast" -> q164,
     "q166_covisitation" -> q166,
+    "q167_weighted_median" -> q167,
+    "q168_decision_stump" -> q168,
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
     "q130_rank_fusion" -> q130,
@@ -834,6 +909,59 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q167_weighted_median" ->
+      """WITH li AS (
+        |  SELECT n_name AS nation, l_extendedprice AS v,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS wq
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |byv AS (SELECT nation, v, sum(wq) AS wv FROM li GROUP BY 1, 2),
+        |c AS (SELECT nation, v,
+        |        sum(wv) OVER (PARTITION BY nation ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS cumw,
+        |        sum(wv) OVER (PARTITION BY nation) AS totw
+        |      FROM byv)
+        |SELECT nation, min(v) AS weighted_median, max(totw) AS total_qty
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q168_decision_stump" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice / 10000) * 10000 AS BIGINT)
+        |           AS bkt,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS p FROM o GROUP BY 1),
+        |c AS (SELECT bkt,
+        |        sum(n) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS nl,
+        |        sum(p) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS pl,
+        |        sum(n) OVER () AS nt, sum(p) OVER () AS pt
+        |      FROM b),
+        |s AS (SELECT bkt, nl, pl, nt, pt,
+        |        CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE) AS fl,
+        |        CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE) AS fr
+        |      FROM c WHERE nl < nt)
+        |SELECT bkt AS threshold, CAST(nl AS BIGINT) AS n_left,
+        |  CAST(pl AS BIGINT) AS pos_left,
+        |  CAST(nt - nl AS BIGINT) AS n_right,
+        |  CAST(pt - pl AS BIGINT) AS pos_right,
+        |  round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fl * fl - (1.0 - fl) * (1.0 - fl))
+        |    + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr)), 6)
+        |    AS weighted_gini,
+        |  round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fl * fl - (1.0 - fl) * (1.0 - fl))
+        |    + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr)), 6)
+        |    = min(round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fl * fl - (1.0 - fl) * (1.0 - fl))
+        |    + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr)), 6)) OVER ()
+        |    AS is_best
+        |FROM s ORDER BY threshold""".stripMargin,
     "q166_covisitation" ->
       """WITH v AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
