@@ -400,7 +400,36 @@ object StreamingQueries {
       .orderBy("win_s")
   }
 
+  /** q169 — stream-static model serving: the q162 Naive Bayes model is
+    * fit ONCE on the static train split, then the held-out documents
+    * arrive as a file stream and are scored inside micro-batches — the
+    * token join against the static likelihood table and the
+    * per-(doc, class) posterior aggregation run IN the stream
+    * (Complete mode; decimal-exact, so micro-batch slicing cannot
+    * change a score); only the tiny per-doc argmax + confusion rollup
+    * happens on the materialized result. Oracle: identical to batch
+    * q162 — the defining agreement property. */
+  val q169: Q = (spark, dir) => {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val m = graft.util.SessionMemo(spark, s"nb-model:$dir")(
+      graft.text.NaiveBayes.fit(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang"))
+    val incoming = spark.readStream.schema(docs.schema)
+      .parquet(stagedDocsDir(spark, dir))
+      .filter(col("doc_id") % 5 === 0)
+    val scored = graft.text.NaiveBayes.posteriors(
+      m, incoming, "doc_id", "text", "lang")
+    val name = s"q169_out_${runId.incrementAndGet()}"
+    val sunk = EventStreams.runToMemory(spark, scored, name,
+      OutputMode.Complete)
+    graft.text.NaiveBayes.argmax(sunk, "doc_id")
+      .groupBy("truth", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("truth", "predicted")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_stream_classify" -> q169,
     "q102_stream_heavy_hitters" -> q102,
     "q112_stream_compact" -> q112,
     "q132_stream_incremental_mv" -> q132,
@@ -431,6 +460,8 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The stream-served classifier must equal batch q162 exactly.
+    "q169_stream_classify" -> TextQueries.oracles("q162_naive_bayes"),
     // From-scratch batch aggregation over ALL events: the maintained
     // MV must equal it regardless of micro-batch slicing.
     "q132_stream_incremental_mv" ->

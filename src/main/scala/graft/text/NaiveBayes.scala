@@ -35,10 +35,15 @@ object NaiveBayes {
       explode(filter(split(col(text), " "),
         t => length(t) > 0)).as("w"))
 
-  /** Train on `train`, score `test`: (id, truth, predicted, score) one
-    * row per test document with ≥1 token. */
-  def classify(train: DataFrame, test: DataFrame, id: String,
-               text: String, label: String): DataFrame = {
+  /** Fitted model: `classes` = (c, prior, logp0) — |classes| rows,
+    * always broadcast; `tokenLikelihoods` = (c, w, logp) —
+    * vocabulary×classes rows. Both are plain DataFrames, so the model
+    * joins against batch OR streaming inputs (the q169 serving path). */
+  case class Model(classes: DataFrame, tokenLikelihoods: DataFrame)
+
+  /** Learn priors + Laplace-smoothed token likelihoods from `train`. */
+  def fit(train: DataFrame, id: String, text: String,
+          label: String): Model = {
     val trainToks = tokens(train, id, text, label)
       .withColumnRenamed("truth", "c")
     val cnt = trainToks.groupBy("c", "w").agg(count(lit(1)).as("n"))
@@ -60,14 +65,25 @@ object NaiveBayes {
         round(log((col("n") + 1).cast("double") /
           (col("tokens_c") + col("v")).cast("double")), 9).cast(dec)
           .as("logp"))
-    val testToks = tokens(test, id, text, label)
-    val scored = testToks
-      .crossJoin(broadcast(classes))
-      .join(model, Seq("c", "w"), "left")
+    Model(classes, model)
+  }
+
+  /** Per-(doc, class) decimal posteriors: (id, truth, c, score). Pure
+    * stateless-then-aggregate — runs unchanged on a streaming `docs`
+    * (Complete-mode aggregation). */
+  def posteriors(m: Model, docs: DataFrame, id: String, text: String,
+                 label: String): DataFrame =
+    tokens(docs, id, text, label)
+      .crossJoin(broadcast(m.classes))
+      .join(m.tokenLikelihoods, Seq("c", "w"), "left")
       .groupBy(col(id), col("truth"), col("c"), col("prior"))
       .agg(sum(coalesce(col("logp"), col("logp0"))).as("sumlogp"))
       .select(col(id), col("truth"), col("c"),
         (col("prior") + col("sumlogp")).as("score"))
+
+  /** Argmax class per document over [[posteriors]] output; exact
+    * decimal comparison, ties to the smallest class. */
+  def argmax(scored: DataFrame, id: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(desc("score"), col("c"))
     scored.withColumn("rn", row_number().over(w))
@@ -75,6 +91,13 @@ object NaiveBayes {
       .select(col(id), col("truth"), col("c").as("predicted"),
         col("score"))
   }
+
+  /** Train on `train`, score `test`: (id, truth, predicted, score) one
+    * row per test document with ≥1 token. */
+  def classify(train: DataFrame, test: DataFrame, id: String,
+               text: String, label: String): DataFrame =
+    argmax(posteriors(fit(train, id, text, label), test, id, text, label),
+      id)
 
   /** Confusion matrix of [[classify]]: (truth, predicted, n_docs). */
   def confusion(train: DataFrame, test: DataFrame, id: String,
