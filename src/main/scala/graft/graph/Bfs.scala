@@ -30,7 +30,10 @@ object Bfs {
     *        (symmetrize before calling for undirected semantics).
     * @param seeds one column of seed node ids (deduped here). */
   def hops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.toDF("src", "dst")
+    // Materialize the edge list once — every hop joins against it, and
+    // without the checkpoint each hop would re-run the upstream
+    // edge-building lineage (scan + join + distinct) from scratch.
+    val e = edges.toDF("src", "dst").localCheckpoint()
     var frontier = seeds.toDF("node").distinct().localCheckpoint()
     var visited = frontier
     var out = frontier.withColumn("hop", lit(0))

@@ -430,6 +430,18 @@ object TextQueries {
       .orderBy("truth", "predicted")
   }
 
+  /** q170 — BM25 ranked retrieval ([[graft.text.Retrieval.bm25TopK]]):
+    * doc 0's token set as the query, top-25 corpus docs by the
+    * Lucene-variant BM25 (k1 = 1.2, b = 0.75) — term stats from one
+    * grouped count, scoring touches only query-term postings, per-term
+    * contributions 9dp-decimal before the sum. */
+  val q170: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val query = graft.text.Retrieval.termFreqs(
+      docs.filter(col("doc_id") === 0), "doc_id", "text").select("w")
+    graft.text.Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 25)
+  }
+
   /** q108 — one character-level BPE training round: corpus-weighted
     * adjacent-symbol-pair frequencies over the word VOCABULARY (see
     * [[graft.text.LangModel.bpePairCounts]] for why vocab-not-corpus is
@@ -527,7 +539,8 @@ object TextQueries {
     "q146_ols_per_source" -> q146,
     "q147_quantile_norm" -> q147,
     "q154_span_dedup" -> q154,
-    "q162_naive_bayes" -> q162)
+    "q162_naive_bayes" -> q162,
+    "q170_bm25" -> q170)
 
   private val H = "9223372036854775807"
 
@@ -645,6 +658,34 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q170_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> len(t) > 0)) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, sum(len) AS tot_len FROM lens),
+        |av AS (SELECT n_docs,
+        |         round(CAST(tot_len AS DOUBLE) / n_docs, 6) AS avglen
+        |       FROM st),
+        |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT DISTINCT w FROM tf WHERE doc_id = 0),
+        |idf AS (SELECT dfs.w, avglen,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+        |      AS DECIMAL(28,9)) AS idf
+        |  FROM dfs JOIN q USING (w) CROSS JOIN av),
+        |c AS (SELECT tf.doc_id,
+        |    CAST(round(CAST(idf AS DOUBLE)
+        |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |        / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |            * (CAST(lens.len AS DOUBLE) / avglen))), 9)
+        |      AS DECIMAL(28,9)) AS ts
+        |  FROM tf JOIN idf ON tf.w = idf.w
+        |  JOIN lens ON tf.doc_id = lens.doc_id)
+        |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "q162_naive_bayes" ->
       """WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
         |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
