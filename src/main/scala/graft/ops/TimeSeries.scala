@@ -84,6 +84,62 @@ object TimeSeries {
       .select(col("k").as(key), col("d").as(day), col("x").as(measure),
         col("ewma"))
   }
+  /** Linear interpolation across the gaps of [[gapFillDaily]]'s grid —
+    * the fill for measures where carrying the last value forward
+    * (ffill) misstates a trend: each gap day gets
+    * `v_prev + (v_next − v_prev)·(d − d_prev)/(d_next − d_prev)`, the
+    * straight line between its surrounding observations. Leading gaps
+    * backfill from the first observation, trailing gaps carry the last
+    * (a bounded-grid series has both endpoints observed by
+    * construction, so these arms are vestigial there).
+    *
+    * Two window passes over the calendar-bounded grid (prev obs via
+    * last-ignore-nulls preceding, next obs via first-ignore-nulls
+    * following) — same partitioning as the grid join, no extra
+    * shuffle.
+    *
+    * Determinism: rounding the double expression `vp + (vn−vp)·frac`
+    * to 6dp is a cross-engine trap (Spark rounds the shortest decimal
+    * repr, DuckDB the binary value — they disagree exactly at rounding
+    * boundaries, observed live on this frame). Instead the line is
+    * evaluated as an EXACT rational in scaled integer units
+    * (`measure·scale` must be integral — scale 100 for 2dp money) and
+    * half-up-rounded to 6dp with integer arithmetic; the one final
+    * divide by 10⁶ is IEEE-identical everywhere. */
+  def linearInterpDaily(points: DataFrame, key: String, day: String,
+                        measure: String, scale: Int = 100): DataFrame = {
+    val filled = gapFillDaily(points, key, day, measure)
+      .withColumn(measure,
+        when(col("is_gap"), lit(null)).otherwise(col(measure)))
+    val wPrev = Window.partitionBy(key).orderBy(day)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(key).orderBy(day)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col(measure).isNotNull, col(day))
+    filled
+      .withColumn("__vp", last(col(measure), ignoreNulls = true).over(wPrev))
+      .withColumn("__dp", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("__vn", first(col(measure), ignoreNulls = true).over(wNext))
+      .withColumn("__dn", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("__vpc", round(col("__vp") * scale, 0).cast("long"))
+      .withColumn("__vnc", round(col("__vn") * scale, 0).cast("long"))
+      .withColumn("__num",
+        (col("__vpc") * (col("__dn") - col("__dp")) +
+          (col("__vnc") - col("__vpc")) * (col(day) - col("__dp")))
+          .cast("decimal(38,0)"))
+      .withColumn("__den",
+        ((col("__dn") - col("__dp")) * scale).cast("decimal(38,0)"))
+      .withColumn("__r", expr("(__num * 2000000 + __den) div (__den * 2)"))
+      .withColumn(s"${measure}_interp",
+        when(!col("is_gap"), col(measure))
+          .when(col("__dp").isNull, col("__vn"))
+          .when(col("__dn").isNull, col("__vp"))
+          .otherwise(col("__r").cast("double") / lit(1000000.0)))
+      .select(col(key), col(day),
+        coalesce(col(measure), lit(0.0)).as(measure),
+        col(s"${measure}_interp"), col("is_gap"))
+  }
+
   /** Holt's linear (double-exponential) smoothing per key — [[ewma]]
     * plus a trend state, the one-step-ahead forecaster for trending
     * series EWMA systematically lags:

@@ -208,6 +208,19 @@ object AnalyticsQueries {
       .orderBy("nation", "day")
   }
 
+  /** q171 — linear interpolation across the q106 grid's gaps
+    * ([[graft.ops.TimeSeries.linearInterpDaily]]): the trend-true fill
+    * ffill misstates — each gap day sits on the straight line between
+    * its surrounding observations. Same calendar-bounded grid, two
+    * window passes, no extra shuffle. */
+  val q171: Q = (spark, dir) => {
+    val pts = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("double").as("revenue"))
+    TimeSeries.linearInterpDaily(pts, "nation", "day", "revenue")
+      .orderBy("nation", "day")
+  }
+
   /** q109 — per-nation customer-spend outliers at |z| ≥ 2.5 (see
     * [[graft.ops.Outliers.zscoreOutliers]]): aggregate once on the
     * customer key, score with window stats on the nation partition —
@@ -431,6 +444,7 @@ object AnalyticsQueries {
     "q104_triangle_counts" -> q104,
     "q105_scd2_history" -> q105,
     "q106_gap_fill" -> q106,
+    "q171_linear_interp" -> q171,
     "q109_spend_outliers" -> q109,
     "q111_session_concurrency" -> q111,
     "q113_zorder_stats" -> q113,
@@ -793,6 +807,54 @@ object AnalyticsQueries {
         |FROM iv
         |ORDER BY user_id, valid_from_s, event_type,
         |         valid_to_s NULLS FIRST""".stripMargin,
+    "q171_linear_interp" ->
+      """WITH pts AS (
+        |  SELECT n_name AS nation,
+        |         (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT nation, min(day) AS d0, max(day) AS d1
+        |      FROM pts GROUP BY 1),
+        |grid AS (SELECT nation, unnest(generate_series(d0, d1)) AS day
+        |         FROM b),
+        |j AS (SELECT grid.nation, grid.day, pts.revenue
+        |      FROM grid LEFT JOIN pts
+        |        ON grid.nation = pts.nation AND grid.day = pts.day),
+        |w AS (SELECT nation, day, revenue,
+        |        last_value(revenue IGNORE NULLS) OVER
+        |          (PARTITION BY nation ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS vp,
+        |        last_value(CASE WHEN revenue IS NOT NULL THEN day END
+        |          IGNORE NULLS) OVER
+        |          (PARTITION BY nation ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS dp,
+        |        first_value(revenue IGNORE NULLS) OVER
+        |          (PARTITION BY nation ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |        first_value(CASE WHEN revenue IS NOT NULL THEN day END
+        |          IGNORE NULLS) OVER
+        |          (PARTITION BY nation ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+        |      FROM j),
+        |w2 AS (SELECT *, CAST(round(vp * 100, 0) AS BIGINT) AS vpc,
+        |         CAST(round(vn * 100, 0) AS BIGINT) AS vnc FROM w),
+        |w3 AS (SELECT *,
+        |         CAST(vpc AS HUGEINT) * (dn - dp)
+        |           + CAST(vnc - vpc AS HUGEINT) * (day - dp) AS num,
+        |         CAST((dn - dp) * 100 AS HUGEINT) AS den
+        |       FROM w2)
+        |SELECT nation, day, coalesce(revenue, 0.0) AS revenue,
+        |  CASE WHEN revenue IS NOT NULL THEN revenue
+        |       WHEN dp IS NULL THEN vn
+        |       WHEN dn IS NULL THEN vp
+        |       ELSE CAST(CAST((num * 2000000 + den) // (den * 2)
+        |              AS BIGINT) AS DOUBLE) / 1000000.0 END
+        |    AS revenue_interp,
+        |  revenue IS NULL AS is_gap
+        |FROM w3 ORDER BY 1, 2""".stripMargin,
     "q106_gap_fill" ->
       """WITH pts AS (
         |  SELECT n_name AS nation,
