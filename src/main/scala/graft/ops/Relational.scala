@@ -88,14 +88,15 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
-  /** W2's 100 TB form for the ascending-single-column ordering: per-key
-    * top-k via the bounded-heap aggregate
+  /** W2's sort-free form for the ascending-single-column ordering:
+    * per-key top-k via the bounded-heap aggregate
     * ([[org.apache.spark.sql.graft.TopKAgg]]) instead of the row_number
     * window. Output is IDENTICAL to [[perKeyTopK]] with
     * `order = Seq(col(item))` (total order required: `item` unique per
-    * key), but map partitions pre-reduce to ≤ k items per key before
-    * the shuffle — O(keys·k) shuffle rows, not O(rows), and no per-key
-    * sort on the reduce side. */
+    * key). Spark 4's WindowGroupLimit already bounds the window form's
+    * shuffle; what the aggregate removes is both per-partition sorts
+    * (heap upkeep is O(n log k)) and the separate rank-assignment pass
+    * — the array explodes straight into ranked rows. */
   def perKeyTopKAggAsc(df: DataFrame, keys: Seq[String], item: String,
                        k: Int, rankCol: String = "rank"): DataFrame = {
     val keyCols = keys.map(col)

@@ -269,8 +269,8 @@ object OlapQueries {
     * top-5 per item. The per-item ranking runs through the bounded-heap
     * aggregate ([[graft.functions.GraftFunctions.topk_agg]]) with a
     * struct rank — (negated count, item) encodes (count DESC, item ASC)
-    * — so map partitions pre-reduce to ≤5 rows per item instead of
-    * window-sorting every pair. Pair volume is Σ items-per-session²;
+    * — heap upkeep instead of the window form's two per-partition
+    * sorts, and the ranked list explodes straight out of the array. Pair volume is Σ items-per-session²;
     * cap items per session upstream when sessions are unbounded. */
   val q166: Q = (spark, dir) => {
     val gapNs = 30L * 60 * 1000000000L

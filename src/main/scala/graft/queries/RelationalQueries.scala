@@ -468,9 +468,10 @@ object RelationalQueries {
 
   /** q163 — per-nation top-5 customers by account balance via the
     * bounded-heap aggregate ([[graft.functions.GraftFunctions.topk_agg]])
-    * instead of the row_number window: map partitions pre-reduce to ≤5
-    * rows per nation before the shuffle (O(groups·k) shuffle volume, not
-    * O(rows) — the W2 idiom's 100 TB form). Descending balance is
+    * instead of the row_number window: no map- or reduce-side sort
+    * (Spark 4's WindowGroupLimit already bounds the window form's
+    * shuffle; the heap removes the two O(n log n) sorts it still
+    * needs). Descending balance is
     * encoded by negating the decimal inside the rank struct; custkey
     * breaks ties ascending. */
   val q163: Q = (spark, dir) => {

@@ -8,15 +8,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
-/** Bounded-heap per-group top-k aggregate — the shuffle-lean replacement
+/** Bounded-heap per-group top-k aggregate — the sort-free replacement
   * for the `row_number() OVER (PARTITION BY key ORDER BY ...) <= k`
   * idiom (SURVEY §2.5 W2 / [[graft.ops.Relational.perKeyTopK]]).
   *
-  * The window form shuffles EVERY row to its key's partition and sorts
-  * there; this aggregate keeps a k-capped heap per group, partial-
-  * aggregates map-side, and merges heaps — shuffle volume drops from
-  * O(rows) to O(groups × k) per map partition, the decisive difference
-  * when ranking 100 TB of candidates into top-20 lists per user.
+  * Spark 4's own `WindowGroupLimit` rule already bounds the window
+  * form's shuffle (a Partial limit runs before the exchange), so the
+  * win here is not shuffle volume but the SORTS: the window plan sorts
+  * every map partition, shuffles, and sorts again on the reduce side —
+  * O(n log n) twice; this aggregate keeps a k-capped heap per group
+  * (O(n log k), no sort on either side), merges heaps, and returns the
+  * packed per-group array in one operator — which is also the shape
+  * the rec pipelines consume (exploded lists), saving the second pass.
   *
   * Ordering: Spark's natural (interpreted) ordering of the child type,
   * ASCENDING — the k SMALLEST values survive, returned as a sorted
