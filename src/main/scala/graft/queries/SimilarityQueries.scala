@@ -48,6 +48,39 @@ object SimilarityQueries {
         round(l2norm(col("embedding")), 6).as("l2norm"))
       .orderBy("vec_id")
 
+  /** q172 — per-DIMENSION standardization audit of the embedding
+    * matrix: mean/σ per coordinate from decimal-exact sufficient
+    * statistics (values and their squares cast to fixed-scale decimals
+    * BEFORE the cross-row sum — a distributed Σ of raw doubles would be
+    * merge-order-dependent), then the z-scored column re-audited
+    * (mean_z ≈ 0, bounded min/max) in the same pass. The
+    * feature-preprocessing step before any distance-based model; one
+    * posexplode + two grouped aggregates, dims × rows independent of
+    * output size. */
+  val q172: Q = (spark, dir) => {
+    val x = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("p"), col("xf").cast("double").as("x"))
+    val stats = x.groupBy("p").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,10)")).as("s"),
+        sum((col("x") * col("x")).cast("decimal(28,14)")).as("ssq"))
+      .select(col("p"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mu"),
+        round(sqrt(col("ssq").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) *
+          (col("s").cast("double") / col("n"))), 6).as("sigma"))
+    x.join(stats, "p")
+      .select(col("p"), col("n"), col("mu"), col("sigma"),
+        round((col("x") - col("mu")) / col("sigma"), 6)
+          .cast("decimal(18,6)").as("z"))
+      .groupBy("p", "n", "mu", "sigma")
+      .agg(round(sum(col("z")).cast("double") / count(lit(1)), 6)
+          .as("mean_z"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy("p")
+  }
+
   /** q32 — LSH-bucketed ANN: 8 deterministic random hyperplanes → 256
     * sign buckets; neighbors only join within a bucket (equi-join on
     * bucket replaces the cross join — the 10⁹-vector scale path). Top-3
@@ -240,6 +273,7 @@ object SimilarityQueries {
     "q30_knn_bruteforce" -> q30,
     "q36_embedding_neardup" -> q36,
     "q31_vector_norms" -> q31,
+    "q172_dim_standardize" -> q172,
     "q32_ann_lsh" -> q32,
     "q33_kmeans_embeddings" -> q33,
     "q37_ann_ivf" -> q37,
@@ -250,6 +284,28 @@ object SimilarityQueries {
     "q35_kmeans_segments" -> q35)
 
   val oracles: Map[String, String] = Map(
+    "q172_dim_standardize" ->
+      """WITH x AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         unnest(generate_series(1, len(embedding))) - 1 AS p
+        |  FROM embeddings),
+        |st AS (SELECT p, count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(20,10))) AS s,
+        |        sum(CAST(x * x AS DECIMAL(28,14))) AS ssq
+        |      FROM x GROUP BY 1),
+        |m AS (SELECT p, n,
+        |        round(CAST(s AS DOUBLE) / n, 6) AS mu,
+        |        round(sqrt(CAST(ssq AS DOUBLE) / n
+        |          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+        |          AS sigma
+        |      FROM st),
+        |z AS (SELECT x.p, n, mu, sigma,
+        |        CAST(round((x.x - mu) / sigma, 6) AS DECIMAL(18,6)) AS z
+        |      FROM x JOIN m ON x.p = m.p)
+        |SELECT CAST(p AS INT) AS p, n, mu, sigma,
+        |  round(CAST(sum(z) AS DOUBLE) / count(*), 6) AS mean_z,
+        |  min(z) AS min_z, max(z) AS max_z
+        |FROM z GROUP BY 1, 2, 3, 4 ORDER BY p""".stripMargin,
     "q30_knn_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e,
