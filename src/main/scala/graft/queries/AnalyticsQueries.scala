@@ -208,6 +208,30 @@ object AnalyticsQueries {
       .orderBy("nation", "day")
   }
 
+  /** q174 — rolling active users (DAU + 7-day WAU) per day: each
+    * distinct (user, active-day) pair EXPLODES into the ≤7 window
+    * anchors it keeps the user active for — the window-coverage trick
+    * that makes rolling COUNT DISTINCT linear (7× the deduped activity
+    * frame) instead of a per-day re-scan or 7-way self-join; at larger
+    * windows swap the explode for HLL-sketch merges. All-integer. */
+  val q174: Q = (spark, dir) => {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val maxDay = du.agg(max("day").as("dmax"))
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("dmax"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select("day", "dau", "wau")
+      .orderBy("day")
+  }
+
   /** q171 — linear interpolation across the q106 grid's gaps
     * ([[graft.ops.TimeSeries.linearInterpDaily]]): the trend-true fill
     * ffill misstates — each gap day sits on the straight line between
@@ -445,6 +469,7 @@ object AnalyticsQueries {
     "q105_scd2_history" -> q105,
     "q106_gap_fill" -> q106,
     "q171_linear_interp" -> q171,
+    "q174_rolling_actives" -> q174,
     "q109_spend_outliers" -> q109,
     "q111_session_concurrency" -> q111,
     "q113_zorder_stats" -> q113,
@@ -807,6 +832,21 @@ object AnalyticsQueries {
         |FROM iv
         |ORDER BY user_id, valid_from_s, event_type,
         |         valid_to_s NULLS FIRST""".stripMargin,
+    "q174_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS dmax FROM du),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |          AS dau FROM du GROUP BY 1),
+        |cov AS (SELECT DISTINCT user_id,
+        |          unnest(generate_series(day, day + 6)) AS day FROM du),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |          AS wau
+        |        FROM cov CROSS JOIN mx WHERE day <= dmax GROUP BY 1)
+        |SELECT dau.day, dau, wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
     "q171_linear_interp" ->
       """WITH pts AS (
         |  SELECT n_name AS nation,

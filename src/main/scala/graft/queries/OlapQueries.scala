@@ -190,6 +190,29 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q173 — period-over-period revenue growth: order revenue per 30-day
+    * period (integer epoch-day arithmetic — no calendar functions, per
+    * the determinism rules), growth rate vs the previous period via one
+    * lag window over the period-bounded frame. The MoM/WoW BI staple;
+    * decimal revenue, one grouped aggregate + one tiny window. */
+  val q173: Q = (spark, dir) => {
+    val per = Tables.orders(spark, dir)
+      .select(expr(
+        "cast(cast(o_orderdate as timestamp) as long) div 86400 div 30")
+        .as("period"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      .groupBy("period")
+      .agg(sum("v").as("revenue"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("period")
+    per
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .select(col("period"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"),
+        round((col("revenue") - col("prev")).cast("double") /
+          col("prev").cast("double"), 6).as("growth"))
+      .orderBy("period")
+  }
+
   /** q167 — per-nation weighted median of line price, quantity-weighted:
     * the robust "typical price actually shipped" statistic. No global or
     * per-group row sort: rows reduce to one row per DISTINCT price per
@@ -664,6 +687,7 @@ object OlapQueries {
     "q164_holt_forecast" -> q164,
     "q166_covisitation" -> q166,
     "q167_weighted_median" -> q167,
+    "q173_period_growth" -> q173,
     "q168_decision_stump" -> q168,
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
@@ -909,6 +933,19 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q173_period_growth" ->
+      """WITH per AS (
+        |  SELECT ((epoch_ns(o_orderdate) // 1000000000) // 86400) // 30
+        |           AS period,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT period, n_orders, CAST(revenue AS DOUBLE) AS revenue,
+        |  round(CAST(revenue - lag(revenue) OVER (ORDER BY period)
+        |      AS DOUBLE)
+        |    / CAST(lag(revenue) OVER (ORDER BY period) AS DOUBLE), 6)
+        |    AS growth
+        |FROM per ORDER BY period""".stripMargin,
     "q167_weighted_median" ->
       """WITH li AS (
         |  SELECT n_name AS nation, l_extendedprice AS v,
