@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.graph.{Bfs, PageRank, Triangles}
+import graft.graph.{Bfs, KCore, PageRank, Triangles}
 import graft.io.Tables
 import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
@@ -206,6 +206,24 @@ object AnalyticsQueries {
     TimeSeries.gapFillDaily(pts, "nation", "day", "revenue")
       .select("nation", "day", "revenue", "revenue_ffill", "is_gap")
       .orderBy("nation", "day")
+  }
+
+  /** q175 — bounded 3-core peeling ([[graft.graph.KCore.peelCounts]])
+    * on the q49 co-purchase graph: four simultaneous-removal rounds of
+    * degree-<3 nodes, per-round removal counts plus the surviving core
+    * size — one grouped count + two anti-joins per round, oracle as
+    * unrolled NOT-IN CTE rounds. */
+  val q175: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pair.union(pair.select(col("dst").as("src"),
+      col("src").as("dst")))
+    KCore.peelCounts(spark, edges, k = 3, rounds = 4)
+      .orderBy("peel_round")
   }
 
   /** q174 — rolling active users (DAU + 7-day WAU) per day: each
@@ -470,6 +488,7 @@ object AnalyticsQueries {
     "q106_gap_fill" -> q106,
     "q171_linear_interp" -> q171,
     "q174_rolling_actives" -> q174,
+    "q175_kcore_peel" -> q175,
     "q109_spend_outliers" -> q109,
     "q111_session_concurrency" -> q111,
     "q113_zorder_stats" -> q113,
@@ -832,6 +851,38 @@ object AnalyticsQueries {
         |FROM iv
         |ORDER BY user_id, valid_from_s, event_type,
         |         valid_to_s NULLS FIRST""".stripMargin,
+    "q175_kcore_peel" ->
+      """WITH pair AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM pair
+        |          UNION ALL SELECT dst, src FROM pair),
+        |r1 AS (SELECT src AS node FROM edges GROUP BY 1
+        |       HAVING count(*) < 3),
+        |e2 AS (SELECT src, dst FROM edges
+        |       WHERE src NOT IN (SELECT node FROM r1)
+        |         AND dst NOT IN (SELECT node FROM r1)),
+        |r2 AS (SELECT src AS node FROM e2 GROUP BY 1
+        |       HAVING count(*) < 3),
+        |e3 AS (SELECT src, dst FROM e2
+        |       WHERE src NOT IN (SELECT node FROM r2)
+        |         AND dst NOT IN (SELECT node FROM r2)),
+        |r3 AS (SELECT src AS node FROM e3 GROUP BY 1
+        |       HAVING count(*) < 3),
+        |e4 AS (SELECT src, dst FROM e3
+        |       WHERE src NOT IN (SELECT node FROM r3)
+        |         AND dst NOT IN (SELECT node FROM r3)),
+        |r4 AS (SELECT src AS node FROM e4 GROUP BY 1
+        |       HAVING count(*) < 3),
+        |e5 AS (SELECT src, dst FROM e4
+        |       WHERE src NOT IN (SELECT node FROM r4)
+        |         AND dst NOT IN (SELECT node FROM r4))
+        |SELECT 1 AS peel_round, CAST(count(*) AS BIGINT) AS n_nodes FROM r1
+        |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM r2
+        |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM r3
+        |UNION ALL SELECT 4, CAST(count(*) AS BIGINT) FROM r4
+        |UNION ALL SELECT 0, CAST(count(DISTINCT src) AS BIGINT) FROM e5
+        |ORDER BY peel_round""".stripMargin,
     "q174_rolling_actives" ->
       """WITH du AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
