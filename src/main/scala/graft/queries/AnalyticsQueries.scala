@@ -208,6 +208,24 @@ object AnalyticsQueries {
       .orderBy("nation", "day")
   }
 
+  /** q176 — floor-clamped credit balance per user
+    * ([[graft.ops.Ledger.clampedBalance]]): purchases credit, errors
+    * debit, balance clamps at zero — the non-linear fold no window
+    * expresses, run as the typed iterator in exact BigDecimal (zero
+    * floating point; the recursive-CTE oracle matches bit-for-bit). */
+  val q176: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(negate(col("value").cast("decimal(18,2)")))
+          .as("delta"))
+    graft.ops.Ledger.clampedBalance(ev, "user_id", "ts", "event_id",
+        "delta")
+      .orderBy("user_id")
+  }
+
   /** q175 — bounded 3-core peeling ([[graft.graph.KCore.peelCounts]])
     * on the q49 co-purchase graph: four simultaneous-removal rounds of
     * degree-<3 nodes, per-round removal counts plus the surviving core
@@ -489,6 +507,7 @@ object AnalyticsQueries {
     "q171_linear_interp" -> q171,
     "q174_rolling_actives" -> q174,
     "q175_kcore_peel" -> q175,
+    "q176_clamped_balance" -> q176,
     "q109_spend_outliers" -> q109,
     "q111_session_concurrency" -> q111,
     "q113_zorder_stats" -> q113,
@@ -851,6 +870,32 @@ object AnalyticsQueries {
         |FROM iv
         |ORDER BY user_id, valid_from_s, event_type,
         |         valid_to_s NULLS FIRST""".stripMargin,
+    "q176_clamped_balance" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN value
+        |              ELSE -value END AS DECIMAL(18,2)) AS d,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |rec AS (
+        |  SELECT user_id, i, n,
+        |    CAST(CASE WHEN d < 0 THEN 0 ELSE d END AS DECIMAL(18,2))
+        |      AS bal,
+        |    CASE WHEN d < 0 THEN 1 ELSE 0 END AS nclamp
+        |  FROM e WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.i, e.n,
+        |    CAST(CASE WHEN rec.bal + e.d < 0 THEN 0
+        |              ELSE rec.bal + e.d END AS DECIMAL(18,2)),
+        |    rec.nclamp + CASE WHEN rec.bal + e.d < 0 THEN 1 ELSE 0 END
+        |  FROM e JOIN rec ON e.user_id = rec.user_id
+        |                 AND e.i = rec.i + 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(nclamp AS BIGINT) AS n_clamped,
+        |  bal AS final_balance
+        |FROM rec WHERE i = n ORDER BY user_id""".stripMargin,
     "q175_kcore_peel" ->
       """WITH pair AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
