@@ -373,6 +373,28 @@ object RelationalQueries {
         expr("t2 div 1000000000").as("purchase_s"))
       .orderBy("user_id")
 
+  /** q177 — funnel conversion-latency distribution: per-transition
+    * (view→click, click→purchase) exact p50/p90/max of the q90 funnel's
+    * stage gaps in whole seconds — "how long does each step take", the
+    * companion to q90's who-converted counts. Integer latencies; the
+    * p·(n−1) interpolation matches `quantile_cont`. */
+  val q177: Q = (spark, dir) => {
+    val f = funnel(Tables.events(spark, dir), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"))
+    val vc = f.filter(col("t1").isNotNull)
+      .select(lit("view_to_click").as("transition"),
+        expr("(t1 - t0) div 1000000000").as("latency_s"))
+    val cp = f.filter(col("t2").isNotNull)
+      .select(lit("click_to_purchase").as("transition"),
+        expr("(t2 - t1) div 1000000000").as("latency_s"))
+    vc.union(cp).groupBy("transition")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(latency_s, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(latency_s, 0.9D)"), 6).as("p90"),
+        max(col("latency_s")).as("max_s"))
+      .orderBy("transition")
+  }
+
   /** q91 — full-outer reconciliation of the two fact tables' per-customer
     * aggregates (order count/spend vs event count): the audit-join that
     * surfaces keys present on either side only. Both inputs pre-aggregate
@@ -528,9 +550,37 @@ object RelationalQueries {
     "q90_funnel" -> q90,
     "q91_full_outer_reconcile" -> q91,
     "q161_sole_late_supplier" -> q161,
-    "q163_topk_agg" -> q163)
+    "q163_topk_agg" -> q163,
+    "q177_funnel_latency" -> q177)
 
   val oracles: Map[String, String] = Map(
+    "q177_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t0
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t1
+        |  GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT 'view_to_click' AS transition,
+        |    (c.t1 - v.t0) // 1000000000 AS latency_s
+        |  FROM v JOIN c USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click_to_purchase',
+        |    (p.t2 - c.t1) // 1000000000
+        |  FROM c JOIN p USING (user_id))
+        |SELECT transition, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(latency_s, 0.5), 6) AS p50,
+        |  round(quantile_cont(latency_s, 0.9), 6) AS p90,
+        |  max(latency_s) AS max_s
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
     "q163_topk_agg" ->
       """WITH r AS (
         |  SELECT n_name AS nation, c_custkey, c_acctbal,
