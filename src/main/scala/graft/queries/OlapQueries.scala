@@ -190,6 +190,48 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q178 — seasonality-adjusted robust anomaly detection on daily
+    * revenue: residual vs the day-of-week mean, centered and scaled by
+    * MAD (lower-median on exact decimals — no interpolation, no
+    * doubles anywhere past the 6dp expected value), flagged at robust
+    * |z| > 3 via the integer-exact comparison 6745·|dev| > 30000·MAD.
+    * Top-10 deviations reported, anomalous or not. The q156 + q126
+    * composite an ops dashboard actually runs. */
+  val q178: Q = (spark, dir) => {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+        .as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val expected = daily.groupBy("dow")
+      .agg(round(sum("rev").cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("expected"))
+    val resid = daily.join(broadcast(expected), "dow")
+      .withColumn("residual", col("rev") - col("expected"))
+    def lowMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val wOrd = Window.orderBy(v)
+      val wAll = Window.orderBy(v).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      df.select(col(v))
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") * 2 >= col("__n"))
+        .agg(min(col(v)).as(out))
+    }
+    val med = lowMedian(resid, "residual", "med")
+    val dev = resid.crossJoin(broadcast(med))
+      .withColumn("abs_dev", abs(col("residual") - col("med")))
+    val mad = lowMedian(dev, "abs_dev", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+        col("expected").cast("double").as("expected"),
+        col("residual").cast("double").as("residual"),
+        col("abs_dev").cast("double").as("abs_dev"),
+        (col("abs_dev") * 6745 > col("mad") * 30000).as("is_anomaly"))
+      .orderBy(desc("abs_dev"), col("day"))
+      .limit(10)
+  }
+
   /** q173 — period-over-period revenue growth: order revenue per 30-day
     * period (integer epoch-day arithmetic — no calendar functions, per
     * the determinism rules), growth rate vs the previous period via one
@@ -688,6 +730,7 @@ object OlapQueries {
     "q166_covisitation" -> q166,
     "q167_weighted_median" -> q167,
     "q173_period_growth" -> q173,
+    "q178_seasonal_anomaly" -> q178,
     "q168_decision_stump" -> q168,
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
@@ -933,6 +976,38 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q178_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, rev, day % 7 AS dow FROM daily),
+        |ex AS (SELECT dow,
+        |         CAST(round(CAST(sum(rev) AS DOUBLE) / count(*), 6)
+        |           AS DECIMAL(18,6)) AS expected
+        |       FROM d2 GROUP BY 1),
+        |r AS (SELECT day, rev, d2.dow, expected,
+        |        rev - expected AS residual
+        |      FROM d2 JOIN ex ON d2.dow = ex.dow),
+        |m1 AS (SELECT min(residual) AS med FROM (
+        |        SELECT residual,
+        |          row_number() OVER (ORDER BY residual) AS rn,
+        |          count(*) OVER () AS n FROM r)
+        |       WHERE rn * 2 >= n),
+        |dv AS (SELECT r.*, abs(residual - med) AS abs_dev
+        |       FROM r CROSS JOIN m1),
+        |m2 AS (SELECT min(abs_dev) AS mad FROM (
+        |        SELECT abs_dev,
+        |          row_number() OVER (ORDER BY abs_dev) AS rn,
+        |          count(*) OVER () AS n FROM dv)
+        |       WHERE rn * 2 >= n)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(expected AS DOUBLE) AS expected,
+        |  CAST(residual AS DOUBLE) AS residual,
+        |  CAST(abs_dev AS DOUBLE) AS abs_dev,
+        |  abs_dev * 6745 > mad * 30000 AS is_anomaly
+        |FROM dv CROSS JOIN m2
+        |ORDER BY abs_dev DESC, day LIMIT 10""".stripMargin,
     "q173_period_growth" ->
       """WITH per AS (
         |  SELECT ((epoch_ns(o_orderdate) // 1000000000) // 86400) // 30
