@@ -241,6 +241,38 @@ object ScaleProbe {
       pts.unpersist(blocking = false)
     }
 
+    if (probes("topk")) {
+      // Per-user top-20 unseen-style ranking at factor× users: the
+      // row_number window (Spark 4 already inserts a Partial
+      // WindowGroupLimit) vs the bounded-heap TopKAgg. The claim: both
+      // shuffle O(users·k), the aggregate saves the two per-partition
+      // sorts — measure, don't guess, since WindowGroupLimit closed
+      // most of the historical gap.
+      val cand = inflated.select("user_id", "item_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      cand.count()
+      time(s"topk_window_${factor}x")(
+        graft.ops.Relational.perKeyTopK(cand, "user_id",
+          Seq(col("item_id")), 20).count())
+      time(s"topk_agg_${factor}x")(
+        graft.ops.Relational.perKeyTopKAggAsc(cand, Seq("user_id"),
+          "item_id", 20).count())
+      cand.unpersist(blocking = false)
+    }
+    if (probes("bfs")) {
+      // Frontier BFS on the factor×-user bipartite rating graph from
+      // 50 seed items: per-hop cost = one join + one anti-join; the
+      // frontier saturates by hop 2 on this dense graph, so the claim
+      // is rounds × linear-in-edges, not path-count growth.
+      val pair = inflated.select(concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("i"), col("item_id")).as("dst")).distinct()
+      val edges = pair.union(pair.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val seeds = inflated.select(col("item_id")).distinct().limit(50)
+        .select(concat(lit("i"), col("item_id")).as("node"))
+      time(s"bfs3_${factor}x")(
+        graft.graph.Bfs.hops(edges, seeds, maxHops = 3).count())
+    }
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits
