@@ -190,6 +190,50 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q179 — new-vs-returning revenue split per 30-day period: each
+    * customer's first-order period from one min-aggregate, every order
+    * tagged new/returning by comparison — the acquisition-vs-retention
+    * decomposition. Two shuffles (per-customer min, per-period agg),
+    * both map-side combined. */
+  val q179: Q = (spark, dir) => {
+    def period = expr(
+      "cast(cast(o_orderdate as timestamp) as long) div 86400 div 30")
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      period.as("period"), col("o_totalprice").cast("decimal(18,2)").as("v"))
+    val firstP = o.groupBy("o_custkey")
+      .agg(min("period").as("first_period"))
+    o.join(firstP, "o_custkey")
+      .withColumn("cohort",
+        when(col("period") === col("first_period"), "new")
+          .otherwise("returning"))
+      .groupBy("period", "cohort")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_customers"),
+        sum("v").cast("double").as("revenue"))
+      .orderBy("period", "cohort")
+  }
+
+  /** q180 — fulfillment lead-time SLA report: ship-minus-order days per
+    * order priority, exact p50/p90/p99 + share beyond a 60-day SLA —
+    * the q78 percentile pattern sliced by the dimension operations
+    * actually watches. Integer day latencies. */
+  val q180: Q = (spark, dir) => {
+    def day(c: String) =
+      expr(s"cast(cast($c as timestamp) as long) div 86400")
+    val lt = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (day("l_shipdate") - day("o_orderdate")).as("lead_days"))
+    lt.groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(lead_days, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(lead_days, 0.9D)"), 6).as("p90"),
+        round(expr("percentile(lead_days, 0.99D)"), 6).as("p99"),
+        sum(when(col("lead_days") > 60, 1L).otherwise(0L)).as("n_breach"))
+      .orderBy("priority")
+  }
+
   /** q178 — seasonality-adjusted robust anomaly detection on daily
     * revenue: residual vs the day-of-week mean, centered and scaled by
     * MAD (lower-median on exact decimals — no interpolation, no
@@ -731,6 +775,8 @@ object OlapQueries {
     "q167_weighted_median" -> q167,
     "q173_period_growth" -> q173,
     "q178_seasonal_anomaly" -> q178,
+    "q179_new_vs_returning" -> q179,
+    "q180_leadtime_sla" -> q180,
     "q168_decision_stump" -> q168,
     "q128_dq_report" -> q128,
     "q129_sorted_neighborhood" -> q129,
@@ -976,6 +1022,36 @@ object OlapQueries {
          |            ELSE 'C' END AS abc_class
          |FROM c ORDER BY cum_share, nation""".stripMargin,
     "q125_equidepth_histogram" -> equidepthOracle,
+    "q179_new_vs_returning" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    ((epoch_ns(o_orderdate) // 1000000000) // 86400) // 30
+        |      AS period,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(period) AS first_period
+        |      FROM o GROUP BY 1)
+        |SELECT period,
+        |  CASE WHEN period = first_period THEN 'new'
+        |       ELSE 'returning' END AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(sum(v) AS DOUBLE) AS revenue
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q180_leadtime_sla" ->
+      """WITH lt AS (
+        |  SELECT o_orderpriority AS priority,
+        |    (epoch_ns(l_shipdate) // 1000000000) // 86400
+        |      - (epoch_ns(o_orderdate) // 1000000000) // 86400 AS lead_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(lead_days, 0.5), 6) AS p50,
+        |  round(quantile_cont(lead_days, 0.9), 6) AS p90,
+        |  round(quantile_cont(lead_days, 0.99), 6) AS p99,
+        |  CAST(sum(CASE WHEN lead_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_breach
+        |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q178_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
