@@ -430,6 +430,39 @@ object TextQueries {
       .orderBy("truth", "predicted")
   }
 
+  /** q181 — end-to-end entity resolution over the part vocabulary:
+    * multi-pass sorted-neighborhood blocking
+    * ([[graft.text.Fuzzy.sortedNeighborhoodPairs]], w=5 — the
+    * cold/old-prefix family is only recoverable via the reversed-name
+    * pass), Jaro–Winkler ≥ 0.94 on candidates (the codegen'd
+    * expression, scored once per CANDIDATE), match edges into
+    * connected components (md5-numeric ids for the distributed
+    * min-label propagation), canonical = min name per cluster,
+    * singletons self-canonical. The blocking→score→cluster→survivor
+    * shape of every production dedup pipeline. */
+  val q181: Q = (spark, dir) => {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name")).distinct()
+    val cands = graft.text.Fuzzy.sortedNeighborhoodPairs(names, w = 5)
+    val edges = cands
+      .filter(round(graft.functions.GraftFunctions.jaro_winkler(
+        col("name_a"), col("name_b")), 6) >= 0.94)
+      .select(graft.functions.GraftFunctions.md5_63(col("name_a"))
+          .as("id_a"),
+        graft.functions.GraftFunctions.md5_63(col("name_b")).as("id_b"))
+    val comp = graft.text.Dedup.connectedComponents(edges, "id_a", "id_b")
+    val withId = names.withColumn("id",
+      graft.functions.GraftFunctions.md5_63(col("name")))
+    val labeled = withId.join(comp, Seq("id"), "left")
+      .withColumn("label", coalesce(col("label"), col("id")))
+    val canon = labeled.groupBy("label")
+      .agg(min("name").as("canonical"),
+        count(lit(1)).as("cluster_size"))
+    labeled.join(canon, "label")
+      .select(col("name"), col("canonical"), col("cluster_size"))
+      .orderBy("name")
+  }
+
   /** q170 — BM25 ranked retrieval ([[graft.text.Retrieval.bm25TopK]]):
     * doc 0's token set as the query, top-25 corpus docs by the
     * Lucene-variant BM25 (k1 = 1.2, b = 0.75) — term stats from one
@@ -540,7 +573,8 @@ object TextQueries {
     "q147_quantile_norm" -> q147,
     "q154_span_dedup" -> q154,
     "q162_naive_bayes" -> q162,
-    "q170_bm25" -> q170)
+    "q170_bm25" -> q170,
+    "q181_entity_resolution" -> q181)
 
   private val H = "9223372036854775807"
 
@@ -658,6 +692,43 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q181_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+        |p1 AS (
+        |  SELECT name, unnest([lead(name, 1) OVER w, lead(name, 2) OVER w,
+        |    lead(name, 3) OVER w, lead(name, 4) OVER w,
+        |    lead(name, 5) OVER w]) AS nb
+        |  FROM n WINDOW w AS (PARTITION BY substr(name, 1, 1)
+        |                      ORDER BY name)),
+        |p2 AS (
+        |  SELECT name, unnest([lead(name, 1) OVER w2, lead(name, 2) OVER w2,
+        |    lead(name, 3) OVER w2, lead(name, 4) OVER w2,
+        |    lead(name, 5) OVER w2]) AS nb
+        |  FROM n WINDOW w2 AS (PARTITION BY substr(reverse(name), 1, 1)
+        |                       ORDER BY reverse(name))),
+        |cand AS (SELECT DISTINCT least(name, nb) AS name_a,
+        |           greatest(name, nb) AS name_b
+        |         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |         WHERE nb IS NOT NULL),
+        |m AS (SELECT name_a, name_b FROM cand
+        |      WHERE round(jaro_winkler_similarity(name_a, name_b), 6)
+        |        >= 0.94),
+        |sym AS (SELECT name_a AS src, name_b AS dst FROM m
+        |        UNION SELECT name_b, name_a FROM m),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM sym
+        |  UNION
+        |  SELECT s.src AS id, reach.r FROM sym s
+        |  JOIN reach ON s.dst = reach.id),
+        |comp AS (SELECT id, MIN(r) AS canon FROM reach GROUP BY id),
+        |lab AS (SELECT name, coalesce(comp.canon, name) AS canonical
+        |        FROM n LEFT JOIN comp ON n.name = comp.id),
+        |csz AS (SELECT canonical, CAST(count(*) AS BIGINT)
+        |          AS cluster_size
+        |        FROM lab GROUP BY 1)
+        |SELECT name, lab.canonical, cluster_size
+        |FROM lab JOIN csz ON lab.canonical = csz.canonical
+        |ORDER BY name""".stripMargin,
     "q170_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
