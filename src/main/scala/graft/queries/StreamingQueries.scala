@@ -428,7 +428,35 @@ object StreamingQueries {
       .orderBy("truth", "predicted")
   }
 
+  /** q182 — the q176 clamped-ledger fold as a STATEFUL stream
+    * ([[EventStreams.clampedBalanceStream]]): exact-BigDecimal state
+    * per user, Update-mode running emissions, final state per user
+    * (the max-n_events row) must equal batch q176 bit-for-bit — same
+    * oracle. */
+  val q182: Q = (spark, dir) => {
+    import spark.implicits._
+    val name = s"q182_out_${runId.incrementAndGet()}"
+    val ev = stream(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(-col("value").cast("decimal(18,2)")).as("delta"))
+      .as[EventStreams.LedgerEvent]
+    val sunk = EventStreams.runToMemory(spark,
+      EventStreams.clampedBalanceStream(ev).toDF(), name,
+      OutputMode.Update)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("n_events"))
+    sunk.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"), col("n_clamped"),
+        col("final_balance").cast("decimal(18,2)").as("final_balance"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_stream_ledger" -> q182,
     "q169_stream_classify" -> q169,
     "q102_stream_heavy_hitters" -> q102,
     "q112_stream_compact" -> q112,
@@ -462,6 +490,9 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // The stream-served classifier must equal batch q162 exactly.
     "q169_stream_classify" -> TextQueries.oracles("q162_naive_bayes"),
+    // The streamed ledger's final state must equal batch q176 exactly.
+    "q182_stream_ledger" ->
+      AnalyticsQueries.oracles("q176_clamped_balance"),
     // From-scratch batch aggregation over ALL events: the maintained
     // MV must equal it regardless of micro-batch slicing.
     "q132_stream_incremental_mv" ->

@@ -98,6 +98,44 @@ object EventStreams {
       }
   }
 
+  case class LedgerEvent(user_id: Long, ts: Long, event_id: Long,
+                         delta: java.math.BigDecimal)
+  case class LedgerState(bal: java.math.BigDecimal, n: Long, clamps: Long)
+  case class LedgerOut(user_id: Long, n_events: Long, n_clamped: Long,
+                       final_balance: java.math.BigDecimal)
+
+  /** Streaming floor-clamped balance — [[graft.ops.Ledger]]'s
+    * non-linear fold as per-user `flatMapGroupsWithState`: state is the
+    * exact-BigDecimal (balance, n, clamps) triple, each micro-batch
+    * folds its rows in (ts, event_id) order on top of it, Update mode
+    * emits the running result. Zero floating point, so the final state
+    * equals the batch fold bit-for-bit whatever the batch slicing —
+    * PROVIDED arrival order across batches respects event time (the
+    * file-source harness replays in order; a production deployment
+    * fronts this with a watermarked sort or accepts ledger semantics
+    * of arrival order, as real ledgers do). */
+  def clampedBalanceStream(events: Dataset[LedgerEvent]): Dataset[LedgerOut] = {
+    import events.sparkSession.implicits._
+    val zero = java.math.BigDecimal.ZERO
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LedgerState, LedgerOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[LedgerEvent],
+         state: GroupState[LedgerState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var s = state.getOption.getOrElse(LedgerState(zero, 0L, 0L))
+          sorted.foreach { e =>
+            var bal = s.bal.add(e.delta)
+            var clamps = s.clamps
+            if (bal.signum() < 0) { bal = zero; clamps += 1 }
+            s = LedgerState(bal, s.n + 1, clamps)
+          }
+          state.update(s)
+          Iterator(LedgerOut(user, s.n, s.clamps, s.bal))
+      }
+  }
+
   case class CompactState(ts: Long, eventId: Long, eventType: String,
                           value: Double, changes: Long)
 
