@@ -55,15 +55,28 @@ object Bench {
       System.err.println(f"[bench] $name done in $secs%.2f s")
       name -> secs
     }
-    // Millisecond precision: full-double values made the 69-query JSON
-    // line ~3.9 kB, which overflowed the driver's output-tail capture —
-    // BENCH_r04.json recorded "parsed": null with the line's head clipped.
+    // Stdout contract: the driver tail-captures the LAST ~2000 chars of
+    // stdout, so the single JSON line must fit entirely inside that
+    // window — at 182 queries a full per-query map is ~5 kB and clips the
+    // head ("metric":"total" unrecoverable; BENCH_r06 "parsed": null).
+    // Stdout therefore carries total + failures + only the SLOWEST
+    // queries (the perf signal), and the complete per-query map goes to
+    // stderr and to bench_full.json next to the working dir.
     def s3(v: Double) = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(30).sortBy(_._1)
+    val fullLine =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    System.err.println(s"[bench-full] $fullLine")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    println(
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"queries_note":"slowest 30 of ${results.size}; full map in stderr [bench-full] and bench_full.json","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

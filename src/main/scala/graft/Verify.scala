@@ -16,8 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-      // default; read as ns-epoch long (graft.io.Tables normalizes).
+      // If events.parquet carries TIMESTAMP(NANOS) (which Spark rejects
+      // by default) read it as ns-epoch long; other units (MICROS→NTZ,
+      // instant) are normalized to ns-long in Tables.normalizeEpochNs —
+      // the engine is physical-timestamp-unit-oblivious.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

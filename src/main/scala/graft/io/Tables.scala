@@ -28,7 +28,48 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** The events table with `ts` normalized to the engine's canonical
+    * NANOSECOND-epoch `LongType`, whatever physical unit the parquet
+    * writer chose. Real corpora arrive with every convention — INT64
+    * ns-epoch, TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ when
+    * `isAdjustedToUTC=false`), TIMESTAMP(MILLIS), instant-semantics
+    * TIMESTAMP — and an engine that hard-codes one unit crashes or,
+    * worse, silently mis-buckets by 1000× on the others. Normalizing
+    * ONCE at the source keeps every downstream consumer (`ts div 1e9`
+    * sessionization, gap arithmetic, watermarks) unit-oblivious.
+    * The arithmetic is exact integer (`unix_micros * 1000`), codegen'd,
+    * and per-row-trivial; at 100 TB it rides the scan with zero extra
+    * shuffle or pass. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo(spark, s"relation:$dir/events.parquet")(
+      normalizeEpochNs(spark.read.parquet(s"$dir/events.parquet"), "ts"))
+
+  /** Normalize a time column of any supported physical type to
+    * nanosecond-epoch LongType (in place, position preserved).
+    *  - `LongType`: already ns-epoch (the `nanosAsLong` read path for
+    *    TIMESTAMP(NANOS) footers, or a raw INT64 column) — pass through.
+    *  - `TimestampNTZType`: parquet micros/millis with
+    *    `isAdjustedToUTC=false`. The session timezone is pinned to UTC
+    *    everywhere in this engine (Verify/Bench/specs), so the NTZ→TZ
+    *    cast is exact and `unix_micros` yields the UTC epoch the DuckDB
+    *    oracle's `epoch_ns(ts)` computes.
+    *  - `TimestampType`: instant semantics; `unix_micros` directly. */
+  def normalizeEpochNs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn(colName,
+          expr(s"unix_micros(cast(`$colName` as timestamp)) * 1000L"))
+      case TimestampType =>
+        df.withColumn(colName, expr(s"unix_micros(`$colName`) * 1000L"))
+      case DateType =>
+        df.withColumn(colName,
+          expr(s"unix_date(`$colName`) * 86400000000000L"))
+      case other => throw new IllegalArgumentException(
+        s"cannot normalize `$colName` of type $other to ns-epoch long")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

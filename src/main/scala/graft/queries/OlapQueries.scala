@@ -312,8 +312,12 @@ object OlapQueries {
         col("l_suppkey") === col("s_suppkey"))
       .join(Tables.nation(spark, dir),
         col("s_nationkey") === col("n_nationkey"))
+      // v rides as DECIMAL(18,2): prices are exact 2-dp values, and the
+      // min() that becomes `weighted_median` must leave the engine as
+      // decimal, not a raw double (determinism rule, ARCHITECTURE.md —
+      // double columns hash by IEEE representation at the gate).
       .select(col("n_name").as("nation"),
-        col("l_extendedprice").as("v"),
+        col("l_extendedprice").cast("decimal(18,2)").as("v"),
         col("l_quantity").cast("decimal(18,2)").as("wq"))
     val byV = li.groupBy("nation", "v").agg(sum(col("wq")).as("wv"))
     val wCum = Window.partitionBy("nation").orderBy("v")
@@ -324,7 +328,10 @@ object OlapQueries {
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy("nation")
       .agg(min(col("v")).as("weighted_median"),
-        max(col("totw")).as("total_qty"))
+        // Pin the output precision: Spark's windowed decimal sum widens to
+        // (28,2), DuckDB's to (38,2) — same values, different physical
+        // width at the gate's hasher.
+        max(col("totw")).cast("decimal(18,2)").as("total_qty"))
       .orderBy("nation")
   }
 
@@ -1099,7 +1106,8 @@ object OlapQueries {
         |FROM per ORDER BY period""".stripMargin,
     "q167_weighted_median" ->
       """WITH li AS (
-        |  SELECT n_name AS nation, l_extendedprice AS v,
+        |  SELECT n_name AS nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
         |    CAST(l_quantity AS DECIMAL(18,2)) AS wq
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1110,7 +1118,8 @@ object OlapQueries {
         |          ROWS UNBOUNDED PRECEDING) AS cumw,
         |        sum(wv) OVER (PARTITION BY nation) AS totw
         |      FROM byv)
-        |SELECT nation, min(v) AS weighted_median, max(totw) AS total_qty
+        |SELECT nation, min(v) AS weighted_median,
+        |  CAST(max(totw) AS DECIMAL(18,2)) AS total_qty
         |FROM c WHERE cumw * 2 >= totw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q168_decision_stump" ->

@@ -132,12 +132,16 @@ object RecQueries {
     * `als_latent_factors.py:73-106`): the fixed (rank=50, regParam=0.05)
     * model, scored on the held-out TEST split (the val splits tune, the
     * test split reports) — ranking metrics @20 + RMSE, one row.
-    * Rows-only (iterative ML); seeded + memoized per session. */
+    * Rows-only (iterative ML); seeded + memoized per session.
+    * maxIter matches the q55 grid's economics knob (4) so this model IS
+    * the grid's (50, 0.05) cell by memo key — the final eval reuses the
+    * tuned fit instead of refitting rank-50 from scratch (the single
+    * most expensive fit in the bench at the old maxIter=8). */
   val q56: Q = (spark, dir) => {
     val t = tagged(spark, dir)
     val test = Popularity.test(t)
     val model = AlsRec.fit(Popularity.train(t), rank = 50, regParam = 0.05,
-      cacheKey = s"$dir/train")
+      maxIter = 4, cacheKey = s"$dir/train")
     val recs = AlsRec.recommendFor(model,
       test.select("user_id").distinct(), n = 20)
       .select("user_id", "item_id", "rank")

@@ -78,6 +78,14 @@ object SimilarityQueries {
       .agg(round(sum(col("z")).cast("double") / count(lit(1)), 6)
           .as("mean_z"),
         min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      // Determinism rule (ARCHITECTURE.md): floats leaving the engine are
+      // rounded then carried as DECIMAL — a raw double column hashes by
+      // IEEE bit pattern and is representation-fragile at the gate.
+      .select(col("p"), col("n"),
+        col("mu").cast("decimal(18,6)").as("mu"),
+        col("sigma").cast("decimal(18,6)").as("sigma"),
+        col("mean_z").cast("decimal(18,6)").as("mean_z"),
+        col("min_z"), col("max_z"))
       .orderBy("p")
   }
 
@@ -302,8 +310,11 @@ object SimilarityQueries {
         |z AS (SELECT x.p, n, mu, sigma,
         |        CAST(round((x.x - mu) / sigma, 6) AS DECIMAL(18,6)) AS z
         |      FROM x JOIN m ON x.p = m.p)
-        |SELECT CAST(p AS INT) AS p, n, mu, sigma,
-        |  round(CAST(sum(z) AS DOUBLE) / count(*), 6) AS mean_z,
+        |SELECT CAST(p AS INT) AS p, n,
+        |  CAST(mu AS DECIMAL(18,6)) AS mu,
+        |  CAST(sigma AS DECIMAL(18,6)) AS sigma,
+        |  CAST(round(CAST(sum(z) AS DOUBLE) / count(*), 6)
+        |    AS DECIMAL(18,6)) AS mean_z,
         |  min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1, 2, 3, 4 ORDER BY p""".stripMargin,
     "q30_knn_bruteforce" ->

@@ -26,21 +26,29 @@ object StreamingQueries {
 
   private val runId = new AtomicLong(0)
 
-  /** Streaming file sources need a directory; stage the single events
-    * parquet into a temp dir (per (session, dir), memoized — repeated runs
-    * in one JVM reuse the copy; a shutdown hook removes it so long-lived
-    * JVMs don't leak temp space). */
+  /** Streaming file sources need a directory; stage the events table into
+    * a temp dir (per (session, dir), memoized — repeated runs in one JVM
+    * reuse it; a shutdown hook removes it so long-lived JVMs don't leak
+    * temp space). The stage WRITES the [[graft.io.Tables.events]] frame —
+    * ts already normalized to canonical ns-epoch long — rather than
+    * copying the raw file, so the streaming readers' pinned LongType
+    * schema holds whatever physical timestamp unit the source parquet
+    * carries (micros/nanos/instant; see `Tables.normalizeEpochNs`). */
   private def stagedDir(spark: SparkSession, dir: String): String =
     graft.util.SessionMemo(spark, s"stream-stage:$dir") {
       val d = Files.createTempDirectory("graft-stream-src")
-      val staged = d.resolve("events.parquet")
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        staged, StandardCopyOption.REPLACE_EXISTING)
+      val staged = d.resolve("ev")
+      graft.io.Tables.events(spark, dir)
+        .write.mode("overwrite").parquet(staged.toString)
       sys.addShutdownHook {
-        try { Files.deleteIfExists(staged); Files.deleteIfExists(d) }
-        catch { case _: Throwable => () }
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
       }
-      d.toString
+      staged.toString
     }
 
   private def stream(spark: SparkSession, dir: String): DataFrame =
@@ -174,9 +182,7 @@ object StreamingQueries {
     * exactly last+gap starts a NEW session) is the operator's strict-<
     * overlap rule, mirrored with `>=` in the island test. */
   val q92: Q = (spark, dir) =>
-    EventStreams.sessionWindowAgg(
-      spark.read.schema(eventsSchema)
-        .parquet(s"$dir/events.parquet"))
+    EventStreams.sessionWindowAgg(graft.io.Tables.events(spark, dir))
       .orderBy("user_id", "start_s")
 
   /** q93 — the streaming twin of q92 in append mode: Spark's NATIVE
@@ -292,18 +298,18 @@ object StreamingQueries {
     * .compactLatest]]): the maintained last-write-wins per-user view of
     * the event change stream, winner chosen by change order
     * (ts, event_id) so arrival order is irrelevant. Update-mode
-    * emissions accumulate in the memory sink; the per-key FINAL state is
-    * the struct-max on the monotone change counter. Oracle = the batch
-    * `row_number() = 1` latest-change view — stream/batch equality is
-    * the compaction correctness property. */
+    * emissions accumulate in the foreachBatch PARQUET sink (one maintained
+    * row per user is production-shaped state — never driver-materialized);
+    * the per-key FINAL state is the struct-max on the monotone change
+    * counter. Oracle = the batch `row_number() = 1` latest-change view —
+    * stream/batch equality is the compaction correctness property. */
   val q112: Q = (spark, dir) => {
     import spark.implicits._
-    val name = s"q112_out_${runId.incrementAndGet()}"
     val events = stream(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStreams.Event]
-    EventStreams.runToMemory(spark,
-      EventStreams.compactLatest(events).toDF(), name, OutputMode.Update)
+    EventStreams.runToParquet(spark,
+      EventStreams.compactLatest(events).toDF(), OutputMode.Update)
       .groupBy("user_id")
       .agg(max(struct(col("n_changes"), col("last_s"), col("last_event_id"),
         col("last_event_type"), col("last_value"))).as("fin"))
@@ -435,7 +441,6 @@ object StreamingQueries {
     * oracle. */
   val q182: Q = (spark, dir) => {
     import spark.implicits._
-    val name = s"q182_out_${runId.incrementAndGet()}"
     val ev = stream(spark, dir)
       .filter(col("event_type").isin("purchase", "error"))
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -443,9 +448,11 @@ object StreamingQueries {
           col("value").cast("decimal(18,2)"))
           .otherwise(-col("value").cast("decimal(18,2)")).as("delta"))
       .as[EventStreams.LedgerEvent]
-    val sunk = EventStreams.runToMemory(spark,
-      EventStreams.clampedBalanceStream(ev).toDF(), name,
-      OutputMode.Update)
+    // Per-user exact-decimal ledger state is production-shaped (one row
+    // per user per update): drive through the foreachBatch parquet sink,
+    // never the driver-materializing memory sink.
+    val sunk = EventStreams.runToParquet(spark,
+      EventStreams.clampedBalanceStream(ev).toDF(), OutputMode.Update)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(desc("n_events"))
     sunk.withColumn("__rn", row_number().over(w))

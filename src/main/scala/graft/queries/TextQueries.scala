@@ -859,9 +859,9 @@ object TextQueries {
         |    ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT doc_id, source, lang, n_tokens,
-        |  cum - n_tokens AS off_tokens,
-        |  (cum - n_tokens) // 128 AS first_bin,
-        |  (cum - 1) // 128 AS last_bin
+        |  CAST(cum - n_tokens AS BIGINT) AS off_tokens,
+        |  CAST((cum - n_tokens) // 128 AS BIGINT) AS first_bin,
+        |  CAST((cum - 1) // 128 AS BIGINT) AS last_bin
         |FROM c ORDER BY source, lang, doc_id""".stripMargin,
     "q84_token_chunks" ->
       """WITH t AS (

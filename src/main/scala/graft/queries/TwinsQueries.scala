@@ -106,7 +106,58 @@ object TwinsQueries {
       .orderBy("cohort")
   }
 
+  /** q183 — the reference's FULL statistical-validation protocol
+    * (part2, `correlation_optimised.py:56-68`): 49 independent random
+    * runs of 100 user pairs each, every run's average co-rating Pearson
+    * correlation reported next to the twins cohort — the
+    * twins ≫ max(random run) separation is the report's headline claim
+    * (reference report pp.9-10; BASELINE.md). The reference loops runs
+    * driver-side, one numpy pass per run; here all 49 draws are ONE
+    * keyed sweep: (run × user) keyed-PRNG hashes, a single
+    * run-partitioned window ranks and pairs them (one shuffle for all
+    * runs), and one [[Twins.pairCorrelation]] pass carries `run`
+    * through the correlation aggregate — runs × pairs never touches the
+    * ratings table more than once. run = -1 is the twins cohort; 50
+    * output rows, fully oracle-gated (the seeded draw is
+    * layout-independent, so DuckDB reproduces it exactly).
+    * TwinsProtocolSpec asserts the separation invariant. */
+  val q183: Q = (spark, dir) => {
+    val r = ratings(spark, dir)
+    val twins = topPairsCached(spark, dir)
+      .select(col("id_a"), col("id_b")).withColumn("run", lit(-1L))
+    val users = r.select("user_id").distinct()
+    val runs = spark.range(49).select(col("id").as("run"))
+    // Per-(run, user) 63-bit keyed PRNG draw — seed 177, run-salted, the
+    // q44/randomPairs hash family (layout-independent, oracle-mirrored).
+    val keyed = users.crossJoin(broadcast(runs))
+      .select(col("run"), col("user_id"),
+        graft.functions.GraftFunctions.md5_63(concat(lit("177:"),
+          col("run").cast("string"), lit(":"),
+          col("user_id").cast("string"))).as("__u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("run").orderBy(col("__u"), col("user_id"))
+    // Rank within run, pair consecutive ranks among the first 200 — the
+    // distributed form of "sample 200 users, pair them up" per run.
+    val rpairs = keyed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__partner", lead(col("user_id"), 1).over(w))
+      .filter(col("__rn") % 2 === 1 && col("__rn") < 200 &&
+        col("__partner").isNotNull)
+      .select(col("run"),
+        least(col("user_id"), col("__partner")).as("id_a"),
+        greatest(col("user_id"), col("__partner")).as("id_b"))
+    // 49×100 + 100 pairs — genuinely small: broadcast into the single
+    // correlation pass.
+    Twins.pairCorrelation(twins.unionByName(rpairs), r,
+      carryCols = Seq("run"), broadcastPairs = true)
+      .groupBy("run")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("corr6")), 6).cast("decimal(18,6)").as("avg_corr"))
+      .orderBy("run")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_twin_protocol" -> q183,
     "q40_user_minhash" -> q40,
     "q41_top_twins_exact" -> q41,
     "q42_top_twins_lsh" -> q42,
@@ -308,5 +359,38 @@ object TwinsQueries {
          |  UNION ALL
          |  SELECT cohort, corr6 FROM ccorrs)
          |SELECT cohort, COUNT(*) AS n_pairs, round(AVG(corr6), 6) AS avg_corr
-         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin)
+         |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "q183_twin_protocol" ->
+      s"""WITH $setsCte,
+         |$exactPairsCte,
+         |$ratCte,
+         |$corrSelect,
+         |users AS (SELECT DISTINCT user_id FROM events),
+         |keyed AS (
+         |  SELECT g.run, user_id,
+         |    CAST(md5_number_lower('177:' || g.run::VARCHAR || ':' ||
+         |      user_id::VARCHAR) & $H AS BIGINT) AS u
+         |  FROM users CROSS JOIN generate_series(0, 48) g(run)),
+         |ranked AS (
+         |  SELECT run, user_id,
+         |    row_number() OVER w AS rn, lead(user_id) OVER w AS partner
+         |  FROM keyed WINDOW w AS (PARTITION BY run ORDER BY u, user_id)),
+         |rpairs AS (
+         |  SELECT run, LEAST(user_id, partner) AS id_a,
+         |    GREATEST(user_id, partner) AS id_b
+         |  FROM ranked
+         |  WHERE rn % 2 = 1 AND rn < 200 AND partner IS NOT NULL),
+         |rcorrs AS (
+         |  SELECT p.run, p.id_a, p.id_b, COUNT(*) AS n_corated,
+         |    round(corr(r1.rating, r2.rating), 6) AS corr6
+         |  FROM rpairs p
+         |  JOIN rat r1 ON r1.user_id = p.id_a
+         |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
+         |  GROUP BY p.run, p.id_a, p.id_b HAVING COUNT(*) >= 2),
+         |u AS (
+         |  SELECT CAST(-1 AS BIGINT) AS run, corr6 FROM corrs
+         |  UNION ALL SELECT run, corr6 FROM rcorrs)
+         |SELECT run, COUNT(*) AS n_pairs,
+         |  CAST(round(AVG(corr6), 6) AS DECIMAL(18,6)) AS avg_corr
+         |FROM u GROUP BY run ORDER BY run""".stripMargin)
 }

@@ -378,4 +378,49 @@ object EventStreams {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Drive a streaming DataFrame to completion through a `foreachBatch`
+    * PARQUET sink and return the sunk rows as a lazy batch frame — the
+    * production-shaped twin of [[runToMemory]] for BIG-STATE streams
+    * (per-user ledgers, latest-row compaction): emitted rows go executor
+    * → files, the driver never materializes them, and the result scales
+    * with cluster storage, not driver heap.
+    *
+    * Mode semantics mirror the memory sink exactly: Append/Update append
+    * each micro-batch's emissions (the batch reader sees the union of
+    * all emissions, same as the memory sink's table); Complete rewrites
+    * the dir each trigger so the final state is the last batch. This IS
+    * the lakehouse landing pattern: swap the parquet write for a MERGE
+    * INTO / table-format commit and nothing upstream changes. */
+  def runToParquet(spark: SparkSession, streamed: DataFrame,
+                   mode: OutputMode, shufflePartitions: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val out = root.resolve("out").toString
+    val chk = root.resolve("chk").toString
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    val saveMode =
+      if (mode == OutputMode.Complete()) "overwrite" else "append"
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(confKey)
+    val q =
+      try {
+        spark.conf.set(confKey, shufflePartitions.toString)
+        streamed.writeStream
+          .outputMode(mode)
+          .option("checkpointLocation", chk)
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode(saveMode).parquet(out)
+          }
+          .start()
+      } finally spark.conf.set(confKey, prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+  }
 }

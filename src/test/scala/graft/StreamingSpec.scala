@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import graft.queries.RelationalQueries
 import graft.streaming.EventStreams
@@ -20,11 +20,14 @@ class StreamingSpec extends AnyFunSuite {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  // Stage the NORMALIZED events frame (ts → canonical ns-epoch long, any
+  // physical unit; see Tables.normalizeEpochNs) so the pinned LongType
+  // read schema below holds — mirrors StreamingQueries.stagedDir.
   private def streamDir(): String = {
     val dir = Files.createTempDirectory("graft-stream")
-    Files.copy(Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    dir.toString
+    graft.io.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(dir.resolve("ev").toString)
+    dir.resolve("ev").toString
   }
 
   test("streaming hourly buckets == batch q12 on the same events") {

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q183 full validation protocol (reference part2,
+  * `correlation_optimised.py:56-68`; report pp.9-10): the twins cohort's
+  * average co-rating correlation must exceed EVERY one of the 49
+  * random-run averages — the separation that justifies the twins
+  * pipeline. The per-row values are oracle-gated by the driver; this spec
+  * pins the headline invariant itself.
+  *
+  * Runs at sf0.01, not the usual sf0.001 fixture: the synthetic ratings
+  * are near-uncorrelated (twins avg ≈ 0.044, BASELINE.md), so at sf0.001
+  * the 49 runs of ~75 pairs have sample-noise std larger than the twins
+  * signal and max(random) legitimately exceeds it. At sf0.01 the
+  * invariant holds and — every draw being a seeded keyed-PRNG — the
+  * numbers are exactly reproducible, so the thin margin is stable, not
+  * flaky. (On the reference's real MovieLens data the separation is
+  * structural: twins ≈ 0.9 vs random ≈ 0.)
+  */
+class TwinsProtocolSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("twins cohort beats the max of all 49 random runs") {
+    val rows = graft.queries.TwinsQueries.q183(spark, "/root/testdata/sf0.01")
+      .collect()
+      .flatMap { r =>
+        Option(r.getDecimal(2)).map(d => (r.getLong(0), d.doubleValue))
+      }
+    val twins = rows.find(_._1 == -1L).map(_._2)
+      .getOrElse(fail("no twins (-1) cohort row"))
+    val randoms = rows.filter(_._1 >= 0L).map(_._2)
+    // Every run draws ~100 pairs; at fixture scale a run can lose pairs
+    // to the <2-co-rated filter but no run should vanish outright.
+    assert(randoms.length == 49,
+      s"expected 49 random-run rows, got ${randoms.length}")
+    assert(twins > randoms.max,
+      s"twins avg_corr $twins does not separate from max random ${randoms.max}")
+  }
+}
