@@ -335,6 +335,49 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q185 — shuffle-key skew profile of the events `user_id` key: the
+    * pre-flight diagnostic that decides whether a join/agg on this key
+    * needs salting or AQE skew splits BEFORE a 100 TB shuffle runs.
+    * One row: key cardinality, row total, max per-key count, exact
+    * disc-percentiles (p50/p90/p99) of the per-key count distribution,
+    * the top key, and the top-10 keys' share of all rows.
+    *
+    * Scale shape: per-key counts reduce map-side; the percentile walk
+    * runs on the count-of-counts HISTOGRAM (|distinct count values|
+    * rows — hundreds, regardless of key cardinality), so the only
+    * global window is histogram-sized, never |keys|-sized; the top-10
+    * is a distributed `TakeOrderedAndProject`. All arithmetic is
+    * integer (ceil via `(a + b - 1) div b`) except the final share,
+    * an int-quotient rounded to 6dp and pinned DECIMAL. */
+  val q185: Q = (spark, dir) => {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total_rows"), max(col("n")).as("max_n"))
+    val hist = counts.groupBy("n").agg(count(lit(1)).as("freq"))
+    val wc = Window.orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("ckeys", sum(col("freq")).over(wc))
+      .crossJoin(broadcast(tot))
+    val pcts = cum.agg(
+      min(when(col("ckeys") >= expr("(n_keys + 1) div 2"), col("n")))
+        .as("p50_n"),
+      min(when(col("ckeys") >= expr("(n_keys * 9 + 9) div 10"), col("n")))
+        .as("p90_n"),
+      min(when(col("ckeys") >= expr("(n_keys * 99 + 99) div 100"), col("n")))
+        .as("p99_n"))
+    val top10 = counts.orderBy(col("n").desc, col("user_id")).limit(10)
+    val t10 = top10.agg(sum(col("n")).as("top10_n"))
+    val t1 = top10.orderBy(col("n").desc, col("user_id")).limit(1)
+      .select(col("user_id").as("top1_key"), col("n").as("top1_n"))
+    tot.crossJoin(pcts).crossJoin(t1).crossJoin(t10)
+      .select(col("n_keys"), col("total_rows"), col("max_n"),
+        col("p50_n"), col("p90_n"), col("p99_n"),
+        col("top1_key"), col("top1_n"),
+        round(col("top10_n") * lit(100.0) / col("total_rows"), 6)
+          .cast("decimal(18,6)").as("top10_share_pct"))
+  }
+
   /** q168 — single-feature decision stump: the best order-total
     * threshold separating urgent/high-priority orders, scanned over
     * 10k-wide bucket boundaries. ONE aggregate to per-bucket
@@ -776,6 +819,7 @@ object OlapQueries {
     "q124_abc_contribution" -> q124,
     "q125_equidepth_histogram" -> q125,
     "q126_mad_outliers" -> q126,
+    "q185_skew_profile" -> q185,
     "q127_ewma_revenue" -> q127,
     "q164_holt_forecast" -> q164,
     "q166_covisitation" -> q166,
@@ -1104,6 +1148,32 @@ object OlapQueries {
         |    / CAST(lag(revenue) OVER (ORDER BY period) AS DOUBLE), 6)
         |    AS growth
         |FROM per ORDER BY period""".stripMargin,
+    "q185_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(n) AS BIGINT) AS total_rows,
+        |        CAST(max(n) AS BIGINT) AS max_n FROM c),
+        |h AS (SELECT n, count(*) AS freq FROM c GROUP BY 1),
+        |cum AS (SELECT n, sum(freq) OVER (ORDER BY n
+        |          ROWS UNBOUNDED PRECEDING) AS ckeys FROM h),
+        |p AS (SELECT
+        |    min(CASE WHEN ckeys >= (n_keys + 1) // 2 THEN n END) AS p50_n,
+        |    min(CASE WHEN ckeys >= (n_keys * 9 + 9) // 10 THEN n END)
+        |      AS p90_n,
+        |    min(CASE WHEN ckeys >= (n_keys * 99 + 99) // 100 THEN n END)
+        |      AS p99_n
+        |  FROM cum CROSS JOIN t),
+        |top10 AS (SELECT user_id, n FROM c
+        |          ORDER BY n DESC, user_id LIMIT 10),
+        |t10 AS (SELECT CAST(sum(n) AS BIGINT) AS top10_n FROM top10),
+        |t1 AS (SELECT user_id AS top1_key, CAST(n AS BIGINT) AS top1_n
+        |       FROM top10 ORDER BY n DESC, user_id LIMIT 1)
+        |SELECT n_keys, total_rows, max_n,
+        |  CAST(p50_n AS BIGINT) AS p50_n, CAST(p90_n AS BIGINT) AS p90_n,
+        |  CAST(p99_n AS BIGINT) AS p99_n, top1_key, top1_n,
+        |  CAST(round(top10_n * 100.0 / total_rows, 6) AS DECIMAL(18,6))
+        |    AS top10_share_pct
+        |FROM t CROSS JOIN p CROSS JOIN t1 CROSS JOIN t10""".stripMargin,
     "q167_weighted_median" ->
       """WITH li AS (
         |  SELECT n_name AS nation,

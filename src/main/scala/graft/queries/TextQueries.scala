@@ -536,7 +536,45 @@ object TextQueries {
     repetitionScore(graft.io.Tables.documents(spark, dir), "doc_id", "text", n = 3)
       .orderBy("doc_id")
 
+  /** q184 — temperature-balanced mixture resampling (τ = 2): per-source
+    * corpus shares ∝ √n — the multilingual/multi-domain training-mix
+    * rule (mT5/XLM-R style) that upsamples tail sources and downsamples
+    * head sources — applied at a 50% total budget. The share arithmetic
+    * is EXACT integer end-to-end: √n scales to a 1e9-fixed-point BIGINT
+    * weight, weights sum exactly, and each quota is
+    * `(budget · w) div Σw` — no cross-engine float-sum or decimal
+    * division drift anywhere (ARCHITECTURE.md rule 6). Each source then
+    * keeps exactly `quota` documents by seeded keyed-PRNG rank
+    * (layout-independent, oracle-reproducible; the q75/q86 sampling
+    * family). Scale shape: the weight/quota frame is |sources|-sized
+    * and broadcast; the corpus side is one window rank per source —
+    * WindowGroupLimit-friendly, single shuffle on the group key. */
+  val q184: Q = (spark, dir) => {
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "source")
+    val weights = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        expr("cast(round(sqrt(cast(n_docs as double)) * 1e9) as bigint)"))
+    val tot = weights.agg(sum(col("w")).as("w_sum"),
+      sum(col("n_docs")).as("n_total"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(n_total div 2) * w div w_sum").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(graft.functions.GraftFunctions.md5_63(
+        concat(lit("184:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"),
+        col("n_docs"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q184_mixture_rebalance" -> q184,
     "q18_tfidf" -> q18,
     "q69_repetition" -> q69,
     "q20_token_stats" -> q20,
@@ -692,6 +730,25 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q184_mixture_rebalance" ->
+      s"""WITH w AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(round(sqrt(count(*)::DOUBLE) * 1e9) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum,
+         |        CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
+         |q AS (SELECT source, n_docs,
+         |        (n_total // 2) * w // w_sum AS quota
+         |      FROM w CROSS JOIN t),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY md5_number_lower('184:' || doc_id::VARCHAR)
+         |            & $H, doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS rk,
+         |  CAST(quota AS BIGINT) AS quota, n_docs
+         |FROM r JOIN q USING (source) WHERE rk <= quota
+         |ORDER BY source, rk""".stripMargin,
     "q181_entity_resolution" ->
       """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
         |p1 AS (
