@@ -378,6 +378,45 @@ object OlapQueries {
           .cast("decimal(18,6)").as("top10_share_pct"))
   }
 
+  /** q187 — KMV (k-minimum-values) distinct-count sketch, k = 64, per
+    * event_type: keep the k smallest 63-bit keyed hashes of the key;
+    * the k-th smallest estimates the distinct count as
+    * (k−1)·2⁶³ / kth_hash. The MERGEABLE alternative to exact
+    * count-distinct at 100 TB: per-partition partial top-k minima merge
+    * associatively (WindowGroupLimit pushes the rank filter below the
+    * shuffle), state is k longs per group vs a hash set over the key
+    * universe. Unlike HLL (q16, rows-only), the KMV sketch is built
+    * from the engine's deterministic keyed hash, so sketch CONTENTS and
+    * estimate are exactly reproducible by the oracle — an
+    * approximate-cardinality operator under the exact gate; the exact
+    * distinct count rides along for the error audit. */
+  val q187: Q = (spark, dir) => {
+    val k = 64
+    val h = Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+      .select(col("event_type"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    kth.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_kept"),
+        col("kth_hash"),
+        when(col("n_kept") < k, col("n_exact"))
+          .otherwise(expr(
+            "cast(round(cast(63 as double) * " +
+              "cast(9223372036854775807 as double) / " +
+              "cast(kth_hash as double)) as bigint)"))
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   /** q168 — single-feature decision stump: the best order-total
     * threshold separating urgent/high-priority orders, scanned over
     * 10k-wide bucket boundaries. ONE aggregate to per-bucket
@@ -820,6 +859,7 @@ object OlapQueries {
     "q125_equidepth_histogram" -> q125,
     "q126_mad_outliers" -> q126,
     "q185_skew_profile" -> q185,
+    "q187_kmv_distinct" -> q187,
     "q127_ewma_revenue" -> q127,
     "q164_holt_forecast" -> q164,
     "q166_covisitation" -> q166,
@@ -1148,6 +1188,29 @@ object OlapQueries {
         |    / CAST(lag(revenue) OVER (ORDER BY period) AS DOUBLE), 6)
         |    AS growth
         |FROM per ORDER BY period""".stripMargin,
+    "q187_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |        CAST(md5_number_lower('kmv:' || user_id::VARCHAR) & $H
+         |          AS BIGINT) AS h
+         |      FROM d),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |          AS rn
+         |      FROM h),
+         |kth AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         |          max(h) AS kth_hash
+         |        FROM r WHERE rn <= 64 GROUP BY 1),
+         |ex AS (SELECT event_type,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |       FROM events GROUP BY 1)
+         |SELECT kth.event_type, n_exact, n_kept, kth_hash,
+         |  CASE WHEN n_kept < 64 THEN n_exact
+         |    ELSE CAST(round(CAST(63 AS DOUBLE)
+         |      * CAST(9223372036854775807 AS DOUBLE)
+         |      / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct
+         |FROM kth JOIN ex ON kth.event_type = ex.event_type
+         |ORDER BY 1""".stripMargin,
     "q185_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,

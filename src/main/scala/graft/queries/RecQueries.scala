@@ -435,7 +435,51 @@ object RecQueries {
       .orderBy("method")
   }
 
+  /** q186 — structural audit of the ALS recommendation lists as an
+    * ORACLE-GATED query. Iterative-ML VALUES have no SQL oracle (q52/q53
+    * are rows-only by design), but the output's distributional contract
+    * is exactly checkable: one list per validation user, exactly 20
+    * dense ranks per list, items unique within a list, scores
+    * non-increasing in rank. The oracle recomputes the expected user
+    * count from raw events with the engine's own chronological-split
+    * definition and pins every violation counter to zero — upgrading
+    * the ALS family's gate from "produces rows" to "produces lists with
+    * provably correct shape". Runs off the memoized q52/q53 top-20
+    * frame, so the audit adds no extra cross-scoring. */
+  val q186: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("rank")
+    val flagged = alsRecs20(spark, dir)
+      .withColumn("prev_score", lag(col("score"), 1).over(w))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(w))
+    val perUser = flagged.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      max(col("rank")).as("max_rank"),
+      countDistinct(col("item_id")).as("n_items"),
+      sum(when(col("prev_score").isNotNull &&
+        col("score") > col("prev_score"), 1L).otherwise(0L))
+        .as("inc_viol"),
+      sum(when(col("prev_rank").isNotNull &&
+        col("rank") =!= col("prev_rank") + 1, 1L).otherwise(0L))
+        .as("gap_viol"))
+    val nVal = Popularity.validation(tagged(spark, dir))
+      .select("user_id").distinct()
+      .agg(count(lit(1)).as("n_val_users"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("n") =!= 20 || col("max_rank") =!= 20 ||
+          col("n_items") =!= 20, 1L).otherwise(0L)).as("shape_viol"),
+        sum(col("inc_viol")).as("score_viol"),
+        sum(col("gap_viol")).as("rank_viol"))
+      .crossJoin(broadcast(nVal))
+      .select(col("n_users"), col("n_rows"),
+        (col("n_users") === col("n_val_users")).cast("long")
+          .as("covers_all_val_users"),
+        col("shape_viol"), col("score_viol"), col("rank_viol"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q186_als_audit" -> q186,
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
     "q139_item_cf_rmse" -> q139,
@@ -629,6 +673,29 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q186_als_audit" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |u AS (SELECT user_id,
+        |        bool_or(split <= 2) AS has_train,
+        |        bool_or(split = 3) AS has_val
+        |      FROM tagged GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS nv
+        |      FROM u WHERE has_train AND has_val)
+        |SELECT nv AS n_users, nv * 20 AS n_rows,
+        |  CAST(1 AS BIGINT) AS covers_all_val_users,
+        |  CAST(0 AS BIGINT) AS shape_viol,
+        |  CAST(0 AS BIGINT) AS score_viol,
+        |  CAST(0 AS BIGINT) AS rank_viol
+        |FROM v""".stripMargin,
     "q152_mmr_rerank" -> mmrOracle,
     "q153_list_quality" -> listQualityOracle,
     "q150_ips_eval" ->
