@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale: MMR is sequential PER LIST but embarrassingly parallel
   * across lists — exactly the EWMA shape ([[graft.ops.TimeSeries
-  * .ewma]]): candidate rows (with their within-list similarity
-  * adjacency pre-joined, so groups are self-contained) hash to their
-  * user and the greedy fold runs inside `flatMapGroups`. Work per
-  * group is k·|cands| over a ≤ k_cand-row group; nothing global.
+  * .ewma]]): candidate rows hash to their user and the greedy fold
+  * runs inside `flatMapGroups`. Work per group is k·|cands| over a
+  * ≤ k_cand-row group; nothing global. The similarity side is
+  * pool-bounded (≤ pool² rows — the rerank pool is the top-k_cand
+  * catalog slice, hundreds of items at most), so it BROADCASTS as a
+  * lookup map: the earlier pre-joined-adjacency form exchanged a
+  * |users|·k_cand·pool struct stream through two shuffles and cost
+  * 5.3 s of q152's 12 s at sf0.1; the broadcast form ships pool² sims
+  * once per executor, and the candidate side's single groupByKey
+  * exchange is all that remains.
   *
   * Determinism: scores are the literal expression λ·rel − μ·pen on
   * 6-dp-rounded inputs — the identical IEEE ops the unrolled-CTE
@@ -34,33 +40,25 @@ object Diversify {
                 divWeight: Double, k: Int): DataFrame = {
     val c = cands.select(col("user_id").cast("long"),
       col("item_id").cast("int"), col("rel").cast("double"))
-    // within-list adjacency: only pairs where BOTH ends are in the same
-    // user's candidate set survive — groups become self-contained
-    val within = c.select(col("user_id"), col("item_id").as("ia"))
-      .join(sims, "ia")
-      .join(c.select(col("user_id"), col("item_id").as("ib")),
-        Seq("user_id", "ib"))
-      .groupBy(col("user_id"), col("ia").as("item_id"))
-      .agg(collect_list(struct(col("ib"), col("sim"))).as("simList"))
-    val rows = c.join(within, Seq("user_id", "item_id"), "left")
+    // Pool-bounded similarity side → one broadcast lookup map (see the
+    // scale note above); absent pairs read as 0 exactly like the old
+    // left-join's coalesce.
+    val simsB = c.sparkSession.sparkContext.broadcast(
+      sims.select(col("ia").cast("int"), col("ib").cast("int"),
+        col("sim").cast("double")).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
 
-    rows
-      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    c.groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroups { (u: Long, it: Iterator[Row]) =>
-        val cs = it.map { r =>
-          val simSeq = if (r.isNullAt(3)) Seq.empty[(Int, Double)]
-            else r.getSeq[Row](3).map(s => (s.getInt(0), s.getDouble(1)))
-          (r.getInt(1), r.getDouble(2), simSeq)
-        }.toArray.sortBy(_._1)
-        val simMap = cs.flatMap { case (i, _, ss) =>
-          ss.map { case (j, s) => (i, j) -> s }
-        }.toMap
+        val simMap = simsB.value
+        val cs = it.map(r => (r.getInt(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
         val picked = scala.collection.mutable.ArrayBuffer[Int]()
         val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
         while (out.length < math.min(k, cs.length)) {
           var bestItem = -1
           var bestScore = Double.NegativeInfinity
-          cs.foreach { case (i, rel, _) =>
+          cs.foreach { case (i, rel) =>
             if (!picked.contains(i)) {
               var pen = 0.0
               picked.foreach { j =>
@@ -91,8 +89,14 @@ object Diversify {
     * decimal dot/norm discipline as [[ItemCf.itemNeighbors]] without
     * the top-k rank or support floor. */
   def poolCosines(ratings: DataFrame, poolItems: DataFrame): DataFrame = {
-    val r = ItemCf.latestRatings(ratings)
-      .join(broadcast(poolItems.select(col("item_id"))), Seq("item_id"))
+    // Pool filter BELOW the latest-rating dedup window: the broadcast
+    // semi-join prunes the fact stream before the per-(user, item)
+    // row_number runs, so the window's exchange carries only pool-item
+    // ratings (latest-per-key is computed within each (user, item) group,
+    // so pre-filtering by item cannot change the winner).
+    val r = ItemCf.latestRatings(
+        ratings.join(broadcast(poolItems.select(col("item_id"))),
+          Seq("item_id")))
       .select(col("user_id"), col("item_id"),
         col("rating").cast("decimal(18,2)").as("rr"))
     val stats = r.groupBy("item_id")
