@@ -302,4 +302,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q184 mixture quotas broadcast; corpus side ranks in one grouped window") {
+    val p = plan("q184_mixture_rebalance")
+    // the |sources|-sized quota/total frames join broadcast — the corpus
+    // never shuffles for them
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q187 KMV keeps per-group minima via WindowGroupLimit below the shuffle") {
+    val p = plan("q187_kmv_distinct")
+    // partial top-k: each partition keeps <= k hashes per group before
+    // the exchange — the mergeable-sketch property in the physical plan
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("partial_count") || p.contains("partial_min"))
+  }
 }
