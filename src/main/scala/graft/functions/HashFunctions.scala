@@ -82,6 +82,14 @@ object GraftFunctions {
     GraftShim.column(org.apache.spark.sql.graft.TopKAgg(
       GraftShim.expression(c), k).toAggregateExpression())
 
+  /** KMV cardinality-sketch aggregate: the k smallest DISTINCT 63-bit
+    * hash values per group as a sorted array — set semantics, so raw
+    * (duplicated) key streams need no distinct pre-shuffle; 8k-byte
+    * mergeable state (see [[org.apache.spark.sql.graft.KmvAgg]]). */
+  def kmv_agg(hash: Column, k: Int): Column =
+    GraftShim.column(org.apache.spark.sql.graft.KmvAgg(
+      GraftShim.expression(hash), k).toAggregateExpression())
+
   /** One-pass MinHash signature aggregate → array<long> of numPerm mins
     * per group (custom TypedImperativeAggregate; see
     * [[org.apache.spark.sql.graft.MinHashAgg]] — the fast/scale variant

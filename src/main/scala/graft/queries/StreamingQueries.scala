@@ -462,7 +462,50 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q188 — streaming KMV distinct-count sketch: batch q187's
+    * cardinality sketch maintained INCREMENTALLY over the event stream
+    * by the custom [[org.apache.spark.sql.graft.KmvAgg]] aggregate.
+    * KmvAgg's SET semantics absorb duplicate keys in-place, so the raw
+    * stream needs no distinct pre-shuffle and the Complete-mode state
+    * is exactly 64 longs per event_type — fixed-size regardless of
+    * stream length or key cardinality, the defining property that makes
+    * approximate cardinality streamable where exact count-distinct's
+    * state grows with the key universe. The exact count and estimate
+    * arithmetic run as a post-sink batch transform on the 5-row final
+    * (the q120 pattern); the oracle is the SAME SQL as batch q187 —
+    * stream-final sketch == batch sketch, bit for bit. */
+  val q188: Q = (spark, dir) => {
+    val name = s"q188_out_${runId.incrementAndGet()}"
+    val k = 64
+    val sketch = stream(spark, dir)
+      .select(col("event_type"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), k).as("mins"))
+    val sunk = EventStreams.runToMemory(spark, sketch, name,
+      OutputMode.Complete)
+    val exact = graft.io.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sunk
+      .select(col("event_type"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_kept"),
+        col("kth_hash"),
+        when(col("n_kept") < k, col("n_exact"))
+          .otherwise(expr(
+            "cast(round(cast(63 as double) * " +
+              "cast(9223372036854775807 as double) / " +
+              "cast(kth_hash as double)) as bigint)"))
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_stream_kmv" -> q188,
     "q182_stream_ledger" -> q182,
     "q169_stream_classify" -> q169,
     "q102_stream_heavy_hitters" -> q102,
@@ -495,6 +538,8 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The stream-final KMV sketch must equal batch q187 exactly.
+    "q188_stream_kmv" -> OlapQueries.oracles("q187_kmv_distinct"),
     // The stream-served classifier must equal batch q162 exactly.
     "q169_stream_classify" -> TextQueries.oracles("q162_naive_bayes"),
     // The streamed ledger's final state must equal batch q176 exactly.

@@ -46,6 +46,9 @@ object GraftExtensions {
     ("graft_topk_agg",
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk_agg"),
       (args: Seq[Expression]) => TopKAgg(args(0), intLitOf(args(1)))),
+    ("graft_kmv_agg",
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv_agg"),
+      (args: Seq[Expression]) => KmvAgg(args(0), intLitOf(args(1)))),
     ("graft_jaro_winkler",
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),

@@ -43,7 +43,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val names = GraftExtensions.functions.map(_._1).toSet
     assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
       "graft_minhash_agg", "graft_minhash_sig", "graft_jaro_winkler",
-      "graft_topk_agg"))
+      "graft_topk_agg", "graft_kmv_agg"))
     new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
   }
 
@@ -79,6 +79,32 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1))
     assert(rows.toSeq == Seq("a" -> Seq("aa", "mm"), "b" -> Seq("q")))
     spark.catalog.dropTempView("topk_strings")
+  }
+
+  test("kmv_agg keeps the k smallest DISTINCT values across partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Heavy duplication (every value appears ~50×) across 8 partitions:
+    // set semantics must dedupe inside partials AND across merges — a
+    // multiset heap would fill its k slots with copies of the minimum.
+    val df = (1 to 5000).map(i => ("g", (i % 100) * 7919L)).toDF("g", "h")
+      .repartition(8)
+    val got = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), 16).as("mins"))
+      .select(explode(col("mins"))).collect().map(_.getLong(0)).toSeq
+    val expect = (0 until 100).map(_ * 7919L).sorted.take(16)
+    assert(got == expect, s"kmv mins $got != $expect")
+    // Fewer distincts than k → the sketch IS the distinct set.
+    val small = Seq(5L, 5L, 3L, 3L, 9L).toDF("h").agg(
+      graft.functions.GraftFunctions.kmv_agg(col("h"), 16).as("m"))
+      .select(explode(col("m"))).collect().map(_.getLong(0)).toSeq
+    assert(small == Seq(3L, 5L, 9L))
+    // SQL surface.
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_kmv_agg(id * 13L, 4) FROM range(1000)")
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == Seq(0L, 13L, 26L, 39L))
   }
 
   test("jaro_winkler matches DuckDB's jaro_winkler_similarity semantics") {
