@@ -417,6 +417,65 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** q189 — KMV sketch ALGEBRA: distinct-user estimates for every PAIR
+    * of event types computed by MERGING the per-type q187 sketches —
+    * never rescanning the fact table. This is the property that makes
+    * sketches matter at warehouse scale: a cube of per-cell KMV sketches
+    * answers any union roll-up (distinct users across segments, days,
+    * cohorts) from k longs per cell, where exact count-distinct would
+    * re-shuffle the raw keys per question. Union = bottom-k of the two
+    * sketches' union (re-aggregating the exploded sketch arrays through
+    * the same set-semantics [[org.apache.spark.sql.graft.KmvAgg]]);
+    * the exact |A ∪ B| = |A| + |B| − |A ∩ B| rides along from a
+    * distinct-pairs self-join for the error audit. Deterministic keyed
+    * hashing makes the merged sketch and estimate exactly
+    * oracle-reproducible, like q187. */
+  val q189: Q = (spark, dir) => {
+    val k = 64
+    val d = Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+    val h = d.select(col("event_type"),
+      graft.functions.GraftFunctions.md5_63(
+        concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val sketches = h.groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), k).as("mins"))
+    val merged = sketches.select(col("event_type").as("ta"), col("mins"))
+      .join(sketches.select(col("event_type").as("tb"),
+        col("mins").as("mins_b")), col("ta") < col("tb"))
+      .select(col("ta"), col("tb"),
+        explode(concat(col("mins"), col("mins_b"))).as("h"))
+      .groupBy("ta", "tb")
+      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), k).as("mins"))
+      .select(col("ta"), col("tb"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+    val sizes = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = d.select(col("event_type").as("ta"), col("user_id"))
+      .join(d.select(col("event_type").as("tb"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+    merged
+      .join(broadcast(sizes.select(col("event_type").as("ta"),
+        col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(sizes.select(col("event_type").as("tb"),
+        col("n").as("n_b"))), Seq("tb"))
+      .join(broadcast(inter), Seq("ta", "tb"))
+      .select(col("ta"), col("tb"),
+        (col("n_a") + col("n_b") - col("n_ab")).as("exact_union"),
+        col("n_kept"), col("kth_hash"),
+        // An under-filled merged sketch IS the complete distinct union
+        // (both inputs were complete below k), so the estimate stays
+        // purely sketch-derived.
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(
+            "cast(round(cast(63 as double) * " +
+              "cast(9223372036854775807 as double) / " +
+              "cast(kth_hash as double)) as bigint)"))
+          .as("est_union"))
+      .orderBy("ta", "tb")
+  }
+
   /** q168 — single-feature decision stump: the best order-total
     * threshold separating urgent/high-priority orders, scanned over
     * 10k-wide bucket boundaries. ONE aggregate to per-bucket
@@ -860,6 +919,7 @@ object OlapQueries {
     "q126_mad_outliers" -> q126,
     "q185_skew_profile" -> q185,
     "q187_kmv_distinct" -> q187,
+    "q189_kmv_union" -> q189,
     "q127_ewma_revenue" -> q127,
     "q164_holt_forecast" -> q164,
     "q166_covisitation" -> q166,
@@ -1188,6 +1248,48 @@ object OlapQueries {
         |    / CAST(lag(revenue) OVER (ORDER BY period) AS DOUBLE), 6)
         |    AS growth
         |FROM per ORDER BY period""".stripMargin,
+    "q189_kmv_union" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |        CAST(md5_number_lower('kmv:' || user_id::VARCHAR) & $H
+         |          AS BIGINT) AS h
+         |      FROM d),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |          AS rn
+         |      FROM h),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+         |t AS (SELECT DISTINCT event_type FROM events),
+         |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |      FROM t a JOIN t b ON a.event_type < b.event_type),
+         |u AS (
+         |  SELECT ta, tb, h FROM p JOIN sk ON sk.event_type = ta
+         |  UNION
+         |  SELECT ta, tb, h FROM p JOIN sk ON sk.event_type = tb),
+         |m AS (SELECT ta, tb, h,
+         |        row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |      FROM u),
+         |mk AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_kept,
+         |         max(h) AS kth_hash
+         |       FROM m WHERE rn <= 64 GROUP BY 1, 2),
+         |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |       FROM d GROUP BY 1),
+         |ix AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |         CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM d a JOIN d b ON a.user_id = b.user_id
+         |         AND a.event_type < b.event_type
+         |       GROUP BY 1, 2)
+         |SELECT mk.ta, mk.tb, sa.n + sb.n - ix.n_ab AS exact_union,
+         |  n_kept, kth_hash,
+         |  CASE WHEN n_kept < 64 THEN n_kept
+         |    ELSE CAST(round(CAST(63 AS DOUBLE)
+         |      * CAST(9223372036854775807 AS DOUBLE)
+         |      / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_union
+         |FROM mk
+         |JOIN sz sa ON sa.event_type = mk.ta
+         |JOIN sz sb ON sb.event_type = mk.tb
+         |JOIN ix ON ix.ta = mk.ta AND ix.tb = mk.tb
+         |ORDER BY 1, 2""".stripMargin,
     "q187_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
          |h AS (SELECT event_type,
