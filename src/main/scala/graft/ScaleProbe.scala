@@ -72,6 +72,30 @@ object ScaleProbe {
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())
 
+    if (probes("kmv")) {
+      // KMV sketch vs exact count-distinct at factor× the user universe
+      // (inflated ratings: factor×1500 distinct users, factor×100k rows,
+      // 5 event-type-ish groups via item_id % 5). The claim under test:
+      // the sketch pass stays a plain hash aggregate whose STATE is 64
+      // longs per group regardless of cardinality, while exact distinct
+      // plans an extra expand/dedup exchange over the full key set —
+      // the gap is the price of exactness, and it widens with scale.
+      val keyed = inflated.select((col("item_id") % 5).as("g"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"),
+        col("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      keyed.count()
+      time(s"kmv_sketch_${factor}x")(
+        keyed.groupBy("g")
+          .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), 64))
+          .count())
+      time(s"exact_distinct_${factor}x")(
+        keyed.groupBy("g")
+          .agg(countDistinct(col("user_id"))).count())
+      keyed.unpersist(blocking = false)
+    }
+
     if (probes("triangles")) {
       // factor×100k disjoint K6 cliques (15 edges / 20 triangles each):
       // constant degree, so oriented wedge volume — and wall-clock —

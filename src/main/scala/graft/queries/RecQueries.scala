@@ -478,7 +478,34 @@ object RecQueries {
         col("shape_viol"), col("score_viol"), col("rank_viol"))
   }
 
+  /** q190 — train/validation leakage audit of the chronological split:
+    * how many validation (user, item) interactions also appear in train
+    * (re-ratings of an already-seen item). A CHRONOLOGICAL split
+    * legitimately carries such overlap — unlike a random split it never
+    * leaks the FUTURE — but the overlap rate is exactly the quantity a
+    * modeler must know before reading validation metrics: overlapping
+    * pairs are trivially predictable from the train copy and inflate
+    * apparent accuracy. One distinct-projection semi-join per side;
+    * the rate is an int-quotient pinned DECIMAL. The leakage twin of
+    * q82's corpus decontamination, applied to the rec split. */
+  val q190: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val notNull = col("item_id").isNotNull && col("rating").isNotNull
+    val tr = Popularity.train(t).filter(notNull)
+      .select("user_id", "item_id").distinct()
+    val va = Popularity.validation(t).filter(notNull)
+      .select("user_id", "item_id").distinct()
+    val nVal = va.agg(count(lit(1)).as("n_val_pairs"))
+    val nOv = va.join(tr, Seq("user_id", "item_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+    nVal.crossJoin(nOv)
+      .select(col("n_val_pairs"), col("n_overlap"),
+        round(col("n_overlap") * lit(100.0) / col("n_val_pairs"), 6)
+          .cast("decimal(18,6)").as("overlap_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_split_leakage" -> q190,
     "q186_als_audit" -> q186,
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
@@ -673,6 +700,32 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q190_split_leakage" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, item_id, rating,
+        |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
+        |  FROM r),
+        |tr AS (SELECT DISTINCT user_id, item_id FROM tagged
+        |       WHERE split <= 2 AND item_id IS NOT NULL
+        |         AND rating IS NOT NULL),
+        |va AS (SELECT DISTINCT user_id, item_id FROM tagged
+        |       WHERE split = 3 AND item_id IS NOT NULL
+        |         AND rating IS NOT NULL),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM va SEMI JOIN tr USING (user_id, item_id)),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_val_pairs FROM va)
+        |SELECT n_val_pairs, n_overlap,
+        |  CAST(round(n_overlap * 100.0 / n_val_pairs, 6) AS DECIMAL(18,6))
+        |    AS overlap_pct
+        |FROM nv CROSS JOIN ov""".stripMargin,
     "q186_als_audit" ->
       """WITH r AS (
         |  SELECT user_id,
