@@ -430,31 +430,60 @@ object OlapQueries {
     * distinct-pairs self-join for the error audit. Deterministic keyed
     * hashing makes the merged sketch and estimate exactly
     * oracle-reproducible, like q187. */
-  val q189: Q = (spark, dir) => {
-    val k = 64
-    val d = Tables.events(spark, dir)
-      .select("event_type", "user_id").distinct()
-    val h = d.select(col("event_type"),
-      graft.functions.GraftFunctions.md5_63(
-        concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
-    val sketches = h.groupBy("event_type")
-      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), k).as("mins"))
-    val merged = sketches.select(col("event_type").as("ta"), col("mins"))
+  private val KmvK = 64
+
+  /** Distinct (event_type, user_id) pairs — the key universe both KMV
+    * queries sketch and audit. */
+  private def kmvUniverse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select("event_type", "user_id").distinct()
+
+  /** Per-type KMV sketch frame: (event_type, mins sorted array ≤ k). */
+  private def kmvTypeSketches(spark: SparkSession, dir: String): DataFrame =
+    kmvUniverse(spark, dir)
+      .select(col("event_type"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), KmvK)
+        .as("mins"))
+
+  /** Pairwise merged sketches: (ta, tb, mins_a, mins_b, mins) with
+    * `mins` = bottom-k of the two sketches' union. */
+  private def kmvPairMerged(spark: SparkSession, dir: String): DataFrame = {
+    val sketches = kmvTypeSketches(spark, dir)
+    val pairs = sketches
+      .select(col("event_type").as("ta"), col("mins").as("mins_a"))
       .join(sketches.select(col("event_type").as("tb"),
         col("mins").as("mins_b")), col("ta") < col("tb"))
+    pairs
       .select(col("ta"), col("tb"),
-        explode(concat(col("mins"), col("mins_b"))).as("h"))
+        explode(concat(col("mins_a"), col("mins_b"))).as("h"))
       .groupBy("ta", "tb")
-      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), k).as("mins"))
-      .select(col("ta"), col("tb"),
-        size(col("mins")).cast("long").as("n_kept"),
-        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
-    val sizes = d.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val inter = d.select(col("event_type").as("ta"), col("user_id"))
+      .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), KmvK)
+        .as("mins"))
+      .join(pairs, Seq("ta", "tb"))
+  }
+
+  /** Exact pairwise intersection sizes (ta < tb) for the error audit. */
+  private def kmvExactIntersections(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    val d = kmvUniverse(spark, dir)
+    d.select(col("event_type").as("ta"), col("user_id"))
       .join(d.select(col("event_type").as("tb"), col("user_id")),
         Seq("user_id"))
       .filter(col("ta") < col("tb"))
       .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+  }
+
+  val q189: Q = (spark, dir) => {
+    val k = KmvK
+    val d = kmvUniverse(spark, dir)
+    val merged = kmvPairMerged(spark, dir)
+      .select(col("ta"), col("tb"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+    val sizes = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = kmvExactIntersections(spark, dir)
     merged
       .join(broadcast(sizes.select(col("event_type").as("ta"),
         col("n").as("n_a"))), Seq("ta"))
@@ -473,6 +502,42 @@ object OlapQueries {
               "cast(9223372036854775807 as double) / " +
               "cast(kth_hash as double)) as bigint)"))
           .as("est_union"))
+      .orderBy("ta", "tb")
+  }
+
+  /** q191 — KMV INTERSECTION estimation: per event-type pair, estimate
+    * |A ∩ B| from the sketches alone — the join-CARDINALITY estimator
+    * a cost-based planner reads before choosing broadcast vs shuffle vs
+    * skew handling, here answerable from k longs per side with no fact
+    * access. Standard bottom-k estimator: of the union's bottom-k
+    * hashes, those present in BOTH input sketches estimate Jaccard as
+    * n_common/k, and |A ∩ B| ≈ Ĵ · |A ∪ B|̂ — computed in exact integer
+    * arithmetic (half-up `(2ab + n) div 2n`) so both engines agree to
+    * the bit. Exact intersections ride along as the audit. Completes
+    * the q187/q188/q189 sketch algebra: cardinality, streaming
+    * maintenance, union, intersection. */
+  val q191: Q = (spark, dir) => {
+    val k = KmvK
+    val est = kmvPairMerged(spark, dir)
+      .select(col("ta"), col("tb"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+        size(array_intersect(array_intersect(col("mins"), col("mins_a")),
+          col("mins_b"))).cast("long").as("n_common"))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(
+            "cast(round(cast(63 as double) * " +
+              "cast(9223372036854775807 as double) / " +
+              "cast(kth_hash as double)) as bigint)")))
+      .withColumn("est_intersection",
+        expr("(2 * n_common * est_union + n_kept) div (2 * n_kept)"))
+      .withColumn("est_jaccard",
+        expr("cast(round(cast(n_common as double) / " +
+          "cast(n_kept as double), 6) as decimal(18,6))"))
+    est.join(broadcast(kmvExactIntersections(spark, dir)), Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("n_common"), col("est_jaccard"),
+        col("est_intersection"), col("n_ab").as("exact_intersection"))
       .orderBy("ta", "tb")
   }
 
@@ -920,6 +985,7 @@ object OlapQueries {
     "q185_skew_profile" -> q185,
     "q187_kmv_distinct" -> q187,
     "q189_kmv_union" -> q189,
+    "q191_kmv_intersect" -> q191,
     "q127_ewma_revenue" -> q127,
     "q164_holt_forecast" -> q164,
     "q166_covisitation" -> q166,
@@ -1289,6 +1355,57 @@ object OlapQueries {
          |JOIN sz sa ON sa.event_type = mk.ta
          |JOIN sz sb ON sb.event_type = mk.tb
          |JOIN ix ON ix.ta = mk.ta AND ix.tb = mk.tb
+         |ORDER BY 1, 2""".stripMargin,
+    "q191_kmv_intersect" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type,
+         |        CAST(md5_number_lower('kmv:' || user_id::VARCHAR) & $H
+         |          AS BIGINT) AS h
+         |      FROM d),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |          AS rn
+         |      FROM h),
+         |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+         |t AS (SELECT DISTINCT event_type FROM events),
+         |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |      FROM t a JOIN t b ON a.event_type < b.event_type),
+         |u AS (
+         |  SELECT ta, tb, h FROM p JOIN sk ON sk.event_type = ta
+         |  UNION
+         |  SELECT ta, tb, h FROM p JOIN sk ON sk.event_type = tb),
+         |m AS (SELECT ta, tb, h,
+         |        row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |      FROM u),
+         |mm AS (SELECT ta, tb, h FROM m WHERE rn <= 64),
+         |mk AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_kept,
+         |         max(h) AS kth_hash
+         |       FROM mm GROUP BY 1, 2),
+         |cm AS (SELECT mm.ta, mm.tb, CAST(count(*) AS BIGINT) AS n_common
+         |       FROM mm
+         |       JOIN sk a ON a.event_type = mm.ta AND a.h = mm.h
+         |       JOIN sk b ON b.event_type = mm.tb AND b.h = mm.h
+         |       GROUP BY 1, 2),
+         |ix AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |         CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM d a JOIN d b ON a.user_id = b.user_id
+         |         AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |e AS (SELECT mk.ta, mk.tb, n_kept, kth_hash,
+         |        coalesce(cm.n_common, 0) AS n_common,
+         |        CASE WHEN n_kept < 64 THEN n_kept
+         |          ELSE CAST(round(CAST(63 AS DOUBLE)
+         |            * CAST(9223372036854775807 AS DOUBLE)
+         |            / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_union
+         |      FROM mk LEFT JOIN cm
+         |        ON cm.ta = mk.ta AND cm.tb = mk.tb)
+         |SELECT e.ta, e.tb, n_common,
+         |  CAST(round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+         |    AS DECIMAL(18,6)) AS est_jaccard,
+         |  CAST((2 * n_common * est_union + n_kept) // (2 * n_kept)
+         |    AS BIGINT) AS est_intersection,
+         |  ix.n_ab AS exact_intersection
+         |FROM e JOIN ix ON ix.ta = e.ta AND ix.tb = e.tb
          |ORDER BY 1, 2""".stripMargin,
     "q187_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
