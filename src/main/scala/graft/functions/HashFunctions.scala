@@ -107,4 +107,44 @@ object GraftFunctions {
   def minhash_sig(shingles: Column, numPerm: Int): Column =
     GraftShim.column(org.apache.spark.sql.graft.MinHashSig(
       GraftShim.expression(shingles), numPerm))
+
+  // ---------------------------------------------------------------------
+  // Rounding-mode-INVARIANT quantization (determinism rule,
+  // ARCHITECTURE.md): `round(double, n)` and a raw double→DECIMAL CAST
+  // resolve half-boundaries by an engine- and version-dependent rounding
+  // mode (Spark: BigDecimal HALF_UP on the exact binary value; DuckDB:
+  // changed across releases), so a hashed output surface built from them
+  // is a per-release lottery at the oracle gate. These helpers quantize
+  // with pure IEEE binary64 arithmetic — multiply, add, floor, divide —
+  // which every engine computes bit-identically, so engine and oracle
+  // agree BY CONSTRUCTION whenever their inputs agree.
+  // ---------------------------------------------------------------------
+
+  /** Half-up quantization of a double to `s` decimal places, emitted as
+    * DOUBLE: `floor(x·10^s + 0.5) / 10^s`. Oracle twin: [[qroundSql]].
+    * (Negative half-boundaries round toward +∞, unlike HALF_UP's
+    * away-from-zero — irrelevant to the gate, which only needs the two
+    * engines to agree with EACH OTHER.) */
+  def qround(c: Column, s: Int): Column = {
+    val f = org.apache.spark.sql.functions.lit(math.pow(10, s))
+    org.apache.spark.sql.functions.floor(
+      c * f + org.apache.spark.sql.functions.lit(0.5)) / f
+  }
+
+  /** [[qround]] pinned to an exact DECIMAL(p,s): after quantization the
+    * value is within 1 ulp of an exact scale-`s` decimal — far from every
+    * cast half-boundary — so the final decimal CAST is unambiguous under
+    * any rounding mode. Oracle twin: [[qdecSql]]. */
+  def qdec(c: Column, p: Int, s: Int): Column =
+    qround(c, s).cast(s"decimal($p,$s)")
+
+  /** Oracle-SQL twin of [[qround]] — textually the same IEEE formula. */
+  def qroundSql(x: String, s: Int): String = {
+    val f = "1" + ("0" * s) + ".0"
+    s"floor(($x) * $f + 0.5) / $f"
+  }
+
+  /** Oracle-SQL twin of [[qdec]]. */
+  def qdecSql(x: String, p: Int, s: Int): String =
+    s"CAST(${qroundSql(x, s)} AS DECIMAL($p,$s))"
 }

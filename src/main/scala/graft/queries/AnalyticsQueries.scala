@@ -217,9 +217,14 @@ object AnalyticsQueries {
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("purchase", "error"))
       .select(col("user_id"), col("ts"), col("event_id"),
+        // value is a raw DOUBLE in the parquet: quantize to cents via the
+        // IEEE floor-quantizer (GraftFunctions.qdec), never a raw
+        // double→decimal CAST — the cast's half-boundary direction is
+        // oracle-engine-release-dependent; from here the fold is exact.
         when(col("event_type") === "purchase",
-          col("value").cast("decimal(18,2)"))
-          .otherwise(negate(col("value").cast("decimal(18,2)")))
+          graft.functions.GraftFunctions.qdec(col("value"), 18, 2))
+          .otherwise(
+            negate(graft.functions.GraftFunctions.qdec(col("value"), 18, 2)))
           .as("delta"))
     graft.ops.Ledger.clampedBalance(ev, "user_id", "ts", "event_id",
         "delta")
@@ -873,8 +878,9 @@ object AnalyticsQueries {
     "q176_clamped_balance" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id,
-        |    CAST(CASE WHEN event_type = 'purchase' THEN value
-        |              ELSE -value END AS DECIMAL(18,2)) AS d,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END
+        |      * (floor(value * 100.0 + 0.5) / 100.0)
+        |      AS DECIMAL(18,2)) AS d,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_ns(ts), event_id) AS i,
         |    count(*) OVER (PARTITION BY user_id) AS n

@@ -315,10 +315,15 @@ object OlapQueries {
       // v rides as DECIMAL(18,2): prices are exact 2-dp values, and the
       // min() that becomes `weighted_median` must leave the engine as
       // decimal, not a raw double (determinism rule, ARCHITECTURE.md —
-      // double columns hash by IEEE representation at the gate).
+      // double columns hash by IEEE representation at the gate). The
+      // DOUBLE→DECIMAL step goes through the IEEE floor-quantizer, not a
+      // raw cast, so the half-boundary direction can't depend on the
+      // oracle engine's release (GraftFunctions.qdec).
       .select(col("n_name").as("nation"),
-        col("l_extendedprice").cast("decimal(18,2)").as("v"),
-        col("l_quantity").cast("decimal(18,2)").as("wq"))
+        graft.functions.GraftFunctions.qdec(col("l_extendedprice"), 18, 2)
+          .as("v"),
+        graft.functions.GraftFunctions.qdec(col("l_quantity"), 18, 2)
+          .as("wq"))
     val byV = li.groupBy("nation", "v").agg(sum(col("wq")).as("wv"))
     val wCum = Window.partitionBy("nation").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -374,8 +379,9 @@ object OlapQueries {
       .select(col("n_keys"), col("total_rows"), col("max_n"),
         col("p50_n"), col("p90_n"), col("p99_n"),
         col("top1_key"), col("top1_n"),
-        round(col("top10_n") * lit(100.0) / col("total_rows"), 6)
-          .cast("decimal(18,6)").as("top10_share_pct"))
+        graft.functions.GraftFunctions.qdec(
+          col("top10_n") * lit(100.0) / col("total_rows"), 18, 6)
+          .as("top10_share_pct"))
   }
 
   /** q187 — KMV (k-minimum-values) distinct-count sketch, k = 64, per
@@ -392,11 +398,16 @@ object OlapQueries {
     * distinct count rides along for the error audit. */
   val q187: Q = (spark, dir) => {
     val k = 64
+    // SET semantics on the hash itself (`.distinct()` AFTER hashing), so
+    // the window formulation is formally the same operator as KmvAgg's
+    // dedup-in-place buffer (q188 streams against this oracle): a 63-bit
+    // collision between same-type users yields ONE sketch slot in both.
     val h = Tables.events(spark, dir)
       .select("event_type", "user_id").distinct()
       .select(col("event_type"),
         graft.functions.GraftFunctions.md5_63(
           concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct()
     val w = Window.partitionBy("event_type").orderBy("h")
     val kth = h.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -409,13 +420,19 @@ object OlapQueries {
       .select(col("event_type"), col("n_exact"), col("n_kept"),
         col("kth_hash"),
         when(col("n_kept") < k, col("n_exact"))
-          .otherwise(expr(
-            "cast(round(cast(63 as double) * " +
-              "cast(9223372036854775807 as double) / " +
-              "cast(kth_hash as double)) as bigint)"))
-          .as("est_distinct"))
+          .otherwise(kmvEstimate).as("est_distinct"))
       .orderBy("event_type")
   }
+
+  /** (k−1)·2⁶³ / kth_hash, ROUND-half-up, in EXACT integer arithmetic:
+    * `(2·63·H + kth) div (2·kth)` over DECIMAL(38,0) (the numerator
+    * 126·(2⁶³−1) ≈ 1.16e21 exceeds BIGINT) — bit-reproducible in any
+    * oracle engine (HUGEINT on the DuckDB side), unlike the former
+    * `round()` of a big double quotient whose half direction was
+    * engine-release-dependent. */
+  private[queries] def kmvEstimate: org.apache.spark.sql.Column = expr(
+    "(cast(126 as decimal(38,0)) * 9223372036854775807 + kth_hash) div " +
+      "(cast(2 as decimal(38,0)) * kth_hash)")
 
   /** q189 — KMV sketch ALGEBRA: distinct-user estimates for every PAIR
     * of event types computed by MERGING the per-type q187 sketches —
@@ -497,11 +514,7 @@ object OlapQueries {
         // (both inputs were complete below k), so the estimate stays
         // purely sketch-derived.
         when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(
-            "cast(round(cast(63 as double) * " +
-              "cast(9223372036854775807 as double) / " +
-              "cast(kth_hash as double)) as bigint)"))
-          .as("est_union"))
+          .otherwise(kmvEstimate).as("est_union"))
       .orderBy("ta", "tb")
   }
 
@@ -525,16 +538,13 @@ object OlapQueries {
         size(array_intersect(array_intersect(col("mins"), col("mins_a")),
           col("mins_b"))).cast("long").as("n_common"))
       .withColumn("est_union",
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(
-            "cast(round(cast(63 as double) * " +
-              "cast(9223372036854775807 as double) / " +
-              "cast(kth_hash as double)) as bigint)")))
+        when(col("n_kept") < k, col("n_kept")).otherwise(kmvEstimate))
       .withColumn("est_intersection",
         expr("(2 * n_common * est_union + n_kept) div (2 * n_kept)"))
       .withColumn("est_jaccard",
-        expr("cast(round(cast(n_common as double) / " +
-          "cast(n_kept as double), 6) as decimal(18,6))"))
+        graft.functions.GraftFunctions.qdec(
+          col("n_common").cast("double") / col("n_kept").cast("double"),
+          18, 6))
     est.join(broadcast(kmvExactIntersections(spark, dir)), Seq("ta", "tb"))
       .select(col("ta"), col("tb"), col("n_common"), col("est_jaccard"),
         col("est_intersection"), col("n_ab").as("exact_intersection"))
@@ -1316,7 +1326,7 @@ object OlapQueries {
         |FROM per ORDER BY period""".stripMargin,
     "q189_kmv_union" ->
       s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-         |h AS (SELECT event_type,
+         |h AS (SELECT DISTINCT event_type,
          |        CAST(md5_number_lower('kmv:' || user_id::VARCHAR) & $H
          |          AS BIGINT) AS h
          |      FROM d),
@@ -1348,9 +1358,9 @@ object OlapQueries {
          |SELECT mk.ta, mk.tb, sa.n + sb.n - ix.n_ab AS exact_union,
          |  n_kept, kth_hash,
          |  CASE WHEN n_kept < 64 THEN n_kept
-         |    ELSE CAST(round(CAST(63 AS DOUBLE)
-         |      * CAST(9223372036854775807 AS DOUBLE)
-         |      / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_union
+         |    ELSE CAST((126::HUGEINT * 9223372036854775807::HUGEINT
+         |        + kth_hash) // (2::HUGEINT * kth_hash) AS BIGINT)
+         |  END AS est_union
          |FROM mk
          |JOIN sz sa ON sa.event_type = mk.ta
          |JOIN sz sb ON sb.event_type = mk.tb
@@ -1358,7 +1368,7 @@ object OlapQueries {
          |ORDER BY 1, 2""".stripMargin,
     "q191_kmv_intersect" ->
       s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-         |h AS (SELECT event_type,
+         |h AS (SELECT DISTINCT event_type,
          |        CAST(md5_number_lower('kmv:' || user_id::VARCHAR) & $H
          |          AS BIGINT) AS h
          |      FROM d),
@@ -1394,13 +1404,14 @@ object OlapQueries {
          |e AS (SELECT mk.ta, mk.tb, n_kept, kth_hash,
          |        coalesce(cm.n_common, 0) AS n_common,
          |        CASE WHEN n_kept < 64 THEN n_kept
-         |          ELSE CAST(round(CAST(63 AS DOUBLE)
-         |            * CAST(9223372036854775807 AS DOUBLE)
-         |            / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_union
+         |          ELSE CAST((126::HUGEINT * 9223372036854775807::HUGEINT
+         |              + kth_hash) // (2::HUGEINT * kth_hash) AS BIGINT)
+         |        END AS est_union
          |      FROM mk LEFT JOIN cm
          |        ON cm.ta = mk.ta AND cm.tb = mk.tb)
          |SELECT e.ta, e.tb, n_common,
-         |  CAST(round(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE), 6)
+         |  CAST(floor((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE))
+         |      * 1000000.0 + 0.5) / 1000000.0
          |    AS DECIMAL(18,6)) AS est_jaccard,
          |  CAST((2 * n_common * est_union + n_kept) // (2 * n_kept)
          |    AS BIGINT) AS est_intersection,
@@ -1409,7 +1420,7 @@ object OlapQueries {
          |ORDER BY 1, 2""".stripMargin,
     "q187_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-         |h AS (SELECT event_type,
+         |h AS (SELECT DISTINCT event_type,
          |        CAST(md5_number_lower('kmv:' || user_id::VARCHAR) & $H
          |          AS BIGINT) AS h
          |      FROM d),
@@ -1425,9 +1436,9 @@ object OlapQueries {
          |       FROM events GROUP BY 1)
          |SELECT kth.event_type, n_exact, n_kept, kth_hash,
          |  CASE WHEN n_kept < 64 THEN n_exact
-         |    ELSE CAST(round(CAST(63 AS DOUBLE)
-         |      * CAST(9223372036854775807 AS DOUBLE)
-         |      / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct
+         |    ELSE CAST((126::HUGEINT * 9223372036854775807::HUGEINT
+         |        + kth_hash) // (2::HUGEINT * kth_hash) AS BIGINT)
+         |  END AS est_distinct
          |FROM kth JOIN ex ON kth.event_type = ex.event_type
          |ORDER BY 1""".stripMargin,
     "q185_skew_profile" ->
@@ -1453,14 +1464,17 @@ object OlapQueries {
         |SELECT n_keys, total_rows, max_n,
         |  CAST(p50_n AS BIGINT) AS p50_n, CAST(p90_n AS BIGINT) AS p90_n,
         |  CAST(p99_n AS BIGINT) AS p99_n, top1_key, top1_n,
-        |  CAST(round(top10_n * 100.0 / total_rows, 6) AS DECIMAL(18,6))
+        |  CAST(floor((top10_n * 100.0 / total_rows) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS DECIMAL(18,6))
         |    AS top10_share_pct
         |FROM t CROSS JOIN p CROSS JOIN t1 CROSS JOIN t10""".stripMargin,
     "q167_weighted_median" ->
       """WITH li AS (
         |  SELECT n_name AS nation,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
-        |    CAST(l_quantity AS DECIMAL(18,2)) AS wq
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2)) AS v,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2)) AS wq
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey),

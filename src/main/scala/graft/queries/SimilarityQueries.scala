@@ -66,17 +66,22 @@ object SimilarityQueries {
         sum(col("x").cast("decimal(20,10)")).as("s"),
         sum((col("x") * col("x")).cast("decimal(28,14)")).as("ssq"))
       .select(col("p"), col("n"),
-        round(col("s").cast("double") / col("n"), 6).as("mu"),
-        round(sqrt(col("ssq").cast("double") / col("n") -
-          (col("s").cast("double") / col("n")) *
-          (col("s").cast("double") / col("n"))), 6).as("sigma"))
+        // IEEE floor-quantization, NOT round(): the quantized doubles are
+        // bit-identical in both engines, and every later decimal pin of
+        // them is off-boundary by construction (GraftFunctions.qround).
+        graft.functions.GraftFunctions.qround(
+          col("s").cast("double") / col("n"), 6).as("mu"),
+        graft.functions.GraftFunctions.qround(
+          sqrt(col("ssq").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) *
+            (col("s").cast("double") / col("n"))), 6).as("sigma"))
     x.join(stats, "p")
       .select(col("p"), col("n"), col("mu"), col("sigma"),
-        round((col("x") - col("mu")) / col("sigma"), 6)
-          .cast("decimal(18,6)").as("z"))
+        graft.functions.GraftFunctions.qdec(
+          (col("x") - col("mu")) / col("sigma"), 18, 6).as("z"))
       .groupBy("p", "n", "mu", "sigma")
-      .agg(round(sum(col("z")).cast("double") / count(lit(1)), 6)
-          .as("mean_z"),
+      .agg(graft.functions.GraftFunctions.qround(
+          sum(col("z")).cast("double") / count(lit(1)), 6).as("mean_z"),
         min(col("z")).as("min_z"), max(col("z")).as("max_z"))
       // Determinism rule (ARCHITECTURE.md): floats leaving the engine are
       // rounded then carried as DECIMAL — a raw double column hashes by
@@ -302,19 +307,21 @@ object SimilarityQueries {
         |        sum(CAST(x * x AS DECIMAL(28,14))) AS ssq
         |      FROM x GROUP BY 1),
         |m AS (SELECT p, n,
-        |        round(CAST(s AS DOUBLE) / n, 6) AS mu,
-        |        round(sqrt(CAST(ssq AS DOUBLE) / n
-        |          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
-        |          AS sigma
+        |        floor((CAST(s AS DOUBLE) / n) * 1000000.0 + 0.5)
+        |          / 1000000.0 AS mu,
+        |        floor(sqrt(CAST(ssq AS DOUBLE) / n
+        |            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS sigma
         |      FROM st),
         |z AS (SELECT x.p, n, mu, sigma,
-        |        CAST(round((x.x - mu) / sigma, 6) AS DECIMAL(18,6)) AS z
+        |        CAST(floor(((x.x - mu) / sigma) * 1000000.0 + 0.5)
+        |          / 1000000.0 AS DECIMAL(18,6)) AS z
         |      FROM x JOIN m ON x.p = m.p)
         |SELECT CAST(p AS INT) AS p, n,
         |  CAST(mu AS DECIMAL(18,6)) AS mu,
         |  CAST(sigma AS DECIMAL(18,6)) AS sigma,
-        |  CAST(round(CAST(sum(z) AS DOUBLE) / count(*), 6)
-        |    AS DECIMAL(18,6)) AS mean_z,
+        |  CAST(floor((CAST(sum(z) AS DOUBLE) / count(*)) * 1000000.0
+        |    + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS mean_z,
         |  min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1, 2, 3, 4 ORDER BY p""".stripMargin,
     "q30_knn_bruteforce" ->

@@ -444,9 +444,13 @@ object StreamingQueries {
     val ev = stream(spark, dir)
       .filter(col("event_type").isin("purchase", "error"))
       .select(col("user_id"), col("ts"), col("event_id"),
+        // Same IEEE cents quantization as batch q176 — the shared oracle
+        // demands the two paths ingest bit-identical deltas.
         when(col("event_type") === "purchase",
-          col("value").cast("decimal(18,2)"))
-          .otherwise(-col("value").cast("decimal(18,2)")).as("delta"))
+          graft.functions.GraftFunctions.qdec(col("value"), 18, 2))
+          .otherwise(
+            -graft.functions.GraftFunctions.qdec(col("value"), 18, 2))
+          .as("delta"))
       .as[EventStreams.LedgerEvent]
     // Per-user exact-decimal ledger state is production-shaped (one row
     // per user per update): drive through the foreachBatch parquet sink,
@@ -496,11 +500,7 @@ object StreamingQueries {
       .select(col("event_type"), col("n_exact"), col("n_kept"),
         col("kth_hash"),
         when(col("n_kept") < k, col("n_exact"))
-          .otherwise(expr(
-            "cast(round(cast(63 as double) * " +
-              "cast(9223372036854775807 as double) / " +
-              "cast(kth_hash as double)) as bigint)"))
-          .as("est_distinct"))
+          .otherwise(OlapQueries.kmvEstimate).as("est_distinct"))
       .orderBy("event_type")
   }
 

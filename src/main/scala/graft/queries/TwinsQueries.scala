@@ -101,8 +101,16 @@ object TwinsQueries {
     Twins.pairCorrelation(twins.unionByName(base).unionByName(rand), r,
       carryCols = Seq("cohort"), broadcastPairs = false)
       .groupBy("cohort")
+      // avg over EXACT decimal sufficient statistics (corr6 is already an
+      // exact 6-dp value, so the decimal pin is unambiguous): a
+      // distributed avg() of raw doubles is partial-merge-order-dependent
+      // and can't be oracle-matched bit-for-bit.
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("corr6")), 6).as("avg_corr"))
+        sum(col("corr6").cast("decimal(18,6)")).as("__s6"),
+        count(col("corr6")).as("__nc"))
+      .select(col("cohort"), col("n_pairs"),
+        graft.functions.GraftFunctions.qround(
+          col("__s6").cast("double") / col("__nc"), 6).as("avg_corr"))
       .orderBy("cohort")
   }
 
@@ -151,8 +159,13 @@ object TwinsQueries {
     Twins.pairCorrelation(twins.unionByName(rpairs), r,
       carryCols = Seq("run"), broadcastPairs = true)
       .groupBy("run")
+      // Exact-decimal mean of corr6 (see q44) with the 6-dp decimal pin.
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("corr6")), 6).cast("decimal(18,6)").as("avg_corr"))
+        sum(col("corr6").cast("decimal(18,6)")).as("__s6"),
+        count(col("corr6")).as("__nc"))
+      .select(col("run"), col("n_pairs"),
+        graft.functions.GraftFunctions.qdec(
+          col("__s6").cast("double") / col("__nc"), 18, 6).as("avg_corr"))
       .orderBy("run")
   }
 
@@ -210,7 +223,7 @@ object TwinsQueries {
   private val corrSelect =
     """corrs AS (
       |  SELECT p.id_a, p.id_b, COUNT(*) AS n_corated,
-      |    round(corr(r1.rating, r2.rating), 6) AS corr6
+      |    floor(corr(r1.rating, r2.rating) * 1000000.0 + 0.5) / 1000000.0 AS corr6
       |  FROM pairs p
       |  JOIN rat r1 ON r1.user_id = p.id_a
       |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
@@ -349,7 +362,7 @@ object TwinsQueries {
          |  SELECT 'random' AS cohort, id_a, id_b FROM rpairs),
          |ccorrs AS (
          |  SELECT p.cohort, p.id_a, p.id_b, COUNT(*) AS n_corated,
-         |    round(corr(r1.rating, r2.rating), 6) AS corr6
+         |    floor(corr(r1.rating, r2.rating) * 1000000.0 + 0.5) / 1000000.0 AS corr6
          |  FROM ctrl p
          |  JOIN rat r1 ON r1.user_id = p.id_a
          |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
@@ -358,7 +371,9 @@ object TwinsQueries {
          |  SELECT 'twins' AS cohort, corr6 FROM corrs
          |  UNION ALL
          |  SELECT cohort, corr6 FROM ccorrs)
-         |SELECT cohort, COUNT(*) AS n_pairs, round(AVG(corr6), 6) AS avg_corr
+         |SELECT cohort, COUNT(*) AS n_pairs,
+         |  floor((CAST(SUM(CAST(corr6 AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(corr6)) * 1000000.0 + 0.5) / 1000000.0 AS avg_corr
          |FROM u GROUP BY cohort ORDER BY cohort""".stripMargin,
     "q183_twin_protocol" ->
       s"""WITH $setsCte,
@@ -382,7 +397,7 @@ object TwinsQueries {
          |  WHERE rn % 2 = 1 AND rn < 200 AND partner IS NOT NULL),
          |rcorrs AS (
          |  SELECT p.run, p.id_a, p.id_b, COUNT(*) AS n_corated,
-         |    round(corr(r1.rating, r2.rating), 6) AS corr6
+         |    floor(corr(r1.rating, r2.rating) * 1000000.0 + 0.5) / 1000000.0 AS corr6
          |  FROM rpairs p
          |  JOIN rat r1 ON r1.user_id = p.id_a
          |  JOIN rat r2 ON r2.user_id = p.id_b AND r2.item_id = r1.item_id
@@ -391,6 +406,8 @@ object TwinsQueries {
          |  SELECT CAST(-1 AS BIGINT) AS run, corr6 FROM corrs
          |  UNION ALL SELECT run, corr6 FROM rcorrs)
          |SELECT run, COUNT(*) AS n_pairs,
-         |  CAST(round(AVG(corr6), 6) AS DECIMAL(18,6)) AS avg_corr
+         |  CAST(floor((CAST(SUM(CAST(corr6 AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(corr6)) * 1000000.0 + 0.5) / 1000000.0
+         |    AS DECIMAL(18,6)) AS avg_corr
          |FROM u GROUP BY run ORDER BY run""".stripMargin)
 }

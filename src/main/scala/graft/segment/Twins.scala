@@ -226,7 +226,12 @@ object Twins {
         corr(col("rating_a"), col("rating_b")).as("c"))
       .filter(col("n_corated") >= 2)
       .withColumn("corr6",
-        when(isnan(col("c")), lit(null)).otherwise(round(col("c"), 6)))
+        // IEEE floor-quantization (GraftFunctions.qround), not round():
+        // the 6-dp value leaves the engine bit-identical to any oracle
+        // engine computing the same formula, with no rounding-mode
+        // dependence (determinism rule, ARCHITECTURE.md).
+        when(isnan(col("c")), lit(null)).otherwise(
+          graft.functions.GraftFunctions.qround(col("c"), 6)))
       .drop("c")
   }
 }
