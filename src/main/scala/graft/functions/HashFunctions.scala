@@ -124,11 +124,19 @@ object GraftFunctions {
     * DOUBLE: `floor(x·10^s + 0.5) / 10^s`. Oracle twin: [[qroundSql]].
     * (Negative half-boundaries round toward +∞, unlike HALF_UP's
     * away-from-zero — irrelevant to the gate, which only needs the two
-    * engines to agree with EACH OTHER.) */
+    * engines to agree with EACH OTHER.)
+    *
+    * NULL/NaN/±Inf pass through untouched: Spark's `floor(double)`
+    * returns LONG (NaN→0, +Inf→Long.Max) where SQL engines keep the
+    * special double — the guard restores `round()`'s NaN-preserving
+    * behavior, which the plain oracle formula already has. */
   def qround(c: Column, s: Int): Column = {
-    val f = org.apache.spark.sql.functions.lit(math.pow(10, s))
-    org.apache.spark.sql.functions.floor(
-      c * f + org.apache.spark.sql.functions.lit(0.5)) / f
+    import org.apache.spark.sql.functions.{floor, isnan, lit, when}
+    val f = lit(math.pow(10, s))
+    when(c.isNull || isnan(c) ||
+      c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), c)
+      .otherwise(floor(c * f + lit(0.5)) / f)
   }
 
   /** [[qround]] pinned to an exact DECIMAL(p,s): after quantization the

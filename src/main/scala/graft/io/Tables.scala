@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Typed readers for the driver-provided parquet star schema
   * (`/root/testdata/sf*`; see TESTDATA.md). All schemas are fixed by the
@@ -267,7 +268,7 @@ object Tables {
     ranked.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("__es").desc, col(key))))
-      .withColumn("es", round(col("__es"), 6)).drop("__es")
+      .withColumn("es", qround(col("__es"), 6)).drop("__es")
   }
 
   /** `n` seeded-random disjoint pairs from the distinct values of `key`

@@ -3,6 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** ROC AUC via the Mann–Whitney rank-sum identity:
   * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), with R⁺ the positives' rank sum
@@ -39,7 +40,7 @@ object Auc {
         sum("mp").as("np"),
         sum(col("m") - col("mp")).as("nn"))
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-        round(
+        qround(
           (col("r2").cast("double") / 2.0 -
             col("np").cast("double") * (col("np") + 1).cast("double") / 2.0) /
           (col("np").cast("double") * col("nn").cast("double")), 6)

@@ -3,6 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Pearson χ² test of independence over a contingency table — "is the
   * language mix independent of the crawl source?" is the canonical
@@ -33,11 +34,11 @@ object Contingency {
       .withColumn("rt", sum("o").over(byR))
       .withColumn("ct", sum("o").over(byC))
       .withColumn("n", sum("o").over(all))
-      .withColumn("expected", round(
+      .withColumn("expected", qround(
         col("rt").cast("double") * col("ct").cast("double") /
           col("n").cast("double"), 6))
       .withColumn("e_dec", col("expected").cast("decimal(18,6)"))
-      .withColumn("contrib", round(
+      .withColumn("contrib", qround(
         ((col("o") - col("e_dec")) * (col("o") - col("e_dec")))
           .cast("double") / col("e_dec").cast("double"), 6))
     val dims = cells.agg(

@@ -2,6 +2,7 @@ package graft.metrics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Grouped simple linear regression from sufficient statistics — the
   * "fit a line per segment" primitive (trend per source, elasticity
@@ -39,15 +40,15 @@ object Ols {
     val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     stats.select(dn: _*)
       .withColumn("slope",
-        when(col("n") >= 2 && dx > 0.0, round(num / dx, 6)))
+        when(col("n") >= 2 && dx > 0.0, qround(num / dx, 6)))
       .withColumn("intercept",
-        when(col("slope").isNotNull, round(
+        when(col("slope").isNotNull, qround(
           (col("sy").cast("double") -
             col("slope") * col("sx").cast("double")) /
             col("n").cast("double"), 6)))
       .withColumn("r2",
         when(col("slope").isNotNull && dy > 0.0,
-          round(num * num / (dx * dy), 6)))
+          qround(num * num / (dx * dy), 6)))
       .select(col("g").as("grp"), col("n"), col("slope"),
         col("intercept"), col("r2"))
   }

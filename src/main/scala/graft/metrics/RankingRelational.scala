@@ -3,6 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Ranking metrics (Precision@K, MAP@K, NDCG@K with binary relevance) as a
   * pure relational computation — no RDD round-trip, no driver loops, every
@@ -62,8 +63,8 @@ object RankingRelational {
       .groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_users"),
-        round(avg(col("p")), 6).as("p_at_k"),
-        round(avg(col("ap_num") / col("m")), 6).as("map_at_k"),
-        round(avg(col("dcg") / col("v")), 6).as("ndcg_at_k"))
+        qround(avg(col("p")), 6).as("p_at_k"),
+        qround(avg(col("ap_num") / col("m")), 6).as("map_at_k"),
+        qround(avg(col("dcg") / col("v")), 6).as("ndcg_at_k"))
   }
 }

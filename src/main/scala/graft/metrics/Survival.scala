@@ -3,6 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Kaplan–Meier survival estimation over an event log — retention as a
   * proper survival curve with right-censoring, instead of the naive
@@ -58,7 +59,7 @@ object Survival {
       // a step where EVERYONE at risk dies drives Ŝ to exactly 0 — keep
       // it out of the log-domain sum and pin the tail with a flag
       .withColumn("lnf",
-        when(col("d") > 0 && col("d") < col("n_risk"), round(
+        when(col("d") > 0 && col("d") < col("n_risk"), qround(
           log(lit(1.0) - col("d").cast("double") /
             col("n_risk").cast("double")), 9))
           .otherwise(lit(0.0)).cast("decimal(18,9)"))
@@ -66,7 +67,7 @@ object Survival {
         max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
       .withColumn("s_hat",
         when(col("dead") === 1, lit(0.0)).otherwise(
-          round(exp(sum("lnf").over(wAsc).cast("double")), 6)))
+          qround(exp(sum("lnf").over(wAsc).cast("double")), 6)))
       .select(col("t"), col("n_risk"), col("d").as("n_death"),
         col("c").as("n_censor"), col("s_hat"))
   }

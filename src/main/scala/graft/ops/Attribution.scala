@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Time-decay multi-touch attribution — split each conversion's credit
   * across the clicks that preceded it, weighted exp(−Δt/τ): the
@@ -40,7 +41,7 @@ object Attribution {
       col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") > col("p_ts") - lit(lookbackNs))
-      .withColumn("w", round(
+      .withColumn("w", qround(
         exp((col("c_ts") - col("p_ts")).cast("double") / 1e9 /
           lit(tauSeconds)), 6).cast("decimal(10,6)"))
 
@@ -49,7 +50,7 @@ object Attribution {
         sum("w").over(Window.partitionBy("purchase_id")))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         col("w").cast("double").as("w"),
-        round(col("w").cast("double") / col("tot").cast("double"), 6)
+        qround(col("w").cast("double") / col("tot").cast("double"), 6)
           .as("credit"))
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Poisson bootstrap — resampling statistics at data-parallel scale.
   *
@@ -70,7 +71,7 @@ object Bootstrap {
              seed: Long, alpha: Double = 0.05): DataFrame = {
     require(replicas >= 40, s"need >= 40 replicas for a stable CI, got $replicas")
     val base = df.select(key.cast("string").as("k"),
-      value.cast("decimal(18,2)").as("v"))
+      graft.functions.GraftFunctions.qdec(value, 18, 2).as("v"))
 
     val u = least(
       graft.functions.GraftFunctions.md5_63(
@@ -85,8 +86,9 @@ object Bootstrap {
       .groupBy("b")
       .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
       .select(col("b"),
-        round(col("swv").cast("double") / col("sw").cast("double"), 6)
-          .cast("decimal(18,6)").as("m"))
+        graft.functions.GraftFunctions.qdec(
+          col("swv").cast("double") / col("sw").cast("double"), 18, 6)
+          .as("m"))
 
     val loRank = math.ceil(alpha / 2.0 * replicas).toLong
     val hiRank = math.ceil((1.0 - alpha / 2.0) * replicas).toLong
@@ -101,12 +103,12 @@ object Bootstrap {
     val full = base.agg(count(lit(1)).as("n_rows"), sum("v").as("sv"))
     full.crossJoin(ci).select(
       col("n_rows"),
-      round(col("sv").cast("double") / col("n_rows").cast("double"), 6)
+      qround(col("sv").cast("double") / col("n_rows").cast("double"), 6)
         .as("mean"),
       col("n_replicas"),
       col("ci_lo").cast("double").as("ci_lo"),
       col("ci_hi").cast("double").as("ci_hi"),
-      round(sqrt((col("s2").cast("double") -
+      qround(sqrt((col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") /
             col("n_replicas").cast("double")) /
         (col("n_replicas").cast("double") - 1.0)), 6).as("se_boot"))

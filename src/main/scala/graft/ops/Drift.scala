@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Distribution-drift measurement between two data slices — the
   * population stability index (PSI), the standard ML-monitoring check
@@ -35,7 +36,7 @@ object Drift {
     val q = (col("n_b") + lit(1.0)) / (col("tot_b") + col("nbins"))
     counts.crossJoin(broadcast(totals))
       .select(col("bin"), col("n_a"), col("n_b"),
-        round((p - q) * log(p / q), 6).as("psi_contrib"))
+        qround((p - q) * log(p / q), 6).as("psi_contrib"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov test — the binning-free sibling
@@ -75,9 +76,9 @@ object Drift {
           col("cum_b") * col("tot_a"))).as("dnum"))
       .select(col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
-        round(col("dnum").cast("double") /
+        qround(col("dnum").cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6).as("d"),
-        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+        qround(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"))
   }
 }

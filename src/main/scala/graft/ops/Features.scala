@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Supervised-training row generation from an event log — the
   * feature/label framing step of a next-event-prediction pipeline
@@ -66,7 +67,7 @@ object Features {
       pmod(graft.functions.GraftFunctions.md5_63(
         concat(lit(seed.toString), lit(":"), key.cast("string"))),
         lit(folds)).cast("int").as("fold"),
-      target.cast("decimal(18,2)").as("v"))
+      graft.functions.GraftFunctions.qdec(target, 18, 2).as("v"))
 
     val perFold = rows.groupBy("cat", "fold")
       .agg(count(lit(1)).as("cnt"), sum("v").as("s"))
@@ -81,14 +82,14 @@ object Features {
       .withColumn("f_s", sum("s").over(byFold))
       .withColumn("g_cnt", sum("cnt").over(all))
       .withColumn("g_s", sum("s").over(all))
-      .withColumn("g_oof", round(
+      .withColumn("g_oof", qround(
         (col("g_s") - col("f_s")).cast("double") /
           (col("g_cnt") - col("f_cnt")).cast("double"), 6))
       .withColumn("oof_cnt", col("tot_cnt") - col("cnt"))
-      .withColumn("enc_raw", when(col("oof_cnt") > 0, round(
+      .withColumn("enc_raw", when(col("oof_cnt") > 0, qround(
         (col("tot_s") - col("s")).cast("double") /
           col("oof_cnt").cast("double"), 6)))
-      .withColumn("enc_smooth", round(
+      .withColumn("enc_smooth", qround(
         ((col("tot_s") - col("s")).cast("double") +
           lit(smoothing.toDouble) * col("g_oof")) /
           (col("oof_cnt") + lit(smoothing)).cast("double"), 6))

@@ -35,9 +35,9 @@ object Incremental {
   def partials(df: DataFrame, keys: Seq[String], measure: Column): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
-      sum(measure.cast(Dec)).as("s"),
-      min(measure.cast(Dec)).as("mn"),
-      max(measure.cast(Dec)).as("mx"))
+      sum(graft.functions.GraftFunctions.qdec(measure, 18, 2)).as("s"),
+      min(graft.functions.GraftFunctions.qdec(measure, 18, 2)).as("mn"),
+      max(graft.functions.GraftFunctions.qdec(measure, 18, 2)).as("mx"))
 
   /** Merge partial states (the stored MV plus any number of delta
     * partials) into the refreshed view. Inputs are groups-sized, so on a

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Grouped z-score anomaly flagging: score = (x − mean_g) / stddev_g with
   * the group statistics computed as unpartitioned-frame window aggregates,
@@ -29,7 +30,7 @@ object Outliers {
                      threshold: Double): DataFrame = {
     val w = Window.partitionBy(group: _*)
     val z = (x - avg(x).over(w)) / stddev_samp(x).over(w)
-    df.withColumn("z", round(z, 6))
+    df.withColumn("z", qround(z, 6))
       .filter(abs(col("z")) >= threshold)
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** One-pass column profiling — the data-quality summary (row count,
   * null count, distinct count, min/max) every ingestion pipeline runs
@@ -61,7 +62,7 @@ object Profile {
     val row = df.agg(aggs.head, aggs.tail: _*)
     val perPair = pairs.map { case (a, b) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(col(s"$a|$b"), 6).as("r"))
+        qround(col(s"$a|$b"), 6).as("r"))
     }
     row.select(explode(array(perPair: _*)).as("p")).select("p.*")
   }

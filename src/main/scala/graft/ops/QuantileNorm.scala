@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Quantile normalization across groups — map each group's value
   * distribution onto the POOLED distribution, so per-source scores
@@ -37,10 +38,10 @@ object QuantileNorm {
       value.cast("double").as("v"))
 
     val gb = rows.agg(expr(s"percentile(v, array($psSql))").as("raw"))
-      .select(expr("transform(raw, b -> round(b, 6))").as("gb"))
+      .select(expr("transform(raw, b -> floor((b) * 1000000.0 + 0.5) / 1000000.0)").as("gb"))
     val sb = rows.groupBy("grp")
       .agg(expr(s"percentile(v, array($psSql))").as("raw"))
-      .select(col("grp"), expr("transform(raw, b -> round(b, 6))").as("sb"))
+      .select(col("grp"), expr("transform(raw, b -> floor((b) * 1000000.0 + 0.5) / 1000000.0)").as("sb"))
 
     val n = lit(probes)
     val withP = rows.join(broadcast(sb), "grp").crossJoin(broadcast(gb))
@@ -52,7 +53,7 @@ object QuantileNorm {
         when(col("hi") > col("lo"),
           (col("v") - col("lo")) / (col("hi") - col("lo")))
           .otherwise(lit(0.0)))
-      .withColumn("p_src", round(
+      .withColumn("p_src", qround(
         ((col("i") - 1).cast("double") + col("frac")) / n.cast("double"),
         6))
 
@@ -64,7 +65,7 @@ object QuantileNorm {
       .withColumn("jfrac", col("p_src") * n.cast("double") -
         col("j").cast("double"))
       .withColumn("v_norm",
-        round(col("glo") + col("jfrac") * (col("ghi") - col("glo")), 6))
+        qround(col("glo") + col("jfrac") * (col("ghi") - col("glo")), 6))
       .select(col("rid"), col("grp"), col("v"), col("p_src"),
         col("v_norm"))
   }

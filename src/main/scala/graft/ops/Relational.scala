@@ -17,13 +17,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Relational {
 
-  /** Exact decimal sum of a double column: per-row double→decimal cast is
-    * deterministic, decimal addition is associative — so the sum is
-    * independent of partitioning/merge order, unlike a double sum. This is
-    * what makes money-sum queries hash-comparable against the DuckDB
-    * oracle at any parallelism. */
+  /** Exact decimal sum of a double column: the per-row double→decimal
+    * step goes through the IEEE floor-quantizer
+    * ([[graft.functions.GraftFunctions.qdec]] — a raw cast's
+    * half-boundary direction is engine-release-dependent), and decimal
+    * addition is associative — so the sum is independent of
+    * partitioning/merge order AND of the oracle engine's rounding mode.
+    * This is what makes money-sum queries hash-comparable against the
+    * DuckDB oracle at any parallelism. */
   def decSum(c: Column, precision: Int = 18, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(precision, scale)))
+    sum(graft.functions.GraftFunctions.qdec(c, precision, scale))
 
   /** J1 + A1 + P5 — keep only rows of keys with ≥ minCount occurrences
     * (reference "active users", `top_100_pairs.py:34-36`). Implemented as

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Time-series regularization: densify a sparse per-key daily series onto
   * its full [min_day, max_day] grid (gap fill) and carry the last
@@ -121,8 +122,8 @@ object TimeSeries {
       .withColumn("__dp", last(obsDay, ignoreNulls = true).over(wPrev))
       .withColumn("__vn", first(col(measure), ignoreNulls = true).over(wNext))
       .withColumn("__dn", first(obsDay, ignoreNulls = true).over(wNext))
-      .withColumn("__vpc", round(col("__vp") * scale, 0).cast("long"))
-      .withColumn("__vnc", round(col("__vn") * scale, 0).cast("long"))
+      .withColumn("__vpc", qround(col("__vp") * scale, 0).cast("long"))
+      .withColumn("__vnc", qround(col("__vn") * scale, 0).cast("long"))
       .withColumn("__num",
         (col("__vpc") * (col("__dn") - col("__dp")) +
           (col("__vnc") - col("__vpc")) * (col(day) - col("__dp")))
@@ -212,7 +213,7 @@ object TimeSeries {
     val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     s.select(col("lag"), col("n").as("n_days"),
       when(col("n") >= 2 && dx > 0.0 && dy > 0.0,
-        round(num / sqrt(dx * dy), 6)).as("r"))
+        qround(num / sqrt(dx * dy), 6)).as("r"))
   }
 }
 

@@ -5,6 +5,7 @@ import graft.io.Tables
 import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -47,7 +48,7 @@ object AnalyticsQueries {
     names.select(col("name").as("name_a"))
       .join(broadcast(names.select(col("name").as("name_b"))),
         col("name_a") < col("name_b"))
-      .withColumn("jw", round(graft.functions.GraftFunctions
+      .withColumn("jw", qround(graft.functions.GraftFunctions
         .jaro_winkler(col("name_a"), col("name_b")), 6))
       .filter(col("jw") >= 0.75)
       .orderBy("name_a", "name_b")
@@ -82,7 +83,7 @@ object AnalyticsQueries {
     val edges = pair.union(pair.select(col("dst").as("src"),
       col("src").as("dst")))
     PageRank.pageRank(edges, iters = 3, damping = 0.85)
-      .select(col("node"), round(col("r"), 6).as("rank"))
+      .select(col("node"), qround(col("r"), 6).as("rank"))
       .orderBy("node")
   }
 
@@ -117,7 +118,7 @@ object AnalyticsQueries {
   val q101: Q = (spark, dir) =>
     Profile.profile(
       Tables.customer(spark, dir).withColumn("c_acctbal",
-        col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+        qdec(col("c_acctbal"), 18, 2)),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .orderBy("col_name")
 
@@ -299,8 +300,7 @@ object AnalyticsQueries {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("n_name").as("nation"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice")
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        sum(qdec(col("o_totalprice"), 18, 2))
           .cast("double").as("spend"))
     Outliers.zscoreOutliers(spend, Seq(col("nation")), col("spend"), 2.5)
       .select("c_custkey", "nation", "n_orders", "spend", "z")
@@ -553,7 +553,7 @@ object AnalyticsQueries {
         s"nd$i AS n_distinct, mn$i AS min_s, mx$i AS max_s FROM s"
     }.mkString("\nUNION ALL\n")
     s"""WITH c2 AS (SELECT c_custkey, c_name, c_nationkey,
-       |  CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment
+       |  CAST(floor(c_acctbal * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS c_acctbal, c_mktsegment
        |  FROM customer),
        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |  $measures
@@ -579,7 +579,7 @@ object AnalyticsQueries {
     } yield {
       val (a, b) = (corrCols(i), corrCols(j))
       s"SELECT '$a' AS col_a, '$b' AS col_b, " +
-        s"round(corr($a, $b), 6) AS r FROM lineitem"
+        s"floor((corr($a, $b)) * 1000000.0 + 0.5) / 1000000.0 AS r FROM lineitem"
     }
     stanzas.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
   }
@@ -607,7 +607,7 @@ object AnalyticsQueries {
         |x AS (
         |  SELECT t, n_risk, d, c,
         |    CAST(CASE WHEN d > 0 AND d < n_risk
-        |      THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+        |      THEN floor((ln(1.0 - CAST(d AS DOUBLE) / n_risk)) * 1000000000.0 + 0.5) / 1000000000.0
         |      ELSE 0.0 END AS DECIMAL(18,9)) AS lnf,
         |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead0
         |  FROM w),
@@ -620,7 +620,7 @@ object AnalyticsQueries {
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
         |  CAST(d AS BIGINT) AS n_death, CAST(c AS BIGINT) AS n_censor,
         |  CASE WHEN dead = 1 THEN 0.0
-        |    ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS s_hat
+        |    ELSE floor((exp(CAST(cum AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END AS s_hat
         |FROM y ORDER BY t""".stripMargin,
     "q148_decay_attribution" ->
       """WITH p AS (
@@ -631,13 +631,13 @@ object AnalyticsQueries {
         |  FROM events WHERE event_type = 'click'),
         |pr AS (
         |  SELECT p.purchase_id, c.click_id, p.user_id,
-        |    CAST(round(exp(CAST(ct - pt AS DOUBLE) / 1e9 / 21600.0), 6)
+        |    CAST(floor((exp(CAST(ct - pt AS DOUBLE) / 1e9 / 21600.0)) * 1000000.0 + 0.5) / 1000000.0
         |      AS DECIMAL(10,6)) AS w
         |  FROM p JOIN c ON c.user_id = p.user_id
         |    AND ct <= pt AND ct > pt - 86400000000000)
         |SELECT purchase_id, click_id, user_id, CAST(w AS DOUBLE) AS w,
-        |  round(CAST(w AS DOUBLE) /
-        |    CAST(SUM(w) OVER (PARTITION BY purchase_id) AS DOUBLE), 6)
+        |  floor((CAST(w AS DOUBLE) /
+        |    CAST(SUM(w) OVER (PARTITION BY purchase_id) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS credit
         |FROM pr ORDER BY purchase_id, click_id""".stripMargin,
     "q143_chi_square" ->
@@ -652,14 +652,14 @@ object AnalyticsQueries {
         |  FROM cells),
         |x AS (
         |  SELECT r, c, o,
-        |    round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-        |      / CAST(n AS DOUBLE), 6) AS expected
+        |    floor((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS expected
         |  FROM m),
         |y AS (
         |  SELECT r, c, o, expected,
-        |    round(CAST((o - CAST(expected AS DECIMAL(18,6))) *
+        |    floor((CAST((o - CAST(expected AS DECIMAL(18,6))) *
         |          (o - CAST(expected AS DECIMAL(18,6))) AS DOUBLE)
-        |      / CAST(CAST(expected AS DECIMAL(18,6)) AS DOUBLE), 6) AS contrib
+        |      / CAST(CAST(expected AS DECIMAL(18,6)) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS contrib
         |  FROM x),
         |d AS (SELECT COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
         |      FROM cells)
@@ -703,7 +703,7 @@ object AnalyticsQueries {
       """WITH s AS (
         |  SELECT o_custkey AS c_custkey,
         |         CAST(count(*) AS BIGINT) AS n_orders,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
         |           / count(*) AS avg_value
         |  FROM orders GROUP BY 1)
         |SELECT c_custkey, n_orders, avg_value FROM s x
@@ -715,9 +715,9 @@ object AnalyticsQueries {
     "q160_jaro_winkler" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
         |SELECT a.name AS name_a, b.name AS name_b,
-        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |  floor((jaro_winkler_similarity(a.name, b.name)) * 1000000.0 + 0.5) / 1000000.0 AS jw
         |FROM n a JOIN n b ON a.name < b.name
-        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.75
+        |WHERE floor((jaro_winkler_similarity(a.name, b.name)) * 1000000.0 + 0.5) / 1000000.0 >= 0.75
         |ORDER BY 1, 2""".stripMargin,
     "q159_bfs_reach" ->
       """WITH pair AS (
@@ -774,9 +774,9 @@ object AnalyticsQueries {
         |             max(abs(cum_a * tot_b - cum_b * tot_a)) AS dnum
         |      FROM g)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  round(CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS d,
-        |  round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
-        |                     / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05
+        |  floor((CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS d,
+        |  floor((1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |                     / CAST(n_a * n_b AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS crit_05
         |FROM s""".stripMargin,
     "q115_psi_drift" ->
       """WITH o AS (SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400
@@ -796,10 +796,10 @@ object AnalyticsQueries {
         |             CAST(sum(n_a) AS BIGINT) AS tot_a,
         |             CAST(sum(n_b) AS BIGINT) AS tot_b FROM c)
         |SELECT bin, n_a, n_b,
-        |       round(((n_a + 1.0) / (tot_a + nbins)
+        |       floor((((n_a + 1.0) / (tot_a + nbins)
         |               - (n_b + 1.0) / (tot_b + nbins))
         |             * ln(((n_a + 1.0) / (tot_a + nbins))
-        |                  / ((n_b + 1.0) / (tot_b + nbins))), 6)
+        |                  / ((n_b + 1.0) / (tot_b + nbins)))) * 1000000.0 + 0.5) / 1000000.0
         |         AS psi_contrib
         |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
     "q113_zorder_stats" ->
@@ -822,9 +822,9 @@ object AnalyticsQueries {
       """SELECT (epoch_ns(o_orderdate) // 1000000000) // 2592000 AS period,
         |       o_orderstatus,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
-        |       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_total,
-        |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_total
+        |       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |       CAST(MIN(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS min_total,
+        |       CAST(MAX(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS max_total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q104_triangle_counts" ->
       """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
@@ -953,7 +953,7 @@ object AnalyticsQueries {
       """WITH pts AS (
         |  SELECT n_name AS nation,
         |         (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
         |           AS revenue
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -981,8 +981,8 @@ object AnalyticsQueries {
         |          (PARTITION BY nation ORDER BY day
         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
         |      FROM j),
-        |w2 AS (SELECT *, CAST(round(vp * 100, 0) AS BIGINT) AS vpc,
-        |         CAST(round(vn * 100, 0) AS BIGINT) AS vnc FROM w),
+        |w2 AS (SELECT *, CAST(floor((vp * 100) + 0.5) AS BIGINT) AS vpc,
+        |         CAST(floor((vn * 100) + 0.5) AS BIGINT) AS vnc FROM w),
         |w3 AS (SELECT *,
         |         CAST(vpc AS HUGEINT) * (dn - dp)
         |           + CAST(vnc - vpc AS HUGEINT) * (day - dp) AS num,
@@ -1001,7 +1001,7 @@ object AnalyticsQueries {
       """WITH pts AS (
         |  SELECT n_name AS nation,
         |         (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2),
@@ -1051,13 +1051,13 @@ object AnalyticsQueries {
       """WITH spend AS (
         |  SELECT c_custkey, n_name AS nation,
         |         CAST(count(*) AS BIGINT) AS n_orders,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2),
         |z AS (SELECT c_custkey, nation, n_orders, spend,
-        |        round((spend - avg(spend) OVER (PARTITION BY nation))
-        |              / stddev_samp(spend) OVER (PARTITION BY nation), 6) AS z
+        |        floor(((spend - avg(spend) OVER (PARTITION BY nation))
+        |              / stddev_samp(spend) OVER (PARTITION BY nation)) * 1000000.0 + 0.5) / 1000000.0 AS z
         |      FROM spend)
         |SELECT * FROM z WHERE abs(z) >= 2.5 ORDER BY c_custkey""".stripMargin,
     "q46_cohort_retention" ->
@@ -1113,7 +1113,7 @@ object AnalyticsQueries {
          |${prIter("r0", "r1")},
          |${prIter("r1", "r2")},
          |${prIter("r2", "r3")}
-         |SELECT node, ROUND(r, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+         |SELECT node, floor((r) * 1000000.0 + 0.5) / 1000000.0 AS rank FROM r3 ORDER BY node""".stripMargin,
     "q100_merge_upsert" ->
       """WITH upd AS (
         |  SELECT c_custkey, c_name,

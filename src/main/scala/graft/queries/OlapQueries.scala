@@ -4,6 +4,7 @@ import graft.io.Tables
 import graft.ops.Relational.decSum
 import graft.ops.TimeSeries
 import graft.text.Fuzzy
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,7 +69,7 @@ object OlapQueries {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n_transitions"))
-      .withColumn("p", round(col("n_transitions").cast("double") /
+      .withColumn("p", qround(col("n_transitions").cast("double") /
         sum(col("n_transitions")).over(Window.partitionBy("prev_type")), 6))
       .orderBy("prev_type", "next_type")
   }
@@ -107,9 +108,9 @@ object OlapQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rev.select(col("nation"), col("n_orders"),
         col("rev").cast("double").as("revenue"),
-        round(col("rev").cast("double") /
+        qround(col("rev").cast("double") /
           sum(col("rev")).over(tot).cast("double"), 6).as("share"),
-        round(sum(col("rev")).over(cum).cast("double") /
+        qround(sum(col("rev")).over(cum).cast("double") /
           sum(col("rev")).over(tot).cast("double"), 6).as("cum_share"))
       .withColumn("abc_class",
         when(col("cum_share") <= 0.5, "A")
@@ -132,7 +133,7 @@ object OlapQueries {
     val vals = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
     val ps = (1 to 9).map(i => s"0.${i}D").mkString(", ")
     val bs = vals.agg(expr(s"percentile(v, array($ps))").as("raw"))
-      .select(expr("transform(raw, b -> round(b, 6))").as("bs"))
+      .select(expr("transform(raw, b -> floor((b) * 1000000.0 + 0.5) / 1000000.0)").as("bs"))
     vals.crossJoin(broadcast(bs))
       .withColumn("bucket",
         (size(expr("filter(bs, b -> v > b)")) + 1).cast("long"))
@@ -159,14 +160,14 @@ object OlapQueries {
       .select(col("event_id"), col("event_type"), col("value"))
       .localCheckpoint()
     val med = ev.groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+      .agg(qround(expr("percentile(value, 0.5D)"), 6).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
     val mad = dev.groupBy("event_type")
-      .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+      .agg(qround(expr("percentile(adev, 0.5D)"), 6).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .withColumn("rz",
-        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+        qround(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
       .filter(abs(col("rz")) >= 3.5)
       .select("event_id", "event_type", "value", "med", "mad", "rz")
       .orderBy("event_id")
@@ -186,7 +187,7 @@ object OlapQueries {
       .select(col("nation"), col("day"), col("rev").cast("double").as("revenue"))
     graft.ops.TimeSeries.ewma(daily, "nation", "day", "revenue", 0.2)
       .select(col("nation"), col("day"), col("revenue"),
-        round(col("ewma"), 6).as("ewma"))
+        qround(col("ewma"), 6).as("ewma"))
       .orderBy("nation", "day")
   }
 
@@ -199,7 +200,7 @@ object OlapQueries {
     def period = expr(
       "cast(cast(o_orderdate as timestamp) as long) div 86400 div 30")
     val o = Tables.orders(spark, dir).select(col("o_custkey"),
-      period.as("period"), col("o_totalprice").cast("decimal(18,2)").as("v"))
+      period.as("period"), qdec(col("o_totalprice"), 18, 2).as("v"))
     val firstP = o.groupBy("o_custkey")
       .agg(min("period").as("first_period"))
     o.join(firstP, "o_custkey")
@@ -227,9 +228,9 @@ object OlapQueries {
         (day("l_shipdate") - day("o_orderdate")).as("lead_days"))
     lt.groupBy("priority")
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(lead_days, 0.5D)"), 6).as("p50"),
-        round(expr("percentile(lead_days, 0.9D)"), 6).as("p90"),
-        round(expr("percentile(lead_days, 0.99D)"), 6).as("p99"),
+        qround(expr("percentile(lead_days, 0.5D)"), 6).as("p50"),
+        qround(expr("percentile(lead_days, 0.9D)"), 6).as("p90"),
+        qround(expr("percentile(lead_days, 0.99D)"), 6).as("p99"),
         sum(when(col("lead_days") > 60, 1L).otherwise(0L)).as("n_breach"))
       .orderBy("priority")
   }
@@ -245,10 +246,10 @@ object OlapQueries {
     val daily = Tables.orders(spark, dir)
       .groupBy(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
         .as("day"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .agg(sum(qdec(col("o_totalprice"), 18, 2)).as("rev"))
       .withColumn("dow", pmod(col("day"), lit(7)))
     val expected = daily.groupBy("dow")
-      .agg(round(sum("rev").cast("double") / count(lit(1)), 6)
+      .agg(qround(sum("rev").cast("double") / count(lit(1)), 6)
         .cast("decimal(18,6)").as("expected"))
     val resid = daily.join(broadcast(expected), "dow")
       .withColumn("residual", col("rev") - col("expected"))
@@ -286,7 +287,7 @@ object OlapQueries {
       .select(expr(
         "cast(cast(o_orderdate as timestamp) as long) div 86400 div 30")
         .as("period"),
-        col("o_totalprice").cast("decimal(18,2)").as("v"))
+        qdec(col("o_totalprice"), 18, 2).as("v"))
       .groupBy("period")
       .agg(sum("v").as("revenue"), count(lit(1)).as("n_orders"))
     val w = Window.orderBy("period")
@@ -294,7 +295,7 @@ object OlapQueries {
       .withColumn("prev", lag(col("revenue"), 1).over(w))
       .select(col("period"), col("n_orders"),
         col("revenue").cast("double").as("revenue"),
-        round((col("revenue") - col("prev")).cast("double") /
+        qround((col("revenue") - col("prev")).cast("double") /
           col("prev").cast("double"), 6).as("growth"))
       .orderBy("period")
   }
@@ -587,7 +588,7 @@ object OlapQueries {
       col("nl").as("n_left"), col("pl").as("pos_left"),
       (col("nt") - col("nl")).as("n_right"),
       (col("pt") - col("pl")).as("pos_right"),
-      round(wg, 6).as("weighted_gini"))
+      qround(wg, 6).as("weighted_gini"))
     scored.withColumn("is_best",
         col("weighted_gini") === min(col("weighted_gini")).over(
           Window.orderBy("threshold").rowsBetween(
@@ -650,9 +651,9 @@ object OlapQueries {
     TimeSeries.holtLinear(daily, "nation", "day", "revenue",
         alpha = 0.3, beta = 0.1)
       .select(col("nation"), col("day"), col("revenue"),
-        round(col("level"), 6).as("level"),
-        round(col("trend"), 6).as("trend"),
-        round(col("forecast"), 6).as("forecast"))
+        qround(col("level"), 6).as("level"),
+        qround(col("trend"), 6).as("trend"),
+        qround(col("forecast"), 6).as("forecast"))
       .orderBy("nation", "day")
   }
 
@@ -743,7 +744,7 @@ object OlapQueries {
     byRev.join(byN, col("l_partkey") === col("pk2"), "full_outer")
       .select(coalesce(col("l_partkey"), col("pk2")).as("part_key"),
         col("r_rev"), col("r_n"),
-        round(
+        qround(
           coalesce(lit(1.0) / (lit(60) + col("r_rev")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("r_n")), lit(0.0)), 6)
           .as("rrf"))
@@ -778,9 +779,9 @@ object OlapQueries {
       sum(when(col("variant") === "B", col("n"))).as("n_b"),
       sum(when(col("variant") === "B", col("k"))).as("conv_b"))
     wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
-      round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
-      round(
+      qround(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+      qround(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+      qround(
         (col("conv_a").cast("double") / col("n_a") -
           col("conv_b").cast("double") / col("n_b")) /
         sqrt(((col("conv_a") + col("conv_b")).cast("double") /
@@ -847,7 +848,7 @@ object OlapQueries {
   val q135: Q = (spark, dir) =>
     nationOrders(spark, dir)
       .select(col("n_name").as("nation"), col("o_orderstatus").as("status"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+        qdec(col("o_totalprice"), 18, 2).as("p"))
       .groupingSets(
         Seq(Seq(col("nation")), Seq(col("status")), Seq.empty),
         col("nation"), col("status"))
@@ -891,7 +892,7 @@ object OlapQueries {
         col("n_p").as("nb")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("support"),
-        round((col("support") * col("n_orders")).cast("double") /
+        qround((col("support") * col("n_orders")).cast("double") /
           (col("na") * col("nb")).cast("double"), 6).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(100)
@@ -926,16 +927,16 @@ object OlapQueries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        sum(qdec(col("o_totalprice"), 18, 2)).as("rev"))
     val byRegion = Window.partitionBy("region")
     val all = Window.partitionBy()
     rev.select(col("region"), col("nation"), col("n_orders"),
         col("rev").cast("double").as("revenue"),
-        round(col("rev").cast("double") /
+        qround(col("rev").cast("double") /
           sum(col("rev")).over(byRegion).cast("double"), 6)
           .as("share_of_region"),
         sum(col("rev")).over(byRegion).cast("double").as("region_revenue"),
-        round(sum(col("rev")).over(byRegion).cast("double") /
+        qround(sum(col("rev")).over(byRegion).cast("double") /
           sum(col("rev")).over(all).cast("double"), 6).as("region_share"))
       .orderBy("region", "nation")
   }
@@ -955,9 +956,9 @@ object OlapQueries {
     val tot = perDow.agg(sum("n_days").as("tn"), sum(col("s")).as("ts"))
     perDow.crossJoin(broadcast(tot))
       .select(col("dow"), col("n_days"),
-        round(col("s").cast("double") / col("n_days").cast("double"), 6)
+        qround(col("s").cast("double") / col("n_days").cast("double"), 6)
           .as("avg_daily_rev"),
-        round((col("s").cast("double") / col("n_days").cast("double")) /
+        qround((col("s").cast("double") / col("n_days").cast("double")) /
           (col("ts").cast("double") / col("tn").cast("double")), 6)
           .as("seasonal_index"))
       .orderBy("dow")
@@ -975,7 +976,7 @@ object OlapQueries {
       .agg(count(lit(1)).cast("decimal(18,0)").as("x"))
     val rev = ev.filter(col("event_type") === "purchase")
       .groupBy(day.as("day"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("y"))
+      .agg(sum(qdec(col("value"), 18, 2)).as("y"))
     TimeSeries.laggedCrossCorr(clicks, rev, maxLag = 7).orderBy("lag")
   }
 
@@ -1037,7 +1038,7 @@ object OlapQueries {
     * lambdas, engine-version-neutral). */
   private def equidepthOracle: String = {
     val bounds = (1 to 9)
-      .map(i => s"round(quantile_cont(o_totalprice, 0.$i), 6) AS b$i")
+      .map(i => s"floor((quantile_cont(o_totalprice, 0.$i)) * 1000000.0 + 0.5) / 1000000.0 AS b$i")
       .mkString(",\n    ")
     val terms = (1 to 9)
       .map(i => s"(CASE WHEN v > b.b$i THEN 1 ELSE 0 END)")
@@ -1062,15 +1063,15 @@ object OlapQueries {
       "9.223372036854775808e18, 0.9999999999999999)"
     val w = graft.ops.Bootstrap.poissonWeightSql("u")
     s"""WITH base AS (
-       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+       |  SELECT o_orderkey, CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
        |  FROM orders),
        |rep AS (
        |  SELECT o_orderkey, v, b, $u AS u
        |  FROM base, generate_series(0, 199) t(b)),
        |wtd AS (SELECT b, v, ($w) AS w FROM rep),
        |means AS (
-       |  SELECT b, CAST(round(CAST(SUM(w * v) AS DOUBLE) /
-       |      CAST(SUM(w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m
+       |  SELECT b, CAST(floor((CAST(SUM(w * v) AS DOUBLE) /
+       |      CAST(SUM(w) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS m
        |  FROM wtd GROUP BY b),
        |ranked AS (
        |  SELECT m, b, row_number() OVER (ORDER BY m, b) AS r FROM means),
@@ -1082,12 +1083,12 @@ object OlapQueries {
        |  FROM ranked),
        |fullagg AS (SELECT COUNT(*) AS n_rows, SUM(v) AS sv FROM base)
        |SELECT n_rows,
-       |  round(CAST(sv AS DOUBLE) / n_rows, 6) AS mean,
+       |  floor((CAST(sv AS DOUBLE) / n_rows) * 1000000.0 + 0.5) / 1000000.0 AS mean,
        |  n_replicas,
        |  CAST(ci_lo AS DOUBLE) AS ci_lo, CAST(ci_hi AS DOUBLE) AS ci_hi,
-       |  round(sqrt((CAST(s2 AS DOUBLE) -
+       |  floor((sqrt((CAST(s2 AS DOUBLE) -
        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_replicas) /
-       |    (n_replicas - 1.0)), 6) AS se_boot
+       |    (n_replicas - 1.0))) * 1000000.0 + 0.5) / 1000000.0 AS se_boot
        |FROM fullagg CROSS JOIN ci""".stripMargin
   }
 
@@ -1099,7 +1100,7 @@ object OlapQueries {
         |  FROM events WHERE event_type = 'click' GROUP BY 1),
         |p AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
-        |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+        |    SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS y
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |l AS (SELECT unnest(generate_series(-7, 7)) AS lag),
         |j AS (SELECT l.lag, c.x, p.y
@@ -1110,15 +1111,15 @@ object OlapQueries {
         |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
         |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
         |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
-        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    THEN floor((CAST(n * sxy - sx * sy AS DOUBLE) /
         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |           CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |           CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
         |  END AS r
         |FROM s ORDER BY lag""".stripMargin,
     "q155_ratio_to_parent" ->
       """WITH rev AS (
         |  SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_orders,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |    SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS rev
         |  FROM orders
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -1126,18 +1127,18 @@ object OlapQueries {
         |  GROUP BY 1, 2)
         |SELECT region, nation, CAST(n_orders AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue,
-        |  round(CAST(rev AS DOUBLE) /
-        |    CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+        |  floor((CAST(rev AS DOUBLE) /
+        |    CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS share_of_region,
         |  CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
         |    AS region_revenue,
-        |  round(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE) /
-        |    CAST(SUM(rev) OVER () AS DOUBLE), 6) AS region_share
+        |  floor((CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE) /
+        |    CAST(SUM(rev) OVER () AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS region_share
         |FROM rev ORDER BY region, nation""".stripMargin,
     "q156_dow_seasonality" ->
       """WITH nd AS (
         |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS p
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey),
         |daily AS (SELECT day, SUM(p) AS drev FROM nd GROUP BY 1),
@@ -1147,9 +1148,9 @@ object OlapQueries {
         |  FROM daily GROUP BY 1),
         |tot AS (SELECT SUM(n_days) AS tn, SUM(s) AS ts FROM perdow)
         |SELECT dow, CAST(n_days AS BIGINT) AS n_days,
-        |  round(CAST(s AS DOUBLE) / n_days, 6) AS avg_daily_rev,
-        |  round((CAST(s AS DOUBLE) / n_days) /
-        |    (CAST(ts AS DOUBLE) / tn), 6) AS seasonal_index
+        |  floor((CAST(s AS DOUBLE) / n_days) * 1000000.0 + 0.5) / 1000000.0 AS avg_daily_rev,
+        |  floor(((CAST(s AS DOUBLE) / n_days) /
+        |    (CAST(ts AS DOUBLE) / tn)) * 1000000.0 + 0.5) / 1000000.0 AS seasonal_index
         |FROM perdow CROSS JOIN tot ORDER BY dow""".stripMargin,
     "q140_bootstrap_ci" -> bootstrapOracle,
     "q141_target_encode" ->
@@ -1157,7 +1158,7 @@ object OlapQueries {
          |  SELECT n_name AS cat,
          |    CAST((md5_number_lower('141:' || o_orderkey::VARCHAR) & $H)
          |      % 5 AS INT) AS fold,
-         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
          |  FROM orders JOIN customer ON o_custkey = c_custkey
          |  JOIN nation ON c_nationkey = n_nationkey),
          |pf AS (SELECT cat, fold, COUNT(*) AS cnt, SUM(v) AS s
@@ -1174,11 +1175,11 @@ object OlapQueries {
          |SELECT cat, fold, CAST(cnt AS BIGINT) AS n_fold,
          |  CAST(tot_cnt - cnt AS BIGINT) AS n_oof,
          |  CASE WHEN tot_cnt - cnt > 0 THEN
-         |    round(CAST(tot_s - s AS DOUBLE) / (tot_cnt - cnt), 6)
+         |    floor((CAST(tot_s - s AS DOUBLE) / (tot_cnt - cnt)) * 1000000.0 + 0.5) / 1000000.0
          |  END AS enc_raw,
-         |  round((CAST(tot_s - s AS DOUBLE) + 20.0 *
-         |      round(CAST(g_s - f_s AS DOUBLE) / (g_cnt - f_cnt), 6)) /
-         |    (tot_cnt - cnt + 20), 6) AS enc_smooth
+         |  floor(((CAST(tot_s - s AS DOUBLE) + 20.0 *
+         |      floor((CAST(g_s - f_s AS DOUBLE) / (g_cnt - f_cnt)) * 1000000.0 + 0.5) / 1000000.0) /
+         |    (tot_cnt - cnt + 20)) * 1000000.0 + 0.5) / 1000000.0 AS enc_smooth
          |FROM e ORDER BY cat, fold""".stripMargin,
     "q137_basket_lift" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1191,8 +1192,8 @@ object OlapQueries {
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |scored AS (
         |  SELECT p.part_a, p.part_b, p.support,
-        |    round(CAST(p.support * n.n_orders AS DOUBLE) /
-        |          CAST(x.n_p * y.n_p AS DOUBLE), 6) AS lift
+        |    floor((CAST(p.support * n.n_orders AS DOUBLE) /
+        |          CAST(x.n_p * y.n_p AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS lift
         |  FROM pairs p CROSS JOIN n
         |  JOIN pc x ON x.l_partkey = p.part_a
         |  JOIN pc y ON y.l_partkey = p.part_b)
@@ -1202,7 +1203,7 @@ object OlapQueries {
       s"""WITH daily AS (
          |  SELECT n_name AS nation,
          |         (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         |         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS rev
          |  $nationOrdersSql
          |  GROUP BY 1, 2)
          |SELECT nation, day, CAST(rev AS DOUBLE) AS revenue,
@@ -1225,23 +1226,23 @@ object OlapQueries {
         |             CAST(count(*) AS BIGINT) AS n_transitions
         |      FROM r WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, next_type, n_transitions,
-        |       round(CAST(n_transitions AS DOUBLE)
+        |       floor((CAST(n_transitions AS DOUBLE)
         |             / CAST(sum(n_transitions) OVER
-        |                 (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |                 (PARTITION BY prev_type) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS p
         |FROM c ORDER BY 1, 2""".stripMargin,
     "q123_unpivot_measures" -> meltOracle,
     "q124_abc_contribution" ->
       s"""WITH r AS (
          |  SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
-         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         |         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS rev
          |  $nationOrdersSql
          |  GROUP BY 1),
          |c AS (SELECT nation, n_orders, CAST(rev AS DOUBLE) AS revenue,
-         |        round(CAST(rev AS DOUBLE)
-         |              / CAST(sum(rev) OVER () AS DOUBLE), 6) AS share,
-         |        round(CAST(sum(rev) OVER (ORDER BY rev DESC, nation
+         |        floor((CAST(rev AS DOUBLE)
+         |              / CAST(sum(rev) OVER () AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS share,
+         |        floor((CAST(sum(rev) OVER (ORDER BY rev DESC, nation
          |                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-         |              / CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
+         |              / CAST(sum(rev) OVER () AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cum_share
          |      FROM r)
          |SELECT nation, n_orders, revenue, share, cum_share,
          |       CASE WHEN cum_share <= 0.5 THEN 'A'
@@ -1254,7 +1255,7 @@ object OlapQueries {
         |  SELECT o_custkey,
         |    ((epoch_ns(o_orderdate) // 1000000000) // 86400) // 30
         |      AS period,
-        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
         |  FROM orders),
         |f AS (SELECT o_custkey, min(period) AS first_period
         |      FROM o GROUP BY 1)
@@ -1273,20 +1274,20 @@ object OlapQueries {
         |      - (epoch_ns(o_orderdate) // 1000000000) // 86400 AS lead_days
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |SELECT priority, CAST(count(*) AS BIGINT) AS n,
-        |  round(quantile_cont(lead_days, 0.5), 6) AS p50,
-        |  round(quantile_cont(lead_days, 0.9), 6) AS p90,
-        |  round(quantile_cont(lead_days, 0.99), 6) AS p99,
+        |  floor((quantile_cont(lead_days, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((quantile_cont(lead_days, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+        |  floor((quantile_cont(lead_days, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99,
         |  CAST(sum(CASE WHEN lead_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_breach
         |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin,
     "q178_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY 1),
         |d2 AS (SELECT day, rev, day % 7 AS dow FROM daily),
         |ex AS (SELECT dow,
-        |         CAST(round(CAST(sum(rev) AS DOUBLE) / count(*), 6)
+        |         CAST(floor((CAST(sum(rev) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
         |           AS DECIMAL(18,6)) AS expected
         |       FROM d2 GROUP BY 1),
         |r AS (SELECT day, rev, d2.dow, expected,
@@ -1315,13 +1316,13 @@ object OlapQueries {
       """WITH per AS (
         |  SELECT ((epoch_ns(o_orderdate) // 1000000000) // 86400) // 30
         |           AS period,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS revenue,
         |    CAST(count(*) AS BIGINT) AS n_orders
         |  FROM orders GROUP BY 1)
         |SELECT period, n_orders, CAST(revenue AS DOUBLE) AS revenue,
-        |  round(CAST(revenue - lag(revenue) OVER (ORDER BY period)
+        |  floor((CAST(revenue - lag(revenue) OVER (ORDER BY period)
         |      AS DOUBLE)
-        |    / CAST(lag(revenue) OVER (ORDER BY period) AS DOUBLE), 6)
+        |    / CAST(lag(revenue) OVER (ORDER BY period) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS growth
         |FROM per ORDER BY period""".stripMargin,
     "q189_kmv_union" ->
@@ -1510,19 +1511,19 @@ object OlapQueries {
         |  CAST(pl AS BIGINT) AS pos_left,
         |  CAST(nt - nl AS BIGINT) AS n_right,
         |  CAST(pt - pl AS BIGINT) AS pos_right,
-        |  round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |  floor(((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
         |      * (1.0 - fl * fl - (1.0 - fl) * (1.0 - fl))
         |    + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))
-        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr)), 6)
+        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr))) * 1000000.0 + 0.5) / 1000000.0
         |    AS weighted_gini,
-        |  round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |  floor(((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
         |      * (1.0 - fl * fl - (1.0 - fl) * (1.0 - fl))
         |    + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))
-        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr)), 6)
-        |    = min(round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr))) * 1000000.0 + 0.5) / 1000000.0
+        |    = min(floor(((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
         |      * (1.0 - fl * fl - (1.0 - fl) * (1.0 - fl))
         |    + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))
-        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr)), 6)) OVER ()
+        |      * (1.0 - fr * fr - (1.0 - fr) * (1.0 - fr))) * 1000000.0 + 0.5) / 1000000.0) OVER ()
         |    AS is_best
         |FROM s ORDER BY threshold""".stripMargin,
     "q166_covisitation" ->
@@ -1557,7 +1558,7 @@ object OlapQueries {
          |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
          |  FROM (SELECT n_name AS nation,
          |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-         |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
          |            AS revenue
          |        $nationOrdersSql
          |        GROUP BY 1, 2)),
@@ -1576,8 +1577,8 @@ object OlapQueries {
          |              * (rec.l + rec.b) AS l_new
          |        FROM idx JOIN rec ON idx.nation = rec.nation
          |                         AND idx.i = rec.i + 1))
-         |SELECT nation, day, revenue, round(l, 6) AS level,
-         |  round(b, 6) AS trend, round(l + b, 6) AS forecast
+         |SELECT nation, day, revenue, floor((l) * 1000000.0 + 0.5) / 1000000.0 AS level,
+         |  floor((b) * 1000000.0 + 0.5) / 1000000.0 AS trend, floor((l + b) * 1000000.0 + 0.5) / 1000000.0 AS forecast
          |FROM rec ORDER BY nation, day""".stripMargin,
     "q127_ewma_revenue" ->
       s"""WITH RECURSIVE idx AS (
@@ -1585,7 +1586,7 @@ object OlapQueries {
          |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
          |  FROM (SELECT n_name AS nation,
          |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
-         |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
          |            AS revenue
          |        $nationOrdersSql
          |        GROUP BY 1, 2)),
@@ -1598,7 +1599,7 @@ object OlapQueries {
          |           + CAST(0.8 AS DOUBLE) * rec.s
          |  FROM idx JOIN rec ON idx.nation = rec.nation
          |                   AND idx.i = rec.i + 1)
-         |SELECT nation, day, revenue, round(s, 6) AS ewma
+         |SELECT nation, day, revenue, floor((s) * 1000000.0 + 0.5) / 1000000.0 AS ewma
          |FROM rec ORDER BY nation, day""".stripMargin,
     "q128_dq_report" ->
       """WITH rules AS (
@@ -1658,7 +1659,7 @@ object OlapQueries {
         |ORDER BY 1, 2""".stripMargin,
     "q130_rank_fusion" ->
       """WITH stats AS (
-        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |  SELECT l_partkey, SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))
         |           AS rev,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem GROUP BY 1),
@@ -1669,8 +1670,8 @@ object OlapQueries {
         |         row_number() OVER (ORDER BY n DESC, l_partkey) AS r_n
         |       FROM stats ORDER BY n DESC, l_partkey LIMIT 100)
         |SELECT coalesce(br.l_partkey, bn.pk2) AS part_key, r_rev, r_n,
-        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + r_rev), 0)
-        |             + coalesce(CAST(1 AS DOUBLE) / (60 + r_n), 0), 6)
+        |       floor((coalesce(CAST(1 AS DOUBLE) / (60 + r_rev), 0)
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + r_n), 0)) * 1000000.0 + 0.5) / 1000000.0
         |         AS rrf
         |FROM br FULL OUTER JOIN bn ON br.l_partkey = bn.pk2
         |ORDER BY rrf DESC, part_key LIMIT 25""".stripMargin,
@@ -1694,14 +1695,14 @@ object OlapQueries {
          |  CAST(sum(CASE WHEN variant = 'B' THEN k END) AS BIGINT) AS conv_b
          |  FROM v)
          |SELECT n_a, conv_a, n_b, conv_b,
-         |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-         |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-         |  round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |  floor((CAST(conv_a AS DOUBLE) / n_a) * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+         |  floor((CAST(conv_b AS DOUBLE) / n_b) * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+         |  floor(((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
          |        / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
          |               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
          |                        / (n_a + n_b))
          |               * (CAST(1 AS DOUBLE) / n_a
-         |                  + CAST(1 AS DOUBLE) / n_b)), 6) AS z
+         |                  + CAST(1 AS DOUBLE) / n_b))) * 1000000.0 + 0.5) / 1000000.0 AS z
          |FROM w""".stripMargin,
     "q133_pit_join" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
@@ -1744,7 +1745,7 @@ object OlapQueries {
     "q135_grouping_sets" ->
       s"""SELECT n_name AS nation, o_orderstatus AS status,
          |       CAST(count(*) AS BIGINT) AS n,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
          |         AS revenue,
          |       CAST(2 * GROUPING(n_name) + GROUPING(o_orderstatus)
          |            AS BIGINT) AS gid
@@ -1753,18 +1754,18 @@ object OlapQueries {
          |ORDER BY gid, nation NULLS FIRST, status NULLS FIRST""".stripMargin,
     "q126_mad_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value FROM events),
-        |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6)
+        |med AS (SELECT event_type, floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0
         |          AS med
         |        FROM ev GROUP BY 1),
         |dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
         |               abs(e.value - m.med) AS adev
         |        FROM ev e JOIN med m USING (event_type)),
-        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6)
+        |mad AS (SELECT event_type, floor((quantile_cont(adev, 0.5)) * 1000000.0 + 0.5) / 1000000.0
         |          AS mad
         |        FROM dev GROUP BY 1)
         |SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
-        |       round(0.6745 * (d.value - d.med) / m.mad, 6) AS rz
+        |       floor((0.6745 * (d.value - d.med) / m.mad) * 1000000.0 + 0.5) / 1000000.0 AS rz
         |FROM dev d JOIN mad m USING (event_type)
-        |WHERE abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) >= 3.5
+        |WHERE abs(floor((0.6745 * (d.value - d.med) / m.mad) * 1000000.0 + 0.5) / 1000000.0) >= 3.5
         |ORDER BY d.event_id""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.io.Tables
 import graft.metrics.RankingRelational
 import graft.rec.{AlsRec, ItemCf, Popularity}
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -81,7 +82,7 @@ object RecQueries {
     val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
     val recs = alsRecs20(spark, dir).select("user_id", "item_id", "rank")
     val m = RankingRelational.metrics(spark, recs, valid, k = 20)
-    m.withColumn("rmse", round(lit(AlsRec.rmse(model, valid)), 6))
+    m.withColumn("rmse", qround(lit(AlsRec.rmse(model, valid)), 6))
   }
 
   /** q54 — the bias hyperparameter sweep (reference Table 2,
@@ -146,7 +147,7 @@ object RecQueries {
       test.select("user_id").distinct(), n = 20)
       .select("user_id", "item_id", "rank")
     RankingRelational.metrics(spark, recs, test, k = 20)
-      .withColumn("rmse", round(lit(AlsRec.rmse(model, test)), 6))
+      .withColumn("rmse", qround(lit(AlsRec.rmse(model, test)), 6))
   }
 
   /** q116 — negative sampling for implicit-feedback training (see
@@ -188,9 +189,9 @@ object RecQueries {
         sum(col("i") * col("x")).as("six"),
         sum(when(col("x") > 0, 1L).otherwise(0L)).as("nrec"))
       .select(col("n").as("n_items"), col("nrec").as("n_recommended"),
-        round(col("nrec").cast("double") / col("n").cast("double"), 6)
+        qround(col("nrec").cast("double") / col("n").cast("double"), 6)
           .as("coverage"),
-        round(lit(2.0) * col("six").cast("double") /
+        qround(lit(2.0) * col("six").cast("double") /
             (col("n") * col("sx")).cast("double") -
             (col("n") + lit(1L)).cast("double") / col("n").cast("double"),
           6).as("gini"))
@@ -224,7 +225,7 @@ object RecQueries {
     val va = Popularity.validation(t)
       .filter(col("item_id").isNotNull && col("rating").isNotNull)
     val pool = train.groupBy("item_id")
-      .agg(round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
+      .agg(qround(sum(qdec(col("rating"), 18, 2)).cast("double") /
         (count(lit(1)) + lit(100.0)), 6).as("score"))
       .orderBy(col("score").desc, col("item_id")).limit(50)
     val vusers = va.select("user_id").distinct()
@@ -259,23 +260,23 @@ object RecQueries {
     val train = Popularity.train(t).filter(notNull)
     val va = Popularity.validation(t).filter(notNull)
     val g = train.agg(
-        sum(col("rating").cast("decimal(18,2)")).as("s"),
+        sum(qdec(col("rating"), 18, 2)).as("s"),
         count(lit(1)).as("n"))
-      .select(round(col("s").cast("double") / col("n"), 6).as("mu"))
+      .select(qround(col("s").cast("double") / col("n"), 6).as("mu"))
     val preds = train.groupBy("item_id")
-      .agg(sum(col("rating").cast("decimal(18,2)")).as("s"),
+      .agg(sum(qdec(col("rating"), 18, 2)).as("s"),
         count(lit(1)).as("n"))
       .crossJoin(broadcast(g))
       .select(col("item_id"),
-        round((col("s").cast("double") + lit(20.0) * col("mu")) /
+        qround((col("s").cast("double") + lit(20.0) * col("mu")) /
           (col("n") + lit(20.0)), 6).as("pred"))
     va.join(preds, "item_id")
       .withColumn("bucket", floor(col("pred") * 2).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("pred").cast("decimal(18,6)")).cast("double") /
+        qround(sum(col("pred").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("avg_pred"),
-        round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
+        qround(sum(qdec(col("rating"), 18, 2)).cast("double") /
           count(lit(1)), 6).as("avg_actual"))
       .orderBy("bucket")
   }
@@ -308,11 +309,11 @@ object RecQueries {
     val prop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(nT))
       .select(col("item_id"),
-        round(col("cnt").cast("double") / col("n_train").cast("double"),
+        qround(col("cnt").cast("double") / col("n_train").cast("double"),
           6).as("p"))
     val w = popRecs(spark, dir).join(broadcast(prop), "item_id")
       .select(col("user_id"), col("item_id"),
-        round(least(lit(1.0) / col("p"), lit(1000.0)), 6)
+        qround(least(lit(1.0) / col("p"), lit(1000.0)), 6)
           .cast("decimal(18,6)").as("w"))
     val truth = Popularity.validation(t)
       .filter(col("item_id").isNotNull)
@@ -325,14 +326,14 @@ object RecQueries {
         sum(when(col("hit") === 1, 1L).otherwise(0L)).as("hits"))
     per.agg(count(lit(1)).as("n_users"), sum("hits").as("sh"),
         sum("hit_w").as("shw"),
-        sum(round(col("hit_w").cast("double") / col("tot_w").cast("double"),
+        sum(qround(col("hit_w").cast("double") / col("tot_w").cast("double"),
           6).cast("decimal(18,6)")).as("ssn"))
       .select(col("n_users"),
-        round(col("sh").cast("double") /
+        qround(col("sh").cast("double") /
           (col("n_users") * 20).cast("double"), 6).as("precision_at_20"),
-        round(col("shw").cast("double") /
+        qround(col("shw").cast("double") /
           (col("n_users") * 20).cast("double"), 6).as("ips_at_20"),
-        round(col("ssn").cast("double") / col("n_users").cast("double"), 6)
+        qround(col("ssn").cast("double") / col("n_users").cast("double"), 6)
           .as("snips_at_20"))
   }
 
@@ -354,7 +355,7 @@ object RecQueries {
     * definition of the candidate set). */
   private def roundedPool(spark: SparkSession, dir: String): DataFrame =
     cleanTrain(spark, dir).groupBy("item_id")
-      .agg(round(sum(col("rating").cast("decimal(18,2)")).cast("double") /
+      .agg(qround(sum(qdec(col("rating"), 18, 2)).cast("double") /
         (count(lit(1)) + lit(100.0)), 6).as("rel"))
       .orderBy(col("rel").desc, col("item_id")).limit(50)
 
@@ -408,7 +409,7 @@ object RecQueries {
       .join(poolSims(spark, dir), Seq("ia", "ib"), "left")
       .withColumn("sv", coalesce(col("sim"), lit(0.0)).cast("decimal(10,6)"))
       .groupBy("method", "user_id")
-      .agg(round(sum("sv").cast("double") / count(lit(1)).cast("double"), 6)
+      .agg(qround(sum("sv").cast("double") / count(lit(1)).cast("double"), 6)
         .cast("decimal(18,6)").as("ils"))
 
     val train = cleanTrain(spark, dir)
@@ -416,21 +417,21 @@ object RecQueries {
     val prop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(nT))
       .select(col("item_id"),
-        round(col("cnt").cast("double") / col("n_train").cast("double"), 6)
+        qround(col("cnt").cast("double") / col("n_train").cast("double"), 6)
           .as("p"))
     val novU = lists.join(broadcast(prop), "item_id")
       .withColumn("nov",
-        round(-log(col("p")) / log(lit(2.0)), 6).cast("decimal(18,6)"))
+        qround(-log(col("p")) / log(lit(2.0)), 6).cast("decimal(18,6)"))
       .groupBy("method", "user_id")
-      .agg(round(sum("nov").cast("double") / count(lit(1)).cast("double"), 6)
+      .agg(qround(sum("nov").cast("double") / count(lit(1)).cast("double"), 6)
         .cast("decimal(18,6)").as("novelty"))
 
     ilsU.join(novU, Seq("method", "user_id"))
       .groupBy("method")
       .agg(count(lit(1)).as("n_users"),
-        round(sum("ils").cast("double") / count(lit(1)).cast("double"), 6)
+        qround(sum("ils").cast("double") / count(lit(1)).cast("double"), 6)
           .as("mean_ils"),
-        round(sum("novelty").cast("double") / count(lit(1)).cast("double"),
+        qround(sum("novelty").cast("double") / count(lit(1)).cast("double"),
           6).as("mean_novelty"))
       .orderBy("method")
   }
@@ -500,7 +501,7 @@ object RecQueries {
       .agg(count(lit(1)).as("n_overlap"))
     nVal.crossJoin(nOv)
       .select(col("n_val_pairs"), col("n_overlap"),
-        round(col("n_overlap") * lit(100.0) / col("n_val_pairs"), 6)
+        qround(col("n_overlap") * lit(100.0) / col("n_val_pairs"), 6)
           .cast("decimal(18,6)").as("overlap_pct"))
   }
 
@@ -543,7 +544,7 @@ object RecQueries {
       |pool AS (
       |  SELECT item_id FROM (
       |    SELECT item_id, COUNT(*) AS cnt,
-      |      CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 100.0) AS score
+      |      CAST(SUM(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 100.0) AS score
       |    FROM train GROUP BY item_id)
       |  ORDER BY score DESC, item_id LIMIT 50),
       |vusers AS (SELECT DISTINCT user_id FROM val),
@@ -609,8 +610,8 @@ object RecQueries {
        |          AND item_id IS NOT NULL AND rating IS NOT NULL),
        |pool AS (
        |  SELECT item_id,
-       |    round(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE)
-       |      / (COUNT(*) + 100.0), 6) AS rel
+       |    floor((CAST(SUM(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+       |      / (COUNT(*) + 100.0)) * 1000000.0 + 0.5) / 1000000.0 AS rel
        |  FROM train GROUP BY 1 ORDER BY rel DESC, item_id LIMIT 50),
        |vusers AS (SELECT DISTINCT user_id FROM tagged WHERE split = 3),
        |seen AS (SELECT DISTINCT user_id, item_id FROM train),
@@ -629,7 +630,7 @@ object RecQueries {
        |    row_number() OVER (PARTITION BY user_id, item_id
        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
        |  FROM train),
-       |tru AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+       |tru AS (SELECT user_id, item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS rr
        |        FROM tr0 WHERE rn = 1),
        |trp AS (SELECT t.* FROM tru t
        |        WHERE EXISTS (SELECT 1 FROM pool p
@@ -644,9 +645,9 @@ object RecQueries {
        |        UNION ALL SELECT ib, ia, dot FROM pr),
        |sims AS MATERIALIZED (
        |  SELECT s.ia, s.ib,
-       |    round(CAST(s.dot AS DOUBLE) /
-       |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))),
-       |      6) AS sim
+       |    floor((CAST(s.dot AS DOUBLE) /
+       |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS sim
        |  FROM sym s JOIN st x ON x.item_id = s.ia
        |             JOIN st y ON y.item_id = s.ib),
        |p1 AS (
@@ -677,23 +678,23 @@ object RecQueries {
        |  LEFT JOIN sims s ON s.ia = l1.item_id AND s.ib = l2.item_id),
        |ilsu AS (
        |  SELECT method, user_id,
-       |    CAST(round(CAST(SUM(sv) AS DOUBLE) / COUNT(*), 6)
+       |    CAST(floor((CAST(SUM(sv) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
        |      AS DECIMAL(18,6)) AS ils
        |  FROM prs GROUP BY 1, 2),
        |nt AS (SELECT COUNT(*) AS n_train FROM train),
        |prop AS (
-       |  SELECT item_id, round(COUNT(*)::DOUBLE / nt.n_train, 6) AS p
+       |  SELECT item_id, floor((COUNT(*)::DOUBLE / nt.n_train) * 1000000.0 + 0.5) / 1000000.0 AS p
        |  FROM train CROSS JOIN nt GROUP BY item_id, nt.n_train),
        |novu AS (
        |  SELECT l.method, l.user_id,
-       |    CAST(round(CAST(SUM(CAST(round(-ln(p.p) / ln(2.0), 6)
-       |        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       |    CAST(floor((CAST(SUM(CAST(floor((-ln(p.p) / ln(2.0)) * 1000000.0 + 0.5) / 1000000.0
+       |        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
        |      AS DECIMAL(18,6)) AS novelty
        |  FROM lists l JOIN prop p ON p.item_id = l.item_id
        |  GROUP BY 1, 2)
        |SELECT i.method, CAST(COUNT(*) AS BIGINT) AS n_users,
-       |  round(CAST(SUM(i.ils) AS DOUBLE) / COUNT(*), 6) AS mean_ils,
-       |  round(CAST(SUM(n.novelty) AS DOUBLE) / COUNT(*), 6)
+       |  floor((CAST(SUM(i.ils) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_ils,
+       |  floor((CAST(SUM(n.novelty) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
        |    AS mean_novelty
        |FROM ilsu i JOIN novu n
        |  ON n.method = i.method AND n.user_id = i.user_id
@@ -723,7 +724,7 @@ object RecQueries {
         |       FROM va SEMI JOIN tr USING (user_id, item_id)),
         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_val_pairs FROM va)
         |SELECT n_val_pairs, n_overlap,
-        |  CAST(round(n_overlap * 100.0 / n_val_pairs, 6) AS DECIMAL(18,6))
+        |  CAST(floor((n_overlap * 100.0 / n_val_pairs) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))
         |    AS overlap_pct
         |FROM nv CROSS JOIN ov""".stripMargin,
     "q186_als_audit" ->
@@ -758,11 +759,11 @@ object RecQueries {
          |nt AS (SELECT COUNT(*) AS n_train FROM trainf),
          |prop AS (
          |  SELECT item_id,
-         |    round(COUNT(*)::DOUBLE / nt.n_train, 6) AS p
+         |    floor((COUNT(*)::DOUBLE / nt.n_train) * 1000000.0 + 0.5) / 1000000.0 AS p
          |  FROM trainf CROSS JOIN nt GROUP BY item_id, nt.n_train),
          |w AS (
          |  SELECT r.user_id, r.item_id,
-         |    CAST(round(least(1.0 / p.p, 1000.0), 6) AS DECIMAL(18,6)) AS w
+         |    CAST(floor((least(1.0 / p.p, 1000.0)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS w
          |  FROM recs r JOIN prop p ON p.item_id = r.item_id),
          |truth AS (SELECT DISTINCT user_id, item_id FROM val
          |          WHERE item_id IS NOT NULL),
@@ -776,13 +777,13 @@ object RecQueries {
          |    ON t.user_id = w.user_id AND t.item_id = w.item_id
          |  GROUP BY 1)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-         |  round(CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 20.0), 6)
+         |  floor((CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 20.0)) * 1000000.0 + 0.5) / 1000000.0
          |    AS precision_at_20,
-         |  round(CAST(SUM(hit_w) AS DOUBLE) / (COUNT(*) * 20.0), 6)
+         |  floor((CAST(SUM(hit_w) AS DOUBLE) / (COUNT(*) * 20.0)) * 1000000.0 + 0.5) / 1000000.0
          |    AS ips_at_20,
-         |  round(CAST(SUM(CAST(round(CAST(hit_w AS DOUBLE)
-         |      / CAST(tot_w AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
-         |    / COUNT(*), 6) AS snips_at_20
+         |  floor((CAST(SUM(CAST(floor((CAST(hit_w AS DOUBLE)
+         |      / CAST(tot_w AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS snips_at_20
          |FROM per""".stripMargin,
     "q149_conformal" ->
       """WITH r AS (
@@ -795,25 +796,25 @@ object RecQueries {
         |  SELECT user_id, item_id, rating,
         |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
         |  FROM r),
-        |tr AS (SELECT item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |tr AS (SELECT item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS rr
         |       FROM tagged WHERE split <= 2
         |         AND item_id IS NOT NULL AND rating IS NOT NULL),
-        |ca AS (SELECT item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |ca AS (SELECT item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS rr
         |       FROM tagged WHERE split = 3
         |         AND item_id IS NOT NULL AND rating IS NOT NULL),
-        |te AS (SELECT item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |te AS (SELECT item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS rr
         |       FROM tagged WHERE split = 4
         |         AND item_id IS NOT NULL AND rating IS NOT NULL),
-        |g AS (SELECT round(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS g
+        |g AS (SELECT floor((CAST(SUM(rr) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS g
         |      FROM tr),
         |pred AS (
         |  SELECT item_id,
-        |    CAST(round((CAST(SUM(rr) AS DOUBLE) + 20.0 * g.g)
-        |      / (COUNT(*) + 20), 6) AS DECIMAL(18,6)) AS pred
+        |    CAST(floor(((CAST(SUM(rr) AS DOUBLE) + 20.0 * g.g)
+        |      / (COUNT(*) + 20)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS pred
         |  FROM tr CROSS JOIN g GROUP BY item_id, g.g),
         |cal AS (
         |  SELECT ABS(c.rr - COALESCE(p.pred,
-        |    CAST(round(g.g, 6) AS DECIMAL(18,6)))) AS res
+        |    CAST(floor((g.g) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)))) AS res
         |  FROM ca c LEFT JOIN pred p ON p.item_id = c.item_id
         |  CROSS JOIN g),
         |byres AS (SELECT res, COUNT(*) AS m FROM cal GROUP BY 1),
@@ -827,15 +828,15 @@ object RecQueries {
         |         CAST(ceil((n_calib + 1) * 0.9) AS BIGINT), n_calib)),
         |tes AS (
         |  SELECT ABS(t.rr - COALESCE(p.pred,
-        |    CAST(round(g.g, 6) AS DECIMAL(18,6)))) AS res
+        |    CAST(floor((g.g) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)))) AS res
         |  FROM te t LEFT JOIN pred p ON p.item_id = t.item_id
         |  CROSS JOIN g)
         |SELECT CAST(0.1 AS DOUBLE) AS alpha,
         |  CAST(q.n_calib AS BIGINT) AS n_calib,
         |  CAST(q.qhat AS DOUBLE) AS qhat,
         |  CAST(COUNT(*) AS BIGINT) AS n_test,
-        |  round(CAST(SUM(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / COUNT(*), 6) AS coverage
+        |  floor((CAST(SUM(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS coverage
         |FROM tes s CROSS JOIN qh q GROUP BY q.n_calib, q.qhat""".stripMargin,
     "q165_calibration" ->
       """WITH r AS (
@@ -854,20 +855,20 @@ object RecQueries {
         |          AND item_id IS NOT NULL AND rating IS NOT NULL),
         |val AS (SELECT * FROM tagged WHERE split = 3
         |        AND item_id IS NOT NULL AND rating IS NOT NULL),
-        |g AS (SELECT round(CAST(sum(CAST(rating AS DECIMAL(18,2)))
-        |        AS DOUBLE) / count(*), 6) AS mu FROM train),
+        |g AS (SELECT floor((CAST(sum(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))
+        |        AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mu FROM train),
         |preds AS (
         |  SELECT item_id,
-        |    round((CAST(sum(CAST(rating AS DECIMAL(18,2))) AS DOUBLE)
-        |      + 20.0 * mu) / (count(*) + 20.0), 6) AS pred
+        |    floor(((CAST(sum(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+        |      + 20.0 * mu) / (count(*) + 20.0)) * 1000000.0 + 0.5) / 1000000.0 AS pred
         |  FROM train CROSS JOIN g GROUP BY item_id, mu),
         |b AS (SELECT CAST(floor(pred * 2) AS BIGINT) AS bucket,
         |        CAST(pred AS DECIMAL(18,6)) AS p,
-        |        CAST(rating AS DECIMAL(18,2)) AS a
+        |        CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS a
         |      FROM val JOIN preds USING (item_id))
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_pred,
-        |  round(CAST(sum(a) AS DOUBLE) / count(*), 6) AS avg_actual
+        |  floor((CAST(sum(p) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_pred,
+        |  floor((CAST(sum(a) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_actual
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q145_bias_cv" ->
       """WITH r0 AS (
@@ -880,7 +881,7 @@ object RecQueries {
         |  SELECT item_id,
         |    CAST((md5_number_lower('145:' || event_id::VARCHAR)
         |      & 9223372036854775807) % 5 AS INT) AS fold,
-        |    CAST(rating AS DECIMAL(18,2)) AS v
+        |    CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
         |  FROM r0),
         |pf AS (SELECT item_id, fold, COUNT(*) AS cnt, SUM(v) AS s
         |       FROM rows0 GROUP BY 1, 2),
@@ -888,16 +889,16 @@ object RecQueries {
         |  SELECT item_id, fold,
         |    SUM(cnt) OVER (PARTITION BY item_id) - cnt AS oof_cnt,
         |    SUM(s) OVER (PARTITION BY item_id) - s AS oof_s,
-        |    round(CAST(SUM(s) OVER () - SUM(s) OVER (PARTITION BY fold)
+        |    floor((CAST(SUM(s) OVER () - SUM(s) OVER (PARTITION BY fold)
         |        AS DOUBLE) /
         |      CAST(SUM(cnt) OVER () - SUM(cnt) OVER (PARTITION BY fold)
-        |        AS DOUBLE), 6) AS g_oof
+        |        AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS g_oof
         |  FROM pf),
         |b AS (SELECT unnest([1, 5, 20, 100]) AS bias),
         |pred AS (
         |  SELECT item_id, fold, bias,
-        |    CAST(round((CAST(oof_s AS DOUBLE) + bias * g_oof) /
-        |      CAST(oof_cnt + bias AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred
+        |    CAST(floor(((CAST(oof_s AS DOUBLE) + bias * g_oof) /
+        |      CAST(oof_cnt + bias AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS pred
         |  FROM e CROSS JOIN b),
         |ev AS (
         |  SELECT p.bias, r.fold, r.v - p.pred AS err
@@ -905,12 +906,12 @@ object RecQueries {
         |  JOIN pred p ON p.item_id = r.item_id AND p.fold = r.fold),
         |pfold AS (
         |  SELECT bias, fold, COUNT(*) AS n_eval,
-        |    CAST(round(sqrt(CAST(SUM(err * err) AS DOUBLE) / COUNT(*)), 6)
+        |    CAST(floor((sqrt(CAST(SUM(err * err) AS DOUBLE) / COUNT(*))) * 1000000.0 + 0.5) / 1000000.0
         |      AS DECIMAL(18,6)) AS rmse
         |  FROM ev GROUP BY 1, 2)
         |SELECT bias, fold, CAST(n_eval AS BIGINT) AS n_eval,
         |  CAST(rmse AS DOUBLE) AS rmse,
-        |  round(CAST(SUM(rmse) OVER (PARTITION BY bias) AS DOUBLE) / 5.0, 6)
+        |  floor((CAST(SUM(rmse) OVER (PARTITION BY bias) AS DOUBLE) / 5.0) * 1000000.0 + 0.5) / 1000000.0
         |    AS cv_rmse
         |FROM pfold ORDER BY bias, fold""".stripMargin,
     "q142_popularity_auc" ->
@@ -930,8 +931,8 @@ object RecQueries {
         |        WHERE split = 3 AND item_id IS NOT NULL AND rating IS NOT NULL),
         |pool AS (
         |  SELECT item_id,
-        |    round(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE)
-        |      / (COUNT(*) + 100.0), 6) AS score
+        |    floor((CAST(SUM(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+        |      / (COUNT(*) + 100.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM train GROUP BY item_id
         |  ORDER BY score DESC, item_id LIMIT 50),
         |vusers AS (SELECT DISTINCT user_id FROM val),
@@ -952,9 +953,9 @@ object RecQueries {
         |a AS (SELECT SUM(mp * (2 * below + m + 1)) AS r2,
         |        SUM(mp) AS np, SUM(m - mp) AS nn FROM g)
         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-        |  round((CAST(r2 AS DOUBLE) / 2.0
+        |  floor(((CAST(r2 AS DOUBLE) / 2.0
         |      - CAST(np AS DOUBLE) * (np + 1) / 2.0)
-        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc
+        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS auc
         |FROM a""".stripMargin,
     "q139_item_cf_rmse" ->
       """WITH r AS (
@@ -973,7 +974,7 @@ object RecQueries {
         |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
         |  FROM tagged
         |  WHERE split <= 2 AND item_id IS NOT NULL AND rating IS NOT NULL),
-        |tr AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS rr
+        |tr AS (SELECT user_id, item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS rr
         |       FROM tr0 WHERE rn = 1),
         |va0 AS (
         |  SELECT user_id, item_id, rating,
@@ -981,7 +982,7 @@ object RecQueries {
         |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
         |  FROM tagged
         |  WHERE split = 3 AND item_id IS NOT NULL AND rating IS NOT NULL),
-        |va AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS r_true
+        |va AS (SELECT user_id, item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS r_true
         |       FROM va0 WHERE rn = 1),
         |stats AS (SELECT item_id, SUM(rr*rr) AS norm2 FROM tr GROUP BY item_id),
         |pairs AS (
@@ -995,8 +996,8 @@ object RecQueries {
         |  SELECT ib, ia, dot FROM pairs),
         |scored AS (
         |  SELECT s.item_id, s.neighbor_id,
-        |    round(CAST(s.dot AS DOUBLE) /
-        |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))), 6) AS sim
+        |    floor((CAST(s.dot AS DOUBLE) /
+        |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |  FROM sym s JOIN stats x ON x.item_id = s.item_id
         |             JOIN stats y ON y.item_id = s.neighbor_id),
         |nbrs AS (
@@ -1008,17 +1009,17 @@ object RecQueries {
         |  WHERE rank <= 20),
         |preds AS (
         |  SELECT v.user_id, v.item_id,
-        |    CAST(round(CAST(SUM(n.w * t.rr) AS DOUBLE) /
-        |      CAST(SUM(n.w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred
+        |    CAST(floor((CAST(SUM(n.w * t.rr) AS DOUBLE) /
+        |      CAST(SUM(n.w) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS pred
         |  FROM va v
         |  JOIN nbrs n ON n.item_id = v.item_id
         |  JOIN tr t ON t.user_id = v.user_id AND t.item_id = n.neighbor_id
         |  GROUP BY 1, 2 HAVING SUM(n.w) > 0)
         |SELECT COUNT(*) AS n_val, COUNT(p.pred) AS n_pred,
-        |  round(COUNT(p.pred)::DOUBLE / COUNT(*)::DOUBLE, 6) AS coverage,
-        |  round(sqrt(CAST(SUM((v.r_true - p.pred) * (v.r_true - p.pred)) AS DOUBLE)
-        |    / COUNT(p.pred)), 6) AS rmse,
-        |  round(CAST(SUM(ABS(v.r_true - p.pred)) AS DOUBLE) / COUNT(p.pred), 6) AS mae
+        |  floor((COUNT(p.pred)::DOUBLE / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+        |  floor((sqrt(CAST(SUM((v.r_true - p.pred) * (v.r_true - p.pred)) AS DOUBLE)
+        |    / COUNT(p.pred))) * 1000000.0 + 0.5) / 1000000.0 AS rmse,
+        |  floor((CAST(SUM(ABS(v.r_true - p.pred)) AS DOUBLE) / COUNT(p.pred)) * 1000000.0 + 0.5) / 1000000.0 AS mae
         |FROM va v LEFT JOIN preds p
         |  ON p.user_id = v.user_id AND p.item_id = v.item_id""".stripMargin,
     "q136_item_cf" ->
@@ -1030,7 +1031,7 @@ object RecQueries {
         |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
         |  FROM events
         |  WHERE json_extract_string(props, '$.k') IS NOT NULL AND value IS NOT NULL),
-        |r AS (SELECT user_id, item_id, CAST(rating AS DECIMAL(18,2)) AS r
+        |r AS (SELECT user_id, item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS r
         |      FROM r0 WHERE rn = 1),
         |stats AS (SELECT item_id, SUM(r*r) AS norm2 FROM r GROUP BY item_id),
         |pairs AS (
@@ -1044,8 +1045,8 @@ object RecQueries {
         |  SELECT ib, ia, dot, support FROM pairs),
         |scored AS (
         |  SELECT s.item_id, s.neighbor_id,
-        |    round(CAST(s.dot AS DOUBLE) /
-        |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE))), 6) AS sim,
+        |    floor((CAST(s.dot AS DOUBLE) /
+        |      (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS sim,
         |    s.support
         |  FROM sym s JOIN stats x ON x.item_id = s.item_id
         |             JOIN stats y ON y.item_id = s.neighbor_id),
@@ -1066,9 +1067,9 @@ object RecQueries {
          |agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i*x) AS six,
          |          SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS nrec FROM rk)
          |SELECT CAST(n AS BIGINT) AS n_items, CAST(nrec AS BIGINT) AS n_recommended,
-         |  round(CAST(nrec AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coverage,
-         |  round(2.0 * CAST(six AS DOUBLE) / CAST(n*sx AS DOUBLE)
-         |    - CAST(n+1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+         |  floor((CAST(nrec AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+         |  floor((2.0 * CAST(six AS DOUBLE) / CAST(n*sx AS DOUBLE)
+         |    - CAST(n+1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS gini
          |FROM agg""".stripMargin,
     "q116_negative_samples" ->
       """WITH r AS (SELECT DISTINCT user_id,
@@ -1118,9 +1119,9 @@ object RecQueries {
          |  FROM generate_series(1, 20) g(m) JOIN generate_series(1, 20) h(i) ON i <= m
          |  GROUP BY m)
          |SELECT COUNT(*) AS n_users,
-         |  round(AVG(p), 6) AS p_at_k,
-         |  round(AVG(ap_num / least(n_truth, 20)), 6) AS map_at_k,
-         |  round(AVG(dcg / v), 6) AS ndcg_at_k
+         |  floor((AVG(p)) * 1000000.0 + 0.5) / 1000000.0 AS p_at_k,
+         |  floor((AVG(ap_num / least(n_truth, 20))) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+         |  floor((AVG(dcg / v)) * 1000000.0 + 0.5) / 1000000.0 AS ndcg_at_k
          |FROM peruser
          |JOIN tsize USING (user_id)
          |JOIN idcg ON m = least(n_truth, 20)""".stripMargin,
@@ -1141,7 +1142,7 @@ object RecQueries {
         |           FROM (VALUES (1), (10), (100), (1000)) v(b)),
         |itemagg AS (
         |  SELECT item_id, COUNT(*) AS cnt,
-        |    CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |    CAST(SUM(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM train GROUP BY item_id),
         |pool AS (
         |  SELECT bias, item_id FROM (
@@ -1186,9 +1187,9 @@ object RecQueries {
         |  FROM generate_series(1, 20) g(m) JOIN generate_series(1, 20) h(i) ON i <= m
         |  GROUP BY m)
         |SELECT bias, COUNT(*) AS n_users,
-        |  round(AVG(p), 6) AS p_at_k,
-        |  round(AVG(ap_num / least(n_truth, 20)), 6) AS map_at_k,
-        |  round(AVG(dcg / v), 6) AS ndcg_at_k
+        |  floor((AVG(p)) * 1000000.0 + 0.5) / 1000000.0 AS p_at_k,
+        |  floor((AVG(ap_num / least(n_truth, 20))) * 1000000.0 + 0.5) / 1000000.0 AS map_at_k,
+        |  floor((AVG(dcg / v)) * 1000000.0 + 0.5) / 1000000.0 AS ndcg_at_k
         |FROM peruser
         |JOIN tsize USING (user_id)
         |JOIN idcg ON m = least(n_truth, 20)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.io.Tables
 import graft.ops.Relational._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,8 +29,8 @@ object RelationalQueries {
       .agg(
         decSum(col("l_quantity")).cast("double").as("sum_qty"),
         decSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        sum(qdec(col("l_extendedprice"), 18, 2) *
+          (lit(1) - qdec(col("l_discount"), 18, 2)))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -101,8 +102,8 @@ object RelationalQueries {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+        sum(qdec(col("l_extendedprice"), 18, 2) *
+          (lit(1) - qdec(col("l_discount"), 18, 2)))
           .cast("double").as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy("r_name", "n_name")
@@ -212,7 +213,7 @@ object RelationalQueries {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(spark, dir)
       .withColumn("running_revenue",
-        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        sum(qdec(col("l_extendedprice"), 18, 2))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_revenue")
@@ -252,7 +253,7 @@ object RelationalQueries {
       Tables.events(spark, dir).select("user_id", "value", "event_id"),
       keys = Seq("user_id"), salts = 16,
       partial = Seq(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("total")),
+        sum(qdec(col("value"), 18, 2)).as("total")),
       merge = Seq(sum(col("n")).as("n"),
         sum(col("total")).cast("double").as("total")))
       .orderBy("user_id")
@@ -317,9 +318,9 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        round(expr("percentile(value, 0.5D)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9D)"), 6).as("p90"),
-        round(expr("percentile(value, 0.99D)"), 6).as("p99"))
+        qround(expr("percentile(value, 0.5D)"), 6).as("p50"),
+        qround(expr("percentile(value, 0.9D)"), 6).as("p90"),
+        qround(expr("percentile(value, 0.99D)"), 6).as("p99"))
       .orderBy("event_type")
 
   /** q87 — per-group winsorization (clip event values to the type's
@@ -337,8 +338,8 @@ object RelationalQueries {
       expr("percentile(value, 0.99D)").as("p99"))
     ev.join(broadcast(bands), "event_type")
       .select(col("event_id"), col("event_type"),
-        round(col("value"), 6).as("v"),
-        round(least(greatest(col("value"), col("p01")), col("p99")), 6)
+        qround(col("value"), 6).as("v"),
+        qround(least(greatest(col("value"), col("p01")), col("p99")), 6)
           .as("v_clipped"),
         (col("value") < col("p01") || col("value") > col("p99"))
           .cast("long").as("clipped"))
@@ -389,8 +390,8 @@ object RelationalQueries {
         expr("(t2 - t1) div 1000000000").as("latency_s"))
     vc.union(cp).groupBy("transition")
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(latency_s, 0.5D)"), 6).as("p50"),
-        round(expr("percentile(latency_s, 0.9D)"), 6).as("p90"),
+        qround(expr("percentile(latency_s, 0.5D)"), 6).as("p50"),
+        qround(expr("percentile(latency_s, 0.9D)"), 6).as("p90"),
         max(col("latency_s")).as("max_s"))
       .orderBy("transition")
   }
@@ -577,8 +578,8 @@ object RelationalQueries {
         |    (p.t2 - c.t1) // 1000000000
         |  FROM c JOIN p USING (user_id))
         |SELECT transition, CAST(count(*) AS BIGINT) AS n,
-        |  round(quantile_cont(latency_s, 0.5), 6) AS p50,
-        |  round(quantile_cont(latency_s, 0.9), 6) AS p90,
+        |  floor((quantile_cont(latency_s, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((quantile_cont(latency_s, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
         |  max(latency_s) AS max_s
         |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
     "q163_topk_agg" ->
@@ -630,7 +631,7 @@ object RelationalQueries {
     "q91_full_outer_reconcile" ->
       """WITH o AS (
         |  SELECT o_custkey AS id, COUNT(*) AS n_orders,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey),
         |e AS (SELECT user_id AS id, COUNT(*) AS n_events
         |      FROM events GROUP BY user_id)
@@ -643,27 +644,27 @@ object RelationalQueries {
         |    quantile_cont(value, 0.01) AS p01,
         |    quantile_cont(value, 0.99) AS p99
         |  FROM events GROUP BY event_type)
-        |SELECT event_id, event_type, round(value, 6) AS v,
-        |  round(least(greatest(value, p01), p99), 6) AS v_clipped,
+        |SELECT event_id, event_type, floor((value) * 1000000.0 + 0.5) / 1000000.0 AS v,
+        |  floor((least(greatest(value, p01), p99)) * 1000000.0 + 0.5) / 1000000.0 AS v_clipped,
         |  CAST(value < p01 OR value > p99 AS BIGINT) AS clipped
         |FROM events JOIN p USING (event_type)
         |ORDER BY event_id""".stripMargin,
     "q88_value_histogram" ->
       """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type, bin
         |ORDER BY event_type, bin""".stripMargin,
     "q78_group_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90,
-        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |  floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+        |  floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+        |  floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q79_cube_totals" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q83_sliding_windows" ->
@@ -675,12 +676,12 @@ object RelationalQueries {
         |    unnest([(t_s // 1800) * 1800, (t_s // 1800) * 1800 - 1800]) AS win_s
         |  FROM e)
         |SELECT win_s, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM w GROUP BY win_s, event_type
         |ORDER BY event_type, win_s""".stripMargin,
     "q70_salted_totals" ->
       """SELECT user_id, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q76_asof_enrich" ->
       """WITH e AS (
@@ -710,15 +711,15 @@ object RelationalQueries {
         |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) * (1 - CAST(floor(l_discount * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_top_parts_biased" ->
       """SELECT l_partkey, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 1000.0) AS score
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 1000.0) AS score
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY score DESC, l_partkey LIMIT 100""".stripMargin,
     "q03_active_users" ->
@@ -738,7 +739,7 @@ object RelationalQueries {
          |pool AS (
          |  SELECT item_id FROM (
          |    SELECT item_id, COUNT(*) AS cnt,
-         |      CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 100.0) AS score
+         |      CAST(SUM(CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) / (COUNT(*) + 100.0) AS score
          |    FROM ratings GROUP BY item_id)
          |  ORDER BY score DESC, item_id LIMIT 50),
          |users AS (SELECT DISTINCT user_id FROM ratings),
@@ -764,7 +765,7 @@ object RelationalQueries {
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q07_nation_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) * (1 - CAST(floor(l_discount * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -795,27 +796,27 @@ object RelationalQueries {
     "q12_hour_buckets" ->
       """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type, bucket_s
         |ORDER BY event_type, bucket_s""".stripMargin,
     "q13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY item ORDER BY item""".stripMargin,
     "q14_inlist_filter" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |  CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q15_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q17_running_revenue" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)

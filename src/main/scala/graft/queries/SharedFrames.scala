@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.io.Tables
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -30,7 +31,7 @@ object SharedFrames {
         .select(col("n_name").as("nation"),
           expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
             .as("day"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+          qdec(col("o_totalprice"), 18, 2).as("p"))
         .groupBy("nation", "day")
         .agg(sum(col("p")).as("rev"))
     }

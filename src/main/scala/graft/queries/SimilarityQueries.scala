@@ -3,6 +3,7 @@ package graft.queries
 import graft.io.Tables
 import graft.ops.Relational.perKeyTopK
 import graft.sim.VectorOps._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
@@ -45,7 +46,7 @@ object SimilarityQueries {
     emb(spark, dir)
       .select(col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
-        round(l2norm(col("embedding")), 6).as("l2norm"))
+        qround(l2norm(col("embedding")), 6).as("l2norm"))
       .orderBy("vec_id")
 
   /** q172 — per-DIMENSION standardization audit of the embedding
@@ -63,8 +64,9 @@ object SimilarityQueries {
       .select(col("p"), col("xf").cast("double").as("x"))
     val stats = x.groupBy("p").agg(
         count(lit(1)).as("n"),
-        sum(col("x").cast("decimal(20,10)")).as("s"),
-        sum((col("x") * col("x")).cast("decimal(28,14)")).as("ssq"))
+        sum(graft.functions.GraftFunctions.qdec(col("x"), 20, 10)).as("s"),
+        sum(graft.functions.GraftFunctions.qdec(
+          col("x") * col("x"), 28, 14)).as("ssq"))
       .select(col("p"), col("n"),
         // IEEE floor-quantization, NOT round(): the quantized doubles are
         // bit-identical in both engines, and every later decimal pin of
@@ -168,7 +170,7 @@ object SimilarityQueries {
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         posexplode(transform(col("embedding"),
-          x => round(x.cast("double") / col("nrm"), 6))).as(Seq("d", "u")))
+          x => qround(x.cast("double") / col("nrm"), 6))).as(Seq("d", "u")))
       .orderBy("vec_id", "d")
 
   /** q110 — Johnson–Lindenstrauss random projection 64→16 (see
@@ -199,9 +201,9 @@ object SimilarityQueries {
         lit(0.0), (a, b) => greatest(a, b)))
       .filter(col("mx") > 0)
       .withColumn("scale", col("mx") / lit(127.0))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+      .select(col("vec_id"), qround(col("scale"), 6).as("scale_r"),
         posexplode(transform(col("embedding"),
-          x => round(x.cast("double") / col("scale"), 0).cast("long")))
+          x => qround(x.cast("double") / col("scale"), 0).cast("long")))
           .as(Seq("d", "q")))
       .orderBy("vec_id", "d")
 
@@ -216,7 +218,7 @@ object SimilarityQueries {
           // TZ is UTC) to get epoch seconds.
           max(col("o_orderdate")).cast("timestamp").cast("long").as("recency_s"),
           count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          sum(qdec(col("o_totalprice"), 18, 2)).cast("double")
             .as("monetary"))
       Tables.customer(spark, dir)
         .join(o, Seq("c_custkey"))
@@ -257,8 +259,8 @@ object SimilarityQueries {
     model.transform(scaled)
       .groupBy(col("prediction").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg("frequency"), 4).as("avg_frequency"),
-        round(avg("monetary"), 2).as("avg_monetary"))
+        qround(avg("frequency"), 4).as("avg_frequency"),
+        qround(avg("monetary"), 2).as("avg_monetary"))
       .orderBy("segment")
   }
 
@@ -303,8 +305,10 @@ object SimilarityQueries {
         |         unnest(generate_series(1, len(embedding))) - 1 AS p
         |  FROM embeddings),
         |st AS (SELECT p, count(*) AS n,
-        |        sum(CAST(x AS DECIMAL(20,10))) AS s,
-        |        sum(CAST(x * x AS DECIMAL(28,14))) AS ssq
+        |        sum(CAST(floor(x * 10000000000.0 + 0.5) / 10000000000.0
+        |          AS DECIMAL(20,10))) AS s,
+        |        sum(CAST(floor((x * x) * 100000000000000.0 + 0.5)
+        |          / 100000000000000.0 AS DECIMAL(28,14))) AS ssq
         |      FROM x GROUP BY 1),
         |m AS (SELECT p, n,
         |        floor((CAST(s AS DOUBLE) / n) * 1000000.0 + 0.5)
@@ -335,7 +339,7 @@ object SimilarityQueries {
         |  FROM embeddings WHERE vec_id >= 10),
         |scored AS (
         |  SELECT q.q_id, c.n_id,
-        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        |    floor((list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos
         |  FROM q CROSS JOIN c),
         |ranked AS (
         |  SELECT q_id, n_id, cos,
@@ -345,7 +349,7 @@ object SimilarityQueries {
         |ORDER BY q_id, rank""".stripMargin,
     "q31_vector_norms" ->
       """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
-        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2norm
+        |  floor((sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) * 1000000.0 + 0.5) / 1000000.0 AS l2norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // Indices derive from the array itself (select-list unnest of a
     // per-row generate_series list — the lateral form the table-function
@@ -359,7 +363,7 @@ object SimilarityQueries {
          |  FROM generate_series(0, 15) gp(p), generate_series(0, 63) gd(d)),
          |wl AS (SELECT p, list(wt ORDER BY d) AS wv FROM w GROUP BY 1)
          |SELECT vec_id, p,
-         |       round(list_dot_product(CAST(embedding AS DOUBLE[]), wv), 6) AS y
+         |       floor((list_dot_product(CAST(embedding AS DOUBLE[]), wv)) * 1000000.0 + 0.5) / 1000000.0 AS y
          |FROM embeddings CROSS JOIN wl ORDER BY 1, 2""".stripMargin,
     "q38_embedding_normalize" ->
       """WITH e AS (
@@ -369,7 +373,7 @@ object SimilarityQueries {
         |x AS (
         |  SELECT vec_id, emb, nrm, unnest(generate_series(1, len(emb))) AS i
         |  FROM e WHERE nrm > 0)
-        |SELECT vec_id, CAST(i - 1 AS INT) AS d, round(emb[i] / nrm, 6) AS u
+        |SELECT vec_id, CAST(i - 1 AS INT) AS d, floor((emb[i] / nrm) * 1000000.0 + 0.5) / 1000000.0 AS u
         |FROM x ORDER BY vec_id, d""".stripMargin,
     // Codes are exact integers cross-engine (single-IEEE-op scale +
     // half-away rounding in both engines); only scale_r is rounded.
@@ -382,8 +386,8 @@ object SimilarityQueries {
         |  SELECT vec_id, emb, mx / 127.0 AS scale,
         |    unnest(generate_series(1, len(emb))) AS i
         |  FROM e WHERE mx > 0)
-        |SELECT vec_id, round(scale, 6) AS scale_r, CAST(i - 1 AS INT) AS d,
-        |  CAST(round(emb[i] / scale, 0) AS BIGINT) AS q
+        |SELECT vec_id, floor((scale) * 1000000.0 + 0.5) / 1000000.0 AS scale_r, CAST(i - 1 AS INT) AS d,
+        |  CAST(floor((emb[i] / scale) + 0.5) AS BIGINT) AS q
         |FROM s ORDER BY vec_id, d""".stripMargin,
     "q32_ann_lsh" ->
       s"""WITH proj AS (
@@ -394,7 +398,7 @@ object SimilarityQueries {
          |  FROM embeddings CROSS JOIN generate_series(0, 7) g(p)),
          |buckets AS (
          |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN round(s, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |    CAST(SUM(CASE WHEN floor((s) * 1000000.0 + 0.5) / 1000000.0 > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM proj GROUP BY vec_id),
          |q AS (
          |  SELECT e.vec_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS emb, b.bucket,
@@ -406,7 +410,7 @@ object SimilarityQueries {
          |  FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id >= 10),
          |scored AS (
          |  SELECT q.q_id, c.n_id, q.bucket,
-         |    round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+         |    floor((list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |  FROM q JOIN c USING (bucket)),
          |ranked AS (
          |  SELECT q_id, n_id, bucket, cos,
@@ -423,23 +427,23 @@ object SimilarityQueries {
          |  FROM embeddings CROSS JOIN generate_series(0, 7) g(p)),
          |buckets AS (
          |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN round(s, 6) > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |    CAST(SUM(CASE WHEN floor((s) * 1000000.0 + 0.5) / 1000000.0 > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM proj GROUP BY vec_id),
          |e AS (
          |  SELECT x.vec_id, CAST(x.embedding AS DOUBLE[]) AS emb, b.bucket,
          |    sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))) AS nrm
          |  FROM embeddings x JOIN buckets b USING (vec_id))
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
-         |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+         |  floor((list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |FROM e a JOIN e b USING (bucket)
          |WHERE a.vec_id < b.vec_id
-         |  AND round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.4
+         |  AND floor((list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
     "q34_rfm_features" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(epoch(max(o_orderdate)) AS BIGINT) AS recency_s,
         |  COUNT(*) AS frequency,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS monetary
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import graft.streaming.EventStreams
 
@@ -153,7 +154,7 @@ object StreamingQueries {
       .join(broadcast(cust), "user_id")
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        sum(qdec(col("value"), 18, 2)).cast("double").as("total"))
     EventStreams.runToMemory(spark, enriched, name, OutputMode.Complete)
       .select("c_mktsegment", "event_type", "n", "total")
       .orderBy("c_mktsegment", "event_type")
@@ -402,7 +403,7 @@ object StreamingQueries {
       .withColumn("contrib", (p - q) * log(p / q))
       .groupBy("win_s")
       .agg(max(col("tot_win")).as("n_events"),
-        round(sum(col("contrib")), 6).as("psi"))
+        qround(sum(col("contrib")), 6).as("psi"))
       .orderBy("win_s")
   }
 
@@ -550,11 +551,11 @@ object StreamingQueries {
     "q132_stream_incremental_mv" ->
       """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
         |         AS sum_value,
-        |       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       CAST(min(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
         |         AS min_value,
-        |       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       CAST(max(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
         |         AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Batch-computed per-window PSI against the global reference — the
@@ -583,7 +584,7 @@ object StreamingQueries {
         |          AS contrib
         |      FROM grid g JOIN wt ON wt.win_s = g.win_s CROSS JOIN rt)
         |SELECT win_s, max(tot_win) AS n_events,
-        |       round(sum(contrib), 6) AS psi
+        |       floor((sum(contrib)) * 1000000.0 + 0.5) / 1000000.0 AS psi
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Batch latest-change view: the stream's compacted state must equal
     // the row_number()=1 pick in change order.
@@ -664,7 +665,7 @@ object StreamingQueries {
     "q61_stream_hourly" ->
       """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type, bucket_s
         |ORDER BY event_type, bucket_s""".stripMargin,
     "q62_stream_sessions" ->
@@ -685,7 +686,7 @@ object StreamingQueries {
         |  FROM events)
         |SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events, wm
         |GROUP BY event_type, bucket_s, wm_ms
         |HAVING (bucket_s + 3600) * 1000 <= wm_ms
@@ -705,7 +706,7 @@ object StreamingQueries {
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q66_stream_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.io.Tables
 import graft.text.TextAnalysis._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -172,7 +173,7 @@ object TextQueries {
     // rounding collapses them into ties broken by token.
     val scored = tf.join(df_, "token").crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(col("nd") / col("df")), 6))
+        qround(col("tf") * log(col("nd") / col("df")), 6))
     import graft.ops.Relational.perKeyTopK
     perKeyTopK(scored, "doc_id", Seq(col("tfidf").desc, col("token")), k = 3)
       .select("doc_id", "rank", "token", "tfidf")
@@ -355,7 +356,7 @@ object TextQueries {
     Tables.weightedSample(Tables.documents(spark, dir), "doc_id", p,
       seed = 99L)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        round(p, 6).as("p_keep"))
+        qround(p, 6).as("p_keep"))
       .orderBy("doc_id")
   }
 
@@ -445,7 +446,7 @@ object TextQueries {
       .select(col("p_name").as("name")).distinct()
     val cands = graft.text.Fuzzy.sortedNeighborhoodPairs(names, w = 5)
     val edges = cands
-      .filter(round(graft.functions.GraftFunctions.jaro_winkler(
+      .filter(qround(graft.functions.GraftFunctions.jaro_winkler(
         col("name_a"), col("name_b")), 6) >= 0.94)
       .select(graft.functions.GraftFunctions.md5_63(col("name_a"))
           .as("id_a"),
@@ -555,7 +556,7 @@ object TextQueries {
     val weights = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
-        expr("cast(round(sqrt(cast(n_docs as double)) * 1e9) as bigint)"))
+        expr("cast(floor((sqrt(cast(n_docs as double)) * 1e9) + 0.5) as bigint)"))
     val tot = weights.agg(sum(col("w")).as("w_sum"),
       sum(col("n_docs")).as("n_total"))
     val quotas = weights.crossJoin(broadcast(tot))
@@ -632,14 +633,14 @@ object TextQueries {
       |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
       |      FROM s),
       |f AS (SELECT g, n, num, dx, dy, sxd, syd,
-      |        CASE WHEN n >= 2 AND dx > 0 THEN round(num / dx, 6) END
+      |        CASE WHEN n >= 2 AND dx > 0 THEN floor((num / dx) * 1000000.0 + 0.5) / 1000000.0 END
       |          AS slope
       |      FROM d)
       |SELECT g AS grp, CAST(n AS BIGINT) AS n, slope,
       |  CASE WHEN slope IS NOT NULL THEN
-      |    round((syd - slope * sxd) / n, 6) END AS intercept,
+      |    floor(((syd - slope * sxd) / n) * 1000000.0 + 0.5) / 1000000.0 END AS intercept,
       |  CASE WHEN slope IS NOT NULL AND dy > 0 THEN
-      |    round(num * num / (dx * dy), 6) END AS r2
+      |    floor((num * num / (dx * dy)) * 1000000.0 + 0.5) / 1000000.0 END AS r2
       |FROM f ORDER BY grp""".stripMargin
 
   // Shared by q82 (exact path) and q94 (Bloom-prefiltered path): the
@@ -733,7 +734,7 @@ object TextQueries {
     "q184_mixture_rebalance" ->
       s"""WITH w AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(round(sqrt(count(*)::DOUBLE) * 1e9) AS BIGINT) AS w
+         |    CAST(floor((sqrt(count(*)::DOUBLE) * 1e9) + 0.5) AS BIGINT) AS w
          |  FROM documents GROUP BY 1),
          |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum,
          |        CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
@@ -768,7 +769,7 @@ object TextQueries {
         |         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
         |         WHERE nb IS NOT NULL),
         |m AS (SELECT name_a, name_b FROM cand
-        |      WHERE round(jaro_winkler_similarity(name_a, name_b), 6)
+        |      WHERE floor((jaro_winkler_similarity(name_a, name_b)) * 1000000.0 + 0.5) / 1000000.0
         |        >= 0.94),
         |sym AS (SELECT name_a AS src, name_b AS dst FROM m
         |        UNION SELECT name_b, name_a FROM m),
@@ -795,23 +796,23 @@ object TextQueries {
         |lens AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
         |st AS (SELECT count(*) AS n_docs, sum(len) AS tot_len FROM lens),
         |av AS (SELECT n_docs,
-        |         round(CAST(tot_len AS DOUBLE) / n_docs, 6) AS avglen
+        |         floor((CAST(tot_len AS DOUBLE) / n_docs) * 1000000.0 + 0.5) / 1000000.0 AS avglen
         |       FROM st),
         |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
         |q AS (SELECT DISTINCT w FROM tf WHERE doc_id = 0),
         |idf AS (SELECT dfs.w, avglen,
-        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)
+        |    CAST(floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) * 1000000000.0 + 0.5) / 1000000000.0
         |      AS DECIMAL(28,9)) AS idf
         |  FROM dfs JOIN q USING (w) CROSS JOIN av),
         |c AS (SELECT tf.doc_id,
-        |    CAST(round(CAST(idf AS DOUBLE)
+        |    CAST(floor((CAST(idf AS DOUBLE)
         |        * (CAST(tf.tf AS DOUBLE) * 2.2)
         |        / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-        |            * (CAST(lens.len AS DOUBLE) / avglen))), 9)
+        |            * (CAST(lens.len AS DOUBLE) / avglen)))) * 1000000000.0 + 0.5) / 1000000000.0
         |      AS DECIMAL(28,9)) AS ts
         |  FROM tf JOIN idf ON tf.w = idf.w
         |  JOIN lens ON tf.doc_id = lens.doc_id)
-        |SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score,
+        |SELECT doc_id, floor((CAST(sum(ts) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS score,
         |  CAST(count(*) AS BIGINT) AS n_terms
         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "q162_naive_bayes" ->
@@ -826,13 +827,13 @@ object TextQueries {
         |dc AS (SELECT lang AS c, count(*) AS docs_c FROM tr GROUP BY 1),
         |dt AS (SELECT count(*) AS docs_tot FROM tr),
         |classes AS (SELECT tc.c,
-        |    CAST(round(ln(CAST(docs_c AS DOUBLE) / docs_tot), 9)
+        |    CAST(floor((ln(CAST(docs_c AS DOUBLE) / docs_tot)) * 1000000000.0 + 0.5) / 1000000000.0
         |      AS DECIMAL(28,9)) AS prior,
-        |    CAST(round(ln(1.0 / (tokens_c + v)), 9)
+        |    CAST(floor((ln(1.0 / (tokens_c + v))) * 1000000000.0 + 0.5) / 1000000000.0
         |      AS DECIMAL(28,9)) AS logp0
         |  FROM tc JOIN dc ON tc.c = dc.c CROSS JOIN v CROSS JOIN dt),
         |model AS (SELECT cnt.c, w,
-        |    CAST(round(ln(CAST(n + 1 AS DOUBLE) / (tokens_c + v)), 9)
+        |    CAST(floor((ln(CAST(n + 1 AS DOUBLE) / (tokens_c + v))) * 1000000000.0 + 0.5) / 1000000000.0
         |      AS DECIMAL(28,9)) AS logp
         |  FROM cnt JOIN tc ON cnt.c = tc.c CROSS JOIN v),
         |tet AS (SELECT doc_id, lang AS truth,
@@ -903,7 +904,7 @@ object TextQueries {
          |            AS BIGINT)::DOUBLE / 9.223372036854775808e18,
          |          0.9999999999999999) AS u
          |  FROM documents)
-         |SELECT doc_id, source, lang, n_chars, round(p, 6) AS p_keep
+         |SELECT doc_id, source, lang, n_chars, floor((p) * 1000000.0 + 0.5) / 1000000.0 AS p_keep
          |FROM t WHERE u < p ORDER BY doc_id""".stripMargin,
     "q85_sequence_packing" ->
       """WITH t AS (
@@ -984,7 +985,7 @@ object TextQueries {
         |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
         |w AS (
         |  SELECT doc_id, shingle, df,
-        |    CAST(round(tf * ln(nd / df), 6) AS DECIMAL(18,6)) AS w
+        |    CAST(floor((tf * ln(nd / df)) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS w
         |  FROM tf JOIN dfq USING (shingle) CROSS JOIN n),
         |norms AS (
         |  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS norm
@@ -995,7 +996,7 @@ object TextQueries {
         |  WHERE a.df >= 2
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        |  round(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+        |  floor((CAST(dot AS DOUBLE) / (na.norm * nb.norm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
         |FROM dots
         |JOIN norms na ON na.doc_id = id_a
         |JOIN norms nb ON nb.doc_id = id_b
@@ -1011,7 +1012,7 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, COUNT(*) AS n_shingles,
         |  COUNT(DISTINCT shingle) AS n_distinct,
-        |  round(1.0 - COUNT(DISTINCT shingle)::DOUBLE / COUNT(*), 6) AS dup_ratio
+        |  floor((1.0 - COUNT(DISTINCT shingle)::DOUBLE / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q18_tfidf" ->
       """WITH tok AS (
@@ -1020,7 +1021,7 @@ object TextQueries {
         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
         |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
         |scored AS (
-        |  SELECT doc_id, token, round(tf * ln(nd / df), 6) AS tfidf
+        |  SELECT doc_id, token, floor((tf * ln(nd / df)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
         |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
         |ranked AS (
         |  SELECT doc_id, token, tfidf,
@@ -1141,7 +1142,7 @@ object TextQueries {
         |m AS (SELECT c2.w1, c2.w2, ln(c2.c2::DOUBLE / c1.c1::DOUBLE) AS logp
         |      FROM c2 JOIN c1 USING (w1))
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       round(avg(m.logp), 6) AS avg_logp
+        |       floor((avg(m.logp)) * 1000000.0 + 0.5) / 1000000.0 AS avg_logp
         |FROM bg JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q146_ols_per_source" -> olsOracle,
@@ -1167,8 +1168,8 @@ object TextQueries {
         |cv AS (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1)
         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
         |  CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered_tokens,
-        |  round(CAST(b.n_tokens - COALESCE(cv.covered, 0) AS DOUBLE)
-        |    / b.n_tokens, 6) AS keep_ratio
+        |  floor((CAST(b.n_tokens - COALESCE(cv.covered, 0) AS DOUBLE)
+        |    / b.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS keep_ratio
         |FROM base b LEFT JOIN cv ON cv.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "q147_quantile_norm" -> {
@@ -1178,11 +1179,11 @@ object TextQueries {
          |  FROM documents),
          |gb AS (
          |  SELECT list_transform(quantile_cont(v, [$probs]),
-         |    b -> round(b, 6)) AS gb
+         |    b -> floor((b) * 1000000.0 + 0.5) / 1000000.0) AS gb
          |  FROM rows0),
          |sb AS (
          |  SELECT grp, list_transform(quantile_cont(v, [$probs]),
-         |    b -> round(b, 6)) AS sb
+         |    b -> floor((b) * 1000000.0 + 0.5) / 1000000.0) AS sb
          |  FROM rows0 GROUP BY grp),
          |j1 AS (
          |  SELECT rid, grp, v, sb, gb,
@@ -1190,16 +1191,16 @@ object TextQueries {
          |  FROM rows0 JOIN sb USING (grp) CROSS JOIN gb),
          |j2 AS (
          |  SELECT rid, grp, v, gb,
-         |    round((CAST(i - 1 AS DOUBLE) + CASE WHEN sb[i+1] > sb[i]
+         |    floor(((CAST(i - 1 AS DOUBLE) + CASE WHEN sb[i+1] > sb[i]
          |      THEN (v - sb[i]) / (sb[i+1] - sb[i]) ELSE 0.0 END)
-         |      / 10.0, 6) AS p_src
+         |      / 10.0) * 1000000.0 + 0.5) / 1000000.0 AS p_src
          |  FROM j1),
          |j3 AS (
          |  SELECT rid, grp, v, p_src, gb,
          |    least(CAST(floor(p_src * 10) AS INT), 9) AS j
          |  FROM j2)
          |SELECT rid, grp, v, p_src,
-         |  round(gb[j+1] + (p_src * 10.0 - j) * (gb[j+2] - gb[j+1]), 6)
+         |  floor((gb[j+1] + (p_src * 10.0 - j) * (gb[j+2] - gb[j+1])) * 1000000.0 + 0.5) / 1000000.0
          |    AS v_norm
          |FROM j3 ORDER BY rid""".stripMargin
     },
@@ -1213,7 +1214,7 @@ object TextQueries {
         |        row_number() OVER (ORDER BY es DESC, doc_id) AS rank
         |      FROM s)
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_chars,
-        |       round(es, 6) AS es
+        |       floor((es) * 1000000.0 + 0.5) / 1000000.0 AS es
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "q108_bpe_pairs" ->
       """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

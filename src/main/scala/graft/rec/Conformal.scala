@@ -3,6 +3,7 @@ package graft.rec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Split-conformal prediction intervals (Vovk et al.; Lei et al. 2018,
   * public) — distribution-free uncertainty for ANY point predictor:
@@ -32,16 +33,16 @@ object Conformal {
                         alpha: Double): DataFrame = {
     def clean(df: DataFrame) = df
       .filter(col("item_id").isNotNull && col("rating").isNotNull)
-      .select(col("item_id"), col("rating").cast("decimal(18,2)").as("r"))
+      .select(col("item_id"), qdec(col("rating"), 18, 2).as("r"))
 
     val tr = clean(train)
-    val g = tr.agg(round(sum("r").cast("double") /
+    val g = tr.agg(qround(sum("r").cast("double") /
       count(lit(1)).cast("double"), 6).as("g"))
     val pred = tr.groupBy("item_id")
       .agg(count(lit(1)).as("cnt"), sum("r").as("s"))
       .crossJoin(broadcast(g))
       .select(col("item_id"),
-        round((col("s").cast("double") + lit(bias.toDouble) * col("g")) /
+        qround((col("s").cast("double") + lit(bias.toDouble) * col("g")) /
           (col("cnt") + lit(bias)).cast("double"), 6)
           .cast("decimal(18,6)").as("pred"))
 
@@ -49,7 +50,7 @@ object Conformal {
       .join(broadcast(pred), Seq("item_id"), "left")
       .crossJoin(broadcast(g))
       .withColumn("p",
-        coalesce(col("pred"), round(col("g"), 6).cast("decimal(18,6)")))
+        coalesce(col("pred"), qround(col("g"), 6).cast("decimal(18,6)")))
       .withColumn("res", abs(col("r") - col("p")))
 
     val byRes = scored(calib).groupBy("res").agg(count(lit(1)).as("m"))
@@ -70,7 +71,7 @@ object Conformal {
         min("qhat").as("q"), min("n_calib").as("nc"))
       .select(lit(alpha).as("alpha"), col("nc").as("n_calib"),
         col("q").cast("double").as("qhat"), col("n_test"),
-        round(col("cov").cast("double") / col("n_test").cast("double"), 6)
+        qround(col("cov").cast("double") / col("n_test").cast("double"), 6)
           .as("coverage"))
   }
 }

@@ -3,6 +3,7 @@ package graft.rec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** K-fold cross-validation as ONE pipeline — no per-fold jobs, no
   * driver loop: fold membership is a keyed-PRNG column, every fold's
@@ -39,7 +40,7 @@ object CrossVal {
         pmod(graft.functions.GraftFunctions.md5_63(
           concat(lit(s"$seed:"), col("event_id").cast("string"))),
           lit(folds)).cast("int").as("fold"),
-        col("rating").cast("decimal(18,2)").as("v"))
+        qdec(col("rating"), 18, 2).as("v"))
 
     val pf = rows.groupBy("item_id", "fold")
       .agg(count(lit(1)).as("cnt"), sum("v").as("s"))
@@ -49,7 +50,7 @@ object CrossVal {
     val enc = pf
       .withColumn("oof_cnt", sum("cnt").over(byItem) - col("cnt"))
       .withColumn("oof_s", sum("s").over(byItem) - col("s"))
-      .withColumn("g_oof", round(
+      .withColumn("g_oof", qround(
         (sum("s").over(all) - sum("s").over(byFold)).cast("double") /
           (sum("cnt").over(all) - sum("cnt").over(byFold)).cast("double"),
         6))
@@ -59,7 +60,7 @@ object CrossVal {
         biases.map(Tuple1(_))).toDF("bias"))
     val pred = enc.crossJoin(biasDf)
       .select(col("item_id"), col("fold"), col("bias"),
-        round((col("oof_s").cast("double") +
+        qround((col("oof_s").cast("double") +
             col("bias").cast("double") * col("g_oof")) /
           (col("oof_cnt") + col("bias")).cast("double"), 6)
           .cast("decimal(18,6)").as("pred"))
@@ -69,11 +70,11 @@ object CrossVal {
       .groupBy("bias", "fold")
       .agg(count(lit(1)).as("n_eval"), sum(col("e") * col("e")).as("sse"))
       .withColumn("rmse",
-        round(sqrt(col("sse").cast("double") / col("n_eval").cast("double")),
+        qround(sqrt(col("sse").cast("double") / col("n_eval").cast("double")),
           6).cast("decimal(18,6)"))
 
     perFold
-      .withColumn("cv_rmse", round(
+      .withColumn("cv_rmse", qround(
         sum("rmse").over(Window.partitionBy("bias")).cast("double") /
           lit(folds.toDouble), 6))
       .select(col("bias"), col("fold"), col("n_eval"),

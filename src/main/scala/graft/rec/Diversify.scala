@@ -2,6 +2,7 @@ package graft.rec
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
   * public) — trade relevance against redundancy when finalizing a
@@ -98,7 +99,7 @@ object Diversify {
         ratings.join(broadcast(poolItems.select(col("item_id"))),
           Seq("item_id")))
       .select(col("user_id"), col("item_id"),
-        col("rating").cast("decimal(18,2)").as("rr"))
+        qdec(col("rating"), 18, 2).as("rr"))
     val stats = r.groupBy("item_id")
       .agg(sum(col("rr") * col("rr")).as("norm2"))
     val a = r.select(col("user_id"), col("item_id").as("ia"),
@@ -117,7 +118,7 @@ object Diversify {
       .join(stats.select(col("item_id").as("ib"), col("norm2").as("nb")),
         "ib")
       .select(col("ia"), col("ib"),
-        round(col("dot").cast("double") /
+        qround(col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
           6).as("sim"))
   }

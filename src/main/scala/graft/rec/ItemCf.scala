@@ -3,6 +3,7 @@ package graft.rec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Item–item collaborative filtering over explicit ratings — the
   * neighborhood-method complement to the latent-factor path
@@ -63,7 +64,7 @@ object ItemCf {
       .withColumn("__urn", row_number().over(capW))
       .filter(col("__urn") <= maxPerUser)
       .select(col("user_id"), col("item_id"),
-        col("rating").cast("decimal(18,2)").as("r"))
+        qdec(col("rating"), 18, 2).as("r"))
 
     val stats = r.groupBy("item_id")
       .agg(sum(col("r") * col("r")).as("norm2"))
@@ -88,7 +89,7 @@ object ItemCf {
     val nb = stats.select(col("item_id").as("neighbor_id"),
       col("norm2").as("nb"))
     val scored = sym.join(na, "item_id").join(nb, "neighbor_id")
-      .withColumn("sim", round(col("dot").cast("double") /
+      .withColumn("sim", qround(col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
         6))
     val rankW = Window.partitionBy("item_id")
@@ -128,10 +129,10 @@ object ItemCf {
         col("sim").cast("decimal(10,6)").as("w"))
     val truth = latestRatings(valSet)
       .select(col("user_id"), col("item_id"),
-        col("rating").cast("decimal(18,2)").as("r_true"))
+        qdec(col("rating"), 18, 2).as("r_true"))
     val hist = latestRatings(train)
       .select(col("user_id"), col("item_id").as("neighbor_id"),
-        col("rating").cast("decimal(18,2)").as("r_n"))
+        qdec(col("rating"), 18, 2).as("r_n"))
 
     val preds = truth.join(nbrs, "item_id")
       .join(hist, Seq("user_id", "neighbor_id"))
@@ -139,7 +140,7 @@ object ItemCf {
       .agg(sum(col("w") * col("r_n")).as("num"), sum(col("w")).as("den"))
       .filter(col("den") > 0)
       .select(col("user_id"), col("item_id"),
-        round(col("num").cast("double") / col("den").cast("double"), 6)
+        qround(col("num").cast("double") / col("den").cast("double"), 6)
           .cast("decimal(18,6)").as("pred"))
 
     truth.join(preds, Seq("user_id", "item_id"), "left")
@@ -148,11 +149,11 @@ object ItemCf {
           (col("r_true") - col("pred"))).as("sse"),
         sum(abs(col("r_true") - col("pred"))).as("sae"))
       .select(col("n_val"), col("n_pred"),
-        round(col("n_pred").cast("double") / col("n_val").cast("double"), 6)
+        qround(col("n_pred").cast("double") / col("n_val").cast("double"), 6)
           .as("coverage"),
-        round(sqrt(col("sse").cast("double") / col("n_pred").cast("double")),
+        qround(sqrt(col("sse").cast("double") / col("n_pred").cast("double")),
           6).as("rmse"),
-        round(col("sae").cast("double") / col("n_pred").cast("double"), 6)
+        qround(col("sae").cast("double") / col("n_pred").cast("double"), 6)
           .as("mae"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.functions.HashUtil
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -25,7 +26,7 @@ object VectorOps {
   /** Cosine similarity rounded to 6 decimals (rounding absorbs any
     * cross-engine summation-order residue; ranking ties then break on id). */
   def cosine6(a: Column, b: Column, normA: Column, normB: Column): Column =
-    round(dot(a, b) / (normA * normB), 6)
+    qround(dot(a, b) / (normA * normB), 6)
 
   /** Deterministic pseudo-random hyperplane weights for LSH: plane p,
     * dimension d → ((md5_63("p:d") mod 2001) − 1000) / 1000 ∈ [−1, 1].
@@ -76,7 +77,7 @@ object VectorOps {
       val w = typedLit((0 until dim).map { d =>
         ((HashUtil.md5Lower63(s"rp:$p:$d") % 2001L) - 1000L).toDouble / 1000.0
       })
-      round(dot(col(emb), w), 6)
+      qround(dot(col(emb), w), 6)
     }: _*)
     df.select(col(id), posexplode(projected).as(Seq("p", "y")))
   }
@@ -95,7 +96,7 @@ object VectorOps {
                     out: String = "bucket"): DataFrame = {
     val bucket = (0 until planes).map { p =>
       val w = typedLit(hyperplane(p, dim))
-      when(round(dot(col(emb), w), 6) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(qround(dot(col(emb), w), 6) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn(out, bucket)
   }

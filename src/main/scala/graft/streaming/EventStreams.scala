@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Structured Streaming operators over the events stream.
   *
@@ -50,7 +51,7 @@ object EventStreams {
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        sum(qdec(col("value"), 18, 2)).cast("double").as("total"))
       .select(
         (unix_timestamp(col("window.start"))).as("bucket_s"),
         col("event_type"), col("n"), col("total"))

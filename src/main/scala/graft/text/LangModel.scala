@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Corpus-statistics language modelling for training-data curation: a
   * bigram maximum-likelihood model fitted on the corpus itself, used to
@@ -58,7 +59,7 @@ object LangModel {
     bg.join(model, Seq("w1", "w2"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("logp")), 6).as("avg_logp"))
+        qround(avg(col("logp")), 6).as("avg_logp"))
   }
 
   /** One BPE-training merge round at the character level: frequency of

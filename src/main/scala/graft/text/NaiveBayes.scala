@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** Multinomial Naive Bayes text classification — train and score in two
   * aggregates and two joins, no iteration. The supervised counterpart of
@@ -55,14 +56,14 @@ object NaiveBayes {
     val classes = tc.join(dc, "c")
       .crossJoin(broadcast(v)).crossJoin(broadcast(dtot))
       .select(col("c"),
-        round(log(col("docs_c").cast("double") /
+        qround(log(col("docs_c").cast("double") /
           col("docs_tot").cast("double")), 9).cast(dec).as("prior"),
-        round(log(lit(1.0) /
+        qround(log(lit(1.0) /
           (col("tokens_c") + col("v")).cast("double")), 9).cast(dec)
           .as("logp0"))
     val model = cnt.join(tc, "c").crossJoin(broadcast(v))
       .select(col("c"), col("w"),
-        round(log((col("n") + 1).cast("double") /
+        qround(log((col("n") + 1).cast("double") /
           (col("tokens_c") + col("v")).cast("double")), 9).cast(dec)
           .as("logp"))
     Model(classes, model)

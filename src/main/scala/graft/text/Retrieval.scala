@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{qdec, qround}
 
 /** BM25 ranked retrieval over the document corpus — the lexical search
   * primitive (and the hard-negative miner of retrieval-model training
@@ -40,24 +41,24 @@ object Retrieval {
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       sum("len").as("tot_len"))
     val avg = stats.select(col("n_docs"),
-      round(col("tot_len").cast("double") / col("n_docs"), 6).as("avglen"))
+      qround(col("tot_len").cast("double") / col("n_docs"), 6).as("avglen"))
     val dfs = tfs.groupBy("w").agg(count(lit(1)).as("df"))
     val qterms = query.select(col("w")).distinct()
     val idf = dfs.join(broadcast(qterms), "w")
       .crossJoin(broadcast(avg))
       .select(col("w"), col("avglen"),
-        round(log((col("n_docs") - col("df") + lit(0.5)) /
+        qround(log((col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)), 9).cast(dec).as("idf"))
     val contrib = tfs.join(idf, "w").join(lens, Seq(id))
       .select(col(id),
-        round(col("idf").cast("double") *
+        qround(col("idf").cast("double") *
           (col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") + lit(1.2) *
             (lit(0.25) + lit(0.75) *
               (col("len").cast("double") / col("avglen")))), 9)
           .cast(dec).as("term_score"))
     contrib.groupBy(col(id))
-      .agg(round(sum("term_score").cast("double"), 6).as("score"),
+      .agg(qround(sum("term_score").cast("double"), 6).as("score"),
         count(lit(1)).as("n_terms"))
       .orderBy(desc("score"), col(id))
       .limit(k)

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.functions.GraftFunctions.md5_63
+import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -248,7 +249,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shingles"),
         countDistinct(col("shingle")).as("n_distinct"))
       .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+        qround(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
 
   /** Top-k most-similar document pairs by TF-IDF cosine over n-gram
     * shingles — sparse vector similarity WITHOUT materializing vectors:
@@ -288,7 +289,7 @@ object TextAnalysis {
       .filter(col("df") <= maxDf)
     tf.join(dfq, "shingle").crossJoin(broadcast(nd))
       .select(col(id), col("shingle"), col("df"),
-        round(col("tf") * log(col("nd") / col("df")), 6)
+        qround(col("tf") * log(col("nd") / col("df")), 6)
           .cast(DecimalType(18, 6)).as("w"))
   }
 
@@ -307,7 +308,7 @@ object TextAnalysis {
       .join(norms.select(col(id).as("id_a"), col("norm").as("norm_a")), "id_a")
       .join(norms.select(col(id).as("id_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cosine",
-        round(col("dot").cast("double") / (col("norm_a") * col("norm_b")), 6))
+        qround(col("dot").cast("double") / (col("norm_a") * col("norm_b")), 6))
       .select("id_a", "id_b", "cosine")
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(k)
@@ -435,7 +436,7 @@ object TextAnalysis {
       .join(covered, Seq(id), "left")
       .select(col(id), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round((col("n_tokens") - coalesce(col("covered_tokens"), lit(0L)))
+        qround((col("n_tokens") - coalesce(col("covered_tokens"), lit(0L)))
           .cast("double") / col("n_tokens").cast("double"), 6)
           .as("keep_ratio"))
   }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.Registry
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Floor, Round}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rounding-boundary audit (VERDICT r7 §next-round 2, ARCHITECTURE.md
+  * determinism rules): no ORACLE-GATED query may put a DOUBLE through
+  * `round()` or a raw double→DECIMAL cast anywhere in its plan. Both
+  * resolve half-boundaries by an engine-release-dependent rounding mode
+  * (Spark: BigDecimal HALF_UP on the exact binary value; DuckDB: changed
+  * across releases), so a query that is value-equal under one DuckDB can
+  * go hash-red under the driver's — the r6/r7 failure class. The
+  * compliant quantizers are [[graft.functions.GraftFunctions.qround]] /
+  * `qdec` (IEEE `floor(x·10ⁿ + 0.5)`, bit-identical in every engine);
+  * their plans are recognized here by the `Floor` node feeding the cast.
+  *
+  * Rows-only (`no_oracle`) queries are exempt: they face no cross-engine
+  * compare, and ML-derived doubles (ALS scores, KMeans distances) are
+  * not oracle-reproducible to begin with.
+  */
+class RoundingAuditSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  /** Flags: `round(double, _)` anywhere; Cast(double → decimal) whose
+    * operand — resolved through Alias hops across the plan, so an
+    * upstream-Project-quantized attribute conforms — does not come from
+    * the Floor quantizer. */
+  private def audit(plan: LogicalPlan): Seq[String] = {
+    val defs = scala.collection.mutable.HashMap[Long, Expression]()
+    plan.foreachWithSubqueries { p =>
+      p.expressions.foreach(_.foreach {
+        case a: Alias => defs(a.exprId.id) = a.child
+        case _ => ()
+      })
+    }
+    def quantized(e: Expression, depth: Int): Boolean =
+      depth <= 8 && e.exists {
+        case _: Floor => true
+        case ar: AttributeReference =>
+          defs.get(ar.exprId.id).exists(quantized(_, depth + 1))
+        case _ => false
+      }
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    plan.foreachWithSubqueries { p =>
+      p.expressions.foreach(_.foreach {
+        case r: Round if r.child.dataType == DoubleType =>
+          bad += s"round(double): ${r.sql.take(120)}"
+        case c: Cast
+            if c.child.dataType == DoubleType &&
+              c.dataType.isInstanceOf[DecimalType] &&
+              !quantized(c.child, 0) =>
+          bad += s"cast(double as ${c.dataType.simpleString}): ${c.sql.take(120)}"
+        case _ => ()
+      })
+    }
+    bad.distinct.toSeq
+  }
+
+  test("no oracle-gated query rounds a double with a mode-dependent op") {
+    val gated = Registry.oracles.keySet
+    val report = Registry.all.toSeq.sortBy(_._1)
+      .filter { case (name, _) => gated(name) }
+      .flatMap { case (name, fn) =>
+        val hits =
+          try audit(fn(spark, sf).queryExecution.analyzed)
+          catch { case e: Throwable => Seq(s"BUILD FAILED: ${e.getMessage}") }
+        if (hits.isEmpty) Nil else Seq(s"$name:\n  ${hits.mkString("\n  ")}")
+      }
+    assert(report.isEmpty,
+      s"\n${report.size} queries use rounding-mode-dependent ops:\n" +
+        report.mkString("\n"))
+  }
+}
