@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through verbatim: sbt's default logger
+// prefixes every forked-stdout line with "[info] ", which breaks any
+// consumer that tail-parses the benchmark's single JSON stdout line
+// (BENCH_r07 landed "parsed": null because the line began "[info] {").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and nothing trails it: without this, "[success] Total time: ..."
+// lands on stdout AFTER the JSON line, defeating a last-line parser.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

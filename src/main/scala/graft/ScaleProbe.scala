@@ -72,6 +72,32 @@ object ScaleProbe {
       time("exact_dense_top100")(
         Twins.topTwinsExact(inflated, k = 100).count())
 
+    if (probes("exactcap")) {
+      // The df-capped exact token twins (q45's registered form,
+      // maxDfPermille=333). At factor ≥ ~4 the strategy selector leaves
+      // the dense broadcast (n > 2000, m ≪ 4s fails) for the sparse
+      // co-occurrence join, whose pair volume is Σ_token df² — the
+      // quadratic tail the cap bounds. Report the capped vs uncapped
+      // pair volume analytically (one aggregate each, no quadratic job)
+      // and time the capped query end-to-end.
+      val toks = Twins.ratingBucketTokensLong(inflated, 100.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nUsersTot = toks.select("user_id").distinct().count()
+      val cap = math.max(2L, nUsersTot * 333L / 1000L)
+      val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val volAll = df.agg(sum(col("df") * col("df"))).head().getLong(0)
+      val volCap = df.filter(col("df") <= cap)
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L))).head().getLong(0)
+      println(s"PROBE exactcap pair-volume: uncapped=$volAll capped=$volCap " +
+        f"(cap=df<=$cap, ${100.0 * volCap / math.max(1L, volAll)}%.1f%% kept)")
+      time(s"exact_tokens_capped_${factor}x")(
+        Twins.topTwinsExactTokens(inflated, k = 100, bucketWidth = 100.0,
+          maxDfPermille = 333).count())
+      toks.unpersist(blocking = false)
+      df.unpersist(blocking = false)
+    }
+
     if (probes("kmv")) {
       // KMV sketch vs exact count-distinct at factor× the user universe
       // (inflated ratings: factor×1500 distinct users, factor×100k rows,

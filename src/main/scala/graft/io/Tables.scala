@@ -140,11 +140,7 @@ object Tables {
   }
 
   private def deleteRecursively(d: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+    graft.util.TempDirs.deleteRecursively(d)
 
   /** CSV source with a fixed schema (reference S1,
     * `top_100_pairs.py:26` — but without `inferSchema`, which costs an

@@ -41,14 +41,7 @@ object StreamingQueries {
       val staged = d.resolve("ev")
       graft.io.Tables.events(spark, dir)
         .write.mode("overwrite").parquet(staged.toString)
-      sys.addShutdownHook {
-        try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }
+      graft.util.TempDirs.cleanupOnExit(d)
       staged.toString
     }
 
@@ -333,14 +326,7 @@ object StreamingQueries {
       graft.io.Tables.events(spark, dir)
         .repartition(4, col("event_id"))
         .write.mode("overwrite").parquet(d.resolve("ev").toString)
-      sys.addShutdownHook {
-        try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }
+      graft.util.TempDirs.cleanupOnExit(d)
       d.resolve("ev").toString
     }
 

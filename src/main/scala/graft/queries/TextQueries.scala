@@ -547,7 +547,12 @@ object TextQueries {
     * division drift anywhere (ARCHITECTURE.md rule 6). Each source then
     * keeps exactly `quota` documents by seeded keyed-PRNG rank
     * (layout-independent, oracle-reproducible; the q75/q86 sampling
-    * family). Scale shape: the weight/quota frame is |sources|-sized
+    * family). The budget·w product is widened to DECIMAL(38,0)
+    * (HUGEINT in the oracle) before the integral divide: in BIGINT it
+    * would overflow once n_total^1.5 exceeds ~1.8e19 (≈7M docs), and
+    * Spark's non-ANSI wrap would silently zero every quota while
+    * DuckDB raised — 38-digit exact arithmetic holds to ~1e25 docs.
+    * Scale shape: the weight/quota frame is |sources|-sized
     * and broadcast; the corpus side is one window rank per source —
     * WindowGroupLimit-friendly, single shuffle on the group key. */
   val q184: Q = (spark, dir) => {
@@ -561,7 +566,8 @@ object TextQueries {
       sum(col("n_docs")).as("n_total"))
     val quotas = weights.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
-        expr("(n_total div 2) * w div w_sum").as("quota"))
+        expr("(cast(n_total div 2 as decimal(38,0)) * w) div w_sum")
+          .as("quota"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
       .orderBy(graft.functions.GraftFunctions.md5_63(
@@ -739,7 +745,7 @@ object TextQueries {
          |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum,
          |        CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
          |q AS (SELECT source, n_docs,
-         |        (n_total // 2) * w // w_sum AS quota
+         |        (CAST(n_total // 2 AS HUGEINT) * w) // w_sum AS quota
          |      FROM w CROSS JOIN t),
          |r AS (SELECT doc_id, source,
          |        row_number() OVER (PARTITION BY source

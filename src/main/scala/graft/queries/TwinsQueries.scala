@@ -49,18 +49,27 @@ object TwinsQueries {
   /** q45 — exact top-100 twins over the SAME (item, rating-bucket) token
     * space q42 estimates: the exactly-computed counterpart of q42's
     * `est_jaccard` (q41 ranks by raw item-set Jaccard instead — see the
-    * similarity-definition note on [[Twins.topTwinsLsh]]). */
+    * similarity-definition note on [[Twins.topTwinsLsh]]). Registered
+    * WITH the df-cap at ⅓ of users (maxDfPermille 333): majority-bucket
+    * tokens ("rated X like most of its raters") leave the universe —
+    * the IDF move that is also what bounds the exact path's Σ df²
+    * pair-join tail at scale. The cap is exact integer arithmetic
+    * mirrored in the oracle, so the gate hashes the CAPPED operator. */
   val q45: Q = (spark, dir) =>
     Twins.topTwinsExactTokens(ratings(spark, dir), k = 100,
-      bucketWidth = 100.0)
+      bucketWidth = 100.0, maxDfPermille = 333)
 
   /** q71 — exact top-100 twins over the EQUAL-FREQUENCY quantile token
     * space (within-item rating quartiles): the opt-in skew-proof variant
     * of q45 — see [[Twins.ratingQuantileTokensLong]] for why the floor
     * buckets are value-skew-limited (measured random-pair Jaccard ~0.21
-    * floor vs ~0.07 quantile at sf0.01). */
+    * floor vs ~0.07 quantile at sf0.01). Same ⅓-of-users df-cap as q45
+    * (oracle-mirrored); equal-frequency buckets rarely breach it — only
+    * tie-heavy majority buckets can — so here it is purely the
+    * quadratic-tail guard. */
   val q71: Q = (spark, dir) =>
-    Twins.topTwinsExactQuantile(ratings(spark, dir), k = 100, nBuckets = 4)
+    Twins.topTwinsExactQuantile(ratings(spark, dir), k = 100, nBuckets = 4,
+      maxDfPermille = 333)
 
   /** q72 — LSH top-100 twins over the same quantile token space: the
     * skew-proof variant of q42; q71 is the exact counterpart of its
@@ -266,10 +275,16 @@ object TwinsQueries {
          |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q45_twin_exact_tokens" ->
       s"""WITH $ratCte,
-         |tok AS (
+         |tokraw AS (
          |  SELECT user_id,
          |    item_id::BIGINT * 4294967296 + CAST(FLOOR(rating / 100.0) AS BIGINT) AS token
          |  FROM rat),
+         |cap AS (SELECT GREATEST(2, COUNT(DISTINCT user_id) * 333 // 1000)
+         |          AS c FROM tokraw),
+         |keep AS (SELECT token FROM tokraw GROUP BY token
+         |         HAVING COUNT(*) <= (SELECT c FROM cap)),
+         |tok AS (SELECT t.user_id, t.token FROM tokraw t
+         |        JOIN keep USING (token)),
          |tsz AS (SELECT user_id, COUNT(*) AS n FROM tok GROUP BY user_id),
          |tinter AS (
          |  SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS shared
@@ -284,10 +299,16 @@ object TwinsQueries {
          |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
     "q71_twin_exact_quantile" ->
       s"""WITH $ratCte,
-         |tok AS (
+         |tokraw AS (
          |  SELECT user_id,
          |    item_id::BIGINT * 4294967296 + ($qntile) AS token
          |  FROM rat),
+         |cap AS (SELECT GREATEST(2, COUNT(DISTINCT user_id) * 333 // 1000)
+         |          AS c FROM tokraw),
+         |keep AS (SELECT token FROM tokraw GROUP BY token
+         |         HAVING COUNT(*) <= (SELECT c FROM cap)),
+         |tok AS (SELECT t.user_id, t.token FROM tokraw t
+         |        JOIN keep USING (token)),
          |tsz AS (SELECT user_id, COUNT(*) AS n FROM tok GROUP BY user_id),
          |tinter AS (
          |  SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS shared

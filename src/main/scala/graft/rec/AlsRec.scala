@@ -58,13 +58,17 @@ object AlsRec {
     else SessionMemo(ratings.sparkSession, s"als-blocks:$cacheKey")(compute)
   }
 
-  /** Fit on (user_id, item_id, rating) with a fixed seed.
+  /** Fit on (user_id, item_id, rating) with a fixed seed. `maxIter`
+    * defaults to 10 — the spark.ml default the reference inherits
+    * (`als_latent_factors.py:42-47` sets only rank/reg/seed/nonnegative/
+    * coldStart), so a user reproducing the reference's convergence gets
+    * it without touching knobs.
     *
     * `cacheKey` memoizes the fitted model within the session: it MUST
     * uniquely identify the training DATASET (e.g. `s"$dir/train"`), not
     * just the run — two different train DataFrames sharing a key would
     * silently share one model. Empty key = no memoization. */
-  def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 8,
+  def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 10,
           regParam: Double = 0.1, seed: Long = 42L,
           cacheKey: String = ""): ALSModel = {
     def doFit(): ALSModel = {
@@ -120,7 +124,7 @@ object AlsRec {
   def gridSearch(train: DataFrame, validation: DataFrame,
                  ranks: Seq[Int], regs: Seq[Double], topN: Int,
                  evalFn: (DataFrame, DataFrame) => Double,
-                 cacheKey: String = "", maxIter: Int = 8): Seq[(Int, Double, Double)] = {
+                 cacheKey: String = "", maxIter: Int = 10): Seq[(Int, Double, Double)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     val combos = for (r <- ranks; g <- regs) yield (r, g)
     if (combos.isEmpty) return Seq.empty

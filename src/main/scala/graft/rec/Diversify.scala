@@ -36,31 +36,49 @@ object Diversify {
 
   /** Greedy MMR top-`k` per user. `cands`: (user_id, item_id, rel);
     * `sims`: symmetric (ia, ib, sim) — absent pairs count as 0.
-    * Output: (user_id, item_id, mmr_rank, mmr_score). */
+    * Output: (user_id, item_id, mmr_rank, mmr_score).
+    *
+    * The broadcast-map design REQUIRES a pool-bounded `sims` — the
+    * guard enforces `maxSimPairs` (default 4M ≈ a 2000-item pool) with
+    * a loud failure instead of a driver OOM, because the signature
+    * alone can't stop a caller handing it a corpus-scale pair frame.
+    * The result is materialized (`localCheckpoint`) before returning so
+    * the broadcast can be destroyed eagerly — repeated calls in a
+    * long-lived session otherwise accumulate undestroyed broadcasts. */
   def mmrRerank(cands: DataFrame, sims: DataFrame, relWeight: Double,
-                divWeight: Double, k: Int): DataFrame = {
+                divWeight: Double, k: Int,
+                maxSimPairs: Int = 4000000): DataFrame = {
     val c = cands.select(col("user_id").cast("long"),
       col("item_id").cast("int"), col("rel").cast("double"))
     // Pool-bounded similarity side → one broadcast lookup map (see the
     // scale note above); absent pairs read as 0 exactly like the old
-    // left-join's coalesce.
+    // left-join's coalesce. limit(max+1) bounds what ever reaches the
+    // driver even when the guard is about to fire.
+    val simRows = sims.select(col("ia").cast("int"), col("ib").cast("int"),
+      col("sim").cast("double")).limit(maxSimPairs + 1).collect()
+    require(simRows.length <= maxSimPairs,
+      s"mmrRerank sims exceeds maxSimPairs=$maxSimPairs — the broadcast " +
+        "lookup design needs a rerank-pool-bounded similarity frame " +
+        "(~pool^2 rows); pre-slice the pool or raise the cap explicitly")
     val simsB = c.sparkSession.sparkContext.broadcast(
-      sims.select(col("ia").cast("int"), col("ib").cast("int"),
-        col("sim").cast("double")).collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
+      simRows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
 
-    c.groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    val reranked = c.groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroups { (u: Long, it: Iterator[Row]) =>
         val simMap = simsB.value
         val cs = it.map(r => (r.getInt(1), r.getDouble(2)))
           .toArray.sortBy(_._1)
+        // ArrayBuffer for the (ordered) penalty scan, HashSet for the
+        // membership test — contains() on the buffer made the argmax
+        // loop O(k^2 * |cands|) per group.
         val picked = scala.collection.mutable.ArrayBuffer[Int]()
+        val pickedSet = scala.collection.mutable.HashSet[Int]()
         val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
         while (out.length < math.min(k, cs.length)) {
           var bestItem = -1
           var bestScore = Double.NegativeInfinity
           cs.foreach { case (i, rel) =>
-            if (!picked.contains(i)) {
+            if (!pickedSet.contains(i)) {
               var pen = 0.0
               picked.foreach { j =>
                 val s = simMap.getOrElse((i, j), 0.0)
@@ -71,6 +89,7 @@ object Diversify {
             }
           }
           picked += bestItem
+          pickedSet += bestItem
           out += MmrPick(u, bestItem, out.length + 1, bestScore)
         }
         out.iterator
@@ -82,6 +101,11 @@ object Diversify {
       // the same IEEE expression both sides and bit-identical
       .select(col("user_id"), col("item_id"), col("mmr_rank"),
         col("mmr_score"))
+      // Output-sized (≤ |users|·k rows): cheap to pin, and pinning is
+      // what lets the broadcast die here instead of leaking per call.
+      .localCheckpoint()
+    simsB.destroy()
+    reranked
   }
 
   /** All-pairs rating-vector cosines restricted to a bounded item set

@@ -140,11 +140,11 @@ object Twins {
   /** Exact top-k twins over the equal-frequency quantile token space
     * ([[ratingQuantileTokensLong]]) — the opt-in skew-proof variant of
     * [[topTwinsExactTokens]] (q71). */
-  def topTwinsExactQuantile(ratings: DataFrame, k: Int,
-                            nBuckets: Int): DataFrame =
+  def topTwinsExactQuantile(ratings: DataFrame, k: Int, nBuckets: Int,
+                            maxDfPermille: Int = 1000): DataFrame =
     TextAnalysis.setJaccardPairsAuto(
       ratingQuantileTokensLong(ratings, nBuckets), "user_id", "token",
-      minJaccard = 0.0)
+      minJaccard = 0.0, maxDfPermille = maxDfPermille)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(k)
 
@@ -167,12 +167,19 @@ object Twins {
     * computed counterpart on the same similarity definition (q45 gates
     * it against the oracle; see the divergence note on [[topTwinsLsh]]).
     * Tokens are the long-packed form ([[ratingBucketTokensLong]]) — same
-    * identity, numeric merge-walk speed. */
-  def topTwinsExactTokens(ratings: DataFrame, k: Int,
-                          bucketWidth: Double): DataFrame =
+    * identity, numeric merge-walk speed.
+    *
+    * `maxDfPermille` < 1000 engages the hot-token document-frequency
+    * cap (see [[TextAnalysis.setJaccardPairsAuto]]): a token held by
+    * more than that fraction of users — here, "rated item X in the
+    * same bucket as most of its raters" — carries ~no twin signal and
+    * dominates the pair-join cost; dropping it is simultaneously the
+    * IDF move and the quadratic-tail bound. */
+  def topTwinsExactTokens(ratings: DataFrame, k: Int, bucketWidth: Double,
+                          maxDfPermille: Int = 1000): DataFrame =
     TextAnalysis.setJaccardPairsAuto(
       ratingBucketTokensLong(ratings, bucketWidth), "user_id", "token",
-      minJaccard = 0.0)
+      minJaccard = 0.0, maxDfPermille = maxDfPermille)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(k)
 

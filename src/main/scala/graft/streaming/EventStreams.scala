@@ -389,25 +389,29 @@ object EventStreams {
     *
     * Mode semantics mirror the memory sink exactly: Append/Update append
     * each micro-batch's emissions (the batch reader sees the union of
-    * all emissions, same as the memory sink's table); Complete rewrites
-    * the dir each trigger so the final state is the last batch. This IS
-    * the lakehouse landing pattern: swap the parquet write for a MERGE
-    * INTO / table-format commit and nothing upstream changes. */
+    * all emissions, same as the memory sink's table); Complete keeps
+    * only the last batch's rewrite. This IS the lakehouse landing
+    * pattern: swap the parquet write for a MERGE INTO / table-format
+    * commit and nothing upstream changes.
+    *
+    * Each micro-batch owns `out/batch=<batchId>/`, written with
+    * OVERWRITE — the write is idempotent under replay. A blind
+    * `mode("append")` into one directory is NOT: foreachBatch is
+    * at-least-once, so a crash mid-write followed by a re-run of the
+    * uncommitted batch would duplicate its rows. Keying the overwrite
+    * on batchId makes the retry rewrite its own directory instead,
+    * which is what upgrades the checkpoint-restart contract from
+    * at-least-once to effectively-once (StreamRestartSpec pins it).
+    * A source that yields zero micro-batches leaves no batch dirs;
+    * the explicit-schema read then returns an empty frame instead of
+    * throwing on a path Spark can't infer from. */
   def runToParquet(spark: SparkSession, streamed: DataFrame,
                    mode: OutputMode, shufflePartitions: Int = 4): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink")
-    val out = root.resolve("out").toString
+    val out = root.resolve("out")
+    java.nio.file.Files.createDirectories(out)
     val chk = root.resolve("chk").toString
-    sys.addShutdownHook {
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-    }
-    val saveMode =
-      if (mode == OutputMode.Complete()) "overwrite" else "append"
+    graft.util.TempDirs.cleanupOnExit(root)
     val confKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(confKey)
     val q =
@@ -416,12 +420,26 @@ object EventStreams {
         streamed.writeStream
           .outputMode(mode)
           .option("checkpointLocation", chk)
-          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-            batch.write.mode(saveMode).parquet(out)
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(out.resolve(s"batch=$batchId").toString)
           }
           .start()
       } finally spark.conf.set(confKey, prev)
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(out)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(out)
+    val batchDirs =
+      try ls.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("batch="))
+        .sortBy(p => p.getFileName.toString.stripPrefix("batch=").toLong)
+      finally ls.close()
+    val keep =
+      if (mode == OutputMode.Complete()) batchDirs.takeRight(1) else batchDirs
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamed.schema)
+    else
+      spark.read.schema(streamed.schema).parquet(keep.map(_.toString): _*)
   }
 }

@@ -490,6 +490,28 @@ object TextAnalysis {
       GraftShim.expression(xxhash64(col("shingle")))))
   }
 
+  /** Drop items held by more than `cap` entities from a (id, item) set
+    * frame — the document-frequency prefix filter that bounds the
+    * co-occurrence join's quadratic tail: the join's pair volume is
+    * Σ_item df², so a handful of corpus-wide hot items dominate the
+    * cost while carrying ~no Jaccard-ranking signal (an item in nearly
+    * every set shifts every pair's score near-uniformly — the IDF
+    * intuition). Error bound: removing an item changes any pair's
+    * Jaccard by at most 1/min(|A|,|B|); items at df ≈ n affect all
+    * candidate pairs alike, so top-k ORDER is stable even where values
+    * move. Implemented as a semi-join against the ≤-cap item list
+    * (AQE broadcasts it when small; a 100 TB vocabulary stays a
+    * shuffle semi-join on the item key). Assumes (id, item) rows are
+    * distinct — the [[setJaccardPairs]] input contract. */
+  private def capUniverseByDf(sets: DataFrame, item: String,
+                              cap: Long): DataFrame = {
+    val keep = sets.groupBy(col(item))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col(item))
+    sets.join(keep, Seq(item), "left_semi")
+  }
+
   /** Exact Jaccard over item sets for all pairs sharing ≥1 item:
     * co-occurrence join on the item (shuffle key = item), then
     * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize —
@@ -587,9 +609,20 @@ object TextAnalysis {
     * a universe so narrow the co-occurrence join degenerates to m
     * skew-limited shuffle keys — this logs a warning naming
     * [[lshCandidatePairs]] and takes the sparse path anyway: exact
-    * all-pairs at that shape is quadratic no matter the strategy. */
+    * all-pairs at that shape is quadratic no matter the strategy.
+    *
+    * `maxDfPermille` < 1000 additionally applies the hot-item
+    * document-frequency cap ([[capUniverseByDf]]) BEFORE either
+    * strategy: items held by more than `max(2, n·permille/1000)`
+    * entities leave the universe, bounding the sparse join's Σ df²
+    * tail (and shrinking the dense broadcast) at a documented
+    * ≤ 1/min-set-size per-pair error. The cap derives from the
+    * PRE-cap entity count in exact integer arithmetic, so an oracle
+    * can reproduce it bit-for-bit (`GREATEST(2, n·permille // 1000)`).
+    * 1000 = uncapped, the exact-semantics default. */
   def setJaccardPairsAuto(sets: DataFrame, id: String, item: String,
-                          minJaccard: Double): DataFrame = {
+                          minJaccard: Double,
+                          maxDfPermille: Int = 1000): DataFrame = {
     val (n, m, rows) = graft.util.SessionMemo(sets.sparkSession,
       s"jaccard-stats:${sets.queryExecution.analyzed.semanticHash()}:$id:$item") {
       val st = sets.agg(
@@ -598,11 +631,17 @@ object TextAnalysis {
         count(lit(1)).as("rows")).head()
       (st.getLong(0), st.getLong(1), st.getLong(2))
     }
+    val capped =
+      if (maxDfPermille >= 1000) sets
+      else capUniverseByDf(sets, item,
+        math.max(2L, n * maxDfPermille / 1000L))
     val s = if (n > 0) rows.toDouble / n else 0.0
+    // Strategy stats stay the PRE-cap ones: capping only shrinks both
+    // paths, so a dense choice that was safe uncapped stays safe.
     val denseOk = n <= 100000L && rows <= 5000000L
     val densePreferred = m <= 4 * s || n <= 2000L
     if (denseOk && densePreferred)
-      setJaccardPairsDense(sets, id, item, minJaccard)
+      setJaccardPairsDense(capped, id, item, minJaccard)
     else {
       if (!denseOk && densePreferred)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -611,7 +650,7 @@ object TextAnalysis {
             "narrow for the sparse co-occurrence join to parallelize well; " +
             "falling back to sparse anyway. At this shape exact all-pairs is " +
             "quadratic — switch to lshCandidatePairs.")
-      setJaccardPairs(sets, id, item, minJaccard)
+      setJaccardPairs(capped, id, item, minJaccard)
     }
   }
 

@@ -112,7 +112,7 @@ class RecSpec extends AnyFunSuite {
     val valid = graft.rec.Popularity.validation(t)
     val fresh = graft.rec.AlsRec.gridSearch(
       graft.rec.Popularity.train(t), valid,
-      ranks = Seq(50), regs = Seq(0.05), topN = 20, maxIter = 4,
+      ranks = Seq(50), regs = Seq(0.05), topN = 20, maxIter = 10,
       evalFn = (recs, v) => RankingRelational
         .metrics(spark, recs.select("user_id", "item_id", "rank"), v, k = 20)
         .select("map_at_k").head().getDouble(0)).head._3
