@@ -19,7 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and nothing trails it: without this, "[success] Total time: ..."
 // lands on stdout AFTER the JSON line, defeating a last-line parser.
 ThisBuild / showSuccess := false
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -284,7 +284,25 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q192 — IVF ANN with a FIXED deterministic quantizer
+    * ([[graft.sim.IvfAnn.topKFixed]]): cells seeded by the 16
+    * smallest-keyed-hash corpus vectors (a seeded random-init round of
+    * KMeans with zero Lloyd iterations), then the SAME
+    * assignment → nprobe → in-cell exact-cosine probe join q37 runs.
+    * This is the hash-gated twin of q37: the probe-join OPERATOR gets a
+    * full DuckDB oracle (distance ranking is dot-product arithmetic
+    * both engines compute bit-identically), while q37 keeps the
+    * data-adaptive Lloyd centroids under the rows-only/spec gate. */
+  val q192: Q = (spark, dir) =>
+    graft.sim.IvfAnn.topKFixed(
+      corpus = emb(spark, dir).filter(col("vec_id") >= 10),
+      queries = emb(spark, dir).filter(col("vec_id") < 10),
+      idCol = "vec_id", embCol = "embedding",
+      k = 5, cells = 16, nprobe = 2)
+      .orderBy("q_id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q192_ann_ivf_fixed" -> q192,
     "q30_knn_bruteforce" -> q30,
     "q36_embedding_neardup" -> q36,
     "q31_vector_norms" -> q31,
@@ -299,6 +317,58 @@ object SimilarityQueries {
     "q35_kmeans_segments" -> q35)
 
   val oracles: Map[String, String] = Map(
+    "q192_ann_ivf_fixed" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id >= 10),
+         |sd AS (
+         |  SELECT n_id, emb,
+         |    row_number() OVER (ORDER BY
+         |      md5_number_lower('ivfseed:' || n_id::VARCHAR) & $H, n_id)
+         |      AS rn
+         |  FROM c0),
+         |seeds AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cell, emb AS cen
+         |  FROM sd WHERE rn <= 16),
+         |ad AS (
+         |  SELECT c0.n_id, c0.emb, s.cell,
+         |    list_dot_product(s.cen, s.cen)
+         |      - 2.0 * list_dot_product(c0.emb, s.cen) AS rel
+         |  FROM c0 CROSS JOIN seeds s),
+         |asg AS (
+         |  SELECT n_id, emb, cell,
+         |    sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM (SELECT n_id, emb, cell,
+         |          row_number() OVER (PARTITION BY n_id ORDER BY rel, cell)
+         |            AS r
+         |        FROM ad) WHERE r = 1),
+         |q0 AS (
+         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id < 10),
+         |pd AS (
+         |  SELECT q0.q_id, q0.emb, s.cell,
+         |    list_dot_product(s.cen, s.cen)
+         |      - 2.0 * list_dot_product(q0.emb, s.cen) AS rel
+         |  FROM q0 CROSS JOIN seeds s),
+         |probes AS (
+         |  SELECT q_id, emb, cell,
+         |    sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM (SELECT q_id, emb, cell,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY rel, cell)
+         |            AS r
+         |        FROM pd) WHERE r <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.n_id, a.cell,
+         |    floor((list_dot_product(p.emb, a.emb) / (p.nrm * a.nrm))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM probes p JOIN asg a USING (cell)),
+         |ranked AS (
+         |  SELECT q_id, n_id, cell, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, cell, cos FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "q172_dim_standardize" ->
       """WITH x AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,

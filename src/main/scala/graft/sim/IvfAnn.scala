@@ -84,4 +84,58 @@ object IvfAnn {
       "q_id", Seq(col("cos").desc, col("n_id")), k = k)
       .select("q_id", "rank", "n_id", "cell", "cos")
   }
+
+  /** [[topK]] with a FIXED deterministic quantizer instead of KMeans —
+    * the oracle-gateable IVF: cells are seeded by the `cells` corpus
+    * vectors with the smallest keyed hash (`md5_63("ivfseed:" ++ id)`,
+    * ties on id), i.e. exactly a seeded random-init round of KMeans
+    * with zero Lloyd iterations. Everything downstream — nearest-cell
+    * assignment, nprobe centroid ranking, in-cell exact cosine top-k —
+    * is the SAME probe-join pipeline the KMeans variant (q37) runs, so
+    * this puts the IVF *operator* under the exact hash gate while q37
+    * keeps the data-adaptive centroids.
+    *
+    * Cross-engine determinism of the distance ranking: centroids rank
+    * by `‖c‖² − 2·q·c` (the ‖q‖² term is constant per query), where
+    * each dot product is the sequential left-fold both engines compute
+    * bit-identically ([[VectorOps.dot]] / `list_dot_product`) and the
+    * combining multiply/subtract are single IEEE ops — so the argmin
+    * and nprobe sets match the oracle exactly, no rounding needed.
+    * The seed-pick window runs over `cells` rows post-limit (driver-
+    * bounded by construction); at 10⁹ vectors the seed scan is one
+    * TakeOrdered over the hash. */
+  def topKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, k: Int, cells: Int, nprobe: Int): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("n_id"))
+    val seeds = c0
+      .withColumn("h", graft.functions.GraftFunctions.md5_63(
+        concat(lit("ivfseed:"), col("n_id").cast("string"))))
+      .orderBy(col("h"), col("n_id")).limit(cells)
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"), col("n_emb").as("centroid"))
+    def rel(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      dot(col("centroid"), col("centroid")) - lit(2.0) * dot(emb, col("centroid"))
+    val assigned = c0.crossJoin(broadcast(seeds))
+      .withColumn("rel", rel(col("n_emb")))
+      .transform(df => perKeyTopK(df, "n_id",
+        Seq(col("rel").asc, col("cell")), k = 1))
+      .select(col("n_id"), col("n_emb"), col("cell"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("rel", rel(col("q_emb")))
+      .transform(df => perKeyTopK(df, "q_id",
+        Seq(col("rel").asc, col("cell")), k = nprobe))
+      .select(col("q_id"), col("q_emb"), col("cell"))
+      .withColumn("q_norm", l2norm(col("q_emb")))
+    val scored = probes.join(assigned, "cell")
+      .withColumn("cos",
+        cosine6(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+    perKeyTopK(scored.select("q_id", "n_id", "cell", "cos"),
+      "q_id", Seq(col("cos").desc, col("n_id")), k = k)
+      .select("q_id", "rank", "n_id", "cell", "cos")
+  }
 }

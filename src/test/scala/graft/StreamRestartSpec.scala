@@ -61,4 +61,97 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty,
       "sink multiset differs from input after restart")
   }
+
+  /** Shared harness for the Complete-mode SKETCH aggregates (q102 CMS,
+    * q188 KMV): the aggregation buffer lives in the state store, so a
+    * restart from checkpoint must resume the sketch mid-stream — stop
+    * after a 2-file prefix, assert the sketch equals the batch sketch
+    * of the prefix, feed the remaining files into the SAME checkpoint,
+    * assert the final sketch equals the batch sketch of everything.
+    * Prefix equality is what proves state RECOVERY (a sketch silently
+    * rebuilt from only the post-restart files would usually still have
+    * the right row count). Complete mode drives a whole-result
+    * overwrite each trigger — idempotent by construction. */
+  private def assertSketchRestart(
+      staged: org.apache.spark.sql.DataFrame,
+      pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      key: Row => String, fingerprint: Row => String): Unit = {
+    val stage = Files.createTempDirectory("graft-sketch-stage").toString
+    staged.repartition(4, col("event_id"))
+      .write.mode("overwrite").parquet(s"$stage/all")
+    val files = new java.io.File(s"$stage/all").listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4, "fixture must split into 4 source files")
+    val live = Files.createTempDirectory("graft-sketch-live").toString
+    val out = Files.createTempDirectory("graft-sketch-out").toString + "/out"
+    val chk = Files.createTempDirectory("graft-sketch-chk").toString
+    def copyIn(n: Int): Unit = files.take(n).foreach { f =>
+      Files.copy(f.toPath, Paths.get(live, f.getName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = staged.schema
+    def runOnce(): Unit = {
+      val confKey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(confKey)
+      val q =
+        try {
+          spark.conf.set(confKey, "4")
+          pipeline(spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(live))
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", chk)
+            .foreachBatch { (b: Dataset[Row], _: Long) =>
+              b.write.mode("overwrite").parquet(out)
+            }
+            .start()
+        } finally spark.conf.set(confKey, prev)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.collect().map(r => key(r) -> fingerprint(r)).toMap
+
+    copyIn(2); runOnce()
+    val prefixBatch = sketchOf(pipeline(
+      spark.read.schema(schema).parquet(
+        files.take(2).map(_.toString): _*)))
+    assert(sketchOf(spark.read.parquet(out)) == prefixBatch,
+      "mid-stream sketch diverges from the batch sketch of the prefix")
+
+    copyIn(4); runOnce() // same checkpoint: state must resume, not reset
+    val fullBatch = sketchOf(pipeline(staged))
+    assert(sketchOf(spark.read.parquet(out)) == fullBatch,
+      "post-restart sketch diverges from the batch sketch of all input " +
+        "(state lost or replayed across the checkpoint restart)")
+  }
+
+  test("streaming KMV sketch (q188 shape) resumes its state across restart") {
+    val ev = graft.io.Tables.events(spark, GraftSpark.sf)
+      .select("event_id", "user_id", "event_type")
+    assertSketchRestart(
+      ev,
+      df => df.select(col("event_type"),
+          graft.functions.GraftFunctions.md5_63(
+            concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.kmv_agg(col("h"), 64).as("mins")),
+      key = _.getAs[String]("event_type"),
+      fingerprint = _.getAs[Seq[Long]]("mins").mkString(","))
+  }
+
+  test("streaming count-min sketch (q102 shape) resumes its cells across restart") {
+    val ev = graft.io.Tables.events(spark, GraftSpark.sf)
+      .select("event_id", "props")
+    assertSketchRestart(
+      ev,
+      df => df.select(get_json_object(col("props"), "$.k").as("k"))
+        .filter(col("k").isNotNull)
+        .select(col("k"), explode(array((0 until 4).map(lit): _*)).as("r"))
+        .withColumn("b", pmod(
+          graft.functions.GraftFunctions.md5_63(
+            concat(col("r").cast("string"), lit(":"), col("k"))),
+          lit(64L)))
+        .groupBy("r", "b").agg(count(lit(1)).as("cell")),
+      key = r => s"${r.getAs[Int]("r")}:${r.getAs[Long]("b")}",
+      fingerprint = _.getAs[Long]("cell").toString)
+  }
 }
