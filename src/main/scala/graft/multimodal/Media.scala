@@ -127,4 +127,34 @@ object Media {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map(b => f"$b%02x").mkString
   }
+
+  case class MediaHash(media_id: Long, kind: String, phash: Long)
+
+  /** Perceptual difference-hash (dHash) over the RESAMPLED payload: the
+    * image-dedup pipeline shape (resize → compare adjacent intensities →
+    * bit per gradient) on the byte-stream stand-in. Bit b (0 ≤ b < 60)
+    * is set when resampled byte 2b compares greater than byte 2b+1 —
+    * 60 bits so the hash stays non-negative and splits into 4×15-bit
+    * pigeonhole bands downstream (arithmetic-vs-logical shift semantics
+    * never matter on a non-negative long, cross-engine). Gradient bits
+    * survive uniform brightness/length shifts the way a cryptographic
+    * fingerprint (q60's `fp`) cannot: NEAR-duplicate payloads land at
+    * small Hamming distance. Same `mapPartitions`-adjacent seam as
+    * [[featurize]] — a real deployment hashes right after decode. */
+  def perceptualHash(spark: SparkSession, media: DataFrame,
+                     targetLen: Int = 128): Dataset[MediaHash] = {
+    import spark.implicits._
+    resample(spark, media, targetLen).map { r =>
+      val b = r.resized
+      var h = 0L
+      var bit = 0
+      while (bit < 60) {
+        val i = 2 * bit
+        if (i + 1 < b.length && (b(i) & 0xff) > (b(i + 1) & 0xff))
+          h |= 1L << bit
+        bit += 1
+      }
+      MediaHash(r.media_id, r.kind, h)
+    }
+  }
 }

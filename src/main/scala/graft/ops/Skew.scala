@@ -41,4 +41,33 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merge.head, merge.tail: _*)
   }
+
+  /** Salted equi-join for a hot-key fact ⋈ dim: the fact side salts each
+    * row into one of `salts` sub-partitions (same retry-deterministic
+    * full-row hash as [[saltedAgg]] — a nondeterministic salt is the
+    * SPARK-23207 row-loss class under retries), the dim side REPLICATES
+    * ×`salts`, and the join runs on (keys..., salt) — so a hot join
+    * key's rows land on `salts` shuffle partitions instead of one.
+    * Result is row-identical to the plain join (each fact row meets its
+    * dim row exactly once, at its own salt).
+    *
+    * When to reach for it: Spark 4's AQE splits skewed SHUFFLE join
+    * partitions automatically, but AQE is off in Structured Streaming,
+    * can't help when the skewed side feeds a window/aggregate pipeline
+    * that pins the partitioning, and re-plans only AFTER a stage
+    * materializes the skew. Explicit salting shapes the shuffle up
+    * front, deterministically — the form that also survives on engines
+    * /modes without runtime re-planning. Cost: the dim side ships
+    * `salts`× (keep `salts` small, or broadcast the dim and skip
+    * salting entirely — this operator is for dims too big to
+    * broadcast). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    val saltInputs = fact.columns.map(col).toSeq :+ lit("graft-salt")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(saltInputs: _*), lit(salts.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -47,12 +47,76 @@ object MediaQueries {
         lower(hex(col("resized"))).as("resized_hex"))
       .orderBy("media_id")
 
+  /** q195 — multimodal near-duplicate detection: perceptual
+    * difference-hash over the resampled payloads
+    * ([[Media.perceptualHash]] — the resize → gradient-bits image-dedup
+    * pipeline), 4×15-bit pigeonhole bands (any pair within Hamming ≤ 3
+    * MUST share a band — same guarantee family as the q28 SimHash
+    * dedup), exact `bit_count(xor)` distance on band-colliding
+    * candidates only. This is the media-store dedup a training pipeline
+    * runs where cryptographic fingerprints (q60 `fp`) only catch
+    * bit-exact copies: near-identical payloads land at small Hamming
+    * distance. Candidates-only scoring — never all-pairs — so the join
+    * volume is band-bucket-bounded at any corpus size. */
+  val q195: Q = (spark, dir) => {
+    val hashed = Media.perceptualHash(spark,
+      Media.mediaTable(Tables.documents(spark, dir))).toDF()
+    val bands = hashed.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(lit): _*)).as("band"))
+      .withColumn("bits", expr("(phash >> (15 * band)) & 32767"))
+    val a = bands.select(col("media_id").as("id_a"),
+      col("phash").as("pa"), col("band"), col("bits"))
+    val b = bands.select(col("media_id").as("id_b"),
+      col("phash").as("pb"), col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb").distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_media_features" -> q60,
     "q67_media_frames" -> q67,
-    "q68_media_resample" -> q68)
+    "q68_media_resample" -> q68,
+    "q195_media_phash_dedup" -> q195)
 
   val oracles: Map[String, String] = Map(
+    // Resample (q68's arithmetic) → 60 gradient bits → 4×15-bit bands →
+    // exact Hamming on candidates. ASCII corpus ⇒ the Spark side's raw
+    // resampled BYTES equal the oracle's character codepoints (ascii()).
+    "q195_media_phash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, len(text) AS l FROM documents),
+        |rz AS (
+        |  SELECT media_id,
+        |    CASE WHEN l <= 128 THEN text ELSE
+        |      array_to_string(list_transform(generate_series(0, 127),
+        |        i -> substring(text, CAST((i * l) // 128 AS INT) + 1, 1)), '')
+        |    END AS r
+        |  FROM m),
+        |ph AS (
+        |  SELECT media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN 2 * b + 2 <= len(r)
+        |      AND ascii(substring(r, CAST(2 * b + 1 AS INT), 1)) >
+        |          ascii(substring(r, CAST(2 * b + 2 AS INT), 1))
+        |      THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END), 0) AS BIGINT)
+        |      AS phash
+        |  FROM rz CROSS JOIN generate_series(0, 59) g(b) GROUP BY 1),
+        |bd AS (
+        |  SELECT media_id, phash, CAST(b AS INT) AS band,
+        |    (phash >> CAST(15 * b AS INT)) & 32767 AS bits
+        |  FROM ph CROSS JOIN generate_series(0, 3) g(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM bd a JOIN bd b USING (band, bits)
+        |  WHERE a.media_id < b.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q60_media_features" ->
       s"""WITH m AS (
          |  SELECT doc_id AS media_id,

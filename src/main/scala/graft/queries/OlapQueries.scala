@@ -552,6 +552,70 @@ object OlapQueries {
       .orderBy("ta", "tb")
   }
 
+  /** q194 — bottom-k-sample QUANTILE sketch (k = 256) per event_type:
+    * keep the k rows with the smallest keyed hash — a uniform k-sample
+    * in the same mergeable bottom-k state shape as KMV, carrying the
+    * VALUE alongside the hash — and estimate p50/p90/p99 from the
+    * sample's order statistics; the exact full-data percentiles ride
+    * along as the error audit (the q187 pattern). Completes the
+    * mergeable sketch family: KMV = cardinality (q187), CMS =
+    * frequency (q48/q102), bottom-k sample = quantiles. Mergeable for
+    * the KMV reason: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)), so shard-local samples union without rescanning and
+    * state is k (hash, value) pairs per group.
+    *
+    * Scale shape: the sample side is a WindowGroupLimit bottom-k (rank
+    * filter pushed below the shuffle); the exact side walks the
+    * CENTS-HISTOGRAM cumulative (q185's trick — |distinct cents
+    * values| rows per group, never |rows|). All rank arithmetic is the
+    * exact integer ceil `(n·p + p) div 100`; values are cents
+    * decimals; sample membership ties break on event_id —
+    * bit-reproducible in the oracle. */
+  val q194: Q = (spark, dir) => {
+    val k = 256
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        graft.functions.GraftFunctions.qdec(col("value"), 18, 2).as("v"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("qsk:"), col("event_id").cast("string"))).as("h"))
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val samp = rows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h", "event_id")))
+      .filter(col("rn") <= k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("v", "event_id"))
+        .cast("long"))
+      .withColumn("n_s", count(lit(1)).over(wAll))
+    val est = samp.groupBy("event_type").agg(
+      max(col("n_s")).as("n_sample"),
+      min(when(col("rk") >= expr("(n_s + 1) div 2"), col("v")))
+        .as("est_p50"),
+      min(when(col("rk") >= expr("(n_s * 9 + 9) div 10"), col("v")))
+        .as("est_p90"),
+      min(when(col("rk") >= expr("(n_s * 99 + 99) div 100"), col("v")))
+        .as("est_p99"))
+    val cum = rows.groupBy("event_type", "v")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("c", sum(col("freq")).over(
+        Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_rows", sum(col("freq")).over(wAll))
+    val exact = cum.groupBy("event_type").agg(
+      max(col("n_rows")).as("n_rows"),
+      min(when(col("c") >= expr("(n_rows + 1) div 2"), col("v"))).as("p50"),
+      min(when(col("c") >= expr("(n_rows * 9 + 9) div 10"), col("v")))
+        .as("p90"),
+      min(when(col("c") >= expr("(n_rows * 99 + 99) div 100"), col("v")))
+        .as("p99"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_rows"), col("n_sample"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy("event_type")
+  }
+
   /** q168 — single-feature decision stump: the best order-total
     * threshold separating urgent/high-priority orders, scanned over
     * 10k-wide bucket boundaries. ONE aggregate to per-bucket
@@ -995,6 +1059,7 @@ object OlapQueries {
     "q126_mad_outliers" -> q126,
     "q185_skew_profile" -> q185,
     "q187_kmv_distinct" -> q187,
+    "q194_quantile_sketch" -> q194,
     "q189_kmv_union" -> q189,
     "q191_kmv_intersect" -> q191,
     "q127_ewma_revenue" -> q127,
@@ -1419,6 +1484,49 @@ object OlapQueries {
          |  ix.n_ab AS exact_intersection
          |FROM e JOIN ix ON ix.ta = e.ta AND ix.tb = e.tb
          |ORDER BY 1, 2""".stripMargin,
+    "q194_quantile_sketch" ->
+      s"""WITH r AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v,
+         |    CAST(md5_number_lower('qsk:' || event_id::VARCHAR) & $H
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |s1 AS (
+         |  SELECT event_type, v, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY h, event_id) AS rn
+         |  FROM r),
+         |s2 AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY v, event_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n_s
+         |  FROM s1 WHERE rn <= 256),
+         |est AS (
+         |  SELECT event_type, CAST(MAX(n_s) AS BIGINT) AS n_sample,
+         |    MIN(CASE WHEN rk >= (n_s + 1) // 2 THEN v END) AS est_p50,
+         |    MIN(CASE WHEN rk >= (n_s * 9 + 9) // 10 THEN v END) AS est_p90,
+         |    MIN(CASE WHEN rk >= (n_s * 99 + 99) // 100 THEN v END)
+         |      AS est_p99
+         |  FROM s2 GROUP BY 1),
+         |hist AS (SELECT event_type, v, COUNT(*) AS freq
+         |         FROM r GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, v,
+         |    SUM(freq) OVER (PARTITION BY event_type ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS c,
+         |    SUM(freq) OVER (PARTITION BY event_type) AS n_rows
+         |  FROM hist),
+         |ex AS (
+         |  SELECT event_type, CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+         |    MIN(CASE WHEN c >= (n_rows + 1) // 2 THEN v END) AS p50,
+         |    MIN(CASE WHEN c >= (n_rows * 9 + 9) // 10 THEN v END) AS p90,
+         |    MIN(CASE WHEN c >= (n_rows * 99 + 99) // 100 THEN v END) AS p99
+         |  FROM cum GROUP BY 1)
+         |SELECT est.event_type, n_rows, n_sample,
+         |  est_p50, est_p90, est_p99, p50, p90, p99
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY 1""".stripMargin,
     "q187_kmv_distinct" ->
       s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
          |h AS (SELECT DISTINCT event_type,

@@ -258,6 +258,29 @@ object RelationalQueries {
         sum(col("total")).cast("double").as("total")))
       .orderBy("user_id")
 
+  /** q193 — hot-key-safe JOIN: lineitem ⋈ orders through the SALTED
+    * equi-join ([[graft.ops.Skew.saltedJoin]], 8 salts): the fact side
+    * spreads each join key over 8 sub-partitions (retry-deterministic
+    * salt), the orders side replicates ×8, and revenue rolls up per
+    * order priority in exact decimal. Result identical to the plain
+    * join (the oracle) — salting only reshapes the shuffle so a
+    * power-law key can't pin a stage on one partition. Complements q70
+    * (salted AGGREGATION): this is the join-side treatment for the
+    * cases AQE's skew splitting doesn't reach — streaming joins (AQE
+    * off), pipelines that pin partitioning into a downstream window,
+    * and engines without runtime re-planning. */
+  val q193: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), qdec(col("l_extendedprice"), 18, 2).as("px"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Skew.saltedJoin(l, o, keys = Seq("l_orderkey"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("px")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q76 — as-of (temporal) enrichment: each event picks up the user's
     * most recent order at event time (order date ≤ event time,
     * inclusive) — the classic point-in-time-correct feature join that
@@ -541,6 +564,7 @@ object RelationalQueries {
     "q17_running_revenue" -> q17,
     "q19_pivot_counts" -> q19,
     "q70_salted_totals" -> q70,
+    "q193_salted_join" -> q193,
     "q76_asof_enrich" -> q76,
     "q77_purchase_window" -> q77,
     "q78_group_percentiles" -> q78,
@@ -763,6 +787,12 @@ object RelationalQueries {
          |SELECT user_id, array_to_string(list_sort(list(item_id)), ',') AS items
          |FROM r WHERE CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) = 3
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q193_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q07_nation_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) * (1 - CAST(floor(l_discount * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -90,6 +90,34 @@ class MediaIoSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual hash: near-identical payloads collide, distinct ones don't (q195)") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val near = base.updated(10, 'X') // one local edit
+    val far = ("numbers 0123456789 and entirely different content here " * 8).trim
+    val media = Seq(
+      (1L, "image", base.getBytes("UTF-8"), "s"),
+      (2L, "image", near.getBytes("UTF-8"), "s"),
+      (3L, "image", far.getBytes("UTF-8"), "s"))
+      .toDF("media_id", "kind", "content", "source")
+    val h = Media.perceptualHash(spark, media).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h.values.forall(p => p >= 0 && p < (1L << 60)),
+      "phash must stay in 60 non-negative bits")
+    // One byte edit perturbs at most one sampled gradient pair → the
+    // pigeonhole bands (Hamming ≤ 3 guarantee) must catch the pair.
+    assert(hamming(h(1L), h(2L)) <= 3,
+      s"near-dup pair at hamming ${hamming(h(1L), h(2L))}")
+    assert(hamming(h(1L), h(3L)) > 3,
+      s"unrelated pair at hamming ${hamming(h(1L), h(3L))}")
+    // Same payload, different kind wrapper → identical hash (byte-level
+    // dedup transcends the media kind).
+    val again = Media.perceptualHash(spark,
+      Seq((9L, "audio", base.getBytes("UTF-8"), "s"))
+        .toDF("media_id", "kind", "content", "source")).head().phash
+    assert(again == h(1L))
+  }
+
   test("split persistence roundtrip equals in-memory splits (S3 end-to-end)") {
     val dir = Files.createTempDirectory("graft-splits").toString
     val ratings = Tables.ratings(spark, sf)

@@ -204,4 +204,42 @@ class OlapSpec extends AnyFunSuite {
       r.getAs[Long]("n_days")).sum / tot
     assert(math.abs(w - 1.0) < 1e-3)
   }
+
+  test("q194 bottom-k quantile sample is MERGEABLE: bottom-k(A∪B) == bottom-k(bk(A)∪bk(B))") {
+    // The sketch's scale claim: shard-local bottom-k samples union into
+    // the global bottom-k without rescanning — same algebra as KMV.
+    import spark.implicits._
+    val k = 64
+    val rows = (1 to 5000).map { i =>
+      (i.toLong, graft.functions.HashUtil.md5Lower63(s"qsk:$i"),
+        (i * 37 % 1000).toLong)
+    }.toDF("id", "h", "v")
+    def bottomK(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h", "id")))
+        .filter(col("rn") <= k).drop("rn")
+    val (shardA, shardB) = (rows.filter(col("id") % 2 === 0),
+      rows.filter(col("id") % 2 === 1))
+    val direct = bottomK(rows).orderBy("h")
+      .as[(Long, Long, Long)].collect().toSeq
+    val merged = bottomK(bottomK(shardA).unionByName(bottomK(shardB)))
+      .orderBy("h").as[(Long, Long, Long)].collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("q194 sample quantiles track the exact ones on the gate data") {
+    val rows = Registry.all("q194_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ns) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_sample"))
+      assert(ns == math.min(n, 256L))
+      // A 256-point uniform sample's p50 lands within a loose relative
+      // band of the exact p50 (±30% — a sanity envelope, not a bound;
+      // the oracle already pins exact values).
+      val est = r.getAs[java.math.BigDecimal]("est_p50").doubleValue()
+      val ex = r.getAs[java.math.BigDecimal]("p50").doubleValue()
+      assert(ex == 0.0 || math.abs(est - ex) / math.max(ex.abs, 1e-9) < 0.3,
+        s"est_p50 $est far from exact $ex for ${r.getAs[String]("event_type")}")
+    }
+  }
 }

@@ -31,6 +31,28 @@ class SkewEvalSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedJoin == plain join on a skewed join key") {
+    val rnd = new Random(32)
+    // Hot fact key: 90% of fact rows join to dim key 0.
+    val fact = (1 to 20000).map { i =>
+      val k = if (rnd.nextDouble() < 0.9) 0 else rnd.nextInt(50)
+      (k, i.toLong)
+    }.toDF("k", "v")
+    val dim = (0 until 50).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .orderBy("k", "v").as[(Int, Long, String)].collect().toSeq
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), salts = 8)
+      .orderBy("k", "v").as[(Int, Long, String)].collect().toSeq
+    assert(salted == plain)
+    // Fact rows of the hot key really spread across sub-partitions —
+    // the whole point of the salt.
+    val saltSpread = fact.filter(col("k") === 0)
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("v"),
+        lit("graft-salt")), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(saltSpread > 1, "hot key collapsed onto one salt")
+  }
+
   test("relational MAP matches ml RankingEvaluator (M10)") {
     val t = graft.rec.Popularity.withSplits(graft.io.Tables.ratings(spark, sf))
     val recs = graft.rec.Popularity.recommend(
