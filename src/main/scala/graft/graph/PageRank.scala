@@ -61,4 +61,53 @@ object PageRank {
     }
     rank
   }
+
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * concentrated on a SEED set instead of spread uniformly — the
+    * "similarity to this cohort" random walk behind who-to-follow,
+    * related-item, and seed-expansion queries:
+    *
+    *   r₀(v)    = 1/|S| · [v ∈ S]
+    *   rₜ₊₁(v) = (1−d)/|S| · [v ∈ S] + d · Σ_{(u,v)∈E} rₜ(u)/outdeg(u)
+    *
+    * Execution is iteration-for-iteration the [[pageRank]] shape (one
+    * contribution shuffle + one left join per round over the
+    * checkpointed degree-annotated edges); the only difference is the
+    * teleport term joining against the broadcast seed flag instead of a
+    * constant. Seeds outside the graph's node set are ignored (they can
+    * neither receive nor emit mass).
+    *
+    * @param seeds one-column frame of seed node ids (deduplicated
+    *              internally; typically ≪ |V|, broadcast). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double,
+                           checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.toDF("src", "dst")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(broadcast(seeds.toDF("node").distinct()
+        .withColumn("__seed", lit(true))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds >= 1, "no seed is present in the graph")
+    val tele = when(col("is_seed"), lit(1.0) / lit(nSeeds.toDouble))
+      .otherwise(lit(0.0))
+    var rank = nodes.select(col("node"), col("is_seed"), tele.as("r"))
+    for (i <- 1 to iters) {
+      val contrib = ed.join(rank.select(col("node").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") / col("deg")).as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          ((lit(1.0) - lit(damping)) * tele +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+    }
+    rank.select(col("node"), col("is_seed"), col("r"))
+  }
 }

@@ -267,6 +267,34 @@ object Tables {
       .withColumn("es", qround(col("__es"), 6)).drop("__es")
   }
 
+  /** Per-group [[weightedTopK]] — exactly `k` weighted-sampled rows per
+    * group (Efraimidis–Spirakis within each stratum): the training-mix
+    * primitive combining [[stratifiedCap]]'s per-domain quota with
+    * weight-proportional inclusion ("200 docs per (source, lang),
+    * longer docs favored"). Same key formula as the global form — rank
+    * u^(1/w) as ln(u)/w on the seeded keyed PRNG — so the sample is
+    * layout-independent and oracle-reproducible.
+    *
+    * Scale: one window per group key; Spark's WindowGroupLimit pushes
+    * the rank filter below the shuffle as a partial per-partition top-n
+    * (the [[stratifiedCap]] plan), so the exchange carries ≤ k rows per
+    * group per map partition — never the full stratum. Output adds
+    * (rank, es·6dp). */
+  def weightedTopKPerGroup(df: DataFrame, groups: Seq[String], key: String,
+                           weight: org.apache.spark.sql.Column, k: Int,
+                           seed: Long): DataFrame = {
+    val h = graft.functions.GraftFunctions.md5_63(
+      concat(lit(s"$seed:"), col(key).cast("string")))
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 63))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*)
+      .orderBy(col("__es").desc, col(key))
+    df.withColumn("__es", log(u) / weight)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("es", qround(col("__es"), 6)).drop("__es")
+  }
+
   /** `n` seeded-random disjoint pairs from the distinct values of `key`
     * (reference part2's random-pair protocol: sample users, pair them up).
     * Two-stage for scale: a distributed `TakeOrderedAndProject` selects

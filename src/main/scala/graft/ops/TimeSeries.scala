@@ -184,6 +184,48 @@ object TimeSeries {
         col("level"), col("trend"), col("forecast"))
   }
 
+  /** Two-sided CUSUM change-point statistic per key — the sequential
+    * drift detector EWMA-style smoothing can't express: accumulate
+    * deviations beyond an allowance `k` around a reference mean `mu`,
+    * resetting at zero, so a sustained shift grows the statistic
+    * linearly while in-control noise keeps it pinned near 0:
+    *
+    *   s⁺_i = max(0, s⁺_{i−1} + (x_i − mu − k))
+    *   s⁻_i = max(0, s⁻_{i−1} − (x_i − mu) − k)
+    *
+    * `mu`/`k` arrive as COLUMNS (per-key constants the caller computes
+    * and rounds — typically mean and 0.5σ of an in-control window), so
+    * the fold needs no side join. Same execution shape and determinism
+    * contract as [[ewma]]: the recursion is sequential within a key
+    * (typed iterator, per-key parallelism, calendar-bounded groups);
+    * max/add/sub over doubles the two engines computed identically are
+    * bit-identical IEEE, so the recursive-CTE oracle agrees before any
+    * output rounding. Input: one row per (key, day). */
+  def cusum(points: DataFrame, key: String, day: String, measure: String,
+            mu: String, slack: String): DataFrame = {
+    val enc = Encoders.product[CusumRow]
+    points
+      .select(col(key).cast("string").as("k"), col(day).cast("long").as("d"),
+        col(measure).cast("double").as("x"), col(mu).cast("double").as("m"),
+        col(slack).cast("double").as("a"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (k: String, rows: Iterator[Row]) =>
+        val sorted = rows.map(r =>
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          .toArray.sortBy(_._1)
+        var sp = 0.0
+        var sn = 0.0
+        sorted.iterator.map { case (d, x, m, a) =>
+          sp = math.max(0.0, sp + (x - m - a))
+          sn = math.max(0.0, sn - (x - m) - a)
+          CusumRow(k, d, x, sp, sn)
+        }
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("d").as(day), col("x").as(measure),
+        col("s_pos"), col("s_neg"))
+  }
+
   /** Lagged cross-correlation of two daily series — "do clicks lead
     * revenue, and by how many days?": Pearson r between x[d] and
     * y[d+lag] for every lag in [−maxLag, maxLag]. The lead–lag scan
@@ -224,3 +266,7 @@ case class EwmaRow(k: String, d: Long, x: Double, ewma: Double)
 /** Output row of [[TimeSeries.holtLinear]]. */
 case class HoltRow(k: String, d: Long, x: Double, level: Double,
                    trend: Double, forecast: Double)
+
+/** Output row of [[TimeSeries.cusum]]. */
+case class CusumRow(k: String, d: Long, x: Double, s_pos: Double,
+                    s_neg: Double)

@@ -87,6 +87,30 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  /** q200 — 3-iteration personalized PageRank (d = 0.85) on the q49
+    * co-purchase graph, teleport mass pinned to NATION_3's customer
+    * nodes ([[graft.graph.PageRank.personalizedPageRank]]): "proximity
+    * to this cohort" — the seed-expansion / related-entity walk, sharing
+    * q49's one-shuffle-per-iteration execution with the teleport term
+    * swapped from uniform to the broadcast seed flag. Ranks rounded to
+    * 6 decimals (determinism rule #3 for the distributed double sum). */
+  val q200: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = pair.union(pair.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 3)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    PageRank.personalizedPageRank(edges, seeds, iters = 3, damping = 0.85)
+      .select(col("node"), col("is_seed"), qround(col("r"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** q100 — CDC merge/upsert of a deterministic update batch into the
     * customer table (see [[graft.ops.Merge.mergeUpsert]]): one full-outer
     * join on the unique key, output = next table version + change audit.
@@ -503,6 +527,7 @@ object AnalyticsQueries {
     "q47_fuzzy_names" -> q47,
     "q48_heavy_hitters" -> q48,
     "q49_pagerank" -> q49,
+    "q200_personalized_pagerank" -> q200,
     "q100_merge_upsert" -> q100,
     "q101_column_profile" -> q101,
     "q103_incremental_mv" -> q103,
@@ -526,6 +551,21 @@ object AnalyticsQueries {
 
   /** One PageRank oracle iteration: rank_{cur}(v) = (1-d)/N + d·Σ r/deg
     * over in-edges — the same join-agg the engine runs. */
+  /** One personalized-PageRank iteration as a CTE ([[prIter]]'s shape
+    * with the teleport term gated on the seed flag). */
+  private def pprIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node, n.is_seed,
+       |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |      * (CASE WHEN n.is_seed THEN CAST(1.0 AS DOUBLE) / ns.k
+       |              ELSE CAST(0.0 AS DOUBLE) END)
+       |      + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS r
+       |  FROM sn n CROSS JOIN ns
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, sum(p.r / e.deg) AS s
+       |    FROM ed e JOIN $prev p ON p.node = e.src
+       |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+
   private def prIter(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT n.node,
@@ -1096,6 +1136,33 @@ object AnalyticsQueries {
          |FROM keyed JOIN cells USING (r, b)
          |GROUP BY 1, 2
          |ORDER BY est_count DESC, part_key LIMIT 25""".stripMargin,
+    "q200_personalized_pagerank" ->
+      s"""WITH pair AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM pair
+         |          UNION ALL SELECT dst, src FROM pair),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+         |       JOIN deg d ON d.src = e.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node
+         |          FROM customer WHERE c_nationkey = 3),
+         |sn AS (SELECT n.node, s.node IS NOT NULL AS is_seed
+         |       FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sn
+         |       WHERE is_seed),
+         |r0 AS (SELECT node, is_seed,
+         |         CASE WHEN is_seed THEN CAST(1.0 AS DOUBLE) / ns.k
+         |              ELSE CAST(0.0 AS DOUBLE) END AS r
+         |       FROM sn CROSS JOIN ns),
+         |${pprIter("r0", "r1")},
+         |${pprIter("r1", "r2")},
+         |${pprIter("r2", "r3")}
+         |SELECT node, is_seed,
+         |  floor((r) * 1000000.0 + 0.5) / 1000000.0 AS rank
+         |FROM r3 ORDER BY node""".stripMargin,
     "q49_pagerank" ->
       s"""WITH pair AS (
          |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -1044,7 +1044,77 @@ object OlapQueries {
     TimeSeries.laggedCrossCorr(clicks, rev, maxLag = 7).orderBy("lag")
   }
 
+  /** q196 — campaign-window interval join ([[graft.ops.Intervals
+    * .pointInIntervalJoin]]): the top-12 revenue weeks define overlapping
+    * 14-day "campaign" windows [wk·7−3, wk·7+10], and every order landing
+    * inside a window attributes to it (orders under overlapping windows
+    * count toward EACH — the fan-out that makes this a genuine range
+    * join, not a bucketing groupBy). Executed as a bucketed EQUI-join
+    * (W = 8 days: each interval explodes to ≤ 3 bucket rows, each point
+    * maps to one) — the scale shape that replaces the
+    * BroadcastNestedLoopJoin a raw BETWEEN predicate plans. Revenue sums
+    * decimal-exact, cast to double once at output. */
+  val q196: Q = (spark, dir) => {
+    val day = expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), day.as("day"),
+        qdec(col("o_totalprice"), 18, 2).as("p"))
+    val camp = o.groupBy(expr("day div 7").as("wk"))
+      .agg(sum("p").as("wrev"))
+      .orderBy(col("wrev").desc, col("wk"))
+      .limit(12)
+      .select(col("wk").as("campaign_wk"),
+        (col("wk") * 7 - 3).as("d0"), (col("wk") * 7 + 10).as("d1"))
+    graft.ops.Intervals.pointInIntervalJoin(o, "day", camp,
+        "d0", "d1", bucketDays = 8)
+      .groupBy("campaign_wk", "d0", "d1")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("p").cast("double").as("revenue"))
+      .orderBy("campaign_wk")
+  }
+
+  /** q197 — CUSUM change-point detection on daily nation revenue
+    * ([[graft.ops.TimeSeries.cusum]]): the sequential drift detector
+    * completing the q127/q164 smoothing family — per-nation reference
+    * mean μ and allowance k = 0.5σ from decimal-exact sufficient
+    * statistics (each rounded once), then the two-sided reset-at-zero
+    * fold, flagging days where either statistic exceeds 4σ. The fold is
+    * the repo's typed-iterator shape; the oracle replays it as a
+    * recursive CTE over bit-identical doubles. */
+  val q197: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      // re-pin the summed revenue at DECIMAL(18,2) (exact — daily
+      // revenue is far below 10^16) so its square stays inside
+      // DECIMAL(38,4) on BOTH engines instead of hitting Spark's
+      // precision-capped (and silently rounding) wide-decimal multiply.
+      .select(col("nation"), col("day"),
+        col("rev").cast("decimal(18,2)").as("rev"))
+    val stats = daily.groupBy("nation")
+      .agg(sum("rev").as("s"), sum(col("rev") * col("rev")).as("s2"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("nation"),
+        qround(col("s").cast("double") / col("n"), 6).as("mu"),
+        qround(sqrt((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as("sigma"))
+      .withColumn("kk", qround(lit(0.5) * col("sigma"), 6))
+    val pts = daily.select(col("nation"), col("day"),
+        col("rev").cast("double").as("x"))
+      .join(broadcast(stats), "nation")
+    TimeSeries.cusum(pts, "nation", "day", "x", "mu", "kk")
+      .join(broadcast(stats), "nation")
+      .select(col("nation"), col("day"), col("x").as("revenue"),
+        qround(col("s_pos"), 6).as("cusum_pos"),
+        qround(col("s_neg"), 6).as("cusum_neg"),
+        (col("s_pos") > lit(4.0) * col("sigma") ||
+          col("s_neg") > lit(4.0) * col("sigma")).cast("int").as("shift_flag"))
+      .orderBy("nation", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_interval_join" -> q196,
+    "q197_cusum_shift" -> q197,
     "q140_bootstrap_ci" -> q140,
     "q141_target_encode" -> q141,
     "q155_ratio_to_parent" -> q155,
@@ -1158,6 +1228,74 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q196_interval_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+        |           AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |camp AS (
+        |  SELECT wk FROM (
+        |    SELECT day // 7 AS wk, SUM(p) AS wrev FROM o GROUP BY 1)
+        |  ORDER BY wrev DESC, wk LIMIT 12),
+        |ivl AS (SELECT wk AS campaign_wk, wk * 7 - 3 AS d0,
+        |               wk * 7 + 10 AS d1 FROM camp)
+        |SELECT campaign_wk, d0, d1, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(p) AS DOUBLE) AS revenue
+        |FROM ivl JOIN o ON o.day >= ivl.d0 AND o.day <= ivl.d1
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q197_cusum_shift" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT nation, day, CAST(SUM(p) AS DECIMAL(18,2)) AS rev
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |            AS DECIMAL(18,2)) AS p
+         |        $nationOrdersSql)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT nation,
+         |    floor((CAST(SUM(rev) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS mu,
+         |    floor(sqrt((CAST(SUM(rev * rev) AS DOUBLE)
+         |        - CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)
+         |          / count(*)) / (count(*) - 1)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS sigma
+         |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+         |st2 AS (
+         |  SELECT nation, mu, sigma,
+         |    floor((CAST(0.5 AS DOUBLE) * sigma) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS kk
+         |  FROM stats),
+         |idx AS (
+         |  SELECT d.nation, d.day, CAST(d.rev AS DOUBLE) AS x, s.mu,
+         |         s.sigma, s.kk,
+         |         row_number() OVER (PARTITION BY d.nation ORDER BY d.day)
+         |           AS i
+         |  FROM daily d JOIN st2 s ON s.nation = d.nation),
+         |rec AS (
+         |  SELECT nation, day, x, mu, sigma, kk, i,
+         |    greatest(CAST(0.0 AS DOUBLE),
+         |             CAST(0.0 AS DOUBLE) + (x - mu - kk)) AS s_pos,
+         |    greatest(CAST(0.0 AS DOUBLE),
+         |             CAST(0.0 AS DOUBLE) - (x - mu) - kk) AS s_neg
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT idx.nation, idx.day, idx.x, idx.mu, idx.sigma, idx.kk,
+         |         idx.i,
+         |    greatest(CAST(0.0 AS DOUBLE),
+         |             rec.s_pos + (idx.x - idx.mu - idx.kk)),
+         |    greatest(CAST(0.0 AS DOUBLE),
+         |             rec.s_neg - (idx.x - idx.mu) - idx.kk)
+         |  FROM idx JOIN rec ON idx.nation = rec.nation
+         |                   AND idx.i = rec.i + 1)
+         |SELECT nation, day, x AS revenue,
+         |  floor((s_pos) * 1000000.0 + 0.5) / 1000000.0 AS cusum_pos,
+         |  floor((s_neg) * 1000000.0 + 0.5) / 1000000.0 AS cusum_neg,
+         |  CAST(s_pos > CAST(4.0 AS DOUBLE) * sigma
+         |    OR s_neg > CAST(4.0 AS DOUBLE) * sigma AS INT) AS shift_flag
+         |FROM rec ORDER BY nation, day""".stripMargin,
     "q157_lead_lag_corr" ->
       """WITH c AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,

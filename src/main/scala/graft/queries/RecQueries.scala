@@ -213,6 +213,20 @@ object RecQueries {
       k = 20, minSupport = 3, maxPerUser = 1000)
   }
 
+  /** q198 — Koren additive bias baseline (μ + b_i + b_u, shrinkage
+    * λ_i = 10 / λ_u = 15) fit on train, RMSE/MAE on the validation
+    * split ([[graft.rec.BiasBaseline]]): the strongest closed-form
+    * member of the q165 (item-mean) / q139 (item-CF) rating-predictor
+    * ladder, and the oracle-EXACT stand-in for the RMSE the iterative
+    * ALS family (q53/q56) reports rows-only. Predictions clamp to the
+    * observed [0, 500] rating range. */
+  val q198: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    graft.rec.BiasBaseline.rmseReport(Popularity.train(t),
+      Popularity.validation(t), lambdaI = 10.0, lambdaU = 15.0,
+      lo = 0.0, hi = 500.0)
+  }
+
   /** q142 — popularity-score AUC on the validation split
     * ([[graft.metrics.Auc.binaryAuc]]): candidates = val users × the
     * biased top-50 pool, label = the user actually rated the item in
@@ -513,6 +527,7 @@ object RecQueries {
     "q116_negative_samples" -> q116,
     "q136_item_cf" -> q136,
     "q139_item_cf_rmse" -> q139,
+    "q198_bias_baseline" -> q198,
     "q142_popularity_auc" -> q142,
     "q145_bias_cv" -> q145,
     "q149_conformal" -> q149,
@@ -703,6 +718,55 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q198_bias_baseline" ->
+      s"""WITH $pipelineCte,
+         |trainf AS (
+         |  SELECT user_id, item_id,
+         |    CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS r
+         |  FROM train WHERE item_id IS NOT NULL AND rating IS NOT NULL),
+         |g AS (
+         |  SELECT floor((CAST(SUM(r) AS DOUBLE) / count(*)) * 1000000.0
+         |    + 0.5) / 1000000.0 AS mu
+         |  FROM trainf),
+         |gi AS (
+         |  SELECT item_id,
+         |    floor((CAST(SUM(r - CAST(g.mu AS DECIMAL(18,6))) AS DOUBLE)
+         |      / (10.0 + count(*))) * 1000000.0 + 0.5) / 1000000.0 AS b_i
+         |  FROM trainf CROSS JOIN g GROUP BY item_id, g.mu),
+         |gu AS (
+         |  SELECT t.user_id,
+         |    floor((CAST(SUM(t.r - CAST(g.mu AS DECIMAL(18,6))
+         |        - CAST(gi.b_i AS DECIMAL(18,6))) AS DOUBLE)
+         |      / (15.0 + count(*))) * 1000000.0 + 0.5) / 1000000.0 AS b_u
+         |  FROM trainf t JOIN gi ON gi.item_id = t.item_id CROSS JOIN g
+         |  GROUP BY t.user_id),
+         |valf AS (
+         |  SELECT user_id, item_id,
+         |    CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS r
+         |  FROM val WHERE item_id IS NOT NULL AND rating IS NOT NULL),
+         |pred AS (
+         |  SELECT v.r, gi.b_i IS NOT NULL AS known_i,
+         |    gu.b_u IS NOT NULL AS known_u,
+         |    CAST(floor(least(greatest(g.mu + coalesce(gi.b_i, 0.0)
+         |        + coalesce(gu.b_u, 0.0), 0.0), 500.0) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS DECIMAL(18,6)) AS p
+         |  FROM valf v
+         |  LEFT JOIN gi ON gi.item_id = v.item_id
+         |  LEFT JOIN gu ON gu.user_id = v.user_id
+         |  CROSS JOIN g),
+         |e AS (SELECT known_i, known_u,
+         |        CAST(r AS DECIMAL(18,6)) - p AS e FROM pred)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN known_i THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_known_item,
+         |  CAST(SUM(CASE WHEN known_u THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_known_user,
+         |  floor((g.mu) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+         |  floor(sqrt(CAST(SUM(e * e) AS DOUBLE) / count(*)) * 1000000.0
+         |    + 0.5) / 1000000.0 AS rmse,
+         |  floor((CAST(SUM(abs(e)) AS DOUBLE) / count(*)) * 1000000.0
+         |    + 0.5) / 1000000.0 AS mae
+         |FROM e CROSS JOIN g GROUP BY g.mu""".stripMargin,
     "q190_split_leakage" ->
       """WITH r AS (
         |  SELECT user_id,

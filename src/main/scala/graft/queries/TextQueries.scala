@@ -495,6 +495,20 @@ object TextQueries {
       .select("rank", "doc_id", "n_chars", "es")
       .orderBy("rank")
 
+  /** q199 — per-group weighted sample without replacement
+    * ([[graft.io.Tables.weightedTopKPerGroup]]): exactly 30 documents
+    * per (source, lang), inclusion biased by length — q75's stratified
+    * quota and q119's Efraimidis–Spirakis weighting composed into the
+    * training-mix primitive ("fixed docs per domain, longer docs
+    * favored"). Same seeded-PRNG key family, so the sample is
+    * layout-independent and the WindowGroupLimit partial top-n keeps
+    * the per-stratum shuffle at ≤ k rows per map partition. */
+  val q199: Q = (spark, dir) =>
+    graft.io.Tables.weightedTopKPerGroup(Tables.documents(spark, dir),
+        Seq("source", "lang"), "doc_id", col("n_chars"), k = 30, seed = 11L)
+      .select("source", "lang", "rank", "doc_id", "n_chars", "es")
+      .orderBy("source", "lang", "rank")
+
   /** q146 — per-source OLS of token count on char count
     * ([[graft.metrics.Ols.fitPerGroup]]): the chars-per-token line is a
     * cheap per-source tokenizer-cost model (and a drift alarm — a
@@ -614,6 +628,7 @@ object TextQueries {
     "q107_bigram_loglik" -> q107,
     "q108_bpe_pairs" -> q108,
     "q119_weighted_topk" -> q119,
+    "q199_weighted_stratified" -> q199,
     "q146_ols_per_source" -> q146,
     "q147_quantile_norm" -> q147,
     "q154_span_dedup" -> q154,
@@ -1210,6 +1225,19 @@ object TextQueries {
          |    AS v_norm
          |FROM j3 ORDER BY rid""".stripMargin
     },
+    "q199_weighted_stratified" ->
+      """WITH s AS (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    ln(((md5_number_lower('11:' || doc_id) & 9223372036854775807)
+        |        + 1) / 9223372036854775808.0) / n_chars AS es
+        |  FROM documents),
+        |r AS (SELECT source, lang, doc_id, n_chars, es,
+        |        row_number() OVER (PARTITION BY source, lang
+        |                           ORDER BY es DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT source, lang, CAST(rank AS INT) AS rank, doc_id, n_chars,
+        |       floor((es) * 1000000.0 + 0.5) / 1000000.0 AS es
+        |FROM r WHERE rank <= 30 ORDER BY source, lang, rank""".stripMargin,
     "q119_weighted_topk" ->
       """WITH s AS (
         |  SELECT doc_id, n_chars,

@@ -83,6 +83,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("personalized pagerank: mass stays in the seed component; all-seeds == uniform") {
+    // Two disconnected symmetric components: {a,b} and {c,d}; seed = a.
+    val one = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val edges = one.union(one.select(col("dst"), col("src")))
+    val seeds = Seq("a").toDF("node")
+    // Even iteration count: on the bipartite 2-cycle the mass oscillates
+    // between the endpoints, returning toward the seed on even rounds.
+    val r = PageRank.personalizedPageRank(edges, seeds, iters = 4,
+        damping = 0.85)
+      .select("node", "r").as[(String, Double)].collect().toMap
+    // The walk can't reach the other component — exact zeros there.
+    assert(r("c") == 0.0 && r("d") == 0.0)
+    assert(r("a") > r("b") && r("b") > 0.0)
+    assert(math.abs(r("a") + r("b") - 1.0) < 1e-9) // mass conserved
+    // Seeding EVERY node degenerates to the uniform teleport — bit-equal
+    // to plain PageRank on the same graph.
+    val all = Seq("a", "b", "c", "d").toDF("node")
+    val ppr = PageRank.personalizedPageRank(edges, all, 3, 0.85)
+      .select("node", "r").as[(String, Double)].collect().toMap
+    val pr = PageRank.pageRank(edges, 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(ppr == pr)
+  }
+
+  test("personalized pagerank ignores seeds absent from the graph") {
+    val one = Seq(("a", "b")).toDF("src", "dst")
+    val edges = one.union(one.select(col("dst"), col("src")))
+    val r = PageRank.personalizedPageRank(edges,
+        Seq("a", "zz").toDF("node"), iters = 2, damping = 0.85)
+      .select("node", "is_seed").as[(String, Boolean)].collect().toMap
+    assert(r == Map("a" -> true, "b" -> false)) // no 'zz' node appears
+  }
+
   test("profile: null/distinct/min-max per column from one pass") {
     val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
       (3L, Some("b"))).toDF("id", "s")

@@ -118,6 +118,29 @@ class OlapSpec extends AnyFunSuite {
       ("k", 1L, 10.0), ("k", 2L, 15.0), ("k", 3L, 22.5)))
   }
 
+  test("TimeSeries.cusum: in-control pins at 0, a step shift accumulates linearly") {
+    import spark.implicits._
+    // mu = 10, allowance k = 1; x = 10 for days 1-5 (in control, both
+    // sides absorb within the allowance), then a +5 step for days 6-8
+    // and a -5 step for days 9-10. All values FP-exact.
+    val xs = Seq.tabulate(10) { i =>
+      val d = i + 1L
+      val x = if (d <= 5) 10.0 else if (d <= 8) 15.0 else 5.0
+      ("k", d, x, 10.0, 1.0)
+    }
+    val out = graft.ops.TimeSeries
+      .cusum(xs.toDF("key", "day", "x", "mu", "kk"),
+        "key", "day", "x", "mu", "kk")
+      .orderBy("day")
+      .select("s_pos", "s_neg").as[(Double, Double)].collect().toSeq
+    assert(out.take(5) == Seq.fill(5)((0.0, 0.0)))
+    // +5 shift: s_pos grows by (15-10-1)=4 per day, s_neg stays 0.
+    assert(out.slice(5, 8) == Seq((4.0, 0.0), (8.0, 0.0), (12.0, 0.0)))
+    // -5 shift: s_pos drains by (5-10-1)=-6 per day and clamps at 0;
+    // s_neg grows by -(5-10)-1 = 4 per day.
+    assert(out.slice(8, 10) == Seq((6.0, 4.0), (0.0, 8.0)))
+  }
+
   test("q128 report is internally consistent and the fixture is clean") {
     val rows = Registry.all("q128_dq_report")(spark, sf).collect()
     assert(rows.length == 5)

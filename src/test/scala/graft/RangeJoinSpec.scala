@@ -44,4 +44,37 @@ class RangeJoinSpec extends AnyFunSuite {
     // No duplicate matches from the 2-bucket left explosion.
     assert(fast.count() == fast.distinct().count())
   }
+
+  test("point-in-interval join == BETWEEN theta join, incl. overlap fan-out") {
+    val iv = Seq((10L, 5L, 20L), (11L, 15L, 30L), (12L, 40L, 40L))
+      .toDF("ivl_id", "d0", "d1")
+    val pts = Seq(1L -> 4L, 2L -> 5L, 3L -> 17L, 4L -> 20L, 5L -> 30L,
+      6L -> 40L, 7L -> 41L).toDF("pid", "day")
+    val got = graft.ops.Intervals
+      .pointInIntervalJoin(pts, "day", iv, "d0", "d1", bucketDays = 7)
+      .select("pid", "ivl_id").as[(Long, Long)].collect().toSeq
+    // A point under two overlapping intervals matches BOTH; bounds are
+    // inclusive on each side; each true pair appears exactly once.
+    assert(got.sorted == Seq(2L -> 10L, 3L -> 10L, 3L -> 11L, 4L -> 10L,
+      4L -> 11L, 5L -> 11L, 6L -> 12L).sorted)
+  }
+
+  test("point-in-interval join matches the theta join on the orders fixture") {
+    val o = graft.io.Tables.orders(spark, GraftSpark.sf)
+      .select(col("o_orderkey"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("day"))
+    val iv = o.groupBy(expr("day div 7").as("wk")).count()
+      .orderBy(desc("count"), col("wk")).limit(10)
+      .select(col("wk").as("ivl_id"),
+        (col("wk") * 7 - 3).as("d0"), (col("wk") * 7 + 10).as("d1"))
+    val fast = graft.ops.Intervals
+      .pointInIntervalJoin(o, "day", iv, "d0", "d1", bucketDays = 8)
+      .select("o_orderkey", "ivl_id")
+    val slow = o.crossJoin(iv)
+      .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+      .select("o_orderkey", "ivl_id")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    assert(fast.count() == fast.distinct().count())
+  }
 }

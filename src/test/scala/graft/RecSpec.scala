@@ -13,6 +13,43 @@ class RecSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = GraftSpark.sf
 
+  test("bias baseline: hand-computed biases; cold-start falls back to partial sums") {
+    // mu = 3 exact; λ_i = λ_u = 2.
+    // b(i1) = ((4-3)+(6-3))/(2+2) = 1;  b(i2) = ((2-3)+(0-3))/4 = -1
+    // b(u1) = ((4-3-1)+(2-3+1))/4 = 0;  b(u2) = ((6-3-1)+(0-3+1))/4 = 0
+    val train = Seq((1, 1, 4.0), (1, 2, 2.0), (2, 1, 6.0), (2, 2, 0.0))
+      .toDF("user_id", "item_id", "rating")
+    val (items, users, mu) = graft.rec.BiasBaseline.fit(train, 2.0, 2.0)
+    assert(mu == 3.0)
+    assert(items.as[(Int, Double)].collect().toMap ==
+      Map(1 -> 1.0, 2 -> -1.0))
+    assert(users.as[(Int, Double)].collect().toMap ==
+      Map(1 -> 0.0, 2 -> 0.0))
+    // Holdout: known (u1,i1) predicts 3+1+0=4 vs 5 → e=1; unknown
+    // (u3,i3) falls back to mu=3 vs 3 → e=0.
+    val hold = Seq((1, 1, 5.0), (3, 3, 3.0))
+      .toDF("user_id", "item_id", "rating")
+    val rep = graft.rec.BiasBaseline
+      .rmseReport(train, hold, 2.0, 2.0, lo = 0.0, hi = 10.0)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(rep._1 == 2L && rep._2 == 1L && rep._3 == 1L)
+    assert(rep._4 == 3.0)
+    assert(rep._5 == 0.707107) // qround(sqrt(1/2), 6)
+    assert(rep._6 == 0.5)
+  }
+
+  test("bias baseline: clamp bounds predictions at the rating range") {
+    // One extreme item pushes mu+b_i beyond hi=5 without the clamp.
+    val train = Seq((1, 1, 5.0), (2, 1, 5.0), (3, 1, 5.0), (1, 2, 0.0))
+      .toDF("user_id", "item_id", "rating")
+    val hold = Seq((9, 1, 5.0)).toDF("user_id", "item_id", "rating")
+    val lowHi = graft.rec.BiasBaseline
+      .rmseReport(train, hold, 0.1, 0.1, lo = 0.0, hi = 4.0)
+      .select("rmse").as[Double].collect().head
+    // pred clamps to 4.0 → rmse = 1.0 exactly.
+    assert(lowHi == 1.0)
+  }
+
   test("ranking metrics: hand-computed AP/P/NDCG (pred [1,2,3], truth [2])") {
     val recs = Seq((1, 1, 1), (1, 2, 2), (1, 3, 3)).toDF("user_id", "item_id", "rank")
     val truth = Seq((1, 2)).toDF("user_id", "item_id")

@@ -118,4 +118,27 @@ class SampleSpec extends AnyFunSuite {
     val heavy = got.count(_._3 == 1000L)
     assert(heavy >= 45, s"only $heavy/50 heavy-weight rows sampled")
   }
+
+  test("weightedTopKPerGroup: exact k per group, layout-independent, weight bias") {
+    val docs = (1L to 600L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b",
+        if (i <= 300) 10L else 1000L))
+      .toDF("doc_id", "g", "w")
+    val got = Tables.weightedTopKPerGroup(docs, Seq("g"), "doc_id",
+      col("w"), k = 40, seed = 11L)
+    // Exact quota per stratum, ranks 1..k within each.
+    val perGroup = got.groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    assert(perGroup == Map("a" -> 40L, "b" -> 40L))
+    assert(got.filter(col("g") === "a").select("rank")
+      .as[Int].collect().sorted.toSeq == (1 to 40))
+    // Same rows on a different physical layout (keyed PRNG, no rand()).
+    val relaid = Tables.weightedTopKPerGroup(docs.repartition(7), Seq("g"),
+      "doc_id", col("w"), k = 40, seed = 11L)
+    assert(got.select("g", "doc_id").as[(String, Long)].collect().toSet ==
+      relaid.select("g", "doc_id").as[(String, Long)].collect().toSet)
+    // Inclusion tracks weight within each stratum.
+    val heavy = got.filter(col("w") === 1000L).count()
+    assert(heavy >= 72, s"only $heavy/80 heavy-weight rows sampled")
+  }
 }
