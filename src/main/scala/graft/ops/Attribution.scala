@@ -53,4 +53,53 @@ object Attribution {
         qround(col("w").cast("double") / col("tot").cast("double"), 6)
           .as("credit"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the journey-
+    * shape alternative to [[timeDecay]]'s recency weighting: the FIRST
+    * touch (discovery) and the LAST touch (closer) each take 40 % of a
+    * conversion's credit, the middle touches split the remaining 20 %
+    * evenly. Degenerate journeys: a single touch takes 100 %, exactly
+    * two touches split 50/50.
+    *
+    * Same lookback-pair build as [[timeDecay]] (one user-keyed
+    * shuffle), then one purchase-keyed window pass supplies both the
+    * chronological position (ties broken by click_id — engine and
+    * oracle alike) and the touch count. Credits are exact double
+    * literals except the middle share, which is one double divide
+    * rounded once — merge-order-independent by construction (middle
+    * credits of a journey are all equal, so no renormalizing sum is
+    * needed or taken). */
+  def positionBased(events: DataFrame, lookbackHours: Int): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val lookbackNs = lookbackHours.toLong * 3600L * 1000000000L
+
+    val pairs = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - lit(lookbackNs))
+    val w = Window.partitionBy("purchase_id")
+    val wAsc = Window.partitionBy("purchase_id")
+      .orderBy(col("c_ts"), col("click_id"))
+    pairs
+      .withColumn("pos", row_number().over(wAsc))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("position",
+        when(col("n_touches") === 1, "only")
+          .when(col("pos") === 1, "first")
+          .when(col("pos") === col("n_touches"), "last")
+          .otherwise("middle"))
+      .withColumn("credit",
+        when(col("n_touches") === 1, lit(1.0))
+          .when(col("n_touches") === 2, lit(0.5))
+          .when(col("pos") === 1 || col("pos") === col("n_touches"),
+            lit(0.4))
+          .otherwise(qround(lit(0.2) / (col("n_touches") - 2), 6)))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("n_touches"), col("position"), col("credit"))
+  }
 }

@@ -507,6 +507,16 @@ object AnalyticsQueries {
       lookbackHours = 24, tauSeconds = 21600.0)
       .orderBy("purchase_id", "click_id")
 
+  /** q204 — position-based (U-shaped) multi-touch attribution
+    * ([[graft.ops.Attribution.positionBased]]): 40 % to the first and
+    * last touch of each purchase's 24 h click journey, 20 % split
+    * across the middles — the journey-shape counterpart of q148's
+    * recency decay, same pair build, one window pass. */
+  val q204: Q = (spark, dir) =>
+    graft.ops.Attribution.positionBased(Tables.events(spark, dir),
+      lookbackHours = 24)
+      .orderBy("purchase_id", "click_id")
+
   /** q151 — Kaplan–Meier user-retention curve
     * ([[graft.metrics.Survival.kaplanMeier]]): hour-granularity
     * lifetimes with right-censoring (still active within 12 h of the
@@ -522,6 +532,7 @@ object AnalyticsQueries {
     "q143_chi_square" -> q143,
     "q144_feature_hashing" -> q144,
     "q148_decay_attribution" -> q148,
+    "q204_position_attribution" -> q204,
     "q151_kaplan_meier" -> q151,
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -662,6 +673,35 @@ object AnalyticsQueries {
         |  CASE WHEN dead = 1 THEN 0.0
         |    ELSE floor((exp(CAST(cum AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END AS s_hat
         |FROM y ORDER BY t""".stripMargin,
+    "q204_position_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_ns(ts) AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |pr AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id, c.ct
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND ct <= pt AND ct > pt - 86400000000000),
+        |rk AS (
+        |  SELECT purchase_id, click_id, user_id,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY ct, click_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        |  FROM pr)
+        |SELECT purchase_id, click_id, user_id,
+        |  CAST(n_touches AS BIGINT) AS n_touches,
+        |  CASE WHEN n_touches = 1 THEN 'only'
+        |       WHEN pos = 1 THEN 'first'
+        |       WHEN pos = n_touches THEN 'last'
+        |       ELSE 'middle' END AS position,
+        |  CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+        |       WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+        |       WHEN pos = 1 OR pos = n_touches THEN CAST(0.4 AS DOUBLE)
+        |       ELSE floor((CAST(0.2 AS DOUBLE) / (n_touches - 2))
+        |         * 1000000.0 + 0.5) / 1000000.0 END AS credit
+        |FROM rk ORDER BY purchase_id, click_id""".stripMargin,
     "q148_decay_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pt

@@ -1112,7 +1112,41 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q202 — one-step-ahead forecast BACKTEST of the q164 Holt smoother:
+    * each day's actual revenue scored against the previous day's
+    * forecast (lag over the same nation partitioning — no second
+    * exchange), per-nation bias / MAE / MAPE. The evaluation loop that
+    * turns a smoother into a forecasting model you'd trust: q164 emits
+    * predictions, this measures them out-of-sample. Errors quantize to
+    * 6dp decimals BEFORE the sums (the distributed-Σ-of-doubles trap);
+    * each reported metric is one double divide, rounded once. */
+  val q202: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("double").as("revenue"))
+    val h = TimeSeries.holtLinear(daily, "nation", "day", "revenue",
+      alpha = 0.3, beta = 0.1)
+    val w = Window.partitionBy("nation").orderBy("day")
+    val e = h.withColumn("pfc", lag(col("forecast"), 1).over(w))
+      .filter(col("pfc").isNotNull)
+      .withColumn("err",
+        qround(col("revenue") - col("pfc"), 6).cast("decimal(18,6)"))
+      .withColumn("ape",
+        qround(abs(col("revenue") - col("pfc")) / col("revenue"), 6)
+          .cast("decimal(18,6)"))
+    e.groupBy("nation").agg(
+        count(lit(1)).as("n_forecasts"),
+        qround(sum(col("err")).cast("double") / count(lit(1)), 6)
+          .as("bias"),
+        qround(sum(abs(col("err"))).cast("double") / count(lit(1)), 6)
+          .as("mae"),
+        qround(lit(100.0) * sum(col("ape")).cast("double") /
+          count(lit(1)), 6).as("mape_pct"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q202_forecast_backtest" -> q202,
     "q196_interval_join" -> q196,
     "q197_cusum_shift" -> q197,
     "q140_bootstrap_ci" -> q140,
@@ -1228,6 +1262,50 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q202_forecast_backtest" ->
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT nation, day, revenue,
+         |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+         |            AS revenue
+         |        $nationOrdersSql
+         |        GROUP BY 1, 2)),
+         |rec AS (
+         |  SELECT nation, day, revenue, i, revenue AS l,
+         |         CAST(0.0 AS DOUBLE) AS b
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT nation, day, revenue, i, l_new,
+         |         CAST(0.1 AS DOUBLE) * (l_new - l_prev)
+         |           + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * b_prev
+         |  FROM (SELECT idx.nation, idx.day, idx.revenue, idx.i,
+         |          rec.l AS l_prev, rec.b AS b_prev,
+         |          CAST(0.3 AS DOUBLE) * idx.revenue
+         |            + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+         |              * (rec.l + rec.b) AS l_new
+         |        FROM idx JOIN rec ON idx.nation = rec.nation
+         |                         AND idx.i = rec.i + 1)),
+         |f AS (SELECT nation, day, revenue, l + b AS fc FROM rec),
+         |p AS (SELECT nation, day, revenue,
+         |        lag(fc) OVER (PARTITION BY nation ORDER BY day) AS pfc
+         |      FROM f),
+         |e AS (
+         |  SELECT nation,
+         |    CAST(floor((revenue - pfc) * 1000000.0 + 0.5) / 1000000.0
+         |      AS DECIMAL(18,6)) AS err,
+         |    CAST(floor((abs(revenue - pfc) / revenue) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS DECIMAL(18,6)) AS ape
+         |  FROM p WHERE pfc IS NOT NULL)
+         |SELECT nation, CAST(count(*) AS BIGINT) AS n_forecasts,
+         |  floor((CAST(SUM(err) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS bias,
+         |  floor((CAST(SUM(abs(err)) AS DOUBLE) / count(*)) * 1000000.0
+         |    + 0.5) / 1000000.0 AS mae,
+         |  floor((100.0 * CAST(SUM(ape) AS DOUBLE) / count(*))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mape_pct
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_interval_join" ->
       """WITH o AS (
         |  SELECT o_orderkey,

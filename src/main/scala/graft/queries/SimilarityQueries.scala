@@ -41,6 +41,45 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** q201 — triplet hard-example mining for metric learning: for each
+    * anchor (vec_id < 50, the per-training-batch probe set), the most
+    * similar SAME-label vector (hardest positive) and the most similar
+    * DIFFERENT-label vector (hardest negative), plus the triplet margin
+    * pos−neg — the pair-selection step contrastive/triplet losses train
+    * on, where random negatives are too easy to carry gradient.
+    *
+    * Execution is the q30 brute-force shape (anchors broadcast, corpus
+    * linear, one in-row fold per pair, two WindowGroupLimit top-1s);
+    * the corpus-scale swap is q32's LSH bucketing with the label
+    * predicate applied to candidates. Anchors whose label is a
+    * singleton have no positive and drop via the inner join — mirrored
+    * by the oracle's join. */
+  val q201: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val a = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"))
+      .withColumn("a_norm", l2norm(col("a_emb")))
+    val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("n_id") =!= col("a_id"))
+      .withColumn("cos",
+        cosine6(col("a_emb"), col("n_emb"), col("a_norm"), col("n_norm")))
+    val pos = perKeyTopK(scored.filter(col("n_label") === col("a_label")),
+        "a_id", Seq(col("cos").desc, col("n_id")), 1)
+      .select(col("a_id"), col("a_label"), col("n_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = perKeyTopK(scored.filter(col("n_label") =!= col("a_label")),
+        "a_id", Seq(col("cos").desc, col("n_id")), 1)
+      .select(col("a_id"), col("n_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "a_id")
+      .withColumn("margin", qround(col("pos_cos") - col("neg_cos"), 6))
+      .orderBy("a_id")
+  }
+
   /** q31 — per-vector L2 norms (array fold exercise). */
   val q31: Q = (spark, dir) =>
     emb(spark, dir)
@@ -304,6 +343,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "q192_ann_ivf_fixed" -> q192,
     "q30_knn_bruteforce" -> q30,
+    "q201_triplet_mining" -> q201,
     "q36_embedding_neardup" -> q36,
     "q31_vector_norms" -> q31,
     "q172_dim_standardize" -> q172,
@@ -398,6 +438,41 @@ object SimilarityQueries {
         |    + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS mean_z,
         |  min(z) AS min_z, max(z) AS max_z
         |FROM z GROUP BY 1, 2, 3, 4 ORDER BY p""".stripMargin,
+    "q201_triplet_mining" ->
+      """WITH a AS (
+        |  SELECT vec_id AS a_id, label AS a_label,
+        |    CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (
+        |  SELECT vec_id AS n_id, label AS n_label,
+        |    CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.a_id, a.a_label, c.n_id, c.n_label,
+        |    floor((list_dot_product(a.e, c.e) / (a.nrm * c.nrm))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS cos
+        |  FROM a CROSS JOIN c WHERE c.n_id <> a.a_id),
+        |pos AS (
+        |  SELECT a_id, a_label, n_id AS pos_id, cos AS pos_cos
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |          ORDER BY cos DESC, n_id) AS rn
+        |        FROM scored WHERE n_label = a_label)
+        |  WHERE rn = 1),
+        |neg AS (
+        |  SELECT a_id, n_id AS neg_id, cos AS neg_cos
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |          ORDER BY cos DESC, n_id) AS rn
+        |        FROM scored WHERE n_label <> a_label)
+        |  WHERE rn = 1)
+        |SELECT pos.a_id, a_label, pos_id, pos_cos, neg_id, neg_cos,
+        |  floor((pos_cos - neg_cos) * 1000000.0 + 0.5) / 1000000.0
+        |    AS margin
+        |FROM pos JOIN neg ON neg.a_id = pos.a_id
+        |ORDER BY pos.a_id""".stripMargin,
     "q30_knn_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -491,7 +491,57 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** q203 — streaming bottom-k-sample QUANTILE sketch: batch q194's
+    * per-group uniform sample maintained incrementally by the bounded-
+    * heap [[org.apache.spark.sql.graft.TopKAgg]] over struct
+    * (hash, event_id, value) — k smallest keyed hashes survive, each
+    * carrying its value payload, so Complete-mode state is exactly
+    * k structs per event_type regardless of stream length (the KMV
+    * argument, extended from cardinality to quantiles; no set semantics
+    * needed because event_id makes the rank key unique). Sample order
+    * statistics run as a post-sink batch transform on the k-row final;
+    * the oracle is batch q194's sample half — stream-final sketch ==
+    * batch sketch, element for element. Completes the streaming sketch
+    * family: frequency (q102 CMS), cardinality (q188 KMV), quantiles. */
+  val q203: Q = (spark, dir) => {
+    val name = s"q203_out_${runId.incrementAndGet()}"
+    val k = 256
+    val sk = stream(spark, dir)
+      .select(col("event_type"), struct(
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("qsk:"), col("event_id").cast("string"))).as("h"),
+        col("event_id"),
+        qdec(col("value"), 18, 2).as("v")).as("s"))
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.topk_agg(col("s"), k).as("samp"))
+    val sunk = EventStreams.runToMemory(spark, sk, name,
+      OutputMode.Complete)
+    val ex = sunk
+      .select(col("event_type"), explode(col("samp")).as("e"))
+      .select(col("event_type"), col("e.v").as("v"),
+        col("e.event_id").as("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ex.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("v", "event_id"))
+        .cast("long"))
+      .withColumn("n_s", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n_s")).as("n_sample"),
+        min(when(col("rk") >= expr("(n_s + 1) div 2"), col("v")))
+          .as("est_p50"),
+        min(when(col("rk") >= expr("(n_s * 9 + 9) div 10"), col("v")))
+          .as("est_p90"),
+        min(when(col("rk") >= expr("(n_s * 99 + 99) div 100"), col("v")))
+          .as("est_p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_stream_quantiles" -> q203,
     "q188_stream_kmv" -> q188,
     "q182_stream_ledger" -> q182,
     "q169_stream_classify" -> q169,
@@ -525,6 +575,32 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The stream-final bottom-k sample must equal batch q194's sample
+    // half exactly (same hash, same k, same order statistics).
+    "q203_stream_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v,
+        |    CAST(md5_number_lower('qsk:' || event_id::VARCHAR)
+        |      & 9223372036854775807 AS BIGINT) AS h
+        |  FROM events),
+        |s1 AS (
+        |  SELECT event_type, v, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, event_id) AS rn
+        |  FROM r),
+        |s2 AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_s
+        |  FROM s1 WHERE rn <= 256)
+        |SELECT event_type, CAST(MAX(n_s) AS BIGINT) AS n_sample,
+        |  MIN(CASE WHEN rk >= (n_s + 1) // 2 THEN v END) AS est_p50,
+        |  MIN(CASE WHEN rk >= (n_s * 9 + 9) // 10 THEN v END) AS est_p90,
+        |  MIN(CASE WHEN rk >= (n_s * 99 + 99) // 100 THEN v END)
+        |    AS est_p99
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // The stream-final KMV sketch must equal batch q187 exactly.
     "q188_stream_kmv" -> OlapQueries.oracles("q187_kmv_distinct"),
     // The stream-served classifier must equal batch q162 exactly.

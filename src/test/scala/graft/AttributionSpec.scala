@@ -33,6 +33,49 @@ class AttributionSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("position-based: U-shaped credits, degenerate journeys, lookback edges") {
+    val events = Seq(
+      // purchase A: 4 clicks in window → 0.4 / 0.1 / 0.1 / 0.4
+      (100L, 1L, "purchase", 30000L * G),
+      (1L, 1L, "click", 20000L * G),
+      (2L, 1L, "click", 21000L * G),
+      (3L, 1L, "click", 22000L * G),
+      (4L, 1L, "click", 23000L * G),
+      (5L, 1L, "click", (30000L - 90000L) * G), // outside 24 h
+      // purchase B: single click → 1.0
+      (200L, 2L, "purchase", 30000L * G),
+      (6L, 2L, "click", 29000L * G),
+      // purchase C: two clicks → 0.5 / 0.5
+      (300L, 3L, "purchase", 30000L * G),
+      (7L, 3L, "click", 28000L * G),
+      (8L, 3L, "click", 29000L * G)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Attribution.positionBased(events, lookbackHours = 24)
+      .as[(Long, Long, Long, Long, String, Double)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L))
+    assert(out(1L) == ((4L, "first", 0.4)))
+    assert(out(2L) == ((4L, "middle", 0.1)))
+    assert(out(3L) == ((4L, "middle", 0.1)))
+    assert(out(4L) == ((4L, "last", 0.4)))
+    assert(out(6L) == ((1L, "only", 1.0)))
+    assert(out(7L) == ((2L, "first", 0.5)))
+    assert(out(8L) == ((2L, "last", 0.5)))
+  }
+
+  test("position-based: same-instant clicks break position ties by click_id") {
+    val events = Seq(
+      (100L, 1L, "purchase", 30000L * G),
+      (9L, 1L, "click", 29000L * G),
+      (2L, 1L, "click", 29000L * G),
+      (5L, 1L, "click", 29000L * G)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Attribution.positionBased(events, 24)
+      .as[(Long, Long, Long, Long, String, Double)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(out == Map(2L -> "first", 5L -> "middle", 9L -> "last"))
+  }
+
   test("single-click purchases get full credit") {
     val events = Seq(
       (10L, 1L, "purchase", 30000L * G),

@@ -141,6 +141,36 @@ class OlapSpec extends AnyFunSuite {
     assert(out.slice(8, 10) == Seq((6.0, 4.0), (0.0, 8.0)))
   }
 
+  test("q202 backtest composition: hand-computed Holt one-step errors") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.qround
+    import org.apache.spark.sql.expressions.Window
+    // α = β = 0.5 on powers of two: l/b/forecast all FP-exact.
+    // forecasts: f1 = 8, f2 = 14 → errors 16−8 = 8, 32−14 = 18.
+    val pts = Seq(("k", 1L, 8.0), ("k", 2L, 16.0), ("k", 3L, 32.0))
+      .toDF("nation", "day", "revenue")
+    val h = graft.ops.TimeSeries.holtLinear(pts, "nation", "day",
+      "revenue", 0.5, 0.5)
+    val w = Window.partitionBy("nation").orderBy("day")
+    val e = h.withColumn("pfc", lag(col("forecast"), 1).over(w))
+      .filter(col("pfc").isNotNull)
+      .withColumn("err",
+        qround(col("revenue") - col("pfc"), 6).cast("decimal(18,6)"))
+      .withColumn("ape",
+        qround(abs(col("revenue") - col("pfc")) / col("revenue"), 6)
+          .cast("decimal(18,6)"))
+    val r = e.groupBy("nation").agg(
+        count(lit(1)).as("n"),
+        qround(sum(col("err")).cast("double") / count(lit(1)), 6)
+          .as("bias"),
+        qround(sum(abs(col("err"))).cast("double") / count(lit(1)), 6)
+          .as("mae"),
+        qround(lit(100.0) * sum(col("ape")).cast("double") /
+          count(lit(1)), 6).as("mape_pct"))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(r == (("k", 2L, 13.0, 13.0, 53.125)))
+  }
+
   test("q128 report is internally consistent and the fixture is clean") {
     val rows = Registry.all("q128_dq_report")(spark, sf).collect()
     assert(rows.length == 5)

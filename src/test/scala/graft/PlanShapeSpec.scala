@@ -172,6 +172,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q196 interval join plans as a HASH equi-join on the bucket, never a nested loop") {
+    val p = plan("q196_interval_join")
+    // per-row interval bounds must ride the bucket hash join as a
+    // residual range check — BETWEEN alone would plan the BNLJ this
+    // operator exists to avoid
+    assert(p.contains("HashJoin"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q199 stratified weighted sample group-limits below the shuffle") {
+    val p = plan("q199_weighted_stratified")
+    assert(p.contains("WindowGroupLimit"))
+    // projection pruned — the text column never leaves the scan
+    assert(!p.contains("text"))
+  }
+
   test("q46 cohort retention reads the event table exactly once") {
     val p = plan("q46_cohort_retention")
     // the window-min form's whole point: no aggregate-and-join-back

@@ -11,6 +11,47 @@ class SimilaritySpec extends AnyFunSuite {
   import spark.implicits._
   val sf = GraftSpark.sf
 
+  test("q201 triplet mining: label constraints hold and negatives are the hardest") {
+    val e = graft.io.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    val out = graft.queries.SimilarityQueries
+      .queries("q201_triplet_mining")(spark, sf)
+    // Positive shares the anchor's label; negative never does.
+    val labeled = out
+      .join(e.withColumnRenamed("vec_id", "pos_id")
+        .withColumnRenamed("label", "pos_label"), "pos_id")
+      .join(e.withColumnRenamed("vec_id", "neg_id")
+        .withColumnRenamed("label", "neg_label"), "neg_id")
+    assert(labeled.filter(col("pos_label") =!= col("a_label")).count() == 0)
+    assert(labeled.filter(col("neg_label") === col("a_label")).count() == 0)
+    // Margin is exactly the quantized difference, and no anchor mines
+    // itself as either example.
+    val rows = out.select("a_id", "pos_id", "neg_id", "pos_cos",
+        "neg_cos", "margin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, p, n, pc, nc, m) =>
+      assert(p != a && n != a)
+      assert(m == math.floor((pc - nc) * 1e6 + 0.5) / 1e6)
+    }
+    // Spot-verify one anchor's hardest negative by brute force.
+    val emb = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val (aId, _, aNeg, _, aNegCos, _) = rows.minBy(_._1)
+    val (_, aLabel, aEmb) = emb.find(_._1 == aId).get
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      def d(u: Array[Float], v: Array[Float]) =
+        u.zip(v).map { case (p, q) => p.toDouble * q.toDouble }
+          .foldLeft(0.0)(_ + _)
+      d(x, y) / (math.sqrt(d(x, x)) * math.sqrt(d(y, y)))
+    }
+    val best = emb.filter(v => v._2 != aLabel && v._1 != aId)
+      .map(v => (math.floor(cos(aEmb, v._3) * 1e6 + 0.5) / 1e6, v._1))
+      .sortBy { case (c, id) => (-c, id) }.head
+    assert((best._2, best._1) == ((aNeg, aNegCos)))
+  }
+
   test("dot/l2norm: hand-computed values") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")

@@ -138,6 +138,26 @@ class StreamRestartSpec extends AnyFunSuite {
       fingerprint = _.getAs[Seq[Long]]("mins").mkString(","))
   }
 
+  test("streaming bottom-k quantile sample (q203 shape) resumes across restart") {
+    val ev = graft.io.Tables.events(spark, GraftSpark.sf)
+      .select("event_id", "event_type", "value")
+    assertSketchRestart(
+      ev,
+      df => df.select(col("event_type"), struct(
+          graft.functions.GraftFunctions.md5_63(
+            concat(lit("qsk:"), col("event_id").cast("string"))).as("h"),
+          col("event_id"),
+          graft.functions.GraftFunctions.qdec(col("value"), 18, 2).as("v"))
+          .as("s"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.topk_agg(col("s"), 256)
+          .as("samp")),
+      key = _.getAs[String]("event_type"),
+      fingerprint = _.getAs[Seq[Row]]("samp")
+        .map(x => s"${x.getLong(0)}:${x.getLong(1)}:${x.get(2)}")
+        .mkString(","))
+  }
+
   test("streaming count-min sketch (q102 shape) resumes its cells across restart") {
     val ev = graft.io.Tables.events(spark, GraftSpark.sf)
       .select("event_id", "props")
