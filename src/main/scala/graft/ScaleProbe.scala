@@ -158,6 +158,38 @@ object ScaleProbe {
       withHub.unpersist(blocking = false)
     }
 
+    if (probes("interval")) {
+      // Point-in-interval join at factor× the interval count: one
+      // overlapping 14-day window per distinct order week, replicated
+      // factor× with a small phase shift. The claim under test: the
+      // bucketed equi-join's cost tracks |points| + |matches| (output-
+      // linear), while the naive BNLJ evaluates |points|·|intervals|
+      // predicates — the gap should WIDEN by ~factor.
+      val o = graft.io.Tables.orders(spark, "/root/testdata/sf0.1")
+        .select(col("o_orderkey"),
+          expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+            .as("day"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nPts = o.count()
+      val weeks = o.select(expr("day div 7").as("wk")).distinct()
+      val ivl = (0 until factor).map { i =>
+        weeks.select((col("wk") * lit(factor.toLong) + i).as("ivl_id"),
+          (col("wk") * 7 - 3 + (i % 7)).as("d0"),
+          (col("wk") * 7 + 10 + (i % 7)).as("d1"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nIvl = ivl.count()
+      println(s"PROBE interval: $nPts points x $nIvl intervals")
+      time(s"interval_bucketed")(graft.ops.Intervals
+        .pointInIntervalJoin(o, "day", ivl, "d0", "d1", bucketDays = 8)
+        .count())
+      time(s"interval_bnlj")(o.crossJoin(ivl)
+        .filter(col("day") >= col("d0") && col("day") <= col("d1"))
+        .count())
+      o.unpersist(blocking = false)
+      ivl.unpersist(blocking = false)
+    }
+
     if (probes("tfidf")) {
       // TF-IDF cosine pairs at factor× the corpus. Each copy's tokens get
       // a copy-index prefix, so copy vocabularies are DISJOINT: the df

@@ -74,14 +74,7 @@ object AnalyticsQueries {
     * double sum's last ulp is summation-order-dependent (determinism
     * rule #3). */
   val q49: Q = (spark, dir) => {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    val edges = pair.union(pair.select(col("dst").as("src"),
-      col("src").as("dst")))
+    val edges = SharedFrames.coPurchaseEdges(spark, dir)
     PageRank.pageRank(edges, iters = 3, damping = 0.85)
       .select(col("node"), qround(col("r"), 6).as("rank"))
       .orderBy("node")
@@ -95,14 +88,7 @@ object AnalyticsQueries {
     * swapped from uniform to the broadcast seed flag. Ranks rounded to
     * 6 decimals (determinism rule #3 for the distributed double sum). */
   val q200: Q = (spark, dir) => {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    val edges = pair.union(pair.select(col("dst").as("src"),
-      col("src").as("dst")))
+    val edges = SharedFrames.coPurchaseEdges(spark, dir)
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 3)
       .select(concat(lit("c"), col("c_custkey")).as("node"))
@@ -262,14 +248,7 @@ object AnalyticsQueries {
     * size — one grouped count + two anti-joins per round, oracle as
     * unrolled NOT-IN CTE rounds. */
   val q175: Q = (spark, dir) => {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    val edges = pair.union(pair.select(col("dst").as("src"),
-      col("src").as("dst")))
+    val edges = SharedFrames.coPurchaseEdges(spark, dir)
     KCore.peelCounts(spark, edges, k = 3, rounds = 4)
       .orderBy("peel_round")
   }
@@ -429,14 +408,7 @@ object AnalyticsQueries {
     * unreached). All-integer frontier expansion — one join + one
     * anti-join per hop, no path enumeration. */
   val q159: Q = (spark, dir) => {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    val edges = pair.union(pair.select(col("dst").as("src"),
-      col("src").as("dst")))
+    val edges = SharedFrames.coPurchaseEdges(spark, dir)
     val seeds = Tables.supplier(spark, dir)
       .filter(col("s_nationkey") === 0)
       .select(concat(lit("s"), col("s_suppkey")).as("node"))
@@ -517,6 +489,39 @@ object AnalyticsQueries {
       lookbackHours = 24)
       .orderBy("purchase_id", "click_id")
 
+  /** q208 — Adamic–Adar supplier similarity on the co-purchase graph:
+    * for supplier pairs sharing customers, Σ_c 1/ln(deg(c)) — common-
+    * neighbor similarity that discounts promiscuous intermediaries
+    * (a customer who buys from everyone says little; log-degree
+    * weighting is the link-prediction classic). Top-25 pairs.
+    *
+    * Execution: one degree aggregate, then the wedge self-join on the
+    * customer key (the q104 shape — volume Σ deg_c², bounded by the
+    * supplier catalog; at web scale, cap or sample hub customers the
+    * way q45 df-caps hot tokens). Weights quantize to 6dp decimals at
+    * the customer level, so the per-pair sum is exact regardless of
+    * wedge merge order. Degree-1 customers form no wedge and drop
+    * naturally (also keeping ln > 0). */
+  val q208: Q = (spark, dir) => {
+    val cs = SharedFrames.coPurchaseEdges(spark, dir)
+      .filter(col("src").startsWith("c"))
+      .select(col("src").as("c"), col("dst").as("s"))
+    val w = cs.groupBy("c").agg(count(lit(1)).as("degc"))
+      .filter(col("degc") >= 2)
+      .select(col("c"),
+        qround(lit(1.0) / log(col("degc").cast("double")), 6)
+          .cast("decimal(10,6)").as("w"))
+    val a = cs.select(col("c"), col("s").as("s1"))
+    val b = cs.select(col("c"), col("s").as("s2"))
+    a.join(b, Seq("c")).filter(col("s1") < col("s2"))
+      .join(w, "c")
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n_common"),
+        sum("w").cast("decimal(18,6)").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("s1"), col("s2"))
+      .limit(25)
+  }
+
   /** q151 — Kaplan–Meier user-retention curve
     * ([[graft.metrics.Survival.kaplanMeier]]): hour-granularity
     * lifetimes with right-censoring (still active within 12 h of the
@@ -533,6 +538,7 @@ object AnalyticsQueries {
     "q144_feature_hashing" -> q144,
     "q148_decay_attribution" -> q148,
     "q204_position_attribution" -> q204,
+    "q208_adamic_adar" -> q208,
     "q151_kaplan_meier" -> q151,
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -673,6 +679,23 @@ object AnalyticsQueries {
         |  CASE WHEN dead = 1 THEN 0.0
         |    ELSE floor((exp(CAST(cum AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END AS s_hat
         |FROM y ORDER BY t""".stripMargin,
+    "q208_adamic_adar" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (
+        |  SELECT c, CAST(floor((1.0 / ln(degc)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS DECIMAL(10,6)) AS w
+        |  FROM (SELECT c, count(*) AS degc FROM cs GROUP BY 1)
+        |  WHERE degc >= 2),
+        |p AS (
+        |  SELECT a.s AS s1, b.s AS s2, w.w
+        |  FROM cs a JOIN cs b ON b.c = a.c AND a.s < b.s
+        |  JOIN w ON w.c = a.c)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(SUM(w) AS DECIMAL(18,6)) AS aa_score
+        |FROM p GROUP BY 1, 2
+        |ORDER BY aa_score DESC, s1, s2 LIMIT 25""".stripMargin,
     "q204_position_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS pt

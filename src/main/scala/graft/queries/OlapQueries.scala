@@ -1145,7 +1145,113 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q205 — Theil–Sen robust trend per nation: slope = median of all
+    * pairwise day-slopes of the daily revenue series, intercept =
+    * median residual at that slope — the estimator that shrugs off the
+    * outlier days that drag q146's least-squares line (up to 29 %
+    * contamination tolerated). The pair explosion is calendar-bounded
+    * (days²/2 per nation — ~140k pairs per key at ANY fact volume,
+    * because the series is an aggregate), and both medians run as the
+    * q167 distinct-value cumulative walk, never a per-group row sort.
+    * Slopes quantize to 6dp (bit-identical IEEE divides) before the
+    * median walk so the crossing value is engine-exact. */
+  val q205: Q = (spark, dir) =>
+    graft.metrics.TheilSen.fitPerGroup(
+        SharedFrames.dailyNationRevenue(spark, dir)
+          .select(col("nation"), col("day"),
+            col("rev").cast("double").as("y")),
+        "nation", "day", "y")
+      .orderBy("nation")
+
+  /** q207 — higher-moment distribution profile per event type:
+    * mean / σ / skewness / excess kurtosis of `value` from ONE grouped
+    * aggregate of exact-decimal power sums (Σv..Σv⁴ — each power cast
+    * to a decimal that provably fits the 2dp input range, so the sums
+    * carry zero float-order dependence), then one scalar moment
+    * formula per group. Completes the profiling family: q101 basics,
+    * q125 histograms, q114 correlations — this is the shape tier
+    * (asymmetry + tail weight) that tells you WHICH drift test to
+    * reach for. μ and σ round once before the higher formulas; both
+    * engines run the identical expression tree. */
+  val q207: Q = (spark, dir) => {
+    val x = Tables.events(spark, dir)
+      .select(col("event_type"), qdec(col("value"), 7, 2).as("v"))
+      .withColumn("v2", (col("v") * col("v")).cast("decimal(12,4)"))
+    val s = x
+      .withColumn("v3", (col("v2") * col("v")).cast("decimal(20,6)"))
+      .withColumn("v4", (col("v2") * col("v2")).cast("decimal(25,8)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s1"), sum("v2").as("s2"),
+        sum("v3").as("s3"), sum("v4").as("s4"))
+    val n = col("n").cast("double")
+    val m1 = col("mu")
+    val withMu = s.withColumn("mu",
+      qround(col("s1").cast("double") / n, 6))
+    val withSd = withMu.withColumn("sd",
+      qround(sqrt(col("s2").cast("double") / n - m1 * m1), 6))
+    withSd.select(col("event_type"), col("n"), m1.as("mean"),
+        col("sd").as("stddev"),
+        qround((col("s3").cast("double") / n -
+          lit(3.0) * m1 * (col("s2").cast("double") / n) +
+          lit(2.0) * m1 * m1 * m1) /
+          (col("sd") * col("sd") * col("sd")), 6).as("skewness"),
+        qround((col("s4").cast("double") / n -
+          lit(4.0) * m1 * (col("s3").cast("double") / n) +
+          lit(6.0) * m1 * m1 * (col("s2").cast("double") / n) -
+          lit(3.0) * m1 * m1 * m1 * m1) /
+          (col("sd") * col("sd") * col("sd") * col("sd")) - lit(3.0), 6)
+          .as("excess_kurtosis"))
+      .orderBy("event_type")
+  }
+
+  /** q206 — MRR movement decomposition (the SaaS revenue bridge): each
+    * customer's 30-day-period revenue classified against their previous
+    * period — `new` (first period), `resurrected` (returned after a
+    * gap), `expansion`/`contraction` (grew/shrank), `retained` (flat),
+    * `churned` (active last period, absent this one) — then one
+    * (period, class) aggregate of customer counts and revenue deltas.
+    * The previous period arrives by a PERIOD-SHIFTED full-outer
+    * self-join of the per-customer aggregate (|customers × active
+    * periods| rows, never a calendar-dense grid), churn rows
+    * manufactured by the join's left-null side and capped at the last
+    * observed period. All revenue stays DECIMAL end-to-end. */
+  val q206: Q = (spark, dir) => {
+    val r = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400 div 30")
+          .as("p"),
+        qdec(col("o_totalprice"), 18, 2).as("v0"))
+      .groupBy("cust", "p")
+      .agg(sum("v0").cast("decimal(18,2)").as("v"))
+    val first = r.groupBy("cust").agg(min("p").as("p0"))
+    val maxP = r.agg(max("p").as("pmax"))
+    val prev = r.select(col("cust"), (col("p") + 1).as("p"),
+      col("v").as("pv"))
+    val z = lit(0).cast("decimal(18,2)")
+    r.join(prev, Seq("cust", "p"), "full")
+      .join(first, "cust")
+      .crossJoin(broadcast(maxP))
+      .filter(col("p") <= col("pmax"))
+      .select(col("p"),
+        when(col("v").isNull, "churned")
+          .when(col("pv").isNull && col("p") === col("p0"), "new")
+          .when(col("pv").isNull, "resurrected")
+          .when(col("v") > col("pv"), "expansion")
+          .when(col("v") < col("pv"), "contraction")
+          .otherwise("retained").as("mrr_class"),
+        coalesce(col("v"), z).as("cv"),
+        coalesce(col("pv"), z).as("pv"))
+      .groupBy("p", "mrr_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cv") - col("pv")).cast("decimal(18,2)").as("mrr_delta"),
+        sum(col("cv")).cast("decimal(18,2)").as("mrr"))
+      .orderBy("p", "mrr_class")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_theil_sen" -> q205,
+    "q206_mrr_bridge" -> q206,
+    "q207_moment_profile" -> q207,
     "q202_forecast_backtest" -> q202,
     "q196_interval_join" -> q196,
     "q197_cusum_shift" -> q197,
@@ -1262,6 +1368,108 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q205_theil_sen" ->
+      s"""WITH daily AS (
+         |  SELECT nation, day, CAST(SUM(p) AS DOUBLE) AS y
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |            AS DECIMAL(18,2)) AS p
+         |        $nationOrdersSql)
+         |  GROUP BY 1, 2),
+         |s AS (
+         |  SELECT a.nation,
+         |    floor(((b.y - a.y) / (b.day - a.day)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS m
+         |  FROM daily a JOIN daily b
+         |    ON b.nation = a.nation AND a.day < b.day),
+         |g1 AS (SELECT nation, m, count(*) AS c FROM s GROUP BY 1, 2),
+         |w1 AS (SELECT nation, m,
+         |         SUM(c) OVER (PARTITION BY nation ORDER BY m
+         |           ROWS UNBOUNDED PRECEDING) AS cum,
+         |         SUM(c) OVER (PARTITION BY nation) AS tot
+         |       FROM g1),
+         |med AS (SELECT nation, MIN(m) AS slope,
+         |          CAST(MAX(tot) AS BIGINT) AS n_pairs
+         |        FROM w1 WHERE cum * 2 >= tot GROUP BY 1),
+         |r AS (SELECT d.nation,
+         |        floor((d.y - med.slope * d.day) * 1000000.0 + 0.5)
+         |          / 1000000.0 AS r0
+         |      FROM daily d JOIN med ON med.nation = d.nation),
+         |g2 AS (SELECT nation, r0, count(*) AS c FROM r GROUP BY 1, 2),
+         |w2 AS (SELECT nation, r0,
+         |         SUM(c) OVER (PARTITION BY nation ORDER BY r0
+         |           ROWS UNBOUNDED PRECEDING) AS cum,
+         |         SUM(c) OVER (PARTITION BY nation) AS tot
+         |       FROM g2),
+         |med2 AS (SELECT nation, MIN(r0) AS intercept
+         |         FROM w2 WHERE cum * 2 >= tot GROUP BY 1)
+         |SELECT med.nation, n_pairs, slope, intercept
+         |FROM med JOIN med2 ON med2.nation = med.nation
+         |ORDER BY 1""".stripMargin,
+    "q206_mrr_bridge" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS cust,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 // 30 AS p,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |first AS (SELECT cust, MIN(p) AS p0 FROM r GROUP BY 1),
+        |mx AS (SELECT MAX(p) AS pmax FROM r),
+        |prev AS (SELECT cust, p + 1 AS p, v AS pv FROM r),
+        |j AS (
+        |  SELECT coalesce(r.cust, prev.cust) AS cust,
+        |         coalesce(r.p, prev.p) AS p, r.v, prev.pv
+        |  FROM r FULL OUTER JOIN prev
+        |    ON prev.cust = r.cust AND prev.p = r.p),
+        |cl AS (
+        |  SELECT j.p,
+        |    CASE WHEN j.v IS NULL THEN 'churned'
+        |         WHEN j.pv IS NULL AND j.p = f.p0 THEN 'new'
+        |         WHEN j.pv IS NULL THEN 'resurrected'
+        |         WHEN j.v > j.pv THEN 'expansion'
+        |         WHEN j.v < j.pv THEN 'contraction'
+        |         ELSE 'retained' END AS mrr_class,
+        |    coalesce(j.v, CAST(0 AS DECIMAL(18,2))) AS cv,
+        |    coalesce(j.pv, CAST(0 AS DECIMAL(18,2))) AS pv
+        |  FROM j JOIN first f ON f.cust = j.cust
+        |  CROSS JOIN mx WHERE j.p <= mx.pmax)
+        |SELECT p, mrr_class, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cv - pv) AS DECIMAL(18,2)) AS mrr_delta,
+        |  CAST(SUM(cv) AS DECIMAL(18,2)) AS mrr
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q207_moment_profile" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(7,2)) AS v
+        |  FROM events),
+        |p2 AS (SELECT event_type, v,
+        |         CAST(v * v AS DECIMAL(12,4)) AS v2 FROM x),
+        |p4 AS (SELECT event_type, v, v2,
+        |         CAST(v2 * v AS DECIMAL(20,6)) AS v3,
+        |         -- widen one operand: DuckDB's 12+12-digit product
+        |         -- overflows its INT64 decimal kernel; 24 digits forces
+        |         -- the HUGEINT path (value unchanged, still exact)
+        |         CAST(CAST(v2 AS DECIMAL(24,4)) * v2 AS DECIMAL(25,8))
+        |           AS v4 FROM p2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        SUM(v) AS s1, SUM(v2) AS s2, SUM(v3) AS s3, SUM(v4) AS s4
+        |      FROM p4 GROUP BY 1),
+        |t AS (SELECT *, floor((CAST(s1 AS DOUBLE) / n) * 1000000.0 + 0.5)
+        |        / 1000000.0 AS mu FROM s),
+        |u AS (SELECT *, floor(sqrt(CAST(s2 AS DOUBLE) / n - mu * mu)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS sd FROM t)
+        |SELECT event_type, n, mu AS mean, sd AS stddev,
+        |  floor(((CAST(s3 AS DOUBLE) / n
+        |      - 3.0 * mu * (CAST(s2 AS DOUBLE) / n)
+        |      + 2.0 * mu * mu * mu) / (sd * sd * sd))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+        |  floor(((CAST(s4 AS DOUBLE) / n
+        |      - 4.0 * mu * (CAST(s3 AS DOUBLE) / n)
+        |      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+        |      - 3.0 * mu * mu * mu * mu) / (sd * sd * sd * sd) - 3.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS excess_kurtosis
+        |FROM u ORDER BY 1""".stripMargin,
     "q202_forecast_backtest" ->
       s"""WITH RECURSIVE idx AS (
          |  SELECT nation, day, revenue,

@@ -269,6 +269,31 @@ object RelationalQueries {
     * cases AQE's skew splitting doesn't reach — streaming joins (AQE
     * off), pipelines that pin partitioning into a downstream window,
     * and engines without runtime re-planning. */
+  /** q210 — referentially-consistent dev sampling: draw 10 % of
+    * CUSTOMERS by the seeded keyed PRNG, then follow the foreign keys —
+    * all their orders, all those orders' lineitems — so the sample is a
+    * closed sub-database (every fact row's parent exists), the property
+    * per-table `TABLESAMPLE` destroys and every integration-test
+    * dataset needs. Two left-semi joins down the key chain (keyed-PRNG
+    * ⇒ the same sub-database on any layout and in the oracle); output
+    * is the sample's summary profile, revenue decimal-exact. */
+  val q210: Q = (spark, dir) => {
+    val keep = Tables.customer(spark, dir)
+      .filter(Tables.seededUniform(col("c_custkey"), 210L) < 0.1)
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .join(keep, col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = Tables.lineitem(spark, dir)
+      .join(o.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val cN = keep.agg(count(lit(1)).as("n_customers"))
+    val oN = o.agg(count(lit(1)).as("n_orders"))
+    val lN = li.agg(count(lit(1)).as("n_lineitems"),
+      sum(qdec(col("l_extendedprice"), 18, 2)).cast("decimal(18,2)")
+        .as("revenue"))
+    cN.crossJoin(oN).crossJoin(lN)
+  }
+
   val q193: Q = (spark, dir) => {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), qdec(col("l_extendedprice"), 18, 2).as("px"))
@@ -565,6 +590,7 @@ object RelationalQueries {
     "q19_pivot_counts" -> q19,
     "q70_salted_totals" -> q70,
     "q193_salted_join" -> q193,
+    "q210_consistent_sample" -> q210,
     "q76_asof_enrich" -> q76,
     "q77_purchase_window" -> q77,
     "q78_group_percentiles" -> q78,
@@ -787,6 +813,23 @@ object RelationalQueries {
          |SELECT user_id, array_to_string(list_sort(list(item_id)), ',') AS items
          |FROM r WHERE CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) = 3
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q210_consistent_sample" ->
+      """WITH keep AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE least(CAST((md5_number_lower('210:' || c_custkey::VARCHAR)
+        |            & 9223372036854775807) AS BIGINT)::DOUBLE
+        |          / 9.223372036854775808e18,
+        |        0.9999999999999999) < 0.1),
+        |o AS (SELECT * FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM keep)),
+        |li AS (SELECT * FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM keep) AS n_customers,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_lineitems,
+        |  (SELECT CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |     / 100.0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM li)
+        |    AS revenue""".stripMargin,
     "q193_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0

@@ -21,6 +21,24 @@ object SharedFrames {
     * choose where to cast (window sums stay exact). The frame is
     * calendar-bounded (nations × span days), so persisting it costs ~60k
     * rows at ANY scale factor. */
+  /** Symmetrized customer–supplier co-purchase edge list
+    * (`'c'<custkey> ↔ 's'<suppkey>` for every distinct order pairing):
+    * the shared graph under q49 (PageRank), q200 (personalized PR),
+    * q159 (BFS reach), q175 (k-core) — four iterative queries that
+    * each used to rebuild the same lineitem⋈orders distinct. One
+    * build + persist per session; iterative consumers still
+    * `localCheckpoint` their own degree-annotated variants. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"co-purchase-edges:$dir") {
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val pair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      pair.union(pair.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
   def dailyNationRevenue(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"daily-nation-rev:$dir") {
       Tables.orders(spark, dir)

@@ -80,6 +80,39 @@ object SimilarityQueries {
       .orderBy("a_id")
   }
 
+  /** q209 — per-label centroid dispersion monitor: each label's
+    * per-dimension centroid (decimal-exact means, the q172 discipline),
+    * then every vector's squared distance to its OWN label's centroid,
+    * rolled to per-label n / mean / max dispersion — the embedding-
+    * drift readout a retrain alarm watches (a label whose dispersion
+    * jumps has split; one whose centroid moved has drifted).
+    * Per-dimension terms quantize to 12dp decimals BEFORE the
+    * cross-dimension and cross-vector sums, so no distributed Σ of
+    * raw doubles exists anywhere. Centroid frame is |labels|·dims —
+    * broadcast at any corpus size. */
+  val q209: Q = (spark, dir) => {
+    val x = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("label"), col("d"),
+        col("xf").cast("double").as("x"))
+    val cent = x.groupBy("label", "d")
+      .agg(qround(sum(qdec(col("x"), 20, 10)).cast("double") /
+        count(lit(1)), 6).as("mu"))
+    val dist = x.join(broadcast(cent), Seq("label", "d"))
+      .select(col("vec_id"), col("label"),
+        qdec((col("x") - col("mu")) * (col("x") - col("mu")), 20, 12)
+          .as("t"))
+      .groupBy("vec_id", "label")
+      .agg(sum("t").as("d2"))
+    dist.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        qround(sum(col("d2")).cast("double") / count(lit(1)), 6)
+          .as("avg_dist2"),
+        max(col("d2")).cast("decimal(20,12)").as("max_dist2"))
+      .orderBy("label")
+  }
+
   /** q31 — per-vector L2 norms (array fold exercise). */
   val q31: Q = (spark, dir) =>
     emb(spark, dir)
@@ -344,6 +377,7 @@ object SimilarityQueries {
     "q192_ann_ivf_fixed" -> q192,
     "q30_knn_bruteforce" -> q30,
     "q201_triplet_mining" -> q201,
+    "q209_centroid_monitor" -> q209,
     "q36_embedding_neardup" -> q36,
     "q31_vector_norms" -> q31,
     "q172_dim_standardize" -> q172,
@@ -409,6 +443,30 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT q_id, rank, n_id, cell, cos FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "q209_centroid_monitor" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    unnest(generate_series(1, len(embedding))) - 1 AS d
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, d,
+        |    floor((CAST(sum(CAST(floor(x * 10000000000.0 + 0.5)
+        |        / 10000000000.0 AS DECIMAL(20,10))) AS DOUBLE)
+        |      / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS mu
+        |  FROM x GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT x.vec_id, x.label,
+        |    SUM(CAST(floor(((x.x - c.mu) * (x.x - c.mu))
+        |        * 1000000000000.0 + 0.5) / 1000000000000.0
+        |      AS DECIMAL(20,12))) AS d2
+        |  FROM x JOIN cent c ON c.label = x.label AND c.d = x.d
+        |  GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  floor((CAST(SUM(d2) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS avg_dist2,
+        |  CAST(MAX(d2) AS DECIMAL(20,12)) AS max_dist2
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_dim_standardize" ->
       """WITH x AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,

@@ -116,6 +116,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == Map("a" -> true, "b" -> false)) // no 'zz' node appears
   }
 
+  test("q208 adamic-adar matches an exact in-memory recomputation") {
+    val out = graft.queries.AnalyticsQueries
+      .queries("q208_adamic_adar")(spark, GraftSpark.sf)
+      .as[(String, String, Long, BigDecimal)].collect().toSeq
+    assert(out.nonEmpty && out.forall { case (s1, s2, n, sc) =>
+      s1 < s2 && n >= 1 && sc > 0 })
+    // Exact recomputation from the collected bipartite graph with the
+    // same per-customer quantized weights.
+    val cs = graft.queries.SharedFrames
+      .coPurchaseEdges(spark, GraftSpark.sf)
+      .filter(col("src").startsWith("c"))
+      .select("src", "dst").as[(String, String)].collect()
+    val bySupplier = cs.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val expect = scala.collection.mutable.Map
+      .empty[(String, String), (Long, BigDecimal)]
+    bySupplier.values.filter(_.length >= 2).foreach { ss =>
+      val w = BigDecimal(
+        math.floor(1.0 / math.log(ss.length.toDouble) * 1e6 + 0.5) / 1e6)
+      for (i <- ss.indices; j <- i + 1 until ss.length) {
+        val k = (ss(i), ss(j))
+        val (n0, s0) = expect.getOrElse(k, (0L, BigDecimal(0)))
+        expect(k) = (n0 + 1, s0 + w)
+      }
+    }
+    val top = expect.toSeq
+      .sortBy { case ((a, b), (_, s)) => (-s, a, b) }.take(25)
+      .map { case ((a, b), (n, s)) => (a, b, n, s) }
+    assert(out == top)
+  }
+
   test("profile: null/distinct/min-max per column from one pass") {
     val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
       (3L, Some("b"))).toDF("id", "s")

@@ -171,6 +171,56 @@ class OlapSpec extends AnyFunSuite {
     assert(r == (("k", 2L, 13.0, 13.0, 53.125)))
   }
 
+  test("q206 MRR bridge closes: class deltas sum to the period-over-period revenue move") {
+    import spark.implicits._
+    val out = graft.queries.OlapQueries
+      .queries("q206_mrr_bridge")(spark, sf)
+    // Independent per-period revenue from orders.
+    val rev = graft.io.Tables.orders(spark, sf)
+      .select(expr(
+        "cast(cast(o_orderdate as timestamp) as long) div 86400 div 30")
+        .as("p"),
+        graft.functions.GraftFunctions.qdec(col("o_totalprice"), 18, 2)
+          .as("v"))
+      .groupBy("p").agg(sum("v").cast("decimal(18,2)").as("total"))
+      .as[(Long, BigDecimal)].collect().toMap
+    val deltas = out.groupBy("p")
+      .agg(sum("mrr_delta").cast("decimal(18,2)").as("d"))
+      .as[(Long, BigDecimal)].collect().toMap
+    val periods = rev.keys.toSeq.sorted
+    periods.foreach { p =>
+      val expect = rev.getOrElse(p, BigDecimal(0)) -
+        rev.getOrElse(p - 1, BigDecimal(0))
+      assert(deltas.getOrElse(p, BigDecimal(0)) == expect,
+        s"bridge leak at period $p")
+    }
+    // Churn rows carry zero current revenue by definition.
+    assert(out.filter(col("mrr_class") === "churned" &&
+      col("mrr") =!= 0).count() == 0)
+  }
+
+  test("q207 moments agree with Spark's built-in skewness/kurtosis") {
+    import spark.implicits._
+    val got = graft.queries.OlapQueries
+      .queries("q207_moment_profile")(spark, sf)
+      .select("event_type", "skewness", "excess_kurtosis")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ref = graft.io.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(skewness(col("value")).as("sk"), kurtosis(col("value")).as("ku"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (t, (sk, ku)) =>
+      // Built-ins use sample-corrected streaming moments; ours are
+      // population moments from rounded sufficient stats — agree to
+      // well under 1e-2 at n ≈ 10⁴.
+      assert(math.abs(sk - ref(t)._1) < 0.01, s"skew($t): $sk vs ${ref(t)._1}")
+      assert(math.abs(ku - ref(t)._2) < 0.05, s"kurt($t): $ku vs ${ref(t)._2}")
+    }
+  }
+
   test("q128 report is internally consistent and the fixture is clean") {
     val rows = Registry.all("q128_dq_report")(spark, sf).collect()
     assert(rows.length == 5)

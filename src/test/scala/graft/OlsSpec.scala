@@ -14,6 +14,23 @@ class OlsSpec extends AnyFunSuite {
       .as[(String, Long, Option[Double], Option[Double], Option[Double])]
       .collect().map(r => r._1 -> r).toMap
 
+  test("theil-sen: exact line recovery, and one wild outlier moves nothing") {
+    val clean = (0 to 8).map(x => ("k", x.toLong, 2.0 * x + 1.0))
+    val ts = graft.metrics.TheilSen
+      .fitPerGroup(clean.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(ts == (("k", 36L, 2.0, 1.0)))
+    // Corrupt one point to 10^6: 28 of 36 pairwise slopes are still
+    // exactly 2.0 → the median slope AND the median residual don't move.
+    val dirty = clean.map { case (g, x, y) =>
+      (g, x, if (x == 4L) 1e6 else y)
+    }
+    val tsDirty = graft.metrics.TheilSen
+      .fitPerGroup(dirty.toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(tsDirty == (("k", 36L, 2.0, 1.0)))
+  }
+
   test("exact line recovers slope/intercept with r2 = 1") {
     val out = fit(("a", 1, 3), ("a", 2, 5), ("a", 3, 7))
     assert(out("a") == (("a", 3L, Some(2.0), Some(1.0), Some(1.0))))

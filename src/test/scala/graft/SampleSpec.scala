@@ -119,6 +119,31 @@ class SampleSpec extends AnyFunSuite {
     assert(heavy >= 45, s"only $heavy/50 heavy-weight rows sampled")
   }
 
+  test("q210 consistent sample: the sub-database is referentially closed") {
+    val sf = GraftSpark.sf
+    val out = graft.queries.RelationalQueries
+      .queries("q210_consistent_sample")(spark, sf)
+      .as[(Long, Long, Long, BigDecimal)].collect().head
+    // Reconstruct the sampled keep-set and follow the keys manually.
+    val keep = graft.io.Tables.customer(spark, sf)
+      .filter(Tables.seededUniform(col("c_custkey"), 210L) < 0.1)
+      .select("c_custkey").as[Long].collect().toSet
+    val orders = graft.io.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+      .filter(o => keep.contains(o._2))
+    val orderKeys = orders.map(_._1).toSet
+    val li = graft.io.Tables.lineitem(spark, sf)
+      .select("l_orderkey").as[Long].collect()
+      .count(orderKeys.contains)
+    assert(out._1 == keep.size.toLong)
+    assert(out._2 == orders.length.toLong)
+    assert(out._3 == li.toLong)
+    // Sampling rate lands near 10 % (binomial 3σ).
+    val total = graft.io.Tables.customer(spark, sf).count()
+    val sd = math.sqrt(total * 0.1 * 0.9)
+    assert(math.abs(keep.size - 0.1 * total) < 3 * sd + 1)
+  }
+
   test("weightedTopKPerGroup: exact k per group, layout-independent, weight bias") {
     val docs = (1L to 600L)
       .map(i => (i, if (i % 3 == 0) "a" else "b",

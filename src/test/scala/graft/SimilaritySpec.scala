@@ -52,6 +52,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert((best._2, best._1) == ((aNeg, aNegCos)))
   }
 
+  test("q209 centroid monitor: counts partition the corpus, dispersion ordered") {
+    val out = graft.queries.SimilarityQueries
+      .queries("q209_centroid_monitor")(spark, sf)
+      .as[(Int, Long, Double, BigDecimal)].collect()
+    val total = graft.io.Tables.embeddings(spark, sf).count()
+    assert(out.map(_._2).sum == total)
+    out.foreach { case (_, n, avg, mx) =>
+      assert(n > 0 && avg >= 0.0 && BigDecimal(avg) <= mx)
+    }
+    // Exact recomputation for one label with the same quantization.
+    val one = out.minBy(_._1)
+    val vecs = graft.io.Tables.embeddings(spark, sf)
+      .filter(col("label") === one._1)
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    def q(x: Double, s: Double): Double = math.floor(x * s + 0.5) / s
+    val dims = vecs.head.length
+    val mu = (0 until dims).map { d =>
+      val s = vecs.map(v => BigDecimal(q(v(d), 1e10))).sum
+      // decimal→double cast THEN one double divide — the engine's
+      // expression order, not an exact-decimal division.
+      q(s.toDouble / vecs.length, 1e6)
+    }
+    val d2s = vecs.map { v =>
+      (0 until dims).map(d => BigDecimal(q((v(d) - mu(d)) * (v(d) - mu(d)), 1e12))).sum
+    }
+    val avgExpect = q(d2s.sum.toDouble / d2s.length, 1e6)
+    assert(one._3 == avgExpect)
+  }
+
   test("dot/l2norm: hand-computed values") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
