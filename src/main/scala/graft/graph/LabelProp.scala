@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation for COMMUNITY detection — the
+  * frequency-vote sibling of [[graft.text.Dedup.connectedComponents]]'s
+  * min-label propagation (which finds connectivity, not community
+  * structure): every node starts as its own label and each round adopts
+  * the most frequent label among its neighbors PLUS its own current
+  * label (the self-vote), ties broken by the smaller label — a fully
+  * deterministic synchronous LPA (classic async LPA is
+  * run-order-dependent; the (count DESC, label ASC) argmax makes each
+  * round a pure function of the previous labeling, which is what lets
+  * a SQL oracle replay it round for round). The self-vote is the
+  * stabilizer: pure-neighbor synchronous voting OSCILLATES on
+  * bipartite structure (a star flips hub↔leaf labels every round — and
+  * a customer–supplier co-purchase graph is bipartite), while a node
+  * that already agrees with the local majority keeps its label.
+  *
+  * Fixed round count, no convergence detection: community detection is
+  * exploratory — callers pick rounds (3–5 is the literature's typical
+  * stabilization) and read the labeling as-of that round.
+  *
+  * Scale shape: per round one join of the |V|-sized label frame onto
+  * the checkpointed edge list, one (node, label) count aggregate
+  * (map-side combined), one per-node argmax via WindowGroupLimit-style
+  * row_number — all shuffles keyed by node id. Labels localCheckpoint
+  * per round: plan depth stays O(1) in the round count.
+  */
+object LabelProp {
+
+  /** @param edges symmetric directed edge list (src, dst) — supply both
+    *              directions for undirected semantics.
+    * @return (node, community) after `rounds` synchronous votes. */
+  def communities(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint()
+    val w = Window.partitionBy("node")
+      .orderBy(col("votes").desc, col("community"))
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("community"))
+        .unionByName(labels)
+        .groupBy("node", "community")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("node", "community")
+        .localCheckpoint()
+    }
+    labels
+  }
+}

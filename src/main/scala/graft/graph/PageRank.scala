@@ -110,4 +110,43 @@ object PageRank {
     }
     rank.select(col("node"), col("is_seed"), col("r"))
   }
+
+  /** Edge-WEIGHTED PageRank: [[pageRank]] with each node's rank mass
+    * split across out-edges in proportion to edge weight instead of
+    * uniformly — the multigraph semantics ("a supplier filling 100 of a
+    * customer's orders matters 100× one filling 1"):
+    *
+    *   rₜ₊₁(v) = (1−d)/N + d · Σ_{(u,v,w)∈E} rₜ(u) · w / wdeg(u)
+    *
+    * Identical execution shape (degree-annotated checkpointed edges,
+    * one contribution shuffle + one left join per iteration); weights
+    * are INTEGERS (order counts) so `w / wdeg` is one double divide
+    * both engines compute identically.
+    *
+    * @param edges (src, dst, w) with integer w ≥ 1; supply both
+    *              directions for an undirected graph. */
+  def weightedPageRank(edges: DataFrame, iters: Int, damping: Double,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.toDF("src", "dst", "w")
+    val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
+    val ed = e.join(wdeg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+    var rank = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = ed.join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("w") / col("wdeg")).as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+      if (i % checkpointEvery == 0 && i < iters) rank = rank.localCheckpoint()
+    }
+    rank
+  }
 }

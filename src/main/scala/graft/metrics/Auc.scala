@@ -46,4 +46,40 @@ object Auc {
           (col("np").cast("double") * col("nn").cast("double")), 6)
           .as("auc"))
   }
+
+  /** Two-sample Mann–Whitney U location test with exact tie handling:
+    * one row — `n_pos`, `n_neg`, `u2` (= 2U, integer-exact: each tie
+    * group of m⁺ positives over `below` negatives and m⁻ tied
+    * negatives contributes m⁺·(2·below + m⁻)), `z` (normal
+    * approximation with the tie-corrected variance, Σ(t³−t) an integer
+    * aggregate), `auc` (= U/(n⁺n⁻), the probability a positive
+    * outranks a negative). The [[binaryAuc]] rank-sum walked from the
+    * negative side; all arithmetic integer until the two final
+    * divides. The only unpartitioned window runs over DISTINCT scores. */
+  def mannWhitneyU(df: DataFrame, score: Column,
+                   isPositive: Column): DataFrame = {
+    val g = df.select(score.as("s"), isPositive.cast("long").as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nc"))
+    val wBelow = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = g.withColumn("below_c",
+      coalesce(sum(col("nc")).over(wBelow), lit(0L)))
+    val tt = col("np") + col("nc")
+    val a = t.agg(
+      sum("np").as("n1"), sum("nc").as("n0"),
+      sum(col("np") * (lit(2L) * col("below_c") + col("nc"))).as("u2"),
+      sum(tt * tt * tt - tt).as("tcorr"))
+    val n1d = col("n1").cast("double")
+    val n0d = col("n0").cast("double")
+    val nd = (col("n1") + col("n0")).cast("double")
+    a.select(col("n1").as("n_pos"), col("n0").as("n_neg"), col("u2"),
+      qround((col("u2").cast("double") / lit(2.0) -
+        n1d * n0d / lit(2.0)) /
+        sqrt(n1d * n0d / lit(12.0) * ((nd + lit(1.0)) -
+          col("tcorr").cast("double") / (nd * (nd - lit(1.0))))), 6)
+        .as("z"),
+      qround(col("u2").cast("double") /
+        (lit(2.0) * n1d * n0d), 6).as("auc"))
+  }
 }

@@ -522,6 +522,58 @@ object AnalyticsQueries {
       .limit(25)
   }
 
+  /** q214 — two-sample Mann–Whitney U location test (click vs purchase
+    * `value` distributions): the nonparametric "did the distribution
+    * SHIFT" significance companion to q158's KS "did it change shape" —
+    * rank-sum with EXACT tie handling via the q142 machinery (one row
+    * per distinct value, tie groups contribute m⁺·(2·below + m) to 2U,
+    * all integer until the final z/AUC divides; the tie-corrected
+    * variance term Σ(t³−t) is an integer aggregate). The only
+    * unpartitioned window walks distinct VALUES, never rows. */
+  val q214: Q = (spark, dir) =>
+    graft.metrics.Auc.mannWhitneyU(
+        Tables.events(spark, dir)
+          .filter(col("event_type").isin("click", "purchase")),
+        qdec(col("value"), 18, 2),
+        (col("event_type") === "purchase").cast("int"))
+      .withColumnRenamed("n_pos", "n_purchase")
+      .withColumnRenamed("n_neg", "n_click")
+
+  /** q215 — edge-WEIGHTED PageRank on the co-purchase multigraph
+    * ([[graft.graph.PageRank.weightedPageRank]]): edge weight = lineitem
+    * multiplicity between a customer and supplier, rank mass split
+    * w/wdeg instead of uniformly — q49's recurrence with volume-aware
+    * semantics. Same one-shuffle-per-iteration plan. */
+  val q215: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val wpair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = wpair.union(
+      wpair.select(col("dst"), col("src"), col("w")))
+    PageRank.weightedPageRank(edges, iters = 3, damping = 0.85)
+      .select(col("node"), qround(col("r"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** q217 — label-propagation communities on the co-purchase graph
+    * ([[graft.graph.LabelProp.communities]]): 3 synchronous frequency-
+    * vote rounds, ties to the smaller label — COMMUNITY structure where
+    * q73's min-label propagation finds only connectivity. Deterministic
+    * by construction, so the oracle replays every round; output carries
+    * each node's community and its size. */
+  val q217: Q = (spark, dir) => {
+    val comm = graft.graph.LabelProp.communities(
+      SharedFrames.coPurchaseEdges(spark, dir), rounds = 3)
+    val sizes = comm.groupBy("community")
+      .agg(count(lit(1)).as("community_size"))
+    comm.join(sizes, "community")
+      .select("node", "community", "community_size")
+      .orderBy("node")
+  }
+
   /** q151 — Kaplan–Meier user-retention curve
     * ([[graft.metrics.Survival.kaplanMeier]]): hour-granularity
     * lifetimes with right-censoring (still active within 12 h of the
@@ -539,6 +591,9 @@ object AnalyticsQueries {
     "q148_decay_attribution" -> q148,
     "q204_position_attribution" -> q204,
     "q208_adamic_adar" -> q208,
+    "q214_mann_whitney" -> q214,
+    "q215_weighted_pagerank" -> q215,
+    "q217_lpa_communities" -> q217,
     "q151_kaplan_meier" -> q151,
     "q46_cohort_retention" -> q46,
     "q47_fuzzy_names" -> q47,
@@ -582,6 +637,36 @@ object AnalyticsQueries {
        |    SELECT e.dst AS node, sum(p.r / e.deg) AS s
        |    FROM ed e JOIN $prev p ON p.node = e.src
        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+
+  /** One edge-weighted PageRank iteration ([[prIter]] with w/wdeg
+    * contribution splitting). */
+  private def wprIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+       |      + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS r
+       |  FROM nodes n CROSS JOIN ncount nn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, sum(p.r * e.w / e.wdeg) AS s
+       |    FROM ed e JOIN $prev p ON p.node = e.src
+       |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+
+  /** One synchronous label-propagation round: every node adopts the
+    * most frequent neighbor label, ties to the smaller label. */
+  private def lpaIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT node, community FROM (
+       |    SELECT node, community,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY votes DESC, community) AS rn
+       |    FROM (SELECT node, community,
+       |            CAST(count(*) AS BIGINT) AS votes
+       |          FROM (SELECT e.src AS node, p.community
+       |                FROM edges e JOIN $prev p ON p.node = e.dst
+       |                UNION ALL
+       |                SELECT node, community FROM $prev)
+       |          GROUP BY 1, 2))
+       |  WHERE rn = 1)""".stripMargin
 
   private def prIter(prev: String, cur: String): String =
     s"""$cur AS (
@@ -679,6 +764,78 @@ object AnalyticsQueries {
         |  CASE WHEN dead = 1 THEN 0.0
         |    ELSE floor((exp(CAST(cum AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END AS s_hat
         |FROM y ORDER BY t""".stripMargin,
+    "q215_weighted_pagerank" ->
+      s"""WITH wpair AS (
+         |  SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT src, dst, w FROM wpair
+         |          UNION ALL SELECT dst, src, w FROM wpair),
+         |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+         |         FROM edges GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, e.w, d.wdeg FROM edges e
+         |       JOIN wdeg d ON d.src = e.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |ncount AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r
+         |       FROM nodes CROSS JOIN ncount nn),
+         |${wprIter("r0", "r1")},
+         |${wprIter("r1", "r2")},
+         |${wprIter("r2", "r3")}
+         |SELECT node, floor((r) * 1000000.0 + 0.5) / 1000000.0 AS rank
+         |FROM r3 ORDER BY node""".stripMargin,
+    "q217_lpa_communities" ->
+      s"""WITH pair AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM pair
+         |          UNION ALL SELECT dst, src FROM pair),
+         |l0 AS (SELECT DISTINCT src AS node, src AS community FROM edges),
+         |${lpaIter("l0", "l1")},
+         |${lpaIter("l1", "l2")},
+         |${lpaIter("l2", "l3")},
+         |csz AS (SELECT community, CAST(count(*) AS BIGINT)
+         |          AS community_size
+         |        FROM l3 GROUP BY 1)
+         |SELECT l3.node, l3.community, csz.community_size
+         |FROM l3 JOIN csz USING (community)
+         |ORDER BY node""".stripMargin,
+    "q214_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (
+        |  SELECT v,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        |  FROM ev GROUP BY 1),
+        |t AS (
+        |  SELECT np, nc,
+        |    coalesce(SUM(nc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_c
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(SUM(np) AS BIGINT) AS n1,
+        |    CAST(SUM(nc) AS BIGINT) AS n0,
+        |    CAST(SUM(np * (2 * below_c + nc)) AS BIGINT) AS u2,
+        |    CAST(SUM((np + nc) * (np + nc) * (np + nc) - (np + nc))
+        |      AS BIGINT) AS tcorr
+        |  FROM t)
+        |SELECT n1 AS n_purchase, n0 AS n_click, u2,
+        |  floor(((CAST(u2 AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 12.0
+        |      * ((CAST(n1 + n0 AS DOUBLE) + 1.0)
+        |        - CAST(tcorr AS DOUBLE) / (CAST(n1 + n0 AS DOUBLE)
+        |          * (CAST(n1 + n0 AS DOUBLE) - 1.0)))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  floor((CAST(u2 AS DOUBLE)
+        |      / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS auc
+        |FROM a""".stripMargin,
     "q208_adamic_adar" ->
       """WITH cs AS (
         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s

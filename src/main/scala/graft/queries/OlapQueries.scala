@@ -1248,7 +1248,61 @@ object OlapQueries {
       .orderBy("p", "mrr_class")
   }
 
+  /** q211 — CALENDAR-window moving revenue (RANGE frame): the 7-day
+    * moving sum/average where the frame is `day` VALUES in [d−6, d],
+    * not the last 7 observed rows — q121's ROWS frame silently widens
+    * its window across gaps (7 observed days can span weeks); the RANGE
+    * frame is the gap-correct fiscal-calendar semantics. Same single
+    * exchange on the calendar-bounded daily frame; the average divides
+    * by the FIXED 7-day window, so sparse weeks read low — the honest
+    * calendar rate. Sums stay decimal; one rounded divide. */
+  val q211: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("decimal(18,2)").as("rev"))
+    val w = Window.partitionBy("nation").orderBy("day")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("mv7_sum", sum("rev").over(w).cast("decimal(18,2)"))
+      .withColumn("n_days_obs", count(lit(1)).over(w))
+      .withColumn("mv7_cal_avg",
+        qround(col("mv7_sum").cast("double") / lit(7.0), 6))
+      .orderBy("nation", "day")
+  }
+
+  /** q212 — order-independent table fingerprint: per table, the exact
+    * DECIMAL(38,0) sum of keyed-md5 row hashes over a canonical
+    * projection (integer/string columns only — a raw double would
+    * fingerprint its formatting, not its value). Commutative, so the
+    * fingerprint is partitioning/layout/engine-independent — the
+    * replication/CDC audit primitive: two sides compare one row per
+    * table instead of shipping data. Mergeable across shards by
+    * addition (partial sums combine), so at 100 TB it is one map-side-
+    * combined aggregate per table. */
+  val q212: Q = (spark, dir) => {
+    def fp(df: DataFrame, name: String,
+           key: org.apache.spark.sql.Column): DataFrame =
+      df.select(graft.functions.GraftFunctions.md5_63(key)
+          .cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("h").cast("decimal(38,0)").as("fingerprint"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("fingerprint"))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    fp(c, "customer", concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")))
+      .unionByName(fp(o, "orders", concat_ws("|", col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority"))))
+      .unionByName(fp(n, "nation", concat_ws("|", col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q211_calendar_window" -> q211,
+    "q212_table_fingerprint" -> q212,
     "q205_theil_sen" -> q205,
     "q206_mrr_bridge" -> q206,
     "q207_moment_profile" -> q207,
@@ -1368,6 +1422,49 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q211_calendar_window" ->
+      s"""WITH daily AS (
+         |  SELECT nation, day, CAST(SUM(p) AS DECIMAL(18,2)) AS rev
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |            AS DECIMAL(18,2)) AS p
+         |        $nationOrdersSql)
+         |  GROUP BY 1, 2)
+         |SELECT nation, day, rev,
+         |  CAST(SUM(rev) OVER w AS DECIMAL(18,2)) AS mv7_sum,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_obs,
+         |  floor((CAST(SUM(rev) OVER w AS DOUBLE) / 7.0) * 1000000.0
+         |    + 0.5) / 1000000.0 AS mv7_cal_avg
+         |FROM daily
+         |WINDOW w AS (PARTITION BY nation ORDER BY day
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY nation, day""".stripMargin,
+    "q212_table_fingerprint" ->
+      s"""WITH c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST((md5_number_lower(concat_ws('|', c_custkey,
+         |      c_name, c_nationkey, c_mktsegment)) & $H) AS HUGEINT))
+         |      AS DECIMAL(38,0)) AS fingerprint
+         |  FROM customer),
+         |o AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST((md5_number_lower(concat_ws('|', o_orderkey,
+         |      o_custkey, o_orderpriority)) & $H) AS HUGEINT))
+         |      AS DECIMAL(38,0)) AS fingerprint
+         |  FROM orders),
+         |n AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CAST((md5_number_lower(concat_ws('|', n_nationkey,
+         |      n_name, n_regionkey)) & $H) AS HUGEINT))
+         |      AS DECIMAL(38,0)) AS fingerprint
+         |  FROM nation)
+         |SELECT 'customer' AS table_name, n_rows, fingerprint FROM c
+         |UNION ALL
+         |SELECT 'nation', n_rows, fingerprint FROM n
+         |UNION ALL
+         |SELECT 'orders', n_rows, fingerprint FROM o
+         |ORDER BY table_name""".stripMargin,
     "q205_theil_sen" ->
       s"""WITH daily AS (
          |  SELECT nation, day, CAST(SUM(p) AS DOUBLE) AS y

@@ -113,6 +113,31 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** q216 — SEMANTIC dedup end-to-end: q36's embedding near-dup pairs
+    * (LSH-bucketed cosine ≥ 0.4) resolved into clusters by min-label
+    * propagation ([[graft.text.Dedup.connectedComponents]]) and every
+    * vector labeled (canonical id, cluster size, survivor flag) — the
+    * q73/q74 lexical-dedup ledger rebuilt on the embedding modality,
+    * where near-duplicates share meaning rather than tokens.
+    * Singletons are their own canonical (cluster size 1). */
+  val q216: Q = (spark, dir) => {
+    val pairs = q36(spark, dir).select("id_a", "id_b")
+    val canon = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("label").as("canonical_id"))
+    val sizes = canon.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    emb(spark, dir).select("vec_id")
+      .join(canon, Seq("vec_id"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("canonical_id"), col("vec_id")))
+      .join(sizes, Seq("canonical_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("is_survivor",
+        (col("vec_id") === col("canonical_id")).cast("int"))
+      .select("vec_id", "canonical_id", "cluster_size", "is_survivor")
+      .orderBy("vec_id")
+  }
+
   /** q31 — per-vector L2 norms (array fold exercise). */
   val q31: Q = (spark, dir) =>
     emb(spark, dir)
@@ -378,6 +403,7 @@ object SimilarityQueries {
     "q30_knn_bruteforce" -> q30,
     "q201_triplet_mining" -> q201,
     "q209_centroid_monitor" -> q209,
+    "q216_semantic_dedup" -> q216,
     "q36_embedding_neardup" -> q36,
     "q31_vector_norms" -> q31,
     "q172_dim_standardize" -> q172,
@@ -443,6 +469,48 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT q_id, rank, n_id, cell, cos FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    "q216_semantic_dedup" ->
+      s"""WITH RECURSIVE proj AS (
+         |  SELECT vec_id, p,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      list_transform(generate_series(0, 63),
+         |        d -> (((md5_number_lower(p::VARCHAR || ':' || d::VARCHAR) & $H)::BIGINT % 2001) - 1000)::DOUBLE / 1000.0)) AS s
+         |  FROM embeddings CROSS JOIN generate_series(0, 7) g(p)),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN floor((s) * 1000000.0 + 0.5) / 1000000.0 > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |e AS (
+         |  SELECT x.vec_id, CAST(x.embedding AS DOUBLE[]) AS emb, b.bucket,
+         |    sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings x JOIN buckets b USING (vec_id)),
+         |prs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b USING (bucket)
+         |  WHERE a.vec_id < b.vec_id
+         |    AND floor((list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.4),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM sym
+         |  UNION
+         |  SELECT s.src AS id, reach.r FROM sym s
+         |  JOIN reach ON s.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+         |csz AS (SELECT canonical_id, CAST(count(*) AS BIGINT)
+         |          AS cluster_size
+         |        FROM comp GROUP BY 1)
+         |SELECT x.vec_id,
+         |  coalesce(comp.canonical_id, x.vec_id) AS canonical_id,
+         |  coalesce(csz.cluster_size, 1) AS cluster_size,
+         |  CAST(x.vec_id = coalesce(comp.canonical_id, x.vec_id) AS INT)
+         |    AS is_survivor
+         |FROM embeddings x
+         |LEFT JOIN comp ON comp.id = x.vec_id
+         |LEFT JOIN csz ON csz.canonical_id = comp.canonical_id
+         |ORDER BY x.vec_id""".stripMargin,
     "q209_centroid_monitor" ->
       """WITH x AS (
         |  SELECT vec_id, label,

@@ -540,7 +540,40 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** q213 — stream-static anomaly scoring: q126's robust med/MAD stats
+    * fit ONCE batch-side, broadcast into the stream (a stateless
+    * stream-static join — no state store growth), every event scored
+    * with the identical rounded robust-z, anomaly counts aggregated per
+    * type in Complete mode (state = |types| rows). The q169 serving
+    * pattern applied to monitoring: model statics + streaming facts;
+    * the oracle is the equivalent batch aggregation, so stream-final
+    * counts equal the batch scorer exactly. */
+  val q213: Q = (spark, dir) => {
+    val name = s"q213_out_${runId.incrementAndGet()}"
+    val ev = graft.io.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(qround(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val stats = dev.groupBy("event_type")
+      .agg(qround(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+      .join(med, "event_type")
+    val scored = stream(spark, dir)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("rz",
+        qround(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("rz")) >= 3.5, 1L).otherwise(0L))
+          .as("n_anomalies"))
+    EventStreams.runToMemory(spark, scored, name, OutputMode.Complete)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_stream_anomaly" -> q213,
     "q203_stream_quantiles" -> q203,
     "q188_stream_kmv" -> q188,
     "q182_stream_ledger" -> q182,
@@ -575,6 +608,27 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Stream-final anomaly counts == the equivalent batch scorer (same
+    // med/MAD statics, same rounded robust-z, same threshold).
+    "q213_stream_anomaly" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type,
+        |          floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5)
+        |            / 1000000.0 AS med
+        |        FROM ev GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.value, m.med,
+        |          abs(e.value - m.med) AS adev
+        |        FROM ev e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type,
+        |          floor((quantile_cont(adev, 0.5)) * 1000000.0 + 0.5)
+        |            / 1000000.0 AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN abs(floor((0.6745 * (d.value - d.med)
+        |      / m.mad) * 1000000.0 + 0.5) / 1000000.0) >= 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The stream-final bottom-k sample must equal batch q194's sample
     // half exactly (same hash, same k, same order statistics).
     "q203_stream_quantiles" ->

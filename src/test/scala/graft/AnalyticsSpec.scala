@@ -116,6 +116,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == Map("a" -> true, "b" -> false)) // no 'zz' node appears
   }
 
+  test("weighted pagerank: unit weights degenerate bit-exactly to plain pagerank") {
+    val one = Seq.tabulate(4)(i => ("h", s"l$i")).toDF("src", "dst")
+    val edges = one.union(one.select(col("dst"), col("src")))
+    val weighted = edges.withColumn("w", lit(1L))
+    val a = PageRank.pageRank(edges, 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    val b = PageRank.weightedPageRank(weighted, 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("weighted pagerank: heavier edges pull proportionally more mass") {
+    val one = Seq(("h", "a", 9L), ("h", "b", 1L)).toDF("src", "dst", "w")
+    val edges = one.union(one.select(col("dst"), col("src"), col("w")))
+    val r = PageRank.weightedPageRank(edges, 2, 0.85)
+      .as[(String, Double)].collect().toMap
+    // The hub splits its out-mass 9:1 every iteration.
+    assert(r("a") > r("b"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // mass conserved
+  }
+
+  test("lpa: two bridged 4-cliques resolve to two stable communities") {
+    def clique(p: String) = for {
+      i <- 0 until 4; j <- 0 until 4 if i != j
+    } yield (s"$p$i", s"$p$j")
+    val edges = (clique("a") ++ clique("b") ++
+      Seq(("a0", "b0"), ("b0", "a0"))).toDF("src", "dst")
+    val comm = graft.graph.LabelProp.communities(edges, rounds = 3)
+      .as[(String, String)].collect().toMap
+    assert((0 until 4).forall(i => comm(s"a$i") == "a0"))
+    assert((0 until 4).forall(i => comm(s"b$i") == "b0"))
+  }
+
+  test("lpa: the self-vote kills bipartite star oscillation") {
+    val one = Seq.tabulate(4)(i => ("h", s"l$i")).toDF("src", "dst")
+    val edges = one.union(one.select(col("dst"), col("src")))
+    // Without the self-vote a star flips hub<->leaf labels every round;
+    // with it every node settles on 'h' by round 2 and stays there.
+    val c3 = graft.graph.LabelProp.communities(edges, 3)
+      .as[(String, String)].collect().toMap
+    val c4 = graft.graph.LabelProp.communities(edges, 4)
+      .as[(String, String)].collect().toMap
+    assert(c3.values.toSet == Set("h") && c3 == c4)
+  }
+
   test("q208 adamic-adar matches an exact in-memory recomputation") {
     val out = graft.queries.AnalyticsQueries
       .queries("q208_adamic_adar")(spark, GraftSpark.sf)

@@ -221,6 +221,38 @@ class OlapSpec extends AnyFunSuite {
     }
   }
 
+  test("q211 semantics: RANGE frame respects calendar gaps where ROWS does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 20L, 10L))
+      .toDF("g", "day", "v")
+    val range = Window.partitionBy("g").orderBy("day").rangeBetween(-6, 0)
+    val rows = Window.partitionBy("g").orderBy("day").rowsBetween(-2, 0)
+    val out = pts
+      .withColumn("r_sum", sum("v").over(range))
+      .withColumn("w_sum", sum("v").over(rows))
+      .orderBy("day")
+      .select("day", "r_sum", "w_sum")
+      .as[(Long, Long, Long)].collect().toSeq
+    // Day 20 sits 18 days after its neighbors: the RANGE frame sees only
+    // itself; the ROWS frame blindly reaches back across the gap.
+    assert(out == Seq((1L, 10L, 10L), (2L, 20L, 20L), (20L, 10L, 30L)))
+  }
+
+  test("q212 fingerprint: layout-invariant, any single-row change flips it") {
+    import spark.implicits._
+    def fp(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.select(graft.functions.GraftFunctions.md5_63(
+          concat_ws("|", col("k"), col("s"))).cast("decimal(38,0)").as("h"))
+        .agg(sum("h")).head().getDecimal(0)
+    val base = (1 to 500).map(i => (i.toLong, s"name_$i")).toDF("k", "s")
+    assert(fp(base) == fp(base.repartition(7).sortWithinPartitions("s")))
+    val oneChanged = (1 to 500)
+      .map(i => (i.toLong, if (i == 250) "name_X" else s"name_$i"))
+      .toDF("k", "s")
+    assert(fp(base) != fp(oneChanged))
+  }
+
   test("q128 report is internally consistent and the fixture is clean") {
     val rows = Registry.all("q128_dq_report")(spark, sf).collect()
     assert(rows.length == 5)

@@ -52,6 +52,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert((best._2, best._1) == ((aNeg, aNegCos)))
   }
 
+  test("q216 semantic dedup: labeling consistent with the q36 pair graph") {
+    val out = graft.queries.SimilarityQueries
+      .queries("q216_semantic_dedup")(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val total = graft.io.Tables.embeddings(spark, sf).count()
+    assert(out.length == total)
+    val canonOf = out.map(r => r._1 -> r._2).toMap
+    // Every near-dup pair lands in one cluster.
+    val pairs = graft.queries.SimilarityQueries
+      .queries("q36_embedding_neardup")(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(canonOf(a) == canonOf(b)) }
+    // Canonical = the cluster's smallest member; survivor flag matches;
+    // sizes are consistent.
+    val clusters = out.groupBy(_._2)
+    clusters.foreach { case (canon, members) =>
+      assert(members.map(_._1).min == canon)
+      assert(members.forall(_._3 == members.length.toLong))
+      assert(members.count(_._4 == 1) == 1)
+    }
+  }
+
   test("q209 centroid monitor: counts partition the corpus, dispersion ordered") {
     val out = graft.queries.SimilarityQueries
       .queries("q209_centroid_monitor")(spark, sf)
