@@ -4,7 +4,7 @@ import graft.io.Tables
 import graft.ops.Relational.decSum
 import graft.ops.TimeSeries
 import graft.text.Fuzzy
-import graft.functions.GraftFunctions.{qdec, qround}
+import graft.functions.GraftFunctions.{qdec, qdecSql, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1300,7 +1300,191 @@ object OlapQueries {
       .orderBy("table_name")
   }
 
+  /** q218 — FIFO lot matching (cost-basis / realized-margin): per part,
+    * inflow lots (returnflag 'R', FIFO-ordered by ship date) are
+    * consumed by outflows (the other flags, same order), and each
+    * matched slice realizes margin = units × (outflow unit price −
+    * inflow unit cost). The classic sequential-cursor computation is
+    * re-expressed relationally: both sides get cumulative-quantity
+    * intervals [lo, lo+qty) from ONE per-part window pass, and FIFO
+    * matching is exactly interval OVERLAP on the cumulative-units axis
+    * — m = min(hi_i,hi_o) − max(lo_i,lo_o) where positive. The overlap
+    * join is bucketized (the q196/q77 trick, here on the units axis):
+    * each interval explodes to its ≤ ⌈50/B⌉+1 buckets, pairs meet on a
+    * (part, bucket) hash equi-join, and the pair is counted only in the
+    * bucket holding the overlap start, so per-part work is near-linear
+    * in the match count, never |in|×|out|. All arithmetic is exact
+    * integer: whole-cent prices via the IEEE quantizer, floor-divided
+    * unit costs, BIGINT unit intervals. */
+  val q218: Q = (spark, dir) => {
+    val B = 64L
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).as("cents"))
+      .withColumn("unit_cents", expr("cents div qty"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def side(pred: org.apache.spark.sql.Column, tag: String) = li
+      .filter(pred)
+      .withColumn("lo", coalesce(sum("qty").over(w), lit(0L)))
+      .select(col("l_partkey").as("pk"), col("lo").as(s"${tag}_lo"),
+        (col("lo") + col("qty")).as(s"${tag}_hi"),
+        col("unit_cents").as(s"${tag}_unit"))
+    val fin = side(col("l_returnflag") === "R", "in")
+      .withColumn("bucket", explode(expr(
+        s"sequence(in_lo div $B, (in_hi - 1) div $B)")))
+    val fout = side(col("l_returnflag") =!= "R", "out")
+      .withColumn("bucket", explode(expr(
+        s"sequence(out_lo div $B, (out_hi - 1) div $B)")))
+    val matched = fin.join(fout, Seq("pk", "bucket"))
+      .withColumn("m_lo", greatest(col("in_lo"), col("out_lo")))
+      .withColumn("m_hi", least(col("in_hi"), col("out_hi")))
+      .filter(col("m_hi") > col("m_lo") &&
+        col("bucket") === expr(s"m_lo div $B"))
+      .groupBy("pk")
+      .agg(sum(col("m_hi") - col("m_lo")).as("matched_units"),
+        sum((col("m_hi") - col("m_lo")) *
+          (col("out_unit") - col("in_unit"))).as("realized_margin_cents"),
+        count(lit(1)).as("n_matches"))
+    li.groupBy(col("l_partkey"))
+      .agg(sum(when(col("l_returnflag") === "R", col("qty"))
+          .otherwise(0L)).as("supply_units"),
+        sum(when(col("l_returnflag") =!= "R", col("qty"))
+          .otherwise(0L)).as("demand_units"))
+      .join(matched.withColumnRenamed("pk", "l_partkey"), Seq("l_partkey"),
+        "left")
+      .select(col("l_partkey"), col("supply_units"), col("demand_units"),
+        coalesce(col("matched_units"), lit(0L)).as("matched_units"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("realized_margin_cents"), lit(0L))
+          .as("realized_margin_cents"))
+      .orderBy("l_partkey")
+  }
+
+  /** q219 — largest-remainder (Hamilton) apportionment: allocate a fixed
+    * integer budget (1000 units) across nations proportional to revenue,
+    * the exact-sum proration every finance/quota system needs (naive
+    * per-row rounding doesn't sum to the budget). Quotient and remainder
+    * are computed in exact integer arithmetic over whole-cent revenue —
+    * the product budget·rev_cents routes through DECIMAL(38,0)/HUGEINT
+    * so it cannot overflow BIGINT at warehouse scale (the q184 lesson) —
+    * and the leftover units go to the largest remainders, ties broken by
+    * nation name. One 25-row frame after the revenue aggregate: the
+    * whole-frame windows are dimension-bounded, not data-bounded. */
+  val q219: Q = (spark, dir) => {
+    val seats = 1000L
+    val rev = nationOrders(spark, dir)
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5)).as("rev_cents"))
+    val all = Window.partitionBy(lit(1))
+    rev
+      .withColumn("total_cents",
+        sum(col("rev_cents")).over(all).cast("decimal(38,0)"))
+      .withColumn("prod",
+        col("rev_cents").cast("decimal(38,0)") * lit(seats))
+      .withColumn("quota", expr("prod div total_cents"))
+      .withColumn("rem",
+        col("prod") - col("quota").cast("decimal(38,0)") * col("total_cents"))
+      .withColumn("leftover", lit(seats) - sum(col("quota")).over(all))
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("rem").desc, col("nation"))))
+      .select(col("nation"), col("rev_cents").cast("long").as("rev_cents"),
+        col("quota"),
+        (col("quota") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("units"))
+      .orderBy("nation")
+  }
+
+  /** Benford expected first-digit probabilities log10(1+1/d), as exact
+    * 6-dp literals shared by engine and oracle (they sum to exactly
+    * 1.000000) — constants, so neither engine's log10 ulp can matter. */
+  private val benfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.301030", 2 -> "0.176091", 3 -> "0.124939", 4 -> "0.096910",
+    5 -> "0.079181", 6 -> "0.066947", 7 -> "0.057992", 8 -> "0.051153",
+    9 -> "0.045757")
+
+  /** q220 — Benford first-digit audit (fraud/data-quality screen): the
+    * distribution of o_totalprice's first significant digit against
+    * Benford's law, with the χ² statistic. The digit comes from the
+    * DECIMAL STRING of exact whole cents (never from float formatting,
+    * which is engine-dependent); expected counts are exact decimals from
+    * literal probabilities; each χ² term is one audited double divide of
+    * exact operands, quantized then summed as decimals so the total is
+    * order-independent. One digit-keyed aggregate; the 9-row frame
+    * carries the windows. */
+  val q220: Q = (spark, dir) => {
+    val probs = benfordP.map { case (d, p) => struct(lit(d).as("digit"),
+      lit(new java.math.BigDecimal(p)).cast("decimal(8,6)").as("p"),
+      lit((BigDecimal(p) * 1000000).toLongExact).as("p_micros")) }
+    val obs = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice") * 100.0 + 0.5)
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val pdf = spark.range(1)
+      .select(explode(array(probs: _*)).as("bp"))
+      .select(col("bp.digit").as("digit"), col("bp.p").as("p"),
+        col("bp.p_micros").as("p_micros"))
+    val all = Window.partitionBy(lit(1))
+    // χ² term in micro-units: diff_micros and expected_micros are exact
+    // BIGINTs well under 2^53, so the double square and divide are pure
+    // IEEE ops both engines compute bit-identically (no decimal
+    // squaring, whose result precision/scale is engine-specific).
+    obs
+      .join(broadcast(pdf), Seq("digit"))
+      .withColumn("n_total", sum(col("n_obs")).over(all))
+      .withColumn("expected_micros", col("n_total") * col("p_micros"))
+      .withColumn("expected_n",
+        (col("n_total").cast("decimal(20,0)") * col("p"))
+          .cast("decimal(18,6)"))
+      .withColumn("dm",
+        (col("n_obs") * lit(1000000L) - col("expected_micros"))
+          .cast("double"))
+      .withColumn("chi2_term", qdec(
+        col("dm") * col("dm") /
+          (col("expected_micros").cast("double") * lit(1000000.0)),
+        18, 6))
+      .withColumn("chi2_total",
+        sum(col("chi2_term")).over(all).cast("decimal(18,6)"))
+      .select(col("digit"), col("n_obs"), col("expected_n"),
+        col("chi2_term"), col("chi2_total"))
+      .orderBy("digit")
+  }
+
+  /** q221 — run-length encoding of event streams (islands by CHANGE
+    * detection): per user, consecutive same-type events collapse into
+    * runs with span and length — the gaps-and-islands sibling of q11's
+    * time-gap sessionization, where the island boundary is a VALUE
+    * change, not a time gap (the classic state-machine compression:
+    * status history, sensor readings, page dwell). lag → conditional
+    * flag → running sum → group: every step keys on user_id, so the
+    * whole query is ONE exchange; run ids restart per user and the
+    * (ts, event_id) tiebreak makes the encoding total-order
+    * deterministic. */
+  val q221: Q = (spark, dir) => {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg", when(lag(col("event_type"), 1).over(ord).isNull ||
+        lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+        .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"),
+        count(lit(1)).as("run_len"),
+        min(col("ts")).as("ts_start"), max(col("ts")).as("ts_end"))
+      .orderBy("user_id", "run_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_fifo_matching" -> q218,
+    "q219_apportionment" -> q219,
+    "q220_benford_audit" -> q220,
+    "q221_rle_runs" -> q221,
     "q211_calendar_window" -> q211,
     "q212_table_fingerprint" -> q212,
     "q205_theil_sen" -> q205,
@@ -1421,7 +1605,136 @@ object OlapQueries {
        |FROM fullagg CROSS JOIN ci""".stripMargin
   }
 
+  /** q220 oracle: expected-probability literals generated from the SAME
+    * [[benfordP]] sequence as the engine, so the constants cannot
+    * drift. */
+  private def benfordOracle: String = {
+    val values = benfordP
+      .map { case (d, p) =>
+        val micros = (BigDecimal(p) * 1000000).toLongExact
+        s"($d, CAST($p AS DECIMAL(8,6)), CAST($micros AS BIGINT))"
+      }
+      .mkString(", ")
+    val chi2 = qdecSql(
+      "dm * dm / (CAST(expected_micros AS DOUBLE) * 1000000.0)", 18, 6)
+    s"""WITH obs AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM orders GROUP BY 1),
+       |p(digit, p, p_micros) AS (VALUES $values),
+       |j AS (
+       |  SELECT o.digit, o.n_obs,
+       |    CAST(SUM(o.n_obs) OVER () AS BIGINT) AS n_total, p.p,
+       |    p.p_micros
+       |  FROM obs o JOIN p ON o.digit = p.digit),
+       |t AS (
+       |  SELECT digit, n_obs,
+       |    n_total * p_micros AS expected_micros,
+       |    CAST(CAST(n_total AS DECIMAL(20,0)) * p AS DECIMAL(18,6))
+       |      AS expected_n,
+       |    CAST(n_obs * 1000000 - n_total * p_micros AS DOUBLE) AS dm
+       |  FROM j),
+       |c AS (
+       |  SELECT digit, n_obs, expected_n, $chi2 AS chi2_term
+       |  FROM t)
+       |SELECT digit, n_obs, expected_n, chi2_term,
+       |  CAST(SUM(chi2_term) OVER () AS DECIMAL(18,6)) AS chi2_total
+       |FROM c ORDER BY digit""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q218_fifo_matching" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |u AS (SELECT *, cents // qty AS unit_cents FROM li),
+        |fin AS (
+        |  SELECT l_partkey AS pk, qty, unit_cents,
+        |    COALESCE(SUM(qty) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |  FROM u WHERE l_returnflag = 'R'),
+        |fout AS (
+        |  SELECT l_partkey AS pk, qty, unit_cents,
+        |    COALESCE(SUM(qty) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |  FROM u WHERE l_returnflag <> 'R'),
+        |m AS (
+        |  SELECT i.pk,
+        |    least(i.lo + i.qty, o.lo + o.qty) - greatest(i.lo, o.lo) AS mu,
+        |    o.unit_cents - i.unit_cents AS du
+        |  FROM fin i JOIN fout o ON i.pk = o.pk
+        |    AND least(i.lo + i.qty, o.lo + o.qty) > greatest(i.lo, o.lo)),
+        |mm AS (
+        |  SELECT pk, CAST(SUM(mu) AS BIGINT) AS matched_units,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    CAST(SUM(mu * du) AS BIGINT) AS realized_margin_cents
+        |  FROM m GROUP BY 1),
+        |tot AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END)
+        |      AS BIGINT) AS supply_units,
+        |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN qty ELSE 0 END)
+        |      AS BIGINT) AS demand_units
+        |  FROM li GROUP BY 1)
+        |SELECT t.l_partkey, t.supply_units, t.demand_units,
+        |  CAST(COALESCE(mm.matched_units, 0) AS BIGINT) AS matched_units,
+        |  CAST(COALESCE(mm.n_matches, 0) AS BIGINT) AS n_matches,
+        |  CAST(COALESCE(mm.realized_margin_cents, 0) AS BIGINT)
+        |    AS realized_margin_cents
+        |FROM tot t LEFT JOIN mm ON t.l_partkey = mm.pk
+        |ORDER BY t.l_partkey""".stripMargin,
+    "q219_apportionment" ->
+      s"""WITH rev AS (
+         |  SELECT n_name AS nation,
+         |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS rev_cents
+         |  $nationOrdersSql
+         |  GROUP BY 1),
+         |x AS (
+         |  SELECT nation, rev_cents,
+         |    CAST(rev_cents AS HUGEINT) * 1000 AS prod,
+         |    SUM(CAST(rev_cents AS HUGEINT)) OVER () AS total
+         |  FROM rev),
+         |q AS (
+         |  SELECT nation, rev_cents, prod, total,
+         |    prod // total AS quota,
+         |    prod - (prod // total) * total AS rem
+         |  FROM x),
+         |r AS (
+         |  SELECT *, 1000 - SUM(quota) OVER () AS leftover,
+         |    row_number() OVER (ORDER BY rem DESC, nation) AS rk
+         |  FROM q)
+         |SELECT nation, rev_cents, CAST(quota AS BIGINT) AS quota,
+         |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |    AS BIGINT) AS units
+         |FROM r ORDER BY nation""".stripMargin,
+    "q220_benford_audit" -> benfordOracle,
+    "q221_rle_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts,
+        |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS run_id
+        |  FROM f)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        |  MIN(event_type) AS event_type, CAST(COUNT(*) AS BIGINT)
+        |    AS run_len,
+        |  MIN(ts) AS ts_start, MAX(ts) AS ts_end
+        |FROM r GROUP BY user_id, run_id
+        |ORDER BY user_id, run_id""".stripMargin,
     "q211_calendar_window" ->
       s"""WITH daily AS (
          |  SELECT nation, day, CAST(SUM(p) AS DECIMAL(18,2)) AS rev

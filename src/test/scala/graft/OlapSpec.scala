@@ -377,4 +377,71 @@ class OlapSpec extends AnyFunSuite {
         s"est_p50 $est far from exact $ex for ${r.getAs[String]("event_type")}")
     }
   }
+
+  test("q218 FIFO matching exhausts min(supply, demand) per part") {
+    // The defining conservation law of FIFO lot matching: cumulative
+    // inflow [0,S) and outflow [0,D) intervals tile, so total matched
+    // units per part are exactly min(S, D) — any bucket-join dedupe bug
+    // (double-counted or dropped overlap slices) breaks this identity.
+    // Value-level correctness vs the quadratic nested-loop formulation
+    // is the DuckDB oracle's job.
+    val rows = Registry.all("q218_fifo_matching")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, d, m) = (r.getAs[Long]("supply_units"),
+        r.getAs[Long]("demand_units"), r.getAs[Long]("matched_units"))
+      assert(m == math.min(s, d), s"part ${r.get(0)}: matched $m != min($s, $d)")
+      assert(r.getAs[Long]("n_matches") >= (if (m > 0) 1L else 0L))
+    }
+  }
+
+  test("q219 apportionment sums exactly to the budget, one unit max bonus") {
+    val rows = Registry.all("q219_apportionment")(spark, sf).collect()
+    assert(rows.length == 25)
+    val units = rows.map(_.getAs[Long]("units"))
+    val quotas = rows.map(_.getAs[Long]("quota"))
+    assert(units.sum == 1000L, s"units sum ${units.sum}")
+    quotas.zip(units).foreach { case (q, u) =>
+      assert(u == q || u == q + 1, s"unit $u not in {quota, quota+1} of $q")
+    }
+    // quotas recomputed independently in BigInt floor division
+    val revs = rows.map(r => BigInt(r.getAs[Long]("rev_cents")))
+    val total = revs.sum
+    revs.zip(quotas).foreach { case (rev, q) =>
+      assert(BigInt(q) == rev * 1000 / total)
+    }
+  }
+
+  test("q220 Benford expected counts sum exactly to n (probabilities sum to 1)") {
+    val rows = Registry.all("q220_benford_audit")(spark, sf).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val n = rows.map(_.getAs[Long]("n_obs")).sum
+    val expSum = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("expected_n"))).sum
+    assert(expSum == BigDecimal(n), s"expected_n sums to $expSum, n=$n")
+    val terms = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("chi2_term")))
+    val totals = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("chi2_total"))).distinct
+    assert(totals.size == 1 && totals.head == terms.sum)
+  }
+
+  test("q221 runs tile the stream and adjacent runs change type") {
+    val rows = Registry.all("q221_rle_runs")(spark, sf)
+      .orderBy("user_id", "run_id").collect()
+    val nEvents = graft.io.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("run_len")).sum == nEvents)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("run_id"))
+      // run ids are 1..k dense, types change between consecutive runs,
+      // and time spans are ordered and non-overlapping
+      assert(sorted.map(_.getAs[Long]("run_id")).toSeq ==
+        (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+            s"user $u: consecutive runs share a type")
+          assert(a.getAs[Long]("ts_end") <= b.getAs[Long]("ts_start"))
+        case _ =>
+      }
+    }
+  }
 }
