@@ -585,7 +585,41 @@ object AnalyticsQueries {
       "user_id", "ts", unitNs = 3600000000000L, censorUnits = 12)
       .orderBy("t")
 
+  /** q222 — difference-in-differences (the 2×2 natural-experiment
+    * readout): treated cohort = even user_ids, post period = from
+    * 2024-01-16T00Z, outcome = mean event value per cell; DiD =
+    * (T_post − T_pre) − (C_post − C_pre) — the causal-effect estimate
+    * that differences away both the cohort baseline and the common time
+    * trend, where q131's z-test sees only one contrast. ONE conditional
+    * aggregate computes all four cells (no per-cell scans); sums stay
+    * exact decimal, each mean is one audited double divide, and the DiD
+    * is IEEE arithmetic on already-quantized means. */
+  val q222: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select((col("user_id") % 2 === 0).as("treated"),
+        (col("ts") >= cutNs).as("post"),
+        qdec(col("value"), 7, 2).as("v"))
+    val cells = e.groupBy("treated", "post")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("mean",
+        qround(col("sv").cast("double") / col("n").cast("double"), 6))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      min(when(col("treated") === t && col("post") === p, col(c)))
+    cells.agg(
+        cell(t = true, p = false, "mean").as("treated_pre"),
+        cell(t = true, p = true, "mean").as("treated_post"),
+        cell(t = false, p = false, "mean").as("control_pre"),
+        cell(t = false, p = true, "mean").as("control_post"),
+        sum(when(col("treated"), col("n")).otherwise(0L)).as("n_treated"),
+        sum(when(!col("treated"), col("n")).otherwise(0L)).as("n_control"))
+      .withColumn("did", qround(
+        (col("treated_post") - col("treated_pre")) -
+          (col("control_post") - col("control_pre")), 6))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_diff_in_diffs" -> q222,
     "q143_chi_square" -> q143,
     "q144_feature_hashing" -> q144,
     "q148_decay_attribution" -> q148,
@@ -727,6 +761,40 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q222_diff_in_diffs" ->
+      """WITH e AS (
+        |  SELECT (user_id % 2 = 0) AS treated,
+        |    (epoch_ns(ts) >= 1705363200000000000) AS post,
+        |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT treated, post, SUM(v) AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT treated, post, n,
+        |    floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+        |      + 0.5) / 1000000.0 AS mean
+        |  FROM c),
+        |w AS (
+        |  SELECT
+        |    MIN(CASE WHEN treated AND NOT post THEN mean END)
+        |      AS treated_pre,
+        |    MIN(CASE WHEN treated AND post THEN mean END) AS treated_post,
+        |    MIN(CASE WHEN NOT treated AND NOT post THEN mean END)
+        |      AS control_pre,
+        |    MIN(CASE WHEN NOT treated AND post THEN mean END)
+        |      AS control_post,
+        |    CAST(SUM(CASE WHEN treated THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_treated,
+        |    CAST(SUM(CASE WHEN NOT treated THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_control
+        |  FROM m)
+        |SELECT *,
+        |  floor(((treated_post - treated_pre) -
+        |    (control_post - control_pre)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS did
+        |FROM w""".stripMargin,
     "q151_kaplan_meier" ->
       """WITH pu AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l

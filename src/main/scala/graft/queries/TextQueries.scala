@@ -594,7 +594,86 @@ object TextQueries {
       .orderBy("source", "rk")
   }
 
+  /** q223 — corpus word associations by EXACT fixed-point lift (the
+    * PMI ranking without the engine-dependent log): per token pair
+    * co-occurring in ≥ 20 documents, lift = P(a,b)/(P(a)·P(b)) =
+    * n_ab·N / (df_a·df_b), emitted as half-up integer parts-per-million
+    * via the q191 idiom `(2·num + den) div (2·den)` — PMI is log(lift),
+    * so the integer ppm ranking IS the PMI ranking, bit-exact in both
+    * engines (the log itself is 1-ulp engine lottery; never hash a
+    * libm call). Products route through DECIMAL(38,0)/HUGEINT so
+    * n_ab·N·10⁶ can't overflow BIGINT at web-corpus N. Pair stream =
+    * per-doc distinct-token self-join — vocabulary-bounded aggregation
+    * output, with the ≥ 20 support floor implying df ≥ 20 on both
+    * tokens (the lossless prefilter at scale). */
+  val q223: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfs = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = dt.as("a").join(dt.as("b"), Seq("doc_id"))
+      .filter(col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 20)
+    pairs
+      .join(broadcast(dfs.select(col("tok").as("ta"), col("df").as("df_a"))),
+        Seq("ta"))
+      .join(broadcast(dfs.select(col("tok").as("tb"), col("df").as("df_b"))),
+        Seq("tb"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_ppm", expr(
+        "CAST((2 * CAST(n_ab AS DECIMAL(38,0)) * n_docs * 1000000 + " +
+          "CAST(df_a AS DECIMAL(38,0)) * df_b) div " +
+          "(2 * CAST(df_a AS DECIMAL(38,0)) * df_b) AS BIGINT)"))
+      .select(col("ta"), col("tb"), col("n_ab"), col("df_a"), col("df_b"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("ta"), col("tb"))
+      .limit(100)
+  }
+
+  /** q224 — Heaps-law vocabulary-growth curve: distinct-vocabulary size
+    * vs cumulative token volume at 10 corpus prefixes (doc_id deciles)
+    * — the corpus diagnostic behind tokenizer sizing and dedup-health
+    * checks (a flattening curve means the corpus is repeating itself).
+    * NOT computed per prefix: each token contributes its FIRST doc only
+    * (one min aggregate), each doc its token count (one sum aggregate),
+    * and 10 broadcast cutoffs turn both into decile counts — two
+    * shuffles total, no prefix rescans. Cutoffs are exact doc_id
+    * percentiles quantized 6dp before flooring so the interpolation's
+    * last ulp can't move an integer boundary (q125's discipline); swap
+    * `approx_percentile` in at 100 TB (mergeable, and any bracket works
+    * — the curve is reported per cutoff). */
+  val q224: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val ps = (1 to 10).map(_ / 10.0)
+    val cuts = docs
+      .select(posexplode(expr(
+        s"percentile(doc_id, array(${ps.mkString(", ")}))")))
+      .select((col("pos") + 1).as("decile"),
+        floor(qround(col("col"), 6)).as("cut_doc_id"))
+    val firstDoc = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val vocab = broadcast(cuts).join(firstDoc, col("fd") <= col("cut_doc_id"))
+      .groupBy("decile", "cut_doc_id")
+      .agg(count(lit(1)).as("vocabulary"))
+    val volume = broadcast(cuts).join(perDoc, col("doc_id") <= col("cut_doc_id"))
+      .groupBy("decile", "cut_doc_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    volume.join(vocab, Seq("decile", "cut_doc_id"))
+      .select(col("decile"), col("cut_doc_id"), col("n_docs"),
+        col("n_tokens"), col("vocabulary"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_word_associations" -> q223,
+    "q224_heaps_vocab_growth" -> q224,
     "q184_mixture_rebalance" -> q184,
     "q18_tfidf" -> q18,
     "q69_repetition" -> q69,
@@ -752,6 +831,58 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q223_word_associations" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |dfv AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |        FROM dt GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT ta, tb, n_ab, fa.df AS df_a, fb.df AS df_b,
+        |  CAST((2 * CAST(n_ab AS HUGEINT) * n_docs * 1000000 +
+        |      CAST(fa.df AS HUGEINT) * fb.df) //
+        |    (2 * CAST(fa.df AS HUGEINT) * fb.df) AS BIGINT) AS lift_ppm
+        |FROM p JOIN dfv fa ON p.ta = fa.tok
+        |JOIN dfv fb ON p.tb = fb.tok
+        |CROSS JOIN nd
+        |ORDER BY lift_ppm DESC, ta, tb LIMIT 100""".stripMargin,
+    "q224_heaps_vocab_growth" ->
+      // quantile params must be constants in DuckDB — one generated
+      // stanza per decile, sharing the engine's exact formula
+      ("""WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |cuts AS (CUT_STANZAS),
+        |fd AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        |       FROM toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT decile, cut_doc_id, CAST(count(*) AS BIGINT)
+        |    AS vocabulary
+        |  FROM cuts JOIN fd ON fd.fd <= cuts.cut_doc_id
+        |  GROUP BY 1, 2),
+        |vol AS (
+        |  SELECT decile, cut_doc_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |  FROM cuts JOIN pd ON pd.doc_id <= cuts.cut_doc_id
+        |  GROUP BY 1, 2)
+        |SELECT v.decile, v.cut_doc_id, v.n_docs, v.n_tokens, vb.vocabulary
+        |FROM vol v JOIN vocab vb ON v.decile = vb.decile
+        |  AND v.cut_doc_id = vb.cut_doc_id
+        |ORDER BY v.decile""".stripMargin)
+        .replace("CUT_STANZAS", (1 to 10).map { d =>
+          s"SELECT $d AS decile, CAST(floor(floor(quantile_cont(doc_id, " +
+            s"${d / 10.0}) * 1000000.0 + 0.5) / 1000000.0) AS BIGINT) " +
+            "AS cut_doc_id FROM documents"
+        }.mkString("\n  UNION ALL\n  ")),
     "q184_mixture_rebalance" ->
       s"""WITH w AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

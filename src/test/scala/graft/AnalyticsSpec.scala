@@ -373,4 +373,18 @@ class AnalyticsSpec extends AnyFunSuite {
     // mean 30, sd_samp sqrt(2000) -> z = 80/44.72136 = 1.7888544
     assert(got == Seq((5L, 1.788854)))
   }
+
+  test("q222 DiD is the double difference of its own cell means") {
+    val r = graft.queries.Registry.all("q222_diff_in_diffs")(spark, GraftSpark.sf)
+      .collect().head
+    val (tp, tq) = (r.getAs[Double]("treated_pre"),
+      r.getAs[Double]("treated_post"))
+    val (cp, cq) = (r.getAs[Double]("control_pre"),
+      r.getAs[Double]("control_post"))
+    val did = r.getAs[Double]("did")
+    assert(did == math.floor(((tq - tp) - (cq - cp)) * 1e6 + 0.5) / 1e6)
+    // the four cells partition the stream
+    assert(r.getAs[Long]("n_treated") + r.getAs[Long]("n_control") ==
+      graft.io.Tables.events(spark, GraftSpark.sf).count())
+  }
 }

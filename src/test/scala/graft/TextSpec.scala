@@ -193,4 +193,38 @@ class TextSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("ab" -> 2L, "bc" -> 2L, "de" -> 1L))
   }
+
+  test("q223 lift_ppm matches BigInt half-up recompute; support floor holds") {
+    val rows = graft.queries.Registry.all("q223_word_associations")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.io.Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      val (nab, dfa, dfb) = (BigInt(r.getAs[Long]("n_ab")),
+        BigInt(r.getAs[Long]("df_a")), BigInt(r.getAs[Long]("df_b")))
+      assert(nab >= 20)
+      assert(nab <= dfa.min(dfb)) // pair support bounded by either df
+      val want = (2 * nab * nDocs * 1000000 + dfa * dfb) / (2 * dfa * dfb)
+      assert(BigInt(r.getAs[Long]("lift_ppm")) == want, r.toString)
+    }
+    // ranking is by descending lift with the (ta, tb) tiebreak
+    val lifts = rows.map(_.getAs[Long]("lift_ppm")).toSeq
+    assert(lifts == lifts.sortBy(-_))
+  }
+
+  test("q224 vocabulary growth is monotone and ends at the full corpus") {
+    val rows = graft.queries.Registry.all("q224_heaps_vocab_growth")(
+      spark, sf).orderBy("decile").collect()
+    assert(rows.length == 10)
+    Seq("n_docs", "n_tokens", "vocabulary").foreach { c =>
+      val v = rows.map(_.getAs[Long](c)).toSeq
+      assert(v == v.sorted, s"$c not monotone: $v")
+    }
+    val docs = graft.io.Tables.documents(spark, sf)
+    assert(rows.last.getAs[Long]("n_docs") == docs.count())
+    val fullVocab = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).select("t").distinct().count()
+    assert(rows.last.getAs[Long]("vocabulary") == fullVocab)
+  }
 }
