@@ -7,6 +7,7 @@ import graft.sketch.CountMin
 import graft.text.Fuzzy
 import graft.functions.GraftFunctions.{qdec, qround}
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -618,7 +619,52 @@ object AnalyticsQueries {
           (col("control_post") - col("control_pre")), 6))
   }
 
+  /** q226 — offline policy evaluation by REPLAY (Li et al.'s unbiased
+    * bandit-evaluation method): train a per-segment policy on the first
+    * half of the log (argmax mean reward, ties to the smaller action),
+    * then score it on the second half using ONLY the logged rounds
+    * where the logged action equals the policy's choice — the
+    * counterfactual estimate that needs no simulator, and the
+    * consistency companion to q150's IPS reweighting (replay
+    * subsamples; IPS reweights). Exact decimal reward sums, audited
+    * divides, deterministic argmax; policy is 4 rows, broadcast. */
+  val q226: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select((col("user_id") % 4).as("segment"),
+        col("event_type").as("action"), qdec(col("value"), 7, 2).as("r"),
+        col("ts"))
+    val pol = e.filter(col("ts") < cutNs)
+      .groupBy("segment", "action")
+      .agg(sum(col("r")).as("sr"), count(lit(1)).as("n"))
+      .withColumn("train_mean",
+        qround(col("sr").cast("double") / col("n").cast("double"), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("segment")
+        .orderBy(col("train_mean").desc, col("action"))))
+      .filter(col("rk") === 1)
+      .select(col("segment"), col("action").as("chosen_action"),
+        col("train_mean"))
+    e.filter(col("ts") >= cutNs)
+      .join(broadcast(pol), Seq("segment"))
+      .groupBy("segment", "chosen_action", "train_mean")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("action") === col("chosen_action"), 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("action") === col("chosen_action"), col("r")))
+          .as("sr_matched"))
+      .withColumn("match_rate", qround(
+        col("n_matched").cast("double") / col("n_eval").cast("double"), 6))
+      .withColumn("replay_value", qround(
+        col("sr_matched").cast("double") / col("n_matched").cast("double"),
+        6))
+      .select(col("segment"), col("chosen_action"), col("train_mean"),
+        col("n_eval"), col("n_matched"), col("match_rate"),
+        col("replay_value"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q226_bandit_replay" -> q226,
     "q222_diff_in_diffs" -> q222,
     "q143_chi_square" -> q143,
     "q144_feature_hashing" -> q144,
@@ -761,6 +807,42 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q226_bandit_replay" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS segment, event_type AS action,
+        |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS r,
+        |    epoch_ns(ts) AS t
+        |  FROM events),
+        |tr AS (
+        |  SELECT segment, action, SUM(r) AS sr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e WHERE t < 1705363200000000000 GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT segment, action,
+        |    floor((CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+        |      + 0.5) / 1000000.0 AS train_mean
+        |  FROM tr),
+        |pol AS (
+        |  SELECT segment, action AS chosen_action, train_mean
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY segment
+        |      ORDER BY train_mean DESC, action) AS rk FROM tm)
+        |  WHERE rk = 1),
+        |ev AS (
+        |  SELECT e.segment, pol.chosen_action, pol.train_mean,
+        |    CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN e.action = pol.chosen_action THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_matched,
+        |    SUM(CASE WHEN e.action = pol.chosen_action THEN r END)
+        |      AS sr_matched
+        |  FROM e JOIN pol ON e.segment = pol.segment
+        |  WHERE e.t >= 1705363200000000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT segment, chosen_action, train_mean, n_eval, n_matched,
+        |  floor((CAST(n_matched AS DOUBLE) / CAST(n_eval AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS match_rate,
+        |  floor((CAST(sr_matched AS DOUBLE) / CAST(n_matched AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS replay_value
+        |FROM ev ORDER BY segment""".stripMargin,
     "q222_diff_in_diffs" ->
       """WITH e AS (
         |  SELECT (user_id % 2 = 0) AS treated,

@@ -1480,7 +1480,46 @@ object OlapQueries {
       .orderBy("user_id", "run_id")
   }
 
+  /** q227 — pinball (quantile) loss evaluation of a rolling quantile
+    * forecast: per nation, forecast tomorrow's revenue p50/p90 as the
+    * EXACT percentile of the trailing 28 observed days (frame excludes
+    * the scored day), and score with ρ_p(y−ŷ) = max(p·e, (p−1)·e) —
+    * the proper scoring rule for quantile forecasts that q202's
+    * MAE/MAPE point-forecast backtest cannot express (a p90 forecast
+    * judged by MAE looks biased; pinball rewards exactly the asymmetry
+    * it promised). Forecasts quantize before the loss, each loss term
+    * is decimal-pinned IEEE arithmetic, and only full 28-day windows
+    * score. One exchange: the sequence window, history percentiles,
+    * and final aggregate all key on nation; the frame is the
+    * calendar-bounded daily series. */
+  val q227: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"), col("rev").cast("double").as("y"))
+    val wSeq = Window.partitionBy("nation").orderBy("day")
+    val wHist = Window.partitionBy("nation").orderBy("day")
+      .rowsBetween(-28, -1)
+    def pinball(f: String, p: Double) = qdec(
+      greatest((col("y") - col(f)) * p, (col("y") - col(f)) * (p - 1)),
+      18, 6)
+    daily
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("f50", qround(expr("percentile(y, 0.5)").over(wHist), 6))
+      .withColumn("f90", qround(expr("percentile(y, 0.9)").over(wHist), 6))
+      .filter(col("rn") > 28)
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(pinball("f50", 0.5)).as("s50"),
+        sum(pinball("f90", 0.9)).as("s90"))
+      .select(col("nation"), col("n_scored"),
+        qround(col("s50").cast("double") /
+          col("n_scored").cast("double"), 6).as("pinball_p50"),
+        qround(col("s90").cast("double") /
+          col("n_scored").cast("double"), 6).as("pinball_p90"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_pinball_eval" -> q227,
     "q218_fifo_matching" -> q218,
     "q219_apportionment" -> q219,
     "q220_benford_audit" -> q220,
@@ -1644,6 +1683,43 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q227_pinball_eval" ->
+      s"""WITH daily AS (
+         |  SELECT nation, day, CAST(SUM(p) AS DECIMAL(18,2)) AS rev
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |            AS DECIMAL(18,2)) AS p
+         |        $nationOrdersSql)
+         |  GROUP BY 1, 2),
+         |s AS (
+         |  SELECT nation, CAST(rev AS DOUBLE) AS y,
+         |    row_number() OVER w AS rn,
+         |    floor(quantile_cont(CAST(rev AS DOUBLE), 0.5) OVER wh
+         |      * 1000000.0 + 0.5) / 1000000.0 AS f50,
+         |    floor(quantile_cont(CAST(rev AS DOUBLE), 0.9) OVER wh
+         |      * 1000000.0 + 0.5) / 1000000.0 AS f90
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY nation ORDER BY day),
+         |    wh AS (PARTITION BY nation ORDER BY day
+         |      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+         |l AS (
+         |  SELECT nation,
+         |    CAST(floor(greatest((y - f50) * 0.5, (y - f50) * (0.5 - 1.0))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS l50,
+         |    CAST(floor(greatest((y - f90) * 0.9, (y - f90) * (0.9 - 1.0))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS l90
+         |  FROM s WHERE rn > 28),
+         |a AS (
+         |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    SUM(l50) AS s50, SUM(l90) AS s90
+         |  FROM l GROUP BY 1)
+         |SELECT nation, n_scored,
+         |  floor((CAST(s50 AS DOUBLE) / CAST(n_scored AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS pinball_p50,
+         |  floor((CAST(s90 AS DOUBLE) / CAST(n_scored AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS pinball_p90
+         |FROM a ORDER BY nation""".stripMargin,
     "q218_fifo_matching" ->
       """WITH li AS (
         |  SELECT l_partkey, l_returnflag,

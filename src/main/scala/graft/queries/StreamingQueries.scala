@@ -169,6 +169,25 @@ object StreamingQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** q225 — stream-stream LEFT OUTER interval join
+    * ([[EventStreams.clickAttributionLeftOuter]]): q81's attribution
+    * plus the null-extended "unexplained purchase" rows the inner form
+    * drops — the shape behind every streaming funnel-leak monitor. An
+    * outer row is emitted only when the joint watermark CLOSES the
+    * purchase's match window (state eviction), so the oracle is the
+    * batch left join with its null rows restricted to
+    * watermark-closed purchases; purchases still inside the trailing
+    * horizon are (correctly) absent from a finite run. */
+  val q225: Q = (spark, dir) => {
+    val name = s"q225_out_${runId.incrementAndGet()}"
+    EventStreams.runToMemory(spark,
+      EventStreams.clickAttributionLeftOuter(stream(spark, dir),
+        lookback = "24 hours"),
+      name, OutputMode.Append)
+      .select("purchase_id", "click_id", "user_id")
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
   /** q92 — native `session_window` sessions over the BATCH events frame
     * ([[EventStreams.sessionWindowAgg]]): one row per (user, session)
     * with start, duration, event count. The oracle is the classic
@@ -583,6 +602,7 @@ object StreamingQueries {
     "q132_stream_incremental_mv" -> q132,
     "q120_stream_drift" -> q120,
     "q81_stream_attribution" -> q81,
+    "q225_stream_left_outer" -> q225,
     "q92_session_windows" -> q92,
     "q93_stream_session_windows" -> q93,
     "q99_stream_neardup" -> q99,
@@ -777,6 +797,30 @@ object StreamingQueries {
         | AND epoch_ns(c.ts) // 1000 BETWEEN epoch_ns(p.ts) // 1000 - 86400000000
         |                                AND epoch_ns(p.ts) // 1000
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // Batch left join with null rows restricted to WATERMARK-CLOSED
+    // purchases: an unmatched left row emits only once the joint
+    // watermark (min of both sides' max event time, minus the 2 h
+    // delay) strictly passes its match horizon p_time.
+    "q225_stream_left_outer" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_ns(ts) // 1000 AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_ns(ts) // 1000 AS ct
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT least((SELECT max(pt) FROM p), (SELECT max(ct) FROM c))
+        |    - 7200000000 AS w),
+        |j AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id, p.pt
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.ct >= p.pt - 86400000000 AND c.ct <= p.pt)
+        |SELECT purchase_id, click_id, user_id
+        |FROM j CROSS JOIN wm
+        |WHERE click_id IS NOT NULL OR pt < w
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
     // Identical semantics to the batch twins — same oracle SQL.
     "q61_stream_hourly" ->
       """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,

@@ -296,6 +296,37 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — q81's attribution with
+    * null-extension for purchases no click explains: the unmatched left
+    * row emits (click_id NULL) once the JOINT event-time watermark
+    * passes its match horizon (clicks can arrive until c_time ≤ p_time,
+    * so the row closes when watermark > p_time) and its state is
+    * evicted — the outer row is a WATERMARK-CLOSED fact, not an
+    * end-of-stream artifact, which is why purchases inside the trailing
+    * watermark window never null-emit on a finite input (the oracle
+    * mirrors the closure predicate). Same bounded-state argument as the
+    * inner form; the no-data micro-batch (on by default) advances the
+    * final watermark so closures at end-of-input do emit. */
+  def clickAttributionLeftOuter(events: DataFrame,
+                                lookback: String = "24 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withColumn("p_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("p_time", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("p_time"))
+    val clicks = events.filter(col("event_type") === "click")
+      .withColumn("c_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("c_time", "2 hours")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("c_time"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("c_time") >= col("p_time") - expr(s"INTERVAL $lookback") &&
+          col("c_time") <= col("p_time"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Streaming incremental materialized-view maintenance: each
     * micro-batch reduces to its algebraic partials
     * ([[graft.ops.Incremental.partials]]) and merges them into the

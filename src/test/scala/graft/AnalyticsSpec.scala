@@ -387,4 +387,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_treated") + r.getAs[Long]("n_control") ==
       graft.io.Tables.events(spark, GraftSpark.sf).count())
   }
+
+  test("q226 replay: policy is the train argmax and the match subset is sane") {
+    val rows = graft.queries.Registry.all("q226_bandit_replay")(
+      spark, GraftSpark.sf).collect()
+    assert(rows.length == 4) // one policy row per segment
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Long]("n_matched") > 0)
+      val rate = r.getAs[Double]("match_rate")
+      assert(rate > 0.0 && rate < 1.0)
+    }
+    // recompute each segment's argmax on the train half independently
+    val cutNs = 1705363200000000000L
+    val train = graft.io.Tables.events(spark, GraftSpark.sf)
+      .filter(col("ts") < cutNs)
+      .select((col("user_id") % 4).as("segment"), col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(7, 2))
+          .as("r"))
+      .groupBy("segment", "event_type")
+      .agg((sum("r").cast("double") / count(lit(1))).as("m"))
+      .collect()
+      .groupBy(_.getAs[Long]("segment"))
+      .map { case (s, rs) =>
+        s -> rs.maxBy(r => (r.getAs[Double]("m"),
+          // maxBy wants ascending preference; invert the name for ties
+          r.getAs[String]("event_type")))(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering,
+            Ordering.String.reverse))
+      }
+    rows.foreach { r =>
+      val seg = r.getAs[Long]("segment")
+      assert(r.getAs[String]("chosen_action") ==
+        train(seg).getAs[String]("event_type"),
+        s"segment $seg argmax mismatch")
+    }
+  }
 }

@@ -424,6 +424,22 @@ class OlapSpec extends AnyFunSuite {
     assert(totals.size == 1 && totals.head == terms.sum)
   }
 
+  test("q227 pinball losses are non-negative and score exactly the post-warmup days") {
+    val rows = Registry.all("q227_pinball_eval")(spark, sf).collect()
+    val seriesLen = graft.queries.SharedFrames.dailyNationRevenue(spark, sf)
+      .groupBy("nation").count().collect()
+      .map(r => r.getAs[String]("nation") -> r.getAs[Long]("count")).toMap
+    // exactly the nations with a post-warmup day appear
+    assert(rows.map(_.getAs[String]("nation")).toSet ==
+      seriesLen.filter(_._2 > 28).keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pinball_p50") >= 0.0)
+      assert(r.getAs[Double]("pinball_p90") >= 0.0)
+      assert(r.getAs[Long]("n_scored") ==
+        seriesLen(r.getAs[String]("nation")) - 28)
+    }
+  }
+
   test("q221 runs tile the stream and adjacent runs change type") {
     val rows = Registry.all("q221_rle_runs")(spark, sf)
       .orderBy("user_id", "run_id").collect()

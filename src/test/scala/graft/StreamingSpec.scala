@@ -157,4 +157,21 @@ class StreamingSpec extends AnyFunSuite {
           .cast("double").as("max_value"))
     assert(got.unionByName(want).distinct().count() == want.count())
   }
+
+  test("q225 left-outer join: matched rows equal q81; null rows are closed, unmatched purchases") {
+    val lo = graft.queries.Registry.all("q225_stream_left_outer")(spark, sf)
+      .collect()
+    val inner = graft.queries.Registry.all("q81_stream_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+      .toSet
+    val matched = lo.filter(!_.isNullAt(1))
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+      .toSet
+    assert(matched == inner) // outer join adds rows, never changes pairs
+    val nullP = lo.filter(_.isNullAt(1)).map(_.getAs[Long]("purchase_id")).toSet
+    val matchedP = matched.map(_._1)
+    assert(nullP.intersect(matchedP).isEmpty) // null-extends only zero-match rows
+    assert(nullP.nonEmpty) // the synthetic stream leaves some unexplained
+  }
 }
