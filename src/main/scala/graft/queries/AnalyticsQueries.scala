@@ -663,7 +663,44 @@ object AnalyticsQueries {
       .orderBy("segment")
   }
 
+  /** q231 — cohort LTV curve: cumulative purchase revenue PER COHORT
+    * MEMBER by weeks-since-first-activity — q46's retention triangle
+    * tells you who came back, this tells you what a cohort member is
+    * WORTH by age w (the payback-period readout). Same integer week
+    * arithmetic and one-scan shape as [[graft.ops.Cohort]] (first day
+    * via an unordered per-user window min, never aggregate-and-join-
+    * back); revenue stays exact decimal through the (weeks²-bounded)
+    * cumulative window, divided once by the FIXED cohort size — users
+    * who never purchase still denominate their cohort. */
+  val q231: Q = (spark, dir) => {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        qdec(col("value"), 7, 2).as("v"))
+      .withColumn("day", expr("ts div 86400000000000"))
+      .withColumn("first_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
+      .withColumn("cohort_week", expr("first_day div 7"))
+      .withColumn("week_offset", expr("(day - first_day) div 7"))
+    val sizes = d.groupBy("cohort_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val rev = d.filter(col("event_type") === "purchase")
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum(col("v")).as("wk_rev"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_rev",
+        sum(col("wk_rev")).over(wCum).cast("decimal(18,2)"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("wk_rev").cast("decimal(18,2)").as("wk_rev"), col("cum_rev"),
+        qround(col("cum_rev").cast("double") /
+          col("n_users").cast("double"), 6).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q231_cohort_ltv" -> q231,
     "q226_bandit_replay" -> q226,
     "q222_diff_in_diffs" -> q222,
     "q143_chi_square" -> q143,
@@ -807,6 +844,39 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q231_cohort_ltv" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |f AS (
+        |  SELECT *, MIN(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM d),
+        |g AS (
+        |  SELECT *, first_day // 7 AS cohort_week,
+        |    (day - first_day) // 7 AS week_offset
+        |  FROM f),
+        |sizes AS (
+        |  SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_users
+        |  FROM g GROUP BY 1),
+        |rev AS (
+        |  SELECT cohort_week, week_offset, SUM(v) AS wk_rev
+        |  FROM g WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_week, week_offset,
+        |    CAST(wk_rev AS DECIMAL(18,2)) AS wk_rev,
+        |    CAST(SUM(wk_rev) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_rev
+        |  FROM rev)
+        |SELECT c.cohort_week, c.week_offset, s.n_users, c.wk_rev,
+        |  c.cum_rev,
+        |  floor((CAST(c.cum_rev AS DOUBLE) / CAST(s.n_users AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
+        |FROM c JOIN sizes s ON c.cohort_week = s.cohort_week
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
     "q226_bandit_replay" ->
       """WITH e AS (
         |  SELECT user_id % 4 AS segment, event_type AS action,

@@ -1518,7 +1518,67 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q228 — Wilson-lower-bound ranking (ranking under uncertainty): rank
+    * parts by the 95 % Wilson LOWER confidence bound of their return
+    * rate, not the raw proportion — the fix for "3 returns out of 3
+    * sorts above 40 out of 100" that every rate leaderboard needs
+    * (Miller's classic). Deterministic cross-engine because the bound is
+    * pure IEEE arithmetic — +, ·, /, and a correctly-rounded sqrt — over
+    * exact integer counts, with the expression tree written identically
+    * in engine and oracle (z² stays the literal product 1.96·1.96; never
+    * pre-fold constants on one side only), then one quantization. */
+  val q228: Q = (spark, dir) => {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val zz = lit(1.96) * lit(1.96)
+    val lo = (p + zz / (lit(2.0) * nD) -
+      lit(1.96) * sqrt((p * (lit(1.0) - p) + zz / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + zz / nD)
+    counts
+      .withColumn("raw_rate", qround(p, 6))
+      .withColumn("wilson_lo", qround(lo, 6))
+      .orderBy(col("wilson_lo").desc, col("l_partkey"))
+      .limit(50)
+      .select("l_partkey", "n", "k", "raw_rate", "wilson_lo")
+  }
+
+  /** q229 — grouped exact WEIGHTED percentiles (p25/p50/p75/p90 of line
+    * price, quantity-weighted) — q167's weighted median generalized to a
+    * profile, still via ONE distinct-value cumulative walk: each
+    * percentile is the smallest price whose cumulative weight clears the
+    * integer-scaled threshold (4·cum ≥ tot, 2·cum ≥ tot, 4·cum ≥ 3·tot,
+    * 10·cum ≥ 9·tot — no fractional arithmetic anywhere), read off with
+    * conditional mins from the SAME pass. Exact decimal weights and
+    * decimal prices end-to-end. */
+  val q229: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        qdec(col("l_extendedprice"), 18, 2).as("v"),
+        qdec(col("l_quantity"), 18, 2).as("wq"))
+    val byV = li.groupBy("nation", "v").agg(sum(col("wq")).as("wv"))
+    val wCum = Window.partitionBy("nation").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("nation")
+    byV.withColumn("cumw", sum(col("wv")).over(wCum))
+      .withColumn("totw", sum(col("wv")).over(wAll))
+      .groupBy("nation")
+      .agg(min(when(col("cumw") * 4 >= col("totw"), col("v"))).as("wp25"),
+        min(when(col("cumw") * 2 >= col("totw"), col("v"))).as("wp50"),
+        min(when(col("cumw") * 4 >= col("totw") * 3, col("v"))).as("wp75"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("v"))).as("wp90"),
+        max(col("totw")).cast("decimal(18,2)").as("total_qty"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_wilson_ranking" -> q228,
+    "q229_weighted_percentiles" -> q229,
     "q227_pinball_eval" -> q227,
     "q218_fifo_matching" -> q218,
     "q219_apportionment" -> q219,
@@ -1683,6 +1743,50 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q228_wilson_ranking" ->
+      """WITH c AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT l_partkey, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM c)
+        |SELECT l_partkey, n, k,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+        |  floor(((p + (1.96 * 1.96) / (2.0 * nd) -
+        |      1.96 * sqrt((p * (1.0 - p) + (1.96 * 1.96) / (4.0 * nd))
+        |        / nd)) / (1.0 + (1.96 * 1.96) / nd)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS wilson_lo
+        |FROM w
+        |ORDER BY wilson_lo DESC, l_partkey LIMIT 50""".stripMargin,
+    "q229_weighted_percentiles" ->
+      """WITH li AS (
+        |  SELECT n_name AS nation,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2)) AS v,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2)) AS wq
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |byv AS (
+        |  SELECT nation, v, SUM(wq) AS wv FROM li GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT nation, v,
+        |    SUM(wv) OVER (PARTITION BY nation ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(wv) OVER (PARTITION BY nation) AS totw
+        |  FROM byv)
+        |SELECT nation,
+        |  MIN(CASE WHEN cumw * 4 >= totw THEN v END) AS wp25,
+        |  MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS wp50,
+        |  MIN(CASE WHEN cumw * 4 >= totw * 3 THEN v END) AS wp75,
+        |  MIN(CASE WHEN cumw * 10 >= totw * 9 THEN v END) AS wp90,
+        |  CAST(MAX(totw) AS DECIMAL(18,2)) AS total_qty
+        |FROM cum GROUP BY nation ORDER BY nation""".stripMargin,
     "q227_pinball_eval" ->
       s"""WITH daily AS (
          |  SELECT nation, day, CAST(SUM(p) AS DECIMAL(18,2)) AS rev

@@ -423,4 +423,23 @@ class AnalyticsSpec extends AnyFunSuite {
         s"segment $seg argmax mismatch")
     }
   }
+
+  test("q231 LTV: cumulative revenue telescopes and divides by the fixed cohort size") {
+    val rows = graft.queries.Registry.all("q231_cohort_ltv")(
+      spark, GraftSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      // one denominator per cohort; cum_rev is the prefix sum of wk_rev
+      assert(sorted.map(_.getAs[Long]("n_users")).distinct.length == 1)
+      var cum = BigDecimal(0)
+      sorted.foreach { r =>
+        cum += BigDecimal(r.getAs[java.math.BigDecimal]("wk_rev"))
+        assert(BigDecimal(r.getAs[java.math.BigDecimal]("cum_rev")) == cum)
+        val want = math.floor(cum.toDouble / r.getAs[Long]("n_users")
+          * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double]("ltv_per_user") == want)
+      }
+    }
+  }
 }

@@ -424,6 +424,35 @@ class OlapSpec extends AnyFunSuite {
     assert(totals.size == 1 && totals.head == terms.sum)
   }
 
+  test("q228 Wilson lower bound never exceeds the raw rate") {
+    val rows = Registry.all("q228_wilson_ranking")(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") <= r.getAs[Long]("n"))
+      val (raw, lo) = (r.getAs[Double]("raw_rate"),
+        r.getAs[Double]("wilson_lo"))
+      assert(lo <= raw && lo >= 0.0 && raw <= 1.0, s"$lo vs $raw")
+    }
+    val los = rows.map(_.getAs[Double]("wilson_lo")).toSeq
+    assert(los == los.sortBy(-_))
+  }
+
+  test("q229 weighted percentiles are monotone and p50 equals q167's weighted median") {
+    val rows = Registry.all("q229_weighted_percentiles")(spark, sf).collect()
+    rows.foreach { r =>
+      val ps = Seq("wp25", "wp50", "wp75", "wp90")
+        .map(c => BigDecimal(r.getAs[java.math.BigDecimal](c)))
+      assert(ps == ps.sorted, r.toString)
+    }
+    val med = Registry.all("q167_weighted_median")(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") ->
+        BigDecimal(r.getAs[java.math.BigDecimal]("weighted_median"))).toMap
+    rows.foreach { r =>
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("wp50")) ==
+        med(r.getAs[String]("nation")))
+    }
+  }
+
   test("q227 pinball losses are non-negative and score exactly the post-warmup days") {
     val rows = Registry.all("q227_pinball_eval")(spark, sf).collect()
     val seriesLen = graft.queries.SharedFrames.dailyNationRevenue(spark, sf)
