@@ -699,7 +699,33 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q233 — quantile treatment effect (QTE): the treated−control gap at
+    * each decile of the outcome distribution — WHERE the shift lives,
+    * which q222's mean DiD and q131's z-test flatten away (a treatment
+    * that moves only the tail has zero mean effect on a winsorized
+    * readout). Exact grouped percentiles (the q78 interpolation, proven
+    * == quantile_cont), each quantized BEFORE the difference so the QTE
+    * is IEEE arithmetic on engine-exact operands. Two group rows →
+    * 9-decile frame; the scan aggregates once per cohort. */
+  val q233: Q = (spark, dir) => {
+    val ps = (1 to 9).map(_ / 10.0)
+    val e = Tables.events(spark, dir)
+      .select((col("user_id") % 2 === 0).as("treated"),
+        qdec(col("value"), 7, 2).cast("double").as("v"))
+    val qs = e.groupBy("treated")
+      .agg(expr(s"percentile(v, array(${ps.mkString(", ")}))").as("qa"))
+      .select(col("treated"), posexplode(col("qa")))
+      .select(col("treated"), ((col("pos") + 1) * 10).as("pctl"),
+        qround(col("col"), 6).as("q"))
+    qs.filter(col("treated")).select(col("pctl"), col("q").as("treated_q"))
+      .join(qs.filter(!col("treated"))
+        .select(col("pctl"), col("q").as("control_q")), Seq("pctl"))
+      .withColumn("qte", qround(col("treated_q") - col("control_q"), 6))
+      .orderBy("pctl")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q233_quantile_effect" -> q233,
     "q231_cohort_ltv" -> q231,
     "q226_bandit_replay" -> q226,
     "q222_diff_in_diffs" -> q222,
@@ -843,7 +869,32 @@ object AnalyticsQueries {
     stanzas.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
   }
 
+  /** q233 oracle: one stanza per decile per cohort — quantile_cont
+    * params must be constants in DuckDB. */
+  private def qteOracle: String = {
+    val stanzas = (1 to 9).map { d =>
+      s"""SELECT ${d * 10} AS pctl,
+         |  floor(quantile_cont(CASE WHEN treated THEN v END, ${d / 10.0})
+         |    * 1000000.0 + 0.5) / 1000000.0 AS treated_q,
+         |  floor(quantile_cont(CASE WHEN NOT treated THEN v END,
+         |    ${d / 10.0}) * 1000000.0 + 0.5) / 1000000.0 AS control_q
+         |FROM e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT (user_id % 2 = 0) AS treated,
+       |    CAST(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))
+       |      AS DOUBLE) AS v
+       |  FROM events),
+       |qs AS (
+       |$stanzas)
+       |SELECT pctl, treated_q, control_q,
+       |  floor((treated_q - control_q) * 1000000.0 + 0.5) / 1000000.0
+       |    AS qte
+       |FROM qs ORDER BY pctl""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q233_quantile_effect" -> qteOracle,
     "q231_cohort_ltv" ->
       """WITH d AS (
         |  SELECT user_id, event_type,

@@ -398,7 +398,40 @@ object SimilarityQueries {
       k = 5, cells = 16, nprobe = 2)
       .orderBy("q_id", "rank")
 
+  /** q232 — embedding-truncation recall audit (the Matryoshka/MRL
+    * serving question): if ANN serves on the FIRST 32 of 64 dimensions
+    * (2× memory/compute cut), what fraction of each query's true
+    * cosine top-10 survives? Recall@10 = |top10_full ∩ top10_trunc|/10
+    * per query — exact integer overlap of two brute-force rankings
+    * (both through the shared [[graft.sim.VectorOps.bruteForceTopK]]
+    * path, the truncated one on array-sliced vectors), joined as a
+    * left-semi. The audit a team runs BEFORE flipping the dimension
+    * knob; q110's JL projection is the other compression arm, this
+    * measures the cheap prefix alternative. */
+  val q232: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    def side(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      (e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), f(col("embedding")).as("n_emb")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), f(col("embedding")).as("q_emb")))
+    val (cFull, qFull) = side(identity)
+    val (cTr, qTr) = side(x => slice(x, 1, 32))
+    val full = bruteForceTopK(cFull, qFull, k = 10).select("q_id", "n_id")
+    val trunc = bruteForceTopK(cTr, qTr, k = 10).select("q_id", "n_id")
+    val overlap = full.join(trunc, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    full.select("q_id").distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_at_10",
+        qround(col("n_overlap").cast("double") / lit(10.0), 6))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q232_truncation_recall" -> q232,
     "q192_ann_ivf_fixed" -> q192,
     "q30_knn_bruteforce" -> q30,
     "q201_triplet_mining" -> q201,
@@ -417,6 +450,43 @@ object SimilarityQueries {
     "q35_kmeans_segments" -> q35)
 
   val oracles: Map[String, String] = Map(
+    "q232_truncation_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id >= 10),
+        |full_r AS (
+        |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS rank
+        |  FROM (SELECT q.q_id, c.n_id,
+        |      floor((list_dot_product(q.e, c.e) /
+        |        (sqrt(list_dot_product(q.e, q.e)) *
+        |         sqrt(list_dot_product(c.e, c.e)))) * 1000000.0 + 0.5)
+        |        / 1000000.0 AS cos
+        |    FROM q CROSS JOIN c)),
+        |tr AS (
+        |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS rank
+        |  FROM (SELECT q.q_id, c.n_id,
+        |      floor((list_dot_product(q.e[1:32], c.e[1:32]) /
+        |        (sqrt(list_dot_product(q.e[1:32], q.e[1:32])) *
+        |         sqrt(list_dot_product(c.e[1:32], c.e[1:32]))))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS cos
+        |    FROM q CROSS JOIN c)),
+        |ov AS (
+        |  SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM (SELECT q_id, n_id FROM full_r WHERE rank <= 10) f
+        |  JOIN (SELECT q_id, n_id FROM tr WHERE rank <= 10) t
+        |    ON f.q_id = t.q_id AND f.n_id = t.n_id
+        |  GROUP BY 1)
+        |SELECT q.q_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  floor((CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 10.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS recall_at_10
+        |FROM (SELECT DISTINCT q_id FROM q) q
+        |LEFT JOIN ov ON q.q_id = ov.q_id
+        |ORDER BY q.q_id""".stripMargin,
     "q192_ann_ivf_fixed" ->
       s"""WITH c0 AS (
          |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb

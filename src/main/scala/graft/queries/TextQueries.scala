@@ -671,7 +671,48 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** q230 — dedup threshold-sensitivity report: how many near-dup pairs
+    * and affected documents each MinHash agreement threshold would
+    * remove — the sweep a curation team reads before committing to a
+    * cutoff (too low: false merges; too high: residual duplication).
+    * Thresholds are INTEGER agreement counts (a16 ∈ {4,6,8,10,12} of 16
+    * perms, i.e. Ĵ ≥ k/16) so the sweep never compares floats; the
+    * candidate set is the q27 LSH bucket join (any candidate shares a
+    * full 4-row band ⇒ a16 ≥ 4, so k=4 reads "all candidates"). One
+    * agreement pass; the 5-row threshold frame fans it out. */
+  val q230: Q = (spark, dir) => {
+    val sigs = sigsCached(spark, dir)
+    val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
+    val packed = packedSignatures(sigs, "doc_id")
+    val agree = cands
+      .join(packed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(packed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .withColumn("a16", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (a, v) -> a + v)").cast("long"))
+      .select("id_a", "id_b", "a16")
+    val ths = spark.range(1).select(explode(
+      array(Seq(4L, 6L, 8L, 10L, 12L).map(lit): _*)).as("min_agree"))
+    val hit = broadcast(ths).join(agree, col("a16") >= col("min_agree"))
+    val nP = hit.groupBy("min_agree").agg(count(lit(1)).as("n_pairs"))
+    val nD = hit
+      .select(col("min_agree"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy("min_agree").agg(countDistinct(col("d")).as("n_docs_affected"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    nP.join(nD, Seq("min_agree")).crossJoin(broadcast(nDocs))
+      .withColumn("pct_docs", qround(
+        col("n_docs_affected").cast("double") / col("n_docs").cast("double"),
+        6))
+      .select(col("min_agree"), col("n_pairs"), col("n_docs_affected"),
+        col("n_docs"), col("pct_docs"))
+      .orderBy("min_agree")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q230_dedup_threshold_sweep" -> q230,
     "q223_word_associations" -> q223,
     "q224_heaps_vocab_growth" -> q224,
     "q184_mixture_rebalance" -> q184,
@@ -831,6 +872,39 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q230_dedup_threshold_sweep" ->
+      s"""WITH $lshBandsCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |ag AS (
+         |  SELECT id_a, id_b,
+         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a16
+         |  FROM cands
+         |  JOIN sigs sa ON sa.doc_id = id_a
+         |  JOIN sigs sb ON sb.doc_id = id_b AND sb.p = sa.p
+         |  GROUP BY id_a, id_b),
+         |th(min_agree) AS (VALUES (CAST(4 AS BIGINT)), (6), (8), (10), (12)),
+         |pt AS (
+         |  SELECT min_agree, id_a, id_b
+         |  FROM th JOIN ag ON a16 >= min_agree),
+         |np AS (SELECT min_agree, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM pt GROUP BY 1),
+         |nd AS (
+         |  SELECT min_agree, CAST(count(DISTINCT d) AS BIGINT)
+         |    AS n_docs_affected
+         |  FROM (SELECT min_agree, id_a AS d FROM pt
+         |        UNION ALL SELECT min_agree, id_b FROM pt)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT np.min_agree, np.n_pairs, nd.n_docs_affected, tot.n_docs,
+         |  floor((CAST(nd.n_docs_affected AS DOUBLE) /
+         |    CAST(tot.n_docs AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         |    AS pct_docs
+         |FROM np JOIN nd ON np.min_agree = nd.min_agree CROSS JOIN tot
+         |ORDER BY np.min_agree""".stripMargin,
     "q223_word_associations" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -424,6 +424,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q233 QTE deciles are complete and the effect is the quantized difference") {
+    val rows = graft.queries.Registry.all("q233_quantile_effect")(
+      spark, GraftSpark.sf).collect()
+    assert(rows.map(_.getAs[Int]("pctl")).toSeq == (1 to 9).map(_ * 10))
+    rows.foreach { r =>
+      val want = math.floor((r.getAs[Double]("treated_q") -
+        r.getAs[Double]("control_q")) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("qte") == want)
+    }
+    // each cohort's quantile curve is monotone in the decile
+    Seq("treated_q", "control_q").foreach { c =>
+      val v = rows.sortBy(_.getAs[Int]("pctl")).map(_.getAs[Double](c)).toSeq
+      assert(v == v.sorted, s"$c not monotone")
+    }
+  }
+
   test("q231 LTV: cumulative revenue telescopes and divides by the fixed cohort size") {
     val rows = graft.queries.Registry.all("q231_cohort_ltv")(
       spark, GraftSpark.sf).collect()

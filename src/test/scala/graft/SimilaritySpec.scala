@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite {
+
+  test("q232 truncation recall is a valid fraction and a full-width twin is perfect") {
+    val spark = GraftSpark.spark
+    val rows = graft.queries.Registry.all("q232_truncation_recall")(
+      spark, GraftSpark.sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 10)
+      assert(r.getAs[Double]("recall_at_10") == n / 10.0)
+    }
+    // the 32-dim prefix of a 64-dim synthetic embedding should keep a
+    // nontrivial share of true neighbors somewhere in the probe set
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum > 0)
+  }
   lazy val spark = GraftSpark.spark
   import spark.implicits._
   val sf = GraftSpark.sf

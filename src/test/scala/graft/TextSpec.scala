@@ -212,6 +212,22 @@ class TextSpec extends AnyFunSuite {
     assert(lifts == lifts.sortBy(-_))
   }
 
+  test("q230 threshold sweep shrinks monotonically with the agreement floor") {
+    val rows = graft.queries.Registry.all("q230_dedup_threshold_sweep")(
+      spark, sf).orderBy("min_agree").collect()
+    assert(rows.nonEmpty)
+    Seq("n_pairs", "n_docs_affected").foreach { c =>
+      val v = rows.map(_.getAs[Long](c)).toSeq
+      assert(v == v.sorted.reverse, s"$c not non-increasing: $v")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_affected") <= 2 * r.getAs[Long]("n_pairs"))
+      val want = math.floor(r.getAs[Long]("n_docs_affected").toDouble /
+        r.getAs[Long]("n_docs") * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("pct_docs") == want)
+    }
+  }
+
   test("q224 vocabulary growth is monotone and ends at the full corpus") {
     val rows = graft.queries.Registry.all("q224_heaps_vocab_growth")(
       spark, sf).orderBy("decile").collect()
