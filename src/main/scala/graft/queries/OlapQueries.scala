@@ -1576,7 +1576,57 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q234 — HyperLogLog under the EXACT oracle gate (p = 8, m = 256
+    * registers): the q187 KMV trick applied to the other classic
+    * cardinality sketch — built on the deterministic keyed hash, the
+    * register table and raw estimate reproduce bit-for-bit in any SQL
+    * engine, upgrading the HLL family from q16's rows-only
+    * `approx_count_distinct` to a hash-gated operator. Register build
+    * is ONE grouped max (bucket = top-8 hash bits, ρ = leading-zero
+    * rank of the remaining 55 via STRING length of the binary — never
+    * a float log); ΣΣ2^−M runs in fixed-point DECIMAL(38,0)
+    * (Σ2^(56−M_j), exact — a double Σ of 2^−M terms spans > 2⁵³ and
+    * rounds), and only the final α·m²·2⁵⁶/S divide is (identical IEEE)
+    * floating point. The small/large-range corrections need ln — a
+    * libm call engines disagree on by ulps — so the hashed surface
+    * carries the RAW estimate plus V (empty registers); the corrected
+    * value is a client-side formula over those two numbers. Perfectly
+    * mergeable at 100 TB: partial max per (group, bucket), 256 longs a
+    * group. Exact distinct rides along as the audit (q187 pattern). */
+  val q234: Q = (spark, dir) => {
+    val two56 = 72057594037927936L // 2^56
+    val d = Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+      .select(col("event_type"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+    val reg = d
+      .withColumn("bucket", expr(s"h div ${two56 / 2}")) // h div 2^55
+      .withColumn("rest", expr(s"h % ${two56 / 2}"))
+      .withColumn("rho", when(col("rest") === 0L, lit(56))
+        .otherwise(lit(56) - length(bin(col("rest")))))
+      .groupBy("event_type", "bucket")
+      .agg(max(col("rho")).as("m"))
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    reg.groupBy("event_type")
+      .agg(count(lit(1)).as("n_present"),
+        (sum(expr("cast(shiftleft(cast(1 as bigint), 56 - m) as decimal(38,0))"))
+          + (lit(256L) - count(lit(1))).cast("decimal(38,0)") *
+            lit(two56)).cast("decimal(38,0)").as("s_fixed"))
+      .withColumn("v_zero", (lit(256L) - col("n_present")).cast("long"))
+      .withColumn("est_raw", qround(
+        lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
+          lit(72057594037927936.0) / col("s_fixed").cast("double"), 6))
+      .join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_present"), col("v_zero"),
+        col("s_fixed"), col("est_raw"), col("n_exact"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q234_hll_oracle" -> q234,
     "q228_wilson_ranking" -> q228,
     "q229_weighted_percentiles" -> q229,
     "q227_pinball_eval" -> q227,
@@ -1743,6 +1793,42 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q234_hll_oracle" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (
+         |  SELECT event_type,
+         |    CAST(md5_number_lower('hll:' || user_id::VARCHAR) & $H
+         |      AS BIGINT) AS h
+         |  FROM d),
+         |r AS (
+         |  SELECT event_type, h // 36028797018963968 AS bucket,
+         |    h % 36028797018963968 AS rest
+         |  FROM h),
+         |reg AS (
+         |  SELECT event_type, bucket,
+         |    MAX(CASE WHEN rest = 0 THEN 56
+         |        ELSE 56 - length(bin(rest)) END) AS m
+         |  FROM r GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+         |    CAST(SUM(CAST((CAST(1 AS BIGINT) << (56 - m))
+         |        AS DECIMAL(38,0))) +
+         |      (256 - count(*)) * CAST(72057594037927936 AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS s_fixed
+         |  FROM reg GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+         |    AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT agg.event_type, agg.n_present,
+         |  CAST(256 - agg.n_present AS BIGINT) AS v_zero, agg.s_fixed,
+         |  floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 *
+         |      72057594037927936.0 / CAST(agg.s_fixed AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS est_raw,
+         |  ex.n_exact
+         |FROM agg JOIN ex ON agg.event_type = ex.event_type
+         |ORDER BY agg.event_type""".stripMargin,
     "q228_wilson_ranking" ->
       """WITH c AS (
         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,

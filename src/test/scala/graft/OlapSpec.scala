@@ -424,6 +424,42 @@ class OlapSpec extends AnyFunSuite {
     assert(totals.size == 1 && totals.head == terms.sum)
   }
 
+  test("q234 HLL raw estimate lands within the sketch's error envelope") {
+    val rows = Registry.all("q234_hll_oracle")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_present")
+      assert(np >= 1 && np <= 256)
+      assert(r.getAs[Long]("v_zero") == 256 - np)
+      val est = r.getAs[Double]("est_raw")
+      val exact = r.getAs[Long]("n_exact").toDouble
+      // 1.04/√256 ≈ 6.5 % standard error; 4σ envelope. (At sf0.001 the
+      // cardinality is small enough that the uncorrected raw estimate
+      // biases low — that regime is the documented V-based correction's
+      // job — so the envelope only gates when n ≫ 2.5 m.)
+      if (exact > 640 * 4)
+        assert(math.abs(est - exact) / exact < 0.26, s"$est vs $exact")
+    }
+  }
+
+  test("HLL registers merge by per-bucket max (sketch algebra)") {
+    import spark.implicits._
+    // register build replicated on a tiny universe, split into halves
+    def regs(ids: Seq[Long]) = ids
+      .map(u => graft.functions.HashUtil.md5Lower63(
+        s"hll:$u".getBytes("UTF-8")))
+      .map(h => (h / 36028797018963968L, {
+        val rest = h % 36028797018963968L
+        if (rest == 0) 56 else 56 - java.lang.Long.toBinaryString(rest).length
+      }))
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val all = (1L to 400L).toSeq
+    val (a, b) = all.splitAt(200)
+    val merged = (regs(a).toSeq ++ regs(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == regs(all))
+  }
+
   test("q228 Wilson lower bound never exceeds the raw rate") {
     val rows = Registry.all("q228_wilson_ranking")(spark, sf).collect()
     assert(rows.length == 50)
