@@ -90,6 +90,14 @@ object GraftFunctions {
     GraftShim.column(org.apache.spark.sql.graft.KmvAgg(
       GraftShim.expression(hash), k).toAggregateExpression())
 
+  /** HyperLogLog register aggregate (p = 8): full 256-entry register
+    * array per group from a 63-bit hash column — 256 bytes of
+    * order-free mergeable state; estimate derived relationally with
+    * the q234 formulas (see [[org.apache.spark.sql.graft.HllAgg]]). */
+  def hll_agg(hash: Column): Column =
+    GraftShim.column(org.apache.spark.sql.graft.HllAgg(
+      GraftShim.expression(hash)).toAggregateExpression())
+
   /** One-pass MinHash signature aggregate → array<long> of numPerm mins
     * per group (custom TypedImperativeAggregate; see
     * [[org.apache.spark.sql.graft.MinHashAgg]] — the fast/scale variant

@@ -188,6 +188,44 @@ object StreamingQueries {
       .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
   }
 
+  /** q237 — streaming HyperLogLog via the custom [[org.apache.spark.sql.graft.HllAgg]]
+    * (p = 8): a Complete-mode aggregate whose state is a CONSTANT 256
+    * bytes per group — the cheapest mergeable cardinality state in the
+    * repo (KMV q188 holds 8 k) — with order-free updates and
+    * associative merges, so the stream-final registers are bit-equal to
+    * batch q234's whatever the micro-batch slicing, and the derived
+    * V / Σ2^(56−M) / raw-estimate surface gates against the SAME DuckDB
+    * oracle. The estimate math runs relationally on the emitted
+    * register array (one shared formula, q234's). */
+  val q237: Q = (spark, dir) => {
+    val name = s"q237_out_${runId.incrementAndGet()}"
+    val sketch = stream(spark, dir)
+      .select(col("event_type"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.hll_agg(col("h")).as("regs"))
+    val sunk = EventStreams.runToMemory(spark, sketch, name,
+      OutputMode.Complete)
+    val exact = graft.io.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sunk
+      .select(col("event_type"), posexplode(col("regs")).as(Seq("bucket", "m")))
+      .groupBy("event_type")
+      .agg(sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_present"),
+        sum(expr("cast(shiftleft(cast(1 as bigint), 56 - m) as decimal(38,0))"))
+          .cast("decimal(38,0)").as("s_fixed"))
+      .withColumn("v_zero", (lit(256L) - col("n_present")).cast("long"))
+      .withColumn("est_raw", graft.functions.GraftFunctions.qround(
+        lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
+          lit(72057594037927936.0) / col("s_fixed").cast("double"), 6))
+      .join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_present"), col("v_zero"),
+        col("s_fixed"), col("est_raw"), col("n_exact"))
+      .orderBy("event_type")
+  }
+
   /** q92 — native `session_window` sessions over the BATCH events frame
     * ([[EventStreams.sessionWindowAgg]]): one row per (user, session)
     * with start, duration, event count. The oracle is the classic
@@ -603,6 +641,7 @@ object StreamingQueries {
     "q120_stream_drift" -> q120,
     "q81_stream_attribution" -> q81,
     "q225_stream_left_outer" -> q225,
+    "q237_stream_hll" -> q237,
     "q92_session_windows" -> q92,
     "q93_stream_session_windows" -> q93,
     "q99_stream_neardup" -> q99,
@@ -677,6 +716,8 @@ object StreamingQueries {
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // The stream-final KMV sketch must equal batch q187 exactly.
     "q188_stream_kmv" -> OlapQueries.oracles("q187_kmv_distinct"),
+    // bit-identical registers => the batch q234 oracle verifies the stream
+    "q237_stream_hll" -> OlapQueries.oracles("q234_hll_oracle"),
     // The stream-served classifier must equal batch q162 exactly.
     "q169_stream_classify" -> TextQueries.oracles("q162_naive_bayes"),
     // The streamed ledger's final state must equal batch q176 exactly.

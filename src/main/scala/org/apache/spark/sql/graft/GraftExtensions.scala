@@ -49,6 +49,9 @@ object GraftExtensions {
     ("graft_kmv_agg",
       new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv_agg"),
       (args: Seq[Expression]) => KmvAgg(args(0), intLitOf(args(1)))),
+    ("graft_hll_agg",
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
+      (args: Seq[Expression]) => HllAgg(args(0))),
     ("graft_jaro_winkler",
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),

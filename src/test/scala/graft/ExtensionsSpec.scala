@@ -43,7 +43,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val names = GraftExtensions.functions.map(_._1).toSet
     assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
       "graft_minhash_agg", "graft_minhash_sig", "graft_jaro_winkler",
-      "graft_topk_agg", "graft_kmv_agg"))
+      "graft_topk_agg", "graft_kmv_agg", "graft_hll_agg"))
     new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
   }
 
@@ -105,6 +105,42 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT graft_kmv_agg(id * 13L, 4) FROM range(1000)")
       .collect().head.getSeq[Long](0)
     assert(viaSql == Seq(0L, 13L, 26L, 39L))
+  }
+
+  test("hll_agg: register semantics, merge across partitions, SQL surface") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand values: h = 3·2^55 + 4 → bucket 3, rest 4 (bin len 3, ρ 53);
+    // h = 3·2^55 → bucket 3, rest 0 → ρ 56 wins the max.
+    val b3a = 3L * (1L << 55) + 4L
+    val b3b = 3L * (1L << 55)
+    val regs = Seq(b3a, b3b, 5L).toDF("h")
+      .agg(graft.functions.GraftFunctions.hll_agg(col("h")).as("r"))
+      .collect().head.getSeq[Int](0)
+    assert(regs.length == 256)
+    assert(regs(3) == 56) // max(53, 56)
+    assert(regs(0) == 56 - java.lang.Long.toBinaryString(5L).length)
+    assert(regs.zipWithIndex.filter(_._1 != 0).map(_._2) == Seq(0, 3))
+    // partition-split merge equals the single-pass build
+    val ids = (1L to 4000L).map(i => i * 2654435761L & Long.MaxValue)
+    val one = ids.toDF("h").coalesce(1)
+      .agg(graft.functions.GraftFunctions.hll_agg(col("h"))).collect()
+      .head.getSeq[Int](0)
+    val eight = ids.toDF("h").repartition(8)
+      .agg(graft.functions.GraftFunctions.hll_agg(col("h"))).collect()
+      .head.getSeq[Int](0)
+    assert(one == eight)
+    // SQL surface — md5-spread hashes hit most buckets, and the SQL
+    // path must equal the DataFrame-API build on the same input
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_hll_agg(graft_md5_63(CAST(id AS STRING))) " +
+        "FROM range(4000)").collect().head.getSeq[Int](0)
+    val viaDf = spark.range(4000)
+      .agg(graft.functions.GraftFunctions.hll_agg(
+        graft.functions.GraftFunctions.md5_63(col("id").cast("string"))))
+      .collect().head.getSeq[Int](0)
+    assert(viaSql == viaDf && viaSql.count(_ != 0) > 200)
   }
 
   test("jaro_winkler matches DuckDB's jaro_winkler_similarity semantics") {

@@ -138,6 +138,20 @@ class StreamRestartSpec extends AnyFunSuite {
       fingerprint = _.getAs[Seq[Long]]("mins").mkString(","))
   }
 
+  test("streaming HLL registers (q237 shape) resume across restart") {
+    val ev = graft.io.Tables.events(spark, GraftSpark.sf)
+      .select("event_id", "user_id", "event_type")
+    assertSketchRestart(
+      ev,
+      df => df.select(col("event_type"),
+          graft.functions.GraftFunctions.md5_63(
+            concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.GraftFunctions.hll_agg(col("h")).as("regs")),
+      key = _.getAs[String]("event_type"),
+      fingerprint = _.getAs[Seq[Int]]("regs").mkString(","))
+  }
+
   test("streaming bottom-k quantile sample (q203 shape) resumes across restart") {
     val ev = graft.io.Tables.events(spark, GraftSpark.sf)
       .select("event_id", "event_type", "value")
