@@ -1625,7 +1625,80 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** q235 — snapshot table diff (the data-diff / CDC-reconciliation
+    * primitive): two keyed snapshots full-outer-joined on the natural
+    * key with q212's canonical row hash deciding changed-vs-unchanged —
+    * added / removed / changed / unchanged classes with counts and key
+    * ranges, the one-screen answer to "what moved between these two
+    * loads". Snapshots are simulated from orders (B adds a year, drops
+    * keys ≡ 0 mod 13, rewrites priority on keys ≡ 0 mod 7); the diff
+    * itself is schema-agnostic. Scale: one co-keyed full-outer join of
+    * |keys|-sized hash projections — never raw wide rows — and a
+    * 4-row output. */
+  val q235: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.md5_63
+    val o = Tables.orders(spark, dir)
+      .withColumn("od", expr("cast(cast(o_orderdate as timestamp) as long)"))
+    def rowHash(prio: org.apache.spark.sql.Column) = md5_63(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), prio))
+    val a = o.filter(col("od") < 915148800L) // < 1999-01-01
+      .select(col("o_orderkey").as("k"),
+        rowHash(col("o_orderpriority")).as("ha"))
+    val b = o.filter(col("od") < 946684800L && // < 2000-01-01
+        col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        rowHash(when(col("o_orderkey") % 7 === 0, lit("9-SIMULATED"))
+          .otherwise(col("o_orderpriority"))).as("hb"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("diff_class",
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("diff_class")
+      .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy("diff_class")
+  }
+
+  /** q236 — FIFO remaining-inventory valuation: q218's complement —
+    * after demand D consumes the lot sequence from the front, what's
+    * LEFT is each lot's tail beyond max(lo, D), giving open units,
+    * their cost-basis value, and the oldest open lot's date (the aging
+    * readout). No pair join at all: one cumulative window over the
+    * inflows plus a broadcast of per-part demand — remaining = hi −
+    * max(lo, D) clamped at 0, exact integers end-to-end. The q218
+    * conservation law crosses over: remaining = supply −
+    * min(supply, demand), spec'd against q218's matched units. */
+  val q236: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).as("cents"))
+      .withColumn("unit_cents", expr("cents div qty"))
+    val demand = li.filter(col("l_returnflag") =!= "R")
+      .groupBy(col("l_partkey")).agg(sum(col("qty")).as("d"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    li.filter(col("l_returnflag") === "R")
+      .withColumn("lo", coalesce(sum(col("qty")).over(w), lit(0L)))
+      .join(demand, Seq("l_partkey"), "left")
+      .withColumn("rem", greatest(lit(0L),
+        col("lo") + col("qty") - greatest(col("lo"), coalesce(col("d"), lit(0L)))))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("rem")).as("remaining_units"),
+        sum(col("rem") * col("unit_cents")).as("remaining_value_cents"),
+        sum(when(col("rem") > 0, 1L).otherwise(0L)).as("n_open_lots"),
+        min(when(col("rem") > 0, expr("cast(cast(l_shipdate as timestamp) as long)")))
+          .as("oldest_open_s"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q235_table_diff" -> q235,
+    "q236_fifo_valuation" -> q236,
     "q234_hll_oracle" -> q234,
     "q228_wilson_ranking" -> q228,
     "q229_weighted_percentiles" -> q229,
@@ -1793,6 +1866,63 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q235_table_diff" ->
+      s"""WITH o AS (
+         |  SELECT *, epoch_ns(o_orderdate) // 1000000000 AS od
+         |  FROM orders),
+         |a AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(md5_number_lower(concat_ws('|', o_orderkey, o_custkey,
+         |      o_orderstatus, o_orderpriority)) & $H AS BIGINT) AS ha
+         |  FROM o WHERE od < 915148800),
+         |b AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(md5_number_lower(concat_ws('|', o_orderkey, o_custkey,
+         |      o_orderstatus,
+         |      CASE WHEN o_orderkey % 7 = 0 THEN '9-SIMULATED'
+         |           ELSE o_orderpriority END)) & $H AS BIGINT) AS hb
+         |  FROM o WHERE od < 946684800 AND o_orderkey % 13 <> 0),
+         |j AS (
+         |  SELECT COALESCE(a.k, b.k) AS k,
+         |    CASE WHEN a.ha IS NULL THEN 'added'
+         |         WHEN b.hb IS NULL THEN 'removed'
+         |         WHEN a.ha <> b.hb THEN 'changed'
+         |         ELSE 'unchanged' END AS diff_class
+         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+         |SELECT diff_class, CAST(count(*) AS BIGINT) AS n_rows,
+         |  MIN(k) AS min_key, MAX(k) AS max_key
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q236_fifo_valuation" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS unit_cents,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS dd
+        |  FROM li WHERE l_returnflag <> 'R' GROUP BY 1),
+        |fin AS (
+        |  SELECT li.l_partkey, qty, unit_cents, l_shipdate,
+        |    COALESCE(SUM(qty) OVER (PARTITION BY li.l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+        |    COALESCE(d.dd, 0) AS dd
+        |  FROM li LEFT JOIN d ON li.l_partkey = d.l_partkey
+        |  WHERE l_returnflag = 'R'),
+        |r AS (
+        |  SELECT l_partkey, unit_cents, l_shipdate,
+        |    greatest(0, lo + qty - greatest(lo, dd)) AS rem
+        |  FROM fin)
+        |SELECT l_partkey,
+        |  CAST(SUM(rem) AS BIGINT) AS remaining_units,
+        |  CAST(SUM(rem * unit_cents) AS BIGINT) AS remaining_value_cents,
+        |  CAST(SUM(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open_lots,
+        |  MIN(CASE WHEN rem > 0
+        |      THEN epoch_ns(l_shipdate) // 1000000000 END) AS oldest_open_s
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q234_hll_oracle" ->
       s"""WITH d AS (
          |  SELECT DISTINCT event_type, user_id FROM events),

@@ -424,6 +424,33 @@ class OlapSpec extends AnyFunSuite {
     assert(totals.size == 1 && totals.head == terms.sum)
   }
 
+  test("q235 diff classes partition the key union and respect the simulation rules") {
+    val rows = Registry.all("q235_table_diff")(spark, sf).collect()
+      .map(r => r.getAs[String]("diff_class") -> r).toMap
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+    // every removed key is ≡ 0 mod 13 by construction; changed ≡ 0 mod 7
+    assert(rows("removed").getAs[Long]("min_key") % 13 == 0)
+    assert(rows("removed").getAs[Long]("max_key") % 13 == 0)
+    assert(rows("changed").getAs[Long]("min_key") % 7 == 0)
+    assert(rows("changed").getAs[Long]("max_key") % 7 == 0)
+  }
+
+  test("q236 remaining inventory complements q218's matched units exactly") {
+    val matched = Registry.all("q218_fifo_matching")(spark, sf).collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        (r.getAs[Long]("supply_units"), r.getAs[Long]("matched_units"))).toMap
+    val rows = Registry.all("q236_fifo_valuation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (supply, m) = matched(r.getAs[Long]("l_partkey"))
+      assert(r.getAs[Long]("remaining_units") == supply - m,
+        s"part ${r.get(0)}: ${r.getAs[Long]("remaining_units")} != $supply - $m")
+      if (r.getAs[Long]("remaining_units") == 0)
+        assert(r.getAs[Long]("n_open_lots") == 0 && r.isNullAt(
+          r.fieldIndex("oldest_open_s")))
+    }
+  }
+
   test("q234 HLL raw estimate lands within the sketch's error envelope") {
     val rows = Registry.all("q234_hll_oracle")(spark, sf).collect()
     assert(rows.nonEmpty)
