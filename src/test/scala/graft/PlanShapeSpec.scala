@@ -334,4 +334,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
     assert(p.contains("partial_count") || p.contains("partial_min"))
   }
+
+  test("q221 run-length encoding runs on ONE user_id exchange") {
+    val p = plan("q221_rle_runs")
+    // lag, change-flag running sum, and the run aggregate all key on
+    // user_id: exactly one shuffle (plus the output-sort exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("q218 FIFO matching joins lots on a HASH (part, bucket) key, never a nested loop") {
+    val p = plan("q218_fifo_matching")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q234 HLL registers build by partial max below the exchange") {
+    val p = plan("q234_hll_oracle")
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+  }
+
+  test("q212 table fingerprint is one map-side-combined aggregate per table") {
+    val p = plan("q212_table_fingerprint")
+    // commutative decimal sum of row hashes: partial sums below each
+    // exchange — the mergeable-across-shards property, physically
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
 }
