@@ -1696,7 +1696,116 @@ object OlapQueries {
       .orderBy("l_partkey")
   }
 
+  /** q238 — market-concentration profile per nation (Herfindahl–
+    * Hirschman index, effective supplier count, top-1/top-3 revenue
+    * share): the antitrust-grade "how concentrated is this market"
+    * readout — q124's ABC classes tell you WHO dominates, this
+    * quantifies BY HOW MUCH in one scalar per market. All ratios are
+    * exact integer ppm via the (2·num·10⁶ + den) div (2·den) half-up
+    * idiom (q223's): HHI = Σsᵢ²/T², effective-N = its reciprocal T²/Σsᵢ²
+    * (the "equivalent number of equal suppliers"), shares from a single
+    * rank window. Supplier totals reduce to whole-DOLLAR units (an exact
+    * floor both engines compute identically) before squaring so
+    * Σsᵢ²·10⁶ and T²·10⁶ stay inside DECIMAL(38,0)/HUGEINT up to
+    * ~3·10¹⁵ dollars per market — comfortably past the 100 TB corpus;
+    * at that scale supplier totals are ≥ 10⁶ dollars, so dollar
+    * resolution cannot move a ppm output. One fact scan, one grouped
+    * sum, one |suppliers|-sized rank window — the heavy work is the
+    * first aggregate, everything after is market-bounded. */
+  val q238: Q = (spark, dir) => {
+    val sup = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_suppkey"),
+        (qdec(col("l_extendedprice"), 18, 2) * 100).cast("decimal(20,0)")
+          .as("cents"))
+      .groupBy("nation", "l_suppkey")
+      .agg(sum(col("cents")).cast("decimal(38,0)").as("sc"))
+      // whole-dollar units: exact floor, keeps squares inside 38 digits
+      .withColumn("su", expr("cast(sc div 100 as decimal(38,0))"))
+    val rk = row_number().over(
+      Window.partitionBy("nation").orderBy(col("su").desc, col("l_suppkey")))
+    sup.withColumn("rk", rk)
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("su")).cast("decimal(38,0)").as("tot"),
+        sum((col("su") * col("su")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("ssq"),
+        sum(when(col("rk") <= 1, col("su")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("t1"),
+        sum(when(col("rk") <= 3, col("su")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("t3"))
+      .select(col("nation"), col("n_suppliers"),
+        col("tot").as("total_units"),
+        expr("cast((2 * ssq * 1000000 + tot * tot) div (2 * tot * tot) as bigint)")
+          .as("hhi_ppm"),
+        expr("cast((2 * tot * tot * 1000000 + ssq) div (2 * ssq) as bigint)")
+          .as("effn_micro"),
+        expr("cast((2 * t1 * 1000000 + tot) div (2 * tot) as bigint)")
+          .as("top1_ppm"),
+        expr("cast((2 * t3 * 1000000 + tot) div (2 * tot) as bigint)")
+          .as("top3_ppm"))
+      .orderBy("nation")
+  }
+
+  /** q239 — autocorrelation function + Ljung–Box whiteness audit of
+    * daily nation revenue: r₁…r₇ (classic ACF — global mean, global
+    * denominator, the statistic q157's matched-pair cross-correlation
+    * is NOT) and the portmanteau Q = n(n+2)·Σ rₖ²/(n−k) with its χ²₇
+    * 95 % verdict — "does this series carry structure, or is the
+    * smoothing family (q127/q164/q197) modeling noise?". Exact integer
+    * CENTS sufficient statistics: each rₖ is a ratio of two integers —
+    * n²Σxy − nS(Σhead+Σtail) + (n−k)S² over n²Σx² − nS² (the centered
+    * form expanded so no order-dependent double sum and no early
+    * divide exists; widths fit DECIMAL(38,0)/HUGEINT to ~10¹⁴ cents a
+    * day per nation, past 100 TB) — quantized to 6 dp only at the
+    * ratio. The seven lags come from ONE window pass over the
+    * calendar-bounded daily frame; Q is a textually-identical
+    * left-to-right IEEE expression over the quantized rₖ, so both
+    * engines add in the same order. */
+  val q239: Q = (spark, dir) => {
+    val lags = 1 to 7
+    val wSeq = Window.partitionBy("nation").orderBy("day")
+    val base = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        (col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+          .as("x"))
+    val withLags = lags.foldLeft(base) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("x"), k).over(wSeq))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("s"),
+        sum((col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sxx")) ++
+      lags.flatMap { k => Seq(
+        sum((col("x") * col(s"x$k")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(s"sxy$k"),
+        sum(when(col(s"x$k").isNotNull, col(s"x$k")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as(s"sh$k"),
+        sum(when(col(s"x$k").isNotNull, col("x")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as(s"st$k")) }
+    val st = withLags.groupBy("nation").agg(aggs.head, aggs.tail: _*)
+    val withR = lags.foldLeft(st) { (df, k) =>
+      df.withColumn(s"r$k", qround(
+        expr(s"cast(cast(n as decimal(38,0)) * n * sxy$k - cast(n as decimal(38,0)) * s * (sh$k + st$k) + (cast(n as decimal(38,0)) - $k) * s * s as double)") /
+        expr("cast(cast(n as decimal(38,0)) * n * sxx - cast(n as decimal(38,0)) * s * s as double)"), 6))
+    }
+    val nd = col("n").cast("double")
+    val lb = lags.map(k => col(s"r$k") * col(s"r$k") / (nd - lit(k.toDouble)))
+      .reduce(_ + _)
+    withR
+      .withColumn("lb_q", qround(nd * (nd + lit(2.0)) * lb, 6))
+      .withColumn("not_white", col("lb_q") > lit(14.067))
+      .select(Seq(col("nation"), col("n").as("n_days")) ++
+        lags.map(k => col(s"r$k")) ++
+        Seq(col("lb_q"), col("not_white")): _*)
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q238_concentration" -> q238,
+    "q239_acf_ljungbox" -> q239,
     "q235_table_diff" -> q235,
     "q236_fifo_valuation" -> q236,
     "q234_hll_oracle" -> q234,
@@ -1865,7 +1974,82 @@ object OlapQueries {
        |FROM c ORDER BY digit""".stripMargin
   }
 
+  /** q239 oracle: the identical integer sufficient statistics via
+    * HUGEINT window lags, generated per lag like the engine side. */
+  private def acfOracle: String = {
+    val lagCols = (1 to 7).map(k => s"lag(x, $k) OVER w AS x$k").mkString(",\n|       ")
+    val aggCols = (1 to 7).map { k =>
+      s"""SUM(x * x$k) AS sxy$k,
+         |        SUM(CASE WHEN x$k IS NOT NULL THEN x$k ELSE 0 END) AS sh$k,
+         |        SUM(CASE WHEN x$k IS NOT NULL THEN x ELSE 0 END) AS st$k""".stripMargin
+    }.mkString(",\n|        ")
+    val rCols = (1 to 7).map { k =>
+      val num = s"CAST(CAST(n AS HUGEINT) * n * sxy$k - CAST(n AS HUGEINT) * s * (sh$k + st$k) + (CAST(n AS HUGEINT) - $k) * s * s AS DOUBLE)"
+      val den = s"CAST(CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * s * s AS DOUBLE)"
+      s"${graft.functions.GraftFunctions.qroundSql(s"$num / $den", 6)} AS r$k"
+    }.mkString(",\n|       ")
+    val lbSum = (1 to 7)
+      .map(k => s"r$k * r$k / (CAST(n AS DOUBLE) - $k.0)").mkString(" + ")
+    val lbQ = graft.functions.GraftFunctions.qroundSql(
+      s"CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($lbSum)", 6)
+    s"""WITH daily AS (
+       |  SELECT nation, day,
+       |    CAST(CAST(SUM(p) AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+       |  FROM (SELECT n_name AS nation,
+       |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+       |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+       |            AS DECIMAL(18,2)) AS p
+       |        $nationOrdersSql)
+       |  GROUP BY 1, 2),
+       |l AS (SELECT nation, day, x,
+       |       $lagCols
+       |      FROM daily WINDOW w AS (PARTITION BY nation ORDER BY day)),
+       |st AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+       |        SUM(x) AS s, SUM(x * x) AS sxx,
+       |        $aggCols
+       |       FROM l GROUP BY 1),
+       |r AS (SELECT nation, n,
+       |       $rCols
+       |      FROM st),
+       |f AS (SELECT nation, n, ${(1 to 7).map(k => s"r$k").mkString(", ")},
+       |       $lbQ AS lb_q
+       |      FROM r)
+       |SELECT nation, n AS n_days, ${(1 to 7).map(k => s"r$k").mkString(", ")},
+       |  lb_q, (lb_q > 14.067) AS not_white
+       |FROM f ORDER BY nation""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q238_concentration" ->
+      """WITH s AS (
+        |  SELECT n_name AS nation, l_suppkey,
+        |    SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+        |      // 100 AS su
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nation, l_suppkey, su,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY su DESC, l_suppkey) AS rk
+        |  FROM s),
+        |a AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    SUM(su) AS tot, SUM(su * su) AS ssq,
+        |    SUM(CASE WHEN rk <= 1 THEN su ELSE 0 END) AS t1,
+        |    SUM(CASE WHEN rk <= 3 THEN su ELSE 0 END) AS t3
+        |  FROM r GROUP BY 1)
+        |SELECT nation, n_suppliers,
+        |  CAST(tot AS DECIMAL(38,0)) AS total_units,
+        |  CAST((2 * ssq * 1000000 + tot * tot) // (2 * tot * tot)
+        |    AS BIGINT) AS hhi_ppm,
+        |  CAST((2 * tot * tot * 1000000 + ssq) // (2 * ssq)
+        |    AS BIGINT) AS effn_micro,
+        |  CAST((2 * t1 * 1000000 + tot) // (2 * tot) AS BIGINT) AS top1_ppm,
+        |  CAST((2 * t3 * 1000000 + tot) // (2 * tot) AS BIGINT) AS top3_ppm
+        |FROM a ORDER BY nation""".stripMargin,
+    "q239_acf_ljungbox" -> acfOracle,
     "q235_table_diff" ->
       s"""WITH o AS (
          |  SELECT *, epoch_ns(o_orderdate) // 1000000000 AS od

@@ -521,7 +521,119 @@ object RecQueries {
           .cast("decimal(18,6)").as("overlap_pct"))
   }
 
+  /** q240 — Brier score + Murphy (reliability/resolution/uncertainty)
+    * decomposition of a probability forecast: per-cell "P(high-value
+    * event)" rates fitted on the chronological first half, scored on
+    * the second — the PROPER-score companion to q165's calibration
+    * curve (q165 shows the reliability diagram; this prices it, and
+    * says how much of the score is the forecast's skill vs the base
+    * rate's entropy). Forecast cells are (event_type × user-bucket);
+    * every p̂ and bin mean is quantized to a 6 dp DECIMAL before any
+    * arithmetic touches it, so each (p̂−y)² term, Σ n_b(p̂_b−ȳ_b)² and
+    * Σ n_b(ȳ_b−ȳ)² are EXACT decimal sums (merge-order-free), and the
+    * only IEEE ops are the final audited divides — the q202 error-term
+    * discipline applied to probability scoring. decomp_gap rides along:
+    * with exact (unquantized) bin means it is identically 0; its
+    * magnitude is the quantization noise, not a correctness signal. */
+  val q240: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 4).as("ubucket"),
+        col("ts"), (col("value") >= 60.0).cast("int").as("y"))
+    val cells = e.filter(col("ts") < cutNs)
+      .groupBy("event_type", "ubucket")
+      .agg(count(lit(1)).as("n_tr"), sum(col("y")).as("k_tr"))
+      .select(col("event_type"), col("ubucket"),
+        qround(col("k_tr").cast("double") / col("n_tr").cast("double"), 6)
+          .cast("decimal(9,6)").as("phat"))
+    val byBin = e.filter(col("ts") >= cutNs)
+      .join(broadcast(cells), Seq("event_type", "ubucket"))
+      .groupBy("event_type", "ubucket", "phat")
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("k_b"),
+        sum(((col("phat") - col("y")) * (col("phat") - col("y")))
+          .cast("decimal(28,12)")).as("sq_b"))
+      .withColumn("ybar_b",
+        qround(col("k_b").cast("double") / col("n_b").cast("double"), 6)
+          .cast("decimal(9,6)"))
+    val tot = byBin.agg(sum(col("n_b")).as("n_eval"),
+        sum(col("k_b")).as("k_eval"),
+        sum(col("sq_b")).cast("decimal(38,12)").as("sq_tot"))
+      .withColumn("ybar",
+        qround(col("k_eval").cast("double") / col("n_eval").cast("double"),
+          6).cast("decimal(9,6)"))
+    byBin.crossJoin(broadcast(tot))
+      .groupBy("n_eval", "sq_tot", "ybar")
+      .agg(
+        sum((col("n_b").cast("decimal(12,0)") *
+          ((col("phat") - col("ybar_b")) * (col("phat") - col("ybar_b"))))
+          .cast("decimal(38,12)")).as("rel_sum"),
+        sum((col("n_b").cast("decimal(12,0)") *
+          ((col("ybar_b") - col("ybar")) * (col("ybar_b") - col("ybar"))))
+          .cast("decimal(38,12)")).as("res_sum"))
+      .select(col("n_eval"),
+        qround(col("sq_tot").cast("double") /
+          col("n_eval").cast("double"), 6).as("brier"),
+        qround(col("rel_sum").cast("double") /
+          col("n_eval").cast("double"), 6).as("reliability"),
+        qround(col("res_sum").cast("double") /
+          col("n_eval").cast("double"), 6).as("resolution"),
+        qround(col("ybar").cast("double") *
+          (lit(1.0) - col("ybar").cast("double")), 6).as("uncertainty"))
+      .withColumn("decomp_gap", qround(
+        col("brier") - (col("reliability") - col("resolution") +
+          col("uncertainty")), 6))
+  }
+
+  /** q241 — cumulative gains / lift table (the targeting curve): rank
+    * users by first-half engagement, split the ranking into 10 tiles,
+    * and read off what share of second-half BUYERS each cumulative
+    * prefix captures vs. the uniform baseline — the "call the top 20 %"
+    * readout that turns q142's AUC into an operating decision. The
+    * decile is the explicit closed form ((rank−1)·10) div N + 1 — OUR
+    * definition, identical integer arithmetic in both engines — rather
+    * than `ntile`, whose remainder-tile placement is engine-trust;
+    * capture and lift are exact integer ppm via the (2·num·10⁶+den) div
+    * (2·den) half-up idiom. The only global window runs over the
+    * per-USER aggregate (|users| rows, never events); the 100 TB swap
+    * is a range-partitioned rank over score cutpoints. */
+  val q241: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val score = e.filter(col("ts") < cutNs)
+      .groupBy("user_id").agg(count(lit(1)).as("score"))
+    val buyers = e.filter(col("ts") >= cutNs &&
+        col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("y", lit(1L))
+    val scored = score.join(buyers, Seq("user_id"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("user_id"))))
+      .withColumn("n_total", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_total + 1"))
+    val byDec = scored.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("n_buyers"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    byDec
+      .withColumn("cum_users", sum(col("n_users")).over(wCum))
+      .withColumn("cum_buyers", sum(col("n_buyers")).over(wCum))
+      .withColumn("tot_users", sum(col("n_users")).over(wAll))
+      .withColumn("tot_buyers", sum(col("n_buyers")).over(wAll))
+      .select(col("decile"), col("n_users"), col("n_buyers"),
+        col("cum_users"), col("cum_buyers"),
+        expr("cast((2 * cast(cum_buyers as decimal(38,0)) * 1000000 + tot_buyers) div (2 * cast(tot_buyers as decimal(38,0))) as bigint)")
+          .as("capture_ppm"),
+        expr("cast((2 * cast(cum_buyers as decimal(38,0)) * tot_users * 1000000 + cast(tot_buyers as decimal(38,0)) * cum_users) div (2 * cast(tot_buyers as decimal(38,0)) * cum_users) as bigint)")
+          .as("lift_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q240_brier_decomposition" -> q240,
+    "q241_gains_lift" -> q241,
     "q190_split_leakage" -> q190,
     "q186_als_audit" -> q186,
     "q116_negative_samples" -> q116,
@@ -718,6 +830,101 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q240_brier_decomposition" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 4 AS ubucket, epoch_ns(ts) AS tns,
+        |    CASE WHEN value >= 60.0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, ubucket,
+        |    CAST(floor((CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(9,6)) AS phat
+        |  FROM e WHERE tns < 1705363200000000000 GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT e.event_type, e.ubucket, c.phat,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(e.y) AS BIGINT) AS k_b,
+        |    SUM(CAST((c.phat - e.y) * (c.phat - e.y) AS DECIMAL(28,12)))
+        |      AS sq_b
+        |  FROM e JOIN cells c USING (event_type, ubucket)
+        |  WHERE e.tns >= 1705363200000000000
+        |  GROUP BY 1, 2, 3),
+        |bins2 AS (
+        |  SELECT *, CAST(floor((CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(9,6)) AS ybar_b
+        |  FROM bins),
+        |tot AS (
+        |  SELECT CAST(SUM(n_b) AS BIGINT) AS n_eval,
+        |    CAST(SUM(k_b) AS BIGINT) AS k_eval,
+        |    CAST(SUM(sq_b) AS DECIMAL(38,12)) AS sq_tot
+        |  FROM bins2),
+        |tot2 AS (
+        |  SELECT *, CAST(floor((CAST(k_eval AS DOUBLE)
+        |    / CAST(n_eval AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS DECIMAL(9,6)) AS ybar
+        |  FROM tot),
+        |m AS (
+        |  SELECT t.n_eval, t.sq_tot, t.ybar,
+        |    CAST(SUM(CAST(b.n_b AS DECIMAL(12,0)) *
+        |      ((b.phat - b.ybar_b) * (b.phat - b.ybar_b)))
+        |      AS DECIMAL(38,12)) AS rel_sum,
+        |    CAST(SUM(CAST(b.n_b AS DECIMAL(12,0)) *
+        |      ((b.ybar_b - t.ybar) * (b.ybar_b - t.ybar)))
+        |      AS DECIMAL(38,12)) AS res_sum
+        |  FROM bins2 b CROSS JOIN tot2 t
+        |  GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT n_eval,
+        |    floor((CAST(sq_tot AS DOUBLE) / CAST(n_eval AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS brier,
+        |    floor((CAST(rel_sum AS DOUBLE) / CAST(n_eval AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS reliability,
+        |    floor((CAST(res_sum AS DOUBLE) / CAST(n_eval AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS resolution,
+        |    floor((CAST(ybar AS DOUBLE) * (1.0 - CAST(ybar AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS uncertainty
+        |  FROM m)
+        |SELECT n_eval, brier, reliability, resolution, uncertainty,
+        |  floor((brier - (reliability - resolution + uncertainty))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS decomp_gap
+        |FROM f""".stripMargin,
+    "q241_gains_lift" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS score FROM e
+        |  WHERE tns < 1705363200000000000 GROUP BY 1),
+        |b AS (
+        |  SELECT DISTINCT user_id FROM e
+        |  WHERE tns >= 1705363200000000000 AND event_type = 'purchase'),
+        |r AS (
+        |  SELECT s.user_id, s.score,
+        |    CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS y,
+        |    row_number() OVER (ORDER BY s.score DESC, s.user_id) AS rn,
+        |    COUNT(*) OVER () AS n_total
+        |  FROM s LEFT JOIN b ON s.user_id = b.user_id),
+        |d AS (SELECT ((rn - 1) * 10) // n_total + 1 AS decile, y FROM r),
+        |g AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(y) AS BIGINT) AS n_buyers
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT decile, n_users, n_buyers,
+        |    CAST(SUM(n_users) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+        |    CAST(SUM(n_buyers) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_buyers,
+        |    CAST(SUM(n_users) OVER () AS BIGINT) AS tot_users,
+        |    CAST(SUM(n_buyers) OVER () AS BIGINT) AS tot_buyers
+        |  FROM g)
+        |SELECT decile, n_users, n_buyers, cum_users, cum_buyers,
+        |  CAST((2 * CAST(cum_buyers AS HUGEINT) * 1000000 + tot_buyers)
+        |    // (2 * CAST(tot_buyers AS HUGEINT)) AS BIGINT) AS capture_ppm,
+        |  CAST((2 * CAST(cum_buyers AS HUGEINT) * tot_users * 1000000
+        |      + CAST(tot_buyers AS HUGEINT) * cum_users)
+        |    // (2 * CAST(tot_buyers AS HUGEINT) * cum_users) AS BIGINT)
+        |    AS lift_ppm
+        |FROM c ORDER BY decile""".stripMargin,
     "q198_bias_baseline" ->
       s"""WITH $pipelineCte,
          |trainf AS (
