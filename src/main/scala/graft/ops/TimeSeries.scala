@@ -184,6 +184,62 @@ object TimeSeries {
         col("level"), col("trend"), col("forecast"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing per key — [[holtLinear]]
+    * plus a `period`-slot seasonal state indexed by CALENDAR position
+    * (`day mod period`, so observation gaps cannot rotate the season
+    * the way a sequence-position index would):
+    * `f_i = l + b + s[dow_i]` (one-step-ahead, from PRIOR state), then
+    * `l' = α·(x_i − s[dow_i]) + (1−α)·(l + b)`,
+    * `b' = β·(l' − l) + (1−β)·b`,
+    * `s[dow_i]' = γ·(x_i − l') + (1−γ)·s[dow_i]`.
+    * Init: `l = x_1, b = 0, s[·] = 0`, and the anchor row emits
+    * `f = x_1`, `seasonal = 0` with NO state update — the convention
+    * the recursive-CTE oracle mirrors row for row. Emitted `seasonal`
+    * is the POST-update slot of that row's calendar position.
+    *
+    * Same execution shape and determinism contract as [[holtLinear]]:
+    * sequential within a key, per-key parallelism, calendar-bounded
+    * groups, 1−α/1−β/1−γ computed not pre-folded, multiply-add chains
+    * textually mirrored so doubles agree bit-for-bit pre-rounding. */
+  def holtWintersAdditive(points: DataFrame, key: String, day: String,
+                          measure: String, alpha: Double, beta: Double,
+                          gamma: Double, period: Int = 7): DataFrame = {
+    val enc = Encoders.product[HwRow]
+    val oma = 1.0 - alpha
+    val omb = 1.0 - beta
+    val omg = 1.0 - gamma
+    points
+      .select(col(key).cast("string").as("k"), col(day).cast("long").as("d"),
+        col(measure).cast("double").as("x"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (k: String, rows: Iterator[Row]) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
+        val s = Array.fill(period)(0.0)
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        sorted.iterator.map { case (d, x) =>
+          val dow = (d % period).toInt
+          if (first) {
+            l = x; b = 0.0; first = false
+            HwRow(k, d, x, l, b, 0.0, x)
+          } else {
+            val sel = s(dow)
+            val f = l + b + sel
+            val lNew = alpha * (x - sel) + oma * (l + b)
+            b = beta * (lNew - l) + omb * b
+            l = lNew
+            s(dow) = gamma * (x - lNew) + omg * sel
+            HwRow(k, d, x, l, b, s(dow), f)
+          }
+        }
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("d").as(day), col("x").as(measure),
+        col("level"), col("trend"), col("seasonal"), col("forecast"))
+  }
+
   /** Two-sided CUSUM change-point statistic per key — the sequential
     * drift detector EWMA-style smoothing can't express: accumulate
     * deviations beyond an allowance `k` around a reference mean `mu`,
@@ -270,3 +326,7 @@ case class HoltRow(k: String, d: Long, x: Double, level: Double,
 /** Output row of [[TimeSeries.cusum]]. */
 case class CusumRow(k: String, d: Long, x: Double, s_pos: Double,
                     s_neg: Double)
+
+/** Output row of [[TimeSeries.holtWintersAdditive]]. */
+case class HwRow(k: String, d: Long, x: Double, level: Double,
+                 trend: Double, seasonal: Double, forecast: Double)

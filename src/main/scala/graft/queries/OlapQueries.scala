@@ -1803,7 +1803,32 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q243 — Holt–Winters additive seasonal forecast on daily nation
+    * revenue ([[graft.ops.TimeSeries.holtWintersAdditive]]): completes
+    * the smoothing ladder q127 (EWMA, level) → q164 (Holt, +trend) →
+    * here (+weekly seasonality) — the first member that can FORECAST a
+    * day-of-week-periodic series instead of lagging it (q156 showed the
+    * dow signal exists; q239's Ljung–Box shows it is non-noise). The
+    * seasonal state is indexed by CALENDAR day-mod-7, so observation
+    * gaps can't rotate the season; the oracle replays the recursion as
+    * a recursive CTE carrying all seven seasonal slots, bit-identical
+    * doubles per the q164/q197 contract. */
+  val q243: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("double").as("revenue"))
+    TimeSeries.holtWintersAdditive(daily, "nation", "day", "revenue",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, period = 7)
+      .select(col("nation"), col("day"), col("revenue"),
+        qround(col("level"), 6).as("level"),
+        qround(col("trend"), 6).as("trend"),
+        qround(col("seasonal"), 6).as("seasonal"),
+        qround(col("forecast"), 6).as("forecast"))
+      .orderBy("nation", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q243_holt_winters" -> q243,
     "q238_concentration" -> q238,
     "q239_acf_ljungbox" -> q239,
     "q235_table_diff" -> q235,
@@ -2019,7 +2044,63 @@ object OlapQueries {
        |FROM f ORDER BY nation""".stripMargin
   }
 
+  /** q243 oracle: the Holt–Winters recursion replayed as a recursive
+    * CTE carrying all seven seasonal slots (generated — one CASE per
+    * slot), multiply-add chains textually mirroring the engine fold. */
+  private def holtWintersOracle: String = {
+    val a = "CAST(0.3 AS DOUBLE)"
+    val b = "CAST(0.1 AS DOUBLE)"
+    val g = "CAST(0.2 AS DOUBLE)"
+    val one = "CAST(1.0 AS DOUBLE)"
+    val zeros = (0 to 6)
+      .map(j => s"CAST(0.0 AS DOUBLE) AS s$j").mkString(", ")
+    val prevS = (0 to 6).map(j => s"rec.s$j AS s${j}_prev").mkString(",\n|             ")
+    val selCase = "CASE idx.dow " +
+      (0 to 6).map(j => s"WHEN $j THEN rec.s$j").mkString(" ") + " END"
+    val sUpd = (0 to 6).map { j =>
+      s"""CASE WHEN dow = $j THEN $g * (revenue - l_new) + ($one - $g) * sel
+         |           ELSE s${j}_prev END""".stripMargin
+    }.mkString(",\n|         ")
+    val outSeason = "CASE dow " +
+      (0 to 6).map(j => s"WHEN $j THEN s$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE idx AS (
+       |  SELECT nation, day, revenue, day % 7 AS dow,
+       |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+       |  FROM (SELECT n_name AS nation,
+       |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+       |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+       |            AS revenue
+       |        $nationOrdersSql
+       |        GROUP BY 1, 2)),
+       |rec AS (
+       |  SELECT nation, day, revenue, dow, i, revenue AS l,
+       |         CAST(0.0 AS DOUBLE) AS b, $zeros, revenue AS f
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT nation, day, revenue, dow, i, l_new,
+       |         $b * (l_new - l_prev) + ($one - $b) * b_prev,
+       |         $sUpd,
+       |         f
+       |  FROM (SELECT q.*,
+       |          $a * (q.revenue - q.sel)
+       |            + ($one - $a) * (q.l_prev + q.b_prev) AS l_new,
+       |          q.l_prev + q.b_prev + q.sel AS f
+       |        FROM (SELECT idx.nation, idx.day, idx.revenue, idx.dow,
+       |             idx.i, rec.l AS l_prev, rec.b AS b_prev,
+       |             $prevS,
+       |             $selCase AS sel
+       |           FROM idx JOIN rec ON idx.nation = rec.nation
+       |                            AND idx.i = rec.i + 1) q))
+       |SELECT nation, day, revenue,
+       |  ${graft.functions.GraftFunctions.qroundSql("l", 6)} AS level,
+       |  ${graft.functions.GraftFunctions.qroundSql("b", 6)} AS trend,
+       |  ${graft.functions.GraftFunctions.qroundSql(outSeason, 6)} AS seasonal,
+       |  ${graft.functions.GraftFunctions.qroundSql("f", 6)} AS forecast
+       |FROM rec ORDER BY nation, day""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q243_holt_winters" -> holtWintersOracle,
     "q238_concentration" ->
       """WITH s AS (
         |  SELECT n_name AS nation, l_suppkey,

@@ -711,7 +711,53 @@ object TextQueries {
       .orderBy("min_agree")
   }
 
+  /** q242 — asymmetric CONTAINMENT near-dup audit: ordered pairs where
+    * ≥ 80 % of the smaller document's 3-gram shingles live inside the
+    * other document — the subset-duplicate class (quote blocks,
+    * truncated re-crawls, doc-inside-concatenation) that symmetric
+    * Jaccard dedup (q26/q27/q73) structurally under-scores: J =
+    * |A∩B|/|A∪B| ≤ |A|/|B| however complete the containment, so a short
+    * doc swallowed by a long one sails under every Jaccard threshold.
+    * `jaccard_blind` marks exactly those pairs (containment ≥ 0.8 but
+    * J < 0.5) — the rows a Jaccard-only ledger misses. Same sparse
+    * inverted-index co-occurrence join as q45, with the same
+    * document-frequency cap as the quadratic-tail guard (shingles in
+    * > 100 docs carry no discrimination and are dropped from join AND
+    * denominators, so the ratio lives in one consistent space); all
+    * ratios exact integer ppm. Scale path: the df-cap bounds each
+    * posting list, so the pair stream is Σ df² over CAPPED lists —
+    * never |docs|². */
+  val q242: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val sh = graft.text.TextAnalysis.shingles(docs, "doc_id", "text", 3)
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("shingle"),
+      Seq("shingle"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(kept.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("containment_ppm",
+        expr("cast((2 * inter * 1000000 + na) div (2 * na) as bigint)"))
+      .withColumn("jaccard_ppm",
+        expr("cast((2 * inter * 1000000 + (na + nb - inter)) div (2 * (na + nb - inter)) as bigint)"))
+      .filter(col("containment_ppm") >= 800000L)
+      .withColumn("jaccard_blind", col("jaccard_ppm") < 500000L)
+      .select("id_a", "id_b", "na", "nb", "inter", "containment_ppm",
+        "jaccard_ppm", "jaccard_blind")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q242_containment_dups" -> q242,
     "q230_dedup_threshold_sweep" -> q230,
     "q223_word_associations" -> q223,
     "q224_heaps_vocab_growth" -> q224,
@@ -872,6 +918,42 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q242_containment_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS shingle
+        |  FROM t),
+        |keptsh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |  WHERE df <= 100),
+        |kept AS (SELECT doc_id, shingle FROM sh JOIN keptsh USING (shingle)),
+        |sizes AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, sa.n AS na, sb.n AS nb, inter,
+        |    CAST((2 * inter * 1000000 + sa.n) // (2 * sa.n) AS BIGINT)
+        |      AS containment_ppm,
+        |    CAST((2 * inter * 1000000 + (sa.n + sb.n - inter))
+        |      // (2 * (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_ppm
+        |  FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id)
+        |SELECT id_a, id_b, na, nb, inter, containment_ppm, jaccard_ppm,
+        |  (jaccard_ppm < 500000) AS jaccard_blind
+        |FROM j WHERE containment_ppm >= 800000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q230_dedup_threshold_sweep" ->
       s"""WITH $lshBandsCte,
          |cands AS (
