@@ -724,7 +724,116 @@ object AnalyticsQueries {
       .orderBy("pctl")
   }
 
+  /** q246 — degree assortativity of the co-purchase graph: Pearson r
+    * between the endpoint degrees over the (symmetrized) edge list —
+    * THE one-scalar mixing diagnostic (hub-to-hub r>0 vs hub-to-leaf
+    * r<0) that says whether q49/q175's iterative walks face a core-
+    * periphery or a decentralized topology. Degrees are exact integer
+    * counts on the memoized [[SharedFrames.coPurchaseEdges]]; all five
+    * sufficient statistics are exact DECIMAL(38,0)/HUGEINT integer
+    * sums (q239's pattern), so r is one textually-mirrored IEEE
+    * formula — two sqrt, one divide — over engine-identical integers.
+    * Two broadcast-sized degree joins; no new exchange beyond them. */
+  val q246: Q = (spark, dir) => {
+    val edges = SharedFrames.coPurchaseEdges(spark, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val st = edges
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx").cast("decimal(38,0)") * col("dy"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx").cast("decimal(38,0)") * col("dx"))
+          .cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy").cast("decimal(38,0)") * col("dy"))
+          .cast("decimal(38,0)")).as("syy"))
+    st.select(col("m").as("n_edges"),
+      qround(expr("cast(m * sxy - sx * sy as double)") /
+        (sqrt(expr("cast(m * sxx - sx * sx as double)")) *
+         sqrt(expr("cast(m * syy - sy * sy as double)"))), 6)
+        .as("assortativity"))
+  }
+
+  /** q248 — CUPED variance-reduced A/B readout: adjust each user's
+    * post-period metric by their PRE-period covariate (Yadj = Y −
+    * θ·(X − X̄), θ = cov(X,Y)/var(X)) before differencing the arms —
+    * the industry-standard sensitivity fix (Deng et al. 2013) that
+    * completes the experimentation stack (q131 z-test, q222 DiD, q233
+    * QTE): same point estimate in expectation, at a fraction of the
+    * variance, because pre-period behavior soaks up user-level noise.
+    * Everything rides exact integer MICRO-units: per-user means
+    * quantize to 6 dp once (the only per-user divides), every
+    * sufficient statistic is a DECIMAL(38,0)/HUGEINT integer sum, θ is
+    * one mirrored IEEE divide, each Yadj re-quantizes to a whole micro
+    * before the arm sums, and the arm means use the (2·Σ+n) div (2n)
+    * half-up idiom — no distributed double sum anywhere. The
+    * `var_reduction` column is the measured payoff: var(Yadj)/var(Y)
+    * over the experiment population. */
+  val q248: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), (col("user_id") % 2 === 0).as("treated"),
+        col("ts"), qdec(col("value"), 7, 2).as("v"))
+    def userMeanMicro(df: DataFrame, out: String): DataFrame =
+      df.groupBy("user_id", "treated")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+        // micro-units straight from the floor — qround's /10⁶ then ×10⁶
+        // would round-trip through an inexact double and can lose an ulp
+        .select(col("user_id"), col("treated"),
+          floor(col("sv").cast("double") / col("nv").cast("double")
+            * lit(1000000.0) + lit(0.5)).as(out))
+    val u = userMeanMicro(e.filter(col("ts") < cutNs), "x")
+      .join(userMeanMicro(e.filter(col("ts") >= cutNs), "y")
+        .drop("treated"), Seq("user_id"))
+    val glob = u.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .withColumn("theta", qround(
+        expr("cast(n * sxy - sx * sy as double)") /
+        expr("cast(n * sxx - sx * sx as double)"), 6))
+      .withColumn("xbar_micro",
+        expr("cast((2 * sx + n) div (2 * cast(n as decimal(38,0))) as bigint)"))
+    val adj = u.crossJoin(broadcast(glob.select("theta", "xbar_micro")))
+      .withColumn("yadj", qround(col("y").cast("double") - col("theta") *
+        (col("x").cast("double") - col("xbar_micro").cast("double")), 0)
+        .cast("long"))
+    val arms = adj.groupBy("treated")
+      .agg(count(lit(1)).as("na"),
+        sum(col("y").cast("decimal(38,0)")).as("sya"),
+        sum(col("yadj").cast("decimal(38,0)")).as("saa"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).as("syya"),
+        sum((col("yadj").cast("decimal(38,0)") * col("yadj"))
+          .cast("decimal(38,0)")).as("saaa"))
+    val t = arms.filter(col("treated"))
+      .select(col("na").as("nt"), col("sya").as("syt"),
+        col("saa").as("sat"), col("syya").as("syyt"),
+        col("saaa").as("saat"))
+    val c0 = arms.filter(!col("treated"))
+      .select(col("na").as("nc"), col("sya").as("syc"),
+        col("saa").as("sac"), col("syya").as("syyc"),
+        col("saaa").as("saac"))
+    t.crossJoin(c0).crossJoin(broadcast(glob.select("n", "theta")))
+      .select(col("n").as("n_users"), col("theta"),
+        expr("cast((2 * syt + nt) div (2 * cast(nt as decimal(38,0))) - (2 * syc + nc) div (2 * cast(nc as decimal(38,0))) as bigint)")
+          .as("diff_raw_micro"),
+        expr("cast((2 * sat + nt) div (2 * cast(nt as decimal(38,0))) - (2 * sac + nc) div (2 * cast(nc as decimal(38,0))) as bigint)")
+          .as("diff_cuped_micro"),
+        qround(
+          expr("cast(n * (saat + saac) - (sat + sac) * (sat + sac) as double)") /
+          expr("cast(n * (syyt + syyc) - (syt + syc) * (syt + syc) as double)"),
+          6).as("var_reduction"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q246_assortativity" -> q246,
+    "q248_cuped" -> q248,
     "q233_quantile_effect" -> q233,
     "q231_cohort_ltv" -> q231,
     "q226_bandit_replay" -> q226,
@@ -894,6 +1003,90 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q246_assortativity" ->
+      """WITH pair AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM pair
+        |          UNION ALL SELECT dst, src FROM pair),
+        |deg AS (SELECT src, CAST(count(*) AS HUGEINT) AS d
+        |        FROM edges GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    SUM(dx.d) AS sx, SUM(dy.d) AS sy,
+        |    SUM(dx.d * dy.d) AS sxy,
+        |    SUM(dx.d * dx.d) AS sxx,
+        |    SUM(dy.d * dy.d) AS syy
+        |  FROM edges e
+        |  JOIN deg dx ON dx.src = e.src
+        |  JOIN deg dy ON dy.src = e.dst)
+        |SELECT m AS n_edges,
+        |  floor((CAST(m * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(m * syy - sy * sy AS DOUBLE)))) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS assortativity
+        |FROM st""".stripMargin,
+    "q248_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id, user_id % 2 = 0 AS treated, epoch_ns(ts) AS tns,
+        |    CAST(floor("value" * 100.0 + 0.5) / 100.0 AS DECIMAL(7,2)) AS v
+        |  FROM events),
+        |pre AS (
+        |  SELECT user_id, treated,
+        |    CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS x
+        |  FROM e WHERE tns < 1705363200000000000 GROUP BY 1, 2),
+        |post AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM e WHERE tns >= 1705363200000000000 GROUP BY 1),
+        |u AS (
+        |  SELECT pre.user_id, pre.treated, pre.x, post.y
+        |  FROM pre JOIN post ON pre.user_id = post.user_id),
+        |gx AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM u),
+        |gx2 AS (
+        |  SELECT n, sx, sy, sxy, sxx,
+        |    floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS theta,
+        |    CAST((2 * sx + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+        |      AS xbar_micro
+        |  FROM gx),
+        |adj AS (
+        |  SELECT u.treated, u.y,
+        |    CAST(floor((CAST(u.y AS DOUBLE) - g.theta *
+        |      (CAST(u.x AS DOUBLE) - CAST(g.xbar_micro AS DOUBLE)))
+        |      * 1.0 + 0.5) / 1.0 AS BIGINT) AS yadj
+        |  FROM u CROSS JOIN gx2 g),
+        |arms AS (
+        |  SELECT treated, CAST(count(*) AS BIGINT) AS na,
+        |    SUM(CAST(y AS HUGEINT)) AS sya,
+        |    SUM(CAST(yadj AS HUGEINT)) AS saa,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syya,
+        |    SUM(CAST(yadj AS HUGEINT) * yadj) AS saaa
+        |  FROM adj GROUP BY 1),
+        |t AS (SELECT na AS nt, sya AS syt, saa AS sat, syya AS syyt,
+        |        saaa AS saat FROM arms WHERE treated),
+        |c AS (SELECT na AS nc, sya AS syc, saa AS sac, syya AS syyc,
+        |        saaa AS saac FROM arms WHERE NOT treated)
+        |SELECT g.n AS n_users, g.theta,
+        |  CAST((2 * syt + nt) // (2 * CAST(nt AS HUGEINT))
+        |    - (2 * syc + nc) // (2 * CAST(nc AS HUGEINT)) AS BIGINT)
+        |    AS diff_raw_micro,
+        |  CAST((2 * sat + nt) // (2 * CAST(nt AS HUGEINT))
+        |    - (2 * sac + nc) // (2 * CAST(nc AS HUGEINT)) AS BIGINT)
+        |    AS diff_cuped_micro,
+        |  floor((CAST(g.n * (saat + saac) - (sat + sac) * (sat + sac)
+        |      AS DOUBLE) /
+        |    CAST(g.n * (syyt + syyc) - (syt + syc) * (syt + syc)
+        |      AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS var_reduction
+        |FROM t CROSS JOIN c CROSS JOIN gx2 g""".stripMargin,
     "q233_quantile_effect" -> qteOracle,
     "q231_cohort_ltv" ->
       """WITH d AS (

@@ -1827,7 +1827,38 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  /** q247 — maximum drawdown of daily nation revenue: the largest
+    * peak-to-trough collapse of the series (running max, then the
+    * worst percentage drop from it) — the risk statistic that answers
+    * "how bad did it get, at its worst" where q197's CUSUM answers
+    * "when did it shift"; the pair is the monitoring duo every revenue
+    * dashboard wants. Entirely exact integers: cents ride
+    * DECIMAL(38,0), the running peak is one bounded window max over
+    * the calendar-sized daily frame, each day's drawdown is integer
+    * ppm via the half-up div idiom, and the argmax trough pins its tie
+    * to the EARLIEST day (row_number over (dd desc, day)) in both
+    * engines. */
+  val q247: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        (col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+          .as("xc"))
+    val wPeak = Window.partitionBy("nation").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("peak", max(col("xc")).over(wPeak))
+      .withColumn("dd_ppm",
+        expr("cast((2 * (peak - xc) * 1000000 + peak) div (2 * peak) as bigint)"))
+      .withColumn("rk", row_number().over(Window.partitionBy("nation")
+        .orderBy(col("dd_ppm").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("nation"), col("day").as("trough_day"),
+        col("xc").as("trough_cents"), col("peak").as("peak_cents"),
+        col("dd_ppm").as("max_drawdown_ppm"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q247_max_drawdown" -> q247,
     "q243_holt_winters" -> q243,
     "q238_concentration" -> q238,
     "q239_acf_ljungbox" -> q239,
@@ -2100,6 +2131,35 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q247_max_drawdown" ->
+      s"""WITH daily AS (
+         |  SELECT nation, day,
+         |    CAST(CAST(SUM(p) AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |            AS DECIMAL(18,2)) AS p
+         |        $nationOrdersSql)
+         |  GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT nation, day, xc,
+         |    MAX(xc) OVER (PARTITION BY nation ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS peak
+         |  FROM daily),
+         |r AS (
+         |  SELECT nation, day, xc, peak,
+         |    CAST((2 * (peak - xc) * 1000000 + peak) // (2 * peak)
+         |      AS BIGINT) AS dd_ppm
+         |  FROM dd),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY nation
+         |    ORDER BY dd_ppm DESC, day) AS rk
+         |  FROM r)
+         |SELECT nation, day AS trough_day,
+         |  CAST(xc AS DECIMAL(38,0)) AS trough_cents,
+         |  CAST(peak AS DECIMAL(38,0)) AS peak_cents,
+         |  dd_ppm AS max_drawdown_ppm
+         |FROM rk WHERE rk = 1 ORDER BY nation""".stripMargin,
     "q243_holt_winters" -> holtWintersOracle,
     "q238_concentration" ->
       """WITH s AS (

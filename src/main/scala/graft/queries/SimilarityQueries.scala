@@ -7,6 +7,7 @@ import graft.functions.GraftFunctions.{qdec, qround}
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -430,7 +431,91 @@ object SimilarityQueries {
       .orderBy("q_id")
   }
 
+  /** q244 — leave-one-out kNN classification audit: every vector is
+    * classified by the majority label of its 5 cosine-nearest OTHER
+    * vectors, scored against its own label — the zero-training probe of
+    * "does this embedding space separate the classes", the go/no-go
+    * check before anything downstream trusts the labels or the space.
+    * Votes tie-break (count desc, label asc) and neighbor ranking
+    * tie-breaks (cos desc, n_id), both mirrored in the oracle, so the
+    * prediction is total-order deterministic. Per-label accuracy in
+    * exact integer ppm. Execution is the q201 brute-force shape (one
+    * side broadcast, one in-row fold per pair, WindowGroupLimit top-5);
+    * the corpus-scale swap is q32's LSH bucketing feeding the same vote. */
+  val q244: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"))
+      .withColumn("a_norm", l2norm(col("a_emb")))
+    val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("n_id") =!= col("a_id"))
+      .withColumn("cos",
+        cosine6(col("a_emb"), col("n_emb"), col("a_norm"), col("n_norm")))
+    val top5 = perKeyTopK(scored, "a_id", Seq(col("cos").desc, col("n_id")), 5)
+    val pred = top5.groupBy("a_id", "a_label", "n_label")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("rk", row_number().over(Window.partitionBy("a_id")
+        .orderBy(col("v").desc, col("n_label"))))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_label") === col("a_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy_ppm",
+        expr("cast((2 * n_correct * 1000000 + n) div (2 * n) as bigint)"))
+      .orderBy("label")
+  }
+
+  /** q245 — label silhouette (clustering-quality score on the GIVEN
+    * labels): per vector, a = mean cosine distance to its own label's
+    * other members, b = the closest OTHER label's mean distance,
+    * s = (b−a)/max(a,b) ∈ [−1,1] — the geometry-level answer to the
+    * question q244 answers behaviorally (a label can be 95 % kNN-
+    * accurate yet nearly touching its neighbor — silhouette says how
+    * much margin is left). Per-(vector, label) mean distances come from
+    * exact decimal sums of the 6dp cosines, are quantized once, and
+    * every downstream op (min, max, one divide) is order-free — no
+    * distributed Σ of raw doubles anywhere. Singleton-label vectors
+    * have no `a` and drop via the inner join, mirrored by the oracle. */
+  val q245: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"))
+      .withColumn("a_norm", l2norm(col("a_emb")))
+    val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("n_emb"))
+      .withColumn("n_norm", l2norm(col("n_emb")))
+    val grp = c.crossJoin(broadcast(a))
+      .filter(col("n_id") =!= col("a_id"))
+      .withColumn("cos",
+        cosine6(col("a_emb"), col("n_emb"), col("a_norm"), col("n_norm")))
+      .groupBy("a_id", "a_label", "n_label")
+      .agg(sum(col("cos").cast("decimal(9,6)")).as("sc"),
+        count(lit(1)).as("nc"))
+      .withColumn("mdist", qround(lit(1.0) -
+        col("sc").cast("double") / col("nc").cast("double"), 6))
+    val own = grp.filter(col("n_label") === col("a_label"))
+      .select(col("a_id"), col("a_label"), col("mdist").as("a_dist"))
+    val other = grp.filter(col("n_label") =!= col("a_label"))
+      .groupBy("a_id").agg(min(col("mdist")).as("b_dist"))
+    own.join(other, "a_id")
+      .withColumn("sil", qround((col("b_dist") - col("a_dist")) /
+        greatest(col("a_dist"), col("b_dist")), 6).cast("decimal(9,6)"))
+      .groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n"),
+        qround(sum(col("sil")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_silhouette"),
+        min(col("sil")).cast("double").as("min_silhouette"),
+        max(col("sil")).cast("double").as("max_silhouette"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q244_knn_loo_accuracy" -> q244,
+    "q245_label_silhouette" -> q245,
     "q232_truncation_recall" -> q232,
     "q192_ann_ivf_fixed" -> q192,
     "q30_knn_bruteforce" -> q30,
@@ -449,7 +534,76 @@ object SimilarityQueries {
     "q34_rfm_features" -> q34,
     "q35_kmeans_segments" -> q35)
 
+  // Shared all-pairs cosine prefix for the q244/q245 label audits.
+  private val allPairsCosCte =
+    """v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS n_id,
+      |    c.label AS n_label,
+      |    floor((list_dot_product(a.e, c.e) / (a.nrm * c.nrm))
+      |      * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM v a JOIN v c ON c.vec_id <> a.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q244_knn_loo_accuracy" ->
+      s"""WITH $allPairsCosCte,
+         |top5 AS (
+         |  SELECT * FROM (
+         |    SELECT a_id, a_label, n_label,
+         |      row_number() OVER (PARTITION BY a_id
+         |        ORDER BY cos DESC, n_id) AS r
+         |    FROM scored) WHERE r <= 5),
+         |votes AS (
+         |  SELECT a_id, a_label, n_label, count(*) AS v
+         |  FROM top5 GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT * FROM (
+         |    SELECT a_id, a_label, n_label,
+         |      row_number() OVER (PARTITION BY a_id
+         |        ORDER BY v DESC, n_label) AS rk
+         |    FROM votes) WHERE rk = 1),
+         |acc AS (
+         |  SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN n_label = a_label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM pred GROUP BY 1)
+         |SELECT label, n, n_correct,
+         |  CAST((2 * CAST(n_correct AS HUGEINT) * 1000000 + n)
+         |    // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS accuracy_ppm
+         |FROM acc ORDER BY label""".stripMargin,
+    "q245_label_silhouette" ->
+      s"""WITH $allPairsCosCte,
+         |grp AS (
+         |  SELECT a_id, a_label, n_label,
+         |    SUM(CAST(cos AS DECIMAL(9,6))) AS sc,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM scored GROUP BY 1, 2, 3),
+         |md AS (
+         |  SELECT a_id, a_label, n_label,
+         |    floor((1.0 - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS mdist
+         |  FROM grp),
+         |own AS (
+         |  SELECT a_id, a_label, mdist AS a_dist FROM md
+         |  WHERE n_label = a_label),
+         |oth AS (
+         |  SELECT a_id, MIN(mdist) AS b_dist FROM md
+         |  WHERE n_label <> a_label GROUP BY 1),
+         |s AS (
+         |  SELECT o.a_label,
+         |    CAST(floor(((b_dist - a_dist) / greatest(a_dist, b_dist))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(9,6)) AS sil
+         |  FROM own o JOIN oth USING (a_id))
+         |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n,
+         |  floor((CAST(SUM(sil) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette,
+         |  CAST(MIN(sil) AS DOUBLE) AS min_silhouette,
+         |  CAST(MAX(sil) AS DOUBLE) AS max_silhouette
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q232_truncation_recall" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e

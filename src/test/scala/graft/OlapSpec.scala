@@ -72,11 +72,20 @@ class OlapSpec extends AnyFunSuite {
 
   test("q121 windows over the aggregated frame, not fact rows") {
     val p = plan("q121_moving_revenue")
-    // map-side partial agg, then the window's exchange keys only the
-    // (nation)-partitioned DAILY frame — fact rows never sort
-    assert(p.contains("partial_sum"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
     assert(!p.contains("SortMergeJoin"))
+    if (p.contains("InMemoryTableScan")) {
+      // the memoized SharedFrames daily frame was already materialized
+      // by another suite in this JVM — the cached dump carries its own
+      // exchanges, so pin only q121's OWN shape above the cache: one
+      // window exchange, fact rows never sorted here
+      val above = p.split("InMemoryRelation")(0)
+      assert("Exchange hashpartitioning".r.findAllIn(above).size == 1, above)
+    } else {
+      // cold path: map-side partial agg, then the window's exchange
+      // keys only the (nation)-partitioned DAILY frame
+      assert(p.contains("partial_sum"))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    }
   }
 
   test("q123 slice filter sits below the Expand, at the scan") {
