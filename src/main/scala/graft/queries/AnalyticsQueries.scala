@@ -831,7 +831,50 @@ object AnalyticsQueries {
           6).as("var_reduction"))
   }
 
+  /** q252 — A/B sample-size planner: the power calculation that turns
+    * q248's measured metric variance into "how many users per arm do we
+    * need to detect a 1 % lift at α = 0.05, power = 0.80" — the
+    * question every experiment review asks FIRST, answered from the
+    * data the platform already has. Per-user post-period means ride
+    * q248's exact integer micro-units; the variance numerator
+    * n·Σy² − (Σy)² is an exact DECIMAL(38,0)/HUGEINT integer; the MDE
+    * (1 % of the overall mean) is an exact half-up integer; the final
+    * n = ⌈2·(z_α/2+z_β)²·σ²/δ²⌉ is one textually-mirrored IEEE formula
+    * over those exact operands with the z constants as shared literals
+    * (1.96·0.8416 kept unfolded, the q228 discipline). */
+  val q252: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val y = Tables.events(spark, dir)
+      .filter(col("ts") >= cutNs)
+      .select(col("user_id"), qdec(col("value"), 7, 2).as("v"))
+      .groupBy("user_id")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .select(floor(col("sv").cast("double") / col("nv").cast("double")
+        * lit(1000000.0) + lit(0.5)).as("y"))
+    val st = y.agg(count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("y").cast("decimal(38,0)") * col("y"))
+        .cast("decimal(38,0)")).as("syy"))
+    st.select(col("n").as("n_users"),
+        expr("cast((2 * sy + n) div (2 * cast(n as decimal(38,0))) as bigint)")
+          .as("mean_micro"),
+        expr("cast((2 * sy + 100 * n) div (200 * cast(n as decimal(38,0))) as bigint)")
+          .as("mde_micro"),
+        // micro² variances run ~10¹³ — a 6dp quantization would push
+        // x·10⁶ past Long.Max where Spark's floor SATURATES (silent
+        // +inf-like clamp); integer resolution keeps the quantizer in
+        // range with 10⁻¹³ relative precision
+        qround(expr("cast(n * syy - sy * sy as double)") /
+          expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)"), 0)
+          .as("var_micro2"))
+      .withColumn("n_per_arm",
+        ceil(lit(2.0) * ((lit(1.96) + lit(0.8416)) * (lit(1.96) + lit(0.8416))) *
+          (col("var_micro2") /
+            (col("mde_micro").cast("double") * col("mde_micro").cast("double")))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q252_sample_size" -> q252,
     "q246_assortativity" -> q246,
     "q248_cuped" -> q248,
     "q233_quantile_effect" -> q233,
@@ -1003,6 +1046,36 @@ object AnalyticsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q252_sample_size" ->
+      """WITH y AS (
+        |  SELECT CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM (SELECT user_id,
+        |          CAST(floor("value" * 100.0 + 0.5) / 100.0
+        |            AS DECIMAL(7,2)) AS v
+        |        FROM events
+        |        WHERE epoch_ns(ts) >= 1705363200000000000)
+        |  GROUP BY user_id),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM y),
+        |f AS (
+        |  SELECT n AS n_users,
+        |    CAST((2 * sy + n) // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+        |      AS mean_micro,
+        |    CAST((2 * sy + 100 * n) // (200 * CAST(n AS HUGEINT))
+        |      AS BIGINT) AS mde_micro,
+        |    floor((CAST(n * syy - sy * sy AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+        |      * 1.0 + 0.5) / 1.0 AS var_micro2
+        |  FROM st)
+        |SELECT n_users, mean_micro, mde_micro, var_micro2,
+        |  CAST(ceil(2.0 * ((1.96 + 0.8416) * (1.96 + 0.8416)) *
+        |    (var_micro2 / (CAST(mde_micro AS DOUBLE)
+        |      * CAST(mde_micro AS DOUBLE)))) AS BIGINT) AS n_per_arm
+        |FROM f""".stripMargin,
     "q246_assortativity" ->
       """WITH pair AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -1857,7 +1857,97 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q250 — hierarchical forecast reconciliation (bottom-up vs direct):
+    * region-level daily forecasts computed BOTH ways — Σ of the member
+    * nations' Holt forecasts, and Holt run directly on the
+    * region-aggregated series — with the reconciliation gap between
+    * them. Aggregation and nonlinear smoothing do not commute, so the
+    * two legitimately disagree; the gap IS the business readout (a
+    * planner publishing region totals that don't equal the sum of its
+    * nation plans gets called out in the first review). Bottom-up sums
+    * ride exact DECIMAL(18,6) over the once-quantized nation forecasts;
+    * the direct series reuses the same decimal daily frame re-summed
+    * (decimal addition is associative, so region revenue is exactly the
+    * Σ of nation revenue); both recursions carry the q164 bit-identical
+    * double contract into a twin recursive-CTE oracle. */
+  val q250: Q = (spark, dir) => {
+    val natRegion = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("nation"), col("r_name").as("region"))
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+    val natF = TimeSeries.holtLinear(
+        daily.select(col("nation"), col("day"),
+          col("rev").cast("double").as("revenue")),
+        "nation", "day", "revenue", alpha = 0.3, beta = 0.1)
+      .select(col("nation"), col("day"),
+        graft.functions.GraftFunctions.qdec(col("forecast"), 18, 6)
+          .as("f6"))
+      .join(broadcast(natRegion), Seq("nation"))
+    val bu = natF.groupBy("region", "day")
+      .agg(count(lit(1)).as("n_nations"), sum(col("f6")).as("f_bu"))
+    val regDaily = daily.join(broadcast(natRegion), Seq("nation"))
+      .groupBy("region", "day").agg(sum(col("rev")).as("rrev"))
+    val direct = TimeSeries.holtLinear(
+        regDaily.select(col("region"), col("day"),
+          col("rrev").cast("double").as("revenue")),
+        "region", "day", "revenue", alpha = 0.3, beta = 0.1)
+      .select(col("region"), col("day"),
+        qround(col("forecast"), 6).as("f_direct"))
+    bu.join(direct, Seq("region", "day"))
+      .select(col("region"), col("day"), col("n_nations"),
+        col("f_bu").cast("double").as("f_bottom_up"), col("f_direct"),
+        qround(col("f_bu").cast("double") - col("f_direct"), 6)
+          .as("recon_gap"))
+      .orderBy("region", "day")
+  }
+
+  /** q251 — winsorized metric readout: per event type, the mean of the
+    * value capped at its own p95/p99 order statistic — the robust
+    * metric form every experimentation platform reports, because one
+    * whale purchase otherwise owns the average (q109 flags the whales;
+    * this is how the metric survives them). Caps come from the q167
+    * distinct-value cumulative walk (`min v : 20·cum ≥ 19·tot` — pure
+    * integer thresholds, no interpolation ambiguity), values are 2dp
+    * decimals, the capped sums are exact decimal conditional sums, and
+    * the means are one audited divide each. The capped fraction rides
+    * along in exact ppm. */
+  val q251: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), qdec(col("value"), 7, 2).as("v"))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val caps = e.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 20 >= col("tot") * 19, col("v")))
+          .as("cap95"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("v")))
+          .as("cap99"))
+    e.join(broadcast(caps), Seq("event_type"))
+      .groupBy("event_type", "cap95", "cap99")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(least(col("v"), col("cap95"))).as("sw95"),
+        sum(least(col("v"), col("cap99"))).as("sw99"),
+        sum(when(col("v") > col("cap95"), 1L).otherwise(0L)).as("nc95"))
+      .select(col("event_type"), col("n"), col("cap95"), col("cap99"),
+        qround(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_raw"),
+        qround(col("sw95").cast("double") / col("n").cast("double"), 6)
+          .as("mean_wins95"),
+        qround(col("sw99").cast("double") / col("n").cast("double"), 6)
+          .as("mean_wins99"),
+        expr("cast((2 * nc95 * 1000000 + n) div (2 * n) as bigint)")
+          .as("capped95_ppm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q250_forecast_reconciliation" -> q250,
+    "q251_winsorized_means" -> q251,
     "q247_max_drawdown" -> q247,
     "q243_holt_winters" -> q243,
     "q238_concentration" -> q238,
@@ -2130,7 +2220,105 @@ object OlapQueries {
        |FROM rec ORDER BY nation, day""".stripMargin
   }
 
+  /** One Holt recursion chain for [[q250]]'s twin-level oracle (the
+    * q164 recursion parameterized by key column and base CTE name). */
+  private def holtChainCte(idx: String, rec: String, key: String): String =
+    s"""$rec AS (
+       |  SELECT $key, day, revenue, i, revenue AS l,
+       |         CAST(0.0 AS DOUBLE) AS b
+       |  FROM $idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT $key, day, revenue, i, l_new,
+       |         CAST(0.1 AS DOUBLE) * (l_new - l_prev)
+       |           + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * b_prev
+       |  FROM (SELECT i2.$key, i2.day, i2.revenue, i2.i,
+       |          r2.l AS l_prev, r2.b AS b_prev,
+       |          CAST(0.3 AS DOUBLE) * i2.revenue
+       |            + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+       |              * (r2.l + r2.b) AS l_new
+       |        FROM $idx i2 JOIN $rec r2 ON i2.$key = r2.$key
+       |                         AND i2.i = r2.i + 1))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q250_forecast_reconciliation" ->
+      s"""WITH RECURSIVE idxn AS (
+         |  SELECT nation, day, revenue,
+         |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+         |            AS revenue
+         |        $nationOrdersSql
+         |        GROUP BY 1, 2)),
+         |${holtChainCte("idxn", "recn", "nation")},
+         |idxr AS (
+         |  SELECT region, day, revenue,
+         |         row_number() OVER (PARTITION BY region ORDER BY day) AS i
+         |  FROM (SELECT r_name AS region,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+         |            AS revenue
+         |        $nationOrdersSql
+         |        JOIN region ON n_regionkey = r_regionkey
+         |        GROUP BY 1, 2)),
+         |${holtChainCte("idxr", "recr", "region")},
+         |nf AS (
+         |  SELECT nation, day,
+         |    CAST(floor((l + b) * 1000000.0 + 0.5) / 1000000.0
+         |      AS DECIMAL(18,6)) AS f6
+         |  FROM recn),
+         |nr AS (SELECT n_name AS nation, r_name AS region
+         |       FROM nation JOIN region ON n_regionkey = r_regionkey),
+         |bu AS (
+         |  SELECT region, day, CAST(count(*) AS BIGINT) AS n_nations,
+         |    SUM(f6) AS f_bu
+         |  FROM nf JOIN nr USING (nation) GROUP BY 1, 2),
+         |dir AS (
+         |  SELECT region, day,
+         |    floor((l + b) * 1000000.0 + 0.5) / 1000000.0 AS f_direct
+         |  FROM recr)
+         |SELECT bu.region, bu.day, n_nations,
+         |  CAST(f_bu AS DOUBLE) AS f_bottom_up, f_direct,
+         |  floor((CAST(f_bu AS DOUBLE) - f_direct) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS recon_gap
+         |FROM bu JOIN dir ON bu.region = dir.region AND bu.day = dir.day
+         |ORDER BY bu.region, bu.day""".stripMargin,
+    "q251_winsorized_means" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor("value" * 100.0 + 0.5) / 100.0 AS DECIMAL(7,2)) AS v
+        |  FROM events),
+        |byv AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS tot
+        |  FROM byv),
+        |caps AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum * 20 >= tot * 19 THEN v END) AS cap95,
+        |    MIN(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS cap99
+        |  FROM w GROUP BY 1),
+        |j AS (
+        |  SELECT e.event_type, c.cap95, c.cap99,
+        |    CAST(count(*) AS BIGINT) AS n, SUM(e.v) AS sv,
+        |    SUM(least(e.v, c.cap95)) AS sw95,
+        |    SUM(least(e.v, c.cap99)) AS sw99,
+        |    CAST(SUM(CASE WHEN e.v > c.cap95 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc95
+        |  FROM e JOIN caps c USING (event_type)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, n, cap95, cap99,
+        |  floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+        |    + 0.5) / 1000000.0 AS mean_raw,
+        |  floor((CAST(sw95 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+        |    + 0.5) / 1000000.0 AS mean_wins95,
+        |  floor((CAST(sw99 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
+        |    + 0.5) / 1000000.0 AS mean_wins99,
+        |  CAST((2 * nc95 * 1000000 + n) // (2 * n) AS BIGINT)
+        |    AS capped95_ppm
+        |FROM j ORDER BY event_type""".stripMargin,
     "q247_max_drawdown" ->
       s"""WITH daily AS (
          |  SELECT nation, day,

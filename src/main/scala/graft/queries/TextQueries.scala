@@ -756,7 +756,47 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q249 — LSH dedup RECALL audit: the exact high-Jaccard pair set
+    * (q26's ground truth) bucketed by Jaccard decile, scored by whether
+    * q27's band-collision CANDIDATE generation surfaced each pair — the
+    * measured answer to "what does the 16-perm/4-row banding actually
+    * miss at each similarity level", which the S-curve 1−(1−J⁴)⁴ only
+    * predicts in expectation. Candidate-set precision (what fraction of
+    * collisions are ≥ 0.4 true pairs) rides along, so the
+    * recall/precision trade of the banding config is one artifact — the
+    * tuning readout a 100 TB dedup run wants BEFORE committing the full
+    * corpus. Buckets come from the engine-identical double `floor(10·J)`
+    * (J is the same rational in both engines); recalls are exact
+    * integer ppm. Everything reuses the memoized shingle/signature
+    * frames — no new scan. */
+  val q249: Q = (spark, dir) => {
+    val ex = shingleJaccardPairs(shinglesCached(spark, dir), "doc_id",
+        minJaccard = 0.4)
+      .withColumn("bucket", least(lit(9L), floor(col("jaccard") * 10)))
+    val cands = lshCandidatePairs(sigsCached(spark, dir), "doc_id",
+      rowsPerBand = 4)
+    val byBucket = ex
+      .join(cands.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm",
+        expr("cast((2 * n_hit * 1000000 + n_true) div (2 * n_true) as bigint)"))
+    val candStats = cands
+      .join(ex.select("id_a", "id_b").withColumn("t", lit(1L)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("t"), lit(0L))).as("n_cand_true"))
+      .withColumn("precision_ppm",
+        expr("cast((2 * n_cand_true * 1000000 + n_cand) div (2 * n_cand) as bigint)"))
+    byBucket.crossJoin(broadcast(candStats))
+      .select("bucket", "n_true", "n_hit", "recall_ppm", "n_cand",
+        "n_cand_true", "precision_ppm")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q249_lsh_recall_audit" -> q249,
     "q242_containment_dups" -> q242,
     "q230_dedup_threshold_sweep" -> q230,
     "q223_word_associations" -> q223,
@@ -918,6 +958,43 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q249_lsh_recall_audit" ->
+      s"""WITH $lshBandsCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM tok a JOIN tok b USING (token) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT id_a, id_b,
+         |    least(9, CAST(floor((shared::DOUBLE
+         |      / (x.n + y.n - shared)) * 10) AS BIGINT)) AS bucket
+         |  FROM inter
+         |  JOIN sizes x ON id_a = x.doc_id
+         |  JOIN sizes y ON id_b = y.doc_id
+         |  WHERE shared::DOUBLE / (x.n + y.n - shared) >= 0.4),
+         |bb AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN cands c USING (id_a, id_b)
+         |  GROUP BY 1),
+         |cs AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(SUM(CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cand_true
+         |  FROM cands LEFT JOIN ex e USING (id_a, id_b))
+         |SELECT bucket, n_true, n_hit,
+         |  CAST((2 * n_hit * 1000000 + n_true) // (2 * n_true) AS BIGINT)
+         |    AS recall_ppm,
+         |  n_cand, n_cand_true,
+         |  CAST((2 * n_cand_true * 1000000 + n_cand) // (2 * n_cand)
+         |    AS BIGINT) AS precision_ppm
+         |FROM bb CROSS JOIN cs ORDER BY bucket""".stripMargin,
     "q242_containment_dups" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
