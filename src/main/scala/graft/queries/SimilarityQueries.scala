@@ -450,13 +450,19 @@ object SimilarityQueries {
     val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
         col("embedding").as("n_emb"))
       .withColumn("n_norm", l2norm(col("n_emb")))
-    val scored = c.crossJoin(broadcast(a))
+    // the corpus parquet is ONE file → without an explicit repartition
+    // the whole |corpus|×|anchors| scoring stage runs as a single task
+    val scored = c.repartition(32).crossJoin(broadcast(a))
       .filter(col("n_id") =!= col("a_id"))
+      // two-step projection: the 64-element dot fold lands in its own
+      // alias so qround's 7-branch guard references a cheap attribute
+      // instead of re-evaluating the fold per branch (CollapseProject
+      // keeps the split — the alias is non-cheap and multiply-referenced)
+      .withColumn("dotp", dot(col("a_emb"), col("n_emb")))
       .withColumn("cos",
-        cosine6(col("a_emb"), col("n_emb"), col("a_norm"), col("n_norm")))
+        qround(col("dotp") / (col("a_norm") * col("n_norm")), 6))
       // drop the 64-float arrays BEFORE the rank window's exchange —
-      // without this the shuffle carries ~1 KB of vectors per pair
-      // (measured 42 s → ~2 s at sf0.1)
+      // the shuffle otherwise carries ~1 KB of vectors per pair
       .select("a_id", "a_label", "n_id", "n_label", "cos")
     val top5 = perKeyTopK(scored, "a_id", Seq(col("cos").desc, col("n_id")), 5)
     val pred = top5.groupBy("a_id", "a_label", "n_label")
