@@ -504,18 +504,26 @@ object AnalyticsQueries {
     * wedge merge order. Degree-1 customers form no wedge and drop
     * naturally (also keeping ln > 0). */
   val q208: Q = (spark, dir) => {
+    // q137's in-row pair-explode shape instead of a wedge SELF-JOIN:
+    // one c-key shuffle packs each customer's (distinct, sorted)
+    // supplier list, pairs explode map-side and partial-aggregate into
+    // the |suppliers|²-bounded (s1,s2) groups in the SAME stage — the
+    // Σdeg² wedge stream never crosses an exchange (was: an 18M-row
+    // 3-way join at sf0.1, measured 17.4 s → ~3 s). sort_array gives
+    // s1 < s2 by the same binary string order the join form used.
     val cs = SharedFrames.coPurchaseEdges(spark, dir)
       .filter(col("src").startsWith("c"))
       .select(col("src").as("c"), col("dst").as("s"))
-    val w = cs.groupBy("c").agg(count(lit(1)).as("degc"))
-      .filter(col("degc") >= 2)
-      .select(col("c"),
-        qround(lit(1.0) / log(col("degc").cast("double")), 6)
-          .cast("decimal(10,6)").as("w"))
-    val a = cs.select(col("c"), col("s").as("s1"))
-    val b = cs.select(col("c"), col("s").as("s2"))
-    a.join(b, Seq("c")).filter(col("s1") < col("s2"))
-      .join(w, "c")
+    cs.groupBy("c").agg(sort_array(collect_set(col("s"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .withColumn("w",
+        qround(lit(1.0) / log(size(col("ss")).cast("double")), 6)
+          .cast("decimal(10,6)"))
+      .select(col("w"), explode(expr(
+        """flatten(transform(ss,
+          |  (x, i) -> transform(slice(ss, i + 2, size(ss)),
+          |    y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("w"))
       .groupBy("s1", "s2")
       .agg(count(lit(1)).as("n_common"),
         sum("w").cast("decimal(18,6)").as("aa_score"))
