@@ -28,6 +28,37 @@ object Scd {
 
   /** `tiebreak` must make (entity, ts, tiebreak) unique — same contract
     * as the chronological split (reference `partition.py:22-35`). */
+  /** Incrementally apply a change batch to an existing Type-2 history —
+    * the production maintenance path (a nightly batch must not rebuild
+    * the full history): closed intervals pass through untouched (new
+    * facts are strictly later, so no rebuild can change them), and each
+    * entity's CURRENT interval is re-opened as a synthetic seed row
+    * (its value at its `valid_from`, tiebreak −1 < any real id) unioned
+    * with the increment, so [[type2]]'s run-length logic decides
+    * extend-vs-close exactly as a full rebuild would: an increment
+    * starting with the same value merges into the seed's run and keeps
+    * the original `valid_from`; a different value closes the old
+    * interval at the first new timestamp. Entities absent from the
+    * increment reproduce their open interval; entities without history
+    * build fresh. RESULT == full rebuild, row for row — that identity
+    * IS the oracle gate — while the window pass touches only
+    * |increment| + |open intervals| rows instead of the whole log. */
+  def applyIncrement(history: DataFrame, increment: DataFrame,
+                     entity: String, value: String, ts: String,
+                     tiebreak: String): DataFrame = {
+    val cols = Seq(col(entity), col(value), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    val closed = history.filter(!col("is_current")).select(cols: _*)
+    val seed = history.filter(col("is_current"))
+      .select(col(entity), col(value), col("valid_from").as(ts),
+        lit(-1L).as(tiebreak))
+    val tail = type2(
+      increment.select(col(entity), col(value), col(ts), col(tiebreak))
+        .unionByName(seed),
+      entity, value, ts, tiebreak)
+    closed.unionByName(tail.select(cols: _*))
+  }
+
   def type2(log: DataFrame, entity: String, value: String, ts: String,
             tiebreak: String): DataFrame = {
     val byRow = Window.partitionBy(entity).orderBy(col(ts), col(tiebreak))

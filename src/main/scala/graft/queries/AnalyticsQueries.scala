@@ -881,7 +881,83 @@ object AnalyticsQueries {
             (col("mde_micro").cast("double") * col("mde_micro").cast("double")))))
   }
 
+  /** q253 — exact Shapley-value multi-touch attribution over the 4
+    * non-purchase channels: each converting user's pre-first-purchase
+    * touched-channel SET becomes a 4-bit mask; the coalition value
+    * v(S) = converting users whose mask ⊆ S comes from a 16×16
+    * subset-sum over the mask histogram; and φ_channel is the EXACT
+    * Shapley formula with the 4! denominator kept as the integer scale
+    * (φ·24 — weights {6,2,2,6} by |S|) — the game-theoretically fair
+    * split that position rules (q148 decay, q204 U-shape) approximate.
+    * Everything after ONE user-level aggregate runs on ≤ 16-row frames,
+    * so the op costs the same at any corpus size; the efficiency axiom
+    * Σφ·24 = 24·v(N) is spec-pinned and shares ride the ppm idiom.
+    * Direct conversions (no prior touch) carry no mask row and are
+    * excluded — the standard baseline treatment. */
+  val q253: Q = (spark, dir) => {
+    val chans = Seq("click", "view", "signup", "error")
+    val e = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts")
+    val firstP = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pts"))
+    val bitOf = chans.zipWithIndex
+      .foldLeft(lit(0)) { case (acc, (c, i)) =>
+        when(col("event_type") === c, lit(1 << i)).otherwise(acc) }
+    val masks = e.join(firstP, "user_id")
+      .filter(col("ts") < col("pts") && col("event_type").isin(chans: _*))
+      .select(col("user_id"), bitOf.as("b"))
+      .groupBy("user_id").agg(expr("bit_or(b)").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val subsets = spark.range(16).select(col("id").cast("int").as("s"))
+    val v = subsets.join(masks, expr("(mask & s) = mask"), "left")
+      .groupBy("s").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+    val channels = spark.createDataFrame(
+        chans.zipWithIndex.map { case (c, i) => (c, 1 << i) })
+      .toDF("channel", "bit")
+    val phi = channels.crossJoin(v.select(col("s"), col("v").as("v_s")))
+      .filter(expr("(s & bit) = 0"))
+      .join(v.select(col("s").as("si"), col("v").as("v_si")),
+        expr("si = s + bit"))
+      .withColumn("w", expr(
+        "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+      .groupBy("channel")
+      .agg(sum(expr("cast(w as bigint) * (v_si - v_s)")).as("phi24"))
+    val tot = phi.agg(sum(col("phi24")).as("tot"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi24"),
+        expr("cast((2 * phi24 * 1000000 + tot) div (2 * tot) as bigint)")
+          .as("share_ppm"))
+      .orderBy("channel")
+  }
+
+  /** q254 — incremental SCD2 maintenance ([[graft.ops.Scd
+    * .applyIncrement]]): the pre-cut history plus the post-cut change
+    * batch, merged by re-opening each entity's current interval as a
+    * seed row — the nightly-batch path whose window pass touches
+    * |increment| + |open intervals| rows, never the whole log. The
+    * ORACLE is the full rebuild over the entire events table: the gate
+    * asserts the maintenance path is indistinguishable from rebuilding
+    * — the invariant that makes incremental SCD2 trustworthy at 100 TB
+    * (where rebuilding nightly is not an option). */
+  val q254: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+    val old = Scd.type2(e.filter(col("ts") < cutNs),
+      "user_id", "event_type", "ts", "event_id")
+    val merged = Scd.applyIncrement(old, e.filter(col("ts") >= cutNs),
+      "user_id", "event_type", "ts", "event_id")
+    merged.select(col("user_id"), col("event_type"),
+        expr("cast(valid_from as long) div 1000000000").as("valid_from_s"),
+        expr("cast(valid_to as long) div 1000000000").as("valid_to_s"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_s"), col("event_type"),
+        col("valid_to_s").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q253_shapley_attribution" -> q253,
+    "q254_scd2_increment" -> q254,
     "q252_sample_size" -> q252,
     "q246_assortativity" -> q246,
     "q248_cuped" -> q248,
@@ -1053,7 +1129,66 @@ object AnalyticsQueries {
        |FROM qs ORDER BY pctl""".stripMargin
   }
 
+  private lazy val scd2RebuildOracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+        |           FROM events),
+        |r AS (SELECT user_id, event_type, t, event_id,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, event_type, t,
+        |        sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS run_id
+        |      FROM r),
+        |g AS (SELECT user_id, run_id, min(event_type) AS event_type,
+        |             min(t) AS vf
+        |      FROM s GROUP BY 1, 2),
+        |iv AS (SELECT user_id, event_type, vf, lead(vf) OVER w2 AS vt
+        |       FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id))
+        |SELECT user_id, event_type,
+        |       CAST(vf // 1000000000 AS BIGINT) AS valid_from_s,
+        |       CAST(vt // 1000000000 AS BIGINT) AS valid_to_s,
+        |       vt IS NULL AS is_current
+        |FROM iv
+        |ORDER BY user_id, valid_from_s, event_type,
+        |         valid_to_s NULLS FIRST""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q253_shapley_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS pts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |tb AS (
+        |  SELECT e.user_id,
+        |    CASE e.event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END AS b
+        |  FROM events e JOIN fp ON e.user_id = fp.user_id
+        |  WHERE epoch_ns(e.ts) < fp.pts
+        |    AND e.event_type IN ('click', 'view', 'signup', 'error')),
+        |mk AS (SELECT user_id, bit_or(b) AS mask FROM tb GROUP BY 1),
+        |mh AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM mk GROUP BY 1),
+        |ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |v AS (
+        |  SELECT s, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+        |  FROM ss LEFT JOIN mh ON (mask & s) = mask GROUP BY 1),
+        |ch(channel, bit) AS (VALUES ('click', 1), ('view', 2),
+        |  ('signup', 4), ('error', 8)),
+        |ph AS (
+        |  SELECT ch.channel,
+        |    CAST(SUM((CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |        WHEN 2 THEN 2 ELSE 6 END) * (vi.v - vs.v)) AS BIGINT)
+        |      AS phi24
+        |  FROM ch
+        |  JOIN v vs ON (vs.s & ch.bit) = 0
+        |  JOIN v vi ON vi.s = vs.s + ch.bit
+        |  GROUP BY 1),
+        |tt AS (SELECT SUM(phi24) AS tot FROM ph)
+        |SELECT channel, phi24,
+        |  CAST((2 * CAST(phi24 AS HUGEINT) * 1000000 + tot)
+        |    // (2 * CAST(tot AS HUGEINT)) AS BIGINT) AS share_ppm
+        |FROM ph CROSS JOIN tt ORDER BY channel""".stripMargin,
     "q252_sample_size" ->
       """WITH y AS (
         |  SELECT CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -1656,30 +1791,11 @@ object AnalyticsQueries {
         |SELECT CAST(node AS BIGINT) AS part_key,
         |       CAST(count(*) AS BIGINT) AS n_triangles
         |FROM roles GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25""".stripMargin,
-    "q105_scd2_history" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
-        |           FROM events),
-        |r AS (SELECT user_id, event_type, t, event_id,
-        |        CASE WHEN lag(event_type) OVER w IS NULL
-        |               OR lag(event_type) OVER w <> event_type
-        |             THEN 1 ELSE 0 END AS chg
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |s AS (SELECT user_id, event_type, t,
-        |        sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                       ROWS UNBOUNDED PRECEDING) AS run_id
-        |      FROM r),
-        |g AS (SELECT user_id, run_id, min(event_type) AS event_type,
-        |             min(t) AS vf
-        |      FROM s GROUP BY 1, 2),
-        |iv AS (SELECT user_id, event_type, vf, lead(vf) OVER w2 AS vt
-        |       FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id))
-        |SELECT user_id, event_type,
-        |       CAST(vf // 1000000000 AS BIGINT) AS valid_from_s,
-        |       CAST(vt // 1000000000 AS BIGINT) AS valid_to_s,
-        |       vt IS NULL AS is_current
-        |FROM iv
-        |ORDER BY user_id, valid_from_s, event_type,
-        |         valid_to_s NULLS FIRST""".stripMargin,
+    "q105_scd2_history" -> scd2RebuildOracle,
+    // q254's gate is the INCREMENTAL == FULL-REBUILD identity: the
+    // engine merges a change batch into the pre-cut history, the oracle
+    // rebuilds from the whole log — they must agree row for row.
+    "q254_scd2_increment" -> scd2RebuildOracle,
     "q176_clamped_balance" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id,
