@@ -1945,7 +1945,96 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** q256 — two-feature OLS per nation (price ~ quantity + discount)
+    * by Cramer's rule over centered moments: the multiple-regression
+    * step up from q146's single-regressor fit, answering "what does a
+    * unit of quantity buy HOLDING DISCOUNT FIXED" — the partial effect
+    * simple per-feature fits confound. The five centered moments
+    * S₁₁,S₂₂,S₁₂,S₁y,S₂y are EXACT integers (n·Σab − Σa·Σb over cents /
+    * integer units), cast once to double for the textually-mirrored
+    * Cramer solve (products of the S-terms would outgrow DECIMAL(38) at
+    * extreme n — the IEEE combination of exact operands is the q157
+    * discipline, deterministic in both engines); β̂s quantize to 6 dp. */
+  val q256: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("l_quantity").cast("long").as("x1"),
+        (qdec(col("l_discount"), 4, 2) * 100).cast("long").as("x2"),
+        (qdec(col("l_extendedprice"), 18, 2) * 100).cast("decimal(20,0)")
+          .cast("long").as("y"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val st = li.groupBy("nation").agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("x1"))).as("s1"), sum(d38(col("x2"))).as("s2"),
+      sum(d38(col("y"))).as("sy"),
+      sum(d38(col("x1") * col("x1"))).as("s11"),
+      sum(d38(col("x2") * col("x2"))).as("s22"),
+      sum(d38(col("x1") * col("x2"))).as("s12"),
+      sum(d38(col("x1") * col("y"))).as("s1y"),
+      sum(d38(col("x2") * col("y"))).as("s2y"))
+    val c = st
+      .withColumn("c11", expr("cast(n * s11 - s1 * s1 as double)"))
+      .withColumn("c22", expr("cast(n * s22 - s2 * s2 as double)"))
+      .withColumn("c12", expr("cast(n * s12 - s1 * s2 as double)"))
+      .withColumn("c1y", expr("cast(n * s1y - s1 * sy as double)"))
+      .withColumn("c2y", expr("cast(n * s2y - s2 * sy as double)"))
+      .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+    c.select(col("nation"), col("n").as("n_rows"),
+        qround((col("c22") * col("c1y") - col("c12") * col("c2y")) /
+          col("det"), 6).as("beta_qty_cents"),
+        qround((col("c11") * col("c2y") - col("c12") * col("c1y")) /
+          col("det"), 6).as("beta_discpct_cents"))
+      .orderBy("nation")
+  }
+
+  /** q258 — partial correlation on the daily event series (purchase
+    * revenue ↔ click count, CONTROLLING for view volume):
+    * r_xy·z = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)) — the
+    * confound-removal statistic that tells a marketing dashboard
+    * whether clicks carry signal beyond "everything rises with site
+    * traffic", which q157's raw cross-correlation can't distinguish.
+    * ONE events scan builds the (day, x, y, z) frame; each pairwise r
+    * comes from exact integer sufficient statistics (q239's
+    * cents/counts discipline), quantized to 6 dp; the partial formula
+    * is a single mirrored IEEE expression over the three quantized
+    * r's. */
+  val q258: Q = (spark, dir) => {
+    val j = Tables.events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+            qdec(col("value"), 7, 2)).otherwise(lit(0)))
+          .cast("decimal(18,2)") * 100).cast("decimal(38,0)").as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("z"))
+    val st = j.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(expr("cast(x * y as decimal(38,0))")).as("sxy"),
+      sum(expr("cast(x * z as decimal(38,0))")).as("sxz"),
+      sum(expr("cast(y * z as decimal(38,0))")).as("syz"),
+      sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
+      sum(expr("cast(z * z as decimal(38,0))")).as("szz"))
+    def r(ab: String, aa: String, bb: String, a: String, b: String) =
+      qround(expr(s"cast(n * $ab - $a * $b as double)") /
+        (sqrt(expr(s"cast(n * $aa - $a * $a as double)")) *
+         sqrt(expr(s"cast(n * $bb - $b * $b as double)"))), 6)
+    st.withColumn("r_xy", r("sxy", "sxx", "syy", "sx", "sy"))
+      .withColumn("r_xz", r("sxz", "sxx", "szz", "sx", "sz"))
+      .withColumn("r_zy", r("syz", "szz", "syy", "sz", "sy"))
+      .select(col("n").as("n_days"), col("r_xy"), col("r_xz"), col("r_zy"),
+        qround((col("r_xy") - col("r_xz") * col("r_zy")) /
+          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+               (lit(1.0) - col("r_zy") * col("r_zy"))), 6)
+          .as("partial_xy_given_z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q256_bivariate_ols" -> q256,
+    "q258_partial_corr" -> q258,
     "q250_forecast_reconciliation" -> q250,
     "q251_winsorized_means" -> q251,
     "q247_max_drawdown" -> q247,
@@ -2240,6 +2329,79 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q256_bivariate_ols" ->
+      """WITH li AS (
+        |  SELECT n_name AS nation,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(CAST(floor(l_discount * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(4,2)) * 100 AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |st AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+        |  FROM li GROUP BY 1),
+        |c AS (
+        |  SELECT nation, n,
+        |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+        |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+        |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+        |    CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+        |    CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y
+        |  FROM st),
+        |d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c)
+        |SELECT nation, n AS n_rows,
+        |  floor(((c22 * c1y - c12 * c2y) / det) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS beta_qty_cents,
+        |  floor(((c11 * c2y - c12 * c1y) / det) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS beta_discpct_cents
+        |FROM d ORDER BY nation""".stripMargin,
+    "q258_partial_corr" ->
+      """WITH j AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor("value" * 100.0 + 0.5) / 100.0
+        |          AS DECIMAL(7,2)) ELSE 0 END) AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS y,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS z
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz
+        |  FROM j),
+        |r AS (
+        |  SELECT n,
+        |    floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000.0
+        |      + 0.5) / 1000000.0 AS r_xy,
+        |    floor((CAST(n * sxz - sx * sz AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * szz - sz * sz AS DOUBLE)))) * 1000000.0
+        |      + 0.5) / 1000000.0 AS r_xz,
+        |    floor((CAST(n * syz - sz * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * szz - sz * sz AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000.0
+        |      + 0.5) / 1000000.0 AS r_zy
+        |  FROM st)
+        |SELECT n AS n_days, r_xy, r_xz, r_zy,
+        |  floor(((r_xy - r_xz * r_zy) /
+        |    sqrt((1.0 - r_xz * r_xz) * (1.0 - r_zy * r_zy)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS partial_xy_given_z
+        |FROM r""".stripMargin,
     "q250_forecast_reconciliation" ->
       s"""WITH RECURSIVE idxn AS (
          |  SELECT nation, day, revenue,

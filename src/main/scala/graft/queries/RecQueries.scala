@@ -631,7 +631,60 @@ object RecQueries {
       .orderBy("decile")
   }
 
+  /** q257 — Qini / uplift curve: q241's targeting deciles re-scored for
+    * an EXPERIMENT — per decile of the pre-period engagement ranking,
+    * the treated-vs-control conversion gap (uplift) and the cumulative
+    * Qini statistic, the readout that answers "whom does the treatment
+    * actually MOVE" where q241 only answers "who converts anyway" (the
+    * classic sure-thing/persuadable distinction). Treatment assignment
+    * is q248's user_id parity; the decile is q241's explicit
+    * ((rank−1)·10) div N + 1 closed form. Per-decile uplift quantizes
+    * double ratios of exact counts (sign-safe — the div idiom's
+    * floor/trunc negative-operand divergence never arises); the
+    * cumulative Qini is kept as the EXACT signed integer
+    * cum_conv_t·cum_n_c − cum_conv_c·cum_n_t (no division at all). */
+  val q257: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        (col("user_id") % 2 === 0).as("treated"))
+    val score = e.filter(col("ts") < cutNs)
+      .groupBy("user_id", "treated").agg(count(lit(1)).as("score"))
+    val buyers = e.filter(col("ts") >= cutNs &&
+        col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("y", lit(1L))
+    val scored = score.join(buyers, Seq("user_id"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("user_id"))))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_total + 1"))
+    val byDec = scored.groupBy("decile")
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated"), col("y")).otherwise(0L)).as("conv_t"),
+        sum(when(!col("treated"), col("y")).otherwise(0L)).as("conv_c"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_n_t", sum(col("n_t")).over(wCum))
+      .withColumn("cum_n_c", sum(col("n_c")).over(wCum))
+      .withColumn("cum_conv_t", sum(col("conv_t")).over(wCum))
+      .withColumn("cum_conv_c", sum(col("conv_c")).over(wCum))
+      .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"),
+        // tiny-SF deciles can have an empty arm — NULL uplift, mirrored
+        when(col("n_t") > 0 && col("n_c") > 0,
+          qround(col("conv_t").cast("double") / col("n_t").cast("double") -
+            col("conv_c").cast("double") / col("n_c").cast("double"), 6))
+          .as("uplift"),
+        expr("cast(cast(cum_conv_t as decimal(38,0)) * cum_n_c - cast(cum_conv_c as decimal(38,0)) * cum_n_t as decimal(38,0))")
+          .as("qini_scaled"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q257_qini_uplift" -> q257,
     "q240_brier_decomposition" -> q240,
     "q241_gains_lift" -> q241,
     "q190_split_leakage" -> q190,
@@ -830,6 +883,53 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q257_qini_uplift" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_type,
+        |    user_id % 2 = 0 AS treated
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, treated, CAST(count(*) AS BIGINT) AS score
+        |  FROM e WHERE tns < 1705363200000000000 GROUP BY 1, 2),
+        |b AS (
+        |  SELECT DISTINCT user_id FROM e
+        |  WHERE tns >= 1705363200000000000 AND event_type = 'purchase'),
+        |r AS (
+        |  SELECT s.user_id, s.treated, s.score,
+        |    CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS y,
+        |    row_number() OVER (ORDER BY s.score DESC, s.user_id) AS rn,
+        |    COUNT(*) OVER () AS n_total
+        |  FROM s LEFT JOIN b ON s.user_id = b.user_id),
+        |d AS (
+        |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile, treated, y
+        |  FROM r),
+        |g AS (
+        |  SELECT decile,
+        |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT)
+        |      AS conv_t,
+        |    CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END) AS BIGINT)
+        |      AS conv_c
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    SUM(n_t) OVER w AS cum_n_t, SUM(n_c) OVER w AS cum_n_c,
+        |    SUM(conv_t) OVER w AS cum_conv_t,
+        |    SUM(conv_c) OVER w AS cum_conv_c
+        |  FROM g
+        |  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, n_t, n_c, conv_t, conv_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |    floor((CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1000000.0
+        |      + 0.5) / 1000000.0 END AS uplift,
+        |  CAST(CAST(cum_conv_t AS HUGEINT) * cum_n_c
+        |    - CAST(cum_conv_c AS HUGEINT) * cum_n_t AS DECIMAL(38,0))
+        |    AS qini_scaled
+        |FROM c ORDER BY decile""".stripMargin,
     "q240_brier_decomposition" ->
       """WITH e AS (
         |  SELECT event_type, user_id % 4 AS ubucket, epoch_ns(ts) AS tns,

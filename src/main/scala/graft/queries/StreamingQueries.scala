@@ -76,6 +76,40 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** q255 — q62's sessionization on Spark 4's `transformWithState`
+    * arbitrary-state API ([[EventStreams.sessionizeTws]]): same fold,
+    * same Update-mode emissions, same batch oracle — the point is API
+    * coverage of the successor to `flatMapGroupsWithState` (named typed
+    * state handles, RocksDB-only, per-state TTL, state schema
+    * evolution), with the gate proving the migration is
+    * semantics-preserving. The RocksDB provider is set for the run and
+    * restored after (the API rejects the HDFS-backed default). */
+  val q255: Q = (spark, dir) => {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"q255_out_${runId.incrementAndGet()}"
+      val events = stream(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event]
+      EventStreams.runToMemory(spark,
+        EventStreams.sessionizeTws(events).toDF(), name, OutputMode.Update)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          max("n_sessions").as("n_sessions"))
+        .select("user_id", "n_events", "n_sessions")
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** q63 — append-mode watermarked hourly windows: the scale-safe
     * production shape of q61. Append mode only emits a window once the
     * watermark passes its end, so state is bounded by the 2-hour
@@ -647,6 +681,7 @@ object StreamingQueries {
     "q99_stream_neardup" -> q99,
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
+    "q255_stream_sessions_tws" -> q255,
     "q63_stream_hourly_append" -> q63,
     "q64_stream_dedup" -> q64,
     "q65_stream_sessions_expiring" -> q65,
@@ -870,6 +905,14 @@ object StreamingQueries {
         |FROM events GROUP BY event_type, bucket_s
         |ORDER BY event_type, bucket_s""".stripMargin,
     "q62_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS t,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS pt
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q255_stream_sessions_tws" ->
       """WITH x AS (
         |  SELECT user_id, epoch_ns(ts) AS t,
         |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS pt

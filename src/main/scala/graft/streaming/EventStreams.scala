@@ -99,6 +99,54 @@ object EventStreams {
       }
   }
 
+  /** [[sessionize]]'s exact semantics re-expressed on Spark 4's
+    * `transformWithState` arbitrary-state API (the successor to
+    * `flatMapGroupsWithState`): state is a named, typed `ValueState`
+    * handle in the RocksDB-backed store — the API that adds composite
+    * state types, per-state TTL, and schema evolution for long-lived
+    * production state. The fold itself is [[advance]], unchanged, so
+    * the final per-user emissions match the fMGWS twin and the batch
+    * oracle bit for bit. Requires the RocksDB state store provider
+    * (the API rejects the HDFS-backed default) — callers set
+    * `spark.sql.streaming.stateStore.providerClass`. */
+  def sessionizeTws(events: Dataset[Event],
+                    gapNs: Long = 30L * 60 * 1000000000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTwsProcessor(gapNs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  /** The [[sessionizeTws]] processor: one `ValueState[SessionState]`
+    * per user, micro-batch rows buffered and time-sorted like the
+    * fMGWS form (cross-batch disorder remains the upstream watermark's
+    * job). */
+  private class SessionTwsProcessor(gapNs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserSessions] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessions] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      var s = if (state.exists()) state.get()
+              else SessionState(Long.MinValue, 0L, 0L)
+      sorted.foreach(e => s = advance(s, e.ts, gapNs))
+      state.update(s)
+      Iterator(UserSessions(user, s.events, s.sessions))
+    }
+  }
+
   case class LedgerEvent(user_id: Long, ts: Long, event_id: Long,
                          delta: java.math.BigDecimal)
   case class LedgerState(bal: java.math.BigDecimal, n: Long, clamps: Long)

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.Registry
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 wave 6 (q255 transformWithState sessions, q256 bivariate
+  * OLS, q257 Qini uplift, q258 partial correlation).
+  */
+class TwsUpliftSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  test("q255 transformWithState emissions equal the fMGWS twin (q62)") {
+    val tws = Registry.all("q255_stream_sessions_tws")(spark, sf).collect()
+    val fmgws = Registry.all("q62_stream_sessions")(spark, sf).collect()
+    assert(tws.nonEmpty)
+    assert(tws.map(_.toSeq).toSeq == fmgws.map(_.toSeq).toSeq,
+      "the two arbitrary-state APIs diverged on identical input")
+  }
+
+  test("q256 Cramer solve matches a BigInt-exact driver recompute") {
+    val rows = Registry.all("q256_bivariate_ols")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nation = rows.head.getString(0)
+    val li = graft.io.Tables.lineitem(spark, sf)
+      .join(graft.io.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.io.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nation)
+      .select(col("l_quantity").cast("long"),
+        (graft.functions.GraftFunctions.qdec(col("l_discount"), 4, 2) * 100)
+          .cast("long"),
+        floor(col("l_extendedprice") * 100.0 + 0.5))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(r.getLong(2))))
+    val n = BigInt(li.length)
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = li.map(f).sum
+    val (s1, s2, sy) = (s(_._1), s(_._2), s(_._3))
+    val c11 = (n * s(t => t._1 * t._1) - s1 * s1).toDouble
+    val c22 = (n * s(t => t._2 * t._2) - s2 * s2).toDouble
+    val c12 = (n * s(t => t._1 * t._2) - s1 * s2).toDouble
+    val c1y = (n * s(t => t._1 * t._3) - s1 * sy).toDouble
+    val c2y = (n * s(t => t._2 * t._3) - s2 * sy).toDouble
+    val det = c11 * c22 - c12 * c12
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = rows.head
+    assert(r.getAs[Double]("beta_qty_cents") ==
+      q6((c22 * c1y - c12 * c2y) / det), r.toString)
+    assert(r.getAs[Double]("beta_discpct_cents") ==
+      q6((c11 * c2y - c12 * c1y) / det), r.toString)
+    // no sign assertion: at sf0.001's ~60 rows/nation the synthetic
+    // price is dominated by per-part variance, so β̂_qty is legitimately
+    // noisy — the exact recompute above is the correctness gate
+    assert(rows.forall(r => !r.getAs[Double]("beta_qty_cents").isNaN))
+  }
+
+  test("q257 Qini closes: the full-population prefix reproduces the " +
+      "overall uplift sign and users partition") {
+    val rows = Registry.all("q257_qini_uplift")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    val nT = rows.map(_.getAs[Long]("n_t")).sum
+    val nC = rows.map(_.getAs[Long]("n_c")).sum
+    val cT = rows.map(_.getAs[Long]("conv_t")).sum
+    val cC = rows.map(_.getAs[Long]("conv_c")).sum
+    val lastQini = BigDecimal(rows.last.getDecimal(6)).toBigInt
+    assert(lastQini == BigInt(cT) * nC - BigInt(cC) * nT,
+      "decile-10 Qini must equal the overall scaled uplift")
+    // per-decile counts are consistent
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conv_t") <= r.getAs[Long]("n_t"))
+      assert(r.getAs[Long]("conv_c") <= r.getAs[Long]("n_c"))
+    }
+  }
+
+  test("q258 partial correlation is a correlation and matches its own " +
+      "pairwise r's") {
+    val r = Registry.all("q258_partial_corr")(spark, sf).collect().head
+    val (rxy, rxz, rzy) = (r.getAs[Double]("r_xy"),
+      r.getAs[Double]("r_xz"), r.getAs[Double]("r_zy"))
+    Seq(rxy, rxz, rzy).foreach(v => assert(v >= -1.0 && v <= 1.0))
+    val expect = math.floor((rxy - rxz * rzy) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("partial_xy_given_z") == expect)
+  }
+}
