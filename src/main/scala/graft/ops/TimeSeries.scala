@@ -240,6 +240,49 @@ object TimeSeries {
         col("level"), col("trend"), col("seasonal"), col("forecast"))
   }
 
+  /** Mann–Kendall trend test per key: S = Σ_{i<j} sign(x_j − x_i) over
+    * the time-ordered series, with the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — the distribution-free
+    * "is there a monotone trend at all" TEST whose point estimate is
+    * [[graft.queries.OlapQueries q205]]'s Theil–Sen slope. Everything
+    * up to z is EXACT integer arithmetic computed by a per-key LOCAL
+    * fold (the q205 pattern: the pair set is calendar-bounded, so the
+    * O(n²) loop runs inside one task per key, no distributed pair
+    * stream); z = (S∓1)/√(var18/18) is the one mirrored IEEE step.
+    * Input must be one row per (key, day). */
+  def mannKendall(points: DataFrame, key: String, day: String,
+                  measure: String): DataFrame = {
+    val enc = Encoders.product[MkRow]
+    points
+      .select(col(key).cast("string").as("k"), col(day).cast("long").as("d"),
+        col(measure).cast("decimal(38,0)").as("x"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .mapGroups { (k: String, rows: Iterator[Row]) =>
+        val xs = rows.map(r => (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+          .toArray.sortBy(_._1).map(_._2)
+        val n = xs.length
+        var s = 0L
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val c = xs(j).compare(xs(i))
+            s += (if (c > 0) 1 else if (c < 0) -1 else 0)
+            j += 1
+          }
+          i += 1
+        }
+        val ties = xs.groupBy(identity).values.map(_.length.toLong)
+          .filter(_ > 1)
+        val nL = n.toLong
+        val var18 = nL * (nL - 1) * (2 * nL + 5) -
+          ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+        MkRow(k, nL, s, var18)
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("n_days"), col("s_stat"), col("var18"))
+  }
+
   /** Two-sided CUSUM change-point statistic per key — the sequential
     * drift detector EWMA-style smoothing can't express: accumulate
     * deviations beyond an allowance `k` around a reference mean `mu`,
@@ -330,3 +373,6 @@ case class CusumRow(k: String, d: Long, x: Double, s_pos: Double,
 /** Output row of [[TimeSeries.holtWintersAdditive]]. */
 case class HwRow(k: String, d: Long, x: Double, level: Double,
                  trend: Double, seasonal: Double, forecast: Double)
+
+/** Output row of [[TimeSeries.mannKendall]]. */
+case class MkRow(k: String, n_days: Long, s_stat: Long, var18: Long)

@@ -2032,7 +2032,77 @@ object OlapQueries {
           .as("partial_xy_given_z"))
   }
 
+  /** q259 — Mann–Kendall monotone-trend test on daily nation revenue
+    * ([[graft.ops.TimeSeries.mannKendall]]): the distribution-free
+    * significance TEST whose point estimate is q205's Theil–Sen slope —
+    * together they are the standard robust trend report (slope + "is it
+    * real"). S and the tie-corrected 18·Var(S) are exact integers from
+    * a per-nation LOCAL fold (q205's calendar-bounded-pairs pattern —
+    * no distributed pair stream); z = (S∓1)/√(var18/18) is the one
+    * mirrored IEEE step, and the oracle replays the pair sum as a
+    * quadratic self-join over the same bounded series. */
+  val q259: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        (col("rev").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+          .as("xc"))
+    val zExpr = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") /
+          sqrt(col("var18").cast("double") / lit(18.0)))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") /
+          sqrt(col("var18").cast("double") / lit(18.0)))
+      .otherwise(lit(0.0))
+    TimeSeries.mannKendall(daily, "nation", "day", "xc")
+      .withColumn("z", qround(zExpr, 6))
+      .withColumn("trending", abs(col("z")) > lit(1.96))
+      .select("nation", "n_days", "s_stat", "var18", "z", "trending")
+      .orderBy("nation")
+  }
+
+  /** q260 — Spearman rank correlation between the daily purchase-revenue
+    * and click-count series: the monotone-association companion to
+    * q258's linear machinery — a saturating relationship scores |ρ|≈1
+    * here while Pearson under-reads it. Ranks are EXACT integers: the
+    * tie-averaged rank ×2 is 2·below + t + 1 (no halves), read off a
+    * distinct-VALUE cumulative walk (the q167 shape — the only
+    * unpartitioned window is distinct-value-bounded), and Pearson on
+    * the doubled ranks equals Pearson on ranks by affine invariance, so
+    * ρ is a ratio of exact integers with one mirrored IEEE formula. */
+  val q260: Q = (spark, dir) => {
+    val j = Tables.events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+            qdec(col("value"), 7, 2)).otherwise(lit(0)))
+          .cast("decimal(18,2)") * 100).cast("decimal(38,0)").as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("y"))
+    def ranked(vcol: String, out: String): DataFrame = {
+      val w = Window.orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      j.groupBy(vcol).agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col(vcol),
+          (lit(2) * col("below") + col("c") + 1).cast("decimal(38,0)")
+            .as(out))
+    }
+    val st = j.join(ranked("x", "r2x"), Seq("x"))
+      .join(ranked("y", "r2y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum(expr("cast(r2x * r2y as decimal(38,0))")).as("sxy"),
+        sum(expr("cast(r2x * r2x as decimal(38,0))")).as("sxx"),
+        sum(expr("cast(r2y * r2y as decimal(38,0))")).as("syy"))
+    st.select(col("n").as("n_days"),
+      qround(expr("cast(n * sxy - sx * sy as double)") /
+        (sqrt(expr("cast(n * sxx - sx * sx as double)")) *
+         sqrt(expr("cast(n * syy - sy * sy as double)"))), 6)
+        .as("spearman_rho"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q259_mann_kendall" -> q259,
+    "q260_spearman" -> q260,
     "q256_bivariate_ols" -> q256,
     "q258_partial_corr" -> q258,
     "q250_forecast_reconciliation" -> q250,
@@ -2329,6 +2399,85 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q259_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT nation, day,
+         |    CAST(CAST(SUM(p) AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |            AS DECIMAL(18,2)) AS p
+         |        $nationOrdersSql)
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT a.nation,
+         |    CAST(SUM(CASE WHEN b.xc > a.xc THEN 1
+         |      WHEN b.xc < a.xc THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b
+         |    ON b.nation = a.nation AND a.day < b.day
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT nation,
+         |    CAST(COALESCE(SUM(CASE WHEN c > 1
+         |      THEN c * (c - 1) * (2 * c + 5) ELSE 0 END), 0) AS BIGINT)
+         |      AS tie_term
+         |  FROM (SELECT nation, xc, CAST(count(*) AS BIGINT) AS c
+         |        FROM daily GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |nn AS (SELECT nation, CAST(count(*) AS BIGINT) AS n
+         |       FROM daily GROUP BY 1),
+         |f AS (
+         |  SELECT nn.nation, nn.n AS n_days, p.s_stat,
+         |    nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term AS var18
+         |  FROM nn JOIN p ON nn.nation = p.nation
+         |          JOIN t ON nn.nation = t.nation),
+         |z AS (
+         |  SELECT nation, n_days, s_stat, var18,
+         |    floor((CASE WHEN s_stat > 0
+         |        THEN CAST(s_stat - 1 AS DOUBLE)
+         |          / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+         |      WHEN s_stat < 0
+         |        THEN CAST(s_stat + 1 AS DOUBLE)
+         |          / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+         |      ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS z
+         |  FROM f)
+         |SELECT nation, n_days, s_stat, var18, z,
+         |  (abs(z) > 1.96) AS trending
+         |FROM z ORDER BY nation""".stripMargin,
+    "q260_spearman" ->
+      """WITH j AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor("value" * 100.0 + 0.5) / 100.0
+        |          AS DECIMAL(7,2)) ELSE 0 END) AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS y
+        |  FROM events GROUP BY 1),
+        |rx AS (
+        |  SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS r2x
+        |  FROM (SELECT x, CAST(count(*) AS HUGEINT) AS c
+        |        FROM j GROUP BY 1)),
+        |ry AS (
+        |  SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS r2y
+        |  FROM (SELECT y, CAST(count(*) AS HUGEINT) AS c
+        |        FROM j GROUP BY 1)),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(r2x) AS sx, SUM(r2y) AS sy,
+        |    SUM(r2x * r2y) AS sxy, SUM(r2x * r2x) AS sxx,
+        |    SUM(r2y * r2y) AS syy
+        |  FROM j JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n AS n_days,
+        |  floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000.0
+        |    + 0.5) / 1000000.0 AS spearman_rho
+        |FROM st""".stripMargin,
     "q256_bivariate_ols" ->
       """WITH li AS (
         |  SELECT n_name AS nation,

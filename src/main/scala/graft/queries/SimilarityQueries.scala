@@ -523,7 +523,54 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** q261 — product-quantization (PQ) compression audit: the 64-dim
+    * embedding splits into M=8 subvectors, each assigned to the nearest
+    * of K=16 deterministic md5-derived centroids (the q110/q32 weight
+    * idiom — a data-independent codebook, so the whole faiss-style
+    * assign/reconstruct pipeline carries a full hash oracle where a
+    * k-means codebook would be rows-only like q37) — 64 floats become
+    * 8 nibbles, and this query measures what that 64× compression
+    * costs, per subspace: codes used, mean/max quantization error. The
+    * determinism spine is q209's: every per-dimension squared-error
+    * term quantizes to a 12 dp DECIMAL BEFORE the cross-dimension sum,
+    * so distances are exact decimals, the argmin (ties to the smaller
+    * code) is an exact struct-min, and no distributed double Σ exists.
+    * Scale: one posexplode × broadcast(1024-row codebook) join —
+    * linear in vectors×dims×K, embarrassingly parallel. */
+  val q261: Q = (spark, dir) => {
+    val (mSub, kCodes, dSub) = (8, 16, 8)
+    val wRows = for {
+      m <- 0 until mSub; k <- 0 until kCodes; dd <- 0 until dSub
+    } yield {
+      val d = m * dSub + dd
+      (m, k, d,
+        ((graft.functions.HashUtil.md5Lower63(s"pq:$m:$k:$d") % 2001L)
+          - 1000L).toDouble / 1000.0)
+    }
+    val w = broadcast(
+      spark.createDataFrame(wRows).toDF("m", "k", "d", "wv"))
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xv")))
+    val dist = dims.join(w, Seq("d"))
+      .withColumn("t", qdec(
+        (col("xv").cast("double") - col("wv")) *
+        (col("xv").cast("double") - col("wv")), 28, 12))
+      .groupBy("vec_id", "m", "k").agg(sum(col("t")).as("dist"))
+    dist.groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("b.k").as("code"), col("b.dist").as("err"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("code")).as("n_codes_used"),
+        qround(sum(col("err")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_err"),
+        max(col("err")).cast("double").as("max_err"))
+      .orderBy("m")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q261_pq_audit" -> q261,
     "q244_knn_loo_accuracy" -> q244,
     "q245_label_silhouette" -> q245,
     "q232_truncation_recall" -> q232,
@@ -559,6 +606,40 @@ object SimilarityQueries {
       |  FROM v a JOIN v c ON c.vec_id <> a.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q261_pq_audit" ->
+      s"""WITH w AS (
+         |  SELECT m, k, m * 8 + dd AS d,
+         |    (((md5_number_lower('pq:' || m || ':' || k || ':'
+         |        || (m * 8 + dd)) & $H)::BIGINT % 2001) - 1000) / 1000.0
+         |      AS wv
+         |  FROM generate_series(0, 7) gm(m),
+         |       generate_series(0, 15) gk(k),
+         |       generate_series(0, 7) gd(dd)),
+         |dims AS (
+         |  SELECT vec_id, emb, unnest(generate_series(1, len(emb))) AS i
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |        FROM embeddings)),
+         |dd AS (SELECT vec_id, CAST(i - 1 AS INT) AS d, emb[i] AS xv
+         |       FROM dims),
+         |dist AS (
+         |  SELECT t.vec_id, w.m, w.k,
+         |    SUM(CAST(floor(((t.xv - w.wv) * (t.xv - w.wv))
+         |      * 1000000000000.0 + 0.5) / 1000000000000.0
+         |      AS DECIMAL(28,12))) AS dist
+         |  FROM dd t JOIN w ON w.d = t.d
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT vec_id, m, k AS code, dist AS err FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, k) AS rk
+         |    FROM dist)
+         |  WHERE rk = 1)
+         |SELECT m, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used,
+         |  floor((CAST(SUM(err) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS avg_err,
+         |  CAST(MAX(err) AS DOUBLE) AS max_err
+         |FROM best GROUP BY 1 ORDER BY m""".stripMargin,
     "q244_knn_loo_accuracy" ->
       s"""WITH $allPairsCosCte,
          |top5 AS (

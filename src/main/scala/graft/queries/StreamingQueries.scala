@@ -110,6 +110,40 @@ object StreamingQueries {
     }
   }
 
+  /** q262 — streaming recent-activity feed ([[EventStreams.recentN]]):
+    * each user's 5 most-recent event ids maintained in a
+    * `transformWithState` ListState with a ValueState counter alongside
+    * — the multi-handle composition fMGWS cannot express. Top-N under a
+    * total order is a mergeable fold, so the final feed equals the
+    * batch top-5 per user (the oracle); the monotone counter selects
+    * the last emission. */
+  val q262: Q = (spark, dir) => {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"q262_out_${runId.incrementAndGet()}"
+      val events = stream(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event]
+      val out = EventStreams.runToMemory(spark,
+        EventStreams.recentN(events).toDF(), name, OutputMode.Update)
+      out.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .select("user_id", "n_seen", "recent_csv")
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** q63 — append-mode watermarked hourly windows: the scale-safe
     * production shape of q61. Append mode only emits a window once the
     * watermark passes its end, so state is bounded by the 2-hour
@@ -682,6 +716,7 @@ object StreamingQueries {
     "q61_stream_hourly" -> q61,
     "q62_stream_sessions" -> q62,
     "q255_stream_sessions_tws" -> q255,
+    "q262_stream_recent_feed" -> q262,
     "q63_stream_hourly_append" -> q63,
     "q64_stream_dedup" -> q64,
     "q65_stream_sessions_expiring" -> q65,
@@ -920,6 +955,17 @@ object StreamingQueries {
         |SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q262_stream_recent_feed" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_seen
+        |  FROM events)
+        |SELECT user_id, CAST(n_seen AS BIGINT) AS n_seen,
+        |  string_agg(event_id::VARCHAR, ',' ORDER BY rk) AS recent_csv
+        |FROM r WHERE rk <= 5
+        |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin,
     // Batch q12 restricted to watermark-closed windows. Watermark ms
     // arithmetic mirrors Spark exactly: event-time µs = ts div 1000,
     // tracked max in ms = µs div 1000, watermark = max ms − 7 200 000;

@@ -147,6 +147,61 @@ object EventStreams {
     }
   }
 
+  case class RecentEvent(ts: Long, event_id: Long)
+  case class UserRecent(user_id: Long, n_seen: Long, recent_csv: String)
+
+  /** Streaming "recent activity feed": keep each user's N most-recent
+    * events (by event time, ties on id) in a `transformWithState`
+    * ListState — the bounded-collection state type [[sessionizeTws]]'s
+    * scalar ValueState can't express, plus a second ValueState counter
+    * in the SAME processor (multi-handle composition is the API's
+    * selling point over fMGWS's single state slot). Top-N under a total
+    * order is a mergeable fold, so the final feed is batch-identical
+    * whatever the micro-batch slicing; the monotone `n_seen` counter
+    * makes the last emission per user selectable downstream. RocksDB
+    * provider required, as with [[sessionizeTws]]. */
+  def recentN(events: Dataset[Event], n: Int = 5): Dataset[UserRecent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  private class RecentNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserRecent] {
+    @transient private var recents:
+      org.apache.spark.sql.streaming.ListState[RecentEvent] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      recents = getHandle.getListState[RecentEvent]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRecent] = {
+      val batch = rows.toSeq
+      val merged = (recents.get().toSeq ++
+          batch.map(e => RecentEvent(e.ts, e.event_id)))
+        .sortBy(e => (-e.ts, -e.event_id)).take(n)
+      recents.put(merged.toArray)
+      val total = (if (seen.exists()) seen.get() else 0L) + batch.length
+      seen.update(total)
+      Iterator(UserRecent(user, total,
+        merged.map(_.event_id).mkString(",")))
+    }
+  }
+
   case class LedgerEvent(user_id: Long, ts: Long, event_id: Long,
                          delta: java.math.BigDecimal)
   case class LedgerState(bal: java.math.BigDecimal, n: Long, clamps: Long)
