@@ -283,6 +283,47 @@ object TimeSeries {
       .select(col("k").as(key), col("n_days"), col("s_stat"), col("var18"))
   }
 
+  /** Kendall τ-b concordance statistics per key: over all pairs of
+    * (x, y) observations, C (concordant), D (discordant), and the
+    * tie-correction pair counts tx/ty (ties in one variable only; both-
+    * tied pairs count toward neither denominator term) — all EXACT
+    * integers from the same per-key local fold as [[mannKendall]]
+    * (pair sets bounded per key ⇒ one task each, no distributed pair
+    * stream). τ-b = (C−D)/√((C+D+tx)·(C+D+ty)) is left to the caller
+    * as the one mirrored IEEE step. */
+  def kendallTauB(points: DataFrame, key: String, x: String,
+                  y: String): DataFrame = {
+    val enc = Encoders.product[KtRow]
+    points
+      .select(col(key).cast("string").as("k"),
+        col(x).cast("decimal(38,0)").as("x"),
+        col(y).cast("decimal(38,0)").as("y"))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .mapGroups { (k: String, rows: Iterator[Row]) =>
+        val ps = rows.map(r => (BigInt(r.getDecimal(1).toBigInteger),
+          BigInt(r.getDecimal(2).toBigInteger))).toArray
+        var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+        var i = 0
+        while (i < ps.length) {
+          var j = i + 1
+          while (j < ps.length) {
+            val sx = ps(j)._1.compare(ps(i)._1)
+            val sy = ps(j)._2.compare(ps(i)._2)
+            if (sx != 0 && sy != 0) {
+              if (sx == sy) c += 1 else d += 1
+            } else if (sx == 0 && sy != 0) tx += 1
+            else if (sx != 0 && sy == 0) ty += 1
+            j += 1
+          }
+          i += 1
+        }
+        KtRow(k, ps.length.toLong, c, d, tx, ty)
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("n_obs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"))
+  }
+
   /** Two-sided CUSUM change-point statistic per key — the sequential
     * drift detector EWMA-style smoothing can't express: accumulate
     * deviations beyond an allowance `k` around a reference mean `mu`,
@@ -376,3 +417,7 @@ case class HwRow(k: String, d: Long, x: Double, level: Double,
 
 /** Output row of [[TimeSeries.mannKendall]]. */
 case class MkRow(k: String, n_days: Long, s_stat: Long, var18: Long)
+
+/** Output row of [[TimeSeries.kendallTauB]]. */
+case class KtRow(k: String, n_obs: Long, concordant: Long,
+                 discordant: Long, ties_x: Long, ties_y: Long)

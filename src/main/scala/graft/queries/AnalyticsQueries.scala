@@ -955,7 +955,66 @@ object AnalyticsQueries {
         col("valid_to_s").asc_nulls_first)
   }
 
+  /** q265 — delta-method confidence interval for a RATIO metric
+    * (revenue per event, treated vs control): the analysis every
+    * experimentation platform needs because ratio metrics violate the
+    * per-user-mean t-test's independence assumption — the unit of
+    * randomization (user) is not the unit of analysis (event), so the
+    * naive SE is wrong; the delta method linearizes R = Σx/Σy around
+    * the user-level means with Var(R̂) ≈ (Sₓ² − 2R·Sₓᵧ + R²·Sᵧ²)/(n·ȳ²)
+    * (Deng et al.'s standard form). Every sufficient statistic is an
+    * exact DECIMAL(38,0)/HUGEINT integer over user-level cents/counts;
+    * R, the variances, the pooled SE, and the CI are one chain of
+    * mirrored IEEE steps over those exact operands, quantized at each
+    * published value. Completes the experimentation stack:
+    * q131 z / q222 DiD / q233 QTE / q248 CUPED / q252 power / here
+    * ratio metrics. */
+  val q265: Q = (spark, dir) => {
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), (col("user_id") % 2 === 0).as("treated"),
+        qdec(col("value"), 7, 2).as("v"))
+      .groupBy("user_id", "treated")
+      .agg((sum(col("v")).cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("x"),
+        count(lit(1)).cast("decimal(38,0)").as("y"))
+    val arms = u.groupBy("treated").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
+      sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
+      sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+    val withVar = arms
+      .withColumn("ratio", qround(
+        expr("cast(sx as double)") / expr("cast(sy as double)"), 6))
+      .withColumn("ybar", expr("cast(sy as double)") / col("n"))
+      .withColumn("var_r", qround(
+        (expr("cast(n * sxx - sx * sx as double)") /
+          expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)") -
+         lit(2.0) * col("ratio") *
+          expr("cast(n * sxy - sx * sy as double)") /
+          expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)") +
+         col("ratio") * col("ratio") *
+          expr("cast(n * syy - sy * sy as double)") /
+          expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)")) /
+        (col("n") * col("ybar") * col("ybar")), 6))
+    val t = withVar.filter(col("treated"))
+      .select(col("n").as("n_t"), col("ratio").as("ratio_t"),
+        col("var_r").as("var_t"))
+    val c = withVar.filter(!col("treated"))
+      .select(col("n").as("n_c"), col("ratio").as("ratio_c"),
+        col("var_r").as("var_c"))
+    t.crossJoin(c)
+      .withColumn("diff", qround(col("ratio_t") - col("ratio_c"), 6))
+      .withColumn("se", qround(sqrt(col("var_t") + col("var_c")), 6))
+      .withColumn("ci_lo", qround(col("diff") - lit(1.96) * col("se"), 6))
+      .withColumn("ci_hi", qround(col("diff") + lit(1.96) * col("se"), 6))
+      .withColumn("significant", abs(col("diff")) > lit(1.96) * col("se"))
+      .select("n_t", "n_c", "ratio_t", "ratio_c", "diff", "se",
+        "ci_lo", "ci_hi", "significant")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q265_ratio_metric_ci" -> q265,
     "q253_shapley_attribution" -> q253,
     "q254_scd2_increment" -> q254,
     "q252_sample_size" -> q252,
@@ -1155,6 +1214,54 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q265_ratio_metric_ci" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 = 0 AS treated,
+        |    CAST(CAST(SUM(CAST(floor("value" * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(7,2))) AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+        |    CAST(count(*) AS HUGEINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (
+        |  SELECT treated, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM u GROUP BY 1),
+        |wv AS (
+        |  SELECT treated, n,
+        |    floor((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * 1000000.0
+        |      + 0.5) / 1000000.0 AS ratio,
+        |    CAST(sy AS DOUBLE) / n AS ybar,
+        |    sx, sy, sxx, syy, sxy
+        |  FROM arms),
+        |wv2 AS (
+        |  SELECT treated, n, ratio,
+        |    floor(((CAST(n * sxx - sx * sx AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+        |      - 2.0 * ratio * CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+        |      + ratio * ratio * CAST(n * syy - sy * sy AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+        |      / (n * ybar * ybar)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS var_r
+        |  FROM wv),
+        |t AS (SELECT n AS n_t, ratio AS ratio_t, var_r AS var_t
+        |      FROM wv2 WHERE treated),
+        |c AS (SELECT n AS n_c, ratio AS ratio_c, var_r AS var_c
+        |      FROM wv2 WHERE NOT treated),
+        |f AS (
+        |  SELECT n_t, n_c, ratio_t, ratio_c,
+        |    floor((ratio_t - ratio_c) * 1000000.0 + 0.5) / 1000000.0
+        |      AS diff,
+        |    floor(sqrt(var_t + var_c) * 1000000.0 + 0.5) / 1000000.0
+        |      AS se
+        |  FROM t CROSS JOIN c)
+        |SELECT n_t, n_c, ratio_t, ratio_c, diff, se,
+        |  floor((diff - 1.96 * se) * 1000000.0 + 0.5) / 1000000.0
+        |    AS ci_lo,
+        |  floor((diff + 1.96 * se) * 1000000.0 + 0.5) / 1000000.0
+        |    AS ci_hi,
+        |  (abs(diff) > 1.96 * se) AS significant
+        |FROM f""".stripMargin,
     "q253_shapley_attribution" ->
       """WITH fp AS (
         |  SELECT user_id, MIN(epoch_ns(ts)) AS pts FROM events

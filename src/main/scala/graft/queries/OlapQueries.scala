@@ -2100,7 +2100,38 @@ object OlapQueries {
         .as("spearman_rho"))
   }
 
+  /** q264 — Kendall τ-b between the daily purchase-revenue and
+    * click-count series ([[graft.ops.TimeSeries.kendallTauB]]):
+    * completes the rank-association family — q260's Spearman weights
+    * by rank distance, τ-b is the pure pair-concordance probability
+    * with both tie denominators, the version practitioners quote when
+    * ties are heavy (integer click counts tie constantly). C, D, tx,
+    * ty are exact integers from the q259 local-fold pattern; τ-b is
+    * one mirrored IEEE formula; the oracle replays the pair
+    * classification as a quadratic self-join over the calendar-bounded
+    * series. */
+  val q264: Q = (spark, dir) => {
+    val j = Tables.events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg((sum(when(col("event_type") === "purchase",
+            qdec(col("value"), 7, 2)).otherwise(lit(0)))
+          .cast("decimal(18,2)") * 100).cast("decimal(38,0)").as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("decimal(38,0)").as("y"))
+      .withColumn("g", lit("all"))
+    TimeSeries.kendallTauB(j, "g", "x", "y")
+      .withColumn("tau_b", qround(
+        (col("concordant") - col("discordant")).cast("double") /
+        sqrt((col("concordant") + col("discordant") + col("ties_x"))
+            .cast("double") *
+          (col("concordant") + col("discordant") + col("ties_y"))
+            .cast("double")), 6))
+      .select("n_obs", "concordant", "discordant", "ties_x", "ties_y",
+        "tau_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q264_kendall_tau" -> q264,
     "q259_mann_kendall" -> q259,
     "q260_spearman" -> q260,
     "q256_bivariate_ols" -> q256,
@@ -2399,6 +2430,36 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q264_kendall_tau" ->
+      """WITH j AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor("value" * 100.0 + 0.5) / 100.0
+        |          AS DECIMAL(7,2)) ELSE 0 END) AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+        |        OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+        |        OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant,
+        |    CAST(SUM(CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ties_x,
+        |    CAST(SUM(CASE WHEN b.x <> a.x AND b.y = a.y THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ties_y
+        |  FROM j a JOIN j b ON a.day < b.day),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_obs FROM j)
+        |SELECT n_obs, concordant, discordant, ties_x, ties_y,
+        |  floor((CAST(concordant - discordant AS DOUBLE) /
+        |    sqrt(CAST(concordant + discordant + ties_x AS DOUBLE) *
+        |         CAST(concordant + discordant + ties_y AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+        |FROM p CROSS JOIN n""".stripMargin,
     "q259_mann_kendall" ->
       s"""WITH daily AS (
          |  SELECT nation, day,

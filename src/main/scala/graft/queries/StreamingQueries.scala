@@ -144,6 +144,39 @@ object StreamingQueries {
     }
   }
 
+  /** q263 — streaming per-user event-type counters
+    * ([[EventStreams.typeCounts]]): transformWithState MapState —
+    * completing the q255/q262 state-type triple — gated against the
+    * batch per-user pivot. Counting is a mergeable fold; the monotone
+    * total selects the final emission. */
+  val q263: Q = (spark, dir) => {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"q263_out_${runId.incrementAndGet()}"
+      val events = stream(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event]
+      EventStreams.runToMemory(spark,
+        EventStreams.typeCounts(events).toDF(), name, OutputMode.Update)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n_total").desc)))
+        .filter(col("rk") === 1)
+        .select("user_id", "n_total", "n_click", "n_view", "n_purchase",
+          "n_signup", "n_error")
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** q63 — append-mode watermarked hourly windows: the scale-safe
     * production shape of q61. Append mode only emits a window once the
     * watermark passes its end, so state is bounded by the 2-hour
@@ -717,6 +750,7 @@ object StreamingQueries {
     "q62_stream_sessions" -> q62,
     "q255_stream_sessions_tws" -> q255,
     "q262_stream_recent_feed" -> q262,
+    "q263_stream_type_counts" -> q263,
     "q63_stream_hourly_append" -> q63,
     "q64_stream_dedup" -> q64,
     "q65_stream_sessions_expiring" -> q65,
@@ -966,6 +1000,19 @@ object StreamingQueries {
         |  string_agg(event_id::VARCHAR, ',' ORDER BY rk) AS recent_csv
         |FROM r WHERE rk <= 5
         |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin,
+    "q263_stream_type_counts" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Batch q12 restricted to watermark-closed windows. Watermark ms
     // arithmetic mirrors Spark exactly: event-time µs = ts div 1000,
     // tracked max in ms = µs div 1000, watermark = max ms − 7 200 000;

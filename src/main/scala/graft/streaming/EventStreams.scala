@@ -202,6 +202,58 @@ object EventStreams {
     }
   }
 
+  case class UserTypeCounts(user_id: Long, n_total: Long, n_click: Long,
+                            n_view: Long, n_purchase: Long, n_signup: Long,
+                            n_error: Long)
+
+  /** Streaming per-user event-type counters in a `transformWithState`
+    * MapState — the keyed-sub-state type that completes the API triple
+    * ([[sessionizeTws]] ValueState, [[recentN]] ListState): the map key
+    * space (event types) is data-driven, so a ValueState struct can't
+    * hold it without schema changes, and RocksDB stores each map entry
+    * as its own key — updates touch only the entry they change, the
+    * property that matters when the per-key map is large. Counting is
+    * a mergeable fold ⇒ final emissions equal the batch pivot whatever
+    * the micro-batch slicing; monotone `n_total` selects the last
+    * emission. */
+  def typeCounts(events: Dataset[Event]): Dataset[UserTypeCounts] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
+  private class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTypeCounts] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTypeCounts] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      def g(t: String): Long =
+        if (counts.containsKey(t)) counts.getValue(t) else 0L
+      val tot = counts.values().foldLeft(0L)(_ + _)
+      Iterator(UserTypeCounts(user, tot, g("click"), g("view"),
+        g("purchase"), g("signup"), g("error")))
+    }
+  }
+
   case class LedgerEvent(user_id: Long, ts: Long, event_id: Long,
                          delta: java.math.BigDecimal)
   case class LedgerState(bal: java.math.BigDecimal, n: Long, clamps: Long)
