@@ -177,6 +177,41 @@ object StreamingQueries {
     }
   }
 
+  /** q266 — per-session rows via event-time TIMERS
+    * ([[EventStreams.sessionEmit]]): closed-by-successor sessions emit
+    * inline, the final hanging session per user emits when the
+    * watermark passes its gap horizon through `handleExpiredTimer` —
+    * the full timer API (register/delete/expire) under the oracle gate,
+    * where q65's fMGWS only had blunt state timeouts. Append mode; on
+    * the finite replay the no-data final micro-batch fires every
+    * timer, so the emitted set equals the batch gaps-and-islands
+    * decomposition exactly. */
+  val q266: Q = (spark, dir) => {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"q266_out_${runId.incrementAndGet()}"
+      val events = stream(spark, dir)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "2 hours")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "event_time")
+        .as[EventStreams.EventT]
+      EventStreams.runToMemory(spark,
+        EventStreams.sessionEmit(events).toDF(), name, OutputMode.Append)
+        .select("user_id", "start_s", "end_s", "n_events")
+        .orderBy("user_id", "start_s")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** q63 — append-mode watermarked hourly windows: the scale-safe
     * production shape of q61. Append mode only emits a window once the
     * watermark passes its end, so state is bounded by the 2-hour
@@ -751,6 +786,7 @@ object StreamingQueries {
     "q255_stream_sessions_tws" -> q255,
     "q262_stream_recent_feed" -> q262,
     "q263_stream_type_counts" -> q263,
+    "q266_stream_session_rows" -> q266,
     "q63_stream_hourly_append" -> q63,
     "q64_stream_dedup" -> q64,
     "q65_stream_sessions_expiring" -> q65,
@@ -1013,6 +1049,39 @@ object StreamingQueries {
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Sessions closed by a successor always emit; each user's LAST
+    // session emits only if its gap horizon cleared the final watermark
+    // (max event ms − 2 h) so its timer fired — the append-mode
+    // restriction, same shape as q63's.
+    "q266_stream_session_rows" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (
+        |  SELECT user_id, sid, MIN(t) AS start_t, MAX(t) AS end_t,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT ((MAX(epoch_ns(ts) // 1000) // 1000) - 7200000)
+        |         AS wm_ms FROM events),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY sid DESC) AS rk
+        |      FROM g)
+        |SELECT user_id,
+        |  CAST(start_t // 1000000000 AS BIGINT) AS start_s,
+        |  CAST(end_t // 1000000000 AS BIGINT) AS end_s,
+        |  n_events
+        |FROM m, wm
+        |WHERE rk > 1 OR (end_t // 1000000 + 1800000) <= wm_ms
+        |ORDER BY user_id, start_s""".stripMargin,
     // Batch q12 restricted to watermark-closed windows. Watermark ms
     // arithmetic mirrors Spark exactly: event-time µs = ts div 1000,
     // tracked max in ms = µs div 1000, watermark = max ms − 7 200 000;

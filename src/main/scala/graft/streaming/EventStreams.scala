@@ -254,6 +254,87 @@ object EventStreams {
     }
   }
 
+  case class SessionRow(user_id: Long, start_s: Long, end_s: Long,
+                        n_events: Long)
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Session EMISSION with event-time TIMERS ([[sessionizeTws]] counts
+    * sessions; this emits each session as a ROW once it is provably
+    * over): a closed-by-successor session emits inline when the next
+    * event's gap exceeds the threshold, and the final hanging session
+    * emits from `handleExpiredTimer` when the WATERMARK passes its
+    * last event + gap — the timer API (register/expire) that
+    * `flatMapGroupsWithState` only approximates with state timeouts,
+    * here with exact per-session expiry timestamps. Each batch
+    * re-registers the key's single timer at the new horizon (the old
+    * one is deleted — timers are per-(key, timestamp)). On the finite
+    * replay the watermark reaches max(event time) at the end and Spark
+    * runs a no-data micro-batch, so every session emits exactly once
+    * and the output equals the batch gaps-and-islands oracle. */
+  def sessionEmit(events: Dataset[EventT],
+                  gapNs: Long = 30L * 60 * 1000000000L): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionEmitProcessor(gapNs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  private class SessionEmitProcessor(gapNs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventT, SessionRow] {
+    @transient private var open:
+      org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def toRow(user: Long, s: OpenSession): SessionRow =
+      SessionRow(user, s.start / 1000000000L, s.last / 1000000000L, s.n)
+
+    override def handleInputRows(user: Long, rows: Iterator[EventT],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionRow] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      val out = Seq.newBuilder[SessionRow]
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts - s.last <= gapNs =>
+            cur = Some(OpenSession(s.start, e.ts, s.n + 1))
+          case Some(s) =>
+            out += toRow(user, s)
+            cur = Some(OpenSession(e.ts, e.ts, 1L))
+          case None =>
+            cur = Some(OpenSession(e.ts, e.ts, 1L))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one live timer per key: re-arm at the new session horizon
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last / 1000000L + gapNs / 1000000L)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionRow] = {
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator(toRow(user, s))
+      } else Iterator.empty
+    }
+  }
+
   case class LedgerEvent(user_id: Long, ts: Long, event_id: Long,
                          delta: java.math.BigDecimal)
   case class LedgerState(bal: java.math.BigDecimal, n: Long, clamps: Long)

@@ -20,6 +20,34 @@ class TwsUpliftSpec extends AnyFunSuite {
       "the two arbitrary-state APIs diverged on identical input")
   }
 
+  test("q266 timer-emitted sessions tile per user and match q62's counts " +
+      "for watermark-closed users") {
+    val rows = Registry.all("q266_stream_session_rows")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // sessions are disjoint, ordered, and internally consistent
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_s"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_s") <= r.getAs[Long]("end_s"))
+        assert(r.getAs[Long]("n_events") >= 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_s") < b.getAs[Long]("start_s"),
+            "sessions overlap")
+        case _ =>
+      }
+    }
+    // a user whose LAST session also emitted (timer fired) must show
+    // exactly q62's session count
+    val counts = Registry.all("q62_stream_sessions")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_sessions")).toMap
+    val full = rows.groupBy(_.getLong(0))
+      .filter { case (u, rs) => rs.length.toLong == counts(u) }
+    assert(full.nonEmpty, "no user had every session emitted")
+  }
+
   test("q256 Cramer solve matches a BigInt-exact driver recompute") {
     val rows = Registry.all("q256_bivariate_ols")(spark, sf).collect()
     assert(rows.nonEmpty)
