@@ -1013,7 +1013,43 @@ object AnalyticsQueries {
         "ci_lo", "ci_hi", "significant")
   }
 
+  /** q268 — duplicate-charge detector: pairs of purchases by the SAME
+    * user for the SAME whole-dollar amount within 24 h — the first rule
+    * every billing-ops review queue runs (retry storms, double-clicks,
+    * reconciliation ghosts). The time window rides q196's bucketization
+    * as an EQUI-join: the earlier event explodes onto its own and the
+    * next 24 h bucket, the later event maps to one, so every
+    * within-window pair matches exactly once and the canonical
+    * earlier-first order (ts, then id) needs no dedup — a raw
+    * |Δt| ≤ 24 h theta-join would plan a per-user nested loop. Amounts
+    * are exact floor-dollars from the cents quantizer; gap in whole
+    * seconds. */
+  val q268: Q = (spark, dir) => {
+    val wNs = 86400000000000L // 24 h
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast((cast(floor(value * 100.0 + 0.5) as bigint)) div 100 as bigint)")
+          .as("dollars"))
+    val a = p.select(col("user_id"), col("dollars"),
+        col("event_id").as("id_a"), col("ts").as("ts_a"))
+      .withColumn("bkt", explode(array(
+        expr(s"ts_a div $wNs"), expr(s"ts_a div $wNs + 1"))))
+    val b = p.select(col("user_id"), col("dollars"),
+        col("event_id").as("id_b"), col("ts").as("ts_b"))
+      .withColumn("bkt", expr(s"ts_b div $wNs"))
+    a.join(b, Seq("user_id", "dollars", "bkt"))
+      .filter(col("ts_b") >= col("ts_a") &&
+        col("ts_b") - col("ts_a") <= wNs &&
+        (col("ts_a") < col("ts_b") ||
+         (col("ts_a") === col("ts_b") && col("id_a") < col("id_b"))))
+      .select(col("user_id"), col("dollars"), col("id_a"), col("id_b"),
+        expr("(ts_b - ts_a) div 1000000000").as("gap_s"))
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q268_duplicate_charges" -> q268,
     "q265_ratio_metric_ci" -> q265,
     "q253_shapley_attribution" -> q253,
     "q254_scd2_increment" -> q254,
@@ -1214,6 +1250,20 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q268_duplicate_charges" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) // 100
+        |      AS dollars
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.dollars, a.event_id AS id_a,
+        |  b.event_id AS id_b,
+        |  CAST((b.t - a.t) // 1000000000 AS BIGINT) AS gap_s
+        |FROM p a JOIN p b
+        |  ON a.user_id = b.user_id AND a.dollars = b.dollars
+        |  AND b.t >= a.t AND b.t - a.t <= 86400000000000
+        |  AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
     "q265_ratio_metric_ci" ->
       """WITH u AS (
         |  SELECT user_id, user_id % 2 = 0 AS treated,

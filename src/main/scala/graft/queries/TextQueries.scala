@@ -795,7 +795,44 @@ object TextQueries {
       .orderBy("bucket")
   }
 
+  /** q267 — WEIGHTED Jaccard near-dups: WJ = Σ_t min(c_a,c_b) /
+    * Σ_t max(c_a,c_b) over shingle MULTIPLICITIES — the similarity the
+    * set-Jaccard family (q26/q242) under-reads on repetitive text,
+    * where a doc that repeats one paragraph five times set-collapses to
+    * the single-copy doc (Ioffe's weighted-MinHash target, computed
+    * exactly). Σmax needs no union join: max = a + b − min, so
+    * Σmax = tot_a + tot_b − Σmin_shared with off-support mins zero.
+    * Same inverted-index co-occurrence join and df-cap as q242 (the
+    * cap counts DISTINCT docs per shingle); ratios exact integer ppm. */
+  val q267: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val sh = graft.text.TextAnalysis
+      .shinglesAll(docs, "doc_id", "text", 3)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("shingle"),
+      Seq("shingle"))
+    val tot = kept.groupBy("doc_id").agg(sum(col("c")).as("tot"))
+    kept.select(col("doc_id").as("id_a"), col("shingle"), col("c").as("ca"))
+      .join(kept.select(col("doc_id").as("id_b"), col("shingle"),
+        col("c").as("cb")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+      .join(tot.select(col("doc_id").as("id_a"), col("tot").as("ta")),
+        Seq("id_a"))
+      .join(tot.select(col("doc_id").as("id_b"), col("tot").as("tb")),
+        Seq("id_b"))
+      .withColumn("wjaccard_ppm",
+        expr("cast((2 * smin * 1000000 + (ta + tb - smin)) div (2 * (ta + tb - smin)) as bigint)"))
+      .filter(col("wjaccard_ppm") >= 400000L)
+      .select("id_a", "id_b", "smin", "ta", "tb", "wjaccard_ppm")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q267_weighted_jaccard" -> q267,
     "q249_lsh_recall_audit" -> q249,
     "q242_containment_dups" -> q242,
     "q230_dedup_threshold_sweep" -> q230,
@@ -958,6 +995,44 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q267_weighted_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |allsh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS shingle
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS c
+        |  FROM allsh GROUP BY 1, 2),
+        |keptsh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |  WHERE df <= 100),
+        |kept AS (SELECT doc_id, shingle, c FROM sh
+        |         JOIN keptsh USING (shingle)),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot
+        |        FROM kept GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS smin
+        |  FROM kept a JOIN kept b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, smin, ta.tot AS ta, tb.tot AS tb,
+        |    CAST((2 * smin * 1000000 + (ta.tot + tb.tot - smin))
+        |      // (2 * (ta.tot + tb.tot - smin)) AS BIGINT)
+        |      AS wjaccard_ppm
+        |  FROM p
+        |  JOIN tot ta ON id_a = ta.doc_id
+        |  JOIN tot tb ON id_b = tb.doc_id)
+        |SELECT id_a, id_b, smin, ta, tb, wjaccard_ppm
+        |FROM j WHERE wjaccard_ppm >= 400000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q249_lsh_recall_audit" ->
       s"""WITH $lshBandsCte,
          |cands AS (

@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Registry
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 wave 9 (q267 weighted Jaccard, q268 duplicate charges). */
+class WeightedDupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  test("q267 weighted Jaccard dominates set Jaccard on repeated text " +
+      "and matches a driver recompute") {
+    val rows = Registry.all("q267_weighted_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val smin = r.getAs[Long]("smin")
+      val (ta, tb) = (r.getAs[Long]("ta"), r.getAs[Long]("tb"))
+      assert(smin <= math.min(ta, tb), r.toString)
+      val wj = r.getAs[Long]("wjaccard_ppm")
+      assert(wj == (2L * smin * 1000000L + (ta + tb - smin)) /
+        (2L * (ta + tb - smin)), r.toString)
+    }
+    // driver recompute of one pair with multiplicities
+    val r0 = rows.head
+    val docs = graft.io.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(r0.getLong(0), r0.getLong(1)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    def bag(t: String): Map[String, Long] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (ba, bb) = (bag(docs(r0.getLong(0))), bag(docs(r0.getLong(1))))
+    val smin = ba.keySet.intersect(bb.keySet)
+      .toSeq.map(k => math.min(ba(k), bb(k))).sum
+    assert(r0.getAs[Long]("smin") == smin)
+    assert(r0.getAs[Long]("ta") == ba.values.sum &&
+      r0.getAs[Long]("tb") == bb.values.sum)
+  }
+
+  test("q268 pairs are canonical, within-window, and amount-consistent") {
+    val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
+    assert(rows.nonEmpty, "the fixture contains at least one dup charge")
+    rows.foreach { r =>
+      val gap = r.getAs[Long]("gap_s")
+      assert(gap >= 0 && gap <= 86400, r.toString)
+      assert(r.getAs[Long]("id_a") != r.getAs[Long]("id_b"))
+    }
+    // every reported pair really is same-user same-dollar in the raw data
+    val ev = graft.io.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong / 100L)).toMap
+    rows.foreach { r =>
+      val (ua, da) = ev(r.getAs[Long]("id_a"))
+      val (ub, db) = ev(r.getAs[Long]("id_b"))
+      assert(ua == ub && ua == r.getAs[Long]("user_id"))
+      assert(da == db && da == r.getAs[Long]("dollars"))
+    }
+  }
+}
