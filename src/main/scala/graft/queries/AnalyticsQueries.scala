@@ -1048,7 +1048,37 @@ object AnalyticsQueries {
       .orderBy("user_id", "id_a", "id_b")
   }
 
+  /** q269 — functional-dependency profiling: for each candidate FD
+    * X→Y, how many X-keys map to MORE than one Y (the violation count
+    * schema-discovery and dbt-style contract tools report) — q128's DQ
+    * report checks DECLARED rules, this DISCOVERS which dependency
+    * candidates actually hold (custkey→nationkey does; user→event_type
+    * obviously doesn't — the degree of violation is the signal). One
+    * distinct-pair aggregate per candidate (map-side partials make it
+    * one exchange each); violation rates exact integer ppm. */
+  val q269: Q = (spark, dir) => {
+    def fd(df: DataFrame, name: String, lhs: String,
+           rhs: String): DataFrame =
+      df.select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+        .groupBy("l").agg(count(lit(1)).as("nr"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          expr("cast((2 * n_violating * 1000000 + n_keys) div (2 * n_keys) as bigint)")
+            .as("violation_ppm"))
+    fd(Tables.customer(spark, dir), "customer.custkey->nationkey",
+        "c_custkey", "c_nationkey")
+      .unionByName(fd(Tables.orders(spark, dir),
+        "orders.custkey->orderpriority", "o_custkey", "o_orderpriority"))
+      .unionByName(fd(Tables.lineitem(spark, dir),
+        "lineitem.partkey->suppkey", "l_partkey", "l_suppkey"))
+      .unionByName(fd(Tables.events(spark, dir),
+        "events.user->event_type", "user_id", "event_type"))
+      .orderBy("fd")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q269_fd_profile" -> q269,
     "q268_duplicate_charges" -> q268,
     "q265_ratio_metric_ci" -> q265,
     "q253_shapley_attribution" -> q253,
@@ -1250,6 +1280,46 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q269_fd_profile" ->
+      """WITH
+        |c AS (
+        |  SELECT 'customer.custkey->nationkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT c_custkey, count(*) AS nr FROM
+        |    (SELECT DISTINCT c_custkey, c_nationkey FROM customer)
+        |    GROUP BY 1)),
+        |o AS (
+        |  SELECT 'orders.custkey->orderpriority' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT o_custkey, count(*) AS nr FROM
+        |    (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        |    GROUP BY 1)),
+        |l AS (
+        |  SELECT 'lineitem.partkey->suppkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT l_partkey, count(*) AS nr FROM
+        |    (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |    GROUP BY 1)),
+        |e AS (
+        |  SELECT 'events.user->event_type' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM (SELECT user_id, count(*) AS nr FROM
+        |    (SELECT DISTINCT user_id, event_type FROM events)
+        |    GROUP BY 1)),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+        |      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+        |SELECT fd, n_keys, n_violating,
+        |  CAST((2 * n_violating * 1000000 + n_keys) // (2 * n_keys)
+        |    AS BIGINT) AS violation_ppm
+        |FROM u ORDER BY fd""".stripMargin,
     "q268_duplicate_charges" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS t,

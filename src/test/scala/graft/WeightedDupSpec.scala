@@ -39,6 +39,21 @@ class WeightedDupSpec extends AnyFunSuite {
       r0.getAs[Long]("tb") == bb.values.sum)
   }
 
+  test("q269 FD audit: the true dependency holds, the obvious non-FD " +
+      "violates heavily") {
+    val rows = Registry.all("q269_fd_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // custkey → nationkey is a genuine FD in TPC-H: zero violations
+    assert(rows("customer.custkey->nationkey")
+      .getAs[Long]("n_violating") == 0L)
+    // a user emits many event types: violation rate near 100%
+    assert(rows("events.user->event_type")
+      .getAs[Long]("violation_ppm") > 900000L)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_keys"))
+    }
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
