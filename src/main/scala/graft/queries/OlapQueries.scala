@@ -2130,7 +2130,61 @@ object OlapQueries {
         "tau_b")
   }
 
+  /** q270 — ABC–XYZ inventory matrix: every part classified on TWO
+    * axes — revenue contribution (A ≤ 80 % cumulative share, B ≤ 95 %,
+    * C else — q124's sweep with the thresholds as EXACT integer
+    * comparisons 5·cum ≤ 4·tot / 20·cum ≤ 19·tot) × demand
+    * variability (coefficient of variation of weekly shipped quantity:
+    * X < 0.5, Y < 1.0, Z else, single-week parts are Z by convention) —
+    * the 9-cell planning matrix behind every inventory policy choice
+    * (AX = automate, CZ = make-to-order). CV is one mirrored IEEE
+    * formula over exact integer weekly sums, quantized before the
+    * class comparison so the boundary can't drift cross-engine. */
+  val q270: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(cast(l_shipdate as timestamp) as long) div 604800")
+          .as("wk"),
+        col("l_quantity").cast("long").as("qty"),
+        (qdec(col("l_extendedprice"), 18, 2) * 100).cast("decimal(38,0)")
+          .as("cents"))
+    val value = li.groupBy("l_partkey")
+      .agg(sum(col("cents")).cast("decimal(38,0)").as("v"))
+    val wCum = Window.orderBy(col("v").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = value
+      .withColumn("cum", sum(col("v")).over(wCum).cast("decimal(38,0)"))
+      .withColumn("tot", sum(col("v")).over(
+        Window.partitionBy(lit(1))).cast("decimal(38,0)"))
+      .withColumn("abc_class",
+        when(expr("5 * cum <= 4 * tot"), "A")
+          .when(expr("20 * cum <= 19 * tot"), "B").otherwise("C"))
+      .select("l_partkey", "v", "abc_class")
+    val weekly = li.groupBy("l_partkey", "wk")
+      .agg(sum(col("qty")).as("q"))
+    val xyz = weekly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum((col("q").cast("decimal(38,0)") * col("q"))
+          .cast("decimal(38,0)")).as("sqq"))
+      .withColumn("cv", when(col("n") >= 2, qround(
+        sqrt(expr("cast(n * sqq - sq * sq as double)") /
+          expr("cast(cast(n as decimal(38,0)) * (n - 1) as double)")) /
+        (expr("cast(sq as double)") / col("n")), 6)))
+      .withColumn("xyz_class",
+        when(col("cv").isNull, "Z")
+          .when(col("cv") < 0.5, "X")
+          .when(col("cv") < 1.0, "Y").otherwise("Z"))
+      .select("l_partkey", "xyz_class")
+    abc.join(xyz, "l_partkey")
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("v")).cast("decimal(38,0)").as("value_cents"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q270_abc_xyz_matrix" -> q270,
     "q264_kendall_tau" -> q264,
     "q259_mann_kendall" -> q259,
     "q260_spearman" -> q260,
@@ -2430,6 +2484,52 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q270_abc_xyz_matrix" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    (epoch_ns(l_shipdate) // 1000000000) // 604800 AS wk,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
+        |      AS cents
+        |  FROM lineitem),
+        |v AS (SELECT l_partkey, SUM(cents) AS v FROM li GROUP BY 1),
+        |a AS (
+        |  SELECT l_partkey, v,
+        |    SUM(v) OVER (ORDER BY v DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(v) OVER () AS tot
+        |  FROM v),
+        |abc AS (
+        |  SELECT l_partkey, v,
+        |    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+        |      WHEN 20 * cum <= 19 * tot THEN 'B' ELSE 'C' END
+        |      AS abc_class
+        |  FROM a),
+        |weekly AS (
+        |  SELECT l_partkey, wk, CAST(SUM(qty) AS HUGEINT) AS q
+        |  FROM li GROUP BY 1, 2),
+        |st AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(q) AS sq, SUM(q * q) AS sqq
+        |  FROM weekly GROUP BY 1),
+        |xyz AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN n < 2 THEN NULL
+        |      ELSE floor((sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+        |          / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+        |        / (CAST(sq AS DOUBLE) / n)) * 1000000.0 + 0.5)
+        |        / 1000000.0 END AS cv
+        |  FROM st),
+        |xc AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN cv IS NULL THEN 'Z'
+        |      WHEN cv < 0.5 THEN 'X'
+        |      WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        |  FROM xyz)
+        |SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(v) AS DECIMAL(38,0)) AS value_cents
+        |FROM abc JOIN xc USING (l_partkey)
+        |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin,
     "q264_kendall_tau" ->
       """WITH j AS (
         |  SELECT epoch_ns(ts) // 86400000000000 AS day,

@@ -54,6 +54,23 @@ class WeightedDupSpec extends AnyFunSuite {
     }
   }
 
+  test("q270 ABC-XYZ cells partition the catalog and A outweighs C") {
+    val rows = Registry.all("q270_abc_xyz_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("A", "B", "C")(r.getString(0)))
+      assert(Set("X", "Y", "Z")(r.getString(1)))
+    }
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    val catalog = graft.io.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(nParts == catalog, s"$nParts parts classified vs $catalog")
+    def classValue(c: String) = rows.filter(_.getString(0) == c)
+      .map(r => BigDecimal(r.getDecimal(3))).sum
+    // the 80% band's total value dominates the tail band by construction
+    assert(classValue("A") > classValue("C"))
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
