@@ -2183,7 +2183,63 @@ object OlapQueries {
       .orderBy("abc_class", "xyz_class")
   }
 
+  /** q271 — price–volume revenue bridge (the FP&A "why did revenue
+    * move" decomposition, 1996 → 1997 shipments): per part,
+    * ΔR = P₀·ΔQ + ΔP·Q₁ splits the move into a volume effect (sold
+    * more/less at old prices) and a price effect (repriced the new
+    * volume); parts present in only one period contribute whole-revenue
+    * new/discontinued effects, and the bridge CLOSES by construction —
+    * Σ effects = ΔR total (the q206 MRR-bridge discipline applied to
+    * price×volume). Unit prices quantize ONCE to half-up integer
+    * micro-cents ((2·R·10⁴+Q) div 2Q), every effect is then a pure
+    * INTEGER product/difference (negatives safe — no integer division
+    * touches a signed value), and the per-part quantization remainder
+    * is carried honestly as `residual_microcents` instead of being
+    * smeared into the effects. */
+  val q271: Q = (spark, dir) => {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("year(cast(l_shipdate as date))").as("yr"),
+        col("l_quantity").cast("long").as("qty"),
+        (qdec(col("l_extendedprice"), 18, 2) * 100).cast("decimal(38,0)")
+          .as("cents"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("l_partkey", "yr")
+      .agg(sum(col("qty")).as("q"),
+        sum(col("cents")).cast("decimal(38,0)").as("r"))
+      .withColumn("p",
+        expr("cast((2 * r * 10000 + q) div (2 * cast(q as decimal(38,0))) as bigint)"))
+    val y0 = base.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("q").as("q0"), col("r").as("r0"),
+        col("p").as("p0"))
+    val y1 = base.filter(col("yr") === 1997)
+      .select(col("l_partkey"), col("q").as("q1"), col("r").as("r1"),
+        col("p").as("p1"))
+    val j = y0.join(y1, Seq("l_partkey"), "full_outer")
+    def d38(sql: String) = expr(s"cast($sql as decimal(38,0))")
+    j.agg(
+        sum(when(col("p0").isNotNull && col("p1").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        sum(when(col("p0").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("p1").isNull, 1L).otherwise(0L)).as("n_discontinued"),
+        sum(d38("(coalesce(r1, 0) - coalesce(r0, 0)) * 10000"))
+          .cast("decimal(38,0)").as("delta_rev_microcents"),
+        sum(when(col("p0").isNotNull && col("p1").isNotNull,
+          d38("(p1 - p0) * q1")).otherwise(lit(0))).cast("decimal(38,0)")
+          .as("price_effect"),
+        sum(when(col("p0").isNotNull && col("p1").isNotNull,
+          d38("p0 * (q1 - q0)")).otherwise(lit(0))).cast("decimal(38,0)")
+          .as("volume_effect"),
+        sum(when(col("p0").isNull, d38("r1 * 10000")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("new_effect"),
+        sum(when(col("p1").isNull, d38("-r0 * 10000")).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("discontinued_effect"))
+      .withColumn("residual_microcents",
+        expr("cast(delta_rev_microcents - price_effect - volume_effect - new_effect - discontinued_effect as decimal(38,0))"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q271_price_volume_bridge" -> q271,
     "q270_abc_xyz_matrix" -> q270,
     "q264_kendall_tau" -> q264,
     "q259_mann_kendall" -> q259,
@@ -2484,6 +2540,48 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q271_price_volume_bridge" ->
+      """WITH base AS (
+        |  SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q,
+        |    SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+        |      AS r
+        |  FROM lineitem
+        |  WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT *, CAST((2 * r * 10000 + q) // (2 * q) AS BIGINT) AS p
+        |  FROM base),
+        |y0 AS (SELECT l_partkey, q AS q0, r AS r0, p AS p0 FROM b2
+        |       WHERE yr = 1996),
+        |y1 AS (SELECT l_partkey, q AS q1, r AS r1, p AS p1 FROM b2
+        |       WHERE yr = 1997),
+        |j AS (SELECT * FROM y0 FULL OUTER JOIN y1 USING (l_partkey)),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_common,
+        |    CAST(SUM(CASE WHEN p0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_discontinued,
+        |    CAST(SUM((COALESCE(r1, 0) - COALESCE(r0, 0)) * 10000)
+        |      AS DECIMAL(38,0)) AS delta_rev_microcents,
+        |    CAST(SUM(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
+        |      THEN CAST(p1 - p0 AS HUGEINT) * q1 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS price_effect,
+        |    CAST(SUM(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
+        |      THEN CAST(p0 AS HUGEINT) * (q1 - q0) ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS volume_effect,
+        |    CAST(SUM(CASE WHEN p0 IS NULL THEN r1 * 10000 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS new_effect,
+        |    CAST(SUM(CASE WHEN p1 IS NULL THEN -r0 * 10000 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS discontinued_effect
+        |  FROM j)
+        |SELECT *, CAST(delta_rev_microcents - price_effect
+        |    - volume_effect - new_effect - discontinued_effect
+        |    AS DECIMAL(38,0)) AS residual_microcents
+        |FROM agg""".stripMargin,
     "q270_abc_xyz_matrix" ->
       """WITH li AS (
         |  SELECT l_partkey,

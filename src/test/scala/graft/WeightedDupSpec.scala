@@ -71,6 +71,22 @@ class WeightedDupSpec extends AnyFunSuite {
     assert(classValue("A") > classValue("C"))
   }
 
+  test("q271 the bridge closes exactly and the residual is pure " +
+      "quantization noise") {
+    val r = Registry.all("q271_price_volume_bridge")(spark, sf)
+      .collect().head
+    def d(i: Int) = BigDecimal(r.getDecimal(i)).toBigInt
+    val (dr, pe, ve, ne, de, res) = (d(3), d(4), d(5), d(6), d(7), d(8))
+    // closure is an identity by construction
+    assert(dr == pe + ve + ne + de + res)
+    // the residual comes only from half-up micro-cent price rounding:
+    // |resid| per common part < q1 + q0 micro-cents
+    val bound = graft.io.Tables.lineitem(spark, sf)
+      .agg(sum(col("l_quantity").cast("long"))).collect().head.getLong(0)
+    assert(res.abs < BigInt(bound), s"residual $res vs bound $bound")
+    assert(r.getAs[Long]("n_common") > 0)
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
