@@ -2238,7 +2238,44 @@ object OlapQueries {
         expr("cast(delta_rev_microcents - price_effect - volume_effect - new_effect - discontinued_effect as decimal(38,0))"))
   }
 
+  /** q272 — same-store (comparable) growth: 1996→1997 revenue growth
+    * computed over ONLY the customers active in BOTH years, next to the
+    * headline number — the retail-analytics control that separates
+    * organic growth from customer-base churn (a headline that beats
+    * comparable growth is growing by acquisition, not engagement).
+    * One scan, one both-years semi-join; growth ratios are sign-safe
+    * `qround` quotients of exact decimal sums (never the div idiom,
+    * whose floor/trunc semantics diverge on negatives). */
+  val q272: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("year(cast(o_orderdate as date))").as("yr"),
+        qdec(col("o_totalprice"), 18, 2).as("p"))
+      .filter(col("yr").isin(1996, 1997))
+    val both = o.groupBy("o_custkey")
+      .agg(countDistinct(col("yr")).as("ny"))
+      .filter(col("ny") === 2).select("o_custkey")
+    def pivot(df: DataFrame, pfx: String) = df.groupBy(lit(1).as("k"))
+      .agg(sum(when(col("yr") === 1996, col("p")))
+          .cast("decimal(18,2)").as(s"rev0_$pfx"),
+        sum(when(col("yr") === 1997, col("p")))
+          .cast("decimal(18,2)").as(s"rev1_$pfx"))
+    val all = pivot(o, "all")
+    val same = pivot(o.join(both, Seq("o_custkey"), "left_semi"), "same")
+    all.join(same, "k").drop("k")
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_comparable"))))
+      .withColumn("growth_all", qround(
+        (col("rev1_all") - col("rev0_all")).cast("double") /
+          col("rev0_all").cast("double"), 6))
+      .withColumn("growth_same", qround(
+        (col("rev1_same") - col("rev0_same")).cast("double") /
+          col("rev0_same").cast("double"), 6))
+      .select("n_comparable", "rev0_all", "rev1_all", "growth_all",
+        "rev0_same", "rev1_same", "growth_same")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q272_same_store_growth" -> q272,
     "q271_price_volume_bridge" -> q271,
     "q270_abc_xyz_matrix" -> q270,
     "q264_kendall_tau" -> q264,
@@ -2540,6 +2577,38 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q272_same_store_growth" ->
+      """WITH o AS (
+        |  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+        |bo AS (
+        |  SELECT o_custkey FROM o GROUP BY 1
+        |  HAVING count(DISTINCT yr) = 2),
+        |alla AS (
+        |  SELECT CAST(SUM(CASE WHEN yr = 1996 THEN p END)
+        |      AS DECIMAL(18,2)) AS rev0_all,
+        |    CAST(SUM(CASE WHEN yr = 1997 THEN p END) AS DECIMAL(18,2))
+        |      AS rev1_all
+        |  FROM o),
+        |sm AS (
+        |  SELECT CAST(SUM(CASE WHEN yr = 1996 THEN p END)
+        |      AS DECIMAL(18,2)) AS rev0_same,
+        |    CAST(SUM(CASE WHEN yr = 1997 THEN p END) AS DECIMAL(18,2))
+        |      AS rev1_same
+        |  FROM o WHERE o_custkey IN (SELECT o_custkey FROM bo)),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_comparable FROM bo)
+        |SELECT n_comparable, rev0_all, rev1_all,
+        |  floor((CAST(rev1_all - rev0_all AS DOUBLE)
+        |    / CAST(rev0_all AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS growth_all,
+        |  rev0_same, rev1_same,
+        |  floor((CAST(rev1_same - rev0_same AS DOUBLE)
+        |    / CAST(rev0_same AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS growth_same
+        |FROM alla CROSS JOIN sm CROSS JOIN nb""".stripMargin,
     "q271_price_volume_bridge" ->
       """WITH base AS (
         |  SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,

@@ -87,6 +87,19 @@ class WeightedDupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_common") > 0)
   }
 
+  test("q272 comparable revenue is a subset of headline revenue") {
+    val r = Registry.all("q272_same_store_growth")(spark, sf)
+      .collect().head
+    assert(BigDecimal(r.getDecimal(1)) >= BigDecimal(r.getDecimal(4)),
+      "rev0_all must cover rev0_same")
+    assert(BigDecimal(r.getDecimal(2)) >= BigDecimal(r.getDecimal(5)),
+      "rev1_all must cover rev1_same")
+    assert(r.getAs[Long]("n_comparable") > 0)
+    // growth columns are finite quantized ratios
+    assert(!r.getAs[Double]("growth_all").isNaN &&
+      !r.getAs[Double]("growth_same").isNaN)
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
