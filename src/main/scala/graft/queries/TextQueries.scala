@@ -831,7 +831,46 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** q274 — emerging-terms report (vocabulary drift top-k): tokens
+    * whose document frequency grew most between the corpus's first and
+    * second doc_id halves, ranked by exact integer ppm lift with a
+    * Laplace-style +1 smoothing so new-in-half-2 terms rank finitely —
+    * the "what is the crawl suddenly talking about" monitor that
+    * complements q224's volume-growth curve (Heaps says HOW MANY new
+    * terms; this says WHICH). Support floor df₂ ≥ 3 is the q223
+    * prefilter (lossless for the ranking, kills the hapax tail at
+    * scale). One token scan, two conditional df aggregates, a
+    * TakeOrderedAndProject top-25. */
+  val q274: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    // half boundary from min/max — exact in both engines, no
+    // approximate-percentile algorithm to disagree about
+    val cut = broadcast(docs.agg(
+      expr("cast((min(doc_id) + max(doc_id)) div 2 as bigint)").as("cut")))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 3)
+      .distinct()
+    val df = tok.crossJoin(cut).groupBy("token")
+      .agg(sum(when(col("doc_id") <= col("cut"), 1L).otherwise(0L))
+          .as("df1"),
+        sum(when(col("doc_id") > col("cut"), 1L).otherwise(0L))
+          .as("df2"))
+    val n = docs.crossJoin(cut).agg(
+        sum(when(col("doc_id") <= col("cut"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("doc_id") > col("cut"), 1L).otherwise(0L)).as("n2"))
+    df.filter(col("df2") >= 3L).crossJoin(broadcast(n))
+      // lift of smoothed rates: ((df2+1)/(n2+1)) / ((df1+1)/(n1+1)),
+      // exact half-up integer ppm via the cross-multiplied idiom
+      .withColumn("lift_ppm",
+        expr("cast((2 * cast((df2 + 1) as decimal(38,0)) * (n1 + 1) * 1000000 + cast((df1 + 1) as decimal(38,0)) * (n2 + 1)) div (2 * cast((df1 + 1) as decimal(38,0)) * (n2 + 1)) as bigint)"))
+      .orderBy(col("lift_ppm").desc, col("token"))
+      .limit(25)
+      .select("token", "df1", "df2", "lift_ppm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q274_emerging_terms" -> q274,
     "q267_weighted_jaccard" -> q267,
     "q249_lsh_recall_audit" -> q249,
     "q242_containment_dups" -> q242,
@@ -995,6 +1034,35 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q274_emerging_terms" ->
+      """WITH cut AS (
+        |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+        |    AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE len(token) >= 3),
+        |df AS (
+        |  SELECT token,
+        |    CAST(SUM(CASE WHEN doc_id <= cut.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN doc_id > cut.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS df2
+        |  FROM tk CROSS JOIN cut GROUP BY 1),
+        |n AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN doc_id <= cut.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN doc_id > cut.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM documents CROSS JOIN cut)
+        |SELECT token, df1, df2,
+        |  CAST((2 * CAST(df2 + 1 AS HUGEINT) * (n1 + 1) * 1000000
+        |      + CAST(df1 + 1 AS HUGEINT) * (n2 + 1))
+        |    // (2 * CAST(df1 + 1 AS HUGEINT) * (n2 + 1)) AS BIGINT)
+        |    AS lift_ppm
+        |FROM df CROSS JOIN n WHERE df2 >= 3
+        |ORDER BY lift_ppm DESC, token LIMIT 25""".stripMargin,
     "q267_weighted_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

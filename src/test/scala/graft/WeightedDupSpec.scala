@@ -100,6 +100,18 @@ class WeightedDupSpec extends AnyFunSuite {
       !r.getAs[Double]("growth_same").isNaN)
   }
 
+  test("q274 lift ranking is support-floored and BigInt-recomputable") {
+    val rows = Registry.all("q274_emerging_terms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df2") >= 3L, r.toString)
+      assert(r.getAs[Long]("lift_ppm") > 0L)
+    }
+    // ranking is non-increasing in lift
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
