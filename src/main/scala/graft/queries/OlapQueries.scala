@@ -2274,7 +2274,81 @@ object OlapQueries {
         "rev0_same", "rev1_same", "growth_same")
   }
 
+  /** q275 — open-order backlog aging waterfall: orders still open
+    * ('O') bucketed by age at the corpus's as-of date (its max order
+    * date — derived in-plan from exact integer day min/max, never a
+    * wall clock, so the artifact is replay-stable), with order counts
+    * and exact decimal value per bucket — the ops report behind every
+    * "what's stuck and how much is it worth" standup. Bucket keys are
+    * prefixed to sort chronologically. */
+  val q275: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("day"),
+        qdec(col("o_totalprice"), 18, 2).as("p"))
+    val asof = broadcast(o.agg(max(col("day")).as("asof")))
+    o.filter(col("o_orderstatus") === "O")
+      .crossJoin(asof)
+      .withColumn("age", col("asof") - col("day"))
+      .withColumn("bucket",
+        when(col("age") <= 30, "a_0_30d")
+          .when(col("age") <= 90, "b_31_90d")
+          .when(col("age") <= 365, "c_91_365d")
+          .otherwise("d_over_1y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("p")).cast("decimal(18,2)").as("open_value"))
+      .orderBy("bucket")
+  }
+
+  /** q276 — customer-revenue Lorenz curve + Gini: revenue share of
+    * each ascending-revenue customer decile and the Gini coefficient —
+    * the concentration readout on the CUSTOMER axis (q238's HHI is the
+    * supplier-market axis, q138's Gini the exposure axis). Deciles use
+    * q241's explicit ((rank−1)·10) div N + 1 closed form over the
+    * per-customer aggregate; cumulative shares and the Gini
+    * G = (2·Σrᵢvᵢ − (N+1)·T)/(N·T) are EXACT integer ppm — the
+    * rank-weighted sum rides DECIMAL(38,0)/HUGEINT. The only global
+    * window runs over per-customer rows (q241's posture). */
+  val q276: Q = (spark, dir) => {
+    val c = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(qdec(col("o_totalprice"), 18, 2)).cast("decimal(18,2)")
+        * 100).cast("decimal(38,0)").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("o_custkey"))))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile", expr("((rn - 1) * 10) div n_total + 1"))
+    val gini = c.agg(
+        sum(expr("cast(rn as decimal(38,0)) * v")).cast("decimal(38,0)")
+          .as("rv"),
+        sum(col("v")).cast("decimal(38,0)").as("t"),
+        max(col("n_total")).as("n"))
+      .select(expr("cast((2 * (2 * rv - (cast(n as decimal(38,0)) + 1) * t) * 1000000 + cast(n as decimal(38,0)) * t) div (2 * cast(n as decimal(38,0)) * t) as bigint)")
+        .as("gini_ppm"))
+    val byDec = c.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("v")).cast("decimal(38,0)").as("vd"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_v", sum(col("vd")).over(wCum).cast("decimal(38,0)"))
+      .withColumn("tot_v", sum(col("vd")).over(Window.partitionBy(lit(1)))
+        .cast("decimal(38,0)"))
+      .crossJoin(broadcast(gini))
+      .select(col("decile"), col("n_customers"),
+        expr("cast((2 * vd * 1000000 + tot_v) div (2 * tot_v) as bigint)")
+          .as("share_ppm"),
+        expr("cast((2 * cum_v * 1000000 + tot_v) div (2 * tot_v) as bigint)")
+          .as("cum_share_ppm"),
+        col("gini_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q275_backlog_aging" -> q275,
+    "q276_lorenz_gini" -> q276,
     "q272_same_store_growth" -> q272,
     "q271_price_volume_bridge" -> q271,
     "q270_abc_xyz_matrix" -> q270,
@@ -2577,6 +2651,61 @@ object OlapQueries {
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q275_backlog_aging" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |aod AS (SELECT MAX(day) AS aod FROM o),
+        |b AS (
+        |  SELECT CASE WHEN aod - day <= 30 THEN 'a_0_30d'
+        |      WHEN aod - day <= 90 THEN 'b_31_90d'
+        |      WHEN aod - day <= 365 THEN 'c_91_365d'
+        |      ELSE 'd_over_1y' END AS bucket, p
+        |  FROM o CROSS JOIN aod WHERE o_orderstatus = 'O')
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(p) AS DECIMAL(18,2)) AS open_value
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q276_lorenz_gini" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+        |      AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS HUGEINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey, v,
+        |    row_number() OVER (ORDER BY v, o_custkey) AS rn,
+        |    COUNT(*) OVER () AS n_total
+        |  FROM c),
+        |gi AS (
+        |  SELECT CAST((2 * (2 * SUM(CAST(rn AS HUGEINT) * v)
+        |      - (CAST(MAX(n_total) AS HUGEINT) + 1) * SUM(v)) * 1000000
+        |      + CAST(MAX(n_total) AS HUGEINT) * SUM(v))
+        |    // (2 * CAST(MAX(n_total) AS HUGEINT) * SUM(v)) AS BIGINT)
+        |    AS gini_ppm
+        |  FROM r),
+        |d AS (
+        |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile, v FROM r),
+        |g AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    SUM(v) AS vd
+        |  FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT decile, n_customers, vd,
+        |    SUM(vd) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS cum_v,
+        |    SUM(vd) OVER () AS tot_v
+        |  FROM g)
+        |SELECT decile, n_customers,
+        |  CAST((2 * vd * 1000000 + tot_v) // (2 * tot_v) AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((2 * cum_v * 1000000 + tot_v) // (2 * tot_v) AS BIGINT)
+        |    AS cum_share_ppm,
+        |  gini_ppm
+        |FROM w CROSS JOIN gi ORDER BY decile""".stripMargin,
     "q272_same_store_growth" ->
       """WITH o AS (
         |  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,

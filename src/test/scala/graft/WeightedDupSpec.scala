@@ -112,6 +112,28 @@ class WeightedDupSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q276 Lorenz curve is convex-ordered and Gini sits inside it") {
+    val rows = Registry.all("q276_lorenz_gini")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.length == 10)
+    // ascending-revenue deciles: per-decile share is non-decreasing
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    // cumulative closes at 100%
+    assert(rows.last.getAs[Long]("cum_share_ppm") == 1000000L)
+    val gini = rows.head.getAs[Long]("gini_ppm")
+    assert(gini >= 0 && gini < 1000000L)
+  }
+
+  test("q275 backlog buckets partition the open orders") {
+    val rows = Registry.all("q275_backlog_aging")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_orders")).sum
+    val open = graft.io.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O").count()
+    assert(n == open)
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
