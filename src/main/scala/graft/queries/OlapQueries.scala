@@ -2346,7 +2346,56 @@ object OlapQueries {
       .orderBy("decile")
   }
 
+  /** q277 — rank-biased overlap (RBO, p = 0.9, depth 20) between the
+    * revenue-ranked and quantity-ranked part top-20s: Webber et al.'s
+    * top-weighted ranking-agreement measure — the principled answer to
+    * "do our two leaderboards agree where it matters" that plain
+    * set-overlap (depth-insensitive) and Kendall (whole-list, q264)
+    * both miss. The geometric weights p^(d−1) are computed ONCE in
+    * Scala and embedded as identical double literals in engine and
+    * oracle (a libm `pow` call could differ by an ulp between
+    * engines); each depth's term quantizes to a 12 dp decimal before
+    * the exact sum (q209), and overlap-at-depth comes from one join of
+    * the two 20-row lists (overlap_d = #{max(rank_r, rank_q) ≤ d}). */
+  val q277: Q = (spark, dir) => {
+    val weights = (1 to 20).map(d => (d.toLong, math.pow(0.9, d - 1)))
+    val base = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum((qdec(col("l_extendedprice"), 18, 2) * 100)
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val topR = base
+      .withColumn("rn_r", row_number().over(
+        Window.orderBy(col("rev").desc, col("l_partkey"))))
+      .filter(col("rn_r") <= 20).select("l_partkey", "rn_r")
+    val topQ = base
+      .withColumn("rn_q", row_number().over(
+        Window.orderBy(col("qty").desc, col("l_partkey"))))
+      .filter(col("rn_q") <= 20).select("l_partkey", "rn_q")
+    val common = topR.join(topQ, "l_partkey")
+      .select(greatest(col("rn_r"), col("rn_q")).as("dmin"))
+    val depths = broadcast(spark.createDataFrame(weights)
+      .toDF("depth", "w"))
+    val byDepth = depths.join(common,
+        col("dmin") <= col("depth"), "left")
+      .groupBy("depth", "w")
+      .agg(sum(when(col("dmin").isNotNull, 1L).otherwise(0L))
+        .as("overlap_d"))
+      .withColumn("agreement_ppm",
+        expr("cast((2 * overlap_d * 1000000 + depth) div (2 * depth) as bigint)"))
+      .withColumn("term", qdec(col("w") * col("overlap_d").cast("double") /
+        col("depth").cast("double"), 28, 12))
+    val rbo = byDepth.agg(
+      qround((lit(1.0) - lit(0.9)) *
+        sum(col("term")).cast("decimal(38,12)").cast("double"), 6)
+        .as("rbo"))
+    byDepth.crossJoin(broadcast(rbo))
+      .select("depth", "overlap_d", "agreement_ppm", "rbo")
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q277_rank_biased_overlap" -> q277,
     "q275_backlog_aging" -> q275,
     "q276_lorenz_gini" -> q276,
     "q272_same_store_growth" -> q272,
@@ -2650,7 +2699,53 @@ object OlapQueries {
        |        FROM $idx i2 JOIN $rec r2 ON i2.$key = r2.$key
        |                         AND i2.i = r2.i + 1))""".stripMargin
 
+  /** q277 oracle: the same geometric weights, generated from the SAME
+    * Scala doubles (shortest round-trip literals — both engines parse
+    * back the identical bits). */
+  private def rboOracle: String = {
+    val vals = (1 to 20)
+      .map(d => s"($d, ${math.pow(0.9, d - 1)})").mkString(", ")
+    s"""WITH wt(depth, w) AS (VALUES $vals),
+       |base AS (
+       |  SELECT l_partkey,
+       |    SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+       |      AS rev,
+       |    SUM(CAST(l_quantity AS BIGINT)) AS qty
+       |  FROM lineitem GROUP BY 1),
+       |tr AS (SELECT l_partkey, rn_r FROM (
+       |    SELECT l_partkey, row_number() OVER (ORDER BY rev DESC,
+       |      l_partkey) AS rn_r FROM base) WHERE rn_r <= 20),
+       |tq AS (SELECT l_partkey, rn_q FROM (
+       |    SELECT l_partkey, row_number() OVER (ORDER BY qty DESC,
+       |      l_partkey) AS rn_q FROM base) WHERE rn_q <= 20),
+       |common AS (
+       |  SELECT greatest(rn_r, rn_q) AS dmin
+       |  FROM tr JOIN tq USING (l_partkey)),
+       |byd AS (
+       |  SELECT depth, wt.w,
+       |    CAST(SUM(CASE WHEN dmin IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS overlap_d
+       |  FROM wt LEFT JOIN common ON dmin <= depth
+       |  GROUP BY 1, 2),
+       |b2 AS (
+       |  SELECT depth, overlap_d,
+       |    CAST((2 * overlap_d * 1000000 + depth) // (2 * depth)
+       |      AS BIGINT) AS agreement_ppm,
+       |    CAST(floor((w * CAST(overlap_d AS DOUBLE)
+       |      / CAST(depth AS DOUBLE)) * 1000000000000.0 + 0.5)
+       |      / 1000000000000.0 AS DECIMAL(28,12)) AS term
+       |  FROM byd),
+       |r AS (
+       |  SELECT floor(((1.0 - 0.9) * CAST(CAST(SUM(term)
+       |      AS DECIMAL(38,12)) AS DOUBLE)) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS rbo
+       |  FROM b2)
+       |SELECT depth, overlap_d, agreement_ppm, rbo
+       |FROM b2 CROSS JOIN r ORDER BY depth""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q277_rank_biased_overlap" -> rboOracle,
     "q275_backlog_aging" ->
       """WITH o AS (
         |  SELECT o_orderstatus,

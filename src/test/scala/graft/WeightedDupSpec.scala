@@ -134,6 +134,22 @@ class WeightedDupSpec extends AnyFunSuite {
     assert(n == open)
   }
 
+  test("q277 RBO is a proper [0,1] agreement and its terms recompute") {
+    val rows = Registry.all("q277_rank_biased_overlap")(spark, sf)
+      .orderBy("depth").collect()
+    assert(rows.length == 20)
+    val rbo = rows.head.getAs[Double]("rbo")
+    assert(rbo >= 0.0 && rbo <= 1.0 + 1e-9, s"rbo $rbo")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("depth")
+      val ov = r.getAs[Long]("overlap_d")
+      assert(ov >= 0 && ov <= d, r.toString)
+    }
+    // overlap-at-depth is non-decreasing
+    val ovs = rows.map(_.getAs[Long]("overlap_d"))
+    assert(ovs.zip(ovs.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
