@@ -2394,7 +2394,76 @@ object OlapQueries {
       .orderBy("depth")
   }
 
+  /** q278 — revenue-change contribution waterfall: which nations drove
+    * the 1996→1997 move — each market's Δ and its signed share of the
+    * total Δ, the WHO decomposition beside q271's price-vs-volume WHY
+    * (together they are the complete FP&A revenue bridge). Deltas are
+    * exact decimal differences; shares are sign-safe qround quotients
+    * (never the div idiom on signed values); ordered by |Δ| so the
+    * narrative reads top-down. */
+  val q278: Q = (spark, dir) => {
+    val per = nationOrders(spark, dir)
+      .select(col("n_name").as("nation"),
+        expr("year(cast(o_orderdate as date))").as("yr"),
+        qdec(col("o_totalprice"), 18, 2).as("p"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("nation")
+      .agg(sum(when(col("yr") === 1996, col("p"))).cast("decimal(18,2)")
+          .as("rev_1996"),
+        sum(when(col("yr") === 1997, col("p"))).cast("decimal(18,2)")
+          .as("rev_1997"))
+      .withColumn("delta",
+        (col("rev_1997") - col("rev_1996")).cast("decimal(18,2)"))
+    val tot = per.agg(sum(col("delta")).cast("decimal(18,2)")
+      .as("total_delta"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("contribution_share", qround(
+        col("delta").cast("double") / col("total_delta").cast("double"),
+        6))
+      .select("nation", "rev_1996", "rev_1997", "delta",
+        "contribution_share")
+      .orderBy(abs(col("delta")).desc, col("nation"))
+  }
+
+  /** q279 — MASE (mean absolute SCALED error) forecast scoring: the
+    * Holt one-step backtest error (q202's convention) scaled by the
+    * seasonal-naive baseline |x_t − x_{t−7 obs}| — Hyndman's scale-free
+    * forecast metric that makes accuracy comparable ACROSS nations of
+    * different revenue magnitude, where q202's MAE can't be compared
+    * and its MAPE breaks near zero. MASE < 1 ⇔ the model beats "same
+    * as last week". Both error streams quantize to 6 dp decimals
+    * before exact sums over the SAME scored rows (t > 7 observations,
+    * so numerator and denominator cover identical days); the final
+    * ratio is one audited divide. */
+  val q279: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        col("rev").cast("double").as("revenue"))
+    val h = TimeSeries.holtLinear(daily, "nation", "day", "revenue",
+      alpha = 0.3, beta = 0.1)
+    val w = Window.partitionBy("nation").orderBy("day")
+    val e = h
+      .withColumn("pfc", lag(col("forecast"), 1).over(w))
+      .withColumn("nv", lag(col("revenue"), 7).over(w))
+      .filter(col("pfc").isNotNull && col("nv").isNotNull)
+      .withColumn("em",
+        qround(abs(col("revenue") - col("pfc")), 6).cast("decimal(18,6)"))
+      .withColumn("en",
+        qround(abs(col("revenue") - col("nv")), 6).cast("decimal(18,6)"))
+    e.groupBy("nation").agg(
+        count(lit(1)).as("n_scored"),
+        qround(sum(col("em")).cast("double") / count(lit(1)), 6)
+          .as("mae_model"),
+        qround(sum(col("en")).cast("double") / count(lit(1)), 6)
+          .as("mae_naive"),
+        qround(sum(col("em")).cast("double") /
+          sum(col("en")).cast("double"), 6).as("mase"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q278_waterfall_contribution" -> q278,
+    "q279_mase_scoring" -> q279,
     "q277_rank_biased_overlap" -> q277,
     "q275_backlog_aging" -> q275,
     "q276_lorenz_gini" -> q276,
@@ -2745,6 +2814,58 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q278_waterfall_contribution" ->
+      s"""WITH per AS (
+         |  SELECT n_name AS nation,
+         |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+         |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |        AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_1996,
+         |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+         |      THEN CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+         |        AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS rev_1997
+         |  $nationOrdersSql
+         |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+         |  GROUP BY 1),
+         |d AS (SELECT *, CAST(rev_1997 - rev_1996 AS DECIMAL(18,2))
+         |        AS delta FROM per),
+         |t AS (SELECT CAST(SUM(delta) AS DECIMAL(18,2)) AS total_delta
+         |      FROM d)
+         |SELECT nation, rev_1996, rev_1997, delta,
+         |  floor((CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS contribution_share
+         |FROM d CROSS JOIN t
+         |ORDER BY abs(delta) DESC, nation""".stripMargin,
+    "q279_mase_scoring" ->
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT nation, day, revenue,
+         |         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+         |  FROM (SELECT n_name AS nation,
+         |          (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+         |          CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE)
+         |            AS revenue
+         |        $nationOrdersSql
+         |        GROUP BY 1, 2)),
+         |${holtChainCte("idx", "rec", "nation")},
+         |f AS (SELECT nation, day, revenue, l + b AS fc FROM rec),
+         |p AS (SELECT nation, day, revenue,
+         |        lag(fc) OVER w AS pfc,
+         |        lag(revenue, 7) OVER w AS nv
+         |      FROM f WINDOW w AS (PARTITION BY nation ORDER BY day)),
+         |e AS (
+         |  SELECT nation,
+         |    CAST(floor(abs(revenue - pfc) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS DECIMAL(18,6)) AS em,
+         |    CAST(floor(abs(revenue - nv) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS DECIMAL(18,6)) AS en
+         |  FROM p WHERE pfc IS NOT NULL AND nv IS NOT NULL)
+         |SELECT nation, CAST(count(*) AS BIGINT) AS n_scored,
+         |  floor((CAST(SUM(em) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mae_model,
+         |  floor((CAST(SUM(en) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mae_naive,
+         |  floor((CAST(SUM(em) AS DOUBLE) / CAST(SUM(en) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mase
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q277_rank_biased_overlap" -> rboOracle,
     "q275_backlog_aging" ->
       """WITH o AS (

@@ -150,6 +150,35 @@ class WeightedDupSpec extends AnyFunSuite {
     assert(ovs.zip(ovs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q278 contributions close: deltas sum to the total and shares " +
+      "to ~1") {
+    val rows = Registry.all("q278_waterfall_contribution")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val deltas = rows.map(r => BigDecimal(r.getDecimal(3)))
+    val shares = rows.map(_.getAs[Double]("contribution_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"share sum ${shares.sum}")
+    // the waterfall reads top-down by magnitude
+    val mags = deltas.map(_.abs)
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q279 MASE is the ratio of its own MAE columns and the naive " +
+      "denominator is positive") {
+    val rows = Registry.all("q279_mase_scoring")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mae_naive") > 0.0, r.toString)
+      assert(r.getAs[Long]("n_scored") > 0)
+      // consistency: mase ≈ mae_model / mae_naive up to the separate
+      // roundings of the three published values
+      val approx = r.getAs[Double]("mae_model") /
+        r.getAs[Double]("mae_naive")
+      assert(math.abs(r.getAs[Double]("mase") - approx) < 1e-4,
+        r.toString)
+    }
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
