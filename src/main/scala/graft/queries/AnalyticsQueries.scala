@@ -1077,7 +1077,75 @@ object AnalyticsQueries {
       .orderBy("fd")
   }
 
+  /** q280 — Cramér's V effect size for the lang × source association:
+    * the "is the dependence MATERIAL" companion to q143's χ²
+    * significance — at corpus scale everything is significant, and V =
+    * √(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the number analysts actually
+    * act on, with the conventional effect bands attached. χ² arrives
+    * through q143's exact-decimal contribution sum; V adds one
+    * mirrored IEEE sqrt over it. */
+  val q280: Q = (spark, dir) => {
+    val chi2 = graft.metrics.Contingency.chiSquare(
+        Tables.documents(spark, dir), col("lang"), col("source"))
+      .agg(max(col("chi2")).as("chi2"))
+    val dims = Tables.documents(spark, dir)
+      .agg(countDistinct(col("lang")).as("nr"),
+        countDistinct(col("source")).as("nc"),
+        count(lit(1)).as("n"))
+    dims.crossJoin(broadcast(chi2))
+      .withColumn("cramers_v", qround(sqrt(col("chi2") /
+        (col("n").cast("double") *
+          (least(col("nr"), col("nc")) - 1).cast("double"))), 6))
+      .withColumn("effect",
+        when(col("cramers_v") < 0.1, "negligible")
+          .when(col("cramers_v") < 0.3, "small")
+          .when(col("cramers_v") < 0.5, "medium").otherwise("large"))
+      .select("n", "nr", "nc", "chi2", "cramers_v", "effect")
+  }
+
+  /** q281 — attribution-window sensitivity sweep: the share of
+    * purchases that have a same-user click within W for
+    * W ∈ {1 h, 6 h, 24 h, 72 h} — the q230 threshold-sweep discipline
+    * applied to attribution policy (if the rate cliffs between 6 h and
+    * 24 h, the window choice IS the marketing number). ONE interleaved
+    * pass: a running last-click timestamp per user (ordered window
+    * max over click rows only), each purchase's gap read off it, four
+    * conditional counts — no per-window rescan, no pair join at all
+    * (q148/q268 build pairs because they need per-pair rows; a sweep
+    * only needs the minimum gap). Exact integer ns gaps and ppm
+    * rates. */
+  val q281: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+    val hourNs = 3600000000000L
+    val p = e.filter(col("event_type") === "purchase")
+      .withColumn("gap", col("ts") - col("last_click"))
+    p.agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("gap") <= lit(1L * hourNs), 1L).otherwise(0L))
+          .as("w_1h"),
+        sum(when(col("gap") <= lit(6L * hourNs), 1L).otherwise(0L))
+          .as("w_6h"),
+        sum(when(col("gap") <= lit(24L * hourNs), 1L).otherwise(0L))
+          .as("w_24h"),
+        sum(when(col("gap") <= lit(72L * hourNs), 1L).otherwise(0L))
+          .as("w_72h"))
+      .select(col("n_purchases"),
+        col("w_1h"), col("w_6h"), col("w_24h"), col("w_72h"),
+        expr("cast((2 * w_1h * 1000000 + n_purchases) div (2 * n_purchases) as bigint)").as("rate_1h_ppm"),
+        expr("cast((2 * w_6h * 1000000 + n_purchases) div (2 * n_purchases) as bigint)").as("rate_6h_ppm"),
+        expr("cast((2 * w_24h * 1000000 + n_purchases) div (2 * n_purchases) as bigint)").as("rate_24h_ppm"),
+        expr("cast((2 * w_72h * 1000000 + n_purchases) div (2 * n_purchases) as bigint)").as("rate_72h_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q280_cramers_v" -> q280,
+    "q281_attribution_window_sweep" -> q281,
     "q269_fd_profile" -> q269,
     "q268_duplicate_charges" -> q268,
     "q265_ratio_metric_ci" -> q265,
@@ -1280,6 +1348,82 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q280_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang AS r, source AS c, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT r, c, o,
+        |    SUM(o) OVER (PARTITION BY r) AS rt,
+        |    SUM(o) OVER (PARTITION BY c) AS ct,
+        |    SUM(o) OVER () AS n
+        |  FROM cells),
+        |x AS (
+        |  SELECT r, c, o,
+        |    floor((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS expected
+        |  FROM m),
+        |y AS (
+        |  SELECT
+        |    floor((CAST((o - CAST(expected AS DECIMAL(18,6))) *
+        |          (o - CAST(expected AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(CAST(expected AS DECIMAL(18,6)) AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS contrib
+        |  FROM x),
+        |chi AS (
+        |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS chi2
+        |  FROM y),
+        |d AS (
+        |  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS nc,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT n, nr, nc, chi2,
+        |    floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |      * CAST(least(nr, nc) - 1 AS DOUBLE))) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS cramers_v
+        |  FROM d CROSS JOIN chi)
+        |SELECT n, nr, nc, chi2, cramers_v,
+        |  CASE WHEN cramers_v < 0.1 THEN 'negligible'
+        |    WHEN cramers_v < 0.3 THEN 'small'
+        |    WHEN cramers_v < 0.5 THEN 'medium' ELSE 'large' END AS effect
+        |FROM f""".stripMargin,
+    "q281_attribution_window_sweep" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT user_id, t, event_id, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN t END) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS last_click
+        |  FROM e),
+        |p AS (SELECT t - last_click AS gap FROM m
+        |      WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(CASE WHEN gap <= 3600000000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w_1h,
+        |    CAST(SUM(CASE WHEN gap <= 21600000000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w_6h,
+        |    CAST(SUM(CASE WHEN gap <= 86400000000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w_24h,
+        |    CAST(SUM(CASE WHEN gap <= 259200000000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS w_72h
+        |  FROM p)
+        |SELECT n_purchases, w_1h, w_6h, w_24h, w_72h,
+        |  CAST((2 * w_1h * 1000000 + n_purchases) // (2 * n_purchases)
+        |    AS BIGINT) AS rate_1h_ppm,
+        |  CAST((2 * w_6h * 1000000 + n_purchases) // (2 * n_purchases)
+        |    AS BIGINT) AS rate_6h_ppm,
+        |  CAST((2 * w_24h * 1000000 + n_purchases) // (2 * n_purchases)
+        |    AS BIGINT) AS rate_24h_ppm,
+        |  CAST((2 * w_72h * 1000000 + n_purchases) // (2 * n_purchases)
+        |    AS BIGINT) AS rate_72h_ppm
+        |FROM a""".stripMargin,
     "q269_fd_profile" ->
       """WITH
         |c AS (

@@ -179,6 +179,27 @@ class WeightedDupSpec extends AnyFunSuite {
     }
   }
 
+  test("q280 Cramer's V is in [0,1] and classifies consistently") {
+    val r = Registry.all("q280_cramers_v")(spark, sf).collect().head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9)
+    val expect = if (v < 0.1) "negligible" else if (v < 0.3) "small"
+      else if (v < 0.5) "medium" else "large"
+    assert(r.getAs[String]("effect") == expect)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("q281 window rates are monotone in the window and bounded by 1") {
+    val r = Registry.all("q281_attribution_window_sweep")(spark, sf)
+      .collect().head
+    val rates = Seq("rate_1h_ppm", "rate_6h_ppm", "rate_24h_ppm",
+      "rate_72h_ppm").map(r.getAs[Long])
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      rates.mkString(","))
+    assert(rates.last <= 1000000L)
+    assert(r.getAs[Long]("w_72h") <= r.getAs[Long]("n_purchases"))
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
