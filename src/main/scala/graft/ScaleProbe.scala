@@ -355,6 +355,83 @@ object ScaleProbe {
       time(s"bfs3_${factor}x")(
         graft.graph.Bfs.hops(edges, seeds, maxHops = 3).count())
     }
+    if (probes("knn")) {
+      // q244's brute-force kNN scoring at factor× the embedding corpus:
+      // pairs grow with factor², so wall-clock must too — that curve IS
+      // the argument for the LSH swap, whose bucketed candidate volume
+      // (also timed) tracks collisions, not |corpus|². Uses the q244
+      // plan shape exactly: skinny projection before any exchange, dot
+      // fold hoisted out of the rounding guard, corpus repartitioned.
+      import graft.sim.VectorOps.{dot, l2norm}
+      val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val infE = (0 until factor).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE knn corpus: ${infE.count()} vectors")
+      val a = infE.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"))
+        .withColumn("a_norm", l2norm(col("a_emb")))
+      val c = infE.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"))
+        .withColumn("n_norm", l2norm(col("n_emb")))
+      time(s"knn_brute_${factor}x")(
+        c.repartition(32).crossJoin(broadcast(a))
+          .filter(col("n_id") =!= col("a_id"))
+          .withColumn("dotp", dot(col("a_emb"), col("n_emb")))
+          .withColumn("cos", graft.functions.GraftFunctions.qround(
+            col("dotp") / (col("a_norm") * col("n_norm")), 6))
+          .select("a_id", "n_id", "cos")
+          .groupBy("a_id").agg(max(col("cos"))).count())
+      time(s"knn_lsh_cands_${factor}x") {
+        val b = graft.sim.VectorOps.withLshBucket(infE, "embedding",
+          planes = 8, dim = 64, out = "bucket")
+        val l = b.select(col("vec_id").as("a_id"), col("bucket"))
+        val r = b.select(col("vec_id").as("n_id"), col("bucket"))
+        l.join(r, Seq("bucket")).filter(col("a_id") < col("n_id")).count()
+      }
+      infE.unpersist(blocking = false)
+    }
+
+    if (probes("wjac")) {
+      // q267's weighted-Jaccard co-occurrence volume at factor× docs:
+      // the pair stream is Σ_shingle df² — report capped vs uncapped
+      // volume analytically (no quadratic job) and time the capped
+      // query end-to-end. Same claim as exactcap: the df-cap bounds the
+      // posting lists, so growth tracks the capped volume.
+      val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      val infD = (0 until factor).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE wjac corpus: ${infD.count()} docs")
+      val sh = graft.text.TextAnalysis
+        .shinglesAll(infD, "doc_id", "text", 3)
+        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val volAll = df.agg(sum(col("df") * col("df"))).head().getLong(0)
+      val volCap = df.filter(col("df") <= 100)
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+        .head().getLong(0)
+      println(s"PROBE wjac pair-volume: uncapped=$volAll capped=$volCap " +
+        f"(df<=100, ${100.0 * volCap / math.max(1L, volAll)}%.1f%% kept)")
+      val kept = sh.join(df.filter(col("df") <= 100).select("shingle"),
+        Seq("shingle"))
+      time(s"wjac_capped_${factor}x")(
+        kept.select(col("doc_id").as("id_a"), col("shingle"),
+            col("c").as("ca"))
+          .join(kept.select(col("doc_id").as("id_b"), col("shingle"),
+            col("c").as("cb")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(sum(least(col("ca"), col("cb")))).count())
+      sh.unpersist(blocking = false)
+      df.unpersist(blocking = false)
+      infD.unpersist(blocking = false)
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits
