@@ -1143,7 +1143,74 @@ object AnalyticsQueries {
         expr("cast((2 * w_72h * 1000000 + n_purchases) div (2 * n_purchases) as bigint)").as("rate_72h_ppm"))
   }
 
+  /** q282 — histogram intersection similarity between event types'
+    * value distributions: HI(a,b) = Σ_bins min(pₐ, p_b) ∈ [0,1] — the
+    * classic distribution-overlap measure that reads directly as
+    * "fraction of probability mass shared" where q115's PSI and q158's
+    * KS read as divergences. EXACT rational arithmetic throughout: with
+    * integer bin counts c and totals n, min(cₐ/nₐ, c_b/n_b) over the
+    * common denominator nₐ·n_b is min(cₐ·n_b, c_b·nₐ), summed as exact
+    * integers, emitted through the half-up ppm idiom — no float ever
+    * touches the surface. 10-unit value bins; all 10 type pairs. */
+  val q282: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint) div 1000")
+          .as("bin"))
+    val h = e.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy("event_type")))
+    val a = h.select(col("event_type").as("type_a"), col("bin"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = h.select(col("event_type").as("type_b"), col("bin"),
+      col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("bin"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(expr(
+          "least(cast(ca as decimal(38,0)) * nb, cast(cb as decimal(38,0)) * na)"))
+          .cast("decimal(38,0)").as("min_sum"),
+        max(expr("cast(na as decimal(38,0)) * nb")).cast("decimal(38,0)")
+          .as("den"))
+      .select(col("type_a"), col("type_b"),
+        expr("cast((2 * min_sum * 1000000 + den) div (2 * den) as bigint)")
+          .as("intersection_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q283 — burstiness audit (index of dispersion / Fano factor) of
+    * daily event counts per type: Var/Mean = 1 for a Poisson arrival
+    * process, > 1 means bursty traffic, < 1 means suspiciously regular
+    * (bot-like) — the one-scalar arrival-process diagnostic behind
+    * capacity planning and bot detection. Daily counts are exact
+    * integers; the sample-variance-to-mean ratio reduces to
+    * n·(n·Σx² − (Σx)²) / ((n−1)·(Σx)²·... ) — computed as one mirrored
+    * IEEE expression over the exact integer moments, quantized once. */
+  val q283: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .withColumn("mean_daily", qround(
+        expr("cast(sx as double)") / col("n_days").cast("double"), 6))
+      .withColumn("fano", qround(
+        (expr("cast(n_days * sxx - sx * sx as double)") /
+          expr("cast(cast(n_days as decimal(38,0)) * (n_days - 1) as double)")) /
+        (expr("cast(sx as double)") / col("n_days").cast("double")), 6))
+      .withColumn("verdict",
+        when(col("fano") > 1.5, "bursty")
+          .when(col("fano") < 0.67, "regular").otherwise("poisson_like"))
+      .select("event_type", "n_days", "mean_daily", "fano", "verdict")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q282_histogram_intersection" -> q282,
+    "q283_burstiness_fano" -> q283,
     "q280_cramers_v" -> q280,
     "q281_attribution_window_sweep" -> q281,
     "q269_fd_profile" -> q269,
@@ -1348,6 +1415,51 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q282_histogram_intersection" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) // 1000 AS bin
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, bin, count(*) AS c,
+        |    SUM(count(*)) OVER (PARTITION BY event_type) AS n
+        |  FROM e GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(SUM(least(CAST(a.c AS HUGEINT) * b.n,
+        |      CAST(b.c AS HUGEINT) * a.n)) AS HUGEINT) AS min_sum,
+        |    CAST(MAX(CAST(a.n AS HUGEINT) * b.n) AS HUGEINT) AS den
+        |  FROM h a JOIN h b ON a.bin = b.bin
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |  CAST((2 * min_sum * 1000000 + den) // (2 * den) AS BIGINT)
+        |    AS intersection_ppm
+        |FROM j ORDER BY type_a, type_b""".stripMargin,
+    "q283_burstiness_fano" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_days,
+        |    floor((CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+        |    floor(((CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |        / CAST(CAST(n_days AS HUGEINT) * (n_days - 1) AS DOUBLE))
+        |      / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS fano
+        |  FROM st)
+        |SELECT event_type, n_days, mean_daily, fano,
+        |  CASE WHEN fano > 1.5 THEN 'bursty'
+        |    WHEN fano < 0.67 THEN 'regular'
+        |    ELSE 'poisson_like' END AS verdict
+        |FROM f ORDER BY event_type""".stripMargin,
     "q280_cramers_v" ->
       """WITH cells AS (
         |  SELECT lang AS r, source AS c, COUNT(*) AS o

@@ -200,6 +200,32 @@ class WeightedDupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("w_72h") <= r.getAs[Long]("n_purchases"))
   }
 
+  test("q282 histogram intersection is a bounded symmetric overlap") {
+    val rows = Registry.all("q282_histogram_intersection")(spark, sf)
+      .collect()
+    assert(rows.length == 10, "5 types -> 10 unordered pairs")
+    rows.foreach { r =>
+      val hi = r.getAs[Long]("intersection_ppm")
+      assert(hi >= 0 && hi <= 1000000L, r.toString)
+    }
+    // the fixture's value distributions are near-identical uniforms:
+    // every pair should overlap heavily
+    assert(rows.forall(_.getAs[Long]("intersection_ppm") > 500000L))
+  }
+
+  test("q283 Fano factor recomputes from its own moments") {
+    val rows = Registry.all("q283_burstiness_fano")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fano") > 0.0)
+      assert(r.getAs[Double]("mean_daily") > 0.0)
+      val v = r.getAs[Double]("fano")
+      val expect = if (v > 1.5) "bursty" else if (v < 0.67) "regular"
+        else "poisson_like"
+      assert(r.getAs[String]("verdict") == expect)
+    }
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
