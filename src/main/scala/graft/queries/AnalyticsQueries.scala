@@ -1208,7 +1208,34 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** q285 — longest-activity-streak report per user: consecutive-day
+    * islands over distinct active days (day − row_number is constant
+    * within a run — the classic gaps-and-islands key, all integer),
+    * with streak count, total active days, and the longest streak's
+    * start (ties to the LATEST start, pinned identically by the
+    * struct-max and the oracle's rank order) — the engagement metric
+    * every habit-loop dashboard leads with. One user_id exchange end
+    * to end. */
+  val q285: Q = (spark, dir) => {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    d.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        max(struct(col("len"), col("start_day"))).as("b"))
+      .select(col("user_id"), col("longest_streak"), col("n_streaks"),
+        col("n_active_days"), col("b.start_day").as("longest_start_day"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q285_activity_streaks" -> q285,
     "q282_histogram_intersection" -> q282,
     "q283_burstiness_fano" -> q283,
     "q280_cramers_v" -> q280,
@@ -1415,6 +1442,33 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q285_activity_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    MIN(day) AS start_day
+        |  FROM i GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT user_id, len, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day DESC) AS rk
+        |  FROM runs),
+        |agg AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |    CAST(count(*) AS BIGINT) AS n_streaks,
+        |    CAST(SUM(len) AS BIGINT) AS n_active_days
+        |  FROM runs GROUP BY 1)
+        |SELECT a.user_id, a.longest_streak, a.n_streaks, a.n_active_days,
+        |  p.start_day AS longest_start_day
+        |FROM agg a JOIN pick p ON a.user_id = p.user_id AND p.rk = 1
+        |ORDER BY a.user_id""".stripMargin,
     "q282_histogram_intersection" ->
       """WITH e AS (
         |  SELECT event_type,

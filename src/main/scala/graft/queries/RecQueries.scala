@@ -683,7 +683,46 @@ object RecQueries {
       .orderBy("decile")
   }
 
+  /** q284 — expected calibration error (ECE): Σ n_b·|ȳ_b − p̂_b| / N
+    * over q240's forecast cells — the single calibration scalar modern
+    * model cards report (q165 draws the reliability curve, q240 prices
+    * the score; ECE answers "how far off is the stated confidence, on
+    * average"). Both ȳ_b and p̂_b are 6 dp decimals, so every |gap| and
+    * its n_b-weighted sum is EXACT decimal arithmetic — the only IEEE
+    * op is the final audited divide. Max calibration error (the worst
+    * bin) rides along. */
+  val q284: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 4).as("ubucket"),
+        col("ts"), (col("value") >= 60.0).cast("int").as("y"))
+    val cells = e.filter(col("ts") < cutNs)
+      .groupBy("event_type", "ubucket")
+      .agg(count(lit(1)).as("n_tr"), sum(col("y")).as("k_tr"))
+      .select(col("event_type"), col("ubucket"),
+        qround(col("k_tr").cast("double") / col("n_tr").cast("double"), 6)
+          .cast("decimal(9,6)").as("phat"))
+    e.filter(col("ts") >= cutNs)
+      .join(broadcast(cells), Seq("event_type", "ubucket"))
+      .groupBy("event_type", "ubucket", "phat")
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("k_b"))
+      .withColumn("ybar_b",
+        qround(col("k_b").cast("double") / col("n_b").cast("double"), 6)
+          .cast("decimal(9,6)"))
+      .withColumn("gap", abs(col("ybar_b") - col("phat")))
+      .agg(sum(col("n_b")).as("n_eval"),
+        count(lit(1)).as("n_bins"),
+        sum((col("n_b").cast("decimal(12,0)") * col("gap"))
+          .cast("decimal(28,6)")).cast("decimal(38,6)").as("wgap"),
+        max(col("gap")).cast("decimal(9,6)").as("mce"))
+      .select(col("n_eval"), col("n_bins"),
+        qround(col("wgap").cast("double") / col("n_eval").cast("double"),
+          6).as("ece"),
+        col("mce").cast("double").as("mce"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q284_calibration_ece" -> q284,
     "q257_qini_uplift" -> q257,
     "q240_brier_decomposition" -> q240,
     "q241_gains_lift" -> q241,
@@ -883,6 +922,41 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q284_calibration_ece" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 4 AS ubucket, epoch_ns(ts) AS tns,
+        |    CASE WHEN value >= 60.0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, ubucket,
+        |    CAST(floor((CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(9,6)) AS phat
+        |  FROM e WHERE tns < 1705363200000000000 GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT e.event_type, e.ubucket, c.phat,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(e.y) AS BIGINT) AS k_b
+        |  FROM e JOIN cells c USING (event_type, ubucket)
+        |  WHERE e.tns >= 1705363200000000000
+        |  GROUP BY 1, 2, 3),
+        |b2 AS (
+        |  SELECT *,
+        |    abs(CAST(floor((CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(9,6)) - phat)
+        |      AS gap
+        |  FROM bins),
+        |agg AS (
+        |  SELECT CAST(SUM(n_b) AS BIGINT) AS n_eval,
+        |    CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(SUM(CAST(CAST(n_b AS DECIMAL(12,0)) * gap
+        |      AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS wgap,
+        |    CAST(MAX(gap) AS DECIMAL(9,6)) AS mce
+        |  FROM b2)
+        |SELECT n_eval, n_bins,
+        |  floor((CAST(wgap AS DOUBLE) / CAST(n_eval AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ece,
+        |  CAST(mce AS DOUBLE) AS mce
+        |FROM agg""".stripMargin,
     "q257_qini_uplift" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_type,

@@ -226,6 +226,39 @@ class WeightedDupSpec extends AnyFunSuite {
     }
   }
 
+  test("q284 ECE is bounded by MCE and both live in [0,1]") {
+    val r = Registry.all("q284_calibration_ece")(spark, sf).collect().head
+    val (ece, mce) = (r.getAs[Double]("ece"), r.getAs[Double]("mce"))
+    assert(ece >= 0.0 && ece <= 1.0)
+    assert(mce >= ece - 1e-9, s"MCE $mce < ECE $ece")
+    assert(r.getAs[Long]("n_bins") >= 1)
+  }
+
+  test("q285 streak laws: longest <= active days, islands recompute for " +
+      "one user") {
+    val rows = Registry.all("q285_activity_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <=
+        r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1)
+    }
+    val u = rows.head.getLong(0)
+    val days = graft.io.Tables.events(spark, sf)
+      .filter(col("user_id") === u)
+      .select(expr("ts div 86400000000000")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    var best = 1L; var cur = 1L
+    days.sliding(2).foreach {
+      case Array(a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1
+        best = math.max(best, cur)
+      case _ =>
+    }
+    assert(rows.head.getAs[Long]("longest_streak") == best)
+    assert(rows.head.getAs[Long]("n_active_days") == days.length)
+  }
+
   test("q268 pairs are canonical, within-window, and amount-consistent") {
     val rows = Registry.all("q268_duplicate_charges")(spark, sf).collect()
     assert(rows.nonEmpty, "the fixture contains at least one dup charge")
