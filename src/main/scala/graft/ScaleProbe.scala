@@ -432,6 +432,33 @@ object ScaleProbe {
       infD.unpersist(blocking = false)
     }
 
+    if (probes("mmr")) {
+      // q152's rerank shape at factor× users (r9: lands the cents-long
+      // poolCosines rewrite with a CURVE, not a one-point claim). The
+      // similarity side's pair stream is |pool|²-bounded (pool = 50)
+      // whatever the user count — its cost should track the pool-item
+      // fact volume (linear in factor) with a flat pair stage; the
+      // greedy rerank is per-user flatMapGroups and must scale linearly
+      // in users.
+      val pool = inflated.groupBy("item_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("item_id")).limit(50)
+        .select("item_id")
+      time(s"mmr_poolcosines_${factor}x")(
+        graft.rec.Diversify.poolCosines(inflated, pool).count())
+      val sims = graft.rec.Diversify.poolCosines(inflated, pool)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      sims.count()
+      val cands = inflated.select("user_id").distinct()
+        .crossJoin(broadcast(pool.withColumn("rel",
+          lit(1.0) / (col("item_id").cast("double") + 1.0))))
+        .select(col("user_id"), col("item_id"), col("rel"))
+      time(s"mmr_rerank_${factor}x")(
+        graft.rec.Diversify.mmrRerank(cands, sims,
+          relWeight = 0.7, divWeight = 0.3, k = 10).count())
+      sims.unpersist(blocking = false)
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits

@@ -163,4 +163,45 @@ object GraftFunctions {
   /** Oracle-SQL twin of [[qdec]]. */
   def qdecSql(x: String, p: Int, s: Int): String =
     s"CAST(${qroundSql(x, s)} AS DECIMAL($p,$s))"
+
+  // ---------------------------------------------------------------------
+  // Hash-safe OUTPUT projection (determinism rule, r9): the driver's
+  // hasher canonicalizes DECIMAL through a float64 round-trip on one side
+  // and a fixed-scale decimal string on the other, so ANY DecimalType on
+  // a gated output surface is a representation lottery (r8 verdict: all
+  // 25 hash-reds had a decimal column; zero DOUBLE/BIGINT surfaces have
+  // ever gone red in 8 rounds). Decimal/integer arithmetic stays the
+  // right tool INTERNALLY (order-free exact sums); these helpers are the
+  // only sanctioned way to put such a value on a gated output:
+  // fractional → DOUBLE via [[decOut]], exact integers → BIGINT via a
+  // plain long cast, >63-bit fingerprints → BIGINT via [[decFold]].
+  // RoundingAuditSpec fails the build on any DecimalType output column.
+  // ---------------------------------------------------------------------
+
+  /** Project an exact DECIMAL(p,s) value onto the output surface as
+    * DOUBLE. The decimal→double casts of two engines may differ by an
+    * ulp (DuckDB scales int128, Spark rounds BigDecimal), so the cast is
+    * re-quantized through [[qround]]: x·10^s lands within a few ulp of
+    * the integer n = value·10^s, far from `floor`'s boundary at n+0.5,
+    * so both engines recover the identical double n/10^s. Requires
+    * |value·10^s| ≲ 2^52. Oracle twin: [[decOutSql]]. */
+  def decOut(c: Column, s: Int): Column = qround(c.cast("double"), s)
+
+  /** Oracle-SQL twin of [[decOut]]. */
+  def decOutSql(x: String, s: Int): String =
+    qroundSql(s"CAST(($x) AS DOUBLE)", s)
+
+  /** Project a DECIMAL(38,0) fingerprint/checksum wider than 63 bits onto
+    * the output surface as BIGINT: value mod 2^63. Equally
+    * collision-safe for a change detector and exactly representable in
+    * every engine. Both engines' `%` follows the dividend sign; callers
+    * feed non-negative sums. Oracle twin: [[decFoldSql]]. */
+  def decFold(c: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    (c % lit(new java.math.BigDecimal("9223372036854775808"))).cast("long")
+  }
+
+  /** Oracle-SQL twin of [[decFold]] (the literal parses as HUGEINT). */
+  def decFoldSql(x: String): String =
+    s"CAST(($x) % 9223372036854775808 AS BIGINT)"
 }

@@ -43,7 +43,11 @@ object Ledger {
       }(Encoders.product[LedgerRow])
       .toDF()
       .select(col("k").as(key), col("n_events"), col("n_clamped"),
-        col("final_balance").cast("decimal(18,2)").as("final_balance"))
+        // Fold is exact BigDecimal; the OUTPUT re-projects to DOUBLE
+        // (decOut, r9 determinism rule: decimal inside, double/bigint
+        // out — DecimalType on a gated surface is a hasher lottery).
+        graft.functions.GraftFunctions.decOut(col("final_balance"), 2)
+          .as("final_balance"))
   }
 }
 

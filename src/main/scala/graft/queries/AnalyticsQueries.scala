@@ -5,7 +5,7 @@ import graft.io.Tables
 import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
-import graft.functions.GraftFunctions.{qdec, qround}
+import graft.functions.GraftFunctions.{decOut, qdec, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -526,7 +526,7 @@ object AnalyticsQueries {
       .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("w"))
       .groupBy("s1", "s2")
       .agg(count(lit(1)).as("n_common"),
-        sum("w").cast("decimal(18,6)").as("aa_score"))
+        decOut(sum("w"), 6).as("aa_score"))
       .orderBy(col("aa_score").desc, col("s1"), col("s2"))
       .limit(25)
   }
@@ -701,7 +701,8 @@ object AnalyticsQueries {
         sum(col("wk_rev")).over(wCum).cast("decimal(18,2)"))
       .join(broadcast(sizes), Seq("cohort_week"))
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
-        col("wk_rev").cast("decimal(18,2)").as("wk_rev"), col("cum_rev"),
+        decOut(col("wk_rev"), 2).as("wk_rev"),
+        decOut(col("cum_rev"), 2).as("cum_rev"),
         qround(col("cum_rev").cast("double") /
           col("n_users").cast("double"), 6).as("ltv_per_user"))
       .orderBy("cohort_week", "week_offset")
@@ -1868,8 +1869,11 @@ object AnalyticsQueries {
         |      ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_rev
         |  FROM rev)
-        |SELECT c.cohort_week, c.week_offset, s.n_users, c.wk_rev,
-        |  c.cum_rev,
+        |SELECT c.cohort_week, c.week_offset, s.n_users,
+        |  floor(CAST(c.wk_rev AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS wk_rev,
+        |  floor(CAST(c.cum_rev AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS cum_rev,
         |  floor((CAST(c.cum_rev AS DOUBLE) / CAST(s.n_users AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
         |FROM c JOIN sizes s ON c.cohort_week = s.cohort_week
@@ -2067,7 +2071,8 @@ object AnalyticsQueries {
         |  FROM cs a JOIN cs b ON b.c = a.c AND a.s < b.s
         |  JOIN w ON w.c = a.c)
         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
-        |  CAST(SUM(w) AS DECIMAL(18,6)) AS aa_score
+        |  floor(CAST(SUM(w) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS aa_score
         |FROM p GROUP BY 1, 2
         |ORDER BY aa_score DESC, s1, s2 LIMIT 25""".stripMargin,
     "q204_position_attribution" ->
@@ -2358,7 +2363,8 @@ object AnalyticsQueries {
         |                 AND e.i = rec.i + 1)
         |SELECT user_id, CAST(n AS BIGINT) AS n_events,
         |  CAST(nclamp AS BIGINT) AS n_clamped,
-        |  bal AS final_balance
+        |  floor(CAST(bal AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS final_balance
         |FROM rec WHERE i = n ORDER BY user_id""".stripMargin,
     "q175_kcore_peel" ->
       """WITH pair AS (

@@ -4,7 +4,7 @@ import graft.io.Tables
 import graft.ops.Relational.decSum
 import graft.ops.TimeSeries
 import graft.text.Fuzzy
-import graft.functions.GraftFunctions.{qdec, qdecSql, qround}
+import graft.functions.GraftFunctions.{decFold, decOut, qdec, qdecSql, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -313,13 +313,11 @@ object OlapQueries {
         col("l_suppkey") === col("s_suppkey"))
       .join(Tables.nation(spark, dir),
         col("s_nationkey") === col("n_nationkey"))
-      // v rides as DECIMAL(18,2): prices are exact 2-dp values, and the
-      // min() that becomes `weighted_median` must leave the engine as
-      // decimal, not a raw double (determinism rule, ARCHITECTURE.md —
-      // double columns hash by IEEE representation at the gate). The
-      // DOUBLE→DECIMAL step goes through the IEEE floor-quantizer, not a
-      // raw cast, so the half-boundary direction can't depend on the
-      // oracle engine's release (GraftFunctions.qdec).
+      // v rides as DECIMAL(18,2) INTERNALLY: prices are exact 2-dp
+      // values, so grouping and the cumulative-weight walk are exact and
+      // order-free. The OUTPUT surface re-projects to DOUBLE through
+      // decOut (determinism rule r9, ARCHITECTURE.md — decimal/integer
+      // inside, double/bigint out).
       .select(col("n_name").as("nation"),
         graft.functions.GraftFunctions.qdec(col("l_extendedprice"), 18, 2)
           .as("v"),
@@ -333,11 +331,8 @@ object OlapQueries {
       .withColumn("totw", sum(col("wv")).over(wAll))
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy("nation")
-      .agg(min(col("v")).as("weighted_median"),
-        // Pin the output precision: Spark's windowed decimal sum widens to
-        // (28,2), DuckDB's to (38,2) — same values, different physical
-        // width at the gate's hasher.
-        max(col("totw")).cast("decimal(18,2)").as("total_qty"))
+      .agg(decOut(min(col("v")), 2).as("weighted_median"),
+        decOut(max(col("totw")), 2).as("total_qty"))
       .orderBy("nation")
   }
 
@@ -380,8 +375,7 @@ object OlapQueries {
       .select(col("n_keys"), col("total_rows"), col("max_n"),
         col("p50_n"), col("p90_n"), col("p99_n"),
         col("top1_key"), col("top1_n"),
-        graft.functions.GraftFunctions.qdec(
-          col("top10_n") * lit(100.0) / col("total_rows"), 18, 6)
+        qround(col("top10_n") * lit(100.0) / col("total_rows"), 6)
           .as("top10_share_pct"))
   }
 
@@ -543,9 +537,8 @@ object OlapQueries {
       .withColumn("est_intersection",
         expr("(2 * n_common * est_union + n_kept) div (2 * n_kept)"))
       .withColumn("est_jaccard",
-        graft.functions.GraftFunctions.qdec(
-          col("n_common").cast("double") / col("n_kept").cast("double"),
-          18, 6))
+        qround(col("n_common").cast("double") / col("n_kept").cast("double"),
+          6))
     est.join(broadcast(kmvExactIntersections(spark, dir)), Seq("ta", "tb"))
       .select(col("ta"), col("tb"), col("n_common"), col("est_jaccard"),
         col("est_intersection"), col("n_ab").as("exact_intersection"))
@@ -610,9 +603,9 @@ object OlapQueries {
       min(when(col("c") >= expr("(n_rows * 99 + 99) div 100"), col("v")))
         .as("p99"))
     est.join(exact, "event_type")
-      .select(col("event_type"), col("n_rows"), col("n_sample"),
-        col("est_p50"), col("est_p90"), col("est_p99"),
-        col("p50"), col("p90"), col("p99"))
+      .select(col("event_type") +: col("n_rows") +: col("n_sample") +:
+        Seq("est_p50", "est_p90", "est_p99", "p50", "p90", "p99")
+          .map(c => decOut(col(c), 2).as(c)): _*)
       .orderBy("event_type")
   }
 
@@ -1243,8 +1236,8 @@ object OlapQueries {
         coalesce(col("pv"), z).as("pv"))
       .groupBy("p", "mrr_class")
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("cv") - col("pv")).cast("decimal(18,2)").as("mrr_delta"),
-        sum(col("cv")).cast("decimal(18,2)").as("mrr"))
+        decOut(sum(col("cv") - col("pv")), 2).as("mrr_delta"),
+        decOut(sum(col("cv")), 2).as("mrr"))
       .orderBy("p", "mrr_class")
   }
 
@@ -1267,13 +1260,17 @@ object OlapQueries {
       .withColumn("n_days_obs", count(lit(1)).over(w))
       .withColumn("mv7_cal_avg",
         qround(col("mv7_sum").cast("double") / lit(7.0), 6))
+      .withColumn("rev", decOut(col("rev"), 2))
+      .withColumn("mv7_sum", decOut(col("mv7_sum"), 2))
       .orderBy("nation", "day")
   }
 
-  /** q212 — order-independent table fingerprint: per table, the exact
-    * DECIMAL(38,0) sum of keyed-md5 row hashes over a canonical
-    * projection (integer/string columns only — a raw double would
-    * fingerprint its formatting, not its value). Commutative, so the
+  /** q212 — order-independent table fingerprint: per table, the sum of
+    * keyed-md5 row hashes over a canonical projection (integer/string
+    * columns only — a raw double would fingerprint its formatting, not
+    * its value), exact DECIMAL(38,0) internally and folded mod 2⁶³ to
+    * BIGINT on the output surface (equally collision-safe for a change
+    * detector, and hash-stable at the gate). Commutative, so the
     * fingerprint is partitioning/layout/engine-independent — the
     * replication/CDC audit primitive: two sides compare one row per
     * table instead of shipping data. Mergeable across shards by
@@ -1285,7 +1282,7 @@ object OlapQueries {
       df.select(graft.functions.GraftFunctions.md5_63(key)
           .cast("decimal(38,0)").as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          sum("h").cast("decimal(38,0)").as("fingerprint"))
+          decFold(sum("h")).as("fingerprint"))
         .select(lit(name).as("table_name"), col("n_rows"),
           col("fingerprint"))
     val c = Tables.customer(spark, dir)
@@ -1446,10 +1443,13 @@ object OlapQueries {
         col("dm") * col("dm") /
           (col("expected_micros").cast("double") * lit(1000000.0)),
         18, 6))
-      .withColumn("chi2_total",
-        sum(col("chi2_term")).over(all).cast("decimal(18,6)"))
-      .select(col("digit"), col("n_obs"), col("expected_n"),
-        col("chi2_term"), col("chi2_total"))
+      // chi2 pieces stay DECIMAL internally (the windowed total must be
+      // an order-free exact sum); the output surface re-projects to
+      // DOUBLE (decOut — no DecimalType may leave a gated query).
+      .withColumn("chi2_total", decOut(sum(col("chi2_term")).over(all), 6))
+      .select(col("digit"), col("n_obs"),
+        decOut(col("expected_n"), 6).as("expected_n"),
+        decOut(col("chi2_term"), 6).as("chi2_term"), col("chi2_total"))
       .orderBy("digit")
   }
 
@@ -1568,11 +1568,16 @@ object OlapQueries {
     byV.withColumn("cumw", sum(col("wv")).over(wCum))
       .withColumn("totw", sum(col("wv")).over(wAll))
       .groupBy("nation")
-      .agg(min(when(col("cumw") * 4 >= col("totw"), col("v"))).as("wp25"),
-        min(when(col("cumw") * 2 >= col("totw"), col("v"))).as("wp50"),
-        min(when(col("cumw") * 4 >= col("totw") * 3, col("v"))).as("wp75"),
-        min(when(col("cumw") * 10 >= col("totw") * 9, col("v"))).as("wp90"),
-        max(col("totw")).cast("decimal(18,2)").as("total_qty"))
+      .agg(
+        decOut(min(when(col("cumw") * 4 >= col("totw"), col("v"))), 2)
+          .as("wp25"),
+        decOut(min(when(col("cumw") * 2 >= col("totw"), col("v"))), 2)
+          .as("wp50"),
+        decOut(min(when(col("cumw") * 4 >= col("totw") * 3, col("v"))), 2)
+          .as("wp75"),
+        decOut(min(when(col("cumw") * 10 >= col("totw") * 9, col("v"))), 2)
+          .as("wp90"),
+        decOut(max(col("totw")), 2).as("total_qty"))
       .orderBy("nation")
   }
 
@@ -1621,7 +1626,8 @@ object OlapQueries {
           lit(72057594037927936.0) / col("s_fixed").cast("double"), 6))
       .join(broadcast(exact), Seq("event_type"))
       .select(col("event_type"), col("n_present"), col("v_zero"),
-        col("s_fixed"), col("est_raw"), col("n_exact"))
+        decFold(col("s_fixed")).as("s_fixed"), col("est_raw"),
+        col("n_exact"))
       .orderBy("event_type")
   }
 
@@ -1736,7 +1742,7 @@ object OlapQueries {
         sum(when(col("rk") <= 3, col("su")).otherwise(lit(0)))
           .cast("decimal(38,0)").as("t3"))
       .select(col("nation"), col("n_suppliers"),
-        col("tot").as("total_units"),
+        col("tot").cast("long").as("total_units"),
         expr("cast((2 * ssq * 1000000 + tot * tot) div (2 * tot * tot) as bigint)")
           .as("hhi_ppm"),
         expr("cast((2 * tot * tot * 1000000 + ssq) div (2 * ssq) as bigint)")
@@ -1852,7 +1858,8 @@ object OlapQueries {
         .orderBy(col("dd_ppm").desc, col("day"))))
       .filter(col("rk") === 1)
       .select(col("nation"), col("day").as("trough_day"),
-        col("xc").as("trough_cents"), col("peak").as("peak_cents"),
+        col("xc").cast("long").as("trough_cents"),
+        col("peak").cast("long").as("peak_cents"),
         col("dd_ppm").as("max_drawdown_ppm"))
       .orderBy("nation")
   }
@@ -1933,7 +1940,9 @@ object OlapQueries {
         sum(least(col("v"), col("cap95"))).as("sw95"),
         sum(least(col("v"), col("cap99"))).as("sw99"),
         sum(when(col("v") > col("cap95"), 1L).otherwise(0L)).as("nc95"))
-      .select(col("event_type"), col("n"), col("cap95"), col("cap99"),
+      .select(col("event_type"), col("n"),
+        decOut(col("cap95"), 2).as("cap95"),
+        decOut(col("cap99"), 2).as("cap99"),
         qround(col("sv").cast("double") / col("n").cast("double"), 6)
           .as("mean_raw"),
         qround(col("sw95").cast("double") / col("n").cast("double"), 6)
@@ -2179,7 +2188,7 @@ object OlapQueries {
     abc.join(xyz, "l_partkey")
       .groupBy("abc_class", "xyz_class")
       .agg(count(lit(1)).as("n_parts"),
-        sum(col("v")).cast("decimal(38,0)").as("value_cents"))
+        sum(col("v")).cast("long").as("value_cents"))
       .orderBy("abc_class", "xyz_class")
   }
 
@@ -2223,19 +2232,19 @@ object OlapQueries {
         sum(when(col("p0").isNull, 1L).otherwise(0L)).as("n_new"),
         sum(when(col("p1").isNull, 1L).otherwise(0L)).as("n_discontinued"),
         sum(d38("(coalesce(r1, 0) - coalesce(r0, 0)) * 10000"))
-          .cast("decimal(38,0)").as("delta_rev_microcents"),
+          .cast("long").as("delta_rev_microcents"),
         sum(when(col("p0").isNotNull && col("p1").isNotNull,
-          d38("(p1 - p0) * q1")).otherwise(lit(0))).cast("decimal(38,0)")
+          d38("(p1 - p0) * q1")).otherwise(lit(0))).cast("long")
           .as("price_effect"),
         sum(when(col("p0").isNotNull && col("p1").isNotNull,
-          d38("p0 * (q1 - q0)")).otherwise(lit(0))).cast("decimal(38,0)")
+          d38("p0 * (q1 - q0)")).otherwise(lit(0))).cast("long")
           .as("volume_effect"),
         sum(when(col("p0").isNull, d38("r1 * 10000")).otherwise(lit(0)))
-          .cast("decimal(38,0)").as("new_effect"),
+          .cast("long").as("new_effect"),
         sum(when(col("p1").isNull, d38("-r0 * 10000")).otherwise(lit(0)))
-          .cast("decimal(38,0)").as("discontinued_effect"))
+          .cast("long").as("discontinued_effect"))
       .withColumn("residual_microcents",
-        expr("cast(delta_rev_microcents - price_effect - volume_effect - new_effect - discontinued_effect as decimal(38,0))"))
+        expr("cast(delta_rev_microcents - price_effect - volume_effect - new_effect - discontinued_effect as bigint)"))
   }
 
   /** q272 — same-store (comparable) growth: 1996→1997 revenue growth
@@ -2270,8 +2279,12 @@ object OlapQueries {
       .withColumn("growth_same", qround(
         (col("rev1_same") - col("rev0_same")).cast("double") /
           col("rev0_same").cast("double"), 6))
-      .select("n_comparable", "rev0_all", "rev1_all", "growth_all",
-        "rev0_same", "rev1_same", "growth_same")
+      .select(col("n_comparable") +:
+        Seq("rev0_all", "rev1_all").map(c => decOut(col(c), 2).as(c)) :+
+        col("growth_all") :+
+        decOut(col("rev0_same"), 2).as("rev0_same") :+
+        decOut(col("rev1_same"), 2).as("rev1_same") :+
+        col("growth_same"): _*)
   }
 
   /** q275 — open-order backlog aging waterfall: orders still open
@@ -2298,7 +2311,7 @@ object OlapQueries {
           .otherwise("d_over_1y"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("p")).cast("decimal(18,2)").as("open_value"))
+        decOut(sum(col("p")), 2).as("open_value"))
       .orderBy("bucket")
   }
 
@@ -2420,8 +2433,9 @@ object OlapQueries {
       .withColumn("contribution_share", qround(
         col("delta").cast("double") / col("total_delta").cast("double"),
         6))
-      .select("nation", "rev_1996", "rev_1997", "delta",
-        "contribution_share")
+      .select(col("nation"), decOut(col("rev_1996"), 2).as("rev_1996"),
+        decOut(col("rev_1997"), 2).as("rev_1997"),
+        decOut(col("delta"), 2).as("delta"), col("contribution_share"))
       .orderBy(abs(col("delta")).desc, col("nation"))
   }
 
@@ -2644,8 +2658,13 @@ object OlapQueries {
        |c AS (
        |  SELECT digit, n_obs, expected_n, $chi2 AS chi2_term
        |  FROM t)
-       |SELECT digit, n_obs, expected_n, chi2_term,
-       |  CAST(SUM(chi2_term) OVER () AS DECIMAL(18,6)) AS chi2_total
+       |SELECT digit, n_obs,
+       |  floor(CAST(expected_n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |    AS expected_n,
+       |  floor(CAST(chi2_term AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |    AS chi2_term,
+       |  floor(CAST(SUM(chi2_term) OVER () AS DOUBLE) * 1000000.0 + 0.5)
+       |    / 1000000.0 AS chi2_total
        |FROM c ORDER BY digit""".stripMargin
   }
 
@@ -2830,7 +2849,12 @@ object OlapQueries {
          |        AS delta FROM per),
          |t AS (SELECT CAST(SUM(delta) AS DECIMAL(18,2)) AS total_delta
          |      FROM d)
-         |SELECT nation, rev_1996, rev_1997, delta,
+         |SELECT nation,
+         |  floor(CAST(rev_1996 AS DOUBLE) * 100.0 + 0.5) / 100.0
+         |    AS rev_1996,
+         |  floor(CAST(rev_1997 AS DOUBLE) * 100.0 + 0.5) / 100.0
+         |    AS rev_1997,
+         |  floor(CAST(delta AS DOUBLE) * 100.0 + 0.5) / 100.0 AS delta,
          |  floor((CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE))
          |    * 1000000.0 + 0.5) / 1000000.0 AS contribution_share
          |FROM d CROSS JOIN t
@@ -2882,7 +2906,8 @@ object OlapQueries {
         |      ELSE 'd_over_1y' END AS bucket, p
         |  FROM o CROSS JOIN aod WHERE o_orderstatus = 'O')
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(p) AS DECIMAL(18,2)) AS open_value
+        |  floor(CAST(SUM(p) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS open_value
         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q276_lorenz_gini" ->
       """WITH c AS (
@@ -2945,11 +2970,18 @@ object OlapQueries {
         |      AS rev1_same
         |  FROM o WHERE o_custkey IN (SELECT o_custkey FROM bo)),
         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_comparable FROM bo)
-        |SELECT n_comparable, rev0_all, rev1_all,
+        |SELECT n_comparable,
+        |  floor(CAST(rev0_all AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS rev0_all,
+        |  floor(CAST(rev1_all AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS rev1_all,
         |  floor((CAST(rev1_all - rev0_all AS DOUBLE)
         |    / CAST(rev0_all AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS growth_all,
-        |  rev0_same, rev1_same,
+        |  floor(CAST(rev0_same AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS rev0_same,
+        |  floor(CAST(rev1_same AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS rev1_same,
         |  floor((CAST(rev1_same - rev0_same AS DOUBLE)
         |    / CAST(rev0_same AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |    AS growth_same
@@ -2980,21 +3012,21 @@ object OlapQueries {
         |    CAST(SUM(CASE WHEN p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_discontinued,
         |    CAST(SUM((COALESCE(r1, 0) - COALESCE(r0, 0)) * 10000)
-        |      AS DECIMAL(38,0)) AS delta_rev_microcents,
+        |      AS BIGINT) AS delta_rev_microcents,
         |    CAST(SUM(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
         |      THEN CAST(p1 - p0 AS HUGEINT) * q1 ELSE 0 END)
-        |      AS DECIMAL(38,0)) AS price_effect,
+        |      AS BIGINT) AS price_effect,
         |    CAST(SUM(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
         |      THEN CAST(p0 AS HUGEINT) * (q1 - q0) ELSE 0 END)
-        |      AS DECIMAL(38,0)) AS volume_effect,
+        |      AS BIGINT) AS volume_effect,
         |    CAST(SUM(CASE WHEN p0 IS NULL THEN r1 * 10000 ELSE 0 END)
-        |      AS DECIMAL(38,0)) AS new_effect,
+        |      AS BIGINT) AS new_effect,
         |    CAST(SUM(CASE WHEN p1 IS NULL THEN -r0 * 10000 ELSE 0 END)
-        |      AS DECIMAL(38,0)) AS discontinued_effect
+        |      AS BIGINT) AS discontinued_effect
         |  FROM j)
         |SELECT *, CAST(delta_rev_microcents - price_effect
         |    - volume_effect - new_effect - discontinued_effect
-        |    AS DECIMAL(38,0)) AS residual_microcents
+        |    AS BIGINT) AS residual_microcents
         |FROM agg""".stripMargin,
     "q270_abc_xyz_matrix" ->
       """WITH li AS (
@@ -3039,7 +3071,7 @@ object OlapQueries {
         |      WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
         |  FROM xyz)
         |SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
-        |  CAST(SUM(v) AS DECIMAL(38,0)) AS value_cents
+        |  CAST(SUM(v) AS BIGINT) AS value_cents
         |FROM abc JOIN xc USING (l_partkey)
         |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin,
     "q264_kendall_tau" ->
@@ -3293,7 +3325,9 @@ object OlapQueries {
         |      AS BIGINT) AS nc95
         |  FROM e JOIN caps c USING (event_type)
         |  GROUP BY 1, 2, 3)
-        |SELECT event_type, n, cap95, cap99,
+        |SELECT event_type, n,
+        |  floor(CAST(cap95 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cap95,
+        |  floor(CAST(cap99 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cap99,
         |  floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
         |    + 0.5) / 1000000.0 AS mean_raw,
         |  floor((CAST(sw95 AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0
@@ -3328,8 +3362,8 @@ object OlapQueries {
          |    ORDER BY dd_ppm DESC, day) AS rk
          |  FROM r)
          |SELECT nation, day AS trough_day,
-         |  CAST(xc AS DECIMAL(38,0)) AS trough_cents,
-         |  CAST(peak AS DECIMAL(38,0)) AS peak_cents,
+         |  CAST(xc AS BIGINT) AS trough_cents,
+         |  CAST(peak AS BIGINT) AS peak_cents,
          |  dd_ppm AS max_drawdown_ppm
          |FROM rk WHERE rk = 1 ORDER BY nation""".stripMargin,
     "q243_holt_winters" -> holtWintersOracle,
@@ -3354,7 +3388,7 @@ object OlapQueries {
         |    SUM(CASE WHEN rk <= 3 THEN su ELSE 0 END) AS t3
         |  FROM r GROUP BY 1)
         |SELECT nation, n_suppliers,
-        |  CAST(tot AS DECIMAL(38,0)) AS total_units,
+        |  CAST(tot AS BIGINT) AS total_units,
         |  CAST((2 * ssq * 1000000 + tot * tot) // (2 * tot * tot)
         |    AS BIGINT) AS hhi_ppm,
         |  CAST((2 * tot * tot * 1000000 + ssq) // (2 * ssq)
@@ -3449,7 +3483,9 @@ object OlapQueries {
          |    AS n_exact
          |  FROM events GROUP BY 1)
          |SELECT agg.event_type, agg.n_present,
-         |  CAST(256 - agg.n_present AS BIGINT) AS v_zero, agg.s_fixed,
+         |  CAST(256 - agg.n_present AS BIGINT) AS v_zero,
+         |  CAST(CAST(agg.s_fixed AS HUGEINT) % 9223372036854775808
+         |    AS BIGINT) AS s_fixed,
          |  floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 *
          |      72057594037927936.0 / CAST(agg.s_fixed AS DOUBLE))
          |    * 1000000.0 + 0.5) / 1000000.0 AS est_raw,
@@ -3494,11 +3530,16 @@ object OlapQueries {
         |    SUM(wv) OVER (PARTITION BY nation) AS totw
         |  FROM byv)
         |SELECT nation,
-        |  MIN(CASE WHEN cumw * 4 >= totw THEN v END) AS wp25,
-        |  MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS wp50,
-        |  MIN(CASE WHEN cumw * 4 >= totw * 3 THEN v END) AS wp75,
-        |  MIN(CASE WHEN cumw * 10 >= totw * 9 THEN v END) AS wp90,
-        |  CAST(MAX(totw) AS DECIMAL(18,2)) AS total_qty
+        |  floor(CAST(MIN(CASE WHEN cumw * 4 >= totw THEN v END) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS wp25,
+        |  floor(CAST(MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS wp50,
+        |  floor(CAST(MIN(CASE WHEN cumw * 4 >= totw * 3 THEN v END)
+        |    AS DOUBLE) * 100.0 + 0.5) / 100.0 AS wp75,
+        |  floor(CAST(MIN(CASE WHEN cumw * 10 >= totw * 9 THEN v END)
+        |    AS DOUBLE) * 100.0 + 0.5) / 100.0 AS wp90,
+        |  floor(CAST(MAX(totw) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS total_qty
         |FROM cum GROUP BY nation ORDER BY nation""".stripMargin,
     "q227_pinball_eval" ->
       s"""WITH daily AS (
@@ -3637,8 +3678,10 @@ object OlapQueries {
          |            AS DECIMAL(18,2)) AS p
          |        $nationOrdersSql)
          |  GROUP BY 1, 2)
-         |SELECT nation, day, rev,
-         |  CAST(SUM(rev) OVER w AS DECIMAL(18,2)) AS mv7_sum,
+         |SELECT nation, day,
+         |  floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS rev,
+         |  floor(CAST(SUM(rev) OVER w AS DOUBLE) * 100.0 + 0.5) / 100.0
+         |    AS mv7_sum,
          |  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_obs,
          |  floor((CAST(SUM(rev) OVER w AS DOUBLE) / 7.0) * 1000000.0
          |    + 0.5) / 1000000.0 AS mv7_cal_avg
@@ -3651,19 +3694,19 @@ object OlapQueries {
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |    CAST(SUM(CAST((md5_number_lower(concat_ws('|', c_custkey,
          |      c_name, c_nationkey, c_mktsegment)) & $H) AS HUGEINT))
-         |      AS DECIMAL(38,0)) AS fingerprint
+         |      % 9223372036854775808 AS BIGINT) AS fingerprint
          |  FROM customer),
          |o AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |    CAST(SUM(CAST((md5_number_lower(concat_ws('|', o_orderkey,
          |      o_custkey, o_orderpriority)) & $H) AS HUGEINT))
-         |      AS DECIMAL(38,0)) AS fingerprint
+         |      % 9223372036854775808 AS BIGINT) AS fingerprint
          |  FROM orders),
          |n AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |    CAST(SUM(CAST((md5_number_lower(concat_ws('|', n_nationkey,
          |      n_name, n_regionkey)) & $H) AS HUGEINT))
-         |      AS DECIMAL(38,0)) AS fingerprint
+         |      % 9223372036854775808 AS BIGINT) AS fingerprint
          |  FROM nation)
          |SELECT 'customer' AS table_name, n_rows, fingerprint FROM c
          |UNION ALL
@@ -3738,8 +3781,9 @@ object OlapQueries {
         |  FROM j JOIN first f ON f.cust = j.cust
         |  CROSS JOIN mx WHERE j.p <= mx.pmax)
         |SELECT p, mrr_class, CAST(count(*) AS BIGINT) AS n_customers,
-        |  CAST(SUM(cv - pv) AS DECIMAL(18,2)) AS mrr_delta,
-        |  CAST(SUM(cv) AS DECIMAL(18,2)) AS mrr
+        |  floor(CAST(SUM(cv - pv) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS mrr_delta,
+        |  floor(CAST(SUM(cv) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS mrr
         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q207_moment_profile" ->
       """WITH x AS (
@@ -4203,9 +4247,8 @@ object OlapQueries {
          |      FROM mk LEFT JOIN cm
          |        ON cm.ta = mk.ta AND cm.tb = mk.tb)
          |SELECT e.ta, e.tb, n_common,
-         |  CAST(floor((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE))
-         |      * 1000000.0 + 0.5) / 1000000.0
-         |    AS DECIMAL(18,6)) AS est_jaccard,
+         |  floor((CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard,
          |  CAST((2 * n_common * est_union + n_kept) // (2 * n_kept)
          |    AS BIGINT) AS est_intersection,
          |  ix.n_ab AS exact_intersection
@@ -4251,7 +4294,12 @@ object OlapQueries {
          |    MIN(CASE WHEN c >= (n_rows * 99 + 99) // 100 THEN v END) AS p99
          |  FROM cum GROUP BY 1)
          |SELECT est.event_type, n_rows, n_sample,
-         |  est_p50, est_p90, est_p99, p50, p90, p99
+         |  floor(CAST(est_p50 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p50,
+         |  floor(CAST(est_p90 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p90,
+         |  floor(CAST(est_p99 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p99,
+         |  floor(CAST(p50 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS p50,
+         |  floor(CAST(p90 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS p90,
+         |  floor(CAST(p99 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS p99
          |FROM est JOIN ex USING (event_type)
          |ORDER BY 1""".stripMargin,
     "q187_kmv_distinct" ->
@@ -4300,8 +4348,8 @@ object OlapQueries {
         |SELECT n_keys, total_rows, max_n,
         |  CAST(p50_n AS BIGINT) AS p50_n, CAST(p90_n AS BIGINT) AS p90_n,
         |  CAST(p99_n AS BIGINT) AS p99_n, top1_key, top1_n,
-        |  CAST(floor((top10_n * 100.0 / total_rows) * 1000000.0 + 0.5)
-        |      / 1000000.0 AS DECIMAL(18,6))
+        |  floor((CAST(top10_n AS DOUBLE) * 100.0 / total_rows)
+        |      * 1000000.0 + 0.5) / 1000000.0
         |    AS top10_share_pct
         |FROM t CROSS JOIN p CROSS JOIN t1 CROSS JOIN t10""".stripMargin,
     "q167_weighted_median" ->
@@ -4320,8 +4368,11 @@ object OlapQueries {
         |          ROWS UNBOUNDED PRECEDING) AS cumw,
         |        sum(wv) OVER (PARTITION BY nation) AS totw
         |      FROM byv)
-        |SELECT nation, min(v) AS weighted_median,
-        |  CAST(max(totw) AS DECIMAL(18,2)) AS total_qty
+        |SELECT nation,
+        |  floor(CAST(min(v) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS weighted_median,
+        |  floor(CAST(max(totw) AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |    AS total_qty
         |FROM c WHERE cumw * 2 >= totw
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q168_decision_stump" ->

@@ -518,7 +518,7 @@ object RecQueries {
     nVal.crossJoin(nOv)
       .select(col("n_val_pairs"), col("n_overlap"),
         qround(col("n_overlap") * lit(100.0) / col("n_val_pairs"), 6)
-          .cast("decimal(18,6)").as("overlap_pct"))
+          .as("overlap_pct"))
   }
 
   /** q240 — Brier score + Murphy (reliability/resolution/uncertainty)
@@ -678,7 +678,7 @@ object RecQueries {
           qround(col("conv_t").cast("double") / col("n_t").cast("double") -
             col("conv_c").cast("double") / col("n_c").cast("double"), 6))
           .as("uplift"),
-        expr("cast(cast(cum_conv_t as decimal(38,0)) * cum_n_c - cast(cum_conv_c as decimal(38,0)) * cum_n_t as decimal(38,0))")
+        expr("cast(cast(cum_conv_t as decimal(38,0)) * cum_n_c - cast(cum_conv_c as decimal(38,0)) * cum_n_t as bigint)")
           .as("qini_scaled"))
       .orderBy("decile")
   }
@@ -851,7 +851,8 @@ object RecQueries {
        |    row_number() OVER (PARTITION BY user_id, item_id
        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
        |  FROM train),
-       |tru AS (SELECT user_id, item_id, CAST(floor(rating * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS rr
+       |tru AS (SELECT user_id, item_id,
+       |          CAST(floor(rating * 100.0 + 0.5) AS BIGINT) AS rr
        |        FROM tr0 WHERE rn = 1),
        |trp AS (SELECT t.* FROM tru t
        |        WHERE EXISTS (SELECT 1 FROM pool p
@@ -1001,7 +1002,7 @@ object RecQueries {
         |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1000000.0
         |      + 0.5) / 1000000.0 END AS uplift,
         |  CAST(CAST(cum_conv_t AS HUGEINT) * cum_n_c
-        |    - CAST(cum_conv_c AS HUGEINT) * cum_n_t AS DECIMAL(38,0))
+        |    - CAST(cum_conv_c AS HUGEINT) * cum_n_t AS BIGINT)
         |    AS qini_scaled
         |FROM c ORDER BY decile""".stripMargin,
     "q240_brier_decomposition" ->
@@ -1171,8 +1172,8 @@ object RecQueries {
         |       FROM va SEMI JOIN tr USING (user_id, item_id)),
         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_val_pairs FROM va)
         |SELECT n_val_pairs, n_overlap,
-        |  CAST(floor((n_overlap * 100.0 / n_val_pairs) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))
-        |    AS overlap_pct
+        |  floor((CAST(n_overlap AS DOUBLE) * 100.0 / n_val_pairs)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS overlap_pct
         |FROM nv CROSS JOIN ov""".stripMargin,
     "q186_als_audit" ->
       """WITH r AS (

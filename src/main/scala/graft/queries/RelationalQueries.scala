@@ -27,8 +27,8 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        decSum(col("l_quantity")).cast("double").as("sum_qty"),
-        decSum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        centsSumDouble(col("l_quantity")).as("sum_qty"),
+        centsSumDouble(col("l_extendedprice")).as("sum_base_price"),
         sum(qdec(col("l_extendedprice"), 18, 2) *
           (lit(1) - qdec(col("l_discount"), 18, 2)))
           .cast("double").as("sum_disc_price"),
@@ -158,7 +158,7 @@ object RelationalQueries {
     Tables.events(spark, dir)
       .withColumn("bucket_s", expr("ts div 3600000000000") * 3600)
       .groupBy("event_type", "bucket_s")
-      .agg(count(lit(1)).as("n"), decSum(col("value")).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), centsSumDouble(col("value")).as("total"))
       .orderBy("event_type", "bucket_s")
 
   /** q13 — JSON extraction + aggregation: `get_json_object` is codegen'd;
@@ -168,7 +168,7 @@ object RelationalQueries {
       .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
         col("value"))
       .groupBy("item")
-      .agg(count(lit(1)).as("n"), decSum(col("value")).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), centsSumDouble(col("value")).as("total"))
       .orderBy("item")
 
   /** q14 — IN-list predicate (P6, reference
@@ -179,7 +179,7 @@ object RelationalQueries {
       .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
-        decSum(col("c_acctbal")).cast("double").as("total_bal"))
+        centsSumDouble(col("c_acctbal")).as("total_bal"))
       .orderBy("c_mktsegment")
 
   /** q15 — hierarchical rollup (engine extension beyond the reference's
@@ -188,7 +188,7 @@ object RelationalQueries {
   val q15: Q = (spark, dir) =>
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).cast("double").as("qty"))
+      .agg(count(lit(1)).as("n"), centsSumDouble(col("l_quantity")).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** q16 — approximate distinct counting (HLL++ sketch): the cardinality
@@ -289,7 +289,7 @@ object RelationalQueries {
     val cN = keep.agg(count(lit(1)).as("n_customers"))
     val oN = o.agg(count(lit(1)).as("n_orders"))
     val lN = li.agg(count(lit(1)).as("n_lineitems"),
-      sum(qdec(col("l_extendedprice"), 18, 2)).cast("decimal(18,2)")
+      sum(qdec(col("l_extendedprice"), 18, 2)).cast("double")
         .as("revenue"))
     cN.crossJoin(oN).crossJoin(lN)
   }
@@ -404,7 +404,7 @@ object RelationalQueries {
       .groupBy(col("event_type"),
         floor(col("value") / 10).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
-        decSum(col("value")).cast("double").as("total"))
+        centsSumDouble(col("value")).as("total"))
       .orderBy("event_type", "bin")
 
   /** q90 — sequential conversion funnel view→click→purchase
@@ -454,7 +454,7 @@ object RelationalQueries {
     val o = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("id"))
       .agg(count(lit(1)).as("n_orders"),
-        decSum(col("o_totalprice")).cast("double").as("spend"))
+        centsSumDouble(col("o_totalprice")).as("spend"))
     val e = Tables.events(spark, dir)
       .groupBy(col("user_id").as("id"))
       .agg(count(lit(1)).as("n_events"))
@@ -477,7 +477,7 @@ object RelationalQueries {
       .cube("l_returnflag", "l_linestatus")
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        decSum(col("l_quantity")).cast("double").as("qty"))
+        centsSumDouble(col("l_quantity")).as("qty"))
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
@@ -495,7 +495,7 @@ object RelationalQueries {
       .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        decSum(col("value")).cast("double").as("total"))
+        centsSumDouble(col("value")).as("total"))
       .select(unix_timestamp(col("window.start")).as("win_s"),
         col("event_type"), col("n"), col("total"))
       .orderBy("event_type", "win_s")
@@ -828,7 +828,7 @@ object RelationalQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_orders,
         |  (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_lineitems,
         |  (SELECT CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
-        |     / 100.0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM li)
+        |     / 100.0 AS DECIMAL(18,2))) AS DOUBLE) FROM li)
         |    AS revenue""".stripMargin,
     "q193_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.io.Tables
 import graft.ops.Relational.perKeyTopK
 import graft.sim.VectorOps._
-import graft.functions.GraftFunctions.{qdec, qround}
+import graft.functions.GraftFunctions.{decOut, qdec, qround}
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
@@ -110,7 +110,7 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_vecs"),
         qround(sum(col("d2")).cast("double") / count(lit(1)), 6)
           .as("avg_dist2"),
-        max(col("d2")).cast("decimal(20,12)").as("max_dist2"))
+        decOut(max(col("d2")), 12).as("max_dist2"))
       .orderBy("label")
   }
 
@@ -183,14 +183,12 @@ object SimilarityQueries {
       .agg(graft.functions.GraftFunctions.qround(
           sum(col("z")).cast("double") / count(lit(1)), 6).as("mean_z"),
         min(col("z")).as("min_z"), max(col("z")).as("max_z"))
-      // Determinism rule (ARCHITECTURE.md): floats leaving the engine are
-      // rounded then carried as DECIMAL — a raw double column hashes by
-      // IEEE bit pattern and is representation-fragile at the gate.
-      .select(col("p"), col("n"),
-        col("mu").cast("decimal(18,6)").as("mu"),
-        col("sigma").cast("decimal(18,6)").as("sigma"),
-        col("mean_z").cast("decimal(18,6)").as("mean_z"),
-        col("min_z"), col("max_z"))
+      // Determinism rule (ARCHITECTURE.md, r9): z stays DECIMAL inside
+      // (order-free exact sums); the output surface is quantized DOUBLE
+      // — no DecimalType may leave a gated query.
+      .select(col("p"), col("n"), col("mu"), col("sigma"), col("mean_z"),
+        decOut(col("min_z"), 6).as("min_z"),
+        decOut(col("max_z"), 6).as("max_z"))
       .orderBy("p")
   }
 
@@ -848,7 +846,8 @@ object SimilarityQueries {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  floor((CAST(SUM(d2) AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS avg_dist2,
-        |  CAST(MAX(d2) AS DECIMAL(20,12)) AS max_dist2
+        |  floor(CAST(MAX(d2) AS DOUBLE) * 1000000000000.0 + 0.5)
+        |    / 1000000000000.0 AS max_dist2
         |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_dim_standardize" ->
       """WITH x AS (
@@ -872,12 +871,13 @@ object SimilarityQueries {
         |        CAST(floor(((x.x - mu) / sigma) * 1000000.0 + 0.5)
         |          / 1000000.0 AS DECIMAL(18,6)) AS z
         |      FROM x JOIN m ON x.p = m.p)
-        |SELECT CAST(p AS INT) AS p, n,
-        |  CAST(mu AS DECIMAL(18,6)) AS mu,
-        |  CAST(sigma AS DECIMAL(18,6)) AS sigma,
-        |  CAST(floor((CAST(sum(z) AS DOUBLE) / count(*)) * 1000000.0
-        |    + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS mean_z,
-        |  min(z) AS min_z, max(z) AS max_z
+        |SELECT CAST(p AS INT) AS p, n, mu, sigma,
+        |  floor((CAST(sum(z) AS DOUBLE) / count(*)) * 1000000.0
+        |    + 0.5) / 1000000.0 AS mean_z,
+        |  floor(CAST(min(z) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS min_z,
+        |  floor(CAST(max(z) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS max_z
         |FROM z GROUP BY 1, 2, 3, 4 ORDER BY p""".stripMargin,
     "q201_triplet_mining" ->
       """WITH a AS (

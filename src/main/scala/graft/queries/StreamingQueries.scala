@@ -358,7 +358,9 @@ object StreamingQueries {
           lit(72057594037927936.0) / col("s_fixed").cast("double"), 6))
       .join(broadcast(exact), Seq("event_type"))
       .select(col("event_type"), col("n_present"), col("v_zero"),
-        col("s_fixed"), col("est_raw"), col("n_exact"))
+        graft.functions.GraftFunctions.decFold(col("s_fixed"))
+          .as("s_fixed"),
+        col("est_raw"), col("n_exact"))
       .orderBy("event_type")
   }
 
@@ -642,7 +644,8 @@ object StreamingQueries {
     sunk.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("user_id"), col("n_events"), col("n_clamped"),
-        col("final_balance").cast("decimal(18,2)").as("final_balance"))
+        graft.functions.GraftFunctions.decOut(col("final_balance"), 2)
+          .as("final_balance"))
       .orderBy("user_id")
   }
 
@@ -724,12 +727,15 @@ object StreamingQueries {
       .withColumn("n_s", count(lit(1)).over(wAll))
       .groupBy("event_type")
       .agg(max(col("n_s")).as("n_sample"),
-        min(when(col("rk") >= expr("(n_s + 1) div 2"), col("v")))
+        graft.functions.GraftFunctions.decOut(
+          min(when(col("rk") >= expr("(n_s + 1) div 2"), col("v"))), 2)
           .as("est_p50"),
-        min(when(col("rk") >= expr("(n_s * 9 + 9) div 10"), col("v")))
-          .as("est_p90"),
-        min(when(col("rk") >= expr("(n_s * 99 + 99) div 100"), col("v")))
-          .as("est_p99"))
+        graft.functions.GraftFunctions.decOut(
+          min(when(col("rk") >= expr("(n_s * 9 + 9) div 10"), col("v"))),
+          2).as("est_p90"),
+        graft.functions.GraftFunctions.decOut(
+          min(when(col("rk") >= expr("(n_s * 99 + 99) div 100"),
+            col("v"))), 2).as("est_p99"))
       .orderBy("event_type")
   }
 
@@ -849,10 +855,12 @@ object StreamingQueries {
         |    COUNT(*) OVER (PARTITION BY event_type) AS n_s
         |  FROM s1 WHERE rn <= 256)
         |SELECT event_type, CAST(MAX(n_s) AS BIGINT) AS n_sample,
-        |  MIN(CASE WHEN rk >= (n_s + 1) // 2 THEN v END) AS est_p50,
-        |  MIN(CASE WHEN rk >= (n_s * 9 + 9) // 10 THEN v END) AS est_p90,
-        |  MIN(CASE WHEN rk >= (n_s * 99 + 99) // 100 THEN v END)
-        |    AS est_p99
+        |  floor(CAST(MIN(CASE WHEN rk >= (n_s + 1) // 2 THEN v END)
+        |    AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p50,
+        |  floor(CAST(MIN(CASE WHEN rk >= (n_s * 9 + 9) // 10 THEN v END)
+        |    AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p90,
+        |  floor(CAST(MIN(CASE WHEN rk >= (n_s * 99 + 99) // 100 THEN v
+        |    END) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p99
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // The stream-final KMV sketch must equal batch q187 exactly.
     "q188_stream_kmv" -> OlapQueries.oracles("q187_kmv_distinct"),

@@ -173,8 +173,8 @@ object TwinsQueries {
         sum(col("corr6").cast("decimal(18,6)")).as("__s6"),
         count(col("corr6")).as("__nc"))
       .select(col("run"), col("n_pairs"),
-        graft.functions.GraftFunctions.qdec(
-          col("__s6").cast("double") / col("__nc"), 18, 6).as("avg_corr"))
+        graft.functions.GraftFunctions.qround(
+          col("__s6").cast("double") / col("__nc"), 6).as("avg_corr"))
       .orderBy("run")
   }
 
@@ -427,8 +427,8 @@ object TwinsQueries {
          |  SELECT CAST(-1 AS BIGINT) AS run, corr6 FROM corrs
          |  UNION ALL SELECT run, corr6 FROM rcorrs)
          |SELECT run, COUNT(*) AS n_pairs,
-         |  CAST(floor((CAST(SUM(CAST(corr6 AS DECIMAL(18,6))) AS DOUBLE)
+         |  floor((CAST(SUM(CAST(corr6 AS DECIMAL(18,6))) AS DOUBLE)
          |      / COUNT(corr6)) * 1000000.0 + 0.5) / 1000000.0
-         |    AS DECIMAL(18,6)) AS avg_corr
+         |    AS avg_corr
          |FROM u GROUP BY run ORDER BY run""".stripMargin)
 }

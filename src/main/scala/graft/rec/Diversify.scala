@@ -110,9 +110,16 @@ object Diversify {
 
   /** All-pairs rating-vector cosines restricted to a bounded item set
     * (both directions, 6-dp-rounded) — the similarity side of
-    * [[mmrRerank]] for catalog-bounded candidate pools; the same
-    * decimal dot/norm discipline as [[ItemCf.itemNeighbors]] without
-    * the top-k rank or support floor. */
+    * [[mmrRerank]] for catalog-bounded candidate pools.
+    *
+    * Arithmetic: ratings quantize to exact CENTS LONGS
+    * (`floor(r·100+0.5)` — the same IEEE quantizer family as qdec) and
+    * the dot/norm sufficient statistics are codegen'd integer sums —
+    * exact and order-free like the earlier decimal form, but whole-
+    * stage-codegen'd instead of interpreted BigDecimal (r8 measured
+    * the decimal multiply/sum on this hot self-join at ~10× long
+    * math). The cents scale cancels in the cosine ratio; the oracle
+    * mirrors the same integers. */
   def poolCosines(ratings: DataFrame, poolItems: DataFrame): DataFrame = {
     // Pool filter BELOW the latest-rating dedup window: the broadcast
     // semi-join prunes the fact stream before the per-(user, item)
@@ -123,7 +130,7 @@ object Diversify {
         ratings.join(broadcast(poolItems.select(col("item_id"))),
           Seq("item_id")))
       .select(col("user_id"), col("item_id"),
-        qdec(col("rating"), 18, 2).as("rr"))
+        floor(col("rating") * 100.0 + lit(0.5)).as("rr"))
     val stats = r.groupBy("item_id")
       .agg(sum(col("rr") * col("rr")).as("norm2"))
     val a = r.select(col("user_id"), col("item_id").as("ia"),

@@ -45,7 +45,8 @@ object Popularity {
     val spark = trainDf.sparkSession
     import spark.implicits._
     val itemAgg = trainDf.groupBy("item_id")
-      .agg(decSum(col("rating")).as("__total"), count(lit(1)).as("cnt"))
+      .agg(graft.ops.Relational.centsSumDouble(col("rating"))
+        .as("__total"), count(lit(1)).as("cnt"))
     val pools = itemAgg.crossJoin(broadcast(biases.toDF("bias")))
       .withColumn("score",
         col("__total").cast("double") / (col("cnt") + col("bias")))

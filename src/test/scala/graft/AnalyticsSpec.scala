@@ -164,7 +164,7 @@ class AnalyticsSpec extends AnyFunSuite {
   test("q208 adamic-adar matches an exact in-memory recomputation") {
     val out = graft.queries.AnalyticsQueries
       .queries("q208_adamic_adar")(spark, GraftSpark.sf)
-      .as[(String, String, Long, BigDecimal)].collect().toSeq
+      .as[(String, String, Long, Double)].collect().toSeq
     assert(out.nonEmpty && out.forall { case (s1, s2, n, sc) =>
       s1 < s2 && n >= 1 && sc > 0 })
     // Exact recomputation from the collected bipartite graph with the
@@ -188,7 +188,9 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     val top = expect.toSeq
       .sortBy { case ((a, b), (_, s)) => (-s, a, b) }.take(25)
-      .map { case ((a, b), (n, s)) => (a, b, n, s) }
+      // engine output is the decOut double of the exact 6dp sum
+      .map { case ((a, b), (n, s)) =>
+        (a, b, n, math.floor(s.toDouble * 1e6 + 0.5) / 1e6) }
     assert(out == top)
   }
 
@@ -449,9 +451,11 @@ class AnalyticsSpec extends AnyFunSuite {
       // one denominator per cohort; cum_rev is the prefix sum of wk_rev
       assert(sorted.map(_.getAs[Long]("n_users")).distinct.length == 1)
       var cum = BigDecimal(0)
+      def d2(x: Double) =
+        BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
       sorted.foreach { r =>
-        cum += BigDecimal(r.getAs[java.math.BigDecimal]("wk_rev"))
-        assert(BigDecimal(r.getAs[java.math.BigDecimal]("cum_rev")) == cum)
+        cum += d2(r.getAs[Double]("wk_rev"))
+        assert(d2(r.getAs[Double]("cum_rev")) == cum)
         val want = math.floor(cum.toDouble / r.getAs[Long]("n_users")
           * 1e6 + 0.5) / 1e6
         assert(r.getAs[Double]("ltv_per_user") == want)

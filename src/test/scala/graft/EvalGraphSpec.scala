@@ -83,8 +83,8 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val dd = r.getAs[Long]("max_drawdown_ppm")
-      val peak = BigDecimal(r.getDecimal(3))
-      val trough = BigDecimal(r.getDecimal(2))
+      val peak = BigDecimal(r.getLong(3))
+      val trough = BigDecimal(r.getLong(2))
       assert(dd >= 0 && dd <= 1000000L)
       assert(trough <= peak, r.toString)
       // definition closes: dd == half-up ppm of (peak - trough)/peak

@@ -42,6 +42,38 @@ class MixtureSkewSpec extends AnyFunSuite {
       "tail source not upsampled relative to head source")
   }
 
+  test("q184 quota arithmetic survives the ~7M-doc BIGINT overflow " +
+    "boundary (decimal-widened product == exact BigInt)") {
+    // budget·w ≈ (n/2)·√n·1e9 outgrows BIGINT once n^1.5 ≳ 1.8e19/1e9·2
+    // (≈7M docs): Spark's non-ANSI BIGINT multiply would silently wrap
+    // (zero/garbage quotas) while DuckDB raised. q184 widens the
+    // product to DECIMAL(38,0); this pins the widened quota to the
+    // exact BigInt value on both sides of the boundary.
+    import spark.implicits._
+    Seq(6000000L, 7100000L, 50000000L, 2000000000L).foreach { nTotal =>
+      val head = nTotal * 9 / 10
+      val rows = Seq(("head", head), ("tail", nTotal - head))
+      val weights = rows.toDF("source", "n_docs")
+        .withColumn("w", expr(
+          "cast(floor((sqrt(cast(n_docs as double)) * 1e9) + 0.5) as bigint)"))
+      val tot = weights.agg(sum(col("w")).as("w_sum"),
+        sum(col("n_docs")).as("n_total"))
+      val got = weights.crossJoin(tot)
+        .select(col("source"),
+          expr("(cast(n_total div 2 as decimal(38,0)) * w) div w_sum")
+            .as("quota"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ws = weights.collect()
+        .map(r => r.getString(0) -> BigInt(r.getLong(2))).toMap
+      val wSum = ws.values.sum
+      rows.foreach { case (src, _) =>
+        val expect = (BigInt(nTotal / 2) * ws(src)) / wSum
+        assert(BigInt(got(src)) == expect,
+          s"n_total=$nTotal $src: got ${got(src)}, want $expect")
+      }
+    }
+  }
+
   test("q185: profile is internally consistent with the raw counts") {
     val r = graft.queries.OlapQueries.q185(spark, sf).collect().head
     val nKeys = r.getLong(0); val totalRows = r.getLong(1)

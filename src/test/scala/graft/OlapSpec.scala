@@ -380,8 +380,8 @@ class OlapSpec extends AnyFunSuite {
       // A 256-point uniform sample's p50 lands within a loose relative
       // band of the exact p50 (±30% — a sanity envelope, not a bound;
       // the oracle already pins exact values).
-      val est = r.getAs[java.math.BigDecimal]("est_p50").doubleValue()
-      val ex = r.getAs[java.math.BigDecimal]("p50").doubleValue()
+      val est = r.getAs[Double]("est_p50")
+      val ex = r.getAs[Double]("p50")
       assert(ex == 0.0 || math.abs(est - ex) / math.max(ex.abs, 1e-9) < 0.3,
         s"est_p50 $est far from exact $ex for ${r.getAs[String]("event_type")}")
     }
@@ -426,10 +426,15 @@ class OlapSpec extends AnyFunSuite {
     assert(rows.length == 9)
     assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
     val n = rows.map(_.getAs[Long]("n_obs")).sum
-    val expSum = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("expected_n"))).sum
+    // Outputs are 6dp-quantized DOUBLEs (r9 decimal-out ban); each is
+    // within an ulp of its exact 6dp decimal, so setScale(6) recovers
+    // the exact value and the decimal-exact invariants still hold.
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expSum = rows.map(r => d6(r.getAs[Double]("expected_n"))).sum
     assert(expSum == BigDecimal(n), s"expected_n sums to $expSum, n=$n")
-    val terms = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("chi2_term")))
-    val totals = rows.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("chi2_total"))).distinct
+    val terms = rows.map(r => d6(r.getAs[Double]("chi2_term")))
+    val totals = rows.map(r => d6(r.getAs[Double]("chi2_total"))).distinct
     assert(totals.size == 1 && totals.head == terms.sum)
   }
 
@@ -513,15 +518,16 @@ class OlapSpec extends AnyFunSuite {
     val rows = Registry.all("q229_weighted_percentiles")(spark, sf).collect()
     rows.foreach { r =>
       val ps = Seq("wp25", "wp50", "wp75", "wp90")
-        .map(c => BigDecimal(r.getAs[java.math.BigDecimal](c)))
+        .map(c => r.getAs[Double](c))
       assert(ps == ps.sorted, r.toString)
     }
+    // Exact double equality is sound: both sides come off the same
+    // decOut projection of identical internal decimals.
     val med = Registry.all("q167_weighted_median")(spark, sf).collect()
       .map(r => r.getAs[String]("nation") ->
-        BigDecimal(r.getAs[java.math.BigDecimal]("weighted_median"))).toMap
+        r.getAs[Double]("weighted_median")).toMap
     rows.foreach { r =>
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("wp50")) ==
-        med(r.getAs[String]("nation")))
+      assert(r.getAs[Double]("wp50") == med(r.getAs[String]("nation")))
     }
   }
 

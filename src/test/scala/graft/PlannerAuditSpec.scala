@@ -61,7 +61,7 @@ class PlannerAuditSpec extends AnyFunSuite {
       assert(w95 <= w99 + 1e-9 && w99 <= raw + 1e-9, r.toString)
       // the p95 order statistic leaves at most 5% strictly above it
       assert(r.getAs[Long]("capped95_ppm") <= 50000L + 1, r.toString)
-      assert(BigDecimal(r.getDecimal(2)) <= BigDecimal(r.getDecimal(3)),
+      assert(r.getDouble(2) <= r.getDouble(3),
         "cap95 must not exceed cap99")
     }
   }

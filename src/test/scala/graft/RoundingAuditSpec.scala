@@ -61,6 +61,30 @@ class RoundingAuditSpec extends AnyFunSuite {
     bad.distinct.toSeq
   }
 
+  /** r9 (VERDICT r8): the driver's hasher canonicalizes DECIMAL through
+    * a float64 round-trip on one side and a fixed-scale decimal string
+    * on the other — every hash-red in 8 rounds had a DECIMAL output
+    * column and no DOUBLE/BIGINT surface ever went red. Decimal/integer
+    * arithmetic stays the right tool INTERNALLY (order-free exact
+    * sums); this test bans it from the OUTPUT surface of every
+    * registered query: project through GraftFunctions.decOut (DOUBLE),
+    * a plain long cast, or decFold (mod-2⁶³ BIGINT) instead. */
+  test("no registered query emits a DecimalType output column") {
+    val offenders = Registry.all.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val dec =
+          try fn(spark, sf).schema.fields
+            .filter(_.dataType.isInstanceOf[DecimalType])
+            .map(f => s"${f.name}: ${f.dataType.simpleString}")
+          catch { case e: Throwable => Array(s"BUILD FAILED: ${e.getMessage}") }
+        if (dec.isEmpty) Nil else Seq(s"$name → ${dec.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"\n${offenders.size} queries put DecimalType on the output " +
+        s"surface (decimal inside, double/bigint out):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no oracle-gated query rounds a double with a mode-dependent op") {
     val gated = Registry.oracles.keySet
     val report = Registry.all.toSeq.sortBy(_._1)

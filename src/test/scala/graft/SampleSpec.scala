@@ -123,7 +123,7 @@ class SampleSpec extends AnyFunSuite {
     val sf = GraftSpark.sf
     val out = graft.queries.RelationalQueries
       .queries("q210_consistent_sample")(spark, sf)
-      .as[(Long, Long, Long, BigDecimal)].collect().head
+      .as[(Long, Long, Long, Double)].collect().head
     // Reconstruct the sampled keep-set and follow the keys manually.
     val keep = graft.io.Tables.customer(spark, sf)
       .filter(Tables.seededUniform(col("c_custkey"), 210L) < 0.1)

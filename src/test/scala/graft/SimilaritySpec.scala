@@ -93,11 +93,13 @@ class SimilaritySpec extends AnyFunSuite {
   test("q209 centroid monitor: counts partition the corpus, dispersion ordered") {
     val out = graft.queries.SimilarityQueries
       .queries("q209_centroid_monitor")(spark, sf)
-      .as[(Int, Long, Double, BigDecimal)].collect()
+      .as[(Int, Long, Double, Double)].collect()
     val total = graft.io.Tables.embeddings(spark, sf).count()
     assert(out.map(_._2).sum == total)
     out.foreach { case (_, n, avg, mx) =>
-      assert(n > 0 && avg >= 0.0 && BigDecimal(avg) <= mx)
+      // avg is 6dp-quantized, max 12dp — avg can round up past max by
+      // at most half a 6dp step.
+      assert(n > 0 && avg >= 0.0 && avg <= mx + 5e-7)
     }
     // Exact recomputation for one label with the same quantization.
     val one = out.minBy(_._1)

@@ -62,6 +62,55 @@ class StreamRestartSpec extends AnyFunSuite {
       "sink multiset differs from input after restart")
   }
 
+  test("per-batchId overwrite sink absorbs a mid-batch retry without " +
+    "duplicating rows (runToParquet contract)") {
+    // foreachBatch is at-least-once: a crash AFTER the parquet write but
+    // BEFORE the checkpoint commit replays the whole micro-batch. The
+    // runToParquet pattern keys each write on batchId with OVERWRITE, so
+    // the replay rewrites its own directory instead of appending a
+    // second copy. Injected failure: batch 1's first attempt throws
+    // after its write has landed.
+    val ev = graft.io.Tables.events(spark, GraftSpark.sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stage = Files.createTempDirectory("graft-retry-stage").toString
+    ev.repartition(3, col("event_id"))
+      .write.mode("overwrite").parquet(s"$stage/all")
+    val files = new java.io.File(s"$stage/all").listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val live = Files.createTempDirectory("graft-retry-live").toString
+    files.foreach { f =>
+      Files.copy(f.toPath, Paths.get(live, f.getName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = Files.createTempDirectory("graft-retry-out").toString
+    val chk = Files.createTempDirectory("graft-retry-chk").toString
+    val schema = ev.schema
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(live)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/batch=$id")
+          if (id == 1L && !crashed.getAndSet(true))
+            throw new RuntimeException("injected mid-batch crash after write")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    intercept[Exception](runOnce()) // first attempt of batch 1 dies
+    assert(crashed.get(), "failure injection never fired")
+    runOnce() // same checkpoint: batch 1 replays into batch=1 (overwrite)
+    val got = spark.read.schema(schema).parquet(
+      new java.io.File(out).listFiles
+        .filter(_.getName.startsWith("batch=")).map(_.toString): _*)
+    assert(got.count() == ev.count(),
+      s"mid-batch retry duplicated or lost rows: ${got.count()} vs ${ev.count()}")
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty,
+      "sink multiset differs from input after mid-batch retry")
+  }
+
   /** Shared harness for the Complete-mode SKETCH aggregates (q102 CMS,
     * q188 KMV): the aggregation buffer lives in the state store, so a
     * restart from checkpoint must resume the sketch mid-stream — stop

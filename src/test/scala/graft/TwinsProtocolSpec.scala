@@ -25,7 +25,7 @@ class TwinsProtocolSpec extends AnyFunSuite {
     val rows = graft.queries.TwinsQueries.q183(spark, "/root/testdata/sf0.01")
       .collect()
       .flatMap { r =>
-        Option(r.getDecimal(2)).map(d => (r.getLong(0), d.doubleValue))
+        if (r.isNullAt(2)) None else Some((r.getLong(0), r.getDouble(2)))
       }
     val twins = rows.find(_._1 == -1L).map(_._2)
       .getOrElse(fail("no twins (-1) cohort row"))

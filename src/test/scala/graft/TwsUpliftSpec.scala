@@ -94,7 +94,7 @@ class TwsUpliftSpec extends AnyFunSuite {
     val nC = rows.map(_.getAs[Long]("n_c")).sum
     val cT = rows.map(_.getAs[Long]("conv_t")).sum
     val cC = rows.map(_.getAs[Long]("conv_c")).sum
-    val lastQini = BigDecimal(rows.last.getDecimal(6)).toBigInt
+    val lastQini = BigInt(rows.last.getLong(6))
     assert(lastQini == BigInt(cT) * nC - BigInt(cC) * nT,
       "decile-10 Qini must equal the overall scaled uplift")
     // per-decile counts are consistent

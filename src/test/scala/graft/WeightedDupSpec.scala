@@ -66,7 +66,7 @@ class WeightedDupSpec extends AnyFunSuite {
       .select("l_partkey").distinct().count()
     assert(nParts == catalog, s"$nParts parts classified vs $catalog")
     def classValue(c: String) = rows.filter(_.getString(0) == c)
-      .map(r => BigDecimal(r.getDecimal(3))).sum
+      .map(_.getAs[Long]("value_cents")).sum
     // the 80% band's total value dominates the tail band by construction
     assert(classValue("A") > classValue("C"))
   }
@@ -75,7 +75,7 @@ class WeightedDupSpec extends AnyFunSuite {
       "quantization noise") {
     val r = Registry.all("q271_price_volume_bridge")(spark, sf)
       .collect().head
-    def d(i: Int) = BigDecimal(r.getDecimal(i)).toBigInt
+    def d(i: Int) = BigInt(r.getLong(i))
     val (dr, pe, ve, ne, de, res) = (d(3), d(4), d(5), d(6), d(7), d(8))
     // closure is an identity by construction
     assert(dr == pe + ve + ne + de + res)
@@ -90,9 +90,9 @@ class WeightedDupSpec extends AnyFunSuite {
   test("q272 comparable revenue is a subset of headline revenue") {
     val r = Registry.all("q272_same_store_growth")(spark, sf)
       .collect().head
-    assert(BigDecimal(r.getDecimal(1)) >= BigDecimal(r.getDecimal(4)),
+    assert(r.getDouble(1) >= r.getDouble(4),
       "rev0_all must cover rev0_same")
-    assert(BigDecimal(r.getDecimal(2)) >= BigDecimal(r.getDecimal(5)),
+    assert(r.getDouble(2) >= r.getDouble(5),
       "rev1_all must cover rev1_same")
     assert(r.getAs[Long]("n_comparable") > 0)
     // growth columns are finite quantized ratios
@@ -155,7 +155,8 @@ class WeightedDupSpec extends AnyFunSuite {
     val rows = Registry.all("q278_waterfall_contribution")(spark, sf)
       .collect()
     assert(rows.nonEmpty)
-    val deltas = rows.map(r => BigDecimal(r.getDecimal(3)))
+    val deltas = rows.map(r => BigDecimal(r.getDouble(3))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP))
     val shares = rows.map(_.getAs[Double]("contribution_share"))
     assert(math.abs(shares.sum - 1.0) < 1e-4, s"share sum ${shares.sum}")
     // the waterfall reads top-down by magnitude

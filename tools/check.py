@@ -49,6 +49,18 @@ def main(sf_dir, out_dir):
             print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
             fail += 1
             continue
+        # r9 rule: no DECIMAL may reach the hashed surface on EITHER
+        # side — the driver's hasher canonicalizes decimal differently
+        # per side, so a value-equal decimal column can still hash-red.
+        import decimal as _dec
+        deccols = [c for c in got.columns
+                   if any(isinstance(v, _dec.Decimal)
+                          for df in (got, want)
+                          for v in df[c].dropna().head(3).tolist())]
+        if deccols:
+            print(f"[DEC ] {name}: decimal-typed column(s) {deccols}")
+            fail += 1
+            continue
         def same(x, y):
             # SQL NULL doubles come back as NaN from fetchdf; NaN != NaN
             # would flag identical NULLs as mismatches.
