@@ -1631,6 +1631,124 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** q287 — ROLLING 7-day distinct users per event type via daily HLL
+    * register merge: q234's sketch with a day dimension, where each
+    * (type, day) register table merges into its 7 window anchors by the
+    * coverage-explode trick (q174's — a register built on day d serves
+    * windows d..d+6), so rolling COUNT DISTINCT becomes max-merge over
+    * 7×256-entry register frames. THE reason sketches exist at 100 TB:
+    * q174's exact rolling distinct explodes every (user, day) row 7× —
+    * linear in users — while this explodes only the register table
+    * (≤ types × days × 256 rows, data-size-independent) and still
+    * answers every window. Exact WAU rides along as the error audit
+    * (cheap at test scale; the sketch is the posture when it isn't).
+    * Same determinism as q234: keyed hash, integer ρ, fixed-point Σ
+    * internally, raw estimate quantized to 6 dp DOUBLE out. */
+  val q287: Q = (spark, dir) => {
+    val two55 = 36028797018963968L // 2^55
+    val two56 = 72057594037927936L // 2^56
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("user_id"))
+      .distinct()
+    val maxDay = broadcast(d.agg(max("day").as("dmax")))
+    val reg = d
+      .select(col("event_type"), col("day"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .withColumn("bucket", expr(s"h div $two55"))
+      .withColumn("rest", expr(s"h % $two55"))
+      .withColumn("rho", when(col("rest") === 0L, lit(56))
+        .otherwise(lit(56) - length(bin(col("rest")))))
+      .groupBy("event_type", "day", "bucket")
+      .agg(max(col("rho")).as("m"))
+    val windows = reg
+      .select(col("event_type"), col("bucket"), col("m"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .crossJoin(maxDay).filter(col("day") <= col("dmax"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(max(col("m")).as("m"))
+    val est = windows.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_present"),
+        (sum(expr("cast(shiftleft(cast(1 as bigint), 56 - m) as decimal(38,0))"))
+          + (lit(256L) - count(lit(1))).cast("decimal(38,0)") *
+            lit(two56)).cast("decimal(38,0)").as("s_fixed"))
+      .withColumn("v_zero", (lit(256L) - col("n_present")).cast("long"))
+      .withColumn("est_wau", qround(
+        lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
+          lit(72057594037927936.0) / col("s_fixed").cast("double"), 6))
+    val exact = d
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .crossJoin(maxDay).filter(col("day") <= col("dmax"))
+      .groupBy("event_type", "day")
+      .agg(countDistinct(col("user_id")).as("exact_wau"))
+    est.join(exact, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_present"),
+        col("v_zero"), col("est_wau"), col("exact_wau"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q288 — quantile-sketch UNION: the per-type bottom-k samples (q194)
+    * merge into ONE global sample by re-taking the k smallest keyed
+    * hashes of their union — bottom-k(∪ groups) = bottom-k(∪ per-group
+    * bottom-k), the same merge law q189 exercises for KMV — and the
+    * global p50/p90/p99 are estimated from sketch state alone, never a
+    * second data pass. Completes the sketch-algebra family: build
+    * (q194), stream (q203), union (here). The union window runs over
+    * ≤ types·k sketch rows (sketch-sized, data-size-independent); the
+    * exact global percentiles ride along from the cents histogram as
+    * the audit. */
+  val q288: Q = (spark, dir) => {
+    val k = 256
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        qdec(col("value"), 18, 2).as("v"),
+        graft.functions.GraftFunctions.md5_63(
+          concat(lit("qsk:"), col("event_id").cast("string"))).as("h"))
+    val perType = rows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h", "event_id")))
+      .filter(col("rn") <= k)
+    val nTypes = perType.agg(
+      countDistinct(col("event_type")).as("n_types_merged"))
+    val merged = perType
+      .withColumn("grn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy("h", "event_id")))
+      .filter(col("grn") <= k)
+    val est = merged
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy("v", "event_id")).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("n_s")).as("n_sample"),
+        decOut(min(when(col("rk") >= expr("(n_s + 1) div 2"), col("v"))),
+          2).as("est_p50"),
+        decOut(min(when(col("rk") >= expr("(n_s * 9 + 9) div 10"),
+          col("v"))), 2).as("est_p90"),
+        decOut(min(when(col("rk") >= expr("(n_s * 99 + 99) div 100"),
+          col("v"))), 2).as("est_p99"))
+    val cum = rows.groupBy("v").agg(count(lit(1)).as("freq"))
+      .withColumn("c", sum(col("freq")).over(
+        Window.partitionBy(lit(1)).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_rows", sum(col("freq")).over(
+        Window.partitionBy(lit(1))))
+    val exact = cum.groupBy(lit(1).as("g")).agg(
+      max(col("n_rows")).as("n_rows"),
+      decOut(min(when(col("c") >= expr("(n_rows + 1) div 2"), col("v"))),
+        2).as("p50"),
+      decOut(min(when(col("c") >= expr("(n_rows * 9 + 9) div 10"),
+        col("v"))), 2).as("p90"),
+      decOut(min(when(col("c") >= expr("(n_rows * 99 + 99) div 100"),
+        col("v"))), 2).as("p99"))
+    est.join(exact, "g").crossJoin(broadcast(nTypes))
+      .select(col("n_rows"), col("n_types_merged"), col("n_sample"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("p50"), col("p90"), col("p99"))
+  }
+
   /** q235 — snapshot table diff (the data-diff / CDC-reconciliation
     * primitive): two keyed snapshots full-outer-joined on the natural
     * key with q212's canonical row hash deciding changed-vs-unchanged —
@@ -2498,6 +2616,8 @@ object OlapQueries {
     "q235_table_diff" -> q235,
     "q236_fifo_valuation" -> q236,
     "q234_hll_oracle" -> q234,
+    "q287_hll_rolling_distinct" -> q287,
+    "q288_quantile_sketch_union" -> q288,
     "q228_wilson_ranking" -> q228,
     "q229_weighted_percentiles" -> q229,
     "q227_pinball_eval" -> q227,
@@ -3454,6 +3574,109 @@ object OlapQueries {
         |  MIN(CASE WHEN rem > 0
         |      THEN epoch_ns(l_shipdate) // 1000000000 END) AS oldest_open_s
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q287_hll_rolling_distinct" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day, user_id
+         |  FROM events),
+         |mx AS (SELECT MAX(day) AS dmax FROM d),
+         |h AS (
+         |  SELECT event_type, day,
+         |    CAST(md5_number_lower('hll:' || user_id::VARCHAR) & $H
+         |      AS BIGINT) AS h
+         |  FROM d),
+         |r AS (
+         |  SELECT event_type, day, h // 36028797018963968 AS bucket,
+         |    h % 36028797018963968 AS rest
+         |  FROM h),
+         |reg AS (
+         |  SELECT event_type, day, bucket,
+         |    MAX(CASE WHEN rest = 0 THEN 56
+         |        ELSE 56 - length(bin(rest)) END) AS m
+         |  FROM r GROUP BY 1, 2, 3),
+         |win AS (
+         |  SELECT event_type, bucket, m,
+         |    unnest(generate_series(day, day + 6)) AS day2
+         |  FROM reg),
+         |w2 AS (
+         |  SELECT event_type, day2 AS day, bucket, MAX(m) AS m
+         |  FROM win CROSS JOIN mx WHERE day2 <= mx.dmax
+         |  GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_present,
+         |    CAST(SUM(CAST((CAST(1 AS BIGINT) << (56 - m))
+         |        AS DECIMAL(38,0))) +
+         |      (256 - count(*)) * CAST(72057594037927936 AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS s_fixed
+         |  FROM w2 GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT event_type, day2 AS day,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau
+         |  FROM (SELECT event_type, user_id,
+         |          unnest(generate_series(day, day + 6)) AS day2
+         |        FROM d) x
+         |  CROSS JOIN mx WHERE day2 <= mx.dmax GROUP BY 1, 2)
+         |SELECT agg.event_type, agg.day, agg.n_present,
+         |  CAST(256 - agg.n_present AS BIGINT) AS v_zero,
+         |  floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 *
+         |      72057594037927936.0 / CAST(agg.s_fixed AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS est_wau,
+         |  ex.exact_wau
+         |FROM agg JOIN ex
+         |  ON ex.event_type = agg.event_type AND ex.day = agg.day
+         |ORDER BY agg.event_type, agg.day""".stripMargin,
+    "q288_quantile_sketch_union" ->
+      s"""WITH r AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))
+         |      AS v,
+         |    CAST(md5_number_lower('qsk:' || event_id::VARCHAR) & $H
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |s1 AS (
+         |  SELECT event_type, v, event_id, h,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY h, event_id) AS rn
+         |  FROM r),
+         |pt AS (SELECT * FROM s1 WHERE rn <= 256),
+         |nt AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+         |         AS n_types_merged FROM pt),
+         |mg AS (
+         |  SELECT v, event_id,
+         |    row_number() OVER (ORDER BY h, event_id) AS grn
+         |  FROM pt),
+         |m2 AS (SELECT v, event_id FROM mg WHERE grn <= 256),
+         |s2 AS (
+         |  SELECT v, row_number() OVER (ORDER BY v, event_id) AS rk,
+         |    COUNT(*) OVER () AS n_s
+         |  FROM m2),
+         |est AS (
+         |  SELECT CAST(MAX(n_s) AS BIGINT) AS n_sample,
+         |    floor(CAST(MIN(CASE WHEN rk >= (n_s + 1) // 2 THEN v END)
+         |      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p50,
+         |    floor(CAST(MIN(CASE WHEN rk >= (n_s * 9 + 9) // 10 THEN v
+         |      END) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p90,
+         |    floor(CAST(MIN(CASE WHEN rk >= (n_s * 99 + 99) // 100
+         |      THEN v END) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS est_p99
+         |  FROM s2),
+         |hist AS (SELECT v, COUNT(*) AS freq FROM r GROUP BY 1),
+         |cum AS (
+         |  SELECT v,
+         |    SUM(freq) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+         |    SUM(freq) OVER () AS n_rows
+         |  FROM hist),
+         |ex AS (
+         |  SELECT CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+         |    floor(CAST(MIN(CASE WHEN c >= (n_rows + 1) // 2 THEN v END)
+         |      AS DOUBLE) * 100.0 + 0.5) / 100.0 AS p50,
+         |    floor(CAST(MIN(CASE WHEN c >= (n_rows * 9 + 9) // 10 THEN v
+         |      END) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS p90,
+         |    floor(CAST(MIN(CASE WHEN c >= (n_rows * 99 + 99) // 100
+         |      THEN v END) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS p99
+         |  FROM cum)
+         |SELECT n_rows, n_types_merged, n_sample,
+         |  est_p50, est_p90, est_p99, p50, p90, p99
+         |FROM est CROSS JOIN ex CROSS JOIN nt""".stripMargin,
     "q234_hll_oracle" ->
       s"""WITH d AS (
          |  SELECT DISTINCT event_type, user_id FROM events),

@@ -869,7 +869,89 @@ object TextQueries {
       .select("token", "df1", "df2", "lift_ppm")
   }
 
+  /** q286 — corpus PII scrub audit (per-source compliance rollup): the
+    * report a data-governance pass emits BEFORE a corpus ships to
+    * training — per source, how many documents contain emails / URLs /
+    * long digit runs, total occurrences of each, and the clean-document
+    * rate in exact ppm. Extends q59's per-document redaction to the
+    * corpus level; `regexp_count` is codegen'd per row, so the whole
+    * audit is one scan + one |sources|-row aggregate (100 TB shape:
+    * map-side partial counts, no shuffle beyond the tiny group-by).
+    * PII is PLANTED deterministically (the q59 trick — the synthetic
+    * corpus is clean, so the audit would be all-zeros): doc_id % 3 → an
+    * email, % 5 → an account-number digit run, % 7 → a URL; the
+    * non-planted remainder verifies the zero side. Both engines count
+    * non-overlapping leftmost regex matches over identical text. */
+  val q286: Q = (spark, dir) => {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" reach_"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" acct 9000"), col("doc_id"), lit("17")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" see https://ex.org/d/"), col("doc_id")))
+        .otherwise(lit("")))
+    val pats = Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+      "digitrun" -> "[0-9]{6,}",
+      "url" -> "https?://[^ ]+")
+    val counted = pats.foldLeft(
+      Tables.documents(spark, dir).select(col("source"),
+        planted.as("body"))) { case (df, (name, p)) =>
+      df.withColumn(s"${name}_n",
+        regexp_count(col("body"), lit(p)).cast("long"))
+    }
+    val aggs = pats.flatMap { case (name, _) => Seq(
+      sum(when(col(s"${name}_n") > 0, 1L).otherwise(0L))
+        .as(s"${name}_docs"),
+      sum(col(s"${name}_n")).as(s"${name}_hits")) }
+    counted
+      .withColumn("is_clean",
+        when(pats.map(p => col(s"${p._1}_n") > 0).reduce(_ || _), 0L)
+          .otherwise(1L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (aggs :+ sum(col("is_clean")).as("clean_docs")): _*)
+      .withColumn("clean_ppm",
+        expr("cast((2 * clean_docs * 1000000 + n_docs) div (2 * n_docs) as bigint)"))
+      .orderBy("source")
+  }
+
+  /** q289 — cross-source duplication matrix: q27's thresholded near-dup
+    * pairs joined back to document metadata and rolled up per
+    * (source_a, source_b) cell — the "which sources copy from which"
+    * contamination readout that decides whether a source is additive or
+    * a mirror (off-diagonal mass = cross-source duplication; diagonal =
+    * internal redundancy). Share is exact half-up ppm of all near-dup
+    * pairs. Scale shape: the pair frame is candidates-only (banded LSH,
+    * never all-pairs), the metadata joins key on doc id, and the matrix
+    * is |sources|²-bounded. */
+  val q289: Q = (spark, dir) => {
+    val meta = Tables.documents(spark, dir).select("doc_id", "source")
+    val cells = lshPairsCached(spark, dir)
+      .join(meta.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(meta.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") === col("source_b")).cast("int")
+          .as("within_source"),
+        expr("cast((2 * n_pairs * 1000000 + n_total) div (2 * n_total) as bigint)")
+          .as("share_ppm"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q286_pii_scrub_audit" -> q286,
+    "q289_crosssource_dup_matrix" -> q289,
     "q274_emerging_terms" -> q274,
     "q267_weighted_jaccard" -> q267,
     "q249_lsh_recall_audit" -> q249,
@@ -1034,6 +1116,61 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q286_pii_scrub_audit" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' reach_' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' acct 9000' || doc_id || '17' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' see https://ex.org/d/' || doc_id ELSE '' END
+        |    AS body
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(body,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS email_n,
+        |    len(regexp_extract_all(body, '[0-9]{6,}')) AS digitrun_n,
+        |    len(regexp_extract_all(body, 'https?://[^ ]+')) AS url_n
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN email_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS email_docs,
+        |  CAST(SUM(email_n) AS BIGINT) AS email_hits,
+        |  CAST(SUM(CASE WHEN digitrun_n > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS digitrun_docs,
+        |  CAST(SUM(digitrun_n) AS BIGINT) AS digitrun_hits,
+        |  CAST(SUM(CASE WHEN url_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS url_docs,
+        |  CAST(SUM(url_n) AS BIGINT) AS url_hits,
+        |  CAST(SUM(CASE WHEN email_n = 0 AND digitrun_n = 0
+        |    AND url_n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs,
+        |  CAST((2 * SUM(CASE WHEN email_n = 0 AND digitrun_n = 0
+        |      AND url_n = 0 THEN 1 ELSE 0 END) * 1000000 + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS clean_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q289_crosssource_dup_matrix" ->
+      s"""WITH $lshPairsCte,
+         |prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.4),
+         |j AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b
+         |  FROM prs
+         |  JOIN documents da ON da.doc_id = prs.id_a
+         |  JOIN documents db ON db.doc_id = prs.id_b),
+         |g AS (SELECT source_a, source_b,
+         |        CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM j GROUP BY 1, 2),
+         |tp AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM g)
+         |SELECT source_a, source_b, n_pairs,
+         |  CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END
+         |    AS INTEGER) AS within_source,
+         |  CAST((2 * n_pairs * 1000000 + n_total) // (2 * n_total)
+         |    AS BIGINT) AS share_ppm
+         |FROM g CROSS JOIN tp
+         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
     "q274_emerging_terms" ->
       """WITH cut AS (
         |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut FROM documents),

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the r9 governance/sketch wave: q286 PII scrub
+  * audit, q287 rolling-HLL distinct, q288 quantile-sketch union, q289
+  * cross-source dup matrix. Exact values are oracle-gated by the
+  * driver; these pin the properties the hash compare can't express.
+  */
+class GovernanceSketchSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  val sf = GraftSpark.sf
+
+  test("q286 audit counts reproduce the deterministic planting rules") {
+    val rows = graft.queries.TextQueries.queries(
+      "q286_pii_scrub_audit")(spark, sf).collect()
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ids = bySource(src).map(_._1)
+      assert(r.getAs[Long]("n_docs") == ids.length.toLong)
+      // the corpus itself is clean, so hits == planted docs exactly
+      assert(r.getAs[Long]("email_docs") == ids.count(_ % 3 == 0).toLong)
+      assert(r.getAs[Long]("email_hits") == r.getAs[Long]("email_docs"))
+      assert(r.getAs[Long]("digitrun_docs") ==
+        ids.count(_ % 5 == 0).toLong)
+      assert(r.getAs[Long]("url_docs") == ids.count(_ % 7 == 0).toLong)
+      assert(r.getAs[Long]("clean_docs") ==
+        ids.count(i => i % 3 != 0 && i % 5 != 0 && i % 7 != 0).toLong)
+      val ppm = r.getAs[Long]("clean_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
+  test("q287 rolling HLL tracks the exact WAU within the p=8 error band") {
+    val rows = graft.queries.OlapQueries.queries(
+      "q287_hll_rolling_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_present")
+      assert(np >= 1 && np <= 256 &&
+        r.getAs[Long]("v_zero") == 256 - np)
+      val raw = r.getAs[Double]("est_wau")
+      val vz = r.getAs[Long]("v_zero")
+      val ex = r.getAs[Long]("exact_wau").toDouble
+      // The hashed surface carries the RAW estimate (ln is a libm call
+      // engines disagree on by ulps — q234 contract); the small-range
+      // linear-counting correction is the documented client-side
+      // formula over (raw, v_zero). Apply it here like a client would.
+      val est =
+        if (raw <= 2.5 * 256 && vz > 0) 256.0 * math.log(256.0 / vz)
+        else raw
+      // sigma = 1.04/sqrt(256) ~ 6.5% for the raw regime; linear
+      // counting is tighter still — 5-sigma + small-n slop
+      assert(est > 0 && math.abs(est - ex) / math.max(ex, 16.0) < 0.5,
+        s"corrected $est (raw $raw, v_zero $vz) vs exact $ex: " +
+          r.toString)
+    }
+    // day-7+ windows must cover >= the single-day distinct count
+    val day0 = rows.map(_.getAs[Long]("day")).min
+    assert(rows.count(_.getAs[Long]("day") >= day0 + 6) > 0)
+  }
+
+  test("q288 union sample equals the direct global bottom-k and brackets " +
+      "the exact percentiles") {
+    val r = graft.queries.OlapQueries.queries(
+      "q288_quantile_sketch_union")(spark, sf).collect().head
+    val n = r.getAs[Long]("n_rows")
+    assert(r.getAs[Long]("n_sample") == math.min(n, 256L))
+    assert(r.getAs[Long]("n_types_merged") >= 2)
+    val (e50, e90, e99) = (r.getAs[Double]("est_p50"),
+      r.getAs[Double]("est_p90"), r.getAs[Double]("est_p99"))
+    assert(e50 <= e90 && e90 <= e99)
+    val (p50, p90, p99) = (r.getAs[Double]("p50"),
+      r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+    assert(p50 <= p90 && p90 <= p99)
+    // 256-point sample: loose relative envelope on the median
+    assert(p50 == 0.0 || math.abs(e50 - p50) / math.max(p50, 1e-9) < 0.3)
+  }
+
+  test("q289 matrix cells partition q27's pair list and ppm shares close") {
+    val cells = graft.queries.TextQueries.queries(
+      "q289_crosssource_dup_matrix")(spark, sf).collect()
+    val nPairs = graft.queries.TextQueries.queries(
+      "q27_minhash_lsh_dups")(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    cells.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"))
+      assert(r.getAs[Int]("within_source") ==
+        (if (r.getAs[String]("source_a") == r.getAs[String]("source_b")) 1
+         else 0))
+    }
+    // half-up ppm shares reconstruct from the counts exactly
+    cells.foreach { r =>
+      val c = r.getAs[Long]("n_pairs")
+      val expect = (2 * c * 1000000L + nPairs) / (2 * nPairs)
+      assert(r.getAs[Long]("share_ppm") == expect)
+    }
+  }
+}
