@@ -780,6 +780,99 @@ object AnalyticsQueries {
     * half-up idiom — no distributed double sum anywhere. The
     * `var_reduction` column is the measured payoff: var(Yadj)/var(Y)
     * over the experiment population. */
+  /** q290 — difference-in-differences estimator: the quasi-experimental
+    * workhorse when randomization is absent — (treated post − treated
+    * pre) − (control post − control pre) cancels both the permanent
+    * arm gap and the common time trend. Arms/cutoff follow the q226/
+    * q248/q257 convention (user parity, 2024-01-16); outcome = per-user
+    * purchase revenue, exact cents, zero for inactive periods so the
+    * denominator is the FULL arm. One user-grain aggregate → a 2-row
+    * arm frame → one cross join: shuffle cost is the user group-by,
+    * output O(1). Cell means and the DiD are single mirrored IEEE
+    * divides of exact integer sums, 6 dp out. */
+  val q290: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+    val rev = Tables.events(spark, dir)
+      .select(col("user_id"), (col("user_id") % 2 === 0).as("treated"),
+        col("ts"), col("event_type"), col("value"))
+      .groupBy("user_id", "treated")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("ts") < cutNs,
+          floor(col("value") * 100.0 + lit(0.5))).otherwise(0L))
+          .as("pre_c"),
+        sum(when(col("event_type") === "purchase" && col("ts") >= cutNs,
+          floor(col("value") * 100.0 + lit(0.5))).otherwise(0L))
+          .as("post_c"))
+    val arms = rev.groupBy("treated")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre_c")).as("s_pre"), sum(col("post_c")).as("s_post"))
+    val t = arms.filter(col("treated"))
+      .select(col("n_users").as("n_t"), col("s_pre").as("sp_t"),
+        col("s_post").as("ss_t"))
+    val c = arms.filter(!col("treated"))
+      .select(col("n_users").as("n_c"), col("s_pre").as("sp_c"),
+        col("s_post").as("ss_c"))
+    t.crossJoin(c)
+      .select(col("n_t"), col("n_c"),
+        qround(col("sp_t").cast("double") / col("n_t"), 6)
+          .as("mean_t_pre"),
+        qround(col("ss_t").cast("double") / col("n_t"), 6)
+          .as("mean_t_post"),
+        qround(col("sp_c").cast("double") / col("n_c"), 6)
+          .as("mean_c_pre"),
+        qround(col("ss_c").cast("double") / col("n_c"), 6)
+          .as("mean_c_post"),
+        qround((col("ss_t").cast("double") / col("n_t")
+          - col("sp_t").cast("double") / col("n_t"))
+          - (col("ss_c").cast("double") / col("n_c")
+            - col("sp_c").cast("double") / col("n_c")), 6)
+          .as("did_cents"))
+  }
+
+  /** q291 — ratio-metric confidence interval by the delta method: the
+    * experimentation-platform primitive for metrics like revenue per
+    * event, R = ΣY/ΣN over user clusters, whose naive per-row variance
+    * is WRONG because rows within a user correlate — Var(R) ≈
+    * (Var(Y) − 2R·Cov(Y,N) + R²·Var(N)) / (U·n̄²) with user-level
+    * moments. All sufficient statistics are exact integers
+    * (cents/counts, DECIMAL(38,0)/HUGEINT widened products); the delta
+    * formula is one textually-mirrored IEEE expression, so both engines
+    * land the identical double before the 6 dp quantize. One user-grain
+    * aggregate, O(1) output — the 100 TB shape. */
+  val q291: Q = (spark, dir) => {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100.0 + lit(0.5))).otherwise(0L)).as("y"),
+        count(lit(1)).as("n"))
+    u.agg(count(lit(1)).as("uu"),
+        sum(d38(col("y"))).as("sy"), sum(d38(col("n"))).as("sn"),
+        sum((d38(col("y")) * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((d38(col("n")) * col("n")).cast("decimal(38,0)")).as("snn"),
+        sum((d38(col("y")) * col("n")).cast("decimal(38,0)")).as("syn"))
+      .withColumn("r", expr("cast(sy as double) / cast(sn as double)"))
+      .withColumn("nbar", expr("cast(sn as double) / cast(uu as double)"))
+      .withColumn("vy", expr(
+        "cast(uu * syy - sy * sy as double) / cast(cast(uu as decimal(38,0)) * (uu - 1) as double)"))
+      .withColumn("vn", expr(
+        "cast(uu * snn - sn * sn as double) / cast(cast(uu as decimal(38,0)) * (uu - 1) as double)"))
+      .withColumn("cyn", expr(
+        "cast(uu * syn - sy * sn as double) / cast(cast(uu as decimal(38,0)) * (uu - 1) as double)"))
+      .withColumn("var_r",
+        (col("vy") - lit(2.0) * col("r") * col("cyn")
+          + col("r") * col("r") * col("vn")) /
+          (col("nbar") * col("nbar") * col("uu")))
+      .withColumn("se", sqrt(col("var_r")))
+      .select(col("uu").as("n_users"),
+        col("sy").cast("long").as("sum_y_cents"),
+        col("sn").cast("long").as("sum_n_events"),
+        qround(col("r"), 6).as("ratio_cents_per_event"),
+        qround(col("se"), 6).as("se_cents"),
+        qround(col("r") - lit(1.96) * col("se"), 6).as("ci_lo"),
+        qround(col("r") + lit(1.96) * col("se"), 6).as("ci_hi"))
+  }
+
   val q248: Q = (spark, dir) => {
     val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
     val e = Tables.events(spark, dir)
@@ -1249,6 +1342,8 @@ object AnalyticsQueries {
     "q252_sample_size" -> q252,
     "q246_assortativity" -> q246,
     "q248_cuped" -> q248,
+    "q290_did_estimator" -> q290,
+    "q291_ratio_metric_ci" -> q291,
     "q233_quantile_effect" -> q233,
     "q231_cohort_ltv" -> q231,
     "q226_bandit_replay" -> q226,
@@ -1780,6 +1875,83 @@ object AnalyticsQueries {
         |     sqrt(CAST(m * syy - sy * sy AS DOUBLE)))) * 1000000.0 + 0.5)
         |    / 1000000.0 AS assortativity
         |FROM st""".stripMargin,
+    "q290_did_estimator" ->
+      """WITH e AS (
+        |  SELECT user_id, user_id % 2 = 0 AS treated, epoch_ns(ts) AS tns,
+        |    event_type,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, treated,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        AND tns < 1705363200000000000 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS pre_c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        AND tns >= 1705363200000000000 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS post_c
+        |  FROM e GROUP BY 1, 2),
+        |a AS (
+        |  SELECT treated, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(pre_c) AS BIGINT) AS s_pre,
+        |    CAST(SUM(post_c) AS BIGINT) AS s_post
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT n_users AS n_t, s_pre AS sp_t, s_post AS ss_t
+        |      FROM a WHERE treated),
+        |c AS (SELECT n_users AS n_c, s_pre AS sp_c, s_post AS ss_c
+        |      FROM a WHERE NOT treated)
+        |SELECT n_t, n_c,
+        |  floor((CAST(sp_t AS DOUBLE) / n_t) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_t_pre,
+        |  floor((CAST(ss_t AS DOUBLE) / n_t) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_t_post,
+        |  floor((CAST(sp_c AS DOUBLE) / n_c) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_c_pre,
+        |  floor((CAST(ss_c AS DOUBLE) / n_c) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_c_post,
+        |  floor(((CAST(ss_t AS DOUBLE) / n_t - CAST(sp_t AS DOUBLE) / n_t)
+        |      - (CAST(ss_c AS DOUBLE) / n_c - CAST(sp_c AS DOUBLE) / n_c))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS did_cents
+        |FROM t CROSS JOIN c""".stripMargin,
+    "q291_ratio_metric_ci" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS uu,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS sn,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS snn,
+        |    CAST(SUM(CAST(y AS HUGEINT) * n) AS HUGEINT) AS syn
+        |  FROM u),
+        |f AS (
+        |  SELECT uu, sy, sn,
+        |    CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE) AS r,
+        |    CAST(sn AS DOUBLE) / CAST(uu AS DOUBLE) AS nbar,
+        |    CAST(uu * syy - sy * sy AS DOUBLE)
+        |      / CAST(CAST(uu AS HUGEINT) * (uu - 1) AS DOUBLE) AS vy,
+        |    CAST(uu * snn - sn * sn AS DOUBLE)
+        |      / CAST(CAST(uu AS HUGEINT) * (uu - 1) AS DOUBLE) AS vn,
+        |    CAST(uu * syn - sy * sn AS DOUBLE)
+        |      / CAST(CAST(uu AS HUGEINT) * (uu - 1) AS DOUBLE) AS cyn
+        |  FROM m),
+        |g AS (
+        |  SELECT uu, sy, sn, r,
+        |    sqrt((vy - 2.0 * r * cyn + r * r * vn)
+        |      / (nbar * nbar * uu)) AS se
+        |  FROM f)
+        |SELECT uu AS n_users, CAST(sy AS BIGINT) AS sum_y_cents,
+        |  CAST(sn AS BIGINT) AS sum_n_events,
+        |  floor(r * 1000000.0 + 0.5) / 1000000.0
+        |    AS ratio_cents_per_event,
+        |  floor(se * 1000000.0 + 0.5) / 1000000.0 AS se_cents,
+        |  floor((r - 1.96 * se) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+        |  floor((r + 1.96 * se) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+        |FROM g""".stripMargin,
     "q248_cuped" ->
       """WITH e AS (
         |  SELECT user_id, user_id % 2 = 0 AS treated, epoch_ns(ts) AS tns,

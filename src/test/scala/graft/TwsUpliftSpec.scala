@@ -114,4 +114,30 @@ class TwsUpliftSpec extends AnyFunSuite {
       math.sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)) * 1e6 + 0.5) / 1e6
     assert(r.getAs[Double]("partial_xy_given_z") == expect)
   }
+
+  test("q290 DiD closes over its own cell means and arms partition users") {
+    val r = Registry.all("q290_did_estimator")(spark, sf).collect().head
+    val users = graft.io.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_t") + r.getAs[Long]("n_c") == users)
+    // did recomputes (to quantization) from the four quantized means
+    val did = r.getAs[Double]("did_cents")
+    val approx = (r.getAs[Double]("mean_t_post") -
+      r.getAs[Double]("mean_t_pre")) -
+      (r.getAs[Double]("mean_c_post") - r.getAs[Double]("mean_c_pre"))
+    assert(math.abs(did - approx) < 3e-6, s"$did vs $approx")
+  }
+
+  test("q291 ratio CI brackets the point estimate and moments close") {
+    val r = Registry.all("q291_ratio_metric_ci")(spark, sf).collect().head
+    val ratio = r.getAs[Double]("ratio_cents_per_event")
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("se_cents") > 0 && lo <= ratio && ratio <= hi)
+    // point estimate is the plain cents-per-event ratio
+    val expect = math.floor(r.getAs[Long]("sum_y_cents").toDouble /
+      r.getAs[Long]("sum_n_events").toDouble * 1e6 + 0.5) / 1e6
+    assert(ratio == expect)
+    // CI symmetry: r - lo == hi - r up to the 6dp quantization
+    assert(math.abs((ratio - lo) - (hi - ratio)) < 3e-6)
+  }
 }
