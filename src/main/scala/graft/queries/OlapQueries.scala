@@ -2365,6 +2365,56 @@ object OlapQueries {
         expr("cast(delta_rev_microcents - price_effect - volume_effect - new_effect - discontinued_effect as bigint)"))
   }
 
+  /** q293 — arc price elasticity of demand per part (1996→1997): the
+    * midpoint-formula elasticity ε = (Δq/q̄)/(Δp/p̄) =
+    * (q₁−q₀)(p₁+p₀) / ((p₁−p₀)(q₁+q₀)) — the FP&A companion to q271's
+    * bridge: the bridge says WHERE revenue moved, elasticity says how
+    * demand RESPONDED to the price moves. The midpoint form needs no
+    * logarithm (the log-log OLS alternative is banned by the libm
+    * rule), and the cross-ratio is exact integers end-to-end: unit
+    * prices are q271's half-up micro-cents, the ratio is one mirrored
+    * IEEE divide, 6 dp. Report: per elasticity class (|ε| > 1 elastic),
+    * part count and the median ε via the q167 distinct-value walk —
+    * the only window runs over distinct quantized ε values. */
+  val q293: Q = (spark, dir) => {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("year(cast(l_shipdate as date))").as("yr"),
+        col("l_quantity").cast("long").as("qty"),
+        (qdec(col("l_extendedprice"), 18, 2) * 100).cast("decimal(38,0)")
+          .as("cents"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("l_partkey", "yr")
+      .agg(sum(col("qty")).as("q"),
+        sum(col("cents")).cast("decimal(38,0)").as("r"))
+      .withColumn("p",
+        expr("cast((2 * r * 10000 + q) div (2 * cast(q as decimal(38,0))) as bigint)"))
+    val e = base.filter(col("yr") === 1996)
+      .select(col("l_partkey"), col("q").as("q0"), col("p").as("p0"))
+      .join(base.filter(col("yr") === 1997)
+        .select(col("l_partkey"), col("q").as("q1"), col("p").as("p1")),
+        "l_partkey")
+      .filter(col("p1") =!= col("p0"))
+      .withColumn("elasticity", qround(
+        expr("cast(cast(q1 - q0 as decimal(38,0)) * (p1 + p0) as double)") /
+        expr("cast(cast(p1 - p0 as decimal(38,0)) * (q1 + q0) as double)"),
+        6))
+      .withColumn("cls",
+        when(abs(col("elasticity")) > 1.0, "elastic")
+          .otherwise("inelastic"))
+    val byV = e.groupBy("cls", "elasticity").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("cls").orderBy("elasticity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("cls")
+    byV.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy("cls")
+      .agg(max(col("tot")).as("n_parts"),
+        min(when(col("cum") * 2 >= col("tot"), col("elasticity")))
+          .as("median_elasticity"))
+      .orderBy("cls")
+  }
+
   /** q272 — same-store (comparable) growth: 1996→1997 revenue growth
     * computed over ONLY the customers active in BOTH years, next to the
     * headline number — the retail-analytics control that separates
@@ -2618,6 +2668,7 @@ object OlapQueries {
     "q234_hll_oracle" -> q234,
     "q287_hll_rolling_distinct" -> q287,
     "q288_quantile_sketch_union" -> q288,
+    "q293_arc_elasticity" -> q293,
     "q228_wilson_ranking" -> q228,
     "q229_weighted_percentiles" -> q229,
     "q227_pinball_eval" -> q227,
@@ -3574,6 +3625,47 @@ object OlapQueries {
         |  MIN(CASE WHEN rem > 0
         |      THEN epoch_ns(l_shipdate) // 1000000000 END) AS oldest_open_s
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q293_arc_elasticity" ->
+      """WITH base AS (
+        |  SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q,
+        |    SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT))
+        |      AS r
+        |  FROM lineitem
+        |  WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT *, CAST((2 * r * 10000 + q) // (2 * q) AS BIGINT) AS p
+        |  FROM base),
+        |j AS (
+        |  SELECT y0.l_partkey, y0.q AS q0, y0.p AS p0,
+        |         y1.q AS q1, y1.p AS p1
+        |  FROM (SELECT l_partkey, q, p FROM b2 WHERE yr = 1996) y0
+        |  JOIN (SELECT l_partkey, q, p FROM b2 WHERE yr = 1997) y1
+        |    USING (l_partkey)
+        |  WHERE y1.p <> y0.p),
+        |e AS (
+        |  SELECT *,
+        |    floor((CAST(CAST(q1 - q0 AS HUGEINT) * (p1 + p0) AS DOUBLE)
+        |        / CAST(CAST(p1 - p0 AS HUGEINT) * (q1 + q0) AS DOUBLE))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS elasticity
+        |  FROM j),
+        |cl AS (
+        |  SELECT CASE WHEN abs(elasticity) > 1.0 THEN 'elastic'
+        |              ELSE 'inelastic' END AS cls, elasticity
+        |  FROM e),
+        |byv AS (SELECT cls, elasticity, count(*) AS c
+        |        FROM cl GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cls, elasticity,
+        |    SUM(c) OVER (PARTITION BY cls ORDER BY elasticity
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY cls) AS tot
+        |  FROM byv)
+        |SELECT cls, CAST(MAX(tot) AS BIGINT) AS n_parts,
+        |  MIN(CASE WHEN cum * 2 >= tot THEN elasticity END)
+        |    AS median_elasticity
+        |FROM w GROUP BY 1 ORDER BY cls""".stripMargin,
     "q287_hll_rolling_distinct" ->
       s"""WITH d AS (
          |  SELECT DISTINCT event_type,

@@ -949,7 +949,47 @@ object TextQueries {
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
+  /** q292 — Cohen's kappa for the language classifier (q22) against the
+    * stored labels: chance-corrected agreement κ = (pₒ − pₑ)/(1 − pₑ),
+    * the standard report when raw accuracy flatters an imbalanced label
+    * set (a majority-class guesser scores high pₒ but κ ≈ 0). pₑ comes
+    * from the confusion matrix's row/column marginals — all EXACT
+    * integer arithmetic (N·agree − Σrs·cs over N² − Σrs·cs, widened to
+    * DECIMAL(38,0)/HUGEINT), one mirrored IEEE divide, 6 dp out. Matrix
+    * is |langs|²-bounded; the only data-sized work is q22's classify
+    * pass. */
+  val q292: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val pairs = languageClassify(docs, "doc_id", "text", "lang")
+      .join(docs.select(col("doc_id"), col("lang").as("actual")),
+        "doc_id")
+      .select("predicted", "actual")
+    val cells = pairs.groupBy("predicted", "actual")
+      .agg(count(lit(1)).as("c"))
+    val pe = cells.groupBy("predicted").agg(sum(col("c")).as("rsum"))
+      .join(cells.groupBy("actual").agg(sum(col("c")).as("csum")),
+        col("predicted") === col("actual"))
+      .agg(coalesce(sum((col("rsum").cast("decimal(38,0)") * col("csum"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("pe_num"))
+    val tot = pairs.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
+        .as("n_agree"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"),
+        qround(col("n_agree").cast("double") /
+          col("n_docs").cast("double"), 6).as("po"),
+        qround(expr("cast(pe_num as double)") /
+          expr("cast(cast(n_docs as decimal(38,0)) * n_docs as double)"),
+          6).as("pe"),
+        qround(
+          expr("cast(cast(n_docs as decimal(38,0)) * n_agree - pe_num as double)") /
+          expr("cast(cast(n_docs as decimal(38,0)) * n_docs - pe_num as double)"),
+          6).as("kappa"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q292_cohens_kappa" -> q292,
     "q286_pii_scrub_audit" -> q286,
     "q289_crosssource_dup_matrix" -> q289,
     "q274_emerging_terms" -> q274,
@@ -1116,6 +1156,56 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q292_cohens_kappa" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |profiles AS (
+        |  SELECT lang AS cand_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, token) AS r
+        |    FROM tok GROUP BY lang, token) WHERE r <= 20),
+        |doctok AS (SELECT DISTINCT doc_id, token FROM tok),
+        |scores AS (
+        |  SELECT doc_id, cand_lang, count(*) AS n_overlap
+        |  FROM doctok JOIN profiles USING (token)
+        |  GROUP BY doc_id, cand_lang),
+        |best AS (
+        |  SELECT doc_id, cand_lang AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n_overlap DESC, cand_lang) AS r
+        |  FROM scores),
+        |p AS (
+        |  SELECT b.predicted, d.lang AS actual
+        |  FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |  WHERE b.r = 1),
+        |cells AS (SELECT predicted, actual,
+        |            CAST(count(*) AS BIGINT) AS c
+        |          FROM p GROUP BY 1, 2),
+        |mar AS (
+        |  SELECT COALESCE(SUM(CAST(rs.rsum AS HUGEINT) * cs.csum), 0)
+        |    AS pe_num
+        |  FROM (SELECT predicted, SUM(c) AS rsum FROM cells GROUP BY 1) rs
+        |  JOIN (SELECT actual, SUM(c) AS csum FROM cells GROUP BY 1) cs
+        |    ON cs.actual = rs.predicted),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_agree
+        |  FROM p)
+        |SELECT n_docs, n_agree,
+        |  floor((CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS po,
+        |  floor((CAST(pe_num AS DOUBLE)
+        |      / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pe,
+        |  floor((CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num
+        |        AS DOUBLE)
+        |      / CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num
+        |        AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS kappa
+        |FROM tot CROSS JOIN mar""".stripMargin,
     "q286_pii_scrub_audit" ->
       """WITH d AS (
         |  SELECT source,

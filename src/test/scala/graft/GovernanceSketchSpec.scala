@@ -82,6 +82,45 @@ class GovernanceSketchSpec extends AnyFunSuite {
     assert(p50 == 0.0 || math.abs(e50 - p50) / math.max(p50, 1e-9) < 0.3)
   }
 
+  test("q292 kappa is chance-corrected agreement over q22's confusion " +
+      "matrix") {
+    val r = graft.queries.TextQueries.queries(
+      "q292_cohens_kappa")(spark, sf).collect().head
+    val (po, pe, k) = (r.getAs[Double]("po"), r.getAs[Double]("pe"),
+      r.getAs[Double]("kappa"))
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    assert(k <= po + 1e-9, "kappa can never exceed raw agreement")
+    // recompute from q22's per-doc (predicted, actual) pairs
+    val pairs = graft.queries.TextQueries.queries(
+      "q22_lang_id")(spark, sf)
+      .select("predicted", "actual").collect()
+      .map(r2 => (r2.getString(0), r2.getString(1)))
+    val n = pairs.length.toLong
+    val agree = pairs.count(p => p._1 == p._2).toLong
+    assert(r.getAs[Long]("n_docs") == n &&
+      r.getAs[Long]("n_agree") == agree)
+    val rs = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cs = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val peNum = rs.keySet.intersect(cs.keySet).toSeq
+      .map(l => BigInt(rs(l)) * cs(l)).sum
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(k == q6((BigInt(n) * agree - peNum).toDouble /
+      (BigInt(n) * n - peNum).toDouble))
+  }
+
+  test("q293 elasticity classes respect their own |median| boundary") {
+    val rows = graft.queries.OlapQueries.queries(
+      "q293_arc_elasticity")(spark, sf).collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => Set("elastic", "inelastic")(r.getString(0))))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parts") > 0)
+      val m = r.getAs[Double]("median_elasticity")
+      if (r.getString(0) == "elastic") assert(math.abs(m) > 1.0)
+      else assert(math.abs(m) <= 1.0)
+    }
+  }
+
   test("q289 matrix cells partition q27's pair list and ppm shares close") {
     val cells = graft.queries.TextQueries.queries(
       "q289_crosssource_dup_matrix")(spark, sf).collect()
