@@ -771,7 +771,51 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** q296 — event-time disorder / watermark-lateness profile: how late
+    * do events arrive relative to the maximum event time already seen
+    * in their key's stream (arrival order = event_id, the generation
+    * sequence)? The p50/p95/p99/max lateness distribution is THE
+    * statistic that calibrates `withWatermark`'s delay — a watermark at
+    * the p99 bounds state while losing ≤1 % of late events. Scoped
+    * PER USER deliberately: a global running max is inherently
+    * sequential (one-partition window — the anti-pattern), while
+    * per-key disorder partitions on user_id AND is what per-key
+    * streaming state actually experiences. Percentiles walk the
+    * seconds-histogram (q185's trick — |distinct lateness values|
+    * rows), all integer end-to-end. */
+  val q296: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val lat = graft.io.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("runmax", max(col("ts")).over(w))
+      .withColumn("late_s", expr("(runmax - ts) div 1000000000"))
+    val hist = lat.groupBy("late_s").agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("late_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    hist.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .agg(max(col("tot")).as("n_events"),
+        sum(when(col("late_s") === 0, col("c")).otherwise(0L))
+          .as("n_on_time"),
+        min(when(col("cum") * 2 >= col("tot"), col("late_s")))
+          .as("p50_late_s"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("late_s")))
+          .as("p95_late_s"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("late_s")))
+          .as("p99_late_s"),
+        max(col("late_s")).as("max_late_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q296_watermark_lateness" -> q296,
     "q213_stream_anomaly" -> q213,
     "q203_stream_quantiles" -> q203,
     "q188_stream_kmv" -> q188,
@@ -813,6 +857,30 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q296_watermark_lateness" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    MAX(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS runmax
+        |  FROM events),
+        |d AS (SELECT (runmax - tns) // 1000000000 AS late_s FROM l),
+        |h AS (SELECT late_s, count(*) AS c FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT late_s, c,
+        |    SUM(c) OVER (ORDER BY late_s ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER () AS tot
+        |  FROM h)
+        |SELECT CAST(MAX(tot) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN late_s = 0 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_on_time,
+        |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN late_s END) AS BIGINT)
+        |    AS p50_late_s,
+        |  CAST(MIN(CASE WHEN cum * 20 >= tot * 19 THEN late_s END)
+        |    AS BIGINT) AS p95_late_s,
+        |  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN late_s END)
+        |    AS BIGINT) AS p99_late_s,
+        |  CAST(MAX(late_s) AS BIGINT) AS max_late_s
+        |FROM w""".stripMargin,
     // Stream-final anomaly counts == the equivalent batch scorer (same
     // med/MAD statics, same rounded robust-z, same threshold).
     "q213_stream_anomaly" ->

@@ -64,16 +64,24 @@ object TextQueries {
       .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "quality")
       .orderBy("doc_id")
 
+  /** Memoized per-doc language prediction joined to the stored label —
+    * q22 serves it sorted; q292 (kappa) and q294 (filter funnel) reuse
+    * the same classify pass instead of re-running the profile build. */
+  private def langPredsCached(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"doc-lang-preds:$dir") {
+      val docs = Tables.documents(spark, dir)
+      languageClassify(docs, "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang").as("actual")),
+          "doc_id")
+        .withColumn("correct",
+          (col("predicted") === col("actual")).cast("int"))
+        .select("doc_id", "predicted", "actual", "n_overlap", "correct")
+    }
+
   /** q22 — corpus-trained n-gram-profile language ID (Cavnar–Trenkle
     * style): top-20 token profile per language, classify by max overlap. */
-  val q22: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
-    languageClassify(docs, "doc_id", "text", "lang")
-      .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
-      .withColumn("correct", (col("predicted") === col("actual")).cast("int"))
-      .select("doc_id", "predicted", "actual", "n_overlap", "correct")
-      .orderBy("doc_id")
-  }
+  val q22: Q = (spark, dir) =>
+    langPredsCached(spark, dir).orderBy("doc_id")
 
   /** q23 — exact deduplication by content hash: canonical = min doc_id per
     * md5(text) group. */
@@ -959,11 +967,7 @@ object TextQueries {
     * is |langs|²-bounded; the only data-sized work is q22's classify
     * pass. */
   val q292: Q = (spark, dir) => {
-    val docs = Tables.documents(spark, dir)
-    val pairs = languageClassify(docs, "doc_id", "text", "lang")
-      .join(docs.select(col("doc_id"), col("lang").as("actual")),
-        "doc_id")
-      .select("predicted", "actual")
+    val pairs = langPredsCached(spark, dir).select("predicted", "actual")
     val cells = pairs.groupBy("predicted", "actual")
       .agg(count(lit(1)).as("c"))
     val pe = cells.groupBy("predicted").agg(sum(col("c")).as("rsum"))
@@ -988,7 +992,80 @@ object TextQueries {
           6).as("kappa"))
   }
 
+  /** q294 — training-data quality-filter funnel: the curation waterfall
+    * every corpus report publishes — how many documents survive each
+    * successive filter (min length → low 3-gram repetition → language
+    * agreement) and what each stage drops, in exact ppm. Composes the
+    * existing per-doc signals (q20-style token counts, q69 repetition,
+    * q22 language-ID) into the ONE sequential readout that decides
+    * filter ordering and thresholds. One pass builds all flags (the
+    * repetition and language frames join on doc_id); the funnel rows
+    * are conditional sums of a single aggregate — no per-stage rescan.
+    * Docs too short to shingle carry dup_ratio 0 (no repetition
+    * evidence), mirrored by COALESCE in the oracle. */
+  val q294: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    val rep = repetitionScore(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3).select("doc_id", "dup_ratio")
+    val lang = langPredsCached(spark, dir).select("doc_id", "correct")
+    val flags = docs
+      .join(rep, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") >= 20).as("f1"),
+        coalesce(col("dup_ratio"), lit(0.0)).as("dr"),
+        coalesce(col("correct"), lit(0)).as("ok"))
+      .withColumn("f2", col("f1") && col("dr") <= 0.2)
+      .withColumn("f3", col("f2") && col("ok") === 1)
+    val agg = flags.agg(count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f3"), 1L).otherwise(0L)).as("n3"))
+    def stage(name: String, in: String, out: String) =
+      agg.select(lit(name).as("stage"), col(in).as("n_in"),
+        col(out).as("n_out"), (col(in) - col(out)).as("n_dropped"),
+        expr(s"cast((2 * ($in - $out) * 1000000 + $in) div (2 * $in) as bigint)")
+          .as("drop_ppm"),
+        expr(s"cast((2 * $out * 1000000 + n0) div (2 * n0) as bigint)")
+          .as("retained_of_corpus_ppm"))
+    stage("1_min_length", "n0", "n1")
+      .unionByName(stage("2_low_repetition", "n1", "n2"))
+      .unionByName(stage("3_lang_agreement", "n2", "n3"))
+      .orderBy("stage")
+  }
+
+  /** q295 — dedup token savings: the headline "near-dup dedup saved X %
+    * of training tokens" metric — per source, documents and whitespace
+    * tokens before vs after q74's survivorship (canonical docs +
+    * singletons survive, cluster victims drop), savings in exact ppm.
+    * The pipeline's cost-benefit receipt: token counts are what the
+    * trainer pays for. Victims frame is |clusters|-bounded; everything
+    * else is one scan with map-side partial sums. */
+  val q295: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val victims = graft.text.Dedup.nearDupClusters(
+        lshPairsCached(spark, dir), "id_a", "id_b")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(1).as("victim"))
+    toks.join(broadcast(victims), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(col("victim").isNull, 1L).otherwise(0L))
+          .as("docs_after"),
+        sum(col("n_tokens")).as("tokens_before"),
+        sum(when(col("victim").isNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_after"))
+      .withColumn("token_savings_ppm",
+        expr("cast((2 * (tokens_before - tokens_after) * 1000000 + tokens_before) div (2 * tokens_before) as bigint)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q294_quality_filter_funnel" -> q294,
+    "q295_dedup_token_savings" -> q295,
     "q292_cohens_kappa" -> q292,
     "q286_pii_scrub_audit" -> q286,
     "q289_crosssource_dup_matrix" -> q289,
@@ -1156,6 +1233,95 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q294_quality_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lens AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |rep AS (
+        |  SELECT doc_id,
+        |    floor((1.0 - CAST(count(DISTINCT shingle) AS DOUBLE)
+        |        / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio
+        |  FROM sh GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |profiles AS (
+        |  SELECT lang AS cand_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, token) AS r
+        |    FROM tok GROUP BY lang, token) WHERE r <= 20),
+        |doctok AS (SELECT DISTINCT doc_id, token FROM tok),
+        |scores AS (
+        |  SELECT doc_id, cand_lang, count(*) AS n_overlap
+        |  FROM doctok JOIN profiles USING (token)
+        |  GROUP BY doc_id, cand_lang),
+        |best AS (
+        |  SELECT doc_id, cand_lang AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n_overlap DESC, cand_lang) AS r
+        |  FROM scores),
+        |pred AS (
+        |  SELECT b.doc_id, CAST(b.predicted = d.lang AS INT) AS correct
+        |  FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |  WHERE b.r = 1),
+        |flags AS (
+        |  SELECT l.doc_id, l.n_tokens >= 20 AS f1,
+        |    COALESCE(r.dup_ratio, 0.0) AS dr,
+        |    COALESCE(p.correct, 0) AS ok
+        |  FROM lens l
+        |  LEFT JOIN rep r ON r.doc_id = l.doc_id
+        |  LEFT JOIN pred p ON p.doc_id = l.doc_id),
+        |f3f AS (
+        |  SELECT *, f1 AND dr <= 0.2 AS f2,
+        |    f1 AND dr <= 0.2 AND ok = 1 AS f3
+        |  FROM flags),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM f3f)
+        |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped,
+        |  CAST((2 * (n_in - n_out) * 1000000 + n_in) // (2 * n_in)
+        |    AS BIGINT) AS drop_ppm,
+        |  CAST((2 * n_out * 1000000 + n0) // (2 * n0) AS BIGINT)
+        |    AS retained_of_corpus_ppm
+        |FROM (
+        |  SELECT n0, '1_min_length' AS stage, n0 AS n_in, n1 AS n_out
+        |    FROM a
+        |  UNION ALL
+        |  SELECT n0, '2_low_repetition', n1, n2 FROM a
+        |  UNION ALL
+        |  SELECT n0, '3_lang_agreement', n2, n3 FROM a)
+        |ORDER BY stage""".stripMargin,
+    "q295_dedup_token_savings" ->
+      s"""WITH RECURSIVE $componentsCte,
+         |victims AS (SELECT id FROM comp WHERE id <> canonical_id),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (
+         |  SELECT tk.source, tk.n_tokens, v.id AS vict
+         |  FROM tk LEFT JOIN victims v ON v.id = tk.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         |  CAST(SUM(CASE WHEN vict IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_after,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+         |  CAST(SUM(CASE WHEN vict IS NULL THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS tokens_after,
+         |  CAST((2 * (SUM(n_tokens)
+         |      - SUM(CASE WHEN vict IS NULL THEN n_tokens ELSE 0 END))
+         |      * 1000000 + SUM(n_tokens)) // (2 * SUM(n_tokens))
+         |    AS BIGINT) AS token_savings_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q292_cohens_kappa" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

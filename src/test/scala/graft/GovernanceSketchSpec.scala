@@ -121,6 +121,52 @@ class GovernanceSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q294 funnel stages chain and only ever shrink") {
+    val rows = graft.queries.TextQueries.queries(
+      "q294_quality_filter_funnel")(spark, sf)
+      .orderBy("stage").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_min_length", "2_low_repetition", "3_lang_agreement"))
+    val nDocs = graft.io.Tables.documents(spark, sf).count()
+    assert(rows.head.getAs[Long]("n_in") == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+    }
+    // sequential: each stage starts from the previous stage's survivors
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"))
+    }
+  }
+
+  test("q295 savings reconcile with q74's survivor set") {
+    val rows = graft.queries.TextQueries.queries(
+      "q295_dedup_token_savings")(spark, sf).collect()
+    val survivors = graft.queries.TextQueries.queries(
+      "q74_neardup_survivors")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("docs_after")).sum == survivors)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_after") <= r.getAs[Long]("docs_before"))
+      assert(r.getAs[Long]("tokens_after") <=
+        r.getAs[Long]("tokens_before"))
+      val ppm = r.getAs[Long]("token_savings_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
+  test("q296 lateness percentiles are ordered and count every event") {
+    val r = graft.queries.StreamingQueries.queries(
+      "q296_watermark_lateness")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_events") ==
+      graft.io.Tables.events(spark, sf).count())
+    assert(r.getAs[Long]("n_on_time") <= r.getAs[Long]("n_events"))
+    val (p50, p95, p99, mx) = (r.getAs[Long]("p50_late_s"),
+      r.getAs[Long]("p95_late_s"), r.getAs[Long]("p99_late_s"),
+      r.getAs[Long]("max_late_s"))
+    assert(0 <= p50 && p50 <= p95 && p95 <= p99 && p99 <= mx)
+  }
+
   test("q289 matrix cells partition q27's pair list and ppm shares close") {
     val cells = graft.queries.TextQueries.queries(
       "q289_crosssource_dup_matrix")(spark, sf).collect()
