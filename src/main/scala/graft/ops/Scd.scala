@@ -45,9 +45,32 @@ object Scd {
     * |increment| + |open intervals| rows instead of the whole log. */
   def applyIncrement(history: DataFrame, increment: DataFrame,
                      entity: String, value: String, ts: String,
-                     tiebreak: String): DataFrame = {
+                     tiebreak: String, validate: Boolean = false): DataFrame = {
     val cols = Seq(col(entity), col(value), col("valid_from"),
       col("valid_to"), col("is_current"))
+    if (validate) {
+      // Rebuild-identity preconditions (cheap two-value probe, opt-in
+      // for the production maintenance path): every increment fact must
+      // be strictly later than every open interval's valid_from (a
+      // late-arriving fact older than an open interval silently yields
+      // a history ≠ full rebuild), and real tiebreak ids must be ≥ 0
+      // (the synthetic seed uses −1 and must sort first).
+      val minInc = increment.agg(
+        org.apache.spark.sql.functions.min(col(ts)),
+        org.apache.spark.sql.functions.min(col(tiebreak))).head()
+      val maxOpen = history.filter(col("is_current"))
+        .agg(org.apache.spark.sql.functions.max(col("valid_from"))).head()
+      if (!minInc.isNullAt(0) && !maxOpen.isNullAt(0))
+        require(minInc.getLong(0) > maxOpen.getLong(0),
+          s"applyIncrement: increment min $ts ${minInc.getLong(0)} is not " +
+            s"strictly after the latest open valid_from " +
+            s"${maxOpen.getLong(0)} — run a full rebuild for " +
+            "late-arriving history")
+      if (!minInc.isNullAt(1))
+        require(minInc.getLong(1) >= 0L,
+          "applyIncrement: negative tiebreak ids collide with the " +
+            "synthetic seed (-1)")
+    }
     val closed = history.filter(!col("is_current")).select(cols: _*)
     val seed = history.filter(col("is_current"))
       .select(col(entity), col(value), col("valid_from").as(ts),

@@ -220,7 +220,11 @@ object TimeSeries {
         var b = 0.0
         var first = true
         sorted.iterator.map { case (d, x) =>
-          val dow = (d % period).toInt
+          // floorMod, not %: Scala % preserves the dividend's sign, so a
+          // pre-epoch day (negative d) would index the seasonal array at
+          // -1 and throw; floor-mod keeps the weekday cycle continuous
+          // across the epoch (mirror floor-mod in any oracle twin).
+          val dow = java.lang.Math.floorMod(d, period.toLong).toInt
           if (first) {
             l = x; b = 0.0; first = false
             HwRow(k, d, x, l, b, 0.0, x)
@@ -249,7 +253,13 @@ object TimeSeries {
     * fold (the q205 pattern: the pair set is calendar-bounded, so the
     * O(n²) loop runs inside one task per key, no distributed pair
     * stream); z = (S∓1)/√(var18/18) is the one mirrored IEEE step.
-    * Input must be one row per (key, day). */
+    * Input must be one row per (key, day).
+    *
+    * CONTRACT: `measure` must be INTEGER-VALUED (counts, cents — the
+    * call sites pass pre-scaled integers). The decimal(38,0) cast below
+    * half-up-rounds a fractional input silently, which would alter sign
+    * comparisons and manufacture ties; scale fractional measures to an
+    * exact integer grid (e.g. ×100 cents) BEFORE calling. */
   def mannKendall(points: DataFrame, key: String, day: String,
                   measure: String): DataFrame = {
     val enc = Encoders.product[MkRow]
@@ -291,6 +301,10 @@ object TimeSeries {
     * (pair sets bounded per key ⇒ one task each, no distributed pair
     * stream). τ-b = (C−D)/√((C+D+tx)·(C+D+ty)) is left to the caller
     * as the one mirrored IEEE step. */
+  /** CONTRACT (same as [[mannKendall]]): `x`/`y` must be INTEGER-VALUED
+    * — the decimal(38,0) casts half-up-round fractional inputs
+    * silently, altering concordance comparisons and manufacturing ties.
+    * Scale fractional measures to an exact integer grid first. */
   def kendallTauB(points: DataFrame, key: String, x: String,
                   y: String): DataFrame = {
     val enc = Encoders.product[KtRow]

@@ -80,4 +80,22 @@ class HwContainmentSpec extends AnyFunSuite {
     // at least one post-warmup seasonal slot moves away from zero
     assert(rows.exists(r => math.abs(r.getAs[Double]("seasonal")) > 1e-6))
   }
+
+  test("holtWintersAdditive survives pre-epoch (negative) day indices") {
+    // Scala % preserves sign, so (d % period) on a negative day used to
+    // index the seasonal array at -1; floorMod keeps the weekday cycle
+    // continuous across the epoch.
+    import spark.implicits._
+    val pts = Seq(("k", -10L, 5.0), ("k", -3L, 6.0), ("k", -2L, 7.0),
+      ("k", 1L, 8.0), ("k", 5L, 9.0))
+      .toDF("key", "day", "revenue")
+    val out = graft.ops.TimeSeries.holtWintersAdditive(
+      pts, "key", "day", "revenue",
+      alpha = 0.3, beta = 0.1, gamma = 0.2).collect()
+    assert(out.length == 5 && out.forall(r =>
+      !r.getAs[Double]("forecast").isNaN))
+    // -10 and 4 share floorMod(d,7)=4: the -10 seasonal update must land
+    // in the same slot a day-4 row would read (no -1 indexing, no skew)
+    assert(java.lang.Math.floorMod(-10L, 7L) == 4L)
+  }
 }

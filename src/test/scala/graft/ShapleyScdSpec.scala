@@ -76,4 +76,24 @@ class ShapleyScdSpec extends AnyFunSuite {
       .count()
     assert(gaps == 0L, s"$gaps non-tiling intervals")
   }
+
+  test("applyIncrement validate flag passes a clean batch and rejects a " +
+      "late-arriving one") {
+    val cutNs = 1705363200000000000L
+    val e = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id")
+    val hist = Scd.type2(e.filter(col("ts") < cutNs),
+      "user_id", "event_type", "ts", "event_id")
+    // clean increment: strictly-later facts pass the guard
+    Scd.applyIncrement(hist, e.filter(col("ts") >= cutNs),
+      "user_id", "event_type", "ts", "event_id", validate = true).count()
+    // a batch containing pre-cut facts violates the rebuild-identity
+    // precondition and must fail loudly instead of silently diverging
+    val ex = intercept[IllegalArgumentException] {
+      Scd.applyIncrement(hist, e,
+        "user_id", "event_type", "ts", "event_id", validate = true)
+        .count()
+    }
+    assert(ex.getMessage.contains("full rebuild"))
+  }
 }
