@@ -361,4 +361,35 @@ class PlanShapeSpec extends AnyFunSuite {
     // exchange — the mergeable-across-shards property, physically
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
+
+  test("q287 rolling HLL explodes only register rows, with partial maxes") {
+    val p = plan("q287_hll_rolling_distinct")
+    // register build and window-merge both partial-aggregate below
+    // their exchanges (the mergeable-sketch property, physically)
+    assert(p.contains("partial_max"), p)
+    // exactly two generator stages exist: the register-side anchor
+    // explode and the (test-scale) exact-audit explode — the estimate
+    // path itself adds no per-row generator beyond them
+    assert("Generate explode".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q295 token savings broadcasts the victim frame, never shuffles " +
+      "the corpus for it") {
+    val p = plan("q295_dedup_token_savings")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q296 lateness profile partitions its window by user (no global " +
+      "row sort) and walks the histogram") {
+    val p = plan("q296_watermark_lateness")
+    // per-key running max: the window exchange hashes on user_id
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q286 PII audit is one scan with map-side partial counts") {
+    val p = plan("q286_pii_scrub_audit")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // one documents scan feeds every pattern counter
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
 }
