@@ -459,6 +459,40 @@ object ScaleProbe {
       sims.unpersist(blocking = false)
     }
 
+    if (probes("sketchroll")) {
+      // q287's rolling-HLL shape at factor× events: the register build
+      // is a grouped max over (type, day, bucket) — map-side partial,
+      // linear in events — while the 7-anchor window explode touches
+      // ONLY the register table (≤ types × days × 256 rows, independent
+      // of event volume). The claim: total wall tracks the scan, and
+      // the explode+merge stage's input row count does not grow with
+      // factor. Uses the ratings-shaped inflated frame's (user, ts)
+      // stream re-keyed to 5 synthetic types.
+      val two55 = 36028797018963968L
+      val d = inflated
+        .select((col("item_id") % 5).cast("string").as("event_type"),
+          expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+      val reg = d
+        .select(col("event_type"), col("day"),
+          graft.functions.GraftFunctions.md5_63(
+            concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+        .withColumn("bucket", expr(s"h div $two55"))
+        .withColumn("rest", expr(s"h % $two55"))
+        .withColumn("rho", when(col("rest") === 0L, lit(56))
+          .otherwise(lit(56) - length(bin(col("rest")))))
+        .groupBy("event_type", "day", "bucket")
+        .agg(max(col("rho")).as("m"))
+      val regN = reg.count()
+      time(s"hll_roll_${factor}x (registers=$regN)")(
+        reg.select(col("event_type"), col("bucket"), col("m"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .groupBy("event_type", "day", "bucket")
+          .agg(max(col("m")).as("m"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n_present")).count())
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits
