@@ -780,16 +780,20 @@ object AnalyticsQueries {
     * half-up idiom — no distributed double sum anywhere. The
     * `var_reduction` column is the measured payoff: var(Yadj)/var(Y)
     * over the experiment population. */
-  /** q290 — difference-in-differences estimator: the quasi-experimental
-    * workhorse when randomization is absent — (treated post − treated
-    * pre) − (control post − control pre) cancels both the permanent
-    * arm gap and the common time trend. Arms/cutoff follow the q226/
-    * q248/q257 convention (user parity, 2024-01-16); outcome = per-user
-    * purchase revenue, exact cents, zero for inactive periods so the
-    * denominator is the FULL arm. One user-grain aggregate → a 2-row
-    * arm frame → one cross join: shuffle cost is the user group-by,
-    * output O(1). Cell means and the DiD are single mirrored IEEE
-    * divides of exact integer sums, 6 dp out. */
+  /** q290 — USER-grain difference-in-differences: q222 already reports
+    * the 2×2 DiD at EVENT grain (mean event value per cell — a
+    * per-interaction estimand where heavy users dominate their arm's
+    * mean). This is the experimentation-correct sibling: the unit of
+    * analysis is the USER (the randomization unit — the same
+    * within-user-correlation argument as q291's ratio CI), outcome =
+    * per-user purchase revenue in exact cents, ZERO-IMPUTED for
+    * inactive periods so the denominator is the full arm rather than
+    * the self-selected active subset (activity itself responds to
+    * treatment — conditioning on it biases the contrast). Arms/cutoff
+    * follow the q226/q248/q257 convention. One user-grain aggregate →
+    * a 2-row arm frame → one cross join: shuffle cost is the user
+    * group-by, output O(1); cell means and the DiD are single mirrored
+    * IEEE divides of exact integer sums, 6 dp out. */
   val q290: Q = (spark, dir) => {
     val cutNs = 1705363200000000000L // 2024-01-16T00:00:00Z
     val rev = Tables.events(spark, dir)
