@@ -58,4 +58,44 @@ object Sweep {
         .as("max_concurrency"),
       col("n_boundaries"))
   }
+
+  /** Interval-UNION coverage per day — total ns during which at least
+    * one interval is active (overlaps merged): the utilization / SLA-
+    * uptime twin of [[dailyConcurrency]]'s peak readout. Intervals are
+    * CLIPPED to day boundaries first (each explodes to its ≤ span-days
+    * segments — session-length intervals yield 1–2), so every sweep is
+    * day-local with NO cross-day carry: fully parallel by day, and a
+    * multi-day interval still credits every covered day exactly.
+    * Within a day, busy time = Σ gaps between consecutive boundary
+    * events whose running level > 0; at tied timestamps only the tie
+    * group's last row carries a positive gap and its running sum is
+    * permutation-invariant, so the result is deterministic. All-integer
+    * ns arithmetic. */
+  def dailyBusyTime(intervals: DataFrame, startCol: String,
+                    endCol: String): DataFrame = {
+    val segs = intervals
+      .select(col(startCol).cast("long").as("st"),
+        col(endCol).cast("long").as("en"))
+      .filter(col("en") > col("st"))
+      .withColumn("day", explode(sequence(
+        expr(s"st div $DayNs"), expr(s"en div $DayNs"))))
+      .select(col("day"),
+        greatest(col("st"), col("day") * DayNs).as("s"),
+        least(col("en"), (col("day") + 1) * DayNs).as("e"))
+      .filter(col("e") > col("s"))
+    val deltas = segs.select(col("day"), col("s").as("t"), lit(1L).as("d"))
+      .unionAll(segs.select(col("day"), col("e").as("t"),
+        lit(-1L).as("d")))
+    val wRun = Window.partitionBy("day").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeq = Window.partitionBy("day").orderBy(col("t"), col("d"))
+    deltas
+      .withColumn("run", sum(col("d")).over(wRun))
+      .withColumn("nxt", lead(col("t"), 1).over(wSeq))
+      .withColumn("busy", when(col("run") > 0 && col("nxt").isNotNull,
+        col("nxt") - col("t")).otherwise(lit(0L)))
+      .groupBy("day")
+      .agg(sum(col("busy")).as("busy_ns"),
+        (count(lit(1)) / 2).cast("long").as("n_segments"))
+  }
 }

@@ -334,6 +334,37 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** q297 — daily busy-time (interval-union coverage) of the session
+    * intervals ([[graft.ops.Sweep.dailyBusyTime]]): total seconds per
+    * day during which AT LEAST ONE session is active, overlaps merged —
+    * the utilization/SLA-uptime readout beside q111's peak concurrency
+    * (same sweep events, the other classic output). Sessions are the
+    * q11-convention 30-minute-gap islands; intervals clip to day
+    * boundaries so every sweep is day-local (no cross-day carry), and
+    * the coverage ratio is exact half-up ppm of the 86,400-second day.
+    * All-integer ns arithmetic end-to-end. */
+  val q297: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val intervals = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    Sweep.dailyBusyTime(intervals, "st", "en")
+      .select(col("day"), col("n_segments"),
+        expr("busy_ns div 1000000000").as("busy_s"),
+        // ns·ppm outgrows BIGINT (8.6e13 ns/day × 2e6) — widen first
+        expr("cast((2 * cast(busy_ns as decimal(38,0)) * 1000000 + 86400000000000) div (2 * 86400000000000) as bigint)")
+          .as("busy_ppm_of_day"))
+      .orderBy("day")
+  }
+
   /** q113 — z-order skipping index over (l_partkey, l_suppkey) (see
     * [[graft.ops.ZOrder]]): both keys range-normalized to 8 bits (the
     * integer-exact `x·256 div (max+1)` — z-order always interleaves
@@ -1378,6 +1409,7 @@ object AnalyticsQueries {
     "q176_clamped_balance" -> q176,
     "q109_spend_outliers" -> q109,
     "q111_session_concurrency" -> q111,
+    "q297_busy_time_union" -> q297,
     "q113_zorder_stats" -> q113,
     "q114_corr_matrix" -> q114,
     "q115_psi_drift" -> q115,
@@ -2656,6 +2688,50 @@ object AnalyticsQueries {
         |          ROWS UNBOUNDED PRECEDING) AS revenue_ffill,
         |       revenue IS NULL AS is_gap
         |FROM j ORDER BY 1, 2""".stripMargin,
+    "q297_busy_time_union" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events),
+        |r AS (SELECT user_id, t, event_id,
+        |        CASE WHEN lag(t) OVER w IS NULL
+        |               OR t - lag(t) OVER w > 1800000000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, t,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM r),
+        |iv AS (SELECT user_id, sid, min(t) AS st, max(t) AS en
+        |       FROM s GROUP BY 1, 2),
+        |iv2 AS (SELECT st, en FROM iv WHERE en > st),
+        |segs AS (
+        |  SELECT day,
+        |    greatest(st, day * 86400000000000) AS s,
+        |    least(en, (day + 1) * 86400000000000) AS e
+        |  FROM (SELECT st, en,
+        |          unnest(generate_series(st // 86400000000000,
+        |                                 en // 86400000000000)) AS day
+        |        FROM iv2) x
+        |  WHERE least(en, (day + 1) * 86400000000000)
+        |      > greatest(st, day * 86400000000000)),
+        |d AS (
+        |  SELECT day, s AS t, CAST(1 AS BIGINT) AS dd FROM segs
+        |  UNION ALL SELECT day, e, CAST(-1 AS BIGINT) FROM segs),
+        |w1 AS (
+        |  SELECT day, t, dd,
+        |    sum(dd) OVER (PARTITION BY day ORDER BY t, dd
+        |                  ROWS UNBOUNDED PRECEDING) AS run,
+        |    lead(t) OVER (PARTITION BY day ORDER BY t, dd) AS nxt
+        |  FROM d),
+        |b AS (
+        |  SELECT day,
+        |    SUM(CASE WHEN run > 0 AND nxt IS NOT NULL THEN nxt - t
+        |        ELSE 0 END) AS busy_ns,
+        |    CAST(count(*) // 2 AS BIGINT) AS n_segments
+        |  FROM w1 GROUP BY 1)
+        |SELECT day, n_segments,
+        |  CAST(busy_ns // 1000000000 AS BIGINT) AS busy_s,
+        |  CAST((2 * CAST(busy_ns AS HUGEINT) * 1000000 + 86400000000000)
+        |    // (2 * 86400000000000) AS BIGINT) AS busy_ppm_of_day
+        |FROM b ORDER BY day""".stripMargin,
     "q111_session_concurrency" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events),
         |r AS (SELECT user_id, t, event_id,

@@ -167,6 +167,57 @@ class GovernanceSketchSpec extends AnyFunSuite {
     assert(0 <= p50 && p50 <= p95 && p95 <= p99 && p99 <= mx)
   }
 
+  test("q297 busy time equals a driver interval-union recompute") {
+    val rows = graft.queries.AnalyticsQueries.queries(
+      "q297_busy_time_union")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("busy_s") <= 86400L)
+      assert(r.getAs[Long]("busy_ppm_of_day") <= 1000000L)
+    }
+    // exact recompute: merge the per-user session intervals in memory
+    val gapNs = 30L * 60 * 1000000000L
+    val dayNs = 86400000000000L
+    val evs = graft.io.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+    val intervals = evs.flatMap { es =>
+      val ts = es.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var st = ts.head; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (t - prev > gapNs) { out += ((st, prev)); st = t }
+        prev = t
+      }
+      out += ((st, prev))
+      out
+    }.filter(iv => iv._2 > iv._1).toSeq
+    val busyByDay = intervals
+      .flatMap { case (st, en) =>
+        (st / dayNs to en / dayNs).map { d =>
+          (d, (math.max(st, d * dayNs), math.min(en, (d + 1) * dayNs)))
+        }
+      }
+      .filter { case (_, (s, e)) => e > s }
+      .groupBy(_._1).view.mapValues { segs =>
+        val sorted = segs.map(_._2).sortBy(_._1)
+        var total = 0L; var curS = sorted.head._1; var curE = sorted.head._2
+        sorted.tail.foreach { case (s, e) =>
+          if (s > curE) { total += curE - curS; curS = s; curE = e }
+          else if (e > curE) curE = e
+        }
+        total + (curE - curS)
+      }.toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert(busyByDay.contains(d), s"day $d missing in recompute")
+      assert(r.getAs[Long]("busy_s") == busyByDay(d) / 1000000000L,
+        s"day $d: ${r.getAs[Long]("busy_s")} vs ${busyByDay(d) / 1000000000L}")
+    }
+    assert(rows.length == busyByDay.size)
+  }
+
   test("q289 matrix cells partition q27's pair list and ppm shares close") {
     val cells = graft.queries.TextQueries.queries(
       "q289_crosssource_dup_matrix")(spark, sf).collect()
