@@ -139,6 +139,95 @@ object Tables {
     spark.read.schema(schema).parquet(staged)
   }
 
+  /** The events table staged as a DATE-partitioned parquet layout
+    * (`d=<yyyy-MM-dd>/part-*.parquet`, `d` = UTC event day) — the fact
+    * layout every 100 TB event warehouse lands on. Unlike
+    * [[documentsPartitioned]] (whose q57 consumer prunes with a LITERAL
+    * IN-list at plan time), this layout exists for the RUNTIME pruning
+    * path: a join against a filtered dim of days plans a
+    * `dynamicpruning` subquery into the scan's PartitionFilters, so
+    * executors never list — let alone read — the excluded day
+    * directories (q299; plan pinned in PlanShapeSpec). Write side uses
+    * the same repartition-by-partition-column alignment as q57's layout
+    * (one file per day directory, not files × days — the small-files
+    * fix). */
+  def eventsDatePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val staged = graft.util.SessionMemo(spark, s"events-day-stage:$dir") {
+      val d = java.nio.file.Files.createTempDirectory("graft-evday")
+      events(spark, dir)
+        .withColumn("d", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(d.toString)
+      sys.addShutdownHook(deleteRecursively(d))
+      d.toString
+    }
+    spark.read.parquet(staged)
+  }
+
+  /** The documents table staged as TWO parquet batches with DIFFERENT
+    * schemas — batch 1 (even doc_id) written BEFORE the `n_chars` column
+    * existed, batch 2 (odd doc_id) with it — then read back under
+    * `mergeSchema`. This is the schema-evolution reality of any corpus
+    * that accretes for years: old files lack newer columns, and the
+    * reader must widen (missing column → NULL) rather than fail or
+    * silently drop files. The merged read is lazy; footer merging is a
+    * driver-side listing pass, zero data I/O (q300 gates the NULL
+    * semantics against an oracle emulating the batch split). */
+  def documentsTwoBatch(spark: SparkSession, dir: String): DataFrame = {
+    val staged = graft.util.SessionMemo(spark, s"twobatch-stage:$dir") {
+      val d = java.nio.file.Files.createTempDirectory("graft-twobatch")
+      val docs = documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0).drop("n_chars")
+        .write.mode("overwrite").parquet(s"$d/batch=1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$d/batch=2")
+      sys.addShutdownHook(deleteRecursively(d))
+      d.toString
+    }
+    spark.read.option("mergeSchema", "true").parquet(staged)
+  }
+
+  /** lineitem + orders persisted as BUCKETED warehouse tables
+    * (`bucketBy(8, orderkey)`, sorted within buckets) — the co-located
+    * join layout: both sides of the orderkey join are pre-hashed into
+    * matching bucket files at WRITE time, so every subsequent fact⋈fact
+    * join on that key plans with ZERO shuffle exchange on either side
+    * (q298; BucketingSpec + PlanShapeSpec pin the no-Exchange shape).
+    * At 100 TB this converts the recurring dominant shuffle of the
+    * orders⋈lineitem family into a bucket-wise local merge — paid once
+    * at layout time, amortized over every downstream query. Bucket
+    * count pins the join parallelism, so production sizing is
+    * data/(bucket count) ≈ one task's working set; 8 keeps the sf0.1
+    * harness fast while exercising the real multi-bucket path.
+    * Returns the (lineitem, orders) table frames. */
+  def bucketedOrderTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = math.abs(scala.util.hashing.MurmurHash3.stringHash(dir)).toString
+    val (liName, ordName) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+    graft.util.SessionMemo(spark, s"bucketed-stage:$dir") {
+      // A managed-table location left behind by a PREVIOUS JVM (the
+      // warehouse dir outlives the in-memory catalog) makes saveAsTable
+      // fail with LOCATION_ALREADY_EXISTS even under overwrite — drop
+      // any catalog entry AND scrub the stale directory first.
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq(liName, ordName).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = wh.resolve(t)
+        if (java.nio.file.Files.exists(loc)) deleteRecursively(loc)
+      }
+      lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liName)
+      orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordName)
+      ()
+    }
+    (spark.table(liName), spark.table(ordName))
+  }
+
   private def deleteRecursively(d: java.nio.file.Path): Unit =
     graft.util.TempDirs.deleteRecursively(d)
 

@@ -2643,7 +2643,76 @@ object OlapQueries {
       .orderBy("nation")
   }
 
+  /** q298 — CO-LOCATED bucketed fact⋈fact join: lineitem and orders are
+    * persisted bucketed-by-orderkey ([[Tables.bucketedOrderTables]]), so
+    * the join plans with ZERO shuffle exchange on either side — the only
+    * exchange in the whole query is the final 5-row priority roll-up
+    * (PlanShapeSpec pins both facts). This is the layout-amortized
+    * answer to the dominant orders⋈lineitem shuffle: at 100 TB the
+    * bucket files are the shuffle, written once, reused by every
+    * downstream join on the key. Money lands as exact summed cents
+    * (BIGINT — hash-stable per the engine's no-decimal-output rule);
+    * quantities are integral doubles in the source, summed as longs. */
+  val q298: Q = (spark, dir) => {
+    val (li, ord) = Tables.bucketedOrderTables(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + lit(0.5))).as("revenue_cents"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q299 — DYNAMIC partition pruning over the date-partitioned events
+    * fact ([[Tables.eventsDatePartitioned]]): the kept-days dim is only
+    * known at RUN time (a filtered distinct-days frame), so no literal
+    * IN-list can prune the scan at plan time the way q57's does.
+    * Instead Catalyst plants a `dynamicpruning` subquery into the
+    * fact scan's PartitionFilters — the broadcast of the dim doubles as
+    * the pruning filter (exchange reuse, zero extra jobs), and excluded
+    * day directories are never read. At 100 TB, "scan 2/7 of the days"
+    * at listing time IS the query budget. Day keys are exact epoch-day
+    * integers; the value total rides the scaled-cents exact sum. */
+  val q299: Q = (spark, dir) => {
+    val fact = Tables.eventsDatePartitioned(spark, dir)
+    val dim = Tables.events(spark, dir)
+      .select(to_date(timestamp_seconds(expr("ts div 1000000000"))).as("d"))
+      .distinct()
+      .filter(expr("unix_date(d) % 7 IN (0, 3)"))
+    fact.join(broadcast(dim), Seq("d"))
+      .withColumn("day", expr("unix_date(d)"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.ops.Relational.centsSumDouble(col("value")).as("total_value"))
+      .orderBy("day")
+  }
+
+  /** q300 — SCHEMA EVOLUTION read: the corpus lands in two ingest
+    * batches whose parquet schemas differ — the older batch predates the
+    * `n_chars` column ([[Tables.documentsTwoBatch]]). `mergeSchema`
+    * widens at the footer level (driver-side listing pass, no data
+    * I/O); old rows surface the missing column as NULL, and the
+    * aggregate proves the null semantics survive the merge: per source,
+    * legacy-row counts and the non-null character sum must match an
+    * oracle that emulates the batch split arithmetically. The
+    * evolution-tolerant read is what lets a years-long 100 TB corpus
+    * add columns without rewriting history. */
+  val q300: Q = (spark, dir) => {
+    Tables.documentsTwoBatch(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q298_bucketed_join" -> q298,
+    "q299_dpp_prune" -> q299,
+    "q300_schema_evolution" -> q300,
     "q278_waterfall_contribution" -> q278,
     "q279_mase_scoring" -> q279,
     "q277_rank_biased_overlap" -> q277,
@@ -3004,6 +3073,40 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The oracle joins the UNBUCKETED parquet tables — matching results
+    // prove the bucketed layout is lossless and the zero-exchange join
+    // computes the same relation.
+    "q298_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The oracle filters the UNPARTITIONED events by the same day
+    // predicate — matching results prove the runtime-pruned read is
+    // lossless (the dim is exactly the day set the WHERE expresses).
+    "q299_dpp_prune" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ((epoch_ns(ts) // 1000000000) // 86400) % 7 IN (0, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The oracle emulates the two-batch schema split arithmetically:
+    // even doc_ids were written before n_chars existed, so the merged
+    // read must surface exactly those rows with NULL.
+    "q300_schema_evolution" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(COUNT(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_with_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN n_chars END) AS BIGINT)
+        |    AS chars_sum,
+        |  CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_legacy
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q278_waterfall_contribution" ->
       s"""WITH per AS (
          |  SELECT n_name AS nation,

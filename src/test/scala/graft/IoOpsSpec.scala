@@ -45,4 +45,25 @@ class IoOpsSpec extends AnyFunSuite {
     assert(results.forall { case (_, _, m) => !m.isNaN && m >= 0.0 })
     assert(results.map(r => (r._1, r._2)).toSet == Set((4, 0.1), (4, 1.0)))
   }
+
+  test("mergeSchema read widens the legacy batch with NULLs (q300 layout)") {
+    import org.apache.spark.sql.functions._
+    val merged = graft.io.Tables.documentsTwoBatch(spark, sf)
+    // the merged schema carries the newer column
+    assert(merged.columns.contains("n_chars"))
+    // exactly the pre-evolution (even doc_id) batch surfaces NULL; the
+    // newer batch keeps its values — no row of either batch is dropped
+    val audit = merged.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("n_chars").isNull && col("doc_id") % 2 === 0, 1L)
+        .otherwise(0L)).as("legacy_null"),
+      sum(when(col("n_chars").isNull && col("doc_id") % 2 =!= 0, 1L)
+        .otherwise(0L)).as("new_null")).head()
+    val docs = graft.io.Tables.documents(spark, sf)
+    val total = docs.count()
+    val evens = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(audit.getLong(0) == total)
+    assert(audit.getLong(1) == evens && evens > 0)
+    assert(audit.getLong(2) == 0L)
+  }
 }

@@ -392,4 +392,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // one documents scan feeds every pattern counter
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("q298 bucketed fact-fact join reads both bucket layouts and never " +
+      "exchanges on the join key") {
+    // At test scale the orders side is broadcast-eligible; disable
+    // broadcast to pin the layout the buckets exist FOR — a sort-merge
+    // join whose partitioning comes from the bucket files, not a shuffle.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q298_bucketed_join")
+      assert("Bucketed: true".r.findAllIn(p).size == 2, p)
+      assert(p.contains("SortMergeJoin"), p)
+      // the only exchanges are the final roll-up's (o_orderpriority);
+      // neither join key is ever shuffled — the bucket files ARE the
+      // shuffle, written once at layout time
+      assert(!p.contains("hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("hashpartitioning(o_orderkey"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("q299 fact scan carries a dynamicpruning partition filter (plus the " +
+      "inferred static day predicate)") {
+    val p = plan("q299_dpp_prune")
+    // runtime pruning: the broadcast dim doubles as the partition filter
+    assert(p.contains("dynamicpruning"), p)
+    // and Catalyst ALSO pushed the dim's day predicate through the join
+    // onto the partition column — plan-time pruning stacked on DPP
+    assert(p.contains("PartitionFilters: [(unix_date(d"), p)
+  }
 }
