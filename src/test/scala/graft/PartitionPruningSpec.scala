@@ -48,4 +48,49 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(filtered == direct && filtered > 0)
     assert(filtered == events.filter(col("d") === lit(oneDay)).count())
   }
+
+  test("q299's dynamic pruning SKIPS files at runtime (numFiles metric = " +
+      "kept days, not all days)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    val df = graft.queries.Registry.all("q299_dpp_prune")(spark, sf)
+    // collect() drives THIS frame's QueryExecution (count() would build a
+    // fresh one and leave these scan metrics untouched)
+    assert(df.collect().nonEmpty)
+
+    // AQE buries executed stages inside QueryStageExec leaves — a plain
+    // collect stops at the stage boundary, so unwrap recursively.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }) ++ kids.flatMap(scans)
+    }
+    val root = df.queryExecution.executedPlan
+    val scan = scans(root)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft-evday")))
+      .getOrElse(fail(s"no staged-events scan in plan:\n$root"))
+
+    // one file per day directory (repartition(d) before partitionBy(d))
+    val days = graft.io.Tables.events(spark, sf)
+      .select(to_date(timestamp_seconds(expr("ts div 1000000000"))).as("d"))
+      .distinct()
+    val total = days.count()
+    val kept = days.filter(expr("unix_date(d) % 7 IN (0, 3)")).count()
+    assert(kept > 0 && kept < total,
+      s"fixture must split days for the skip to mean anything ($kept/$total)")
+
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == kept,
+      s"DPP read $numFiles files, expected the $kept kept days (of $total)")
+  }
 }
