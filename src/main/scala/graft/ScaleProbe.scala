@@ -493,6 +493,61 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n_present")).count())
     }
 
+    if (probes("layout")) {
+      // q298's layout claim measured: the orders⋈lineitem roll-up on
+      // plain parquet (shuffle sort-merge join) vs pre-bucketed warehouse
+      // tables (zero join-key exchange), broadcast disabled so join
+      // strategy is the only variable. The bucket WRITE is timed
+      // separately — it IS the shuffle, paid once; the claim is
+      // write ≈ one shuffle-join's exchange cost, and every subsequent
+      // bucketed join saves that exchange in full.
+      val sfDir = "/root/testdata/sf0.1"
+      val li0 = graft.io.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice")
+      val or0 = graft.io.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderpriority")
+      val off = 100000000L
+      val liI = (0 until factor).map(i =>
+          li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * off)))
+        .reduce(_ unionByName _)
+      val orI = (0 until factor).map(i =>
+          or0.withColumn("o_orderkey", col("o_orderkey") + lit(i * off)))
+        .reduce(_ unionByName _)
+      // land both as plain parquet so BOTH joins read files, not lineage
+      val d = java.nio.file.Files.createTempDirectory("graft-layout")
+      liI.write.parquet(s"$d/li"); orI.write.parquet(s"$d/ord")
+      val liP = spark.read.parquet(s"$d/li")
+      val orP = spark.read.parquet(s"$d/ord")
+      println(s"PROBE layout: ${liP.count()} lineitems x ${orP.count()} orders")
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def rollup(l: org.apache.spark.sql.DataFrame,
+                 o: org.apache.spark.sql.DataFrame): Long =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5))))
+          .count()
+      time(s"layout_shuffle_join_${factor}x")(rollup(liP, orP))
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq("li_probe", "ord_probe").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = wh.resolve(t)
+        if (java.nio.file.Files.exists(loc))
+          graft.util.TempDirs.deleteRecursively(loc)
+      }
+      time(s"layout_bucket_write_${factor}x") {
+        liP.write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("li_probe")
+        orP.write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("ord_probe")
+        2L
+      }
+      time(s"layout_bucketed_join_${factor}x")(
+        rollup(spark.table("li_probe"), spark.table("ord_probe")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits
