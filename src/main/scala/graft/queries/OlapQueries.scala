@@ -2709,7 +2709,212 @@ object OlapQueries {
       .orderBy("source")
   }
 
+  /** q301 — purged time-series K-fold (de Prado-style): five contiguous
+    * equal-width day folds over event time, with a 2-day EMBARGO on each
+    * side of the validation block — training samples inside the embargo
+    * are purged, killing the look-ahead leakage plain K-fold injects
+    * into any autocorrelated stream (q190 AUDITS split leakage after the
+    * fact; this prevents it at split time). Fold bounds are exact
+    * integer arithmetic on epoch days; the fact side never shuffles —
+    * one scan, a 5-row broadcast of bounds, one aggregate. */
+  val q301: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"))
+    val folds = ev
+      .agg(min("day").as("d0"), (max("day") - min("day") + 1).as("span"))
+      .select(explode(sequence(lit(0L), lit(4L))).as("fold"),
+        col("d0"), col("span"))
+      .select(col("fold"),
+        (col("d0") + expr("(span * fold) div 5")).as("f0"),
+        (col("d0") + expr("(span * (fold + 1)) div 5") - 1).as("f1"))
+    ev.crossJoin(broadcast(folds))
+      .groupBy("fold", "f0", "f1")
+      .agg(
+        sum(when(col("day").between(col("f0"), col("f1")), 1L)
+          .otherwise(0L)).as("n_valid"),
+        sum(when(col("day") < col("f0") - 2 || col("day") > col("f1") + 2,
+          1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("day").between(col("f0"), col("f1")) &&
+          col("day") >= col("f0") - 2 && col("day") <= col("f1") + 2,
+          1L).otherwise(0L)).as("n_purged"))
+      .orderBy("fold")
+  }
+
+  /** q302 — weight-of-evidence / information-value encoding of a
+    * categorical against a binary outcome (the credit-scoring stalwart
+    * next to q141's out-of-fold target encoding): per category,
+    * WOE = ln(smoothed bad-share / smoothed good-share) and its IV term.
+    * Laplace 0.5 smoothing per cell with m·0.5 added to each total (m =
+    * category count, computed not hardcoded) keeps empty cells finite.
+    * One grouped aggregate plus a 1-row broadcast of the totals — the
+    * encoder table is dictionary-sized whatever the fact volume. */
+  val q302: Q = (spark, dir) => {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_bad"))
+    val tot = per.agg(sum("n_bad").as("bad_tot"),
+      sum(col("n") - col("n_bad")).as("good_tot"), count(lit(1)).as("m"))
+    val pb = (col("n_bad") + 0.5) / (col("bad_tot") + lit(0.5) * col("m"))
+    val pg = (col("n") - col("n_bad") + 0.5) /
+      (col("good_tot") + lit(0.5) * col("m"))
+    per.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("n_bad"),
+        qround(log(pb / pg), 6).as("woe"),
+        qround((pb - pg) * log(pb / pg), 6).as("iv"))
+      .orderBy("category")
+  }
+
+  /** q303 — stratification-matching ATT estimator (exact subclassification
+    * on (nation, 200-unit acctbal bucket)): the causal-inference
+    * workhorse when a propensity model is overkill — compare treated
+    * (BUILDING-segment) vs control customers WITHIN each stratum, weight
+    * the per-stratum outcome gap by treated count, and report how many
+    * treated lack any control match (dropped, not silently imputed).
+    * Outcome = lifetime spend in exact cents; the per-stratum mean gap is
+    * quantized to DECIMAL(28,6) before the cross-stratum sum so the
+    * estimator is order-free exact, then projected to DOUBLE dollars via
+    * the decOut rule. Strata table is dimension-sized; the only fact
+    * shuffle is the per-customer spend roll-up. */
+  val q303: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.{decOut, qdec}
+    val spend = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))).as("spend_cents"))
+    val y = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 200).cast("long").as("bal_bucket"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("treated"),
+        coalesce(col("spend_cents"), lit(0L)).as("y"))
+    val strata = y.groupBy("c_nationkey", "bal_bucket").agg(
+      sum(col("treated")).as("n_t"),
+      sum(lit(1L) - col("treated")).as("n_c"),
+      sum(when(col("treated") === 1L, col("y")).otherwise(0L)).as("sum_t"),
+      sum(when(col("treated") === 0L, col("y")).otherwise(0L)).as("sum_c"))
+    val tot = y.agg(sum(col("treated")).as("n_treated_total"))
+    strata.filter(col("n_t") > 0 && col("n_c") > 0)
+      .agg(count(lit(1)).as("n_strata_matched"),
+        sum("n_t").as("n_treated_matched"),
+        sum(qdec((col("sum_t").cast("double") / col("n_t") -
+          col("sum_c").cast("double") / col("n_c")) * col("n_t"), 28, 6))
+          .as("wdiff"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_strata_matched"), col("n_treated_matched"),
+        (col("n_treated_total") - col("n_treated_matched"))
+          .as("n_treated_dropped"),
+        decOut(col("wdiff").cast("double") / col("n_treated_matched")
+          / 100.0, 4).as("att_dollars"))
+  }
+
+  /** q304 — Benjamini–Hochberg FDR control over a battery of A/B tests
+    * (every event type × four value thresholds, the q131 two-proportion
+    * z machinery per cell): the multiple-comparisons discipline an
+    * experimentation platform needs once it runs METRIC GRIDS rather
+    * than one test — Bonferroni kills power, raw α=0.05 floods false
+    * positives; BH rejects the largest prefix of p-ascending tests with
+    * p₍ᵢ₎ ≤ i·α/m. Two-sided p comes from the Abramowitz–Stegun 7.1.26
+    * erf polynomial (|ε| < 1.5e-7, pure exp/arithmetic — expressible
+    * IDENTICALLY in both engines, then qround'd). Degenerate cells
+    * (zero or saturated pooled conversions) are excluded from m, not
+    * fed NaN z-scores. */
+  val q304: Q = (spark, dir) => {
+    val events = Tables.events(spark, dir)
+    val users = events.select("user_id").distinct()
+      .withColumn("variant",
+        when(pmod(graft.functions.GraftFunctions.md5_63(
+          concat(lit("ab:"), col("user_id"))), lit(2)) === 0, "A")
+          .otherwise("B"))
+    val umax = events.groupBy("user_id", "event_type")
+      .agg(max("value").as("mx"))
+    val tests = events.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(array(Seq(50, 100, 150, 200).map(t => lit(t.toLong)): _*))
+          .as("thr"))
+    val nTot = users.groupBy("variant").agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("variant") === "A", col("n"))).as("n_a"),
+        sum(when(col("variant") === "B", col("n"))).as("n_b"))
+    val conv = umax.join(broadcast(tests), Seq("event_type"))
+      .filter(col("mx") > col("thr"))
+      .join(users, Seq("user_id"))
+      .groupBy("event_type", "thr")
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("conv_b"))
+      .crossJoin(broadcast(nTot))
+      .filter(col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"))
+    val pHat = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (col("conv_a").cast("double") / col("n_a") -
+      col("conv_b").cast("double") / col("n_b")) /
+      sqrt(pHat * (lit(1.0) - pHat) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // Abramowitz–Stegun 7.1.26: erf(x) ≈ 1 − poly(t)·e^(−x²),
+    // t = 1/(1 + 0.3275911x); two-sided p = 1 − erf(|z|/√2).
+    val x = abs(col("z")) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val scored = conv
+      .withColumn("z", qround(z, 6))
+      .withColumn("p", qround(poly * exp(-x * x), 6))
+    val wAll = Window.partitionBy()
+    val ranked = scored
+      .withColumn("rank", row_number().over(
+        wAll.orderBy(col("p"), col("event_type"), col("thr"))))
+      .withColumn("m", count(lit(1)).over(wAll))
+    ranked
+      .withColumn("i_star", max(when(
+        col("p") <= col("rank") * lit(0.1) / col("m"), col("rank")))
+        .over(wAll))
+      .select(col("event_type"), col("thr"), col("z"), col("p"),
+        col("rank").cast("long").as("rank"),
+        when(col("rank") <= coalesce(col("i_star"), lit(0)), 1L)
+          .otherwise(0L).as("rejected"))
+      .orderBy("rank")
+  }
+
+  /** q305 — per-source data card: the one-pass datasheet a corpus ships
+    * with (counts, token volume, language spread + dominant language,
+    * exact-duplicate rate, median length) — the governance artifact
+    * that decides whether a source enters the training mix at all.
+    * Composes the gated conventions: q20's whitespace token count,
+    * q78's exact interpolated percentile, argmax-with-min-tiebreak for
+    * the top language. Dup rate here is exact DISTINCT text (at 100 TB:
+    * the same aggregate over md5 fingerprints — q23's exact-dedup key —
+    * with identical semantics on a collision-free digest). */
+  val q305: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("text")).as("n_distinct_texts"),
+      qround(expr("percentile(n_chars, 0.5D)"), 6).as("p50_chars"))
+    val topLang = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("cnt").as("top_lang_n"))
+    base.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("top_lang"),
+        qround(col("top_lang_n").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"),
+        qround(lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs"), 6).as("dup_pct"),
+        col("p50_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q301_purged_cv" -> q301,
+    "q302_woe_encoding" -> q302,
+    "q303_strat_match_att" -> q303,
+    "q304_bh_fdr" -> q304,
+    "q305_source_datacard" -> q305,
     "q298_bucketed_join" -> q298,
     "q299_dpp_prune" -> q299,
     "q300_schema_evolution" -> q300,
@@ -3073,6 +3278,156 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q301_purged_cv" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |           FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) - MIN(day) + 1 AS span FROM e),
+        |f AS (SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT) AS fold),
+        |fb AS (SELECT fold,
+        |         CAST(d0 + (span * fold) // 5 AS BIGINT) AS f0,
+        |         CAST(d0 + (span * (fold + 1)) // 5 - 1 AS BIGINT) AS f1
+        |       FROM f, b)
+        |SELECT fold, f0, f1,
+        |  CAST(SUM(CASE WHEN e.day BETWEEN f0 AND f1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN e.day < f0 - 2 OR e.day > f1 + 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN e.day NOT BETWEEN f0 AND f1
+        |    AND e.day >= f0 - 2 AND e.day <= f1 + 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+        |FROM e, fb GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q302_woe_encoding" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bad
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_bad) AS BIGINT) AS bad_tot,
+        |               CAST(SUM(n - n_bad) AS BIGINT) AS good_tot,
+        |               CAST(COUNT(*) AS BIGINT) AS m FROM per)
+        |SELECT category, n, n_bad,
+        |  floor(ln(((n_bad + 0.5) / (bad_tot + 0.5 * m)) /
+        |           ((n - n_bad + 0.5) / (good_tot + 0.5 * m)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS woe,
+        |  floor((((n_bad + 0.5) / (bad_tot + 0.5 * m)) -
+        |         ((n - n_bad + 0.5) / (good_tot + 0.5 * m))) *
+        |        ln(((n_bad + 0.5) / (bad_tot + 0.5 * m)) /
+        |           ((n - n_bad + 0.5) / (good_tot + 0.5 * m)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS iv
+        |FROM per, tot ORDER BY category""".stripMargin,
+    "q303_strat_match_att" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |y AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal / 200) AS BIGINT)
+        |      AS bal_bucket,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+        |    COALESCE(spend_cents, 0) AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |s AS (
+        |  SELECT c_nationkey, bal_bucket,
+        |    CAST(SUM(treated) AS BIGINT) AS n_t,
+        |    CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sum_t,
+        |    CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS sum_c
+        |  FROM y GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(treated) AS BIGINT) AS n_treated_total
+        |        FROM y),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_matched,
+        |    CAST(SUM(n_t) AS BIGINT) AS n_treated_matched,
+        |    SUM(CAST(floor((CAST(sum_t AS DOUBLE) / n_t -
+        |          CAST(sum_c AS DOUBLE) / n_c) * n_t
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS wdiff
+        |  FROM s WHERE n_t > 0 AND n_c > 0)
+        |SELECT n_strata_matched, n_treated_matched,
+        |  CAST(n_treated_total - n_treated_matched AS BIGINT)
+        |    AS n_treated_dropped,
+        |  floor((CAST(wdiff AS DOUBLE) / n_treated_matched / 100.0)
+        |    * 10000.0 + 0.5) / 10000.0 AS att_dollars
+        |FROM m, tot""".stripMargin,
+    "q304_bh_fdr" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT user_id,
+         |        CASE WHEN ((md5_number_lower('ab:' || user_id::VARCHAR)
+         |                    & $H)::BIGINT % 2) = 0
+         |             THEN 'A' ELSE 'B' END AS variant FROM u),
+         |nt AS (SELECT
+         |  CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_a,
+         |  CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_b FROM a),
+         |um AS (SELECT user_id, event_type, MAX(value) AS mx
+         |       FROM events GROUP BY 1, 2),
+         |tests AS (SELECT event_type,
+         |            CAST(unnest([50, 100, 150, 200]) AS BIGINT) AS thr
+         |          FROM (SELECT DISTINCT event_type FROM events)),
+         |conv AS (
+         |  SELECT t.event_type, t.thr,
+         |    CAST(SUM(CASE WHEN a.variant = 'A' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(SUM(CASE WHEN a.variant = 'B' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM um JOIN tests t
+         |    ON um.event_type = t.event_type AND um.mx > t.thr
+         |  JOIN a ON um.user_id = a.user_id
+         |  GROUP BY 1, 2),
+         |zr AS (
+         |  SELECT c.event_type, c.thr,
+         |    floor(((CAST(conv_a AS DOUBLE) / n_a
+         |            - CAST(conv_b AS DOUBLE) / n_b) /
+         |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |           * (1.0 / n_a + 1.0 / n_b)))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS z
+         |  FROM conv c, nt
+         |  WHERE conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b),
+         |px AS (SELECT event_type, thr, z, abs(z) / sqrt(2.0) AS x FROM zr),
+         |pt AS (SELECT event_type, thr, z, x,
+         |         1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
+         |ps AS (SELECT event_type, thr, z,
+         |         floor(((((1.061405429 * t - 1.453152027) * t
+         |           + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+         |           * exp(-x * x) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |       FROM pt),
+         |ranked AS (SELECT event_type, thr, z, p,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY p, event_type, thr) AS BIGINT)
+         |      AS rank,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM ps),
+         |istar AS (SELECT MAX(CASE WHEN p <= (rank * 0.1) / m
+         |                     THEN rank END) AS i_star FROM ranked)
+         |SELECT event_type, thr, z, p, rank,
+         |  CAST(CASE WHEN rank <= COALESCE(i_star, 0) THEN 1 ELSE 0 END
+         |    AS BIGINT) AS rejected
+         |FROM ranked, istar ORDER BY rank""".stripMargin,
+    "q305_source_datacard" ->
+      """WITH base AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |    floor(quantile_cont(n_chars, 0.5) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS p50_chars
+        |  FROM documents GROUP BY 1),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, cnt AS top_lang_n FROM (
+        |    SELECT source, lang, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY COUNT(*) DESC, lang) AS rn
+        |    FROM documents GROUP BY source, lang) WHERE rn = 1)
+        |SELECT b.source, n_docs, n_tokens, n_langs, top_lang,
+        |  floor((CAST(top_lang_n AS DOUBLE) / n_docs) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS top_lang_share,
+        |  floor((1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dup_pct,
+        |  p50_chars
+        |FROM base b JOIN tl ON b.source = tl.source
+        |ORDER BY b.source""".stripMargin,
     // The oracle joins the UNBUCKETED parquet tables — matching results
     // prove the bucketed layout is lossless and the zero-exchange join
     // computes the same relation.
