@@ -2909,7 +2909,103 @@ object OlapQueries {
       .orderBy("source")
   }
 
+  /** q306 — k-anonymity / l-diversity audit of a quasi-identifier
+    * release: group customers by the QI tuple (nation, segment, 1000-unit
+    * acctbal band), measure the k distribution (groups and customers
+    * below k=5 are re-identifiable), and l-diversity of a sensitive
+    * derived attribute (has a fulfilled order) — a QI group where every
+    * member shares the sensitive value leaks it even at large k. The
+    * audit is two grouped aggregates over dimension-sized frames; at
+    * 100 TB the QI grouping is the only fact shuffle. Shares ride the
+    * qround-DOUBLE rule. */
+  val q306: Q = (spark, dir) => {
+    val sens = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("s", lit(1L))
+    val qi = Tables.customer(spark, dir)
+      .join(sens, Seq("c_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        coalesce(col("s"), lit(0L)).as("sensitive"))
+    val groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("sensitive")).as("l"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum("k").as("n_customers"),
+      min("k").as("min_k"),
+      sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_groups_lt5"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_cust_lt5"),
+      sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_groups_l1"),
+      sum(when(col("l") === 1, col("k")).otherwise(0L)).as("n_cust_l1"))
+      .select(col("n_groups"), col("n_customers"), col("min_k"),
+        col("n_groups_lt5"),
+        qround(col("n_cust_lt5").cast("double") / col("n_customers"), 6)
+          .as("pct_cust_lt5"),
+        col("n_groups_l1"),
+        qround(col("n_cust_l1").cast("double") / col("n_customers"), 6)
+          .as("pct_cust_l1"))
+  }
+
+  /** q307 — differentially-private count release (Laplace mechanism,
+    * ε=0.5, sensitivity 1) over per-nation customer counts, with the
+    * noise drawn DETERMINISTICALLY from the keyed-md5 PRNG via the
+    * Laplace inverse CDF — the same seeded-uniform discipline as every
+    * sampling op here (M5), so the release is reproducible, gate-able,
+    * and layout-independent. u = (h+0.5)/2⁶³ ∈ (0,1) strictly (the +0.5
+    * dodges ln(0) at both ends); x = −b·sgn(u−½)·ln(1−2|u−½|). The
+    * branchy sign is written as the SAME two-arm CASE in engine and
+    * oracle — no dependence on either engine's sign() conventions. Per
+    * released cell the cost is one hash + one log: releasing a trillion
+    * cells is a map. */
+  val q307: Q = (spark, dir) => {
+    val b = 2.0 // 1/ε, ε = 0.5
+    val per = Tables.customer(spark, dir)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    val u = (graft.functions.GraftFunctions.md5_63(
+      concat(lit("dp:"), col("c_nationkey"))).cast("double") + 0.5) /
+      lit(math.pow(2.0, 63)) // exactly representable; SQL twin 9223372036854775808.0
+    val v = u - 0.5
+    val noise = when(v >= 0, lit(-b) * log(lit(1.0) - lit(2.0) * v))
+      .otherwise(lit(b) * log(lit(1.0) + lit(2.0) * v))
+    per.select(col("c_nationkey"),
+      qround(col("n") + noise, 6).as("noisy_n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q308 — sample-ratio-mismatch (SRM) detector: the first thing a
+    * trustworthy experimentation platform checks before reading ANY
+    * metric — per event-type cohort, are the keyed-md5 variant counts
+    * consistent with the designed 50/50 split? One-dof chi-square
+    * (n_a−n_b)²/(n_a+n_b) against the 3.841 (α=0.05) bar; a flagged
+    * cohort means the assignment or logging pipeline is dropping one
+    * arm and every downstream test on it is invalid (q131/q304 consume
+    * splits this query certifies). Integer until the single division. */
+  val q308: Q = (spark, dir) => {
+    val events = Tables.events(spark, dir)
+    val cohort = events.select("event_type", "user_id").distinct()
+      .withColumn("variant",
+        when(pmod(graft.functions.GraftFunctions.md5_63(
+          concat(lit("ab:"), col("user_id"))), lit(2)) === 0, "A")
+          .otherwise("B"))
+    cohort.groupBy("event_type")
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        qround((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")), 6)
+          .as("chi2"),
+        when((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")) > 3.841,
+          1L).otherwise(0L).as("srm_flag"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q306_k_anonymity" -> q306,
+    "q307_dp_counts" -> q307,
+    "q308_srm_check" -> q308,
     "q301_purged_cv" -> q301,
     "q302_woe_encoding" -> q302,
     "q303_strat_match_att" -> q303,
@@ -3278,6 +3374,69 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q306_k_anonymity" ->
+      """WITH sens AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey, 1 AS s
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |qi AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    COALESCE(s, 0) AS sensitive
+        |  FROM customer LEFT JOIN sens USING (c_custkey)),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(k) AS BIGINT) AS n_customers,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_lt5,
+        |  floor((CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+        |    / SUM(k)) * 1000000.0 + 0.5) / 1000000.0 AS pct_cust_lt5,
+        |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_l1,
+        |  floor((CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS DOUBLE)
+        |    / SUM(k)) * 1000000.0 + 0.5) / 1000000.0 AS pct_cust_l1
+        |FROM g""".stripMargin,
+    "q307_dp_counts" ->
+      s"""WITH per AS (
+         |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1),
+         |r AS (
+         |  SELECT c_nationkey, n,
+         |    (CAST((md5_number_lower('dp:' || c_nationkey::VARCHAR)
+         |           & $H)::BIGINT AS DOUBLE) + 0.5)
+         |      / 9223372036854775808.0 - 0.5 AS v
+         |  FROM per)
+         |SELECT c_nationkey,
+         |  floor((n + CASE WHEN v >= 0 THEN -2.0 * ln(1.0 - 2.0 * v)
+         |                  ELSE 2.0 * ln(1.0 + 2.0 * v) END)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS noisy_n
+         |FROM r ORDER BY c_nationkey""".stripMargin,
+    "q308_srm_check" ->
+      s"""WITH c AS (
+         |  SELECT DISTINCT event_type, user_id FROM events),
+         |v AS (
+         |  SELECT event_type,
+         |    CASE WHEN ((md5_number_lower('ab:' || user_id::VARCHAR)
+         |                & $H)::BIGINT % 2) = 0
+         |         THEN 'A' ELSE 'B' END AS variant
+         |  FROM c),
+         |w AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b
+         |  FROM v GROUP BY 1)
+         |SELECT event_type, n_a, n_b,
+         |  floor((CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+         |  CAST(CASE WHEN (CAST(n_a - n_b AS DOUBLE) * (n_a - n_b)
+         |    / (n_a + n_b)) > 3.841 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+         |FROM w ORDER BY event_type""".stripMargin,
     "q301_purged_cv" ->
       """WITH e AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day
         |           FROM events),
