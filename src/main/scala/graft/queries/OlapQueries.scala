@@ -3002,7 +3002,130 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** q309 — safety-stock / reorder-point table (the inventory-planning
+    * readout next to q270's ABC-XYZ and q236's FIFO valuation): per
+    * part, daily-demand mean and std over the table's FULL day range —
+    * zero-demand days included via the Σx/Σx² identity against the
+    * global day count, no day-scaffold join — then reorder point =
+    * 7-day lead-time demand + 1.645·σ·√7 (95 % cycle service). Demand
+    * sums stay exact integer cents-of-quantity until the final scalar
+    * math; top 100 by demand with a key tiebreak. One fact shuffle on
+    * part. */
+  val q309: Q = (spark, dir) => {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(cast(l_shipdate as timestamp) as long) div 86400")
+          .as("day"),
+        col("l_quantity").cast("long").as("qty"))
+    val daily = li.groupBy("l_partkey", "day")
+      .agg(sum("qty").as("d"))
+    val days = li.agg((max("day") - min("day") + 1).as("n_days"))
+    val perPart = daily.groupBy("l_partkey")
+      .agg(sum("d").as("sx"), sum(col("d") * col("d")).as("sxx"),
+        count(lit(1)).as("n_active_days"))
+      .crossJoin(broadcast(days))
+    val mean = col("sx").cast("double") / col("n_days")
+    val variance = col("sxx").cast("double") / col("n_days") - mean * mean
+    perPart.select(col("l_partkey"), col("sx").as("total_qty"),
+        col("n_active_days"),
+        qround(mean, 6).as("mean_daily"),
+        qround(sqrt(variance), 6).as("std_daily"),
+        qround(mean * 7.0 + lit(1.645) * sqrt(variance) *
+          lit(math.sqrt(7.0)), 6).as("reorder_point"))
+      .orderBy(col("total_qty").desc, col("l_partkey")).limit(100)
+  }
+
+  /** q310 — inter-arrival exponential fit + one-sample KS distance: per
+    * event type, the gaps between consecutive events (event-id
+    * tiebreak), the MLE rate 1/mean-gap, and the Kolmogorov–Smirnov
+    * distance of the empirical gap distribution from Exp(λ̂) — the
+    * burstiness verdict q283's Fano factor summarizes, here as the
+    * full distributional test. The rowwise max of both one-sided ECDF
+    * terms is tie-permutation-invariant, so the window tiebreak can't
+    * leak into the result. Two windows, both partitioned by type —
+    * state is one type's events. */
+  val q310: Q = (spark, dir) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    // gaps stay EXACT integer nanoseconds end-to-end: the per-type total
+    // is an order-free long sum, and every double enters per-row only —
+    // no cross-row float accumulation to drift between engines.
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_ns", col("ts") - lag("ts", 1).over(w))
+      .filter(col("gap_ns").isNotNull)
+    val stats = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_ns").as("sum_ns"))
+    val wg = Window.partitionBy("event_type")
+      .orderBy(col("gap_ns"), col("event_id"))
+    gaps.join(stats, Seq("event_type"))
+      .withColumn("i", row_number().over(wg).cast("double"))
+      .withColumn("fexp", lit(1.0) -
+        exp(-(col("gap_ns").cast("double") * col("n_gaps") /
+          col("sum_ns").cast("double"))))
+      .groupBy("event_type", "n_gaps", "sum_ns")
+      .agg(max(greatest(
+        col("i") / col("n_gaps") - col("fexp"),
+        col("fexp") - (col("i") - 1.0) / col("n_gaps"))).as("d"))
+      .select(col("event_type"), col("n_gaps"),
+        qround(col("sum_ns").cast("double") / col("n_gaps")
+          / 1000000000.0, 6).as("mean_gap_s"),
+        qround(col("d"), 6).as("ks_d"))
+      .orderBy("event_type")
+  }
+
+  /** q311 — capture–recapture (Chapman) population estimate: treat the
+    * first and second halves of the event-day range as two independent
+    * capture occasions and estimate the TOTAL user universe from the
+    * overlap — the data-quality trick for sizing an entity space a
+    * single source undercounts (Chapman's (n1+1)(n2+1)/(m+1) − 1 is
+    * the bias-corrected Lincoln–Petersen). The audit column carries
+    * the true distinct count the fixture can compute exactly; at
+    * 100 TB that column is the expensive one and the estimate is the
+    * cheap early answer. Three distinct-aggregates, no fact self-join. */
+  val q311: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val mid = ev.agg(min("day").as("a"), max("day").as("b"))
+      .select(expr("(a + b + 1) div 2").as("mid"))
+    val marked = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), (col("day") < col("mid")).as("first_half"))
+    val agg = marked.groupBy("user_id")
+      .agg(max(when(col("first_half"), 1L).otherwise(0L)).as("in1"),
+        max(when(!col("first_half"), 1L).otherwise(0L)).as("in2"))
+      .agg(sum("in1").as("n1"), sum("in2").as("n2"),
+        sum(col("in1") * col("in2")).as("m"),
+        count(lit(1)).as("true_n"))
+    agg.select(col("n1"), col("n2"), col("m"), col("true_n"),
+      qround((col("n1") + 1.0) * (col("n2") + 1.0) / (col("m") + 1.0)
+        - 1.0, 6).as("chapman_n"))
+  }
+
+  /** q312 — Good–Turing unseen-token mass per source: the hapax share
+    * N1/N estimates the probability the NEXT token drawn from the
+    * source is one never seen — the vocabulary-coverage number that
+    * tells a tokenizer/mixture planner how open-ended each source still
+    * is (q224's Heaps curve gives the growth law; this gives the
+    * instantaneous mass). Exact integer token counts throughout; one
+    * explode + two grouped aggregates, shuffled on (source, token). */
+  val q312: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        qround(col("hapax").cast("double") / col("n_tokens"), 6)
+          .as("unseen_mass"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q309_safety_stock" -> q309,
+    "q310_interarrival_ks" -> q310,
+    "q311_capture_recapture" -> q311,
+    "q312_good_turing" -> q312,
     "q306_k_anonymity" -> q306,
     "q307_dp_counts" -> q307,
     "q308_srm_check" -> q308,
@@ -3374,6 +3497,92 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q309_safety_stock" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |daily AS (
+        |  SELECT l_partkey, day, CAST(SUM(qty) AS BIGINT) AS d
+        |  FROM li GROUP BY 1, 2),
+        |dd AS (SELECT MAX(day) - MIN(day) + 1 AS n_days FROM li),
+        |per AS (
+        |  SELECT l_partkey, CAST(SUM(d) AS BIGINT) AS sx,
+        |    CAST(SUM(d * d) AS BIGINT) AS sxx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active_days
+        |  FROM daily GROUP BY 1)
+        |SELECT l_partkey, sx AS total_qty, n_active_days,
+        |  floor((CAST(sx AS DOUBLE) / n_days) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_daily,
+        |  floor(sqrt(CAST(sxx AS DOUBLE) / n_days
+        |      - (CAST(sx AS DOUBLE) / n_days) * (CAST(sx AS DOUBLE) / n_days))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS std_daily,
+        |  floor(((CAST(sx AS DOUBLE) / n_days) * 7.0
+        |      + 1.645 * sqrt(CAST(sxx AS DOUBLE) / n_days
+        |          - (CAST(sx AS DOUBLE) / n_days)
+        |            * (CAST(sx AS DOUBLE) / n_days))
+        |        * sqrt(7.0)) * 1000000.0 + 0.5) / 1000000.0 AS reorder_point
+        |FROM per, dd ORDER BY total_qty DESC, l_partkey LIMIT 100""".stripMargin,
+    "q310_interarrival_ks" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) AS tns, event_id FROM events),
+        |g AS (
+        |  SELECT event_type, event_id,
+        |    tns - LAG(tns) OVER (PARTITION BY event_type
+        |      ORDER BY tns, event_id) AS gap_ns
+        |  FROM e),
+        |gg AS (SELECT * FROM g WHERE gap_ns IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap_ns) AS BIGINT) AS sum_ns
+        |  FROM gg GROUP BY 1),
+        |r AS (
+        |  SELECT gg.event_type, n_gaps, sum_ns,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY gg.event_type
+        |      ORDER BY gap_ns, event_id) AS DOUBLE) AS i,
+        |    1.0 - exp(-(CAST(gap_ns AS DOUBLE) * n_gaps
+        |      / CAST(sum_ns AS DOUBLE))) AS fexp
+        |  FROM gg JOIN s ON gg.event_type = s.event_type)
+        |SELECT event_type, n_gaps,
+        |  floor((CAST(sum_ns AS DOUBLE) / n_gaps / 1000000000.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+        |  floor(MAX(GREATEST(i / n_gaps - fexp, fexp - (i - 1.0) / n_gaps))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ks_d
+        |FROM r GROUP BY 1, 2, sum_ns ORDER BY event_type""".stripMargin,
+    "q311_capture_recapture" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000) // 86400 AS day
+        |  FROM events),
+        |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN day < mid THEN 1 ELSE 0 END) AS in1,
+        |    MAX(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS in2
+        |  FROM e, mid GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+        |    CAST(SUM(in2) AS BIGINT) AS n2,
+        |    CAST(SUM(in1 * in2) AS BIGINT) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS true_n
+        |  FROM u)
+        |SELECT n1, n2, m, true_n,
+        |  floor(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS chapman_n
+        |FROM a""".stripMargin,
+    "q312_good_turing" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  floor((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / SUM(c)) * 1000000.0 + 0.5) / 1000000.0 AS unseen_mass
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
     "q306_k_anonymity" ->
       """WITH sens AS (
         |  SELECT DISTINCT o_custkey AS c_custkey, 1 AS s
