@@ -3121,7 +3121,85 @@ object OlapQueries {
       .orderBy("source")
   }
 
+  /** q313 — XmR (individuals + moving range) control chart over daily
+    * revenue: the Shewhart chart q197's CUSUM complements — CUSUM finds
+    * small sustained shifts, XmR flags single out-of-control days
+    * against limits estimated from SHORT-RUN noise (σ̂ = MR̄/1.128, the
+    * 3σ limits x̄ ± 2.66·MR̄). Daily totals and the moving-range sum are
+    * exact cents longs (order-free); the limits enter double once, per
+    * the output rule. Emits the chart summary + violation count —
+    * per-day flags are a filter away from the same frame. */
+  val q313: Q = (spark, dir) => {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(expr("cast(cast(l_shipdate as timestamp) as long) div 86400")
+        .as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)))
+        .as("cents"))
+    val wd = Window.orderBy("day")
+    val mr = daily
+      .withColumn("mr", abs(col("cents") - lag("cents", 1).over(wd)))
+    val s = mr.agg(count(lit(1)).as("n_days"),
+      sum("cents").as("sum_cents"),
+      sum("mr").as("sum_mr"),
+      (count(lit(1)) - 1).as("n_mr"))
+    val xbar = col("sum_cents").cast("double") / col("n_days") / 100.0
+    val mrbar = col("sum_mr").cast("double") / col("n_mr") / 100.0
+    val lim = s.select(col("n_days"), xbar.as("xbar"), mrbar.as("mrbar"),
+      (xbar + lit(2.66) * mrbar).as("ucl"),
+      (xbar - lit(2.66) * mrbar).as("lcl"))
+    daily.crossJoin(broadcast(lim))
+      .groupBy("n_days", "xbar", "mrbar", "ucl", "lcl")
+      .agg(sum(when(col("cents").cast("double") / 100.0 > col("ucl") ||
+        col("cents").cast("double") / 100.0 < col("lcl"), 1L)
+        .otherwise(0L)).as("n_violations"))
+      .select(col("n_days"),
+        qround(col("xbar"), 6).as("xbar_dollars"),
+        qround(col("mrbar"), 6).as("mrbar_dollars"),
+        qround(col("ucl"), 6).as("ucl"),
+        qround(col("lcl"), 6).as("lcl"),
+        col("n_violations"))
+  }
+
+  /** q314 — sequence-packing fragmentation sweep: for token budgets
+    * {64, 128, 256}, how many documents does q85's contiguous-stream
+    * packer SPLIT across bin boundaries, and how much tail capacity is
+    * wasted, per (source, lang) stream rolled up to the budget level —
+    * the curve a training-data owner reads to pick a context budget
+    * (bigger bins fragment fewer docs but waste more tail). The cumsum
+    * runs ONCE per stream (q85's window, partitioned by the group key =
+    * the parallelism unit); the 3-budget sweep is a broadcast explode
+    * over the same cum frame, integer arithmetic end-to-end except the
+    * two output rates. */
+  val q314: Q = (spark, dir) => {
+    val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    val cum = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("off", col("cum") - col("n_tokens"))
+    val sweep = cum.crossJoin(broadcast(spark.range(1).select(
+      explode(array(lit(64L), lit(128L), lit(256L))).as("budget"))))
+    val perStream = sweep.groupBy("budget", "source", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_tokens").as("toks"),
+        sum(when(expr("off div budget") =!= expr("(cum - 1) div budget"),
+          1L).otherwise(0L)).as("frag"),
+        (expr("(max(cum) - 1) div budget") + 1).as("bins"))
+    perStream.groupBy("budget")
+      .agg(sum("docs").as("n_docs"), sum("toks").as("n_tokens"),
+        sum("frag").as("n_fragmented"), sum("bins").as("n_bins"))
+      .select(col("budget"), col("n_docs"), col("n_tokens"),
+        col("n_fragmented"), col("n_bins"),
+        qround(col("n_fragmented").cast("double") / col("n_docs"), 6)
+          .as("frag_rate"),
+        qround(lit(1.0) - col("n_tokens").cast("double") /
+          (col("n_bins") * col("budget")), 6).as("waste_rate"))
+      .orderBy("budget")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q313_xmr_chart" -> q313,
+    "q314_packing_sweep" -> q314,
     "q309_safety_stock" -> q309,
     "q310_interarrival_ks" -> q310,
     "q311_capture_recapture" -> q311,
@@ -3497,6 +3575,69 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q313_xmr_chart" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |mr AS (
+        |  SELECT day, cents,
+        |    abs(cents - LAG(cents) OVER (ORDER BY day)) AS mr
+        |  FROM daily),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    CAST(SUM(mr) AS BIGINT) AS sum_mr,
+        |    CAST(COUNT(*) - 1 AS BIGINT) AS n_mr
+        |  FROM mr),
+        |lim AS (
+        |  SELECT n_days,
+        |    CAST(sum_cents AS DOUBLE) / n_days / 100.0 AS xbar,
+        |    CAST(sum_mr AS DOUBLE) / n_mr / 100.0 AS mrbar
+        |  FROM s),
+        |v AS (
+        |  SELECT CAST(SUM(CASE
+        |      WHEN CAST(cents AS DOUBLE) / 100.0 > xbar + 2.66 * mrbar
+        |        OR CAST(cents AS DOUBLE) / 100.0 < xbar - 2.66 * mrbar
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM daily, lim)
+        |SELECT n_days,
+        |  floor(xbar * 1000000.0 + 0.5) / 1000000.0 AS xbar_dollars,
+        |  floor(mrbar * 1000000.0 + 0.5) / 1000000.0 AS mrbar_dollars,
+        |  floor((xbar + 2.66 * mrbar) * 1000000.0 + 0.5) / 1000000.0 AS ucl,
+        |  floor((xbar - 2.66 * mrbar) * 1000000.0 + 0.5) / 1000000.0 AS lcl,
+        |  n_violations
+        |FROM lim, v""".stripMargin,
+    "q314_packing_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source, lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |b AS (SELECT CAST(unnest([64, 128, 256]) AS BIGINT) AS budget),
+        |ps AS (
+        |  SELECT budget, source, lang,
+        |    CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS toks,
+        |    CAST(SUM(CASE WHEN (cum - n_tokens) // budget
+        |        <> (cum - 1) // budget THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS frag,
+        |    CAST((MAX(cum) - 1) // budget + 1 AS BIGINT) AS bins
+        |  FROM c, b GROUP BY 1, 2, 3)
+        |SELECT budget, CAST(SUM(docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(frag) AS BIGINT) AS n_fragmented,
+        |  CAST(SUM(bins) AS BIGINT) AS n_bins,
+        |  floor((CAST(SUM(frag) AS DOUBLE) / SUM(docs))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS frag_rate,
+        |  floor((1.0 - CAST(SUM(toks) AS DOUBLE) / (SUM(bins) * budget))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS waste_rate
+        |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin,
     "q309_safety_stock" ->
       """WITH li AS (
         |  SELECT l_partkey,
