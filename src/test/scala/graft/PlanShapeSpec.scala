@@ -412,6 +412,28 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("q309 reorder table ends in TakeOrderedAndProject, never a global sort") {
+    val p = plan("q309_safety_stock")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // demand roll-up combines map-side before the part exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q310 interarrival windows all partition by event_type (no global " +
+      "row sort) and the scan reads three columns") {
+    val p = plan("q310_interarrival_ks")
+    assert(p.contains("hashpartitioning(event_type"), p)
+    assert(p.contains(
+      "ReadSchema: struct<event_id:bigint,ts:"), p)
+  }
+
+  test("q314 packing sweep reads documents ONCE; the budget sweep is a " +
+      "broadcast explode, not three scans") {
+    val p = plan("q314_packing_sweep")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q299 fact scan carries a dynamicpruning partition filter (plus the " +
       "inferred static day predicate)") {
     val p = plan("q299_dpp_prune")
