@@ -515,37 +515,34 @@ object ScaleProbe {
         .reduce(_ unionByName _)
       // land both as plain parquet so BOTH joins read files, not lineage
       val d = java.nio.file.Files.createTempDirectory("graft-layout")
+      sys.addShutdownHook(graft.util.TempDirs.deleteRecursively(d))
       liI.write.parquet(s"$d/li"); orI.write.parquet(s"$d/ord")
       val liP = spark.read.parquet(s"$d/li")
       val orP = spark.read.parquet(s"$d/ord")
       println(s"PROBE layout: ${liP.count()} lineitems x ${orP.count()} orders")
       val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def rollup(l: org.apache.spark.sql.DataFrame,
-                 o: org.apache.spark.sql.DataFrame): Long =
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5))))
-          .count()
-      time(s"layout_shuffle_join_${factor}x")(rollup(liP, orP))
-      val wh = java.nio.file.Paths.get(java.net.URI.create(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      Seq("li_probe", "ord_probe").foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = wh.resolve(t)
-        if (java.nio.file.Files.exists(loc))
-          graft.util.TempDirs.deleteRecursively(loc)
-      }
-      time(s"layout_bucket_write_${factor}x") {
-        liP.write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable("li_probe")
-        orP.write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable("ord_probe")
-        2L
-      }
-      time(s"layout_bucketed_join_${factor}x")(
-        rollup(spark.table("li_probe"), spark.table("ord_probe")))
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      try {
+        def rollup(l: org.apache.spark.sql.DataFrame,
+                   o: org.apache.spark.sql.DataFrame): Long =
+          l.join(o, col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5))))
+            .count()
+        time(s"layout_shuffle_join_${factor}x")(rollup(liP, orP))
+        graft.io.Tables.scrubManagedTables(spark,
+          Seq("li_probe", "ord_probe"))
+        time(s"layout_bucket_write_${factor}x") {
+          liP.write.bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("li_probe")
+          orP.write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("ord_probe")
+          2L
+        }
+        time(s"layout_bucketed_join_${factor}x")(
+          rollup(spark.table("li_probe"), spark.table("ord_probe")))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     }
 
     if (probes("bootstrap")) {

@@ -128,6 +128,19 @@ object GraftFunctions {
   // agree BY CONSTRUCTION whenever their inputs agree.
   // ---------------------------------------------------------------------
 
+  /** The platform's canonical 50/50 A/B assignment: variant =
+    * pmod(md5_63("ab:" ‖ user), 2) → "A"/"B". q308 certifies this
+    * split's sample ratio and q131/q304 read metrics on it — every
+    * consumer goes through THIS helper so the certified split and the
+    * tested split are structurally one expression (a salt edit in a
+    * copy would silently decouple them). Oracle twin: the
+    * `md5_number_lower('ab:' ‖ user) & 2⁶³−1 % 2` CASE. */
+  def abVariant(user: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, lit, pmod, when}
+    when(pmod(md5_63(concat(lit("ab:"), user)), lit(2)) === 0, "A")
+      .otherwise("B")
+  }
+
   /** Half-up quantization of a double to `s` decimal places, emitted as
     * DOUBLE: `floor(x·10^s + 0.5) / 10^s`. Oracle twin: [[qroundSql]].
     * (Negative half-boundaries round toward +∞, unlike HALF_UP's

@@ -201,20 +201,14 @@ object Tables {
     * harness fast while exercising the real multi-bucket path.
     * Returns the (lineitem, orders) table frames. */
   def bucketedOrderTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val tag = math.abs(scala.util.hashing.MurmurHash3.stringHash(dir)).toString
+    // Sanitized-dir tag: collision-free per input dir (a 32-bit hash can
+    // collide, silently serving the wrong dir's data to the first
+    // caller's still-lazy frames) and never negative (a leading '-'
+    // breaks the unquoted DROP TABLE identifier).
+    val tag = dir.toLowerCase.replaceAll("[^a-z0-9]", "_")
     val (liName, ordName) = (s"li_bkt_$tag", s"ord_bkt_$tag")
     graft.util.SessionMemo(spark, s"bucketed-stage:$dir") {
-      // A managed-table location left behind by a PREVIOUS JVM (the
-      // warehouse dir outlives the in-memory catalog) makes saveAsTable
-      // fail with LOCATION_ALREADY_EXISTS even under overwrite — drop
-      // any catalog entry AND scrub the stale directory first.
-      val wh = java.nio.file.Paths.get(java.net.URI.create(
-        spark.conf.get("spark.sql.warehouse.dir")).getPath)
-      Seq(liName, ordName).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = wh.resolve(t)
-        if (java.nio.file.Files.exists(loc)) deleteRecursively(loc)
-      }
+      scrubManagedTables(spark, Seq(liName, ordName))
       lineitem(spark, dir)
         .select("l_orderkey", "l_extendedprice", "l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -226,6 +220,21 @@ object Tables {
       ()
     }
     (spark.table(liName), spark.table(ordName))
+  }
+
+  /** Drop catalog entries AND scrub their warehouse directories. A
+    * managed-table LOCATION left behind by a PREVIOUS JVM (the warehouse
+    * dir outlives the in-memory catalog) makes saveAsTable fail with
+    * LOCATION_ALREADY_EXISTS even under mode("overwrite") — every
+    * bucketed-staging site must scrub before writing. */
+  def scrubManagedTables(spark: SparkSession, names: Seq[String]): Unit = {
+    val wh = java.nio.file.Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = wh.resolve(t)
+      if (java.nio.file.Files.exists(loc)) deleteRecursively(loc)
+    }
   }
 
   private def deleteRecursively(d: java.nio.file.Path): Unit =

@@ -819,9 +819,7 @@ object OlapQueries {
   val q131: Q = (spark, dir) => {
     val users = Tables.events(spark, dir).select("user_id").distinct()
       .withColumn("variant",
-        when(pmod(graft.functions.GraftFunctions.md5_63(
-          concat(lit("ab:"), col("user_id"))), lit(2)) === 0, "A")
-          .otherwise("B"))
+        graft.functions.GraftFunctions.abVariant(col("user_id")))
     // conversion = a HIGH-VALUE purchase (>150): the raw any-purchase
     // event saturates (p̂ = 1 ⇒ zero-variance z) on the fixture
     val conv = Tables.events(spark, dir)
@@ -2822,9 +2820,7 @@ object OlapQueries {
     val events = Tables.events(spark, dir)
     val users = events.select("user_id").distinct()
       .withColumn("variant",
-        when(pmod(graft.functions.GraftFunctions.md5_63(
-          concat(lit("ab:"), col("user_id"))), lit(2)) === 0, "A")
-          .otherwise("B"))
+        graft.functions.GraftFunctions.abVariant(col("user_id")))
     val umax = events.groupBy("user_id", "event_type")
       .agg(max("value").as("mx"))
     val tests = events.select("event_type").distinct()
@@ -2953,8 +2949,9 @@ object OlapQueries {
     * noise drawn DETERMINISTICALLY from the keyed-md5 PRNG via the
     * Laplace inverse CDF — the same seeded-uniform discipline as every
     * sampling op here (M5), so the release is reproducible, gate-able,
-    * and layout-independent. u = (h+0.5)/2⁶³ ∈ (0,1) strictly (the +0.5
-    * dodges ln(0) at both ends); x = −b·sgn(u−½)·ln(1−2|u−½|). The
+    * and layout-independent. u = (h%2⁵² + 0.5)/2⁵² ∈ (0,1) strictly and
+    * EXACT in double (a 63-bit cast rounds; its top values land on 2⁶³
+    * → u = 1.0 → ln(0)); x = −b·sgn(u−½)·ln(1−2|u−½|). The
     * branchy sign is written as the SAME two-arm CASE in engine and
     * oracle — no dependence on either engine's sign() conventions. Per
     * released cell the cost is one hash + one log: releasing a trillion
@@ -2963,9 +2960,14 @@ object OlapQueries {
     val b = 2.0 // 1/ε, ε = 0.5
     val per = Tables.customer(spark, dir)
       .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
-    val u = (graft.functions.GraftFunctions.md5_63(
-      concat(lit("dp:"), col("c_nationkey"))).cast("double") + 0.5) /
-      lit(math.pow(2.0, 63)) // exactly representable; SQL twin 9223372036854775808.0
+    // low 52 bits of the hash: every value is EXACT in double (a full
+    // 63-bit cast rounds, and the ~512 top values round UP to 2⁶³,
+    // putting u at exactly 1.0 → ln(0) — NULL in Spark, -inf in DuckDB:
+    // a latent gate divergence). (h%2⁵² + 0.5) ≤ 2⁵²−0.5 keeps u
+    // strictly inside (0,1) with all arithmetic exact.
+    val u = (pmod(graft.functions.GraftFunctions.md5_63(
+      concat(lit("dp:"), col("c_nationkey"))), lit(4503599627370496L))
+      .cast("double") + 0.5) / lit(4503599627370496.0)
     val v = u - 0.5
     val noise = when(v >= 0, lit(-b) * log(lit(1.0) - lit(2.0) * v))
       .otherwise(lit(b) * log(lit(1.0) + lit(2.0) * v))
@@ -2986,9 +2988,7 @@ object OlapQueries {
     val events = Tables.events(spark, dir)
     val cohort = events.select("event_type", "user_id").distinct()
       .withColumn("variant",
-        when(pmod(graft.functions.GraftFunctions.md5_63(
-          concat(lit("ab:"), col("user_id"))), lit(2)) === 0, "A")
-          .otherwise("B"))
+        graft.functions.GraftFunctions.abVariant(col("user_id")))
     cohort.groupBy("event_type")
       .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
@@ -3756,9 +3756,9 @@ object OlapQueries {
          |  FROM customer GROUP BY 1),
          |r AS (
          |  SELECT c_nationkey, n,
-         |    (CAST((md5_number_lower('dp:' || c_nationkey::VARCHAR)
-         |           & $H)::BIGINT AS DOUBLE) + 0.5)
-         |      / 9223372036854775808.0 - 0.5 AS v
+         |    (CAST(((md5_number_lower('dp:' || c_nationkey::VARCHAR)
+         |           & $H)::BIGINT % 4503599627370496) AS DOUBLE) + 0.5)
+         |      / 4503599627370496.0 - 0.5 AS v
          |  FROM per)
          |SELECT c_nationkey,
          |  floor((n + CASE WHEN v >= 0 THEN -2.0 * ln(1.0 - 2.0 * v)
