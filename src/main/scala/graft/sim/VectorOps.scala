@@ -8,18 +8,23 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 /** Vector similarity operators over `array<float>` embedding columns.
   *
-  * All dot products run as sequential left-folds over the array
-  * (`aggregate(zip_with(...))`) in double precision — deterministic
-  * regardless of partitioning (unlike summing exploded rows), which is what
-  * makes cosine scores DuckDB-oracle-comparable bit-for-bit.
+  * All dot products run as sequential left-folds over the array in
+  * double precision — deterministic regardless of partitioning (unlike
+  * summing exploded rows), which is what makes cosine scores
+  * DuckDB-oracle-comparable bit-for-bit.
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<float> columns, in double. */
+  /** Sequential-fold dot product of two float/double array columns, in
+    * double — the codegen'd [[org.apache.spark.sql.graft.DotProduct]]
+    * expression (the `aggregate(zip_with(...))` HOF form it replaces is
+    * CodegenFallback and allocates a products array per row; the native
+    * loop is operation-for-operation value-identical). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftShim.column(
+      org.apache.spark.sql.graft.DotProduct(
+        org.apache.spark.sql.GraftShim.expression(a),
+        org.apache.spark.sql.GraftShim.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
