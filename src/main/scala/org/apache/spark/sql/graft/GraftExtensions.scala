@@ -57,7 +57,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),
     ("graft_minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), intLitOf(args(1)))))
+      (args: Seq[Expression]) => MinHashSig(args(0), intLitOf(args(1)))),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
 
   /** Register the graft functions into an already-built session. */
   def register(spark: SparkSession): Unit =

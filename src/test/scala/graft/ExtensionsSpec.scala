@@ -43,7 +43,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val names = GraftExtensions.functions.map(_._1).toSet
     assert(names == Set("graft_md5_63", "graft_sorted_intersect_count",
       "graft_minhash_agg", "graft_minhash_sig", "graft_jaro_winkler",
-      "graft_topk_agg", "graft_kmv_agg", "graft_hll_agg"))
+      "graft_topk_agg", "graft_kmv_agg", "graft_hll_agg", "graft_dot"))
+    // the SQL surface of the newest expression
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      .head().getDouble(0)
+    assert(d == 11.0)
     new org.apache.spark.sql.graft.GraftExtensions() // constructible for spark.sql.extensions
   }
 
