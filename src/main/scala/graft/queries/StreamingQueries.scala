@@ -814,7 +814,39 @@ object StreamingQueries {
         max(col("late_s")).as("max_late_s"))
   }
 
+  /** q315 — STREAMING sample-ratio-mismatch monitor: q308's
+    * certification computed ON the stream, so a broken assignment or a
+    * logging pipeline dropping one arm is caught while the experiment
+    * runs — not at read time, after the damage. Per-cohort distinct
+    * users via streaming dropDuplicates (state = one key per
+    * (type, user); production bounds it with the q64 watermark
+    * horizon), the canonical [[graft.functions.GraftFunctions.abVariant]]
+    * split, Complete-mode counts; the chi-square and flag are scalar
+    * math on the groups-sized result. Gated against q308's EXACT batch
+    * oracle — the stream must converge to the batch certification. */
+  val q315: Q = (spark, dir) => {
+    val name = s"q315_out_${runId.incrementAndGet()}"
+    val cohorts = stream(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+      .withColumn("variant",
+        graft.functions.GraftFunctions.abVariant(col("user_id")))
+      .groupBy("event_type")
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+    EventStreams.runToMemory(spark, cohorts, name, OutputMode.Complete)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        qround((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")), 6)
+          .as("chi2"),
+        when((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")) > 3.841,
+          1L).otherwise(0L).as("srm_flag"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q315_stream_srm" -> q315,
     "q296_watermark_lateness" -> q296,
     "q213_stream_anomaly" -> q213,
     "q203_stream_quantiles" -> q203,
@@ -857,6 +889,10 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The stream must converge to the batch certification: same oracle,
+    // by reference, as the batch q308 — agreement with batch semantics
+    // is THE correctness property of the incremental form.
+    "q315_stream_srm" -> OlapQueries.oracles("q308_srm_check"),
     "q296_watermark_lateness" ->
       """WITH l AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
