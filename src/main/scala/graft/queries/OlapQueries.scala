@@ -3197,7 +3197,61 @@ object OlapQueries {
       .orderBy("budget")
   }
 
+  /** q316 — Bayesian-average item ranking (the IMDb top-250 formula):
+    * shrink each item's mean rating toward the global mean with prior
+    * weight m=50 pseudo-votes — score = (Σr + m·C)/(v + m) — so a
+    * 5.0-mean item with three votes can't outrank a well-attested 4.6
+    * (q228's Wilson bound is the binomial sibling; this is the
+    * continuous-rating one). Rating sums are exact cents; the global
+    * mean enters once per row as the same IEEE expression in both
+    * engines. Top-50 with id tiebreak. */
+  val q316: Q = (spark, dir) => {
+    val per = Tables.ratings(spark, dir)
+      .filter(col("item_id").isNotNull)
+      .select(col("item_id"),
+        floor(col("rating") * 100 + lit(0.5)).as("cents"))
+      .groupBy("item_id")
+      .agg(count(lit(1)).as("v"), sum("cents").as("s"))
+    val g = per.agg(sum("s").as("ts"), sum("v").as("tv"))
+    per.crossJoin(broadcast(g))
+      .select(col("item_id"), col("v"),
+        qround(col("s").cast("double") / col("v") / 100.0, 6)
+          .as("mean_rating"),
+        qround((col("s") + lit(50.0) *
+          (col("ts").cast("double") / col("tv"))) /
+          (col("v") + lit(50.0)) / 100.0, 6).as("bayes_score"))
+      .orderBy(col("bayes_score").desc, col("item_id")).limit(50)
+  }
+
+  /** q317 — ordered string aggregation (LISTAGG): per nation, its
+    * market segments concatenated in descending-revenue order — the
+    * classic report-formatting aggregate the surface lacked. Spark has
+    * no ordered string_agg; the deterministic form is
+    * sort_array(collect_list(struct(sortKey, val))) → transform →
+    * array_join, which distributes as a regular aggregate (each
+    * nation's segment list is dictionary-sized). Revenue is exact
+    * summed cents; the order key is (revenue DESC, segment ASC) in
+    * both engines. */
+  val q317: Q = (spark, dir) => {
+    val per = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))
+        .as("rev_cents"))
+    per.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("rev_cents").as("nation_cents"),
+        array_join(transform(
+          sort_array(collect_list(struct(
+            (-col("rev_cents")).as("neg"), col("c_mktsegment").as("seg")))),
+          s => s.getField("seg")), ",").as("segments_by_revenue"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q316_bayesian_average" -> q316,
+    "q317_listagg_segments" -> q317,
     "q313_xmr_chart" -> q313,
     "q314_packing_sweep" -> q314,
     "q309_safety_stock" -> q309,
@@ -3575,6 +3629,37 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q316_bayesian_average" ->
+      """WITH r AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |per AS (
+        |  SELECT item_id, CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(cents) AS BIGINT) AS s
+        |  FROM r GROUP BY 1),
+        |g AS (SELECT CAST(SUM(s) AS BIGINT) AS ts,
+        |             CAST(SUM(v) AS BIGINT) AS tv FROM per)
+        |SELECT item_id, v,
+        |  floor((CAST(s AS DOUBLE) / v / 100.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_rating,
+        |  floor(((s + 50.0 * (CAST(ts AS DOUBLE) / tv)) / (v + 50.0)
+        |    / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS bayes_score
+        |FROM per, g
+        |ORDER BY bayes_score DESC, item_id LIMIT 50""".stripMargin,
+    "q317_listagg_segments" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(rev_cents) AS BIGINT) AS nation_cents,
+        |  string_agg(c_mktsegment, ','
+        |    ORDER BY rev_cents DESC, c_mktsegment) AS segments_by_revenue
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q313_xmr_chart" ->
       """WITH daily AS (
         |  SELECT (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,
