@@ -72,9 +72,12 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     System.err.println(s"[bench-full] $fullLine")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    // Only a FULL run may write the artifact: a dev subset run would
+    // silently clobber the full-surface record the docs cite.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
     println(
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"queries_note":"slowest 30 of ${results.size}; full map in stderr [bench-full] and bench_full.json","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -141,6 +141,18 @@ object GraftFunctions {
       .otherwise("B")
   }
 
+  /** Sample-ratio-mismatch statistic for a 50/50 design: the 1-dof
+    * chi-square (n_a−n_b)²/(n_a+n_b) and its α=0.05 flag (3.841 bar) —
+    * shared by the batch certification (q308) and its streaming twin
+    * (q315), which are oracle-gated to the SAME SQL; one expression
+    * here means an edit to the bar or the form cannot decouple them.
+    * Returns (chi2 quantized to 6dp, flag as 0/1 long). */
+  def srmColumns(nA: Column, nB: Column): (Column, Column) = {
+    import org.apache.spark.sql.functions.when
+    val chi = (nA - nB).cast("double") * (nA - nB) / (nA + nB)
+    (qround(chi, 6), when(chi > 3.841, 1L).otherwise(0L))
+  }
+
   /** Half-up quantization of a double to `s` decimal places, emitted as
     * DOUBLE: `floor(x·10^s + 0.5) / 10^s`. Oracle twin: [[qroundSql]].
     * (Negative half-boundaries round toward +∞, unlike HALF_UP's

@@ -201,11 +201,14 @@ object Tables {
     * harness fast while exercising the real multi-bucket path.
     * Returns the (lineitem, orders) table frames. */
   def bucketedOrderTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // Sanitized-dir tag: collision-free per input dir (a 32-bit hash can
-    // collide, silently serving the wrong dir's data to the first
-    // caller's still-lazy frames) and never negative (a leading '-'
-    // breaks the unquoted DROP TABLE identifier).
-    val tag = dir.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    // Tag = bounded sanitized dir + unsigned 32-bit hash: readable,
+    // never negative (a leading '-' breaks the unquoted DROP TABLE
+    // identifier), length-bounded for metastore identifier limits, and
+    // the hash suffix disambiguates dirs the case/punctuation folding
+    // would otherwise collapse (/data/sf0.1 vs /data/sf0_1).
+    val tag = dir.toLowerCase.replaceAll("[^a-z0-9]", "_").takeRight(40) +
+      "_" + (scala.util.hashing.MurmurHash3.stringHash(dir).toLong &
+        0xffffffffL).toHexString
     val (liName, ordName) = (s"li_bkt_$tag", s"ord_bkt_$tag")
     graft.util.SessionMemo(spark, s"bucketed-stage:$dir") {
       scrubManagedTables(spark, Seq(liName, ordName))

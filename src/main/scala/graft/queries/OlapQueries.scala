@@ -2989,16 +2989,13 @@ object OlapQueries {
     val cohort = events.select("event_type", "user_id").distinct()
       .withColumn("variant",
         graft.functions.GraftFunctions.abVariant(col("user_id")))
+    val (chi2, flag) = graft.functions.GraftFunctions.srmColumns(
+      col("n_a"), col("n_b"))
     cohort.groupBy("event_type")
       .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
       .select(col("event_type"), col("n_a"), col("n_b"),
-        qround((col("n_a") - col("n_b")).cast("double") *
-          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")), 6)
-          .as("chi2"),
-        when((col("n_a") - col("n_b")).cast("double") *
-          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")) > 3.841,
-          1L).otherwise(0L).as("srm_flag"))
+        chi2.as("chi2"), flag.as("srm_flag"))
       .orderBy("event_type")
   }
 

@@ -50,13 +50,29 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
+    // the loop is emitted inline — no per-row boxing, no method-call
+    // boundary on the innermost O(pairs) path this expression exists for
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("dotResult")
+      val n = ctx.freshName("dotN")
+      val i = ctx.freshName("dotI")
+      val s = ctx.freshName("dotS")
+      val getA =
+        if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB =
+        if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |java.lang.Double $r = org.apache.spark.sql.graft.DotProduct.dot(
-         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
-         |if ($r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $r.doubleValue(); }
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $s += $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
        """.stripMargin
     })
 

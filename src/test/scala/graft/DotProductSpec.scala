@@ -42,7 +42,9 @@ class DotProductSpec extends AnyFunSuite {
     val cmp = df.select(
       graft.sim.VectorOps.dot(col("d"), col("f")).as("native"),
       hofDot(col("d"), col("f")).as("hof"))
-    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+    // null-safe inequality: a plain =!= is NULL (row dropped) when one
+    // side regresses to NULL, which would pass the test silently
+    assert(cmp.filter(!(col("native") <=> col("hof"))).count() == 0)
   }
 
   test("null semantics mirror zip_with/aggregate: null array, null " +
