@@ -3246,7 +3246,106 @@ object OlapQueries {
       .orderBy("c_nationkey")
   }
 
+  /** q318 — information-gain feature ranking: IG(X) = H(Y) − H(Y|X) in
+    * nats for each candidate categorical (order priority, customer
+    * segment, customer nation) against the Y = order-failed label — the
+    * split-quality number behind every tree/feature-selection pass
+    * (q168's stump picks ONE split by error; this ranks FEATURES by
+    * expected entropy drop; q302's WOE is the per-category view). The
+    * melt is three conditional projections of one joined frame; all
+    * entropy terms are per-row doubles from exact integer counts,
+    * quantized to DECIMAL(28,9) before the order-free cross-value sum. */
+  val q318: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.decOut
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        col("o_orderpriority"), col("c_mktsegment"),
+        col("c_nationkey").cast("string").as("nation"))
+    val melted = Seq(
+      ("priority", col("o_orderpriority")),
+      ("segment", col("c_mktsegment")),
+      ("nation", col("nation"))).map { case (f, c) =>
+        base.select(lit(f).as("feature"), c.as("v"), col("y"))
+      }.reduce(_ unionByName _)
+    val cells = melted.groupBy("feature", "v")
+      .agg(count(lit(1)).as("n_x"), sum("y").as("n_x1"))
+    val tot = cells.filter(col("feature") === "priority")
+      .agg(sum("n_x").as("n"), sum("n_x1").as("n1"))
+    def hOf(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(p > 0 && p < 1,
+        -(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+        .otherwise(lit(0.0))
+    val withH = cells.crossJoin(broadcast(tot))
+      .withColumn("term", graft.functions.GraftFunctions.qdec(
+        (col("n_x").cast("double") / col("n")) *
+          hOf(col("n_x1").cast("double") / col("n_x")), 28, 9))
+    withH.groupBy("feature")
+      .agg(count(lit(1)).as("n_values"),
+        sum("term").as("hcond"),
+        max(hOf(col("n1").cast("double") / col("n"))).as("hy"))
+      .select(col("feature"), col("n_values"),
+        decOut(col("hy"), 6).as("h_y_nats"),
+        decOut(col("hy") - col("hcond").cast("double"), 6).as("info_gain"))
+      .orderBy("feature")
+  }
+
+  /** q319 — Kruskal–Wallis k-sample rank test (does `value` differ in
+    * LOCATION across event types?): the k-group extension of q214's
+    * Mann–Whitney. Distributed rank assignment without a global row
+    * sort: distinct values get average ranks from the value-level ECDF
+    * — 2·avgrank(v) = 2·F(v) + c(v) + 1 is exact INTEGER — so group
+    * rank sums are exact BIGINT halves of that, whatever the partition
+    * order; per-group H terms and the tie correction enter double once
+    * per group/value from exact ints. H' = H / (1 − Σ(t³−t)/(N³−N)),
+    * flagged at the χ²₀.₀₅ bar for dof = k−1 (pinned 9.488 for this
+    * fixture's 5 types, asserted against dof). */
+  val q319: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.{decOut, qdec}
+    val vals = Tables.events(spark, dir)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("c_gv"))
+    val perVal = vals.groupBy("value").agg(sum("c_gv").as("c_v"))
+      .withColumn("f_below",
+        coalesce(sum("c_v").over(Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = vals.join(perVal, Seq("value"))
+      .withColumn("rank2", lit(2L) * col("f_below") + col("c_v") + 1L)
+    val groups = joined.groupBy("event_type")
+      .agg(sum("c_gv").as("n_g"),
+        sum(col("c_gv") * col("rank2")).as("r2_g"))
+    val ties = perVal.agg(
+      sum("c_v").as("n"),
+      sum(col("c_v") * col("c_v") * col("c_v") - col("c_v")).as("tie3"))
+    val terms = groups.crossJoin(broadcast(ties))
+      .withColumn("term", qdec(
+        (col("r2_g").cast("double") / 2.0) *
+          (col("r2_g").cast("double") / 2.0) / col("n_g"), 28, 6))
+    terms.groupBy("n", "tie3")
+      .agg(count(lit(1)).as("k"), sum("term").as("sum_terms"))
+      .select(col("k"), col("n"),
+        decOut((lit(12.0) / (col("n").cast("double") * (col("n") + 1))) *
+          col("sum_terms").cast("double") -
+          lit(3.0) * (col("n") + 1), 6).as("h"),
+        decOut(((lit(12.0) / (col("n").cast("double") * (col("n") + 1))) *
+          col("sum_terms").cast("double") -
+          lit(3.0) * (col("n") + 1)) /
+          (lit(1.0) - col("tie3").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") - col("n"))),
+          6).as("h_tie_corrected"),
+        (col("k") - 1).as("dof"),
+        when(col("k") - 1 === 4 &&
+          ((lit(12.0) / (col("n").cast("double") * (col("n") + 1))) *
+            col("sum_terms").cast("double") -
+            lit(3.0) * (col("n") + 1)) /
+            (lit(1.0) - col("tie3").cast("double") /
+              (col("n").cast("double") * col("n") * col("n") - col("n")))
+            > 9.488, 1L).otherwise(0L).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q318_info_gain" -> q318,
+    "q319_kruskal_wallis" -> q319,
     "q316_bayesian_average" -> q316,
     "q317_listagg_segments" -> q317,
     "q313_xmr_chart" -> q313,
@@ -3626,6 +3725,103 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q318_info_gain" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    o_orderpriority, c_mktsegment,
+        |    CAST(c_nationkey AS VARCHAR) AS nation
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |melted AS (
+        |  SELECT 'priority' AS feature, o_orderpriority AS v, y FROM base
+        |  UNION ALL
+        |  SELECT 'segment', c_mktsegment, y FROM base
+        |  UNION ALL
+        |  SELECT 'nation', nation, y FROM base),
+        |cells AS (
+        |  SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n_x,
+        |    CAST(SUM(y) AS BIGINT) AS n_x1
+        |  FROM melted GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(n_x) AS BIGINT) AS n,
+        |    CAST(SUM(n_x1) AS BIGINT) AS n1
+        |  FROM cells WHERE feature = 'priority'),
+        |wh AS (
+        |  SELECT feature,
+        |    CAST(floor(((CAST(n_x AS DOUBLE) / n) *
+        |      (CASE WHEN CAST(n_x1 AS DOUBLE) / n_x > 0
+        |              AND CAST(n_x1 AS DOUBLE) / n_x < 1
+        |        THEN -((CAST(n_x1 AS DOUBLE) / n_x)
+        |            * ln(CAST(n_x1 AS DOUBLE) / n_x)
+        |          + (1.0 - CAST(n_x1 AS DOUBLE) / n_x)
+        |            * ln(1.0 - CAST(n_x1 AS DOUBLE) / n_x))
+        |        ELSE 0.0 END))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))
+        |      AS term,
+        |    CASE WHEN CAST(n1 AS DOUBLE) / n > 0
+        |           AND CAST(n1 AS DOUBLE) / n < 1
+        |      THEN -((CAST(n1 AS DOUBLE) / n) * ln(CAST(n1 AS DOUBLE) / n)
+        |        + (1.0 - CAST(n1 AS DOUBLE) / n)
+        |          * ln(1.0 - CAST(n1 AS DOUBLE) / n))
+        |      ELSE 0.0 END AS hy
+        |  FROM cells, tot)
+        |SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  floor(CAST(MAX(hy) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS h_y_nats,
+        |  floor(CAST(MAX(hy) - CAST(SUM(term) AS DOUBLE) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS info_gain
+        |FROM wh GROUP BY 1 ORDER BY feature""".stripMargin,
+    "q319_kruskal_wallis" ->
+      """WITH vals AS (
+        |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c_gv
+        |  FROM events GROUP BY 1, 2),
+        |perval AS (
+        |  SELECT value, CAST(SUM(c_gv) AS BIGINT) AS c_v
+        |  FROM vals GROUP BY 1),
+        |ecdf AS (
+        |  SELECT value, c_v,
+        |    CAST(COALESCE(SUM(c_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS f_below
+        |  FROM perval),
+        |j AS (
+        |  SELECT v.event_type, v.c_gv,
+        |    2 * e.f_below + e.c_v + 1 AS rank2
+        |  FROM vals v JOIN ecdf e ON v.value = e.value),
+        |grp AS (
+        |  SELECT event_type, CAST(SUM(c_gv) AS BIGINT) AS n_g,
+        |    CAST(SUM(c_gv * rank2) AS BIGINT) AS r2_g
+        |  FROM j GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(SUM(c_v) AS BIGINT) AS n,
+        |    CAST(SUM(c_v * c_v * c_v - c_v) AS BIGINT) AS tie3
+        |  FROM perval),
+        |terms AS (
+        |  SELECT n, tie3,
+        |    CAST(floor(((CAST(r2_g AS DOUBLE) / 2.0)
+        |      * (CAST(r2_g AS DOUBLE) / 2.0) / n_g)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS term
+        |  FROM grp, ties),
+        |s AS (
+        |  SELECT n, tie3, CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(term) AS sum_terms
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT k, n,
+        |  floor(((12.0 / (CAST(n AS DOUBLE) * (n + 1)))
+        |      * CAST(sum_terms AS DOUBLE) - 3.0 * (n + 1))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h,
+        |  floor((((12.0 / (CAST(n AS DOUBLE) * (n + 1)))
+        |      * CAST(sum_terms AS DOUBLE) - 3.0 * (n + 1))
+        |    / (1.0 - CAST(tie3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * n - n)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS h_tie_corrected,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  CAST(CASE WHEN k - 1 = 4 AND
+        |    (((12.0 / (CAST(n AS DOUBLE) * (n + 1)))
+        |      * CAST(sum_terms AS DOUBLE) - 3.0 * (n + 1))
+        |    / (1.0 - CAST(tie3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * n - n))) > 9.488
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM s""".stripMargin,
     "q316_bayesian_average" ->
       """WITH r AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
