@@ -3343,7 +3343,88 @@ object OlapQueries {
             > 9.488, 1L).otherwise(0L).as("significant"))
   }
 
+  /** q320 — classical seasonal decomposition of daily revenue (the EDA
+    * readout BEFORE any model: trend = centered 7-day moving average,
+    * seasonal index per day-of-week = mean detrended ratio, residual
+    * spread per dow): q156 reads raw dow means and q243's Holt–Winters
+    * FITS a model — this is the model-free decomposition between them.
+    * Daily totals exact cents; the MA is a ratio of exact window sums;
+    * detrended ratios are per-row doubles quantized to DECIMAL(28,9)
+    * before the per-dow mean. One day-ordered window over the
+    * days-sized frame (q313's shape). */
+  val q320: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.{decOut, qdec}
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(expr("cast(cast(l_shipdate as timestamp) as long) div 86400")
+        .as("day"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5))).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("ma_sum", sum("cents").over(w))
+      .withColumn("ma_n", count(lit(1)).over(w))
+      // only full 7-day windows define the trend (edges drop, the
+      // classical convention)
+      .filter(col("ma_n") === 7)
+      .withColumn("ratio", qdec(col("cents").cast("double") /
+        (col("ma_sum").cast("double") / 7.0), 28, 9))
+      .withColumn("dow", pmod(col("day") + 4, lit(7L))) // epoch day 0 = Thu
+    det.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum("ratio").as("rsum"),
+        min("ratio").as("rmin"), max("ratio").as("rmax"))
+      .select(col("dow"), col("n_days"),
+        decOut(col("rsum").cast("double") / col("n_days"), 6)
+          .as("seasonal_index"),
+        decOut(col("rmax").cast("double") - col("rmin").cast("double"), 6)
+          .as("ratio_range"))
+      .orderBy("dow")
+  }
+
+  /** q321 — Theil-T inequality with between/within decomposition:
+    * customer spend concentration as T = Σ sᵢ·ln(sᵢ·N) (sᵢ = spend
+    * share), split EXACTLY into between-nation + within-nation parts —
+    * the additive decomposability Gini (q276) famously lacks, and the
+    * number that says WHERE the concentration lives. Zero-spend
+    * customers contribute 0 (lim x·ln x = 0). Shares are per-row
+    * doubles from exact cents totals, DECIMAL(28,9)-quantized before
+    * every cross-row sum; between-term from the nations-sized frame. */
+  val q321: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.{decOut, qdec}
+    val y = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))
+          .as("spend_cents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"),
+        coalesce(col("spend_cents"), lit(0L)).as("cents"))
+    val tot = y.agg(sum("cents").as("tc"), count(lit(1)).as("nc"))
+    val withTot = y.crossJoin(broadcast(tot))
+    val share = col("cents").cast("double") / col("tc")
+    val total = withTot
+      .select(qdec(when(col("cents") > 0,
+        share * log(share * col("nc"))).otherwise(lit(0.0)), 28, 9)
+        .as("t"))
+      .agg(sum("t").as("t_total"))
+    val nation = y.groupBy("c_nationkey")
+      .agg(sum("cents").as("gc"), count(lit(1)).as("gn"))
+      .crossJoin(broadcast(tot))
+    val gshare = col("gc").cast("double") / col("tc")
+    val between = nation
+      .select(qdec(when(col("gc") > 0,
+        gshare * log(gshare * (col("nc").cast("double") / col("gn"))))
+        .otherwise(lit(0.0)), 28, 9).as("b"))
+      .agg(sum("b").as("t_between"))
+    total.crossJoin(between)
+      .select(decOut(col("t_total"), 6).as("theil_total"),
+        decOut(col("t_between"), 6).as("theil_between"),
+        decOut(col("t_total").cast("double") -
+          col("t_between").cast("double"), 6).as("theil_within"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q320_seasonal_decomposition" -> q320,
+    "q321_theil_decomposition" -> q321,
     "q318_info_gain" -> q318,
     "q319_kruskal_wallis" -> q319,
     "q316_bayesian_average" -> q316,
@@ -3725,6 +3806,70 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q320_seasonal_decomposition" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |ma AS (
+        |  SELECT day, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ma_sum,
+        |    CAST(COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS ma_n
+        |  FROM daily),
+        |det AS (
+        |  SELECT ((day + 4) % 7) AS dow,
+        |    CAST(floor((CAST(cents AS DOUBLE)
+        |        / (CAST(ma_sum AS DOUBLE) / 7.0))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))
+        |      AS ratio
+        |  FROM ma WHERE ma_n = 7)
+        |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  floor((CAST(SUM(ratio) AS DOUBLE) / COUNT(*))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS seasonal_index,
+        |  floor((CAST(MAX(ratio) AS DOUBLE) - CAST(MIN(ratio) AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS ratio_range
+        |FROM det GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q321_theil_decomposition" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |y AS (
+        |  SELECT c_nationkey, COALESCE(spend_cents, 0) AS cents
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+        |               CAST(COUNT(*) AS BIGINT) AS nc FROM y),
+        |t AS (
+        |  SELECT CAST(SUM(CAST(floor((CASE WHEN cents > 0
+        |      THEN (CAST(cents AS DOUBLE) / tc)
+        |        * ln((CAST(cents AS DOUBLE) / tc) * nc)
+        |      ELSE 0.0 END) * 1000000000.0 + 0.5) / 1000000000.0
+        |    AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS t_total
+        |  FROM y, tot),
+        |nat AS (
+        |  SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS gc,
+        |    CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM y GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(SUM(CAST(floor((CASE WHEN gc > 0
+        |      THEN (CAST(gc AS DOUBLE) / tc)
+        |        * ln((CAST(gc AS DOUBLE) / tc)
+        |          * (CAST(nc AS DOUBLE) / gn))
+        |      ELSE 0.0 END) * 1000000000.0 + 0.5) / 1000000000.0
+        |    AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS t_between
+        |  FROM nat, tot)
+        |SELECT
+        |  floor(CAST(t_total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS theil_total,
+        |  floor(CAST(t_between AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS theil_between,
+        |  floor((CAST(t_total AS DOUBLE) - CAST(t_between AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS theil_within
+        |FROM t, b""".stripMargin,
     "q318_info_gain" ->
       """WITH base AS (
         |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
