@@ -104,6 +104,70 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q313 XmR limits bracket the center line and violations are bounded") {
+    val r = Registry.all("q313_xmr_chart")(spark, sf).head()
+    val (xbar, ucl, lcl) = (r.getAs[Double]("xbar_dollars"),
+      r.getAs[Double]("ucl"), r.getAs[Double]("lcl"))
+    assert(lcl < xbar && xbar < ucl)
+    assert(r.getAs[Long]("n_violations") >= 0 &&
+      r.getAs[Long]("n_violations") <= r.getAs[Long]("n_days"))
+    // 2.66·MR̄ on each side: UCL−LCL = 2·2.66·MR̄ (up to output rounding)
+    assert(math.abs((ucl - lcl) - 2 * 2.66 * r.getAs[Double]("mrbar_dollars"))
+      < 1e-4)
+  }
+
+  test("q316 Bayesian average shrinks every item TOWARD the global mean") {
+    val rows = Registry.all("q316_bayesian_average")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recover the global mean from any row: score is a convex combination
+    // of mean_rating and C, so C is between the extremes of (score-mean)
+    rows.foreach { r =>
+      val (mean, score) = (r.getAs[Double]("mean_rating"),
+        r.getAs[Double]("bayes_score"))
+      val v = r.getAs[Long]("v")
+      // |score − mean| ≤ (m/(v+m))·|C − mean| ≤ |C − mean|: shrinkage
+      // never overshoots past the prior side; with m=50, low-vote items
+      // move more than high-vote items toward the same C
+      assert(!score.isNaN && !mean.isNaN && v > 0)
+    }
+    // convexity ⇒ the score spread is no wider than the mean spread
+    val means = rows.map(_.getAs[Double]("mean_rating"))
+    val scores = rows.map(_.getAs[Double]("bayes_score"))
+    assert(scores.max - scores.min <= means.max - means.min + 1e-9)
+  }
+
+  test("q319 Kruskal-Wallis: H nonnegative, tie correction only inflates, " +
+      "dof = groups - 1") {
+    val r = Registry.all("q319_kruskal_wallis")(spark, sf).head()
+    val (h, hc) = (r.getAs[Double]("h"), r.getAs[Double]("h_tie_corrected"))
+    assert(h >= -1e-9)
+    assert(hc >= h - 1e-9, "tie correction must not shrink H")
+    assert(r.getAs[Long]("dof") == r.getAs[Long]("k") - 1)
+  }
+
+  test("q320 seasonal indices average ~1 (ratios to their own trend) " +
+      "across the week") {
+    val rows = Registry.all("q320_seasonal_decomposition")(spark, sf)
+      .collect()
+    assert(rows.length == 7)
+    val idx = rows.map(_.getAs[Double]("seasonal_index"))
+    val wMean = rows.map(r => r.getAs[Double]("seasonal_index") *
+      r.getAs[Long]("n_days")).sum / rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(wMean - 1.0) < 0.02,
+      s"day-weighted mean detrended ratio $wMean drifted from 1")
+    assert(idx.forall(i => i > 0.5 && i < 2.0))
+  }
+
+  test("q321 Theil decomposition: parts are nonnegative and sum exactly " +
+      "to the total") {
+    val r = Registry.all("q321_theil_decomposition")(spark, sf).head()
+    val (t, b, w) = (r.getAs[Double]("theil_total"),
+      r.getAs[Double]("theil_between"), r.getAs[Double]("theil_within"))
+    assert(t >= 0 && b >= -1e-9)
+    assert(math.abs(t - (b + w)) < 1e-9, "decomposition must be exact")
+    assert(b <= t + 1e-9)
+  }
+
   test("q305 data card internal consistency: shares in (0,1], dup_pct in " +
       "[0,1), median within observed range") {
     val rows = Registry.all("q305_source_datacard")(spark, sf).collect()
