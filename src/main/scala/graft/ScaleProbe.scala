@@ -545,6 +545,35 @@ object ScaleProbe {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     }
 
+    if (probes("kw")) {
+      // q319's Kruskal–Wallis rank machinery at factor× rows with a
+      // measure whose DISTINCT-value count grows with the data (each
+      // user contributes distinct offsets): group counts and rank sums
+      // are hash-partitioned exact-integer aggregates; the ONLY ordered
+      // walk is the ECDF over distinct values. The claim under test:
+      // wall tracks the distinct-value count. Honest caveat this probe
+      // quantifies: at ~10⁹ distinct values the single ordered walk
+      // needs the q125-style range-bucketed prefix-sum rewrite — same
+      // output, two passes, no single-partition sort.
+      import org.apache.spark.sql.expressions.Window
+      val ev = inflated.select((col("item_id") % 5).cast("string").as("g"),
+        (col("rating") + col("user_id").cast("double") / 1e7).as("v"))
+      val vals = ev.groupBy("g", "v").agg(count(lit(1)).as("c_gv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nDistinct = vals.select("v").distinct().count()
+      time(s"kw_ranks_${factor}x (distinct=$nDistinct)") {
+        val perVal = vals.groupBy("v").agg(sum("c_gv").as("c_v"))
+          .withColumn("f_below",
+            coalesce(sum("c_v").over(Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        vals.join(perVal, Seq("v"))
+          .withColumn("rank2", lit(2L) * col("f_below") + col("c_v") + 1L)
+          .groupBy("g")
+          .agg(sum(col("c_gv") * col("rank2")).as("r2_g")).count()
+      }
+      vals.unpersist(blocking = false)
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits
