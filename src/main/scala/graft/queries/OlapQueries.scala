@@ -3422,7 +3422,74 @@ object OlapQueries {
           col("t_between").cast("double"), 6).as("theil_within"))
   }
 
+  /** q322 — covariate-balance audit for the q303 matching estimator:
+    * standardized mean difference (SMD) of each pre-treatment covariate
+    * (account balance, order count, lifetime spend) between treated and
+    * control, RAW and AFTER the q303 stratification (weights = matched
+    * treated stratum shares) — the diagnostic that says whether
+    * "matched" means comparable (|SMD| < 0.1 is the conventional bar).
+    * Both rows divide by the same unadjusted pooled SD, the standard
+    * convention. Moment sums are exact: Σx in cents longs, Σx² through
+    * DECIMAL(19,0)² → DECIMAL(38,0) (spend² row products outgrow BIGINT
+    * at scale); per-stratum terms quantize before the cross-stratum
+    * weighted sum. */
+  val q322: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.qdec
+    val spend = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)))
+        .as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+    val base = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 200).cast("long").as("bal_bucket"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("treated"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).as("x_acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("x_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("x_spend"))
+    val melted = Seq("x_acctbal", "x_orders", "x_spend").map { c =>
+      base.select(lit(c).as("cov"), col("c_nationkey"), col("bal_bucket"),
+        col("treated"), col(c).as("x"))
+    }.reduce(_ unionByName _)
+    val x2 = col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")
+    val glob = melted.groupBy("cov").agg(
+      sum(col("treated")).as("n_t"),
+      sum(lit(1L) - col("treated")).as("n_c"),
+      sum(when(col("treated") === 1, col("x")).otherwise(0L)).as("s_t"),
+      sum(when(col("treated") === 0, col("x")).otherwise(0L)).as("s_c"),
+      sum(when(col("treated") === 1, x2)
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("ss_t"),
+      sum(when(col("treated") === 0, x2)
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("ss_c"))
+    val strat = melted.groupBy("cov", "c_nationkey", "bal_bucket").agg(
+      sum(col("treated")).as("st_nt"),
+      sum(lit(1L) - col("treated")).as("st_nc"),
+      sum(when(col("treated") === 1, col("x")).otherwise(0L)).as("st_st"),
+      sum(when(col("treated") === 0, col("x")).otherwise(0L)).as("st_sc"))
+      .filter(col("st_nt") > 0 && col("st_nc") > 0)
+    val adj = strat.withColumn("term", qdec(
+      (col("st_st").cast("double") / col("st_nt") -
+        col("st_sc").cast("double") / col("st_nc")) * col("st_nt"), 28, 6))
+      .groupBy("cov")
+      .agg(sum("term").as("wdiff"), sum("st_nt").as("ntm"))
+    val meanT = col("s_t").cast("double") / col("n_t")
+    val meanC = col("s_c").cast("double") / col("n_c")
+    val sdPool = sqrt(
+      ((col("ss_t").cast("double") / col("n_t") - meanT * meanT) +
+        (col("ss_c").cast("double") / col("n_c") - meanC * meanC)) / 2.0)
+    val smdRaw = (meanT - meanC) / sdPool
+    val smdAdj = (col("wdiff").cast("double") / col("ntm")) / sdPool
+    glob.join(adj, Seq("cov"))
+      .select(col("cov"), col("n_t"), col("n_c"),
+        qround(smdRaw, 6).as("smd_raw"),
+        qround(smdAdj, 6).as("smd_adjusted"),
+        when(abs(smdAdj) < 0.1, 1L).otherwise(0L).as("balanced_adj"))
+      .orderBy("cov")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q322_covariate_balance" -> q322,
     "q320_seasonal_decomposition" -> q320,
     "q321_theil_decomposition" -> q321,
     "q318_info_gain" -> q318,
@@ -3806,6 +3873,84 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q322_covariate_balance" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS spend_cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 200) AS BIGINT) AS bal_bucket,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |      AS treated,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x_acctbal,
+        |    COALESCE(n_orders, 0) AS x_orders,
+        |    COALESCE(spend_cents, 0) AS x_spend
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |melted AS (
+        |  SELECT 'x_acctbal' AS cov, c_nationkey, bal_bucket, treated,
+        |    x_acctbal AS x FROM base
+        |  UNION ALL
+        |  SELECT 'x_orders', c_nationkey, bal_bucket, treated, x_orders
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'x_spend', c_nationkey, bal_bucket, treated, x_spend
+        |  FROM base),
+        |gm AS (
+        |  SELECT cov,
+        |    CAST(SUM(treated) AS BIGINT) AS n_t,
+        |    CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN treated = 1 THEN x ELSE 0 END) AS BIGINT)
+        |      AS s_t,
+        |    CAST(SUM(CASE WHEN treated = 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS s_c,
+        |    SUM(CASE WHEN treated = 1
+        |      THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_t,
+        |    SUM(CASE WHEN treated = 0
+        |      THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_c
+        |  FROM melted GROUP BY 1),
+        |strat AS (
+        |  SELECT cov, c_nationkey, bal_bucket,
+        |    CAST(SUM(treated) AS BIGINT) AS st_nt,
+        |    CAST(SUM(1 - treated) AS BIGINT) AS st_nc,
+        |    CAST(SUM(CASE WHEN treated = 1 THEN x ELSE 0 END) AS BIGINT)
+        |      AS st_st,
+        |    CAST(SUM(CASE WHEN treated = 0 THEN x ELSE 0 END) AS BIGINT)
+        |      AS st_sc
+        |  FROM melted GROUP BY 1, 2, 3),
+        |adj AS (
+        |  SELECT cov,
+        |    SUM(CAST(floor(((CAST(st_st AS DOUBLE) / st_nt
+        |          - CAST(st_sc AS DOUBLE) / st_nc) * st_nt)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)))
+        |      AS wdiff,
+        |    CAST(SUM(st_nt) AS BIGINT) AS ntm
+        |  FROM strat WHERE st_nt > 0 AND st_nc > 0 GROUP BY 1),
+        |j AS (SELECT * FROM gm JOIN adj USING (cov))
+        |SELECT cov, n_t, n_c,
+        |  floor(((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+        |    / sqrt(((CAST(ss_t AS DOUBLE) / n_t
+        |        - (CAST(s_t AS DOUBLE) / n_t) * (CAST(s_t AS DOUBLE) / n_t))
+        |      + (CAST(ss_c AS DOUBLE) / n_c
+        |        - (CAST(s_c AS DOUBLE) / n_c) * (CAST(s_c AS DOUBLE) / n_c)))
+        |      / 2.0)) * 1000000.0 + 0.5) / 1000000.0 AS smd_raw,
+        |  floor(((CAST(wdiff AS DOUBLE) / ntm)
+        |    / sqrt(((CAST(ss_t AS DOUBLE) / n_t
+        |        - (CAST(s_t AS DOUBLE) / n_t) * (CAST(s_t AS DOUBLE) / n_t))
+        |      + (CAST(ss_c AS DOUBLE) / n_c
+        |        - (CAST(s_c AS DOUBLE) / n_c) * (CAST(s_c AS DOUBLE) / n_c)))
+        |      / 2.0)) * 1000000.0 + 0.5) / 1000000.0 AS smd_adjusted,
+        |  CAST(CASE WHEN abs((CAST(wdiff AS DOUBLE) / ntm)
+        |    / sqrt(((CAST(ss_t AS DOUBLE) / n_t
+        |        - (CAST(s_t AS DOUBLE) / n_t) * (CAST(s_t AS DOUBLE) / n_t))
+        |      + (CAST(ss_c AS DOUBLE) / n_c
+        |        - (CAST(s_c AS DOUBLE) / n_c) * (CAST(s_c AS DOUBLE) / n_c)))
+        |      / 2.0)) < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS balanced_adj
+        |FROM j ORDER BY cov""".stripMargin,
     "q320_seasonal_decomposition" ->
       """WITH daily AS (
         |  SELECT (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,

@@ -125,6 +125,27 @@ object TextQueries {
   val q27: Q = (spark, dir) =>
     lshPairsCached(spark, dir).orderBy("id_a", "id_b")
 
+  /** q323 — FUZZY benchmark decontamination: the third leg of the
+    * decontamination trilogy — q82 flags exact 8-gram overlap, q94 the
+    * same behind a Bloom band-pass, and this catches NEAR-DUPLICATE
+    * contamination (light paraphrase/edit of a benchmark doc) that
+    * exact n-gram matching misses: MinHash-LSH candidates restricted to
+    * cross-side (train × benchmark) pairs at est-Jaccard ≥ 0.5, rolled
+    * up per training doc. Reuses q27's memoized signature/pair pipeline
+    * (threshold 0.5 ⊂ the cached ≥ 0.4 frame), so the marginal cost of
+    * the fuzzy pass is one filter + one grouped aggregate; at 100 TB
+    * the benchmark side is tiny and its band buckets bound the join. */
+  val q323: Q = (spark, dir) =>
+    lshPairsCached(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .filter((col("id_a") % 17 === 0) =!= (col("id_b") % 17 === 0))
+      .select(when(col("id_a") % 17 =!= 0, col("id_a"))
+        .otherwise(col("id_b")).as("doc_id"), col("est_jaccard"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max("est_jaccard").as("max_est_jaccard"))
+      .orderBy("doc_id")
+
   /** q73 — near-dup CLUSTER resolution: connected components over q27's
     * pair graph (iterative distributed min-label propagation — see
     * [[graft.text.Dedup.connectedComponents]]), canonical = component
@@ -1089,6 +1110,7 @@ object TextQueries {
     "q25_minhash_sigs" -> q25,
     "q26_ngram_jaccard_dups" -> q26,
     "q27_minhash_lsh_dups" -> q27,
+    "q323_fuzzy_decontaminate" -> q323,
     "q57_partitioned_prune" -> q57,
     "q58_orc_roundtrip" -> q58,
     "q59_redact" -> q59,
@@ -2182,6 +2204,18 @@ object TextQueries {
       s"""WITH $lshPairsCte
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q323_fuzzy_decontaminate" ->
+      s"""WITH $lshPairsCte,
+         |fz AS (
+         |  SELECT CASE WHEN id_a % 17 <> 0 THEN id_a ELSE id_b END
+         |      AS doc_id,
+         |    est_jaccard
+         |  FROM est
+         |  WHERE est_jaccard >= 0.5
+         |    AND ((id_a % 17 = 0) <> (id_b % 17 = 0)))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+         |  MAX(est_jaccard) AS max_est_jaccard
+         |FROM fz GROUP BY 1 ORDER BY 1""".stripMargin,
     "q73_neardup_clusters" ->
       s"""WITH RECURSIVE $componentsCte,
          |csz AS (SELECT canonical_id, COUNT(*) AS cluster_size

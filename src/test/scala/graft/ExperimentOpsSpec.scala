@@ -168,6 +168,38 @@ class ExperimentOpsSpec extends AnyFunSuite {
     assert(b <= t + 1e-9)
   }
 
+  test("q322 stratifying ON acctbal drives the acctbal SMD toward zero") {
+    val rows = Registry.all("q322_covariate_balance")(spark, sf).collect()
+    assert(rows.length == 3)
+    val byCov = rows.map(r => r.getAs[String]("cov") ->
+      (r.getAs[Double]("smd_raw"), r.getAs[Double]("smd_adjusted"))).toMap
+    // the stratification variable itself must end (near-)balanced —
+    // within-stratum acctbal spread is at most one 200-unit band
+    val (raw, adj) = byCov("x_acctbal")
+    assert(math.abs(adj) <= math.abs(raw) + 1e-9)
+    assert(math.abs(adj) < 0.1, s"acctbal not balanced after stratification: $adj")
+  }
+
+  test("q323 fuzzy decontamination flags only cross-side near-dups from " +
+      "q27's pair graph") {
+    val fz = Registry.all("q323_fuzzy_decontaminate")(spark, sf).collect()
+    val pairs = Registry.all("q27_minhash_lsh_dups")(spark, sf)
+      .filter(col("est_jaccard") >= 0.5)
+      .filter((col("id_a") % 17 === 0) =!= (col("id_b") % 17 === 0))
+      .collect()
+    // every flagged training doc is the train side of some qualifying pair
+    val trainSides = pairs.map { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      if (a % 17 != 0) a else b
+    }.toSet
+    assert(fz.map(_.getAs[Long]("doc_id")).toSet == trainSides)
+    fz.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 17 != 0, "flagged a benchmark doc")
+      val mx = r.getAs[Double]("max_est_jaccard")
+      assert(mx >= 0.5 && mx <= 1.0)
+    }
+  }
+
   test("q305 data card internal consistency: shares in (0,1], dup_pct in " +
       "[0,1), median within observed range") {
     val rows = Registry.all("q305_source_datacard")(spark, sf).collect()
