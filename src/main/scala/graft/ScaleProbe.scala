@@ -432,6 +432,98 @@ object ScaleProbe {
       infD.unpersist(blocking = false)
     }
 
+    if (probes("boiler")) {
+      // q26's df-cap justified by measurement (VERDICT r9 #2): a corpus
+      // where EVERY document carries the same 20-token boilerplate
+      // header (licence text, template chrome — the real-world shape
+      // that breaks exact-Jaccard dedup). Each of the ~18 header
+      // shingles has df = n, so the uncapped co-occurrence join's pair
+      // volume gains 18·n² — quadratic in corpus size — while the
+      // capped (df ≤ 100) volume stays that of the natural text. Report
+      // both volumes analytically (one aggregate each, no quadratic
+      // job), then time capped vs uncapped shingleJaccardPairs
+      // end-to-end at factor× docs.
+      val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      val boiler = "permission is hereby granted free of charge to any " +
+        "person obtaining a copy of this software and associated " +
+        "documentation files to deal without restriction"
+      val infD = (0 until factor).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("text", concat(lit(boiler + " "), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nDocs = infD.count()
+      println(s"PROBE boiler corpus: $nDocs docs, every one sharing a " +
+        "20-token header")
+      val sh = graft.text.TextAnalysis.shingles(infD, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val volAll = df.agg(sum(col("df") * col("df"))).head().getLong(0)
+      val volCap = df.filter(col("df") <= 100)
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L))).head().getLong(0)
+      println(s"PROBE boiler pair-volume: uncapped=$volAll capped=$volCap " +
+        f"(df<=100, ${100.0 * volCap / math.max(1L, volAll)}%.3f%% kept)")
+      time(s"boiler_capped_${factor}x")(
+        graft.text.TextAnalysis.shingleJaccardPairs(sh, "doc_id",
+          minJaccard = 0.4).count())
+      if (probes("boileruncapped"))
+        time(s"boiler_UNCAPPED_${factor}x")(
+          graft.text.TextAnalysis.shingleJaccardPairs(sh, "doc_id",
+            minJaccard = 0.4, maxDf = Long.MaxValue).count())
+      sh.unpersist(blocking = false)
+      df.unpersist(blocking = false)
+      infD.unpersist(blocking = false)
+    }
+
+    if (probes("decon")) {
+      // Decontamination trilogy at factor× corpus with the BENCHMARK
+      // side fixed (VERDICT r9 #5) — the production shape: benchmarks
+      // are small and static, the training corpus grows. Claims under
+      // test, as curves rather than one-point assertions:
+      // q82 (exact 8-gram) — the benchmark n-gram side broadcasts and
+      // the corpus side never shuffles on content, so wall-clock tracks
+      // corpus token volume linearly; q94 (Bloom band-pass) — the
+      // prefilter is a pure map over corpus tokens (linear), with the
+      // exact confirming join bounded by true-hit volume (fixed here);
+      // fuzzy (q323's LSH leg, rebuilt un-memoized) — signature build is
+      // linear partial aggregation and candidate volume tracks band
+      // buckets, not corpus pairs. doc_id translation is a multiple of
+      // 17 so replicas keep their corpus-side mod-17 class (the trilogy
+      // splits train/bench on doc_id % 17).
+      val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE decon benchmark: ${bench.count()} docs (fixed)")
+      val corpus = (0 until factor).map(i =>
+          docs.filter(col("doc_id") % 17 =!= 0)
+            .withColumn("doc_id", col("doc_id") + lit(i * 170000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE decon corpus: ${corpus.count()} docs at ${factor}x")
+      time(s"decon_exact8_${factor}x")(
+        graft.text.TextAnalysis.contaminationReport(
+          corpus, bench, "doc_id", "text", n = 8).count())
+      time(s"decon_bloom8_${factor}x")(
+        graft.text.TextAnalysis.contaminationReportBloom(
+          corpus, bench, "doc_id", "text", n = 8).count())
+      time(s"decon_fuzzy_${factor}x") {
+        val all = corpus.unionByName(bench)
+        val sigs = graft.text.TextAnalysis.minhashSignatures(
+          graft.text.TextAnalysis.shingles(all, "doc_id", "text", 3)
+            .withColumnRenamed("shingle", "token"), "doc_id", numPerm = 16)
+        val cands = graft.text.TextAnalysis.lshCandidatePairs(
+          sigs, "doc_id", rowsPerBand = 4)
+        graft.text.TextAnalysis.estimatedJaccard(cands, sigs, "doc_id",
+            numPerm = 16)
+          .filter(col("est_jaccard") >= 0.5)
+          .filter((col("id_a") % 17 === 0) =!= (col("id_b") % 17 === 0))
+          .count()
+      }
+      corpus.unpersist(blocking = false)
+      bench.unpersist(blocking = false)
+    }
+
     if (probes("mmr")) {
       // q152's rerank shape at factor× users (r9: lands the cents-long
       // poolCosines rewrite with a CURVE, not a one-point claim). The

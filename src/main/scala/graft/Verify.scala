@@ -49,6 +49,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing run stamp (ADVICE r8/r9): records WHICH sf the
+    // dump was produced from, so a mislabeled artifact is detectable.
+    val sfRun = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("?")
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "sf_run": ${q(sfRun)}, "n_queries": ${
+        SparkEntry.queries.count { case (k, _) => only.forall(_.contains(k)) }}}""")
     spark.stop()
   }
 }

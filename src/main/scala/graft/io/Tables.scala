@@ -47,6 +47,16 @@ object Tables {
 
   /** Normalize a time column of any supported physical type to
     * nanosecond-epoch LongType (in place, position preserved).
+    *
+    * CONTRACT: downstream day/hour bucketing (`ts div 86400e9` et al.)
+    * uses truncating integer division — mirror-identical to DuckDB's
+    * integer `//` (both truncate toward zero, measured on DuckDB 1.0),
+    * so there is NO engine-vs-oracle divergence at any sign — but a
+    * pre-epoch (negative) value calendar-mis-buckets on BOTH sides
+    * (ts ∈ (−1 day, 0) lands in day 0, not day −1). Graft day math
+    * therefore assumes normalized ts ≥ 0 (DayBucketContractSpec pins
+    * this on the test tables); pre-1970 feeds must floor-adjust before
+    * entering.
     *  - `LongType`: already ns-epoch (the `nanosAsLong` read path for
     *    TIMESTAMP(NANOS) footers, or a raw INT64 column) — pass through.
     *  - `TimestampNTZType`: parquet micros/millis with

@@ -123,6 +123,34 @@ object Media {
     }
   }
 
+  case class FrameHash(media_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Per-frame perceptual difference-hash: [[frameSample]]'s evenly-
+    * spaced frames, each reduced to the same 60-gradient-bit dHash as
+    * [[perceptualHash]] (bit b set when frame byte 2b compares greater
+    * than byte 2b+1, unsigned). The video-dedup pipeline shape: a whole-
+    * payload hash (q195) misses videos sharing only SOME content
+    * (re-edits, intros spliced on), while per-frame hashes localize the
+    * match to the frames that survived. Same `mapPartitions` seam as the
+    * rest of the family — a real deployment hashes each decoded keyframe
+    * right after the seek. Pure deterministic map ⇒ oracle-checkable. */
+  def frameHashes(spark: SparkSession, media: DataFrame, n: Int,
+                  frameLen: Int = 256): Dataset[FrameHash] = {
+    import spark.implicits._
+    frameSample(spark, media, n, frameLen).map { fr =>
+      val b = fr.frame
+      var h = 0L
+      var bit = 0
+      while (bit < 60) {
+        val i = 2 * bit
+        if (i + 1 < b.length && (b(i) & 0xff) > (b(i + 1) & 0xff))
+          h |= 1L << bit
+        bit += 1
+      }
+      FrameHash(fr.media_id, fr.frame_idx, h)
+    }
+  }
+
   private def md5Hex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     d.map(b => f"$b%02x").mkString

@@ -32,14 +32,24 @@ object Relational {
     * row to an exact scaled LONG (`floor(x·10^s + 0.5)` — same IEEE
     * family as qdec), sum in codegen'd integer arithmetic (exact,
     * order-free), and divide once back to DOUBLE. Value-identical to
-    * `decSum(c).cast("double")` — both are the nearest double of the
-    * same exact rational Σ/10^s — but whole-stage-codegen'd long adds
-    * instead of interpreted BigDecimal (r8 measured ~10× on full-scan
-    * aggregates). Keep [[decSum]] where downstream arithmetic needs the
-    * decimal; use this where the total goes straight to the output. */
+    * `decSum(c).cast("double")` for FINITE inputs with
+    * |Σ·10^s| < 2^53 — both are then the nearest double of the same
+    * exact rational Σ/10^s; past 2^53 the long→double→divide path can
+    * differ by 1 ulp from decimal's single rounding. NaN/±Inf rows pass
+    * through as NULL (sum skips them), mirroring qround's guard —
+    * without it Spark's `floor(+Inf)→Long.MaxValue` would poison the
+    * long sum where decSum yields NULL-and-skip. Wins: whole-stage-
+    * codegen'd long adds instead of interpreted BigDecimal (r8 measured
+    * ~10× on full-scan aggregates). Keep [[decSum]] where downstream
+    * arithmetic needs the decimal; use this where the total goes
+    * straight to the output. */
   def centsSumDouble(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    sum(floor(c * f + lit(0.5))).cast("double") / f
+    val finite = when(c.isNull || isnan(c) ||
+      c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), lit(null))
+      .otherwise(c)
+    sum(floor(finite * f + lit(0.5))).cast("double") / f
   }
 
   /** J1 + A1 + P5 — keep only rows of keys with ≥ minCount occurrences

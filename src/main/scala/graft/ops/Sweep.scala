@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Sweep {
 
+  // Day bucketing uses Spark's `div` — integer division TRUNCATING
+  // toward zero, which is exactly what DuckDB's integer `//` does too
+  // (measured on DuckDB 1.0: -1 // 86400 = 0, -86401 // 86400 = -1),
+  // so engine and oracle agree bit-for-bit at ANY sign. The CALENDAR
+  // contract is narrower: a pre-epoch (negative-ns) timestamp buckets
+  // into truncated — not floored — days on both sides, i.e. ts ∈
+  // (-1 day, 0) lands in day 0. All graft day math therefore assumes
+  // ts ≥ 0 (asserted against the test tables in DayBucketContractSpec);
+  // feeds with pre-1970 instants must floor-adjust upstream.
   private val DayNs = 86400000000000L
 
   /** (day, max_concurrency, n_boundaries) for each day containing at

@@ -2944,12 +2944,17 @@ object OlapQueries {
           .as("pct_cust_l1"))
   }
 
-  /** q307 — differentially-private count release (Laplace mechanism,
-    * ε=0.5, sensitivity 1) over per-nation customer counts, with the
-    * noise drawn DETERMINISTICALLY from the keyed-md5 PRNG via the
-    * Laplace inverse CDF — the same seeded-uniform discipline as every
-    * sampling op here (M5), so the release is reproducible, gate-able,
-    * and layout-independent. u = (h%2⁵² + 0.5)/2⁵² ∈ (0,1) strictly and
+  /** q307 — REPRODUCIBLE SIMULATION of a Laplace-mechanism count
+    * release (ε=0.5, sensitivity 1) over per-nation customer counts.
+    * NOT a privacy-preserving release: the noise is a deterministic
+    * public function of the group key (keyed-md5 → Laplace inverse
+    * CDF), so anyone can recompute and subtract it exactly — it
+    * provides zero actual differential privacy. Real DP needs secret,
+    * non-reproducible randomness; the deterministic draw is kept here
+    * deliberately so the mechanism's arithmetic (inverse-CDF transform,
+    * per-cell map cost) is oracle-gate-able and layout-independent —
+    * swap the PRNG seed source for a secret one to deploy. Same
+    * seeded-uniform discipline as every sampling op here (M5). u = (h%2⁵² + 0.5)/2⁵² ∈ (0,1) strictly and
     * EXACT in double (a 63-bit cast rounds; its top values land on 2⁶³
     * → u = 1.0 → ln(0)); x = −b·sgn(u−½)·ln(1−2|u−½|). The
     * branchy sign is written as the SAME two-arm CASE in engine and

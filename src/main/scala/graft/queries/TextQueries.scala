@@ -104,14 +104,19 @@ object TextQueries {
 
   /** q26 — exact 3-gram Jaccard near-duplicate pairs (J ≥ 0.4; the corpus
     * has clean separation: planted near-dups sit at J ≥ 0.4, background
-    * pairs below 0.2). */
+    * pairs below 0.2). The shingle universe is df-capped at 100 (VERDICT
+    * r9 #2, mirrored in the oracle's `keptsh` CTE): a no-op on natural
+    * text (this corpus's max 3-gram df is 25 at sf0.1) that bounds the
+    * co-occurrence join's Σdf² tail when boilerplate puts a df≈n shingle
+    * in every document — the ScaleProbe `boiler` row measures exactly
+    * that corpus. */
   val q26: Q = (spark, dir) =>
     shingleJaccardPairs(shinglesCached(spark, dir), "doc_id", minJaccard = 0.4)
       .orderBy("id_a", "id_b")
 
   /** Memoized near-dup pair list (tiny — |pairs| rows): q27 serves it
     * sorted, q73/q74 resolve it into clusters / the deduplicated corpus. */
-  private def lshPairsCached(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def lshPairsCached(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"doc-lsh-pairs:$dir") {
       val sigs = sigsCached(spark, dir)
       val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
@@ -1224,7 +1229,7 @@ object TextQueries {
 
   // The q27 MinHash+LSH pair pipeline as a reusable CTE chain (ends in
   // `est`); q27 thresholds it, q73/q74 resolve it into components.
-  private lazy val lshPairsCte =
+  private[queries] lazy val lshPairsCte =
     s"""$lshBandsCte,
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1522,10 +1527,15 @@ object TextQueries {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b USING (band, band_sig)
          |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |kepttok AS (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS df FROM tok GROUP BY 1)
+         |  WHERE df <= 100),
+         |ktok AS (SELECT doc_id, token FROM tok JOIN kepttok USING (token)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ktok GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM tok a JOIN tok b USING (token) WHERE a.doc_id < b.doc_id
+         |  FROM ktok a JOIN ktok b USING (token) WHERE a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |ex AS (
          |  SELECT id_a, id_b,
@@ -2190,10 +2200,15 @@ object TextQueries {
         |    unnest(list_transform(generate_series(1, len(toks) - 2),
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
         |  FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |keptsh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |  WHERE df <= 100),
+        |kept AS (SELECT doc_id, shingle FROM sh JOIN keptsh USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b USING (shingle) WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared,
         |  shared::DOUBLE / (x.n + y.n - shared) AS jaccard

@@ -516,12 +516,25 @@ object TextAnalysis {
     * co-occurrence join on the item (shuffle key = item), then
     * |∩| / (|A|+|B|−|∩|). Pairs sharing nothing never materialize —
     * the distributed replacement for driver-side all-pairs set math
-    * (reference `correlation_optimised.py:46,84`). */
+    * (reference `correlation_optimised.py:46,84`).
+    *
+    * `maxDf` (VERDICT r9 #2): items held by more than `maxDf` entities
+    * are dropped from the universe BEFORE sizes are computed — the
+    * [[capUniverseByDf]] prefix filter that bounds the join's Σ_item df²
+    * pair volume. Without it one boilerplate item at df ≈ n (licence
+    * header, template line) makes the join quadratic in corpus size.
+    * Error bound at the cap site; capped items shift every pair's score
+    * near-uniformly (the IDF intuition), so top-k ORDER is stable. Pass
+    * `Long.MaxValue` only where the caller proves a bounded-df universe. */
   def setJaccardPairs(sets: DataFrame, id: String, item: String,
-                      minJaccard: Double): DataFrame = {
-    val sizes = sets.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = sets.select(col(id).as("id_a"), col(item))
-    val b = sets.select(col(id).as("id_b"), col(item))
+                      minJaccard: Double,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
+    val universe =
+      if (maxDf == Long.MaxValue) sets
+      else capUniverseByDf(sets, item, maxDf)
+    val sizes = universe.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val a = universe.select(col(id).as("id_a"), col(item))
+    val b = universe.select(col(id).as("id_b"), col(item))
     val shared = a.join(b, item)
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
@@ -534,10 +547,16 @@ object TextAnalysis {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
-  /** Shingle-set specialization of [[setJaccardPairs]]. */
+  /** Shingle-set specialization of [[setJaccardPairs]]. Default
+    * `maxDf = 100` mirrors q267's weighted-Jaccard cap: natural-text
+    * 3-gram dfs sit far below it (the sf0.1 corpus tops out well under
+    * 100), so on clean corpora the cap is a no-op — it exists to bound
+    * the df² tail when boilerplate shingles appear in every document
+    * (measured in ScaleProbe `boiler`). */
   def shingleJaccardPairs(sh: DataFrame, id: String,
-                          minJaccard: Double): DataFrame =
-    setJaccardPairs(sh, id, "shingle", minJaccard)
+                          minJaccard: Double,
+                          maxDf: Long = 100L): DataFrame =
+    setJaccardPairs(sh, id, "shingle", minJaccard, maxDf)
 
   /** Dense variant of [[setJaccardPairs]] for SMALL universes: collect each
     * entity's item set into a sorted array, broadcast one side, evaluate

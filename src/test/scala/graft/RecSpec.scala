@@ -159,8 +159,9 @@ class RecSpec extends AnyFunSuite {
     // NOT asserted: that (50, 0.05) is the arg-max. On MovieLens it is
     // (the reference's Table 3 winner); on the synthetic events data the
     // MAP spread across combos is narrow (~0.05–0.08) and the arg-max is
-    // data-dependent — measured (10, 0.01) at sf0.001 and (50, 0.01) at
-    // sf0.01. Same class of divergence as the popularity-vs-ALS headline
+    // data-dependent — measured (10, 0.1) at sf0.001 (pinned in
+    // AlsGoldenPinSpec) and (50, 0.01) at sf0.01. Same class of
+    // divergence as the popularity-vs-ALS headline
     // below: a property of MovieLens sparsity, not of the pipeline.
   }
 

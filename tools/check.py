@@ -32,13 +32,30 @@ def main(sf_dir, out_dir):
             fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-            want = con.execute(sql).fetchdf()
+            # Fetch through Arrow so the DECIMAL ban below can read the
+            # declared column TYPE: value-sampling (the r9 head(3) probe)
+            # misses all-NULL / zero-row decimal columns, which still
+            # hash-red on the driver.
+            got_at = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").arrow()
+            want_at = con.execute(sql).arrow()
         except Exception as e:
             print(f"[ERR ] {name}: {e}")
             fail += 1
             continue
+        # r9 rule: no DECIMAL may reach the hashed surface on EITHER
+        # side — the driver's hasher canonicalizes decimal differently
+        # per side, so a value-equal decimal column can still hash-red.
+        import pyarrow as _pa
+        deccols = sorted({f.name for t in (got_at, want_at)
+                          for f in t.schema
+                          if _pa.types.is_decimal(f.type)})
+        if deccols:
+            print(f"[DEC ] {name}: decimal-typed column(s) {deccols}")
+            fail += 1
+            continue
+        got = got_at.to_pandas()
+        want = want_at.to_pandas()
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
@@ -47,18 +64,6 @@ def main(sf_dir, out_dir):
             continue
         if len(got) != len(want):
             print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
-            fail += 1
-            continue
-        # r9 rule: no DECIMAL may reach the hashed surface on EITHER
-        # side — the driver's hasher canonicalizes decimal differently
-        # per side, so a value-equal decimal column can still hash-red.
-        import decimal as _dec
-        deccols = [c for c in got.columns
-                   if any(isinstance(v, _dec.Decimal)
-                          for df in (got, want)
-                          for v in df[c].dropna().head(3).tolist())]
-        if deccols:
-            print(f"[DEC ] {name}: decimal-typed column(s) {deccols}")
             fail += 1
             continue
         def same(x, y):
