@@ -1363,7 +1363,281 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  /** q335 — Welch two-sample t-test on per-user purchase spend between
+    * the canonical A/B arms ([[graft.functions.GraftFunctions.abVariant]]
+    * — the same split q308 certifies and q131 reads): the
+    * unequal-variance test that replaces q131's pooled z when arm
+    * variances differ, with the Satterthwaite degrees of freedom. The
+    * user grain (all event users, zero-imputed spend — the q290
+    * convention: the denominator is the full arm, not the self-selected
+    * purchasers) makes rows independent. Sufficient statistics are
+    * exact: Σcents BIGINT, Σcents² through DECIMAL(19,0)²→(38,0); t and
+    * df are one textually-mirrored IEEE formula each from those exact
+    * operands. One user-grain aggregate → 2-row arm frame → 1-row
+    * output — the 100 TB shape. */
+  val q335: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.abVariant
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100.0 + lit(0.5))).otherwise(0L))
+        .as("cents"))
+      .select(abVariant(col("user_id")).as("arm"), col("cents"))
+    val arms = u.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum((d19(col("cents")) * d19(col("cents")))
+          .cast("decimal(38,0)")).as("q"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
+    a.crossJoin(b)
+      .withColumn("va",
+        (expr("cast(q_a as double)") -
+          expr("cast(cast(s_a as decimal(38,0)) * s_a as double)") /
+            col("n_a")) / (col("n_a") - 1))
+      .withColumn("vb",
+        (expr("cast(q_b as double)") -
+          expr("cast(cast(s_b as decimal(38,0)) * s_b as double)") /
+            col("n_b")) / (col("n_b") - 1))
+      .withColumn("se2", col("va") / col("n_a") + col("vb") / col("n_b"))
+      .withColumn("tstat",
+        (col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b")) / sqrt(col("se2")))
+      .select(col("n_a"), col("n_b"),
+        qround(col("s_a").cast("double") / col("n_a"), 6)
+          .as("mean_a_cents"),
+        qround(col("s_b").cast("double") / col("n_b"), 6)
+          .as("mean_b_cents"),
+        qround(col("va"), 6).as("var_a"),
+        qround(col("vb"), 6).as("var_b"),
+        qround(col("tstat"), 6).as("t_stat"),
+        qround(col("se2") * col("se2") /
+          ((col("va") / col("n_a")) * (col("va") / col("n_a")) /
+            (col("n_a") - 1) +
+           (col("vb") / col("n_b")) * (col("vb") / col("n_b")) /
+            (col("n_b") - 1)), 6).as("df_welch"),
+        when(abs(col("tstat")) > 1.96, 1L).otherwise(0L)
+          .as("significant"))
+  }
+
+  /** q336 — Brown–Forsythe variance-homogeneity test across nations on
+    * customer account balances: Levene's W with MEDIAN centering (the
+    * robust variant), the gatekeeper before a pooled-variance ANOVA.
+    * Per-nation medians use the repo's lower-median distinct-value walk
+    * (cum count ≥ ⌈n/2⌉, all integer — the q167 shape, no global row
+    * sort), so every |x − med| deviation is an EXACT integer in cents;
+    * group terms enter double once each from exact longs, quantized to
+    * DECIMAL(28,9) before the order-free cross-group sums. The F bar is
+    * pinned at 1.5173 = χ²₀.₀₅,₂₄/24 — the dof₁ = 24 fixture value,
+    * asserted in the flag's CASE like q319's 9.488. */
+  val q336: Q = (spark, dir) => {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val x = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("g"),
+        floor(col("c_acctbal") * 100.0 + lit(0.5)).as("cents"))
+    val byVal = x.groupBy("g", "cents").agg(count(lit(1)).as("cnt"))
+    val cum = byVal
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("g").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_g", sum(col("cnt")).over(Window.partitionBy("g")))
+    val med = cum.filter(col("cum") >= expr("(n_g + 1) div 2"))
+      .groupBy("g").agg(min(col("cents")).as("med"))
+    val z = x.join(med, "g")
+      .select(col("g"), abs(col("cents") - col("med")).as("z"))
+    val grp = z.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum((d19(col("z")) * d19(col("z"))).cast("decimal(38,0)"))
+          .as("sz2"))
+    val tot = grp.agg(sum(col("n")).as("nn"), sum(col("sz")).as("szz"),
+      count(lit(1)).as("k"))
+    // Group terms reach ~10¹²–10¹⁶ cents²: scale-2 quantization keeps
+    // qround's floor(x·10^s) long intermediate in range (scale 9 would
+    // saturate at Long.Max/10⁹ ≈ 9.2e9) while the ±0.005 absolute slop
+    // is ~10⁻¹¹ relative — invisible at the 6 dp F output.
+    val terms = grp.crossJoin(broadcast(tot))
+      .withColumn("bterm", qdec(col("n") *
+        (col("sz").cast("double") / col("n") -
+          col("szz").cast("double") / col("nn")) *
+        (col("sz").cast("double") / col("n") -
+          col("szz").cast("double") / col("nn")), 38, 2))
+      .withColumn("wterm", qdec(
+        expr("cast(sz2 as double)") -
+          expr("cast(cast(sz as decimal(38,0)) * sz as double)") /
+            col("n"), 38, 2))
+    terms.groupBy("nn", "k")
+      .agg(sum(col("bterm")).as("bsum"), sum(col("wterm")).as("wsum"))
+      .select(col("k"), col("nn").as("n_total"),
+        (col("k") - 1).cast("long").as("dof1"),
+        (col("nn") - col("k")).cast("long").as("dof2"),
+        qround((col("nn") - col("k")).cast("double") /
+          (col("k") - 1).cast("double") *
+          col("bsum").cast("double") / col("wsum").cast("double"), 6)
+          .as("f_stat"),
+        when(col("k") - 1 === 24 &&
+          (col("nn") - col("k")).cast("double") /
+            (col("k") - 1).cast("double") *
+            col("bsum").cast("double") / col("wsum").cast("double")
+            > 1.5173, 1L).otherwise(0L).as("significant"))
+  }
+
+  /** q337 — Jarque–Bera normality test per event type on purchase-scale
+    * values: JB = n/6·(S² + (K−3)²/4) from skewness S and kurtosis K —
+    * the one-line normality screen q207's moment profile feeds. Raw
+    * moments Σx..Σx⁴ ride exact cents integers widened through
+    * DECIMAL(19,0) powers into DECIMAL(38,0) sums (x⁴ overflows BIGINT
+    * per ROW at purchase scale); the central-moment assembly is one
+    * mirrored IEEE expression from those exact operands; m2^1.5 is
+    * written m2·√m2 so both engines issue the identical libm call. χ²
+    * 2-dof bar 5.991. One scan, |types|-row output. */
+  val q337: Q = (spark, dir) => {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + lit(0.5)).as("c"))
+      .withColumn("c1", d19(col("c")))
+    val m = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"),
+        sum((col("c1") * col("c1")).cast("decimal(38,0)")).as("s2"),
+        sum((col("c1") * col("c1") * col("c1")).cast("decimal(38,0)"))
+          .as("s3"),
+        sum((col("c1") * col("c1") * col("c1") * col("c1"))
+          .cast("decimal(38,0)")).as("s4"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("m2", expr("cast(s2 as double)") / col("n") -
+        col("mu") * col("mu"))
+      .withColumn("m3", expr("cast(s3 as double)") / col("n") -
+        lit(3.0) * col("mu") * (expr("cast(s2 as double)") / col("n")) +
+        lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", expr("cast(s4 as double)") / col("n") -
+        lit(4.0) * col("mu") * (expr("cast(s3 as double)") / col("n")) +
+        lit(6.0) * col("mu") * col("mu") *
+          (expr("cast(s2 as double)") / col("n")) -
+        lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      .withColumn("jb", col("n").cast("double") / 6.0 *
+        (col("skew") * col("skew") +
+          (col("kurt") - 3.0) * (col("kurt") - 3.0) / 4.0))
+    m.select(col("event_type"), col("n"),
+        qround(col("mu"), 6).as("mean_cents"),
+        qround(col("skew"), 6).as("skewness"),
+        qround(col("kurt"), 6).as("kurtosis"),
+        qround(col("jb"), 6).as("jb_stat"),
+        when(col("jb") > 5.991, 1L).otherwise(0L).as("reject_normal"))
+      .orderBy("event_type")
+  }
+
+  /** q338 — Durbin–Watson serial-correlation test on the residuals of a
+    * per-nation linear trend fit of daily revenue: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ²
+    * — the autocorrelation diagnostic that says whether q146-style OLS
+    * standard errors can be trusted on a time series. The fit reuses the
+    * memoized (nation, day) daily frame (calendar-bounded at any SF);
+    * slope/intercept come from exact integer sums (day/cents products
+    * widened to DECIMAL(38,0)); residuals are computed in DOLLARS and
+    * quantized to 6 dp so every downstream difference and square starts
+    * from bit-identical doubles, then quantized to DECIMAL(38,9) before
+    * the order-free sums. Verdict bands at the conventional 1.5/2.5. */
+  val q338: Q = (spark, dir) => {
+    val daily = SharedFrames.dailyNationRevenue(spark, dir)
+      .select(col("nation"), col("day"),
+        (col("rev") * 100).cast("long").as("cents"))
+    val s = daily.groupBy("nation")
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("st"),
+        sum(col("cents")).as("sy"),
+        sum((col("day").cast("decimal(19,0)") *
+          col("cents").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("sty"),
+        sum((col("day").cast("decimal(19,0)") *
+          col("day").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("stt"))
+      .withColumn("slope",
+        expr("cast(cast(n as decimal(38,0)) * sty - cast(st as decimal(38,0)) * sy as double)") /
+        expr("cast(cast(n as decimal(38,0)) * stt - cast(st as decimal(38,0)) * st as double)"))
+      .withColumn("icept",
+        (col("sy").cast("double") - col("slope") * col("st")) / col("n"))
+      .select("nation", "n", "slope", "icept")
+    val e = daily.join(s, "nation")
+      .withColumn("res", qround(col("cents").cast("double") / 100.0 -
+        (col("icept") + col("slope") * col("day")) / 100.0, 6))
+      .withColumn("prev", lag(col("res"), 1).over(
+        Window.partitionBy("nation").orderBy("day")))
+      // Squared residuals reach ~10¹²⁺ dollars²: scale-2 quantization
+      // keeps qround's long intermediate in range (see q336's note);
+      // the slop is ~1e-11 relative, invisible at the 6 dp DW output.
+      .withColumn("d2", when(col("prev").isNotNull, qdec(
+        (col("res") - col("prev")) * (col("res") - col("prev")), 38, 2)))
+      .withColumn("e2", qdec(col("res") * col("res"), 38, 2))
+    e.groupBy("nation")
+      .agg(count(lit(1)).as("n_days"), max(col("slope")).as("b"),
+        sum(col("d2")).as("sd"), sum(col("e2")).as("se"))
+      .select(col("nation"), col("n_days"),
+        qround(col("b") / 100.0, 6).as("slope_dollars_per_day"),
+        qround(col("sd").cast("double") / col("se").cast("double"), 6)
+          .as("dw"),
+        when(col("sd").cast("double") / col("se").cast("double") < 1.5,
+          "positive_autocorr")
+          .when(col("sd").cast("double") / col("se").cast("double") > 2.5,
+            "negative_autocorr").otherwise("none").as("verdict"))
+      .orderBy("nation")
+  }
+
+  /** q339 — Cochran–Armitage trend test: does order-failure rate TREND
+    * across ordered account-balance bands (scores 0..4)? The ordered
+    * sibling of q143's unordered χ² — more powerful when the alternative
+    * is monotone. Every sufficient statistic (T = Σsᵢrᵢ, A = Σsᵢnᵢ,
+    * B = Σsᵢ²nᵢ, R, N) is an exact BIGINT; z² rides one mirrored IEEE
+    * formula and flags at the 1-dof 3.841 bar. Per-band rows carry the
+    * rates, the statistic repeats via a broadcast of the 1-row stat
+    * frame — one fact scan, |bands|-row output. */
+  val q339: Q = (spark, dir) => {
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        when(col("c_acctbal") < 0, 0L)
+          .when(col("c_acctbal") < 2500, 1L)
+          .when(col("c_acctbal") < 5000, 2L)
+          .when(col("c_acctbal") < 7500, 3L)
+          .otherwise(4L).as("band"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val bands = rows.groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), sum(col("y")).as("n_failed"))
+    val stat = bands.agg(
+        sum(col("n_orders")).as("nn"), sum(col("n_failed")).as("rr"),
+        sum(col("band") * col("n_failed")).as("t"),
+        sum(col("band") * col("n_orders")).as("a"),
+        sum(col("band") * col("band") * col("n_orders")).as("b2"))
+      .withColumn("num", col("t").cast("double") -
+        col("rr").cast("double") * col("a") / col("nn"))
+      .withColumn("den", sqrt(
+        (col("rr").cast("double") / col("nn")) *
+        (lit(1.0) - col("rr").cast("double") / col("nn")) *
+        (col("b2").cast("double") -
+          col("a").cast("double") * col("a") / col("nn"))))
+      .select(
+        qround(col("num") / col("den"), 6).as("z_trend"),
+        qround(col("num") / col("den") * (col("num") / col("den")), 6)
+          .as("chi2_trend"),
+        when(col("num") / col("den") * (col("num") / col("den")) > 3.841,
+          1L).otherwise(0L).as("significant"))
+    bands
+      .withColumn("fail_rate", qround(
+        col("n_failed").cast("double") / col("n_orders"), 6))
+      .crossJoin(broadcast(stat))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q335_welch_ttest" -> q335,
+    "q336_brown_forsythe" -> q336,
+    "q337_jarque_bera" -> q337,
+    "q338_durbin_watson" -> q338,
+    "q339_cochran_armitage" -> q339,
     "q285_activity_streaks" -> q285,
     "q282_histogram_intersection" -> q282,
     "q283_burstiness_fano" -> q283,
@@ -1574,6 +1848,240 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q335_welch_ttest" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1),
+         |arms AS (
+         |  SELECT CASE WHEN (md5_number_lower('ab:' || user_id::VARCHAR)
+         |      & $H) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, cents
+         |  FROM u),
+         |g AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS s,
+         |    SUM(CAST(cents AS DECIMAL(19,0)) * cents) AS q
+         |  FROM arms GROUP BY 1),
+         |ab AS (
+         |  SELECT
+         |    (SELECT n FROM g WHERE arm = 'A') AS n_a,
+         |    (SELECT s FROM g WHERE arm = 'A') AS s_a,
+         |    (SELECT q FROM g WHERE arm = 'A') AS q_a,
+         |    (SELECT n FROM g WHERE arm = 'B') AS n_b,
+         |    (SELECT s FROM g WHERE arm = 'B') AS s_b,
+         |    (SELECT q FROM g WHERE arm = 'B') AS q_b),
+         |v AS (
+         |  SELECT *,
+         |    (CAST(q_a AS DOUBLE)
+         |      - CAST(CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE) / n_a)
+         |      / (n_a - 1) AS va,
+         |    (CAST(q_b AS DOUBLE)
+         |      - CAST(CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE) / n_b)
+         |      / (n_b - 1) AS vb
+         |  FROM ab),
+         |w AS (
+         |  SELECT *, va / n_a + vb / n_b AS se2,
+         |    (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         |      / sqrt(va / n_a + vb / n_b) AS tstat
+         |  FROM v)
+         |SELECT n_a, n_b,
+         |  floor(CAST(s_a AS DOUBLE) / n_a * 1000000.0 + 0.5) / 1000000.0
+         |    AS mean_a_cents,
+         |  floor(CAST(s_b AS DOUBLE) / n_b * 1000000.0 + 0.5) / 1000000.0
+         |    AS mean_b_cents,
+         |  floor(va * 1000000.0 + 0.5) / 1000000.0 AS var_a,
+         |  floor(vb * 1000000.0 + 0.5) / 1000000.0 AS var_b,
+         |  floor(tstat * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+         |  floor(se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
+         |      + (vb / n_b) * (vb / n_b) / (n_b - 1))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS df_welch,
+         |  CAST(CASE WHEN abs(tstat) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS significant
+         |FROM w""".stripMargin,
+    "q336_brown_forsythe" ->
+      """WITH x AS (
+        |  SELECT c_nationkey AS g,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |bv AS (SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM x GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT g, cents,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS n_g
+        |  FROM bv),
+        |med AS (SELECT g, MIN(cents) AS med FROM cu
+        |        WHERE cum >= (n_g + 1) // 2 GROUP BY g),
+        |z AS (SELECT x.g, abs(cents - med) AS z
+        |      FROM x JOIN med ON x.g = med.g),
+        |grp AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(z) AS BIGINT) AS sz,
+        |    SUM(CAST(z AS DECIMAL(19,0)) * z) AS sz2
+        |  FROM z GROUP BY g),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |          CAST(SUM(sz) AS BIGINT) AS szz,
+        |          CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+        |terms AS (
+        |  SELECT nn, k,
+        |    CAST(floor(n * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
+        |        * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
+        |      * 100.0 + 0.5) / 100.0 AS DECIMAL(38,2)) AS bterm,
+        |    CAST(floor((CAST(sz2 AS DOUBLE)
+        |        - CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n)
+        |      * 100.0 + 0.5) / 100.0 AS DECIMAL(38,2)) AS wterm
+        |  FROM grp, tot),
+        |s AS (SELECT nn, k, SUM(bterm) AS bsum, SUM(wterm) AS wsum
+        |      FROM terms GROUP BY 1, 2)
+        |SELECT k, nn AS n_total,
+        |  CAST(k - 1 AS BIGINT) AS dof1, CAST(nn - k AS BIGINT) AS dof2,
+        |  floor(CAST(nn - k AS DOUBLE) / (k - 1)
+        |      * CAST(bsum AS DOUBLE) / CAST(wsum AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
+        |  CAST(CASE WHEN k - 1 = 24 AND CAST(nn - k AS DOUBLE) / (k - 1)
+        |      * CAST(bsum AS DOUBLE) / CAST(wsum AS DOUBLE) > 1.5173
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM s""".stripMargin,
+    "q337_jarque_bera" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * c) AS s2,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * c * c) AS s3,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * c * c * c) AS s4
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM m),
+        |c AS (
+        |  SELECT event_type, n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM d),
+        |k AS (
+        |  SELECT event_type, n, mu,
+        |    m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+        |  FROM c),
+        |j AS (
+        |  SELECT *, CAST(n AS DOUBLE) / 6.0 * (skew * skew
+        |      + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+        |  FROM k)
+        |SELECT event_type, n,
+        |  floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_cents,
+        |  floor(skew * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+        |  floor(kurt * 1000000.0 + 0.5) / 1000000.0 AS kurtosis,
+        |  floor(jb * 1000000.0 + 0.5) / 1000000.0 AS jb_stat,
+        |  CAST(CASE WHEN jb > 5.991 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject_normal
+        |FROM j ORDER BY event_type""".stripMargin,
+    "q338_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT n_name AS nation,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(day) AS BIGINT) AS st,
+        |    CAST(SUM(cents) AS BIGINT) AS sy,
+        |    SUM(CAST(day AS DECIMAL(19,0)) * cents) AS sty,
+        |    SUM(CAST(day AS DECIMAL(19,0)) * day) AS stt
+        |  FROM daily GROUP BY 1),
+        |fit AS (
+        |  SELECT nation, n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sty
+        |        - CAST(st AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |      / CAST(CAST(n AS DECIMAL(38,0)) * stt
+        |        - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE) AS slope,
+        |    st, sy
+        |  FROM s),
+        |f2 AS (
+        |  SELECT nation, n, slope,
+        |    (CAST(sy AS DOUBLE) - slope * st) / n AS icept
+        |  FROM fit),
+        |r AS (
+        |  SELECT d.nation, d.day, f2.n, f2.slope,
+        |    floor((CAST(d.cents AS DOUBLE) / 100.0
+        |        - (f2.icept + f2.slope * d.day) / 100.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS res
+        |  FROM daily d JOIN f2 ON d.nation = f2.nation),
+        |l AS (
+        |  SELECT nation, n, slope, res,
+        |    LAG(res) OVER (PARTITION BY nation ORDER BY day) AS prev
+        |  FROM r),
+        |t AS (
+        |  SELECT nation, n, slope,
+        |    CASE WHEN prev IS NOT NULL THEN
+        |      CAST(floor((res - prev) * (res - prev) * 100.0 + 0.5)
+        |        / 100.0 AS DECIMAL(38,2)) END AS d2,
+        |    CAST(floor(res * res * 100.0 + 0.5)
+        |      / 100.0 AS DECIMAL(38,2)) AS e2
+        |  FROM l),
+        |g AS (
+        |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    MAX(slope) AS b, SUM(d2) AS sd, SUM(e2) AS se
+        |  FROM t GROUP BY 1)
+        |SELECT nation, n_days,
+        |  floor(b / 100.0 * 1000000.0 + 0.5) / 1000000.0
+        |    AS slope_dollars_per_day,
+        |  floor(CAST(sd AS DOUBLE) / CAST(se AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS dw,
+        |  CASE WHEN CAST(sd AS DOUBLE) / CAST(se AS DOUBLE) < 1.5
+        |      THEN 'positive_autocorr'
+        |    WHEN CAST(sd AS DOUBLE) / CAST(se AS DOUBLE) > 2.5
+        |      THEN 'negative_autocorr'
+        |    ELSE 'none' END AS verdict
+        |FROM g ORDER BY nation""".stripMargin,
+    "q339_cochran_armitage" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN c_acctbal < 0 THEN 0
+        |      WHEN c_acctbal < 2500 THEN 1
+        |      WHEN c_acctbal < 5000 THEN 2
+        |      WHEN c_acctbal < 7500 THEN 3
+        |      ELSE 4 END AS band,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |bands AS (
+        |  SELECT CAST(band AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(y) AS BIGINT) AS n_failed
+        |  FROM r GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(SUM(n_orders) AS BIGINT) AS nn,
+        |    CAST(SUM(n_failed) AS BIGINT) AS rr,
+        |    CAST(SUM(band * n_failed) AS BIGINT) AS t,
+        |    CAST(SUM(band * n_orders) AS BIGINT) AS a,
+        |    CAST(SUM(band * band * n_orders) AS BIGINT) AS b2
+        |  FROM bands),
+        |zz AS (
+        |  SELECT
+        |    (CAST(t AS DOUBLE) - CAST(rr AS DOUBLE) * a / nn) /
+        |    sqrt((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
+        |      * (CAST(b2 AS DOUBLE) - CAST(a AS DOUBLE) * a / nn)) AS z
+        |  FROM st)
+        |SELECT band, n_orders, n_failed,
+        |  floor(CAST(n_failed AS DOUBLE) / n_orders * 1000000.0 + 0.5)
+        |    / 1000000.0 AS fail_rate,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_trend,
+        |  floor(z * z * 1000000.0 + 0.5) / 1000000.0 AS chi2_trend,
+        |  CAST(CASE WHEN z * z > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM bands, zz ORDER BY band""".stripMargin,
     "q285_activity_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day

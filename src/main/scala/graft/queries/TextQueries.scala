@@ -4,6 +4,7 @@ import graft.io.Tables
 import graft.text.TextAnalysis._
 import graft.functions.GraftFunctions.{qdec, qround}
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1089,7 +1090,199 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q330 — temperature-scaled source-mixture weights: the multinomial
+    * sampling distribution multilingual/multi-source LLM training uses to
+    * up-weight small sources (w_s ∝ p_s^α, α < 1 flattens the mixture —
+    * the XLM-R / mT5 recipe). Per source: exact token counts, the raw
+    * share p, weights at α = 0.3 and 0.7, and the implied epochs each
+    * source runs when the training budget equals one corpus pass
+    * (epochs > 1 ⇐ the source is over-sampled and will repeat). The
+    * p^α values ride one mirrored IEEE `pow` each, quantized to
+    * DECIMAL(28,9) BEFORE the cross-source normalization sum so the
+    * denominator is exact and order-free. Scale shape: one documents
+    * scan with map-side partials to a |sources|-row frame; every window
+    * below runs on that dimension-bounded frame. */
+  val q330: Q = (spark, dir) => {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = Window.partitionBy()
+    val withP = per
+      .withColumn("total_tokens", sum(col("n_tokens")).over(tot))
+      .withColumn("p", col("n_tokens").cast("double") /
+        col("total_tokens").cast("double"))
+      .withColumn("r03", qdec(pow(col("p"), lit(0.3)), 28, 9))
+      .withColumn("r07", qdec(pow(col("p"), lit(0.7)), 28, 9))
+      .withColumn("z03", sum(col("r03")).over(tot))
+      .withColumn("z07", sum(col("r07")).over(tot))
+    withP.select(col("source"), col("n_docs"), col("n_tokens"),
+        qround(col("p"), 6).as("p"),
+        qround(col("r03").cast("double") / col("z03").cast("double"), 6)
+          .as("w_alpha03"),
+        qround(col("r07").cast("double") / col("z07").cast("double"), 6)
+          .as("w_alpha07"),
+        qround(col("r03").cast("double") / col("z03").cast("double") *
+          col("total_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs_alpha03"),
+        qround(col("r07").cast("double") / col("z07").cast("double") *
+          col("total_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs_alpha07"))
+      .orderBy("source")
+  }
+
+  /** q331 — unigram cross-entropy quality score (the perplexity proxy
+    * classic corpus filters rank documents by): per document,
+    * H(d) = −Σ_occurrences ln p(tok) / n_d under the corpus unigram LM,
+    * rolled up per source. A document of globally-rare tokens scores
+    * high (surprising ≈ noisy or exotic); boilerplate scores low. The
+    * per-TOKEN −ln p is computed once per distinct token and quantized
+    * to DECIMAL(28,9), so each document's sum over occurrences is exact
+    * and order-free; the per-doc divide and the per-source mean are the
+    * only IEEE steps, both textually mirrored. Scale shape: vocab build
+    * is one token-keyed partial aggregation; the occurrence⋈vocab join
+    * shuffles on token (the inverted-index shape every TF-IDF path here
+    * uses); per-doc and per-source rollups are grouped aggs. */
+  val q331: Q = (spark, dir) => {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+    val totalF = tok.agg(count(lit(1)).as("t_occ"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c_occ"))
+      .crossJoin(broadcast(totalF))
+      .select(col("token"), qdec(
+        -log(col("c_occ").cast("double") / col("t_occ").cast("double")),
+        28, 9).as("lnp_q"))
+    val perDoc = tok.join(vocab, "token")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lnp_q")).as("h_sum"))
+      .select(col("source"),
+        qround(col("h_sum").cast("double") / col("n_tok").cast("double"),
+          6).as("xent"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(qdec(col("xent"), 28, 9)).as("sx"),
+        min(col("xent")).as("min_xent"),
+        max(col("xent")).as("max_xent"))
+      .select(col("source"), col("n_docs"),
+        qround(col("sx").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_xent"),
+        col("min_xent"), col("max_xent"))
+      .orderBy("source")
+  }
+
+  /** q332 — duplicate 8-gram mass per source: the memorization-risk
+    * readout (what share of a source's 8-gram OCCURRENCES belong to an
+    * 8-gram seen more than once in the whole corpus — the mass exact
+    * substring dedup would touch, and the text a model is most likely
+    * to regurgitate verbatim). 8-grams are hashed to the md5-derived
+    * 63-bit key before any shuffle, so the wide gram strings never
+    * leave the scan stage; corpus totals come from a window over the
+    * (gram, source) aggregate whose groups are |sources|-bounded. All
+    * counts exact BIGINT; the share is the repo's half-up integer ppm. */
+  val q332: Q = (spark, dir) => {
+    import graft.functions.GraftFunctions.md5_63
+    val grams = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+        .as("gram"))
+      .select(col("source"), md5_63(col("gram")).as("g"))
+    val perCell = grams.groupBy("g", "source")
+      .agg(count(lit(1)).as("n_occ"))
+    val withCorpus = perCell.withColumn("corpus_occ",
+      sum(col("n_occ")).over(Window.partitionBy("g")))
+    withCorpus.groupBy("source")
+      .agg(sum(col("n_occ")).as("total_occ"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("corpus_occ") > 1, col("n_occ")).otherwise(0L))
+          .as("dup_occ"))
+      .withColumn("dup_mass_ppm",
+        expr("cast((2 * dup_occ * 1000000 + total_occ) div (2 * total_occ) as bigint)"))
+      .orderBy("source")
+  }
+
+  /** q333 — log-normal fit of document lengths per source: μ and σ² of
+    * ln(tokens) from exact decimal log-moments, with the implied median
+    * e^μ and mean e^(μ+σ²/2) beside the actual mean — the
+    * distributional summary that sizes q85's packing bins and flags a
+    * source whose length distribution is NOT log-normal-ish (fit mean
+    * far from actual mean ⇒ heavy tail or truncation). Per-doc ln and
+    * ln² quantize to DECIMAL(28,9) before the order-free sums; the
+    * moment formulas are one mirrored IEEE expression each. One scan to
+    * a |sources|-row frame. */
+  val q333: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("l", qdec(log(col("n_tok").cast("double")), 28, 9))
+      .withColumn("l2", qdec(
+        log(col("n_tok").cast("double")) * log(col("n_tok").cast("double")),
+        28, 9))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("l")).as("sl"), sum(col("l2")).as("sl2"))
+      .select(col("source"), col("n_docs"),
+        qround(col("sl").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mu"),
+        qround(col("sl2").cast("double") / col("n_docs").cast("double") -
+          (col("sl").cast("double") / col("n_docs").cast("double")) *
+          (col("sl").cast("double") / col("n_docs").cast("double")), 6)
+          .as("sigma2"),
+        qround(exp(col("sl").cast("double") /
+          col("n_docs").cast("double")), 6).as("fit_median_tokens"),
+        qround(exp(col("sl").cast("double") / col("n_docs").cast("double") +
+          (col("sl2").cast("double") / col("n_docs").cast("double") -
+            (col("sl").cast("double") / col("n_docs").cast("double")) *
+            (col("sl").cast("double") / col("n_docs").cast("double"))) / 2),
+          6).as("fit_mean_tokens"),
+        qround(col("sum_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("actual_mean_tokens"))
+      .orderBy("source")
+  }
+
+  /** q334 — near-dup cluster-size spectrum: the histogram of q73's
+    * connected-component sizes plus the unclustered singletons — the
+    * shape that decides dedup policy (a fat tail of giant clusters
+    * means templated/mirrored content; all-pairs-of-2 means true
+    * near-dups). Cluster frame is pairs-bounded (vanishing vs corpus);
+    * the singleton row is corpus_count − clustered_count, exact. Docs
+    * share per size-class in half-up ppm of the whole corpus. */
+  val q334: Q = (spark, dir) => {
+    val clusters = graft.text.Dedup.nearDupClusters(
+      lshPairsCached(spark, dir), "id_a", "id_b")
+    val perCluster = clusters.groupBy("canonical_id")
+      .agg(max(col("cluster_size")).as("cluster_size"))
+    val hist = perCluster.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("corpus_docs"))
+    val clustered = hist.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("clustered_docs"))
+    val singleton = totals.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("cluster_size"),
+        (col("corpus_docs") - col("clustered_docs")).as("n_clusters"),
+        (col("corpus_docs") - col("clustered_docs")).as("n_docs"))
+    singleton.unionByName(
+        hist.select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters"), col("n_docs").cast("long").as("n_docs")))
+      .crossJoin(broadcast(totals))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("cast((2 * n_docs * 1000000 + corpus_docs) div (2 * corpus_docs) as bigint)")
+          .as("docs_ppm"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q330_source_mixture_weights" -> q330,
+    "q331_unigram_xent" -> q331,
+    "q332_duplicate_ngram_mass" -> q332,
+    "q333_length_lognormal" -> q333,
+    "q334_dedup_cluster_sizes" -> q334,
     "q294_quality_filter_funnel" -> q294,
     "q295_dedup_token_savings" -> q295,
     "q292_cohens_kappa" -> q292,
@@ -1260,6 +1453,137 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q330_source_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT *, SUM(n_tokens) OVER () AS total_tokens,
+        |    CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS p
+        |  FROM per),
+        |r AS (
+        |  SELECT *,
+        |    CAST(floor(pow(p, 0.3) * 1000000000.0 + 0.5) / 1000000000.0
+        |      AS DECIMAL(28,9)) AS r03,
+        |    CAST(floor(pow(p, 0.7) * 1000000000.0 + 0.5) / 1000000000.0
+        |      AS DECIMAL(28,9)) AS r07
+        |  FROM w),
+        |z AS (SELECT *, SUM(r03) OVER () AS z03, SUM(r07) OVER () AS z07
+        |      FROM r)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS p,
+        |  floor(CAST(r03 AS DOUBLE) / CAST(z03 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS w_alpha03,
+        |  floor(CAST(r07 AS DOUBLE) / CAST(z07 AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS w_alpha07,
+        |  floor(CAST(r03 AS DOUBLE) / CAST(z03 AS DOUBLE)
+        |      * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS epochs_alpha03,
+        |  floor(CAST(r07 AS DOUBLE) / CAST(z07 AS DOUBLE)
+        |      * CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS epochs_alpha07
+        |FROM z ORDER BY source""".stripMargin,
+    "q331_unigram_xent" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_occ FROM tok),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(floor(-ln(CAST(COUNT(*) AS DOUBLE) / t_occ)
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS lnp_q
+        |  FROM tok, tot GROUP BY token, t_occ),
+        |per_doc AS (
+        |  SELECT doc_id, source,
+        |    floor(CAST(SUM(lnp_q) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS xent
+        |  FROM tok JOIN vocab USING (token)
+        |  GROUP BY doc_id, source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(CAST(floor(xent * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_xent,
+        |  MIN(xent) AS min_xent, MAX(xent) AS max_xent
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    "q332_duplicate_ngram_mass" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8),
+         |grams AS (
+         |  SELECT source,
+         |    CAST(md5_number_lower(
+         |      unnest(list_transform(generate_series(1, len(toks) - 7),
+         |        i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))) & $H
+         |      AS BIGINT) AS g
+         |  FROM t),
+         |cells AS (
+         |  SELECT g, source, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |  FROM grams GROUP BY 1, 2),
+         |wc AS (SELECT *, SUM(n_occ) OVER (PARTITION BY g) AS corpus_occ
+         |       FROM cells)
+         |SELECT source, CAST(SUM(n_occ) AS BIGINT) AS total_occ,
+         |  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+         |  CAST(SUM(CASE WHEN corpus_occ > 1 THEN n_occ ELSE 0 END)
+         |    AS BIGINT) AS dup_occ,
+         |  CAST((2 * SUM(CASE WHEN corpus_occ > 1 THEN n_occ ELSE 0 END)
+         |      * 1000000 + SUM(n_occ)) // (2 * SUM(n_occ)) AS BIGINT)
+         |    AS dup_mass_ppm
+         |FROM wc GROUP BY source ORDER BY source""".stripMargin,
+    "q333_length_lognormal" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(floor(ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS l,
+        |    CAST(floor(ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |        * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS l2
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |    SUM(l) AS sl, SUM(l2) AS sl2
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs,
+        |  floor(CAST(sl AS DOUBLE) / n_docs * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mu,
+        |  floor((CAST(sl2 AS DOUBLE) / n_docs
+        |      - (CAST(sl AS DOUBLE) / n_docs) * (CAST(sl AS DOUBLE) / n_docs))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS sigma2,
+        |  floor(exp(CAST(sl AS DOUBLE) / n_docs) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS fit_median_tokens,
+        |  floor(exp(CAST(sl AS DOUBLE) / n_docs
+        |      + (CAST(sl2 AS DOUBLE) / n_docs
+        |        - (CAST(sl AS DOUBLE) / n_docs) * (CAST(sl AS DOUBLE) / n_docs))
+        |        / 2) * 1000000.0 + 0.5) / 1000000.0 AS fit_mean_tokens,
+        |  floor(CAST(sum_tokens AS DOUBLE) / n_docs * 1000000.0 + 0.5)
+        |    / 1000000.0 AS actual_mean_tokens
+        |FROM s ORDER BY source""".stripMargin,
+    "q334_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $componentsCte,
+         |csz AS (SELECT canonical_id,
+         |          CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |        FROM comp GROUP BY canonical_id),
+         |hist AS (
+         |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |  FROM csz GROUP BY cluster_size),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs
+         |        FROM documents),
+         |cl AS (SELECT COALESCE(CAST(SUM(n_docs) AS BIGINT), 0)
+         |         AS clustered_docs FROM hist),
+         |allrows AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |    corpus_docs - clustered_docs AS n_clusters,
+         |    corpus_docs - clustered_docs AS n_docs
+         |  FROM tot, cl
+         |  UNION ALL
+         |  SELECT cluster_size, n_clusters, n_docs FROM hist)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |  CAST((2 * n_docs * 1000000 + corpus_docs) // (2 * corpus_docs)
+        |    AS BIGINT) AS docs_ppm
+        |FROM allrows, tot ORDER BY cluster_size""".stripMargin,
     "q294_quality_filter_funnel" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
