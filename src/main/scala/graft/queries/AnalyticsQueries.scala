@@ -158,31 +158,37 @@ object AnalyticsQueries {
       .orderBy("period", "o_orderstatus")
   }
 
+  /** The part co-purchase edge list (parts co-ordered in ≥2 DISTINCT
+    * orders; the support threshold prunes singleton co-occurrence noise
+    * AND is what keeps a 100 TB co-purchase graph sparse), shared by
+    * q104 (triangles) and q341 (clustering coefficient) — one build +
+    * persist per session. Pair generation is collect_set + in-row pair
+    * explode: ONE shuffle on the order key instead of a self-join (two
+    * shuffled sides + a third for the count). Per-order fan-out is
+    * k·(k−1)/2 on the basket size — bounded (~7 lines/order here); an
+    * unbounded-basket corpus would cap k before exploding. The pair SET
+    * per order is order-insensitive (least/greatest), so collect_set's
+    * nondeterministic ordering is harmless. */
+  private def partCoEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"part-co-edges:$dir") {
+      val pairs = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"""
+            .stripMargin)).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("src", "dst")
+    }
+
   /** q104 — per-part triangle participation in the co-purchase graph
-    * (parts co-ordered in ≥2 DISTINCT orders; the support threshold
-    * prunes singleton co-occurrence noise AND is what keeps a 100 TB
-    * co-purchase graph sparse). Degree-oriented wedge counting — see
+    * ([[partCoEdges]]). Degree-oriented wedge counting — see
     * [[graft.graph.Triangles]] for why orientation bounds the fan-out. */
   val q104: Q = (spark, dir) => {
-    // Pair generation as collect_set + in-row pair explode: ONE shuffle
-    // on the order key instead of a self-join (two shuffled sides + a
-    // third for the count). Per-order fan-out is k·(k−1)/2 on the
-    // basket size — bounded (~7 lines/order here); an unbounded-basket
-    // corpus would cap k before exploding. The pair SET per order is
-    // order-insensitive (least/greatest), so collect_set's
-    // nondeterministic ordering is harmless.
-    val pairs = Tables.lineitem(spark, dir)
-      .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |            y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"""
-          .stripMargin)).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("src", "dst")
-    Triangles.triangleCounts(edges)
+    Triangles.triangleCounts(partCoEdges(spark, dir))
       .select(col("node").cast("long").as("part_key"), col("n_triangles"))
       .orderBy(desc("n_triangles"), col("part_key"))
       .limit(25)
@@ -1632,7 +1638,36 @@ object AnalyticsQueries {
       .orderBy("band")
   }
 
+  /** q341 — local clustering coefficient per part in the co-purchase
+    * graph: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    * neighbourhood is to a clique, the standard "is this a community
+    * hub or a broadcast hub" readout next to q104's raw triangle
+    * counts and q246's global assortativity. Reuses the memoized
+    * [[partCoEdges]] and the degree-oriented triangle counter (wedge
+    * volume O(m^{3/2}), never per-node neighbourhood materialization);
+    * degrees come from one explode+groupBy over the edge list. Exact
+    * integer T and deg; the coefficient is one mirrored IEEE divide,
+    * 6 dp. Top-50 by coefficient with degree/id tiebreaks pinned. */
+  val q341: Q = (spark, dir) => {
+    val edges = partCoEdges(spark, dir)
+    val deg = edges
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = Triangles.triangleCounts(edges)
+      .select(col("node").cast("long").as("node"), col("n_triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").cast("long").as("part_key"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          qround(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(desc("clustering"), desc("degree"), col("part_key"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q341_local_clustering" -> q341,
     "q335_welch_ttest" -> q335,
     "q336_brown_forsythe" -> q336,
     "q337_jarque_bera" -> q337,
@@ -1848,6 +1883,38 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q341_local_clustering" ->
+      """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
+        |                   l_partkey::VARCHAR AS p, l_partkey AS pn
+        |            FROM lineitem),
+        |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+        |          FROM pr a JOIN pr b ON a.k = b.k AND a.pn < b.pn
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND pairs.u < pairs.v)
+        |                    THEN pairs.u ELSE pairs.v END AS s,
+        |               CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND pairs.u < pairs.v)
+        |                    THEN pairs.v ELSE pairs.u END AS t
+        |        FROM pairs JOIN deg d1 ON d1.n = pairs.u
+        |        JOIN deg d2 ON d2.n = pairs.v),
+        |tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        |        FROM ori w1 JOIN ori w2 ON w1.s = w2.s AND w1.t < w2.t
+        |        JOIN (SELECT least(s, t) AS b, greatest(s, t) AS c FROM ori) cl
+        |          ON cl.b = w1.t AND cl.c = w2.t),
+        |roles AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |          UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |       FROM roles GROUP BY 1)
+        |SELECT CAST(deg.n AS BIGINT) AS part_key, deg.d AS degree,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    floor(2.0 * COALESCE(tc.n_triangles, 0) / (deg.d * (deg.d - 1))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN tc ON tc.node = deg.n
+        |ORDER BY clustering DESC, degree DESC, part_key LIMIT 50""".stripMargin,
     "q335_welch_ttest" ->
       s"""WITH u AS (
          |  SELECT user_id,

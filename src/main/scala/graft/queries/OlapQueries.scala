@@ -3493,7 +3493,48 @@ object OlapQueries {
       .orderBy("cov")
   }
 
+  /** q342 — Markov row entropy over q122's transition matrix: per
+    * prev_type, the Shannon entropy (nats) and perplexity of the
+    * next-type distribution — which states are predictable funnels
+    * (entropy ≈ 0) vs branch points (perplexity ≈ |types|) — plus the
+    * global conditional entropy H(next|prev), the one-number
+    * predictability of the whole journey graph. Per-cell and per-row
+    * terms quantize to DECIMAL(28,9) before every order-free sum (the
+    * q318 entropy convention); the matrix is |types|²-bounded, so all
+    * windows and the final rollup run on a dimension-sized frame after
+    * ONE user_id exchange manufactures the lag pairs. */
+  val q342: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+    val rows = cells
+      .withColumn("rt", sum(col("c")).over(Window.partitionBy("prev_type")))
+      .withColumn("term", qdec(
+        -(col("c").cast("double") / col("rt")) *
+          log(col("c").cast("double") / col("rt")), 28, 9))
+      .groupBy(col("prev_type"), col("rt"))
+      .agg(count(lit(1)).as("n_next_types"), sum(col("term")).as("h"))
+    val tot = rows.agg(sum(col("rt")).as("nn"))
+    val withCond = rows.crossJoin(broadcast(tot))
+      .withColumn("cterm", qdec(
+        (col("rt").cast("double") / col("nn")) * col("h").cast("double"),
+        28, 9))
+    val cond = withCond.agg(sum(col("cterm")).as("hc"))
+    withCond.crossJoin(broadcast(cond))
+      .select(col("prev_type"), col("rt").as("n_transitions"),
+        col("n_next_types"),
+        decOut(col("h"), 6).as("entropy_nats"),
+        qround(exp(col("h").cast("double")), 6).as("perplexity"),
+        decOut(col("hc"), 6).as("cond_entropy_nats"))
+      .orderBy("prev_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q342_path_entropy" -> q342,
     "q322_covariate_balance" -> q322,
     "q320_seasonal_decomposition" -> q320,
     "q321_theil_decomposition" -> q321,
@@ -3878,6 +3919,44 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q342_path_entropy" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        |r AS (SELECT event_type AS next_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY t, event_id) AS prev_type
+        |      FROM e),
+        |cells AS (
+        |  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY prev_type) AS rt FROM cells),
+        |terms AS (
+        |  SELECT prev_type, rt,
+        |    CAST(floor(-(CAST(c AS DOUBLE) / rt)
+        |        * ln(CAST(c AS DOUBLE) / rt) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(28,9)) AS term
+        |  FROM wt),
+        |rows_ AS (
+        |  SELECT prev_type, rt, CAST(COUNT(*) AS BIGINT) AS n_next_types,
+        |    SUM(term) AS h
+        |  FROM terms GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(rt) AS BIGINT) AS nn FROM rows_),
+        |wc AS (
+        |  SELECT *,
+        |    CAST(floor((CAST(rt AS DOUBLE) / nn) * CAST(h AS DOUBLE)
+        |        * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))
+        |      AS cterm
+        |  FROM rows_, tot),
+        |cond AS (SELECT SUM(cterm) AS hc FROM wc)
+        |SELECT prev_type, CAST(rt AS BIGINT) AS n_transitions, n_next_types,
+        |  floor(CAST(h AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS entropy_nats,
+        |  floor(exp(CAST(h AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+        |    AS perplexity,
+        |  floor(CAST(hc AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS cond_entropy_nats
+        |FROM wc, cond ORDER BY prev_type""".stripMargin,
     "q322_covariate_balance" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -842,7 +842,38 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** q340 — streaming OHLC (candlestick) aggregation: per (event_type,
+    * hour) the opening value (first by event time, event_id tiebreak),
+    * close (last), high, low, and count — the market-data shape every
+    * metrics pipeline reuses for "first/last reading per window".
+    * open/close ride `min_by`/`max_by` over a (ts, event_id) struct —
+    * DECLARATIVE aggregates, so the streaming state per group is one
+    * (value, key) pair, mergeable across micro-batches, never a buffered
+    * window. Values are exact integer cents; the whole output surface is
+    * BIGINT. Complete mode (finite input never closes trailing
+    * watermarked windows in append); oracle = the identical batch SQL
+    * with row_number endpoints. */
+  val q340: Q = (spark, dir) => {
+    val name = s"q340_out_${runId.incrementAndGet()}"
+    val src = stream(spark, dir)
+      .withColumn("cents", floor(col("value") * 100.0 + lit(0.5)))
+      .withColumn("bucket_s", expr("(ts div 1000000000) div 3600 * 3600"))
+    val agg = src.groupBy("event_type", "bucket_s")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("cents"), struct(col("ts"), col("event_id")))
+          .as("open_cents"),
+        max_by(col("cents"), struct(col("ts"), col("event_id")))
+          .as("close_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"))
+    EventStreams.runToMemory(spark, agg, name, OutputMode.Complete)
+      .select("event_type", "bucket_s", "n", "open_cents", "close_cents",
+        "high_cents", "low_cents")
+      .orderBy("event_type", "bucket_s")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q340_stream_ohlc" -> q340,
     "q315_stream_srm" -> q315,
     "q296_watermark_lateness" -> q296,
     "q213_stream_anomaly" -> q213,
@@ -886,6 +917,31 @@ object StreamingQueries {
       |  FROM y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q340_stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) AS t, event_id,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, (t // 1000000000) // 3600 * 3600 AS bucket_s,
+        |    t, event_id, cents
+        |  FROM e),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket_s
+        |      ORDER BY t, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket_s
+        |      ORDER BY t DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, CAST(bucket_s AS BIGINT) AS bucket_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+        |    AS open_cents,
+        |  CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+        |    AS close_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS high_cents,
+        |  CAST(MIN(cents) AS BIGINT) AS low_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The stream must converge to the batch certification: same oracle,
     // by reference, as the batch q308 — agreement with batch semantics
     // is THE correctness property of the incremental form.
