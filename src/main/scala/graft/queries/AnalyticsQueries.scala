@@ -1666,7 +1666,58 @@ object AnalyticsQueries {
       .limit(50)
   }
 
+  /** q346 — retention half-life per cohort: fit ln(retention) ~ offset
+    * by closed-form OLS over q46's triangle (offsets ≥ 1, base = the
+    * offset-0 cohort size) and report t½ = −ln2/slope — the one-number
+    * decay summary a growth dashboard quotes beside the raw triangle.
+    * Log terms quantize to DECIMAL(28,9) once per cell (cells are
+    * weeks²-bounded, so everything after the q46 aggregate is
+    * dimension-sized); Σx/Σx² are exact BIGINT, Σl/Σxl exact decimals;
+    * slope and t½ are one mirrored IEEE expression each. Cohorts whose
+    * retention doesn't decay (slope ≥ 0) report NULL half-life rather
+    * than a negative time. */
+  val q346: Q = (spark, dir) => {
+    val ret = Cohort.retention(Tables.events(spark, dir), "user_id", "ts")
+    val base = ret.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("active_users").as("base_users"))
+    val pts = ret.filter(col("week_offset") >= 1)
+      .join(base, "cohort_week")
+      .filter(col("active_users") > 0)
+      // Narrow decimals so EVERY product below stays within precision
+      // 38 with scale 9 PRESERVED: Spark silently truncates the scale
+      // when p1+p2+1 > 38 (observed: sxl -0.026756 vs the exact
+      // -0.026755952 with a (28,9) l). l(15,9)*offset(6,0) -> (22,9),
+      // summed (32,9); n(4,0)*sxl(32,9) -> (37,9); sx(6,0)*sl(25,9) ->
+      // (32,9); the numerator difference lands exactly in (38,9).
+      .withColumn("l", qdec(log(col("active_users").cast("double") /
+        col("base_users").cast("double")), 15, 9))
+    val s = pts.groupBy("cohort_week", "base_users")
+      .agg(count(lit(1)).as("n"), sum(col("week_offset")).as("sx"),
+        sum(col("l")).as("sl"),
+        sum(col("l") * col("week_offset").cast("decimal(6,0)")).as("sxl"),
+        sum(col("week_offset") * col("week_offset")).as("sxx"))
+      .filter(col("n") >= 2)
+      // The OLS numerator n·Σxl − Σx·Σl cancels catastrophically in
+      // double (two close products), and 1/slope amplifies the engines'
+      // ulp-level disagreement into the 6th decimal of the half-life
+      // (observed at sf0.01). So: numerator and denominator EXACT in
+      // decimal/long, ONE cast each, and the slope 9 dp-quantized
+      // before anything downstream (sign test and reciprocal included)
+      // reads it — both engines then derive from the identical double.
+      .withColumn("slope", qround(
+        (col("n").cast("decimal(4,0)") * col("sxl") -
+          col("sx").cast("decimal(6,0)") * col("sl")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9))
+    s.select(col("cohort_week"), col("base_users"),
+        col("n").as("n_points"),
+        qround(col("slope"), 6).as("decay_slope"),
+        when(col("slope") < 0,
+          qround(-log(lit(2.0)) / col("slope"), 6)).as("half_life_weeks"))
+      .orderBy("cohort_week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q346_retention_halflife" -> q346,
     "q341_local_clustering" -> q341,
     "q335_welch_ttest" -> q335,
     "q336_brown_forsythe" -> q336,
@@ -1883,6 +1934,46 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q346_retention_halflife" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, day,
+        |    MIN(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM d),
+        |ret AS (
+        |  SELECT first_day // 7 AS cohort_week,
+        |    (day - first_day) // 7 AS week_offset,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        |  FROM f GROUP BY 1, 2),
+        |base AS (
+        |  SELECT cohort_week, active_users AS base_users FROM ret
+        |  WHERE week_offset = 0),
+        |pts AS (
+        |  SELECT r.cohort_week, b.base_users, r.week_offset,
+        |    CAST(floor(ln(CAST(r.active_users AS DOUBLE) / b.base_users)
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(15,9)) AS l
+        |  FROM ret r JOIN base b ON r.cohort_week = b.cohort_week
+        |  WHERE r.week_offset >= 1 AND r.active_users > 0),
+        |s AS (
+        |  SELECT cohort_week, base_users, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(week_offset) AS BIGINT) AS sx, SUM(l) AS sl,
+        |    SUM(l * week_offset) AS sxl,
+        |    CAST(SUM(week_offset * week_offset) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT cohort_week, base_users, n,
+        |    floor(CAST(n * sxl - sx * sl AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS slope
+        |  FROM s WHERE n >= 2)
+        |SELECT cohort_week, base_users, n AS n_points,
+        |  floor(slope * 1000000.0 + 0.5) / 1000000.0 AS decay_slope,
+        |  CASE WHEN slope < 0 THEN
+        |    floor(-ln(2.0) / slope * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS half_life_weeks
+        |FROM fit ORDER BY cohort_week""".stripMargin,
     "q341_local_clustering" ->
       """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
         |                   l_partkey::VARCHAR AS p, l_partkey AS pn

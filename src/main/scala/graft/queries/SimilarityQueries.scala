@@ -567,7 +567,49 @@ object SimilarityQueries {
       .orderBy("m")
   }
 
+  /** q347 — label-centroid cosine confusion matrix: per label the
+    * component-wise mean embedding, then every label pair's centroid
+    * cosine — the "which classes are embedding-space neighbours"
+    * readout that predicts q244's LOO confusions and prices an IVF
+    * partitioning by label. Determinism: each float component quantizes
+    * to DECIMAL(28,9) once (exact float→double widening first), so
+    * centroid sums are order-free; centroid components re-quantize at
+    * 9 dp; dot/norm products quantize per-dimension before their exact
+    * sums. Scale shape: one (label, dim) aggregate over the exploded
+    * components (64·|labels| groups), then |labels|²-bounded joins —
+    * nothing downstream of the first aggregate is data-sized. */
+  val q347: Q = (spark, dir) => {
+    val comp = emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("xq", qdec(col("x").cast("double"), 28, 9))
+    val cent = comp.groupBy("label", "d")
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
+      .select(col("label"), col("d"), col("n"),
+        qround(col("s").cast("double") / col("n"), 9).as("c"))
+    val norms = cent.groupBy("label")
+      .agg(max(col("n")).as("n_vectors"),
+        sum(qdec(col("c") * col("c"), 28, 9)).as("nrm2"))
+    val a = cent.select(col("label").as("label_a"), col("d"),
+      col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("d"),
+      col("c").as("cb"))
+    val dots = a.join(b, "d").filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(qdec(col("ca") * col("cb"), 28, 9)).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("n_vectors").as("n_a"), col("nrm2").as("nrm2_a"))), "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("n_vectors").as("n_b"), col("nrm2").as("nrm2_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        qround(col("dot").cast("double") /
+          sqrt(col("nrm2_a").cast("double") * col("nrm2_b").cast("double")),
+          6).as("centroid_cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q347_label_centroids" -> q347,
     "q261_pq_audit" -> q261,
     "q244_knn_loo_accuracy" -> q244,
     "q245_label_silhouette" -> q245,
@@ -604,6 +646,41 @@ object SimilarityQueries {
       |  FROM v a JOIN v c ON c.vec_id <> a.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q347_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |comp AS (
+        |  SELECT label, i - 1 AS d,
+        |    CAST(floor(emb[i] * 1000000000.0 + 0.5) / 1000000000.0
+        |      AS DECIMAL(28,9)) AS xq
+        |  FROM (SELECT label, emb, unnest(generate_series(1, len(emb)))
+        |          AS i FROM e)),
+        |cent AS (
+        |  SELECT label, d, CAST(COUNT(*) AS BIGINT) AS n,
+        |    floor(CAST(SUM(xq) AS DOUBLE) / COUNT(*) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS c
+        |  FROM comp GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT label, MAX(n) AS n_vectors,
+        |    SUM(CAST(floor(c * c * 1000000000.0 + 0.5) / 1000000000.0
+        |      AS DECIMAL(28,9))) AS nrm2
+        |  FROM cent GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(CAST(floor(a.c * b.c * 1000000000.0 + 0.5) / 1000000000.0
+        |      AS DECIMAL(28,9))) AS dot
+        |  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  na.n_vectors AS n_a, nb.n_vectors AS n_b,
+        |  floor(CAST(dot AS DOUBLE)
+        |      / sqrt(CAST(na.nrm2 AS DOUBLE) * CAST(nb.nrm2 AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS centroid_cosine
+        |FROM dots
+        |JOIN norms na ON na.label = dots.label_a
+        |JOIN norms nb ON nb.label = dots.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
     "q261_pq_audit" ->
       s"""WITH w AS (
          |  SELECT m, k, m * 8 + dd AS d,

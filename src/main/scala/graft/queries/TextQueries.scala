@@ -1277,7 +1277,120 @@ object TextQueries {
       .orderBy("cluster_size")
   }
 
+  /** q343 — bigram cross-entropy (the conditional sibling of q331's
+    * unigram score): per document H₂(d) = −Σ ln p(w|v) / n_bigrams with
+    * add-½ smoothing over the corpus vocabulary — the perplexity proxy
+    * that penalizes IMPROBABLE SEQUENCES (shuffled or templated text)
+    * where the unigram score only sees rare words. p(w|v) =
+    * (c(vw)+0.5) / (c(v·)+0.5·V), all counts exact: c(vw) from one
+    * bigram aggregate, the prefix total c(v·) from a window over it
+    * (groups are vocabulary-bounded), V from the unigram pass. The
+    * per-bigram −ln p quantizes to DECIMAL(28,9) once per DISTINCT
+    * bigram; per-doc sums are exact and order-free. Scale shape: two
+    * token-keyed aggregations and one occurrence⋈bigram join — the same
+    * inverted-index shuffle class as q331/q170. */
+  val q343: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+    val occ = toks.select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) as v, element_at(toks, i + 1) as w))"))
+        .as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.v").as("v"), col("bg.w").as("w"))
+    val vocabF = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(countDistinct(col("token")).as("vsize"))
+    val bg = occ.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+      .withColumn("c_v", sum(col("c_vw")).over(Window.partitionBy("v")))
+      .crossJoin(broadcast(vocabF))
+      .select(col("v"), col("w"), qdec(
+        -log((col("c_vw").cast("double") + 0.5) /
+          (col("c_v").cast("double") + col("vsize") * 0.5)), 28, 9)
+        .as("lnp_q"))
+    val perDoc = occ.join(bg, Seq("v", "w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("lnp_q")).as("h_sum"))
+      .select(col("source"),
+        qround(col("h_sum").cast("double") / col("n_bg").cast("double"),
+          6).as("xent2"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(qdec(col("xent2"), 28, 9)).as("sx"),
+        min(col("xent2")).as("min_xent2"),
+        max(col("xent2")).as("max_xent2"))
+      .select(col("source"), col("n_docs"),
+        qround(col("sx").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_xent2"),
+        col("min_xent2"), col("max_xent2"))
+      .orderBy("source")
+  }
+
+  /** q344 — data-driven stopword discovery: rank tokens by DOCUMENT
+    * frequency share (df/corpus docs, exact half-up ppm) with total
+    * occurrences beside it — the list a new-domain curation pipeline
+    * derives before q21's hand-picked stopword ratio makes sense.
+    * Candidates flag at df > 50 %. One distinct-(doc, token) aggregate
+    * (map-side partials), token-keyed — the Zipf head this surfaces is
+    * exactly the high-df mass q45/q26's caps drop. Top-50 by df with
+    * token tiebreak. */
+  val q344: Q = (spark, dir) => {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_corpus_docs"))
+    tok.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("occurrences"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("df"), col("occurrences"),
+        expr("cast((2 * df * 1000000 + n_corpus_docs) div (2 * n_corpus_docs) as bigint)")
+          .as("df_ppm"))
+      .withColumn("stopword_candidate",
+        when(col("df_ppm") > 500000L, 1L).otherwise(0L))
+      .orderBy(desc("df"), desc("occurrences"), col("token"))
+      .limit(50)
+  }
+
+  /** q345 — sliding-window chunk overlap audit: the RAG-style chunker
+    * (size 64, stride 48) starts a chunk at every multiple of the
+    * stride below the document length, so consecutive chunks share
+    * size − stride tokens; this measures what that overlap COSTS per
+    * source — emitted chunk-token volume vs raw tokens, in exact ppm —
+    * the number that decides stride before a 100 TB re-chunk. Chunk
+    * lengths come from an in-row sequence explode (shuffle-free until
+    * the |sources|-row rollup); all integer. */
+  val q345: Q = (spark, dir) => {
+    val size_ = 64
+    val stride = 48
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("chunk_len", explode(expr(
+        s"transform(sequence(0, cast((n_tok - 1) div $stride as int)), " +
+          s"i -> least(cast($size_ as bigint), n_tok - i * $stride))")))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("chunk_tokens"),
+        sum(when(col("chunk_len") === size_, 1L).otherwise(0L))
+          .as("full_chunks"))
+      .join(Tables.documents(spark, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("raw_tokens")),
+        Seq("source"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("n_chunks"), col("chunk_tokens"), col("full_chunks"),
+        expr("cast((2 * (chunk_tokens - raw_tokens) * 1000000 + chunk_tokens) div (2 * chunk_tokens) as bigint)")
+          .as("overlap_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q343_bigram_perplexity" -> q343,
+    "q344_stopword_discovery" -> q344,
+    "q345_sliding_chunks" -> q345,
     "q330_source_mixture_weights" -> q330,
     "q331_unigram_xent" -> q331,
     "q332_duplicate_ngram_mass" -> q332,
@@ -1453,6 +1566,86 @@ object TextQueries {
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q343_bigram_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |occ AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> struct_pack(v := toks[i], w := toks[i+1]))) AS bg
+        |  FROM t),
+        |o2 AS (SELECT doc_id, source, bg.v AS v, bg.w AS w FROM occ),
+        |vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsize
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)),
+        |bgc AS (
+        |  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw
+        |  FROM o2 GROUP BY 1, 2),
+        |bgp AS (
+        |  SELECT v, w,
+        |    CAST(floor(-ln((CAST(c_vw AS DOUBLE) + 0.5)
+        |        / (CAST(SUM(c_vw) OVER (PARTITION BY v) AS DOUBLE)
+        |          + 0.5 * vsize))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))
+        |      AS lnp_q
+        |  FROM bgc, vocab),
+        |per_doc AS (
+        |  SELECT doc_id, source,
+        |    floor(CAST(SUM(lnp_q) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS xent2
+        |  FROM o2 JOIN bgp USING (v, w)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(CAST(floor(xent2 * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_xent2,
+        |  MIN(xent2) AS min_xent2, MAX(xent2) AS max_xent2
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    "q344_stopword_discovery" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_docs
+        |        FROM documents),
+        |g AS (
+        |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |    CAST(COUNT(*) AS BIGINT) AS occurrences
+        |  FROM tok GROUP BY 1)
+        |SELECT token, df, occurrences,
+        |  CAST((2 * df * 1000000 + n_corpus_docs) // (2 * n_corpus_docs)
+        |    AS BIGINT) AS df_ppm,
+        |  CAST(CASE WHEN (2 * df * 1000000 + n_corpus_docs)
+        |      // (2 * n_corpus_docs) > 500000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS stopword_candidate
+        |FROM g, tot
+        |ORDER BY df DESC, occurrences DESC, token LIMIT 50""".stripMargin,
+    "q345_sliding_chunks" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ch AS (
+        |  SELECT source, n_tok,
+        |    unnest(list_transform(generate_series(0, (n_tok - 1) // 48),
+        |      i -> least(64, n_tok - i * 48))) AS chunk_len
+        |  FROM d),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens,
+        |    CAST(SUM(CASE WHEN chunk_len = 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS full_chunks
+        |  FROM ch GROUP BY 1),
+        |raw AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS raw_tokens
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, raw_tokens, n_chunks, chunk_tokens,
+        |  full_chunks,
+        |  CAST((2 * (chunk_tokens - raw_tokens) * 1000000 + chunk_tokens)
+        |    // (2 * chunk_tokens) AS BIGINT) AS overlap_ppm
+        |FROM agg JOIN raw USING (source) ORDER BY source""".stripMargin,
     "q330_source_mixture_weights" ->
       """WITH per AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
