@@ -1716,7 +1716,45 @@ object AnalyticsQueries {
       .orderBy("cohort_week")
   }
 
+  /** q348 — referential-integrity audit across the star schema's five
+    * FK relations: per relation the child row count, orphan count
+    * (child keys with no parent — a broadcast-able LEFT ANTI, the
+    * parent side is key-distinct), and the orphan rate in exact ppm.
+    * The DQ readout q128's single-table constraints don't cover; on
+    * this synthetic fixture every relation must audit CLEAN, which
+    * gates the zero side exactly like q286's planted-PII convention.
+    * Five independent anti-joins, each one fact scan with the parent
+    * key set broadcast; |relations|-row output. */
+  val q348: Q = (spark, dir) => {
+    def audit(name: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(
+        broadcast(parent.select(col(pkey).as("k")).distinct()),
+        Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          expr("cast((2 * n_orphans * 1000000 + n_child) div (2 * n_child) as bigint)")
+            .as("orphan_ppm"))
+    }
+    Seq(
+      audit("customer.nationkey->nation", Tables.customer(spark, dir),
+        "c_nationkey", Tables.nation(spark, dir), "n_nationkey"),
+      audit("orders.custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      audit("lineitem.orderkey->orders", Tables.lineitem(spark, dir),
+        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+      audit("lineitem.partkey->part", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      audit("lineitem.suppkey->supplier", Tables.lineitem(spark, dir),
+        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q348_fk_integrity" -> q348,
     "q346_retention_halflife" -> q346,
     "q341_local_clustering" -> q341,
     "q335_welch_ttest" -> q335,
@@ -1934,6 +1972,41 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q348_fk_integrity" ->
+      """WITH a AS (
+        |  SELECT 'customer.nationkey->nation' AS relation,
+        |    CAST(COUNT(*) AS BIGINT) AS n_child,
+        |    CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey->orders',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT relation, n_child, n_orphans,
+        |  CAST((2 * n_orphans * 1000000 + n_child) // (2 * n_child)
+        |    AS BIGINT) AS orphan_ppm
+        |FROM a ORDER BY relation""".stripMargin,
     "q346_retention_halflife" ->
       """WITH d AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day

@@ -608,7 +608,41 @@ object SimilarityQueries {
       .orderBy("label_a", "label_b")
   }
 
+  /** q351 — IVF nprobe/recall sweep: recall@5 of the hash-gated
+    * fixed-quantizer IVF (q192's operator) against the brute-force
+    * cosine truth at nprobe = 1 / 2 / 4 — THE tuning curve every IVF
+    * deployment reads before fixing its probe budget (recall rises
+    * with nprobe, so does the scanned fraction; the knee is
+    * corpus-specific). Truth is computed once (the q30 broadcast-query
+    * brute pass); each arm is the same probe-join pipeline at a
+    * different probe count; overlap is an exact left-semi count, the
+    * mean recall one divide of exact integers. Output: 3 rows. */
+  val q351: Q = (spark, dir) => {
+    val e = emb(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val qs = e.filter(col("vec_id") < 10)
+    val truth = bruteForceTopK(
+      corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      qs.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 5).select("q_id", "n_id")
+    Seq(1, 2, 4).map { np =>
+      val ann = graft.sim.IvfAnn.topKFixed(corpus, qs,
+          idCol = "vec_id", embCol = "embedding",
+          k = 5, cells = 16, nprobe = np)
+        .select("q_id", "n_id")
+      truth.join(ann, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(np.toLong).as("nprobe"), col("n_truth"),
+          col("n_overlap"),
+          qround(col("n_overlap").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall_at_5"))
+    }.reduce(_ unionByName _)
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q351_ivf_nprobe_sweep" -> q351,
     "q347_label_centroids" -> q347,
     "q261_pq_audit" -> q261,
     "q244_knn_loo_accuracy" -> q244,
@@ -645,7 +679,87 @@ object SimilarityQueries {
       |      * 1000000.0 + 0.5) / 1000000.0 AS cos
       |  FROM v a JOIN v c ON c.vec_id <> a.vec_id)""".stripMargin
 
+  // One nprobe arm of the q351 oracle: q192's probe/score/rank pipeline
+  // with the probe count substituted, reduced to (q_id, n_id) @ rank<=5.
+  private def ivfArmSql(np: Int): String =
+    s"""ann_$np AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT s.q_id, s.n_id,
+       |      row_number() OVER (PARTITION BY s.q_id
+       |        ORDER BY s.cos DESC, s.n_id) AS rank
+       |    FROM (
+       |      SELECT p.q_id, a.n_id,
+       |        floor((list_dot_product(p.emb, a.emb) / (p.nrm * a.nrm))
+       |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+       |      FROM (SELECT q_id, emb, cell,
+       |              sqrt(list_dot_product(emb, emb)) AS nrm
+       |            FROM (SELECT q_id, emb, cell,
+       |                    row_number() OVER (PARTITION BY q_id
+       |                      ORDER BY rel, cell) AS r
+       |                  FROM pd) WHERE r <= $np) p
+       |      JOIN asg a USING (cell)) s)
+       |  WHERE rank <= 5),
+       |arm_$np AS (
+       |  SELECT CAST($np AS BIGINT) AS nprobe,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth tt
+       |     JOIN ann_$np aa ON tt.q_id = aa.q_id AND tt.n_id = aa.n_id)
+       |      AS n_overlap)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q351_ivf_nprobe_sweep" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id >= 10),
+         |sd AS (
+         |  SELECT n_id, emb,
+         |    row_number() OVER (ORDER BY
+         |      md5_number_lower('ivfseed:' || n_id::VARCHAR) & $H, n_id)
+         |      AS rn
+         |  FROM c0),
+         |seeds AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cell, emb AS cen
+         |  FROM sd WHERE rn <= 16),
+         |ad AS (
+         |  SELECT c0.n_id, c0.emb, s.cell,
+         |    list_dot_product(s.cen, s.cen)
+         |      - 2.0 * list_dot_product(c0.emb, s.cen) AS rel
+         |  FROM c0 CROSS JOIN seeds s),
+         |asg AS (
+         |  SELECT n_id, emb, cell,
+         |    sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM (SELECT n_id, emb, cell,
+         |          row_number() OVER (PARTITION BY n_id ORDER BY rel, cell)
+         |            AS r
+         |        FROM ad) WHERE r = 1),
+         |q0 AS (
+         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS qnrm
+         |  FROM embeddings WHERE vec_id < 10),
+         |pd AS (
+         |  SELECT q0.q_id, q0.emb, s.cell,
+         |    list_dot_product(s.cen, s.cen)
+         |      - 2.0 * list_dot_product(q0.emb, s.cen) AS rel
+         |  FROM q0 CROSS JOIN seeds s),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, c.n_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        floor((list_dot_product(q.emb, c.emb)
+         |            / (q.qnrm * sqrt(list_dot_product(c.emb, c.emb))))
+         |          * 1000000.0 + 0.5) / 1000000.0 DESC, c.n_id) AS rank
+         |    FROM q0 q CROSS JOIN c0 c)
+         |  WHERE rank <= 5),
+         |${ivfArmSql(1)},
+         |${ivfArmSql(2)},
+         |${ivfArmSql(4)},
+         |u AS (SELECT * FROM arm_1 UNION ALL SELECT * FROM arm_2
+         |      UNION ALL SELECT * FROM arm_4)
+         |SELECT nprobe, n_truth, n_overlap,
+         |  floor(CAST(n_overlap AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5
+         |FROM u ORDER BY nprobe""".stripMargin,
     "q347_label_centroids" ->
       """WITH e AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb

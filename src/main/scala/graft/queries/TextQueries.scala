@@ -1387,7 +1387,87 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q349 — decontamination n-gram-width sweep: the q82 exact
+    * contamination pass at n = 4 / 8 / 12, reduced to the corpus-level
+    * rates — contaminated training docs, total shared-gram hits, and
+    * the contamination rate in exact ppm per width. THE sensitivity
+    * report a team reads before burning a 100 TB decontamination run:
+    * n too small over-flags (common phrases), n too large misses
+    * paraphrase edits; the sweep shows where this corpus's curve bends.
+    * Each arm reuses the q82 plan shape (benchmark side distinct +
+    * broadcast; the corpus scan is the only data-sized work, once per
+    * n); the report is a 3-row union of scalar aggregates. */
+  val q349: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val trainTotal = train.agg(count(lit(1)).as("n_train_docs"))
+    Seq(4, 8, 12).map { n =>
+      val hits = contaminationReport(train, bench, "doc_id", "text", n = n)
+      hits.agg(count(lit(1)).as("contaminated_docs"),
+          coalesce(sum(col("n_shared")), lit(0L)).as("shared_gram_hits"))
+        .crossJoin(broadcast(trainTotal))
+        .select(lit(n.toLong).as("ngram_n"), col("n_train_docs"),
+          col("contaminated_docs"), col("shared_gram_hits"),
+          expr("cast((2 * contaminated_docs * 1000000 + n_train_docs) div (2 * n_train_docs) as bigint)")
+            .as("contamination_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy("ngram_n")
+  }
+
+  /** q350 — per-source quality-score drift (PSI against the corpus):
+    * q21's quality score binned into ten fixed deciles, each source's
+    * bin distribution compared to the global one by the population
+    * stability index Σ(p_s − p_g)·ln(p_s/p_g) with add-½ smoothing —
+    * the standard "is this source distributionally weird" gate next to
+    * q115's event-feature PSI, here pointed at the curation signal
+    * itself. Counts are exact; per-bin terms quantize to DECIMAL(18,9)
+    * before the order-free sum; verdict at the conventional 0.1/0.25
+    * bands. One documents scan to a (source × 10)-cell frame. */
+  val q350: Q = (spark, dir) => {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))"))
+      .withColumn("quality",
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+      .select(col("source"),
+        least(lit(9L), floor(col("quality") * 10.0)).as("bin"))
+    val cells = scored.groupBy("source", "bin")
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.select(col("source")).distinct()
+      .crossJoin(cells.select(col("bin")).distinct())
+      .join(cells, Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val withTot = grid
+      .withColumn("n_s", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("g", sum(col("c")).over(Window.partitionBy("bin")))
+      .withColumn("nn", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("nbins",
+        count(lit(1)).over(Window.partitionBy("source")))
+    val terms = withTot
+      .withColumn("ps", (col("c").cast("double") + 0.5) /
+        (col("n_s").cast("double") + col("nbins") * 0.5))
+      .withColumn("pg", (col("g").cast("double") + 0.5) /
+        (col("nn").cast("double") + col("nbins") * 0.5))
+      .withColumn("term", qdec(
+        (col("ps") - col("pg")) * log(col("ps") / col("pg")), 18, 9))
+    terms.groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"), sum(col("term")).as("psi0"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.GraftFunctions.decOut(col("psi0"), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") > 0.25, "shifted")
+          .when(col("psi") > 0.1, "moderate")
+          .otherwise("stable"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q349_decontamination_sweep" -> q349,
+    "q350_quality_psi" -> q350,
     "q343_bigram_perplexity" -> q343,
     "q344_stopword_discovery" -> q344,
     "q345_sliding_chunks" -> q345,
@@ -1565,7 +1645,87 @@ object TextQueries {
        |  SELECT s.src AS id, reach.r FROM sym s JOIN reach ON s.dst = reach.id),
        |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
 
+  // One sweep arm of the q349 oracle: the q82 contamination semantics at
+  // n-gram width `n`, reduced to corpus-level counts.
+  private def deconArmSql(n: Int): String =
+    s"""arm_$n AS (
+       |  SELECT CAST($n AS BIGINT) AS ngram_n,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |     WHERE doc_id % 17 != 0) AS n_train_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS contaminated_docs,
+       |    CAST(COALESCE(SUM(n_shared), 0) AS BIGINT) AS shared_gram_hits
+       |  FROM (
+       |    SELECT tr.doc_id, COUNT(*) AS n_shared
+       |    FROM (SELECT DISTINCT doc_id,
+       |            unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |              i -> list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))
+       |              AS shingle
+       |          FROM t WHERE len(toks) >= $n AND doc_id % 17 != 0) tr
+       |    JOIN (SELECT DISTINCT
+       |            unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |              i -> list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))
+       |              AS shingle
+       |          FROM t WHERE len(toks) >= $n AND doc_id % 17 = 0) b
+       |    USING (shingle)
+       |    GROUP BY tr.doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q349_decontamination_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |${deconArmSql(4)},
+         |${deconArmSql(8)},
+         |${deconArmSql(12)},
+         |u AS (SELECT * FROM arm_4 UNION ALL SELECT * FROM arm_8
+         |      UNION ALL SELECT * FROM arm_12)
+         |SELECT ngram_n, n_train_docs, contaminated_docs, shared_gram_hits,
+         |  CAST((2 * contaminated_docs * 1000000 + n_train_docs)
+         |    // (2 * n_train_docs) AS BIGINT) AS contamination_ppm
+         |FROM u ORDER BY ngram_n""".stripMargin,
+    "q350_quality_psi" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    least(9, CAST(floor(
+        |      (1.0 - len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+        |        / len(string_split(text, ' ')))
+        |      * least(1.0, len(string_split(text, ' '))::DOUBLE / 100.0)
+        |      * 10.0) AS BIGINT)) AS bin
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT src.source, b.bin, COALESCE(cells.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM cells) src
+        |  CROSS JOIN (SELECT DISTINCT bin FROM cells) b
+        |  LEFT JOIN cells ON cells.source = src.source
+        |    AND cells.bin = b.bin),
+        |w AS (
+        |  SELECT *,
+        |    SUM(c) OVER (PARTITION BY source) AS n_s,
+        |    SUM(c) OVER (PARTITION BY bin) AS g,
+        |    SUM(c) OVER () AS nn,
+        |    COUNT(*) OVER (PARTITION BY source) AS nbins
+        |  FROM grid),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    CAST(floor(
+        |      ((CAST(c AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + nbins * 0.5)
+        |        - (CAST(g AS DOUBLE) + 0.5) / (CAST(nn AS DOUBLE) + nbins * 0.5))
+        |      * ln(((CAST(c AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + nbins * 0.5))
+        |        / ((CAST(g AS DOUBLE) + 0.5) / (CAST(nn AS DOUBLE) + nbins * 0.5)))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(18,9)) AS term
+        |  FROM w),
+        |agg AS (
+        |  SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+        |    floor(CAST(SUM(term) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |      AS psi
+        |  FROM terms GROUP BY 1)
+        |SELECT source, n_docs, psi,
+        |  CASE WHEN psi > 0.25 THEN 'shifted'
+        |    WHEN psi > 0.1 THEN 'moderate' ELSE 'stable' END AS verdict
+        |FROM agg ORDER BY source""".stripMargin,
     "q343_bigram_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS toks
