@@ -112,10 +112,18 @@ object Bench {
         s"${hot.size} hot readings taint ${tainted.size} queries: " +
         tainted.toSeq.sorted.mkString(","))
 
-    // Rerun pass (once, at the end): session memos built in the first
-    // pass are reused, so a rerun can under-count a shared memo build —
-    // acceptable: per-query attribution of shared frames was always
-    // amortized, and an uncontended run flags nothing at all.
+    // Rerun pass (once, at the end). Session memos built in the first
+    // pass are DROPPED first: with them warm, a memo-backed query's
+    // rerun measures a cache lookup (observed: q55's 16-fit ALS grid
+    // "rerunning" in 0.099 s), and min(first, rerun) then under-counts
+    // the total — a flattering error, worse than the contention it
+    // corrects. With the memos cold, a rerun pays AT LEAST the query's
+    // true cost (possibly more, if it rebuilds a frame the first pass
+    // amortized across neighbours — the min() falls back to the first
+    // reading in that case, so both readings are overestimates and
+    // their min never flatters). Reruns go in name order, so memo
+    // amortization WITHIN the rerun phase mirrors the first pass.
+    graft.util.SessionMemo.clear(spark)
     val byName = toRun.toMap
     val reruns = tainted.toSeq.sorted.map { name =>
       val secs = timeOne(name, byName(name))

@@ -85,6 +85,53 @@ object TimeSeries {
       .select(col("k").as(key), col("d").as(day), col("x").as(measure),
         col("ewma"))
   }
+  /** Croston's method for intermittent demand: over a key's NON-ZERO
+    * demand events in day order, two coupled EWMAs — demand size
+    * z_j = α·x_j + (1−α)·z_{j−1} (z_1 = x_1) and inter-demand interval
+    * p_j = α·(t_j−t_{j−1}) + (1−α)·p_{j−1} (p_2 = t_2−t_1; p undefined
+    * until the second event, so keys with < 2 demands are dropped) —
+    * forecast per period = z/p. The standard forecaster where most
+    * periods are ZERO (spare parts, long-tail SKUs) and plain EWMA
+    * (q127) or Holt (q164) over the dense series chase zeros to a
+    * useless average.
+    *
+    * Same execution shape as [[ewma]]: the recursion is sequential
+    * within a key, so `groupByKey.flatMapGroups` with per-key in-memory
+    * sort (group size ≤ calendar span); the fold multiplies the SAME
+    * literals in the SAME order as the oracle's recursive CTE, so the
+    * doubles are bit-identical cross-engine. One row out per key. */
+  def croston(points: DataFrame, key: String, day: String,
+              measure: String, alpha: Double): DataFrame = {
+    val enc = Encoders.product[CrostonRow]
+    points
+      .select(col(key).cast("string").as("k"), col(day).cast("long").as("d"),
+        col(measure).cast("double").as("x"))
+      .filter(col("x") > 0)
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroups { (k: String, rows: Iterator[Row]) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2)))
+          .toArray.sortBy(_._1)
+        if (sorted.length < 2) Iterator.empty
+        else {
+          var z = sorted(0)._2
+          var p = 0.0
+          var prevDay = sorted(0)._1
+          var first = true
+          sorted.iterator.drop(1).foreach { case (d, x) =>
+            val interval = (d - prevDay).toDouble
+            p = if (first) interval else alpha * interval + (1.0 - alpha) * p
+            z = alpha * x + (1.0 - alpha) * z
+            first = false
+            prevDay = d
+          }
+          Iterator.single(CrostonRow(k, sorted.length.toLong, prevDay, z, p))
+        }
+      }(enc)
+      .toDF()
+      .select(col("k").as(key), col("nDemands").as("n_demand_days"),
+        col("lastDay").as("last_day"), col("z"), col("p"))
+  }
+
   /** Linear interpolation across the gaps of [[gapFillDaily]]'s grid —
     * the fill for measures where carrying the last value forward
     * (ffill) misstates a trend: each gap day gets
@@ -416,6 +463,8 @@ object TimeSeries {
 /** Output row of [[TimeSeries.ewma]] (top-level for the product
   * Encoder). */
 case class EwmaRow(k: String, d: Long, x: Double, ewma: Double)
+case class CrostonRow(k: String, nDemands: Long, lastDay: Long,
+                      z: Double, p: Double)
 
 /** Output row of [[TimeSeries.holtLinear]]. */
 case class HoltRow(k: String, d: Long, x: Double, level: Double,

@@ -3533,7 +3533,133 @@ object OlapQueries {
       .orderBy("prev_type")
   }
 
+  /** q352 — Croston intermittent-demand forecast per part
+    * ([[graft.ops.TimeSeries.croston]], α = 0.2 — q127's constant):
+    * daily shipped quantity is mostly ZERO per part, exactly the regime
+    * where dense-series smoothers average themselves useless; Croston
+    * tracks demand size and inter-demand interval separately and
+    * forecasts z/p units per day. Demand days reduce from one lineitem
+    * scan (map-side partials, day = integer epoch-day of ship date);
+    * the sequential fold is per-key (the q127 typed-iterator shape,
+    * group size ≤ calendar span). Parts with ≥ 5 demand days, top-50 by
+    * forecast with id tiebreak. */
+  val q352: Q = (spark, dir) => {
+    val demand = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(cast(l_shipdate as timestamp) as long) div 86400")
+          .as("day"),
+        floor(col("l_quantity") + lit(0.5)).as("qty"))
+      .groupBy("l_partkey", "day")
+      .agg(sum(col("qty")).as("demand"))
+    TimeSeries.croston(demand, "l_partkey", "day", "demand", alpha = 0.2)
+      .filter(col("n_demand_days") >= 5)
+      .select(col("l_partkey").cast("long").as("part_key"),
+        col("n_demand_days"), col("last_day"),
+        qround(col("z"), 6).as("demand_ewma"),
+        qround(col("p"), 6).as("interval_ewma"),
+        qround(col("z") / col("p"), 6).as("forecast_per_day"))
+      .orderBy(desc("forecast_per_day"), col("part_key"))
+      .limit(50)
+  }
+
+  /** q353 — time-boxed strict-order funnel (the ClickHouse
+    * `windowFunnel` semantics beside q90's unbounded one): view →
+    * click → purchase must complete within ONE HOUR of the first view,
+    * each stage strictly after the previous. Report per stage: users
+    * reaching it, reach share of all users, and step conversion from
+    * the previous stage — all exact integer ppm. Each stage is one
+    * aggregate-join-aggregate on user_id (the q90 plan with a deadline
+    * predicate); the report is a 3-row union of scalars. */
+  val q353: Q = (spark, dir) => {
+    val win = 3600L * 1000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val s1 = ev.filter(col("event_type") === "click")
+      .join(entry, "user_id")
+      .filter(col("ts") > col("t0") && col("ts") <= col("t0") + win)
+      .groupBy("user_id", "t0").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "purchase")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t0") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val tot = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_all_users"))
+    val counts = Seq(
+      ("1_view", entry), ("2_click", s1), ("3_purchase", s2))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_reached"))
+          .select(lit(name).as("stage"), col("n_reached"))
+      }.reduce(_ unionByName _)
+    val w = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("prev",
+        coalesce(last(col("n_reached")).over(w), col("n_all_users")))
+      .select(col("stage"), col("n_reached"), col("n_all_users"),
+        expr("cast((2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
+          .as("reach_ppm"),
+        expr("cast((2 * n_reached * 1000000 + prev) div (2 * prev) as bigint)")
+          .as("step_ppm"))
+      .orderBy("stage")
+  }
+
+  /** q354 — event study with placebo inference: the 7-day mean daily
+    * revenue AFTER the event day minus the 7 days BEFORE, compared
+    * against the SAME statistic at every other day of the calendar —
+    * the permutation-style placebo
+    * distribution that turns a before/after delta into a p-value
+    * without any normality assumption (the q222 DiD's single-series
+    * sibling). Daily revenue is one fact aggregate (calendar-bounded);
+    * both rolling sums ride ONE ordered frame over that bounded series;
+    * effects stay exact cents (integer sums × small multipliers) so the
+    * placebo comparison |14·Δ| is pure BIGINT — no float until the
+    * final readout divides. */
+  val q354: Q = (spark, dir) => {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+        .as("day"),
+        floor(col("o_totalprice") * 100.0 + lit(0.5)).as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("rev"))
+    // The daily frame is calendar-bounded (~2500 rows at ANY SF), so the
+    // unpartitioned ordered window is safe — the q124 argument.
+    val wPost = Window.orderBy("day").rowsBetween(0, 6)
+    val wPre = Window.orderBy("day").rowsBetween(-7, -1)
+    val eff = daily
+      .withColumn("post", sum(col("rev")).over(wPost))
+      .withColumn("n_post", count(lit(1)).over(wPost))
+      .withColumn("pre", sum(col("rev")).over(wPre))
+      .withColumn("n_pre", count(lit(1)).over(wPre))
+      .filter(col("n_post") === 7 && col("n_pre") === 7)
+      // Δ = post/7 − pre/7; compare 7·Δ = post − pre, exact cents.
+      .select(col("day"), col("rev"), (col("post") - col("pre")).as("delta7"))
+    // "Event" = the max-revenue eligible day (exact-cents argmax, min-day
+    // tiebreak) — data-derived so the study is non-degenerate at every
+    // SF; the question it answers: "was the spike day's week genuinely
+    // abnormal, or within this calendar's ordinary variation?"
+    val real = eff.orderBy(desc("rev"), col("day")).limit(1)
+      .select(col("day").as("event_day"), col("delta7").as("real_delta7"))
+    val placebo = eff.crossJoin(broadcast(real))
+      .filter(col("day") =!= col("event_day"))
+      .agg(count(lit(1)).as("n_placebos"),
+        sum(when(abs(col("delta7")) >= abs(col("real_delta7")), 1L)
+          .otherwise(0L)).as("n_as_extreme"),
+        max(col("event_day")).as("event_day"),
+        max(col("real_delta7")).as("real_delta7"))
+    placebo.select(
+        col("event_day"),
+        qround(col("real_delta7").cast("double") / 700.0, 6)
+          .as("effect_dollars_per_day"),
+        col("n_placebos"), col("n_as_extreme"),
+        expr("cast((2 * n_as_extreme * 1000000 + n_placebos) div (2 * n_placebos) as bigint)")
+          .as("p_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q352_croston_forecast" -> q352,
+    "q353_window_funnel" -> q353,
+    "q354_event_study" -> q354,
     "q342_path_entropy" -> q342,
     "q322_covariate_balance" -> q322,
     "q320_seasonal_decomposition" -> q320,
@@ -3919,6 +4045,116 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q352_croston_forecast" ->
+      """WITH RECURSIVE demand AS (
+        |  SELECT l_partkey AS k,
+        |    (epoch_ns(l_shipdate) // 1000000000) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS demand
+        |  FROM lineitem GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT k, day, CAST(demand AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY k ORDER BY day) AS i
+        |  FROM demand WHERE demand > 0),
+        |cnt AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(day) AS BIGINT) AS last_day
+        |  FROM idx GROUP BY 1),
+        |rec AS (
+        |  SELECT k, i, day, x AS z, CAST(0.0 AS DOUBLE) AS p
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.k, idx.i, idx.day,
+        |    CAST(0.2 AS DOUBLE) * idx.x + CAST(0.8 AS DOUBLE) * rec.z,
+        |    CASE WHEN rec.i = 1 THEN CAST(idx.day - rec.day AS DOUBLE)
+        |      ELSE CAST(0.2 AS DOUBLE) * (idx.day - rec.day)
+        |        + CAST(0.8 AS DOUBLE) * rec.p END
+        |  FROM idx JOIN rec ON idx.k = rec.k AND idx.i = rec.i + 1),
+        |fin AS (
+        |  SELECT rec.k, cnt.n, cnt.last_day, rec.z, rec.p
+        |  FROM rec JOIN cnt ON rec.k = cnt.k AND rec.i = cnt.n
+        |  WHERE cnt.n >= 5)
+        |SELECT CAST(k AS BIGINT) AS part_key, n AS n_demand_days, last_day,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS demand_ewma,
+        |  floor(p * 1000000.0 + 0.5) / 1000000.0 AS interval_ewma,
+        |  floor(z / p * 1000000.0 + 0.5) / 1000000.0 AS forecast_per_day
+        |FROM fin
+        |ORDER BY forecast_per_day DESC, part_key LIMIT 50""".stripMargin,
+    "q353_window_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |entry AS (
+        |  SELECT user_id, MIN(t) AS t0 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT ev.user_id, t0, MIN(t) AS t1
+        |  FROM ev JOIN entry USING (user_id)
+        |  WHERE event_type = 'click' AND t > t0
+        |    AND t <= t0 + 3600000000000 GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT ev.user_id, MIN(t) AS t2
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > t1
+        |    AND t <= t0 + 3600000000000 GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |          AS n_all_users FROM ev),
+        |counts AS (
+        |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_reached
+        |  FROM entry
+        |  UNION ALL
+        |  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s1
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s2),
+        |wp AS (
+        |  SELECT stage, n_reached, n_all_users,
+        |    COALESCE(lag(n_reached) OVER (ORDER BY stage), n_all_users)
+        |      AS prev
+        |  FROM counts, tot)
+        |SELECT stage, n_reached, n_all_users,
+        |  CAST((2 * n_reached * 1000000 + n_all_users)
+        |    // (2 * n_all_users) AS BIGINT) AS reach_ppm,
+        |  CAST((2 * n_reached * 1000000 + prev) // (2 * prev) AS BIGINT)
+        |    AS step_ppm
+        |FROM wp ORDER BY stage""".stripMargin,
+    "q354_event_study" ->
+      """WITH daily AS (
+        |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT day, rev,
+        |    SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS post,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS n_post,
+        |    SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pre,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_pre
+        |  FROM daily),
+        |eff AS (
+        |  SELECT day, rev, post - pre AS delta7 FROM e
+        |  WHERE n_post = 7 AND n_pre = 7),
+        |real AS (
+        |  SELECT day AS event_day, delta7 AS real_delta7 FROM (
+        |    SELECT day, delta7,
+        |      row_number() OVER (ORDER BY rev DESC, day) AS r
+        |    FROM eff) WHERE r = 1),
+        |pl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_placebos,
+        |    CAST(SUM(CASE WHEN abs(delta7) >= abs(real_delta7)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+        |    CAST(MAX(event_day) AS BIGINT) AS event_day,
+        |    CAST(MAX(real_delta7) AS BIGINT) AS real_delta7
+        |  FROM eff, real WHERE day != event_day)
+        |SELECT event_day,
+        |  floor(CAST(real_delta7 AS DOUBLE) / 700.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS effect_dollars_per_day,
+        |  n_placebos, n_as_extreme,
+        |  CAST((2 * n_as_extreme * 1000000 + n_placebos)
+        |    // (2 * n_placebos) AS BIGINT) AS p_ppm
+        |FROM pl""".stripMargin,
     "q342_path_entropy" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
         |           FROM events),
