@@ -1753,7 +1753,56 @@ object AnalyticsQueries {
       .orderBy("relation")
   }
 
+  /** q357 — Wilcoxon signed-rank test on paired per-user spend (post-cut
+    * vs pre-cut purchase cents, the q290 period split): the
+    * nonparametric paired sibling of q335's Welch t — ranks |Δ| instead
+    * of trusting the spend distribution's tails. Rank assignment uses
+    * the q319 distinct-value ECDF identity (2·avgrank(v) = 2·F(v) +
+    * c(v) + 1, exact INTEGER), so 2·W⁺ = Σ_{Δ>0} (2F+c+1) is exact
+    * BIGINT whatever the partition order; zero differences drop (the
+    * standard convention); the tie-corrected z rides ONE mirrored IEEE
+    * formula from exact integer moments, flagged at 1.96. The only
+    * unpartitioned window walks distinct |Δ| VALUES, never rows. */
+  val q357: Q = (spark, dir) => {
+    val cutNs = 1705363200000000000L // the q290 period boundary
+    val d = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("ts") < cutNs,
+          floor(col("value") * 100.0 + lit(0.5))).otherwise(0L)).as("pre"),
+        sum(when(col("event_type") === "purchase" && col("ts") >= cutNs,
+          floor(col("value") * 100.0 + lit(0.5))).otherwise(0L))
+          .as("post"))
+      .select((col("post") - col("pre")).as("diff"))
+      .filter(col("diff") =!= 0)
+      .select(abs(col("diff")).as("a"),
+        when(col("diff") > 0, 1L).otherwise(0L).as("pos"))
+    val byVal = d.groupBy("a")
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("n_pos"))
+    val wv = Window.orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("f", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .withColumn("w2term", col("n_pos") * (col("f") * 2 + col("c") + 1))
+      .withColumn("t3term",
+        col("c").cast("decimal(19,0)") * col("c") * col("c") - col("c"))
+    val s = ranked.agg(
+        sum(col("c")).as("n"), sum(col("w2term")).as("w2"),
+        sum(col("t3term")).as("tie3"))
+      .withColumn("mean2", col("n").cast("double") * (col("n") + 1) / 2.0)
+      .withColumn("var4",
+        (col("n").cast("double") * (col("n") + 1) * (col("n") * 2 + 1)
+          - expr("cast(tie3 as double)") / 2.0) / 6.0)
+      .withColumn("z",
+        (col("w2").cast("double") - col("mean2")) / sqrt(col("var4")))
+    s.select(col("n").as("n_nonzero_pairs"),
+        col("w2").as("w_plus_x2"),
+        qround(col("z"), 6).as("z_stat"),
+        when(abs(col("z")) > 1.96, 1L).otherwise(0L).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q357_wilcoxon_signed_rank" -> q357,
     "q348_fk_integrity" -> q348,
     "q346_retention_halflife" -> q346,
     "q341_local_clustering" -> q341,
@@ -1972,6 +2021,44 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q357_wilcoxon_signed_rank" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_ns(ts) < 1705363200000000000
+        |      THEN CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_ns(ts) >= 1705363200000000000
+        |      THEN CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS post
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT post - pre AS diff FROM u WHERE post - pre != 0),
+        |v AS (
+        |  SELECT abs(diff) AS a, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT *, COALESCE(SUM(c) OVER (ORDER BY a
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+        |  FROM v),
+        |s AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(n_pos * (2 * f + c + 1)) AS BIGINT) AS w2,
+        |    SUM(CAST(c AS DECIMAL(19,0)) * c * c - c) AS tie3
+        |  FROM r),
+        |z AS (
+        |  SELECT n, w2,
+        |    (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)
+        |    / sqrt((CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)
+        |        - CAST(tie3 AS DOUBLE) / 2.0) / 6.0) AS z
+        |  FROM s)
+        |SELECT n AS n_nonzero_pairs, w2 AS w_plus_x2,
+        |  floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+        |  CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS significant
+        |FROM z""".stripMargin,
     "q348_fk_integrity" ->
       """WITH a AS (
         |  SELECT 'customer.nationkey->nation' AS relation,

@@ -3656,7 +3656,49 @@ object OlapQueries {
           .as("p_ppm"))
   }
 
+  /** q356 — golden-record profile build (the CDP "customer 360" merge):
+    * one row per user surviving the freshest non-null value of each
+    * attribute — last JSON `$.k` property by (ts, event_id), first/last
+    * seen, event count, total purchase cents, and the dominant event
+    * type (mode, count ties pinned to the lexicographically larger
+    * type). Survivorship = `max_by` over a
+    * (presence, ts, event_id) struct so NULL attributes lose to any
+    * non-null regardless of recency — the standard most-recent-non-null
+    * rule. One user-grain aggregate + one (user, type) sub-aggregate;
+    * output is |users|-bounded. */
+  val q356: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k"))
+    val prof = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100.0 + lit(0.5))).otherwise(0L))
+          .as("purchase_cents"),
+        max_by(col("k"),
+          struct(col("k").isNotNull.cast("int").as("has"),
+            col("ts").as("ts"), col("event_id").as("eid")))
+          .as("latest_k"))
+    val mode = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      // struct-max picks the larger (count, type) pair, so count ties go
+      // to the lexicographically LARGER type — mirrored by the oracle's
+      // ORDER BY c DESC, event_type DESC.
+      .agg(max_by(col("event_type"),
+        struct(col("c").as("c"), col("event_type").as("t")))
+        .as("dominant_type"))
+    prof.join(mode, "user_id")
+      .select(col("user_id"), col("n_events"),
+        expr("first_ts div 1000000000").as("first_seen_s"),
+        expr("last_ts div 1000000000").as("last_seen_s"),
+        col("purchase_cents"), col("latest_k"), col("dominant_type"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q356_user_golden_profile" -> q356,
     "q352_croston_forecast" -> q352,
     "q353_window_funnel" -> q353,
     "q354_event_study" -> q354,
@@ -4045,6 +4087,35 @@ object OlapQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q356_user_golden_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,
+        |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    json_extract_string(props, '$.k') AS k
+        |  FROM events),
+        |prof AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(t) // 1000000000 AS first_seen_s,
+        |    MAX(t) // 1000000000 AS last_seen_s,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+        |      ELSE 0 END) AS BIGINT) AS purchase_cents
+        |  FROM e GROUP BY 1),
+        |lk AS (
+        |  SELECT user_id, k AS latest_k FROM (
+        |    SELECT user_id, k,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY (k IS NOT NULL) DESC, t DESC, event_id DESC) AS r
+        |    FROM e) WHERE r = 1),
+        |md AS (
+        |  SELECT user_id, event_type AS dominant_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY COUNT(*) DESC, event_type DESC) AS r
+        |    FROM e GROUP BY user_id, event_type) WHERE r = 1)
+        |SELECT prof.user_id, n_events, first_seen_s, last_seen_s,
+        |  purchase_cents, latest_k, dominant_type
+        |FROM prof JOIN lk USING (user_id) JOIN md USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q352_croston_forecast" ->
       """WITH RECURSIVE demand AS (
         |  SELECT l_partkey AS k,

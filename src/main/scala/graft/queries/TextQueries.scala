@@ -1465,7 +1465,37 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q355 — LSH banding (b, r) sweep: the 16-perm signatures regrouped
+    * at rows-per-band 2 / 4 / 8 (b = 8 / 4 / 2 bands), per config the
+    * candidate-pair volume, how many candidates clear the est-Jaccard
+    * 0.5 bar, the precision that implies (exact ppm), and the analytic
+    * S-curve threshold (1/b)^(1/r) — the knob chart that picks a
+    * banding BEFORE a corpus-scale dedup run (more bands = lower
+    * threshold = more candidates = more verification cost). Signatures
+    * build once (the memoized q25 frame); each arm is one banded
+    * self-join + the packed-signature agreement fold, reduced to a
+    * 1-row scalar — the report is a 3-row union. */
+  val q355: Q = (spark, dir) => {
+    val sigs = sigsCached(spark, dir)
+    Seq(2, 4, 8).map { r =>
+      val b = 16 / r
+      val pairs = lshCandidatePairs(sigs, "doc_id", rowsPerBand = r)
+      val est = estimatedJaccard(pairs, sigs, "doc_id", numPerm = 16)
+      est.agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)),
+            lit(0L)).as("n_above_05"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          qround(pow(lit(1.0) / b, lit(1.0) / r), 6).as("s_curve_threshold"),
+          col("n_candidates"), col("n_above_05"),
+          when(col("n_candidates") > 0,
+            expr("cast((2 * n_above_05 * 1000000 + n_candidates) div (2 * n_candidates) as bigint)"))
+            .otherwise(lit(0L)).as("precision_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy("rows_per_band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q355_lsh_band_sweep" -> q355,
     "q349_decontamination_sweep" -> q349,
     "q350_quality_psi" -> q350,
     "q343_bigram_perplexity" -> q343,
@@ -1669,7 +1699,62 @@ object TextQueries {
        |    USING (shingle)
        |    GROUP BY tr.doc_id))""".stripMargin
 
+  // One (b, r) arm of the q355 oracle: the shared `sigs` CTE regrouped
+  // at rows-per-band r, candidates → est-Jaccard → 1-row scalar.
+  private def lshArmSql(r: Int): String = {
+    val b = 16 / r
+    s"""bnd_$r AS (
+       |  SELECT doc_id, p // $r AS band,
+       |    string_agg(mh::VARCHAR, ':' ORDER BY p) AS band_sig
+       |  FROM sigs GROUP BY doc_id, band),
+       |cand_$r AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd_$r a JOIN bnd_$r b USING (band, band_sig)
+       |  WHERE a.doc_id < b.doc_id),
+       |est_$r AS (
+       |  SELECT c.id_a, c.id_b,
+       |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est
+       |  FROM cand_$r c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+       |  GROUP BY 1, 2),
+       |arm_$r AS (
+       |  SELECT CAST($b AS BIGINT) AS bands,
+       |    CAST($r AS BIGINT) AS rows_per_band,
+       |    floor(pow(1.0 / $b, 1.0 / $r) * 1000000.0 + 0.5) / 1000000.0
+       |      AS s_curve_threshold,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM est_$r) AS n_candidates,
+       |    (SELECT CAST(COALESCE(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0
+       |      END), 0) AS BIGINT) FROM est_$r) AS n_above_05)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q355_lsh_band_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS token
+         |  FROM t),
+         |sigs AS (
+         |  SELECT doc_id, p,
+         |    CAST(MIN(md5_number_lower(p::VARCHAR || ':' || token) & $H) AS BIGINT) AS mh
+         |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) g
+         |  GROUP BY doc_id, p),
+         |${lshArmSql(2)},
+         |${lshArmSql(4)},
+         |${lshArmSql(8)},
+         |u AS (SELECT * FROM arm_2 UNION ALL SELECT * FROM arm_4
+         |      UNION ALL SELECT * FROM arm_8)
+         |SELECT bands, rows_per_band, s_curve_threshold, n_candidates,
+         |  n_above_05,
+         |  CASE WHEN n_candidates > 0 THEN
+         |    CAST((2 * n_above_05 * 1000000 + n_candidates)
+         |      // (2 * n_candidates) AS BIGINT)
+         |  ELSE 0 END AS precision_ppm
+         |FROM u ORDER BY rows_per_band""".stripMargin,
     "q349_decontamination_sweep" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
