@@ -524,6 +524,61 @@ object ScaleProbe {
       bench.unpersist(blocking = false)
     }
 
+    if (probes("xent")) {
+      // The r10 corpus-LM family at factor× documents (doc_id
+      // translation; every replica repeats the same text, so the token
+      // vocabulary is FIXED while occurrences grow — the worst case for
+      // the vocab join's hot keys). Claims under test: q331's unigram
+      // cross-entropy is one token-keyed partial aggregation (vocab)
+      // plus one occurrence⋈vocab shuffle — wall tracks token volume
+      // linearly with a fixed-size build side; q332's duplicate-gram
+      // mass hashes 8-grams to 63-bit keys BEFORE the shuffle, so bytes
+      // shuffled track gram COUNT, not gram text width, and the
+      // per-gram groups stay |sources|-bounded after the first
+      // aggregate whatever the replication.
+      val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      val corpus = (0 until factor).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE xent corpus: ${corpus.count()} docs at ${factor}x")
+      time(s"xent_unigram_${factor}x") {
+        val tok = corpus.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        val totalF = tok.agg(count(lit(1)).as("t_occ"))
+        val vocab = tok.groupBy("token").agg(count(lit(1)).as("c_occ"))
+          .crossJoin(broadcast(totalF))
+          .select(col("token"), graft.functions.GraftFunctions.qdec(
+            -log(col("c_occ").cast("double") / col("t_occ").cast("double")),
+            28, 9).as("lnp_q"))
+        tok.join(vocab, "token")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("lnp_q")).as("h_sum"))
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .count()
+      }
+      time(s"dupmass8_${factor}x") {
+        import graft.functions.GraftFunctions.md5_63
+        val grams = corpus
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))"))
+            .as("gram"))
+          .select(col("source"), md5_63(col("gram")).as("g"))
+        val perCell = grams.groupBy("g", "source")
+          .agg(count(lit(1)).as("n_occ"))
+        perCell.withColumn("corpus_occ", sum(col("n_occ")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g")))
+          .groupBy("source")
+          .agg(sum(col("n_occ")).as("total_occ"),
+            sum(when(col("corpus_occ") > 1, col("n_occ")).otherwise(0L))
+              .as("dup_occ"))
+          .count()
+      }
+      corpus.unpersist(blocking = false)
+    }
+
     if (probes("mmr")) {
       // q152's rerank shape at factor× users (r9: lands the cents-long
       // poolCosines rewrite with a CURVE, not a one-point claim). The

@@ -721,7 +721,76 @@ object RecQueries {
         col("mce").cast("double").as("mce"))
   }
 
+  /** q358 — cold-start audit of the chronological split: how many
+    * validation users/items never appear in train, and what share of
+    * validation INTERACTIONS they carry — the number that says whether
+    * offline metrics (q51/q53) even apply, since no collaborative model
+    * can score an unseen entity (the reason q198's bias baseline and
+    * q50's popularity pool exist as fallbacks). Two distinct-key
+    * anti-joins against the memoized tagged frame; unseen key sets are
+    * vanishing by construction, so the affected-row semi-join
+    * broadcasts. Exact half-up ppm; 2-row output. */
+  val q358: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val train = Popularity.train(t)
+    val valid = Popularity.validation(t)
+    def side(name: String, key: String): DataFrame = {
+      val unseen = valid.select(col(key)).distinct()
+        .join(train.select(col(key)).distinct(), Seq(key), "left_anti")
+      val counts = valid.agg(
+        countDistinct(col(key)).as("n_val_entities"),
+        count(lit(1)).as("n_val_rows"))
+      val aff = valid.join(broadcast(unseen), Seq(key), "left_semi")
+        .agg(count(lit(1)).as("n_affected_rows"))
+      val nu = unseen.agg(count(lit(1)).as("n_unseen"))
+      counts.crossJoin(broadcast(nu)).crossJoin(broadcast(aff))
+        .select(lit(name).as("entity"),
+          col("n_val_entities"), col("n_unseen"),
+          expr("cast((2 * n_unseen * 1000000 + n_val_entities) div (2 * n_val_entities) as bigint)")
+            .as("unseen_ppm"),
+          col("n_val_rows"), col("n_affected_rows"),
+          expr("cast((2 * n_affected_rows * 1000000 + n_val_rows) div (2 * n_val_rows) as bigint)")
+            .as("affected_rows_ppm"))
+    }
+    side("item", "item_id").unionByName(side("user", "user_id"))
+      .orderBy("entity")
+  }
+
+  /** q360 — recommendation novelty (mean self-information): per
+    * validation user, −Σ ln(train-share of each recommended item) / k
+    * over q50's top-20 — the "are we only recommending blockbusters"
+    * metric beside q138's exposure counts (novelty is LOW when every
+    * list is the global head). Item shares come from one train-side
+    * aggregate; each item's −ln share quantizes to DECIMAL(28,9) once,
+    * so per-user sums are exact; the only data-sized work is the
+    * memoized rec frame join. */
+  val q360: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val train = Popularity.train(t)
+    val totF = train.agg(count(lit(1)).as("n_train"))
+    val pop = train.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totF))
+      .select(col("item_id"), graft.functions.GraftFunctions.qdec(
+        -log(col("cnt").cast("double") / col("n_train").cast("double")),
+        28, 9).as("selfinfo_q"))
+    popRecs(spark, dir)
+      .join(pop, Seq("item_id"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recs"),
+        sum(col("selfinfo_q")).as("si_sum"),
+        sum(when(col("selfinfo_q").isNull, 1L).otherwise(0L))
+          .as("n_unscored"))
+      .select(col("user_id"), col("n_recs"),
+        qround(col("si_sum").cast("double") /
+          (col("n_recs") - col("n_unscored")).cast("double"), 6)
+          .as("novelty_nats"),
+        col("n_unscored"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q358_coldstart_audit" -> q358,
+    "q360_rec_novelty" -> q360,
     "q284_calibration_ece" -> q284,
     "q257_qini_uplift" -> q257,
     "q240_brier_decomposition" -> q240,
@@ -923,6 +992,52 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q358_coldstart_audit" ->
+      s"""WITH $pipelineCte,
+         |arm AS (
+         |  SELECT 'item' AS entity,
+         |    (SELECT CAST(COUNT(DISTINCT item_id) AS BIGINT) FROM val)
+         |      AS n_val_entities,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |      (SELECT DISTINCT item_id FROM val WHERE item_id NOT IN
+         |        (SELECT DISTINCT item_id FROM train))) AS n_unseen,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM val) AS n_val_rows,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM val WHERE item_id NOT IN
+         |      (SELECT DISTINCT item_id FROM train)) AS n_affected_rows
+         |  UNION ALL
+         |  SELECT 'user',
+         |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM val),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |      (SELECT DISTINCT user_id FROM val WHERE user_id NOT IN
+         |        (SELECT DISTINCT user_id FROM train))),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM val),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM val WHERE user_id NOT IN
+         |      (SELECT DISTINCT user_id FROM train)))
+         |SELECT entity, n_val_entities, n_unseen,
+         |  CAST((2 * n_unseen * 1000000 + n_val_entities)
+         |    // (2 * n_val_entities) AS BIGINT) AS unseen_ppm,
+         |  n_val_rows, n_affected_rows,
+         |  CAST((2 * n_affected_rows * 1000000 + n_val_rows)
+         |    // (2 * n_val_rows) AS BIGINT) AS affected_rows_ppm
+         |FROM arm ORDER BY entity""".stripMargin,
+    "q360_rec_novelty" ->
+      s"""WITH $pipelineCte,
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+         |pop AS (
+         |  SELECT item_id,
+         |    CAST(floor(-ln(CAST(COUNT(*) AS DOUBLE) / n_train)
+         |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))
+         |      AS selfinfo_q
+         |  FROM train, tot GROUP BY item_id, n_train)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_recs,
+         |  floor(CAST(SUM(selfinfo_q) AS DOUBLE)
+         |      / (COUNT(*) - SUM(CASE WHEN selfinfo_q IS NULL THEN 1
+         |        ELSE 0 END))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS novelty_nats,
+         |  CAST(SUM(CASE WHEN selfinfo_q IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unscored
+         |FROM recs LEFT JOIN pop USING (item_id)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q284_calibration_ece" ->
       """WITH e AS (
         |  SELECT event_type, user_id % 4 AS ubucket, epoch_ns(ts) AS tns,

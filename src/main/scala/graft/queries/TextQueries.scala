@@ -1494,7 +1494,29 @@ object TextQueries {
       .orderBy("rows_per_band")
   }
 
+  /** q359 — language-ID confusion matrix: per (actual, predicted) cell
+    * of q22's classifier, counts plus the row-conditional rate
+    * P(predicted | actual) in exact ppm — the per-class detail behind
+    * q292's single κ (WHICH languages leak into which decides whether
+    * to fix profiles or drop a class). Reuses the memoized prediction
+    * frame; the matrix is |langs|²-bounded, so the row-total window is
+    * dimension-sized. */
+  val q359: Q = (spark, dir) => {
+    val cells = langPredsCached(spark, dir)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy("actual")))
+      .select(col("actual"), col("predicted"), col("n"),
+        expr("cast((2 * n * 1000000 + row_total) div (2 * row_total) as bigint)")
+          .as("rate_ppm"),
+        (col("actual") === col("predicted")).cast("int").as("is_correct"))
+      .orderBy("actual", "predicted")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q359_lang_confusion" -> q359,
     "q355_lsh_band_sweep" -> q355,
     "q349_decontamination_sweep" -> q349,
     "q350_quality_psi" -> q350,
@@ -1728,7 +1750,47 @@ object TextQueries {
        |      END), 0) AS BIGINT) FROM est_$r) AS n_above_05)""".stripMargin
   }
 
+  // The q22/q292 language-ID prediction pipeline as a reusable CTE chain
+  // ending in p(predicted, actual) — q359 consumes it too.
+  private val langPredsCte =
+    """tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |profiles AS (
+      |  SELECT lang AS cand_lang, token FROM (
+      |    SELECT lang, token, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY count(*) DESC, token) AS r
+      |    FROM tok GROUP BY lang, token) WHERE r <= 20),
+      |doctok AS (SELECT DISTINCT doc_id, token FROM tok),
+      |scores AS (
+      |  SELECT doc_id, cand_lang, count(*) AS n_overlap
+      |  FROM doctok JOIN profiles USING (token)
+      |  GROUP BY doc_id, cand_lang),
+      |best AS (
+      |  SELECT doc_id, cand_lang AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY n_overlap DESC, cand_lang) AS r
+      |  FROM scores),
+      |p AS (
+      |  SELECT b.predicted, d.lang AS actual
+      |  FROM best b JOIN documents d ON b.doc_id = d.doc_id
+      |  WHERE b.r = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q359_lang_confusion" ->
+      s"""WITH $langPredsCte,
+         |cells AS (
+         |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |w AS (
+         |  SELECT *, SUM(n) OVER (PARTITION BY actual) AS row_total
+         |  FROM cells)
+         |SELECT actual, predicted, n,
+         |  CAST((2 * n * 1000000 + row_total) // (2 * row_total) AS BIGINT)
+         |    AS rate_ppm,
+         |  CAST(actual = predicted AS INT) AS is_correct
+         |FROM w ORDER BY actual, predicted""".stripMargin,
     "q355_lsh_band_sweep" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
