@@ -1801,7 +1801,77 @@ object AnalyticsQueries {
         when(abs(col("z")) > 1.96, 1L).otherwise(0L).as("significant"))
   }
 
+  /** q361 — negative-binomial overdispersion fit per event type: where
+    * q283's Fano factor only FLAGS burstiness, this fits the NB moment
+    * estimators r = m²/(v−m), p = r/(r+m) on the daily counts — the
+    * parameters a capacity planner or synthetic-load generator consumes.
+    * Types whose sample variance does not exceed the mean get NULL
+    * parameters and a `poisson_consistent` verdict (the moment fit is
+    * undefined there). Exact DECIMAL moments, one mirrored IEEE formula
+    * per parameter, |types|-row output. */
+  val q361: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .withColumn("mean", expr("cast(sx as double)") / col("n_days"))
+      .withColumn("variance",
+        expr("cast(n_days * sxx - sx * sx as double)") /
+          expr("cast(cast(n_days as decimal(38,0)) * (n_days - 1) as double)"))
+    m.select(col("event_type"), col("n_days"),
+        qround(col("mean"), 6).as("mean_daily"),
+        qround(col("variance"), 6).as("var_daily"),
+        when(col("variance") > col("mean"), qround(
+          col("mean") * col("mean") / (col("variance") - col("mean")), 6))
+          .as("nb_r"),
+        when(col("variance") > col("mean"), qround(
+          (col("mean") * col("mean") / (col("variance") - col("mean"))) /
+            (col("mean") * col("mean") / (col("variance") - col("mean"))
+              + col("mean")), 6)).as("nb_p"),
+        when(col("variance") > col("mean"), "overdispersed")
+          .otherwise("poisson_consistent").as("verdict"))
+      .orderBy("event_type")
+  }
+
+  /** q364 — churn-baseline AUC: how well does pre-cut RECENCY alone
+    * (seconds since a user's last pre-period event) rank post-period
+    * churn (zero post-cut events)? The no-model baseline every churn
+    * system must beat, and a true temporal eval: feature from the
+    * pre-window, label from the post-window, so no leakage by
+    * construction. The cut sits at 99 % of the calendar span (exact
+    * integer ns arithmetic from the global min/max — the q290 fixed cut
+    * leaves ZERO churners on this always-active fixture, an empty-class
+    * divide), which churns ~half the users here. AUC/z via the shared
+    * rank-sum machinery ([[graft.metrics.Auc.mannWhitneyU]] — exact
+    * ties, integer until the final divides). One user-grain aggregate
+    * plus a broadcast 1-row bounds frame. */
+  val q364: Q = (spark, dir) => {
+    val bounds = Tables.events(spark, dir)
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(expr("t0 + (t1 - t0) * 99 div 100").as("cut"))
+    val u = Tables.events(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(max(when(col("ts") < col("cut"), col("ts"))).as("last_pre"),
+        sum(when(col("ts") >= col("cut"), 1L).otherwise(0L)).as("n_post"),
+        max(col("cut")).as("cut"))
+      .filter(col("last_pre").isNotNull)
+      .select(
+        expr("(cut - last_pre) div 1000000000").as("recency_s"),
+        (col("n_post") === 0).as("churned"))
+    graft.metrics.Auc.mannWhitneyU(u, col("recency_s"),
+        col("churned").cast("int"))
+      .withColumnRenamed("n_pos", "n_churned")
+      .withColumnRenamed("n_neg", "n_retained")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q361_nb_overdispersion" -> q361,
+    "q364_churn_recency_auc" -> q364,
     "q357_wilcoxon_signed_rank" -> q357,
     "q348_fk_integrity" -> q348,
     "q346_retention_halflife" -> q346,
@@ -2021,6 +2091,81 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q361_nb_overdispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n_days,
+        |    CAST(sx AS DOUBLE) / n_days AS mean,
+        |    CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |      / CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) AS DOUBLE)
+        |      AS variance
+        |  FROM m)
+        |SELECT event_type, n_days,
+        |  floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+        |  floor(variance * 1000000.0 + 0.5) / 1000000.0 AS var_daily,
+        |  CASE WHEN variance > mean THEN
+        |    floor(mean * mean / (variance - mean) * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS nb_r,
+        |  CASE WHEN variance > mean THEN
+        |    floor((mean * mean / (variance - mean))
+        |      / (mean * mean / (variance - mean) + mean)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS nb_p,
+        |  CASE WHEN variance > mean THEN 'overdispersed'
+        |    ELSE 'poisson_consistent' END AS verdict
+        |FROM d ORDER BY event_type""".stripMargin,
+    "q364_churn_recency_auc" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+        |    * 99 // 100 AS cut
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN epoch_ns(ts) < cut
+        |      THEN epoch_ns(ts) END) AS last_pre,
+        |    SUM(CASE WHEN epoch_ns(ts) >= cut
+        |      THEN 1 ELSE 0 END) AS n_post,
+        |    MAX(cut) AS cut
+        |  FROM events, b GROUP BY 1),
+        |s AS (
+        |  SELECT (cut - last_pre) // 1000000000 AS recency_s,
+        |    CASE WHEN n_post = 0 THEN 1 ELSE 0 END AS y
+        |  FROM u WHERE last_pre IS NOT NULL),
+        |g AS (
+        |  SELECT recency_s AS v, SUM(y) AS np, SUM(1 - y) AS nc
+        |  FROM s GROUP BY 1),
+        |t AS (
+        |  SELECT np, nc,
+        |    coalesce(SUM(nc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_c
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(SUM(np) AS BIGINT) AS n1,
+        |    CAST(SUM(nc) AS BIGINT) AS n0,
+        |    CAST(SUM(np * (2 * below_c + nc)) AS BIGINT) AS u2,
+        |    CAST(SUM((np + nc) * (np + nc) * (np + nc) - (np + nc))
+        |      AS BIGINT) AS tcorr
+        |  FROM t)
+        |SELECT n1 AS n_churned, n0 AS n_retained, u2,
+        |  floor(((CAST(u2 AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 12.0
+        |      * ((CAST(n1 + n0 AS DOUBLE) + 1.0)
+        |        - CAST(tcorr AS DOUBLE) / (CAST(n1 + n0 AS DOUBLE)
+        |          * (CAST(n1 + n0 AS DOUBLE) - 1.0)))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS z,
+        |  floor((CAST(u2 AS DOUBLE)
+        |      / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS auc
+        |FROM a""".stripMargin,
     "q357_wilcoxon_signed_rank" ->
       """WITH u AS (
         |  SELECT user_id,

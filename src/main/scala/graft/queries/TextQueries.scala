@@ -1515,7 +1515,71 @@ object TextQueries {
       .orderBy("actual", "predicted")
   }
 
+  /** q362 — lexical diversity by MATTR (moving-average type-token
+    * ratio, window 25): the length-robust replacement for the raw
+    * distinct/total ratio (q20), whose value collapses as documents
+    * grow — MATTR averages the TTR of every 25-token window, so a
+    * 40-token and a 4000-token document are comparable. Docs shorter
+    * than the window fall back to whole-doc TTR (the standard
+    * convention). Window distinct-counts are an IN-ROW transform over
+    * the token array (no explode, no shuffle until the |sources|
+    * rollup); per-doc values quantize to DECIMAL(28,9) before the
+    * cross-doc sums. */
+  val q362: Q = (spark, dir) => {
+    val w = 25
+    val perDoc = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("mattr", qround(
+        when(col("n_tok") < w,
+          size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+        .otherwise(expr(
+          s"""aggregate(transform(sequence(1, n_tok - ${w - 1}),
+             |  i -> size(array_distinct(slice(toks, i, $w)))),
+             |0L, (a, x) -> a + x)""".stripMargin).cast("double") /
+          ((col("n_tok") - (w - 1)) * w)), 6))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(qdec(col("mattr"), 28, 9)).as("sm"),
+        min(col("mattr")).as("min_mattr"),
+        max(col("mattr")).as("max_mattr"))
+      .select(col("source"), col("n_docs"),
+        qround(col("sm").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_mattr"),
+        col("min_mattr"), col("max_mattr"))
+      .orderBy("source")
+  }
+
+  /** q363 — Bloom-filter sizing sheet for the q94 decontamination
+    * prefilter: the benchmark side's distinct 8-gram count n (the keys
+    * the filter must hold) priced at 8 / 12 / 16 bits per key — optimal
+    * hash count k = round(bpk·ln2), predicted false-positive rate
+    * (1 − e^(−k/bpk))^k, and the filter's byte size. The sheet a
+    * pipeline reads to pick the memory/selectivity point BEFORE
+    * broadcasting a filter to a thousand executors; n is live data, the
+    * curves one mirrored IEEE formula per row. */
+  val q363: Q = (spark, dir) => {
+    val bench = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 0)
+    val nF = shingles(bench, "doc_id", "text", n = 8)
+      .select(col("shingle")).distinct()
+      .agg(count(lit(1)).as("n_keys"))
+    Seq(8, 12, 16).map { bpk =>
+      nF.select(lit(bpk.toLong).as("bits_per_key"), col("n_keys"),
+        expr(s"cast(($bpk * n_keys + 7) div 8 as bigint)")
+          .as("filter_bytes"),
+        floor(lit(bpk.toDouble) * log(lit(2.0)) + lit(0.5)).as("k_hashes"))
+    }.reduce(_ unionByName _)
+      .withColumn("predicted_fpr", qround(
+        pow(lit(1.0) - exp(-col("k_hashes").cast("double") /
+          col("bits_per_key").cast("double")), col("k_hashes").cast("double")),
+        9))
+      .orderBy("bits_per_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q362_mattr_diversity" -> q362,
+    "q363_bloom_sizing" -> q363,
     "q359_lang_confusion" -> q359,
     "q355_lsh_band_sweep" -> q355,
     "q349_decontamination_sweep" -> q349,
@@ -1778,6 +1842,50 @@ object TextQueries {
       |  WHERE b.r = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q362_mattr_diversity" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |pd AS (
+        |  SELECT source,
+        |    floor((CASE WHEN n_tok < 25 THEN
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok
+        |      ELSE
+        |        CAST(list_sum(list_transform(
+        |            generate_series(1, n_tok - 24),
+        |            i -> len(list_distinct(toks[i:i+24])))) AS DOUBLE)
+        |          / ((n_tok - 24) * 25)
+        |      END) * 1000000.0 + 0.5) / 1000000.0 AS mattr
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(CAST(floor(mattr * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_mattr,
+        |  MIN(mattr) AS min_mattr, MAX(mattr) AS max_mattr
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "q363_bloom_sizing" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 17 = 0 AND len(string_split(text, ' ')) >= 8),
+        |n AS (
+        |  SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_keys FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+        |      AS shingle
+        |    FROM t)),
+        |cfg AS (SELECT CAST(unnest([8, 12, 16]) AS BIGINT) AS bits_per_key),
+        |rows_ AS (
+        |  SELECT bits_per_key, n_keys,
+        |    CAST((bits_per_key * n_keys + 7) // 8 AS BIGINT) AS filter_bytes,
+        |    CAST(floor(CAST(bits_per_key AS DOUBLE) * ln(2.0) + 0.5)
+        |      AS BIGINT) AS k_hashes
+        |  FROM cfg, n)
+        |SELECT bits_per_key, n_keys, filter_bytes, k_hashes,
+        |  floor(pow(1.0 - exp(-CAST(k_hashes AS DOUBLE)
+        |        / CAST(bits_per_key AS DOUBLE)), CAST(k_hashes AS DOUBLE))
+        |    * 1000000000.0 + 0.5) / 1000000000.0 AS predicted_fpr
+        |FROM rows_ ORDER BY bits_per_key""".stripMargin,
     "q359_lang_confusion" ->
       s"""WITH $langPredsCte,
          |cells AS (
