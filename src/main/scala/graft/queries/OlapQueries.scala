@@ -3697,7 +3697,82 @@ object OlapQueries {
       .orderBy("user_id")
   }
 
+  /** q366 — Hill tail-index estimator on customer lifetime spend: over
+    * the top-100 spenders, γ̂ = mean ln(x₍ᵢ₎/x₍₁₀₁₎) and the implied
+    * Pareto α = 1/γ̂ — the heavy-tail EXPONENT where q276's Gini and
+    * q118's Pareto share only report concentration (α ≤ 2 means
+    * infinite variance: plan for whales). The order statistics come
+    * from ONE TakeOrderedAndProject (top-101 by exact cents, custkey
+    * tiebreak — never a global sort); each log-ratio of exact integers
+    * quantizes to DECIMAL(28,9) before the order-free sum; two mirrored
+    * IEEE steps out. */
+  val q366: Q = (spark, dir) => {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100.0 + lit(0.5)))
+        .as("cents"))
+      .filter(col("cents") > 0)
+    val top = spend.orderBy(desc("cents"), col("o_custkey")).limit(101)
+    val thr = top.orderBy(col("cents"), desc("o_custkey")).limit(1)
+      .select(col("cents").as("x_k1"))
+    // Sum over all 101 rows: the threshold row's own term is ln(1) = 0,
+    // so dividing by n_top − 1 = 100 is exactly the k = 100 Hill mean.
+    top.crossJoin(broadcast(thr))
+      .withColumn("term", qdec(
+        log(col("cents").cast("double") / col("x_k1").cast("double")),
+        28, 9))
+      .agg(count(lit(1)).as("n_top"), max(col("x_k1")).as("x_k1"),
+        sum(col("term")).as("st"))
+      .select((col("n_top") - 1).as("k"), col("x_k1").as("x_k1_cents"),
+        qround(col("st").cast("double") /
+          (col("n_top") - 1).cast("double"), 6).as("gamma_hill"),
+        qround((col("n_top") - 1).cast("double") /
+          col("st").cast("double"), 6).as("alpha_pareto"))
+  }
+
+  /** q367 — stationary distribution of the journey Markov chain: five
+    * synchronous power-iteration steps of q122's transition matrix from
+    * the uniform start — where does attention CONCENTRATE if users walk
+    * the observed chain forever (the PageRank-without-teleport of the
+    * event graph). The matrix and every iterate are |types|-bounded, so
+    * each step is a dimension-sized join; per-step products quantize to
+    * DECIMAL(28,9) before the grouped sums (a float sum over even 5
+    * rows is order-dependent across engines) and each iterate
+    * re-quantizes at 9 dp so both engines walk identical doubles. */
+  val q367: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast("double") /
+        sum(col("c")).over(Window.partitionBy("prev_type")))
+      .select("prev_type", "next_type", "p")
+      .localCheckpoint()
+    val kF = cells.select(col("prev_type").as("event_type")).distinct()
+      .localCheckpoint()
+    val k = Window.partitionBy()
+    var r = kF.withColumn("r", qround(
+      lit(1.0) / count(lit(1)).over(k).cast("double"), 9))
+    for (_ <- 1 to 5) {
+      r = cells.join(r.withColumnRenamed("event_type", "prev_type"),
+          "prev_type")
+        .withColumn("term", qdec(col("r") * col("p"), 28, 9))
+        .groupBy(col("next_type").as("event_type"))
+        .agg(qround(sum(col("term")).cast("double"), 9).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("event_type"),
+        graft.functions.GraftFunctions.decOut(col("r"), 6)
+          .as("stationary_p"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q366_hill_tail_index" -> q366,
+    "q367_markov_stationary" -> q367,
     "q356_user_golden_profile" -> q356,
     "q352_croston_forecast" -> q352,
     "q353_window_funnel" -> q353,
@@ -4086,7 +4161,74 @@ object OlapQueries {
        |FROM b2 CROSS JOIN r ORDER BY depth""".stripMargin
   }
 
+  // One unrolled power-iteration step of the q367 oracle: r_{n} from
+  // r_{n-1}, products quantized to DECIMAL(28,9) before the grouped sum
+  // and the iterate re-quantized at 9 dp — textually the engine's step.
+  private def markovStepSql(n: Int): String =
+    s"""it$n AS (
+       |  SELECT pm.next_type AS event_type,
+       |    floor(CAST(SUM(CAST(floor((it${n - 1}.r * pm.p)
+       |        * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)))
+       |      AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0 AS r
+       |  FROM pm JOIN it${n - 1} ON it${n - 1}.event_type = pm.prev_type
+       |  GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q366_hill_tail_index" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |  HAVING SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) > 0),
+        |top AS (SELECT * FROM spend ORDER BY cents DESC, o_custkey
+        |        LIMIT 101),
+        |thr AS (SELECT cents AS x_k1 FROM top
+        |        ORDER BY cents, o_custkey DESC LIMIT 1),
+        |t AS (
+        |  SELECT x_k1,
+        |    CAST(floor(ln(CAST(cents AS DOUBLE) / CAST(x_k1 AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS term
+        |  FROM top, thr),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+        |    CAST(MAX(x_k1) AS BIGINT) AS x_k1, SUM(term) AS st
+        |  FROM t)
+        |SELECT n_top - 1 AS k, x_k1 AS x_k1_cents,
+        |  floor(CAST(st AS DOUBLE) / (n_top - 1) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS gamma_hill,
+        |  floor(CAST(n_top - 1 AS DOUBLE) / CAST(st AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS alpha_pareto
+        |FROM a""".stripMargin,
+    "q367_markov_stationary" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+         |           FROM events),
+         |lg AS (SELECT event_type AS next_type,
+         |         lag(event_type) OVER (PARTITION BY user_id
+         |                               ORDER BY t, event_id) AS prev_type
+         |       FROM e),
+         |cells AS (
+         |  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lg WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |pm AS (
+         |  SELECT prev_type, next_type,
+         |    CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY prev_type) AS p
+         |  FROM cells),
+         |types AS (SELECT DISTINCT prev_type AS event_type FROM cells),
+         |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM types),
+         |it0 AS (
+         |  SELECT event_type,
+         |    floor(1.0 / CAST(nt AS DOUBLE) * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS r
+         |  FROM types, k),
+         |${markovStepSql(1)},
+         |${markovStepSql(2)},
+         |${markovStepSql(3)},
+         |${markovStepSql(4)},
+         |${markovStepSql(5)}
+         |SELECT event_type,
+         |  floor(r * 1000000.0 + 0.5) / 1000000.0 AS stationary_p
+         |FROM it5 ORDER BY event_type""".stripMargin,
     "q356_user_golden_profile" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type,

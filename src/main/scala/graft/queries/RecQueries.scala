@@ -788,7 +788,37 @@ object RecQueries {
       .orderBy("user_id")
   }
 
+  /** q365 — hit-rate@k sweep over q50's lists (k = 1/5/10/20): the
+    * "did ANY relevant item make the top-k" metric — coarser than
+    * q51's MAP/NDCG but the one a UI with k slots actually experiences,
+    * and the sweep shows where extra slots stop paying. ONE
+    * recs⋈truth join builds each user's best matching rank; every k
+    * then reads that |users|-row frame — a 4-point sweep costs one
+    * pipeline, not four (the q145/metricsBy discipline). Exact counts,
+    * half-up ppm. */
+  val q365: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val truth = Popularity.validation(t)
+      .select("user_id", "item_id").distinct()
+    val den = truth.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val minRank = popRecs(spark, dir)
+      .join(truth, Seq("user_id", "item_id"))
+      .groupBy("user_id").agg(min(col("rank")).as("best_rank"))
+    Seq(1, 5, 10, 20).map { k =>
+      minRank.agg(sum(when(col("best_rank") <= k, 1L).otherwise(0L))
+          .as("n_hit"))
+        .crossJoin(broadcast(den))
+        .select(lit(k.toLong).as("k"), col("n_users"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("hitrate_ppm",
+          expr("cast((2 * n_hit * 1000000 + n_users) div (2 * n_users) as bigint)"))
+    }.reduce(_ unionByName _)
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q365_hitrate_sweep" -> q365,
     "q358_coldstart_audit" -> q358,
     "q360_rec_novelty" -> q360,
     "q284_calibration_ece" -> q284,
@@ -992,6 +1022,26 @@ object RecQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q365_hitrate_sweep" ->
+      s"""WITH $pipelineCte,
+         |truth AS (SELECT DISTINCT user_id, item_id FROM val),
+         |den AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |        FROM truth),
+         |mr AS (
+         |  SELECT r.user_id, MIN(r.rank) AS best_rank
+         |  FROM recs r JOIN truth t
+         |    ON t.user_id = r.user_id AND t.item_id = r.item_id
+         |  GROUP BY 1),
+         |ks AS (SELECT CAST(unnest([1, 5, 10, 20]) AS BIGINT) AS k),
+         |arm AS (
+         |  SELECT k, n_users,
+         |    (SELECT CAST(COALESCE(SUM(CASE WHEN best_rank <= ks.k
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM mr) AS n_hit
+         |  FROM ks, den)
+         |SELECT k, n_users, n_hit,
+         |  CAST((2 * n_hit * 1000000 + n_users) // (2 * n_users) AS BIGINT)
+         |    AS hitrate_ppm
+         |FROM arm ORDER BY k""".stripMargin,
     "q358_coldstart_audit" ->
       s"""WITH $pipelineCte,
          |arm AS (
