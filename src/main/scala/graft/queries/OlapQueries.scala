@@ -3770,7 +3770,47 @@ object OlapQueries {
       .orderBy("event_type")
   }
 
+  /** q369 — customer activity-segment migration matrix: each customer
+    * classed by order count in the FIRST vs SECOND half of the calendar
+    * (absent / low 1–2 / mid 3–5 / high 6+ — fixed integer bands, no
+    * data-dependent quantiles to drift) and rolled up to the 4×4
+    * transition matrix with exact ppm shares — the
+    * acquisition/retention/churn flow readout a lifecycle team watches,
+    * the CUSTOMER-level sibling of q122's event-level transitions. The
+    * midpoint is exact integer day arithmetic from the global min/max;
+    * one orders aggregate + one customer-dimension left join; the
+    * matrix is 16-bounded. */
+  val q369: Q = (spark, dir) => {
+    val days = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("day"))
+    val mid = days.agg(expr("min(day) + (max(day) - min(day)) div 2")
+      .as("mid"))
+    val per = days.crossJoin(broadcast(mid))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("n2"))
+    def cls(c: org.apache.spark.sql.Column) =
+      when(c === 0, "0_absent").when(c <= 2, "1_low")
+        .when(c <= 5, "2_mid").otherwise("3_high")
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"))
+      .join(per, Seq("o_custkey"), "left")
+      .select(cls(coalesce(col("n1"), lit(0L))).as("class_h1"),
+        cls(coalesce(col("n2"), lit(0L))).as("class_h2"))
+      .groupBy("class_h1", "class_h2")
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = cells.agg(sum(col("n_customers")).as("nn"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("class_h1"), col("class_h2"), col("n_customers"),
+        expr("cast((2 * n_customers * 1000000 + nn) div (2 * nn) as bigint)")
+          .as("share_ppm"))
+      .orderBy("class_h1", "class_h2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q369_rfm_migration" -> q369,
     "q366_hill_tail_index" -> q366,
     "q367_markov_stationary" -> q367,
     "q356_user_golden_profile" -> q356,
@@ -4174,6 +4214,35 @@ object OlapQueries {
        |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q369_rfm_migration" ->
+      """WITH d AS (
+        |  SELECT o_custkey,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day
+        |  FROM orders),
+        |m AS (SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid FROM d),
+        |per AS (
+        |  SELECT o_custkey,
+        |    SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS n2
+        |  FROM d, m GROUP BY 1),
+        |cells AS (
+        |  SELECT
+        |    CASE WHEN COALESCE(n1, 0) = 0 THEN '0_absent'
+        |      WHEN COALESCE(n1, 0) <= 2 THEN '1_low'
+        |      WHEN COALESCE(n1, 0) <= 5 THEN '2_mid'
+        |      ELSE '3_high' END AS class_h1,
+        |    CASE WHEN COALESCE(n2, 0) = 0 THEN '0_absent'
+        |      WHEN COALESCE(n2, 0) <= 2 THEN '1_low'
+        |      WHEN COALESCE(n2, 0) <= 5 THEN '2_mid'
+        |      ELSE '3_high' END AS class_h2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS nn FROM cells)
+        |SELECT class_h1, class_h2, n_customers,
+        |  CAST((2 * n_customers * 1000000 + nn) // (2 * nn) AS BIGINT)
+        |    AS share_ppm
+        |FROM cells, tot ORDER BY class_h1, class_h2""".stripMargin,
     "q366_hill_tail_index" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -1577,7 +1577,104 @@ object TextQueries {
       .orderBy("bits_per_key")
   }
 
+  /** q368 — Zipf rank-frequency fit: OLS of ln(frequency) on ln(rank)
+    * over the full term vocabulary (rank by occurrence count, token
+    * tiebreak) — slope ≈ −1 is Zipf's law; the deviation says how
+    * head-heavy this corpus is, the third leg beside q95's df spectrum
+    * and q224's Heaps growth. The regression runs on the VOCABULARY
+    * frame (data-size-independent after the one token aggregate);
+    * ln terms and their products quantize to DECIMAL(28,9) before the
+    * exact sums; slope/intercept/r² are one mirrored IEEE formula
+    * each. */
+  val q368: Q = (spark, dir) => {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("occ"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("occ"), col("token"))))
+    val t = freq
+      .withColumn("x", qdec(log(col("rank").cast("double")), 28, 9))
+      .withColumn("y", qdec(log(col("occ").cast("double")), 28, 9))
+      .withColumn("xy", qdec(
+        log(col("rank").cast("double")) * log(col("occ").cast("double")),
+        28, 9))
+      .withColumn("xx", qdec(
+        log(col("rank").cast("double")) * log(col("rank").cast("double")),
+        28, 9))
+      .withColumn("yy", qdec(
+        log(col("occ").cast("double")) * log(col("occ").cast("double")),
+        28, 9))
+    t.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum("xy").as("sxy"), sum("xx").as("sxx"), sum("yy").as("syy"))
+      .withColumn("slope",
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")))
+      .select(col("n").as("n_terms"),
+        qround(col("slope"), 6).as("zipf_slope"),
+        qround((col("sy").cast("double") - col("slope") *
+          col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"),
+        qround(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) *
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          ((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           (col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("r2"))
+  }
+
+  /** q370 — dedup quality shift: does near-dup removal (q74's
+    * survivorship) CHANGE each source's quality profile? Mean q21
+    * quality over all docs vs over survivors, with the delta — positive
+    * delta means duplicates were disproportionately LOW quality (dedup
+    * helps twice), negative means the pipeline is deleting its best
+    * content (boilerplate detection gone wrong). Reuses the memoized
+    * LSH cluster frame; victims are pairs-bounded, so the survivor
+    * filter is a broadcast anti-join; per-doc qualities quantize at
+    * 6 dp (the q21 surface) then DECIMAL(28,9) for the cross-doc
+    * sums. */
+  val q370: Q = (spark, dir) => {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))"))
+      .withColumn("quality", qround(
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) *
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+      .select("doc_id", "source", "quality")
+    val victims = graft.text.Dedup.nearDupClusters(
+        lshPairsCached(spark, dir), "id_a", "id_b")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(1).as("victim"))
+    scored.join(broadcast(victims), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("victim").isNull, 1L).otherwise(0L))
+          .as("n_survivors"),
+        sum(qdec(col("quality"), 28, 9)).as("sq_all"),
+        sum(when(col("victim").isNull, qdec(col("quality"), 28, 9))
+          .otherwise(lit(0).cast("decimal(28,9)"))).as("sq_surv"))
+      .select(col("source"), col("n_docs"), col("n_survivors"),
+        qround(col("sq_all").cast("double") / col("n_docs").cast("double"),
+          6).as("mean_quality_all"),
+        qround(col("sq_surv").cast("double") /
+          col("n_survivors").cast("double"), 6).as("mean_quality_survivors"),
+        qround(col("sq_surv").cast("double") /
+          col("n_survivors").cast("double") -
+          col("sq_all").cast("double") / col("n_docs").cast("double"), 6)
+          .as("quality_delta"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q368_zipf_slope" -> q368,
+    "q370_dedup_quality_shift" -> q370,
     "q362_mattr_diversity" -> q362,
     "q363_bloom_sizing" -> q363,
     "q359_lang_confusion" -> q359,
@@ -1842,6 +1939,82 @@ object TextQueries {
       |  WHERE b.r = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q368_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS occ,
+        |    row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |t AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(28,9)) AS x,
+        |    CAST(floor(ln(CAST(occ AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      / 1000000000.0 AS DECIMAL(28,9)) AS y,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(occ AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS xy,
+        |    CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS xx,
+        |    CAST(floor(ln(CAST(occ AS DOUBLE)) * ln(CAST(occ AS DOUBLE))
+        |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)) AS yy
+        |  FROM freq),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy
+        |  FROM t),
+        |f AS (
+        |  SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM s)
+        |SELECT n AS n_terms,
+        |  floor(slope * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+        |  floor((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS r2
+        |FROM f""".stripMargin,
+    "q370_dedup_quality_shift" ->
+      s"""WITH RECURSIVE $componentsCte,
+         |victims AS (SELECT id FROM comp WHERE id <> canonical_id),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    floor((1.0 - len(list_filter(string_split(text, ' '),
+         |        tk -> tk IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+         |        / len(string_split(text, ' ')))
+         |      * least(1.0, len(string_split(text, ' '))::DOUBLE / 100.0)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS quality,
+         |    CASE WHEN doc_id IN (SELECT id FROM victims)
+         |      THEN 0 ELSE 1 END AS surv
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(surv) AS BIGINT) AS n_survivors,
+         |  floor(CAST(SUM(CAST(floor(quality * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_quality_all,
+         |  floor(CAST(SUM(CASE WHEN surv = 1
+         |      THEN CAST(floor(quality * 1000000000.0 + 0.5)
+         |        / 1000000000.0 AS DECIMAL(28,9))
+         |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) / SUM(surv)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_quality_survivors,
+         |  floor((CAST(SUM(CASE WHEN surv = 1
+         |      THEN CAST(floor(quality * 1000000000.0 + 0.5)
+         |        / 1000000000.0 AS DECIMAL(28,9))
+         |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) / SUM(surv)
+         |    - CAST(SUM(CAST(floor(quality * 1000000000.0 + 0.5)
+         |        / 1000000000.0 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS quality_delta
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
     "q362_mattr_diversity" ->
       """WITH d AS (
         |  SELECT source, string_split(text, ' ') AS toks,
