@@ -1869,7 +1869,51 @@ object AnalyticsQueries {
       .withColumnRenamed("n_neg", "n_retained")
   }
 
+  /** q372 — Simpson's-paradox audit: the global OLS slope of customer
+    * spend on account balance vs every per-nation slope — how many
+    * nations REVERSE the global sign (aggregation hiding a
+    * within-group trend, the classic reporting trap q146's per-group
+    * OLS can't see without the global reference). Sufficient
+    * statistics are exact (cents longs, DECIMAL(38,0)-widened
+    * products); each slope is one mirrored IEEE divide of exact
+    * operands, so the sign comparison is gate-stable. One customer⋈
+    * orders aggregate; |nations|-bounded everything after. */
+  val q372: Q = (spark, dir) => {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + lit(0.5))).as("y"))
+    val pts = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("g"),
+        floor(col("c_acctbal") * 100.0 + lit(0.5)).as("x"))
+      .join(spend, Seq("c_custkey"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    def sums(df: DataFrame, keys: Seq[String]): DataFrame =
+      (if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((d38(col("x")) * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((d38(col("x")) * col("x")).cast("decimal(38,0)")).as("sxx"))
+    def slope(c: DataFrame): DataFrame = c.withColumn("slope",
+      expr("cast(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy as double)") /
+      expr("cast(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx as double)"))
+    val g = slope(sums(pts, Nil)).select(col("slope").as("global_slope"))
+    val per = slope(sums(pts, Seq("g"))).filter(col("n") >= 2)
+    per.crossJoin(broadcast(g))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(when(col("slope") * col("global_slope") < 0, 1L)
+          .otherwise(0L)).as("n_sign_reversed"),
+        max(col("global_slope")).as("gs"))
+      .select(col("n_nations"), col("n_sign_reversed"),
+        qround(col("gs"), 9).as("global_slope"),
+        expr("cast((2 * n_sign_reversed * 1000000 + n_nations) div (2 * n_nations) as bigint)")
+          .as("reversed_ppm"),
+        when(col("n_sign_reversed") > 0, 1L).otherwise(0L)
+          .as("paradox_present"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q372_simpson_audit" -> q372,
     "q361_nb_overdispersion" -> q361,
     "q364_churn_recency_auc" -> q364,
     "q357_wilcoxon_signed_rank" -> q357,
@@ -2091,6 +2135,55 @@ object AnalyticsQueries {
         |         valid_to_s NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q372_simpson_audit" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (
+        |  SELECT c_nationkey AS g,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS x,
+        |    COALESCE(y, 0) AS y
+        |  FROM customer LEFT JOIN spend USING (c_custkey)),
+        |gs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        |  FROM pts),
+        |gslope AS (
+        |  SELECT CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS global_slope
+        |  FROM gs),
+        |ps AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        |  FROM pts GROUP BY 1),
+        |pslope AS (
+        |  SELECT g,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS slope
+        |  FROM ps WHERE n >= 2),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+        |    CAST(SUM(CASE WHEN slope * global_slope < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_sign_reversed,
+        |    MAX(global_slope) AS gsl
+        |  FROM pslope, gslope)
+        |SELECT n_nations, n_sign_reversed,
+        |  floor(gsl * 1000000000.0 + 0.5) / 1000000000.0 AS global_slope,
+        |  CAST((2 * n_sign_reversed * 1000000 + n_nations)
+        |    // (2 * n_nations) AS BIGINT) AS reversed_ppm,
+        |  CAST(CASE WHEN n_sign_reversed > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS paradox_present
+        |FROM a""".stripMargin,
     "q361_nb_overdispersion" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -3809,7 +3809,41 @@ object OlapQueries {
       .orderBy("class_h1", "class_h2")
   }
 
+  /** q373 — bounce rate by session start hour: sessions from the
+    * canonical 30-minute-gap rule (q11's convention — gap key =
+    * cumulative count of gap-opens over the per-user event order),
+    * a bounce = a single-event session, rolled up by hour-of-day of
+    * the session start — the engagement-quality readout beside q11's
+    * raw session counts. One user_id exchange manufactures sessions;
+    * the rollup is 24-row-bounded; all integer with exact half-up
+    * ppm. */
+  val q373: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapNs = 1800L * 1000000000L
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("opens",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("opens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+    sess
+      .withColumn("start_hour",
+        expr("(start_ts div 3600000000000) % 24"))
+      .groupBy("start_hour")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .withColumn("bounce_ppm",
+        expr("cast((2 * n_bounces * 1000000 + n_sessions) div (2 * n_sessions) as bigint)"))
+      .orderBy("start_hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q373_bounce_rate" -> q373,
     "q369_rfm_migration" -> q369,
     "q366_hill_tail_index" -> q366,
     "q367_markov_stationary" -> q367,
@@ -4214,6 +4248,37 @@ object OlapQueries {
        |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q373_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS t, event_id FROM events),
+        |g AS (
+        |  SELECT user_id, t, event_id,
+        |    CASE WHEN lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) IS NULL
+        |      OR t - lag(t) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) > 1800000000000
+        |      THEN 1 ELSE 0 END AS opens
+        |  FROM e),
+        |sids AS (
+        |  SELECT user_id, t,
+        |    SUM(opens) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MIN(t) AS start_ts
+        |  FROM sids GROUP BY 1, 2),
+        |h AS (
+        |  SELECT (start_ts // 3600000000000) % 24 AS start_hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bounces
+        |  FROM sess GROUP BY 1)
+        |SELECT CAST(start_hour AS BIGINT) AS start_hour, n_sessions,
+        |  n_bounces,
+        |  CAST((2 * n_bounces * 1000000 + n_sessions) // (2 * n_sessions)
+        |    AS BIGINT) AS bounce_ppm
+        |FROM h ORDER BY start_hour""".stripMargin,
     "q369_rfm_migration" ->
       """WITH d AS (
         |  SELECT o_custkey,

@@ -1672,7 +1672,30 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q371 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * exactly k = 100 documents drawn with probability proportional to
+    * length, via the classic one-pass key kᵢ = ln(uᵢ)/wᵢ and a top-k —
+    * the exact-size companion to q86's Bernoulli thinning (which only
+    * controls the EXPECTED sample size). uᵢ comes from the keyed-md5
+    * low-52-bit draw (the q307 convention — exact in double, strictly
+    * inside (0,1)), so the sample is reproducible and layout-free; the
+    * top-k is a bounded heap (TakeOrderedAndProject), never a global
+    * sort. Keys are 9 dp-quantized BEFORE ordering with a doc_id
+    * tiebreak, so the selected SET is pinned against ulp drift. */
+  val q371: Q = (spark, dir) => {
+    val u = (pmod(graft.functions.GraftFunctions.md5_63(
+      concat(lit("wr:"), col("doc_id"))), lit(4503599627370496L))
+      .cast("double") + 0.5) / lit(4503599627370496.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("weight"),
+        qround(log(u) / col("n_chars").cast("double"), 9).as("es_key"))
+      .orderBy(desc("es_key"), col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q371_weighted_reservoir" -> q371,
     "q368_zipf_slope" -> q368,
     "q370_dedup_quality_shift" -> q370,
     "q362_mattr_diversity" -> q362,
@@ -1939,6 +1962,17 @@ object TextQueries {
       |  WHERE b.r = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q371_weighted_reservoir" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         |    floor(ln((CAST((md5_number_lower('wr:' || doc_id::VARCHAR)
+         |          & $H) % 4503599627370496 AS DOUBLE) + 0.5)
+         |        / 4503599627370496.0)
+         |      / CAST(n_chars AS DOUBLE) * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS es_key
+         |  FROM documents)
+         |SELECT doc_id, source, weight, es_key FROM d
+         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     "q368_zipf_slope" ->
       """WITH freq AS (
         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS occ,
