@@ -1694,7 +1694,59 @@ object TextQueries {
       .limit(100)
   }
 
+  /** q374 — MinHash estimation-error audit: for every LSH candidate
+    * pair, the 16-perm estimate against the EXACT 3-gram Jaccard
+    * (hashed-shingle sets intersected by the codegen'd merge-walk),
+    * bucketed by estimate decile with the analytic binomial SE
+    * √(J(1−J)/16) beside the measured error — the calibration sheet
+    * that says whether 16 permutations are enough BEFORE trusting a
+    * threshold (q230 sweeps the threshold, q355 the banding; this
+    * audits the estimator itself). Exact sets build only for docs that
+    * appear in candidate pairs (a left-semi first), so the packed
+    * broadcast is candidates-bounded; pairs sharing nothing keep
+    * exact = 0 via the left join. */
+  val q374: Q = (spark, dir) => {
+    val sigs = sigsCached(spark, dir)
+    val pairs = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
+    val est = estimatedJaccard(pairs, sigs, "doc_id", numPerm = 16)
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val packed = shinglesCached(spark, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_63(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("items"))
+      .select(col("doc_id"), col("items"), size(col("items")).as("n"))
+    val withExact = est
+      .join(broadcast(packed.select(col("doc_id").as("id_a"),
+        col("items").as("ia"), col("n").as("na"))), Seq("id_a"), "left")
+      .join(broadcast(packed.select(col("doc_id").as("id_b"),
+        col("items").as("ib"), col("n").as("nb"))), Seq("id_b"), "left")
+      .withColumn("shared", when(col("ia").isNotNull && col("ib").isNotNull,
+        graft.functions.GraftFunctions.sorted_intersect_count(
+          col("ia"), col("ib"))).otherwise(lit(0L)))
+      .withColumn("exact", when(col("na") + col("nb") - col("shared") > 0,
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))).otherwise(lit(0.0)))
+      .withColumn("err", qround(abs(col("est_jaccard") - col("exact")), 9))
+      .withColumn("bucket", least(lit(9L), floor(col("est_jaccard") * 10.0)))
+    withExact.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(qdec(col("err"), 28, 9)).as("se"),
+        max(col("err")).as("max_abs_err"))
+      .select(col("bucket"), col("n_pairs"),
+        qround(col("se").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("mean_abs_err"),
+        col("max_abs_err"),
+        qround(sqrt((col("bucket").cast("double") / 10.0 + 0.05) *
+          (lit(1.0) - (col("bucket").cast("double") / 10.0 + 0.05)) /
+          16.0), 6).as("analytic_se"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q374_minhash_error_audit" -> q374,
     "q371_weighted_reservoir" -> q371,
     "q368_zipf_slope" -> q368,
     "q370_dedup_quality_shift" -> q370,
@@ -1962,6 +2014,58 @@ object TextQueries {
       |  WHERE b.r = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q374_minhash_error_audit" ->
+      s"""WITH $lshBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.id_a
+         |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(md5_number_lower(token) & $H AS BIGINT) AS h
+         |  FROM tok),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM sh GROUP BY 1),
+         |shared AS (
+         |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT e.est,
+         |    COALESCE(s.shared, 0) AS shared, na.n AS na, nb.n AS nb
+         |  FROM est e
+         |  LEFT JOIN shared s ON s.id_a = e.id_a AND s.id_b = e.id_b
+         |  JOIN sizes na ON na.doc_id = e.id_a
+         |  JOIN sizes nb ON nb.doc_id = e.id_b),
+         |x AS (
+         |  SELECT est,
+         |    CASE WHEN na + nb - shared > 0
+         |      THEN CAST(shared AS DOUBLE) / (na + nb - shared)
+         |      ELSE 0.0 END AS exact_j
+         |  FROM w),
+         |er AS (
+         |  SELECT least(9, CAST(floor(est * 10.0) AS BIGINT)) AS bucket,
+         |    floor(abs(est - exact_j) * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS err
+         |  FROM x)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  floor(CAST(SUM(CAST(floor(err * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
+         |  MAX(err) AS max_abs_err,
+         |  floor(sqrt((CAST(bucket AS DOUBLE) / 10.0 + 0.05)
+         |      * (1.0 - (CAST(bucket AS DOUBLE) / 10.0 + 0.05)) / 16.0)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS analytic_se
+         |FROM er GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q371_weighted_reservoir" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
