@@ -54,6 +54,36 @@ object Bench {
     val SentinelEvery = 3 // r9 contention spans covered 6-12 queries
     val TaintFactor = 2.0
 
+    // --- Cross-round drift taint (VERDICT r10 #1) -----------------------
+    // The sentinel's structural blind spot: a contention burst SHORTER
+    // than the query it lands inside leaves both bracketing readings calm
+    // (r10: q208 recorded 89.79 s untainted; solo re-run 7.48 s; code
+    // unchanged since r8). The defense that catches it: a per-query PRIOR.
+    // The committed bench_full.json from the previous round rides along in
+    // the checkout; any first-pass reading exceeding max(DriftFactor ×
+    // its prior recording, DriftFloor) is drift-tainted and re-timed like
+    // a sentinel taint — min(first, rerun) recorded as usual. Genuine
+    // plan regressions re-measure at their true (still slow) cost, so a
+    // real 3× slowdown still shows; only one-sided noise is removed. New
+    // queries have no prior and stay sentinel-covered only.
+    val DriftFactor = 3.0
+    val DriftFloor = 2.0 // seconds — sub-2 s readings are all noise-sized
+    val prior: Map[String, Double] = try {
+      import org.json4s._
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_full.json"))
+      jackson.JsonMethods.parse(txt) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+    if (prior.isEmpty)
+      System.err.println("[bench] no prior bench_full.json — drift taint inactive")
+
     // Stable name order: run-to-run comparable timings (Map order is
     // hash-dependent and reshuffles whenever a query is added).
     // Driver contract: no args. An optional first arg (comma-separated
@@ -80,12 +110,19 @@ object Bench {
     // First pass: queries interleaved with sentinels. sentinelIdx(i) =
     // index of the sentinel reading taken BEFORE query i ran (the span
     // [reading s, reading s+1] brackets queries with sentinelIdx == s).
+    // Per-query wall-clock START offsets (seconds since runEpochMs) ship
+    // in bench_full.json (VERDICT r10 #6): they let a post-hoc audit
+    // align any reading with external host-load evidence — the forensic
+    // layer under both taint mechanisms.
+    val runEpochMs = System.currentTimeMillis()
+    val startOffset = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     val sentinelIdx = scala.collection.mutable.ArrayBuffer[Int]()
     sentinels += sentinel()
     val firstPass = toRun.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % SentinelEvery == 0) sentinels += sentinel()
       sentinelIdx += sentinels.size - 1
+      startOffset(name) = (System.currentTimeMillis() - runEpochMs) / 1e3
       val secs = timeOne(name, fn)
       // Per-query progress on stderr: makes a stalled query identifiable
       // mid-run (the stdout JSON line stays the single driver artifact).
@@ -103,14 +140,21 @@ object Bench {
     val hot = sentinels.zipWithIndex.collect {
       case (v, i) if v > TaintFactor * med => i
     }.toSet
-    val tainted = firstPass.zipWithIndex.collect {
+    val sentinelTainted = firstPass.zipWithIndex.collect {
       case ((name, _), i) if hot(sentinelIdx(i)) || hot(sentinelIdx(i) + 1) =>
         name
     }.toSet
+    val driftTainted = firstPass.collect {
+      case (name, secs) if prior.contains(name) &&
+        secs > math.max(DriftFactor * prior(name), DriftFloor) => name
+    }.toSet
+    val tainted = sentinelTainted ++ driftTainted
     if (tainted.nonEmpty)
       System.err.println(s"[bench] sentinel median ${f"$med%.3f"} s; " +
-        s"${hot.size} hot readings taint ${tainted.size} queries: " +
-        tainted.toSeq.sorted.mkString(","))
+        s"${hot.size} hot readings taint ${sentinelTainted.size} queries; " +
+        s"drift vs prior taints ${driftTainted.size} " +
+        s"(${driftTainted.toSeq.sorted.mkString(",")}); rerunning " +
+        s"${tainted.size}: " + tainted.toSeq.sorted.mkString(","))
 
     // Rerun pass (once, at the end). Session memos built in the first
     // pass are DROPPED first: with them warm, a memo-backed query's
@@ -125,7 +169,9 @@ object Bench {
     // amortization WITHIN the rerun phase mirrors the first pass.
     graft.util.SessionMemo.clear(spark)
     val byName = toRun.toMap
+    val rerunOffset = scala.collection.mutable.LinkedHashMap[String, Double]()
     val reruns = tainted.toSeq.sorted.map { name =>
+      rerunOffset(name) = (System.currentTimeMillis() - runEpochMs) / 1e3
       val secs = timeOne(name, byName(name))
       System.err.println(f"[bench] rerun $name done in $secs%.2f s")
       name -> secs
@@ -155,7 +201,7 @@ object Bench {
     val sfRun = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("?")
     val sentinelJson = sentinels.map(s3).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","total_first_pass":${s3(totalFirst)},"sentinel":$sentinelJson,"sentinel_median":${s3(med)},"sentinel_every":$SentinelEvery,"tainted":${tainted.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"reruns":${qjson(reruns.toSeq.sortBy(_._1))}}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","total_first_pass":${s3(totalFirst)},"sentinel":$sentinelJson,"sentinel_median":${s3(med)},"sentinel_every":$SentinelEvery,"tainted":${tainted.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"drift_tainted":${driftTainted.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"reruns":${qjson(reruns.toSeq.sortBy(_._1))},"run_epoch_ms":$runEpochMs,"start_offset_s":${qjson(startOffset.toSeq)},"rerun_offset_s":${qjson(rerunOffset.toSeq)}}"""
     System.err.println(s"[bench-full] $fullLine")
     // Only a FULL run may write the artifact: a dev subset run would
     // silently clobber the full-surface record the docs cite.
@@ -164,7 +210,7 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
       catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"queries_note":"slowest 30 of ${results.size}; full map in stderr [bench-full] and bench_full.json","failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","sentinel_median":${s3(med)},"n_tainted":${tainted.size}}""")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"queries_note":"slowest 30 of ${results.size}; full map in stderr [bench-full] and bench_full.json","failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","sentinel_median":${s3(med)},"n_tainted":${tainted.size},"n_drift":${driftTainted.size}}""")
     spark.stop()
   }
 }

@@ -537,8 +537,13 @@ object ScaleProbe {
       // per-gram groups stay |sources|-bounded after the first
       // aggregate whatever the replication.
       val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      // Replica id offset derived from the data, not hardcoded (ADVICE
+      // r10): a fixture with doc_ids ≥ the old fixed 1e6 stride would
+      // silently collide replica ids and deflate the per-doc aggregate
+      // this probe measures.
+      val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
       val corpus = (0 until factor).map(i =>
-          docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+          docs.withColumn("doc_id", col("doc_id") + lit(i * stride)))
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       println(s"PROBE xent corpus: ${corpus.count()} docs at ${factor}x")

@@ -23,6 +23,12 @@ object AnalyticsQueries {
 
   private val H = "9223372036854775807"
 
+  /** q208's hub-customer degree cap (VERDICT r10 #2): customers with
+    * more distinct suppliers than this are excluded from the wedge —
+    * bounding the per-row pair array at C(cap,2) structs regardless of
+    * data scale. Mirrored verbatim in the DuckDB oracle. */
+  val HubDegreeCap = 256
+
   /** q46 — weekly cohort retention triangle over events (see
     * [[graft.ops.Cohort.retention]] for the shuffle budget). */
   val q46: Q = (spark, dir) =>
@@ -535,11 +541,22 @@ object AnalyticsQueries {
     *
     * Execution: one degree aggregate, then the wedge self-join on the
     * customer key (the q104 shape — volume Σ deg_c², bounded by the
-    * supplier catalog; at web scale, cap or sample hub customers the
-    * way q45 df-caps hot tokens). Weights quantize to 6dp decimals at
+    * supplier catalog). Weights quantize to 6dp decimals at
     * the customer level, so the per-pair sum is exact regardless of
     * wedge merge order. Degree-1 customers form no wedge and drop
-    * naturally (also keeping ln > 0). */
+    * naturally (also keeping ln > 0).
+    *
+    * Hub cap (VERDICT r10 #2): customers with more than [[HubDegreeCap]]
+    * distinct suppliers are EXCLUDED from the wedge, and the DuckDB
+    * oracle mirrors the same bound (the q45/q267 df-cap convention).
+    * Without it the in-row pair array below is |suppliers|²/2-sized in a
+    * single row — a 10⁵-degree hub at web scale would build 5·10⁹
+    * structs in one task (OOM, not slowdown). With the cap the largest
+    * row materializes C(256,2) ≈ 33k structs (~1 MB) regardless of data
+    * scale, and Adamic–Adar semantics barely notice: a degree->256
+    * customer contributes ≤ 1/ln(256) ≈ 0.18 per pair — the weight the
+    * measure exists to discount. Max observed degree: 67 at sf0.01,
+    * 102 at sf0.1 — the cap binds only on pathological hubs. */
   val q208: Q = (spark, dir) => {
     // q137's in-row pair-explode shape instead of a wedge SELF-JOIN:
     // one c-key shuffle packs each customer's (distinct, sorted)
@@ -552,7 +569,7 @@ object AnalyticsQueries {
       .filter(col("src").startsWith("c"))
       .select(col("src").as("c"), col("dst").as("s"))
     cs.groupBy("c").agg(sort_array(collect_set(col("s"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
+      .filter(size(col("ss")).between(2, HubDegreeCap))
       .withColumn("w",
         qround(lit(1.0) / log(size(col("ss")).cast("double")), 6)
           .cast("decimal(10,6)"))
@@ -1464,6 +1481,15 @@ object AnalyticsQueries {
     // qround's floor(x·10^s) long intermediate in range (scale 9 would
     // saturate at Long.Max/10⁹ ≈ 9.2e9) while the ±0.005 absolute slop
     // is ~10⁻¹¹ relative — invisible at the 6 dp F output.
+    // Scale-2 headroom (ADVICE r10): the long intermediate saturates at
+    // Long.Max/10² ≈ 9.2e16. wterm grows ~n_g·var ≈ 10¹⁶ cents² per
+    // nation at sf1 (n_g ~ 6·10⁴·sf·var 10¹²), so saturation is reached
+    // around sf ~ 100+ — DuckDB's floor stays double there, a
+    // cross-engine divergence OUTSIDE the gated scale factors. At that
+    // scale route the term through a decimal multiply (sz2 and sz²/n
+    // both fit DECIMAL(38,2) exactly) instead of the double-floor path;
+    // kept as-is here because the decimal subtraction loses the
+    // documented ±0.005-slop symmetry with q338's identical note.
     val terms = grp.crossJoin(broadcast(tot))
       .withColumn("bterm", qdec(col("n") *
         (col("sz").cast("double") / col("n") -
@@ -1575,6 +1601,9 @@ object AnalyticsQueries {
       // Squared residuals reach ~10¹²⁺ dollars²: scale-2 quantization
       // keeps qround's long intermediate in range (see q336's note);
       // the slop is ~1e-11 relative, invisible at the 6 dp DW output.
+      // Scale-2 headroom: the long saturates at ~9.2e16 — reachable
+      // around sf100+ where DuckDB's all-double floor diverges; see
+      // q336's note for the decimal-multiply escape at that scale.
       .withColumn("d2", when(col("prev").isNotNull, qdec(
         (col("res") - col("prev")) * (col("res") - col("prev")), 38, 2)))
       .withColumn("e2", qdec(col("res") * col("res"), 38, 2))
@@ -3337,7 +3366,7 @@ object AnalyticsQueries {
         |  SELECT c, CAST(floor((1.0 / ln(degc)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS DECIMAL(10,6)) AS w
         |  FROM (SELECT c, count(*) AS degc FROM cs GROUP BY 1)
-        |  WHERE degc >= 2),
+        |  WHERE degc BETWEEN 2 AND 256),
         |p AS (
         |  SELECT a.s AS s1, b.s AS s2, w.w
         |  FROM cs a JOIN cs b ON b.c = a.c AND a.s < b.s

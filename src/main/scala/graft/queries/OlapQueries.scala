@@ -3562,14 +3562,19 @@ object OlapQueries {
       .limit(50)
   }
 
-  /** q353 — time-boxed strict-order funnel (the ClickHouse
-    * `windowFunnel` semantics beside q90's unbounded one): view →
-    * click → purchase must complete within ONE HOUR of the first view,
-    * each stage strictly after the previous. Report per stage: users
-    * reaching it, reach share of all users, and step conversion from
-    * the previous stage — all exact integer ppm. Each stage is one
-    * aggregate-join-aggregate on user_id (the q90 plan with a deadline
-    * predicate); the report is a 3-row union of scalars. */
+  /** q353 — FIRST-VIEW-ANCHORED time-boxed strict-order funnel (beside
+    * q90's unbounded one): view → click → purchase must complete within
+    * ONE HOUR of each user's FIRST view, each stage strictly after the
+    * previous. NOT ClickHouse `windowFunnel` (ADVICE r10): windowFunnel
+    * slides the anchor over ALL candidate first-stage events, so a user
+    * whose first view stalls but whose later view converts within the
+    * hour counts there and not here — the fixed anchor is the cheaper
+    * single-aggregate semantics and is what both engine and oracle
+    * compute. Report per stage: users reaching it, reach share of all
+    * users, and step conversion from the previous stage — all exact
+    * integer ppm. Each stage is one aggregate-join-aggregate on user_id
+    * (the q90 plan with a deadline predicate); the report is a 3-row
+    * union of scalars. */
   val q353: Q = (spark, dir) => {
     val win = 3600L * 1000000000L
     val ev = Tables.events(spark, dir)
@@ -3738,7 +3743,18 @@ object OlapQueries {
     * each step is a dimension-sized join; per-step products quantize to
     * DECIMAL(28,9) before the grouped sums (a float sum over even 5
     * rows is order-dependent across engines) and each iterate
-    * re-quantizes at 9 dp so both engines walk identical doubles. */
+    * re-quantizes at 9 dp so both engines walk identical doubles.
+    *
+    * Mass-leakage caveat (ADVICE r10): each step joins the iterate on
+    * prev_type, so a type appearing ONLY as a next_type (absorbing
+    * state, no outgoing transitions) loses its mass on the following
+    * step and vanishes — the reported stationary_p then sums < 1 and is
+    * a true stationary distribution only when every type has outgoing
+    * transitions (the events fixture does: all 5 types occur mid-
+    * journey, asserted in TailChainSpec's mass-conservation check). The
+    * oracle walks the identical recurrence, so the gate is stable
+    * either way; renormalizing each iterate would restore Σ=1 at the
+    * cost of silently hiding genuine absorbing structure. */
   val q367: Q = (spark, dir) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val cells = Tables.events(spark, dir)
