@@ -726,6 +726,51 @@ object ScaleProbe {
       vals.unpersist(blocking = false)
     }
 
+    if (probes("hubcap")) {
+      // q208's HubDegreeCap on a hub-injected fixture (VERDICT r10 #2):
+      // the sf0.1 customer→supplier bipartite edges plus ONE synthetic
+      // hub customer wired to factor×1000 distinct suppliers. The claim
+      // measured: the capped wedge's exploded pair volume (and its
+      // wall-clock) is INVARIANT to hub size — the hub is excluded at
+      // the size filter, while the arithmetic counterfactual (what the
+      // uncapped plan would materialize inside the hub's single row) is
+      // C(factor·1000, 2) structs, the single-task OOM the cap removes.
+      val cap = graft.queries.AnalyticsQueries.HubDegreeCap
+      val sfd = "/root/testdata/sf0.1"
+      val li = graft.io.Tables.lineitem(spark, sfd)
+        .select("l_orderkey", "l_suppkey")
+      val o = graft.io.Tables.orders(spark, sfd)
+        .select("o_orderkey", "o_custkey")
+      val baseEdges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s")).distinct()
+      val hubDeg = factor * 1000L
+      val hub = spark.range(hubDeg)
+        .select(lit(-1L).as("c"), concat(lit("hub_s"), col("id")).as("s"))
+      val edges = baseEdges.unionByName(hub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE hubcap edges: ${edges.count()} (hub degree $hubDeg)")
+      val sets = edges.groupBy("c")
+        .agg(sort_array(collect_set(col("s"))).as("ss"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val suppressed = sets.filter(size(col("ss")) > cap)
+        .agg(coalesce(sum(expr(
+          "cast(size(ss) as bigint) * (size(ss) - 1) div 2")), lit(0L)))
+        .head.getLong(0)
+      time(s"hubcap_wedge_${factor}x") {
+        val vol = sets.filter(size(col("ss")).between(2, cap))
+          .select(explode(expr(
+            """flatten(transform(ss, (x, i) ->
+              |  transform(slice(ss, i + 2, size(ss)),
+              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
+            .as("p")).count()
+        println(s"PROBE hubcap: cap=$cap cappedPairs=$vol " +
+          s"suppressedCounterfactualPairs=$suppressed")
+        vol
+      }
+      sets.unpersist(); edges.unpersist()
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits

@@ -29,6 +29,18 @@ object AnalyticsQueries {
     * data scale. Mirrored verbatim in the DuckDB oracle. */
   val HubDegreeCap = 256
 
+  /** Basket-size cap for order-level pair generation (VERDICT r10 #2
+    * sweep): orders with more distinct parts than this are excluded
+    * from co-occurrence pair building ([[partCoEdges]] → q104/q341,
+    * and q137's self-join), bounding the per-order pair fan-out at
+    * C(cap,2) regardless of data scale. Mirrored verbatim in each
+    * DuckDB oracle. TPC-H baskets are ≤7 lines by construction, so at
+    * the gated scale factors the cap never binds — it exists for the
+    * 100 TB corpus whose hub order would otherwise build a
+    * |basket|²/2 array in one row (q104/q341) or 10⁹ join rows in one
+    * task (q137). */
+  val BasketCap = 256
+
   /** q46 — weekly cohort retention triangle over events (see
     * [[graft.ops.Cohort.retention]] for the shuffle budget). */
   val q46: Q = (spark, dir) =>
@@ -171,14 +183,18 @@ object AnalyticsQueries {
     * persist per session. Pair generation is collect_set + in-row pair
     * explode: ONE shuffle on the order key instead of a self-join (two
     * shuffled sides + a third for the count). Per-order fan-out is
-    * k·(k−1)/2 on the basket size — bounded (~7 lines/order here); an
-    * unbounded-basket corpus would cap k before exploding. The pair SET
-    * per order is order-insensitive (least/greatest), so collect_set's
+    * k·(k−1)/2 on the basket size, HARD-bounded by [[BasketCap]]:
+    * over-cap baskets are dropped before the explode (and in the q104/
+    * q341 oracles' pair CTE), so the largest in-row pair array is
+    * C(cap,2) structs whatever the corpus (~7 lines/order at the gated
+    * SFs — the cap never binds there). The pair SET per order is
+    * order-insensitive (least/greatest), so collect_set's
     * nondeterministic ordering is harmless. */
   private def partCoEdges(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"part-co-edges:$dir") {
       val pairs = Tables.lineitem(spark, dir)
         .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+        .filter(size(col("ps")).between(2, BasketCap))
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
             |  transform(slice(ps, i + 2, size(ps)),
@@ -2405,8 +2421,10 @@ object AnalyticsQueries {
       """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
         |                   l_partkey::VARCHAR AS p, l_partkey AS pn
         |            FROM lineitem),
+        |okb AS (SELECT k FROM pr GROUP BY k HAVING count(*) BETWEEN 2 AND 256),
         |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
-        |          FROM pr a JOIN pr b ON a.k = b.k AND a.pn < b.pn
+        |          FROM pr a JOIN okb ON okb.k = a.k
+        |          JOIN pr b ON a.k = b.k AND a.pn < b.pn
         |          GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
         |        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
@@ -3613,8 +3631,10 @@ object AnalyticsQueries {
       """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
         |                   l_partkey::VARCHAR AS p, l_partkey AS pn
         |            FROM lineitem),
+        |okb AS (SELECT k FROM pr GROUP BY k HAVING count(*) BETWEEN 2 AND 256),
         |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
-        |          FROM pr a JOIN pr b ON a.k = b.k AND a.pn < b.pn
+        |          FROM pr a JOIN okb ON okb.k = a.k
+        |          JOIN pr b ON a.k = b.k AND a.pn < b.pn
         |          GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
         |        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)

@@ -918,10 +918,15 @@ object OlapQueries {
     * of parts appearing in the same order at least twice,
     * `lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` — the
     * association-rule strength behind "customers who bought X also
-    * bought Y". The pair explode shuffles on the order key and fans out
-    * C(parts-per-order, 2) rows per order — naturally bounded by basket
-    * size (≤ C(17,2) here; baskets, unlike users, don't grow with the
-    * dataset), so the plan carries to 100 TB unchanged. Counts stay in
+    * bought Y". The pair self-join shuffles on the order key and fans
+    * out C(parts-per-order, 2) rows per order — bounded both naturally
+    * (≤ C(17,2) here; baskets, unlike users, don't grow with the
+    * dataset) and HARD by [[graft.queries.AnalyticsQueries.BasketCap]]:
+    * orders with more distinct parts are semi-join-excluded from pair
+    * generation (oracle mirrors the bound), so a pathological hub order
+    * can never put 10⁹ join rows into one task. Marginals and N stay
+    * global — the cap excludes hub orders from CO-OCCURRENCE evidence
+    * only, not from the per-part popularity prior. Counts stay in
     * exact integer arithmetic; one double division at the end. The part
     * marginals join is a plain equi-join on the part key: at real scale
     * the marginals frame is |catalog|-sized and AQE picks broadcast vs
@@ -934,8 +939,16 @@ object OlapQueries {
       .agg(countDistinct("l_orderkey").as("n_orders"))
     val marginals = baskets.groupBy("l_partkey")
       .agg(count(lit(1)).as("n_p"))
-    val a = baskets.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = baskets.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    // Hub-order exclusion (BasketCap): the size aggregate shares the
+    // l_orderkey hash partitioning with the self-join below, so AQE
+    // plans the semi-join without an extra exchange on the capped side.
+    val capped = baskets.join(
+      baskets.groupBy("l_orderkey").agg(count(lit(1)).as("bk"))
+        .filter(col("bk") <= graft.queries.AnalyticsQueries.BasketCap)
+        .select("l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    val a = capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = capped.select(col("l_orderkey"), col("l_partkey").as("part_b"))
     val pairs = a.join(b, Seq("l_orderkey"))
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
@@ -6554,9 +6567,11 @@ object OlapQueries {
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
         |pc AS (SELECT l_partkey, COUNT(*) AS n_p FROM b GROUP BY 1),
+        |okb AS (SELECT l_orderkey FROM b GROUP BY 1 HAVING COUNT(*) <= 256),
         |pairs AS (
         |  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b, COUNT(*) AS support
-        |  FROM b a JOIN b b2
+        |  FROM b a JOIN okb ON okb.l_orderkey = a.l_orderkey
+        |  JOIN b b2
         |    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |scored AS (

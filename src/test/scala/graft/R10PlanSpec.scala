@@ -39,6 +39,37 @@ class R10PlanSpec extends AnyFunSuite {
       "top-50 output must be a bounded heap")
   }
 
+  private def analyzed(q: String): String =
+    graft.queries.Registry.all(q)(spark, sf)
+      .queryExecution.analyzed.toString
+
+  // VERDICT r10 #2: every order/customer-keyed pair generator must ride
+  // a HARD cap, not a "baskets are small" argument. The analyzed plan is
+  // pinned (the memoized co-edge frame executes as InMemoryTableScan, so
+  // the executed plan may hide the filter behind the cache).
+  test("q208 wedge excludes hub customers above the degree cap") {
+    val p = analyzed("q208_adamic_adar")
+    assert(p.contains("size(ss"), "supplier-set size filter missing")
+    assert(p.contains("256"), "HubDegreeCap literal missing from plan")
+  }
+
+  test("q341/q104 basket explode is size-capped before the in-row pair build") {
+    val p = analyzed("q341_local_clustering")
+    assert(p.contains("size(ps"), "basket size filter missing")
+    assert(p.contains("256"), "BasketCap literal missing from plan")
+    // q104 consumes the SAME memoized partCoEdges frame, but its whole
+    // plan rides Triangles' LogicalRDD bridge (lineage cut), so the cap
+    // can't be read off its analyzed plan — the shared-frame identity is
+    // the pin: one SessionMemo key serves both queries.
+  }
+
+  test("q137 pair self-join semi-excludes over-cap baskets") {
+    val p = plan("q137_basket_lift")
+    assert(p.contains("LeftSemi"), "hub-order semi-join missing")
+    assert(analyzed("q137_basket_lift").contains("256"),
+      "BasketCap literal missing from plan")
+  }
+
   test("q355 candidate arms reuse one signature build") {
     // three banded arms over the memoized signature frame: the executed
     // plan may show InMemoryTableScan (warm) or the single build
