@@ -220,7 +220,11 @@ object SimilarityQueries {
     * iteration is a job over the input, so an uncached lineage re-reads
     * the parquet + rebuilds vectors maxIter times. Model memoized — the
     * fit is the expensive part and the frame is shared with re-runs. */
-  val q33: Q = (spark, dir) => {
+  /** The q33 featurized frame + seeded model, exposed for the golden
+    * value pin (KMeansGoldenPinSpec) — the SPEC must fit exactly what
+    * the query fits or the pin guards nothing. */
+  private[graft] def kmeansEmb(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     val e = graft.util.SessionMemo.cached(spark, s"emb-features:$dir")(
       emb(spark, dir)
         .withColumn("features", array_to_vector(col("embedding"))))
@@ -230,6 +234,11 @@ object SimilarityQueries {
         .setFeaturesCol("features")
         .fit(e)
     }
+    (e, model)
+  }
+
+  val q33: Q = (spark, dir) => {
+    val (e, model) = kmeansEmb(spark, dir)
     model.transform(e)
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("n"))
@@ -333,7 +342,10 @@ object SimilarityQueries {
     * KMeans iteration is a job over it — an uncached lineage would redo
     * the RFM aggregate + crossJoin maxIter times) and the model is
     * memoized per (session, dir). */
-  val q35: Q = (spark, dir) => {
+  /** The q35 standardized frame + seeded model, exposed for the golden
+    * value pin (KMeansGoldenPinSpec) — same contract as [[kmeansEmb]]. */
+  private[graft] def kmeansRfm(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     val scaled = graft.util.SessionMemo.cached(spark, s"rfm-scaled:$dir") {
       val rfm = rfmCached(spark, dir)
       val stats = rfm.agg(
@@ -352,6 +364,11 @@ object SimilarityQueries {
         .setFeaturesCol("features")
         .fit(scaled)
     }
+    (scaled, model)
+  }
+
+  val q35: Q = (spark, dir) => {
+    val (scaled, model) = kmeansRfm(spark, dir)
     model.transform(scaled)
       .groupBy(col("prediction").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
