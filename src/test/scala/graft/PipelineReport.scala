@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end reference-pipeline run (VERDICT r10 #4): chains the six
+  * reference scripts' operator surfaces on the MovieLens-shaped fixture
+  * and emits the report tables the reference's CAP_93_Final_Report.pdf
+  * publishes on pp.3-6 and pp.9-10 — Table 2 (bias sweep validation
+  * MAP), Table 3 (ALS grid MAP matrix), and the part2 twin-vs-random
+  * correlation protocol — as one markdown block for ARCHITECTURE.md:
+  *
+  *   sbt "Test/runMain graft.PipelineReport [sfDir]"
+  *
+  * Everything routes through the PUBLIC query surface (q54-shaped sweep
+  * widened to the reference's six bias arms, q55, q56, q183), so the
+  * report measures the engine a user actually calls. PipelineReportSpec
+  * asserts the report's two headline invariants. Cutoffs follow the
+  * engine standard documented at q54/q55 (pool 50, MAP@20 — the
+  * reference's @100 exceeds the fixture's candidate pools), so cell
+  * VALUES differ from the MovieLens report; the claims under test are
+  * the report's structural ones.
+  */
+object PipelineReport {
+  final case class Report(
+      biasSweep: Seq[(Double, Double)],          // (bias, map@20)
+      grid: Seq[(Int, Double, Double)],          // (rank, reg, map@20)
+      twinRuns: Seq[(Long, Double)],             // (run, avg_corr); -1 = twins
+      finalEval: Row)                            // q56 single metrics row
+
+  def compute(spark: SparkSession, sf: String): Report = {
+    val tagged = graft.util.SessionMemo.cached(spark, s"tagged-splits:$sf")(
+      graft.rec.Popularity.withSplits(graft.io.Tables.ratingsCached(spark, sf)))
+    // Table 2 at the reference's SIX bias arms (report p.4) — q54's
+    // one-pipeline sweep widened from its gated 4-arm economy shape.
+    val sweep = graft.rec.Popularity.recommendSweep(
+      graft.rec.Popularity.train(tagged),
+      graft.rec.Popularity.validation(tagged),
+      biases = Seq(1.0, 10.0, 100.0, 500.0, 1000.0, 10000.0),
+      poolK = 50, k = 20)
+    val biasSweep = graft.metrics.RankingRelational.metricsBy(spark, sweep,
+        graft.rec.Popularity.validation(tagged), k = 20, keys = Seq("bias"))
+      .orderBy("bias")
+      .select("bias", "map_at_k").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val grid = graft.queries.RecQueries.q55(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val twinRuns = graft.queries.TwinsQueries.q183(spark, sf)
+      .select("run", "avg_corr").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val finalEval = graft.queries.RecQueries.q56(spark, sf).head()
+    Report(biasSweep, grid, twinRuns, finalEval)
+  }
+
+  def markdown(r: Report, sf: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"Fixture: `$sf` (MovieLens-shaped synthetic; chrono splits " +
+      "train/validation/test as `popularity_tuned.py`)\n\n"
+    sb ++= "Table-2 shape — biased-popularity bias sweep, validation MAP@20:\n\n"
+    sb ++= "| b | MAP@20 |\n|---|---|\n"
+    val best = r.biasSweep.maxBy(_._2)
+    r.biasSweep.foreach { case (b, m) =>
+      val tag = if ((b, m) == best) " **(best)**" else ""
+      sb ++= f"| ${b}%.0f | ${m}%.6f$tag |\n"
+    }
+    sb ++= "\nTable-3 shape — ALS grid, validation MAP@20 " +
+      "(rank rows × regParam columns):\n\n"
+    val regs = r.grid.map(_._2).distinct.sorted
+    val ranks = r.grid.map(_._1).distinct.sorted
+    sb ++= "| rank \\ reg | " + regs.map(g => f"$g%.2f").mkString(" | ") + " |\n"
+    sb ++= "|---|" + regs.map(_ => "---").mkString("|") + "|\n"
+    val cell = r.grid.map(g => (g._1, g._2) -> g._3).toMap
+    val gbest = r.grid.maxBy(_._3)
+    ranks.foreach { rk =>
+      sb ++= s"| $rk | " + regs.map { rg =>
+        val v = cell((rk, rg))
+        val tag = if ((rk, rg) == ((gbest._1, gbest._2))) " **(best)**" else ""
+        f"$v%.6f$tag"
+      }.mkString(" | ") + " |\n"
+    }
+    val twins = r.twinRuns.find(_._1 == -1L).map(_._2).getOrElse(Double.NaN)
+    val rand = r.twinRuns.filter(_._1 >= 0).map(_._2)
+    sb ++= "\nPart-2 twin validation (49 random runs × 100 pairs vs the " +
+      "top-100 twin cohort, avg co-rating Pearson):\n\n"
+    sb ++= "| cohort | avg corr |\n|---|---|\n"
+    sb ++= f"| twins (top-100) | ${twins}%.6f |\n"
+    sb ++= f"| random mean (49 runs) | ${rand.sum / rand.size}%.6f |\n"
+    sb ++= f"| random max (49 runs) | ${rand.max}%.6f |\n"
+    sb ++= "\nFinal held-out test eval (reference-fixed rank=50, reg=0.05; " +
+      "q56):\n\n"
+    val fe = r.finalEval
+    sb ++= "| " + fe.schema.fieldNames.mkString(" | ") + " |\n"
+    sb ++= "|" + fe.schema.fieldNames.map(_ => "---").mkString("|") + "|\n"
+    sb ++= "| " + fe.toSeq.map {
+      case d: Double => f"$d%.6f"
+      case x => x.toString
+    }.mkString(" | ") + " |\n"
+    sb.result()
+  }
+
+  /** Default fixture is sf0.01, NOT the usual sf0.001 test fixture: the
+    * twin-vs-random separation legitimately fails at sf0.001 (49 runs of
+    * ~75 pairs have sample-noise std larger than the synthetic twins
+    * signal — documented at TwinsProtocolSpec), and the report's
+    * headline twin invariant must hold in the published table. */
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    println(markdown(compute(GraftSpark.spark, sf), sf))
+    GraftSpark.spark.stop()
+  }
+}
