@@ -726,6 +726,48 @@ object ScaleProbe {
       vals.unpersist(blocking = false)
     }
 
+    if (probes("graph")) {
+      // Iterative-graph family (VERDICT r10 #5): q49/q200/q215
+      // (PageRank), q175 (k-core), q159 (BFS), q217 (LPA) all ride
+      // SharedFrames.coPurchaseEdges. Inflate the sf0.1 edge list
+      // factor× by node-id translation (disjoint copies: edge count
+      // scales exactly, degree distribution and diameter unchanged) and
+      // measure wall-clock AND shuffle-write bytes per phase via a
+      // listener. Claims under test: each iteration's shuffle volume is
+      // O(|E|) (degree-annotated edges ⋈ rank + contribution aggregate),
+      // so bytes scale linearly with factor and iterations; the
+      // checkpointEvery=5 cadence keeps the 10-iteration wall ≈
+      // (10/3)× the 3-iteration wall — no lineage blow-up.
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      val baseE = graft.queries.SharedFrames
+        .coPurchaseEdges(spark, "/root/testdata/sf0.1")
+      val infl = (0 until factor).map(i =>
+          baseE.select(concat(col("src"), lit("#"), lit(i)).as("src"),
+            concat(col("dst"), lit("#"), lit(i)).as("dst")))
+        .reduce(_ unionByName _).localCheckpoint()
+      println(s"PROBE graph edges: ${infl.count()} at ${factor}x")
+      def gphase(name: String)(f: => Long): Unit = {
+        val b0 = shuffleBytes.get
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s" +
+          f"   rows=$n   shuffleMB=${(shuffleBytes.get - b0) / 1e6}%9.1f")
+      }
+      gphase(s"pagerank3_${factor}x")(
+        graft.graph.PageRank.pageRank(infl, iters = 3, damping = 0.85).count())
+      gphase(s"pagerank10_${factor}x")(
+        graft.graph.PageRank.pageRank(infl, iters = 10, damping = 0.85).count())
+      gphase(s"kcore_k3r4_${factor}x")(
+        graft.graph.KCore.peelCounts(spark, infl, k = 3, rounds = 4).count())
+    }
+
     if (probes("hubcap")) {
       // q208's HubDegreeCap on a hub-injected fixture (VERDICT r10 #2):
       // the sf0.1 customer→supplier bipartite edges plus ONE synthetic
