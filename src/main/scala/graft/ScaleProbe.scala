@@ -739,13 +739,24 @@ object ScaleProbe {
       // checkpointEvery=5 cadence keeps the 10-iteration wall ≈
       // (10/3)× the 3-iteration wall — no lineage blow-up.
       val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            shuffleBytes.addAndGet(
-              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
+      val gListener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(gListener)
+      // The listener bus is ASYNC: stage-completed events can still be
+      // in flight when an action returns, which would leak one phase's
+      // bytes into the next delta. Quiesce = wait until the counter
+      // stops moving (bounded) before reading it.
+      def quiesce(): Long = {
+        var prev = -1L; var cur = shuffleBytes.get; var spins = 0
+        while (cur != prev && spins < 50) {
+          prev = cur; Thread.sleep(200); cur = shuffleBytes.get; spins += 1
+        }
+        cur
+      }
       val baseE = graft.queries.SharedFrames
         .coPurchaseEdges(spark, "/root/testdata/sf0.1")
       val infl = (0 until factor).map(i =>
@@ -754,11 +765,12 @@ object ScaleProbe {
         .reduce(_ unionByName _).localCheckpoint()
       println(s"PROBE graph edges: ${infl.count()} at ${factor}x")
       def gphase(name: String)(f: => Long): Unit = {
-        val b0 = shuffleBytes.get
+        val b0 = quiesce()
         val t0 = System.nanoTime()
         val n = f
-        println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s" +
-          f"   rows=$n   shuffleMB=${(shuffleBytes.get - b0) / 1e6}%9.1f")
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-24s $wall%8.1f s" +
+          f"   rows=$n   shuffleMB=${(quiesce() - b0) / 1e6}%9.1f")
       }
       gphase(s"pagerank3_${factor}x")(
         graft.graph.PageRank.pageRank(infl, iters = 3, damping = 0.85).count())
@@ -766,6 +778,7 @@ object ScaleProbe {
         graft.graph.PageRank.pageRank(infl, iters = 10, damping = 0.85).count())
       gphase(s"kcore_k3r4_${factor}x")(
         graft.graph.KCore.peelCounts(spark, infl, k = 3, rounds = 4).count())
+      spark.sparkContext.removeSparkListener(gListener)
     }
 
     if (probes("hubcap")) {

@@ -23,7 +23,7 @@ object RecQueries {
     * that recomputing it per query dominated those queries in round 3
     * (MEMORY_ONLY eviction under the grown memo footprint → full lineage
     * recompute; see VERDICT r3 "What's wrong" #2). */
-  private def tagged(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tagged(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"tagged-splits:$dir")(
       Popularity.withSplits(Tables.ratingsCached(spark, dir)))
 

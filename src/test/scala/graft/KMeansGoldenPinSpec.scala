@@ -33,7 +33,12 @@ object KMeansGoldenPinSpec {
         .groupBy("prediction").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        val cent = c.toArray.map(v => f"$v%.6f").mkString(";")
+        // Locale-fixed formatting (the f-interpolator follows the JVM
+        // default locale — a comma-decimal locale would corrupt the
+        // golden; AlsGoldenPinSpec pins via Spark's format_string for
+        // the same reason).
+        val cent = c.toArray.map(v => String.format(java.util.Locale.US,
+          "%.6f", Double.box(v))).mkString(";")
         s"$tag,$i,${counts.getOrElse(i, 0L)},$cent"
       }.toSeq
     }

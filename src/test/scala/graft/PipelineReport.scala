@@ -29,8 +29,10 @@ object PipelineReport {
       finalEval: Row)                            // q56 single metrics row
 
   def compute(spark: SparkSession, sf: String): Report = {
-    val tagged = graft.util.SessionMemo.cached(spark, s"tagged-splits:$sf")(
-      graft.rec.Popularity.withSplits(graft.io.Tables.ratingsCached(spark, sf)))
+    // The SAME memoized frame q50–q56 start from (one memo key, one
+    // owner — a local re-build under the shared key could silently
+    // poison the query surface if the recipes ever diverged).
+    val tagged = graft.queries.RecQueries.tagged(spark, sf)
     // Table 2 at the reference's SIX bias arms (report p.4) — q54's
     // one-pipeline sweep widened from its gated 4-arm economy shape.
     val sweep = graft.rec.Popularity.recommendSweep(
@@ -52,6 +54,12 @@ object PipelineReport {
     Report(biasSweep, grid, twinRuns, finalEval)
   }
 
+  // Locale-fixed number formatting (the f-interpolator follows the JVM
+  // default locale; a comma-decimal locale would corrupt the published
+  // tables).
+  private def fmt(p: String, v: Double): String =
+    String.format(java.util.Locale.US, p, Double.box(v))
+
   def markdown(r: Report, sf: String): String = {
     val sb = new StringBuilder
     sb ++= s"Fixture: `$sf` (MovieLens-shaped synthetic; chrono splits " +
@@ -61,13 +69,13 @@ object PipelineReport {
     val best = r.biasSweep.maxBy(_._2)
     r.biasSweep.foreach { case (b, m) =>
       val tag = if ((b, m) == best) " **(best)**" else ""
-      sb ++= f"| ${b}%.0f | ${m}%.6f$tag |\n"
+      sb ++= s"| ${fmt("%.0f", b)} | ${fmt("%.6f", m)}$tag |\n"
     }
     sb ++= "\nTable-3 shape — ALS grid, validation MAP@20 " +
       "(rank rows × regParam columns):\n\n"
     val regs = r.grid.map(_._2).distinct.sorted
     val ranks = r.grid.map(_._1).distinct.sorted
-    sb ++= "| rank \\ reg | " + regs.map(g => f"$g%.2f").mkString(" | ") + " |\n"
+    sb ++= "| rank \\ reg | " + regs.map(g => fmt("%.2f", g)).mkString(" | ") + " |\n"
     sb ++= "|---|" + regs.map(_ => "---").mkString("|") + "|\n"
     val cell = r.grid.map(g => (g._1, g._2) -> g._3).toMap
     val gbest = r.grid.maxBy(_._3)
@@ -75,7 +83,7 @@ object PipelineReport {
       sb ++= s"| $rk | " + regs.map { rg =>
         val v = cell((rk, rg))
         val tag = if ((rk, rg) == ((gbest._1, gbest._2))) " **(best)**" else ""
-        f"$v%.6f$tag"
+        fmt("%.6f", v) + tag
       }.mkString(" | ") + " |\n"
     }
     val twins = r.twinRuns.find(_._1 == -1L).map(_._2).getOrElse(Double.NaN)
@@ -83,16 +91,16 @@ object PipelineReport {
     sb ++= "\nPart-2 twin validation (49 random runs × 100 pairs vs the " +
       "top-100 twin cohort, avg co-rating Pearson):\n\n"
     sb ++= "| cohort | avg corr |\n|---|---|\n"
-    sb ++= f"| twins (top-100) | ${twins}%.6f |\n"
-    sb ++= f"| random mean (49 runs) | ${rand.sum / rand.size}%.6f |\n"
-    sb ++= f"| random max (49 runs) | ${rand.max}%.6f |\n"
+    sb ++= s"| twins (top-100) | ${fmt("%.6f", twins)} |\n"
+    sb ++= s"| random mean (49 runs) | ${fmt("%.6f", rand.sum / rand.size)} |\n"
+    sb ++= s"| random max (49 runs) | ${fmt("%.6f", rand.max)} |\n"
     sb ++= "\nFinal held-out test eval (reference-fixed rank=50, reg=0.05; " +
       "q56):\n\n"
     val fe = r.finalEval
     sb ++= "| " + fe.schema.fieldNames.mkString(" | ") + " |\n"
     sb ++= "|" + fe.schema.fieldNames.map(_ => "---").mkString("|") + "|\n"
     sb ++= "| " + fe.toSeq.map {
-      case d: Double => f"$d%.6f"
+      case d: Double => fmt("%.6f", d)
       case x => x.toString
     }.mkString(" | ") + " |\n"
     sb.result()

@@ -83,8 +83,11 @@ def main():
     # 1. Engine re-run + explain capture.
     run(["sbt", "-batch", f"runMain graft.Verify {sf} {OUT} {subset}"])
     os.makedirs(OUT, exist_ok=True)
+    # Pass the SAME sf the engine re-ran at: plans are statistics-driven
+    # (broadcast-vs-shuffle, AQE), so an sf0.001 plan can differ from the
+    # failing sf0.01 run's.
     expl = run(["sbt", "-batch",
-                "Test/runMain graft.ExplainTool " + " ".join(reds)],
+                f"Test/runMain graft.ExplainTool {sf} " + " ".join(reds)],
                capture_output=True, text=True)
     for name in reds:
         m = re.search(rf"===== {re.escape(name)} =====\n(.*?)(?====== |\Z)",
