@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query prior readings from a committed bench_full.json — the
+    * cross-round drift taint's reference (VERDICT r10 #1). Tolerant by
+    * contract: any parse/read failure returns empty (drift taint
+    * inactive, sentinel taint still armed) rather than failing the
+    * bench. Extracted from main() so BenchPriorSpec can pin the parse
+    * against the real artifact shape. */
+  def loadPrior(path: java.nio.file.Path): Map[String, Double] = try {
+    import org.json4s._
+    val txt = java.nio.file.Files.readString(path)
+    jackson.JsonMethods.parse(txt) \ "queries" match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+        case (k, JDecimal(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,19 +87,8 @@ object Bench {
     // queries have no prior and stay sentinel-covered only.
     val DriftFactor = 3.0
     val DriftFloor = 2.0 // seconds — sub-2 s readings are all noise-sized
-    val prior: Map[String, Double] = try {
-      import org.json4s._
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_full.json"))
-      jackson.JsonMethods.parse(txt) \ "queries" match {
-        case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty
-      }
-    } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] =
+      loadPrior(java.nio.file.Paths.get("bench_full.json"))
     if (prior.isEmpty)
       System.err.println("[bench] no prior bench_full.json — drift taint inactive")
 
