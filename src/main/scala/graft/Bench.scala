@@ -196,7 +196,11 @@ object Bench {
     // queries (the perf signal), and the complete per-query map — plus
     // the sentinel trace and rerun detail — goes to stderr and to
     // bench_full.json next to the working dir.
-    def s3(v: Double) = f"$v%.3f"
+    // Locale-FIXED: this string lands inside the driver-parsed JSON
+    // artifact — the default-locale f-interpolator would emit "1,234"
+    // on a comma-decimal JVM and silently invalidate the whole line.
+    def s3(v: Double) =
+      String.format(java.util.Locale.US, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + s3(v) }
         .mkString("{", ",", "}")
