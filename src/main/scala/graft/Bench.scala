@@ -1,24 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Per-query prior readings from a committed bench_full.json — the
-    * cross-round drift taint's reference (VERDICT r10 #1). Tolerant by
-    * contract: any parse/read failure returns empty (drift taint
-    * inactive, sentinel taint still armed) rather than failing the
-    * bench. Extracted from main() so BenchPriorSpec can pin the parse
-    * against the real artifact shape. */
-  def loadPrior(path: java.nio.file.Path): Map[String, Double] = try {
+  /** A parsed prior artifact: the run's self-described scale factor plus
+    * per-query readings (VERDICT r11 #1 / ADVICE r11). */
+  final case class Prior(sfRun: Option[String], queries: Map[String, Double])
+
+  /** Per-query prior readings for the cross-round drift taint
+    * (VERDICT r10 #1). Since r12 the taint reads `bench_prior.json` — a
+    * builder-curated file that ONLY a clean close run with
+    * SPARK_GRAFT_WRITE_PRIOR=1 refreshes — never the driver-overwritable
+    * bench_full.json (VERDICT r11 #1: the driver's weather-contaminated
+    * r11 run overwrote bench_full.json and would have loosened 13
+    * queries' taint thresholds). Tolerant by contract: any parse/read
+    * failure returns empty (drift taint inactive, sentinel taint still
+    * armed) rather than failing the bench. Extracted from main() so
+    * BenchPriorSpec can pin the parse against the real artifact shape. */
+  def loadPriorArtifact(path: java.nio.file.Path): Prior = try {
     import org.json4s._
     val txt = java.nio.file.Files.readString(path)
-    jackson.JsonMethods.parse(txt) \ "queries" match {
+    val parsed = jackson.JsonMethods.parse(txt)
+    val sfRun = parsed \ "sf_run" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    val qs = parsed \ "queries" match {
       case JObject(fields) => fields.collect {
         case (k, JDouble(v)) => k -> v
         case (k, JInt(v)) => k -> v.toDouble
         case (k, JDecimal(v)) => k -> v.toDouble
       }.toMap
-      case _ => Map.empty
+      case _ => Map.empty[String, Double]
     }
-  } catch { case _: Throwable => Map.empty }
+    Prior(sfRun, qs)
+  } catch { case _: Throwable => Prior(None, Map.empty) }
+
+  def loadPrior(path: java.nio.file.Path): Map[String, Double] =
+    loadPriorArtifact(path).queries
+
+  /** Gate on refreshing bench_prior.json (VERDICT r11 #1). Three
+    * independent conditions, each closing a distinct hazard:
+    *  - envFlag: only the builder's explicit close run sets
+    *    SPARK_GRAFT_WRITE_PRIOR=1 — the driver's invocation never does,
+    *    so a driver run (contaminated or not) can NEVER raise a prior;
+    *  - fullRun: a dev subset run must not shrink the prior surface;
+    *  - unresolvedDrift empty: a close run that itself hit a sustained
+    *    storm (readings still over threshold after rerun) must not bake
+    *    hot values in as next round's reference. */
+  def mayWritePrior(envFlag: Boolean, fullRun: Boolean,
+                    unresolvedDrift: Seq[String]): Boolean =
+    envFlag && fullRun && unresolvedDrift.isEmpty
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,8 +108,8 @@ object Bench {
     // than the query it lands inside leaves both bracketing readings calm
     // (r10: q208 recorded 89.79 s untainted; solo re-run 7.48 s; code
     // unchanged since r8). The defense that catches it: a per-query PRIOR.
-    // The committed bench_full.json from the previous round rides along in
-    // the checkout; any first-pass reading exceeding max(DriftFactor ×
+    // The committed bench_prior.json (builder-curated; see loadPriorArtifact)
+    // rides along in the checkout; any first-pass reading exceeding max(DriftFactor ×
     // its prior recording, DriftFloor) is drift-tainted and re-timed like
     // a sentinel taint — min(first, rerun) recorded as usual. Genuine
     // plan regressions re-measure at their true (still slow) cost, so a
@@ -87,10 +117,23 @@ object Bench {
     // queries have no prior and stay sentinel-covered only.
     val DriftFactor = 3.0
     val DriftFloor = 2.0 // seconds — sub-2 s readings are all noise-sized
+    // sf_run: the run's scale factor, self-described (ADVICE r8/r9 —
+    // kills mislabeled-artifact ambiguity). Computed here because the
+    // drift taint is only armed when the prior was taken at the SAME
+    // scale factor (ADVICE r11: a cross-SF prior would either
+    // mass-taint the whole suite or silently disarm the mechanism).
+    val sfRun = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("?")
+    val priorArt = loadPriorArtifact(java.nio.file.Paths.get("bench_prior.json"))
     val prior: Map[String, Double] =
-      loadPrior(java.nio.file.Paths.get("bench_full.json"))
-    if (prior.isEmpty)
-      System.err.println("[bench] no prior bench_full.json — drift taint inactive")
+      if (priorArt.queries.isEmpty) {
+        System.err.println("[bench] no bench_prior.json — drift taint inactive")
+        Map.empty
+      } else if (!priorArt.sfRun.contains(sfRun)) {
+        System.err.println(s"[bench] bench_prior.json is sf_run=" +
+          s"${priorArt.sfRun.getOrElse("?")} but this run is $sfRun — " +
+          "drift taint inactive (cross-SF priors are not comparable)")
+        Map.empty
+      } else priorArt.queries
 
     // Stable name order: run-to-run comparable timings (Map order is
     // hash-dependent and reshuffles whenever a query is added).
@@ -188,6 +231,31 @@ object Bench {
       name -> math.min(first, reruns.getOrElse(name, first))
     }
 
+    // --- Unresolved drift (VERDICT r11 #2) ------------------------------
+    // min(first, rerun) cannot defeat a contention storm LONGER than the
+    // run: r11's driver slot was hot end-to-end, so 4 drift-tainted
+    // queries' reruns (taken 450-600 s after first pass) were STILL over
+    // threshold, and the artifact recorded hot values indistinguishably
+    // from honest ones — adjudication needed judge solo re-runs. The data
+    // to self-label was already here: any tainted query whose RECORDED
+    // value still exceeds max(DriftFactor × prior, DriftFloor) is weather
+    // the run could not out-wait. Those names ship as `unresolved_drift`,
+    // and `value_clean` reports the total with each such reading
+    // substituted by its prior — the run's own best estimate of the
+    // weather-free figure, computed without external evidence.
+    val resultMap = results.toMap
+    val unresolvedDrift = tainted.toSeq.sorted.filter { name =>
+      prior.contains(name) &&
+        resultMap(name) > math.max(DriftFactor * prior(name), DriftFloor)
+    }
+    val valueClean = results.map { case (name, v) =>
+      if (unresolvedDrift.contains(name)) prior(name) else v
+    }.sum
+    if (unresolvedDrift.nonEmpty)
+      System.err.println(s"[bench] UNRESOLVED drift (rerun still over " +
+        s"threshold — sustained host storm, values are weather not code): " +
+        unresolvedDrift.mkString(","))
+
     // Stdout contract: the driver tail-captures the LAST ~2000 chars of
     // stdout, so the single JSON line must fit entirely inside that
     // window — at 182 queries a full per-query map is ~5 kB and clips the
@@ -208,12 +276,16 @@ object Bench {
     val totalFirst = firstPass.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slowest = results.sortBy(-_._2).take(30).sortBy(_._1)
-    // sf_run: the run's scale factor, self-described (ADVICE r8/r9 —
-    // kills mislabeled-artifact ambiguity).
-    val sfRun = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("?")
     val sentinelJson = sentinels.map(s3).mkString("[", ",", "]")
+    def names(xs: Iterable[String]) =
+      xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // first_pass_s: the RAW first-pass map (ADVICE r11 medium — the
+    // recorded min(first, rerun) hides the contaminated reading, so the
+    // offset-alignment tool could never see what the taint fired on).
+    // sentinel_tainted ships separately from the union `tainted` so the
+    // forensic output can attribute WHICH mechanism fired (ADVICE r11).
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","total_first_pass":${s3(totalFirst)},"sentinel":$sentinelJson,"sentinel_median":${s3(med)},"sentinel_every":$SentinelEvery,"tainted":${tainted.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"drift_tainted":${driftTainted.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"reruns":${qjson(reruns.toSeq.sortBy(_._1))},"run_epoch_ms":$runEpochMs,"start_offset_s":${qjson(startOffset.toSeq)},"rerun_offset_s":${qjson(rerunOffset.toSeq)}}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_clean":${s3(valueClean)},"n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","total_first_pass":${s3(totalFirst)},"first_pass_s":${qjson(firstPass)},"sentinel":$sentinelJson,"sentinel_median":${s3(med)},"sentinel_every":$SentinelEvery,"tainted":${names(tainted)},"sentinel_tainted":${names(sentinelTainted)},"drift_tainted":${names(driftTainted)},"unresolved_drift":${names(unresolvedDrift)},"reruns":${qjson(reruns.toSeq.sortBy(_._1))},"run_epoch_ms":$runEpochMs,"start_offset_s":${qjson(startOffset.toSeq)},"rerun_offset_s":${qjson(rerunOffset.toSeq)}}"""
     System.err.println(s"[bench-full] $fullLine")
     // Only a FULL run may write the artifact: a dev subset run would
     // silently clobber the full-surface record the docs cite.
@@ -221,8 +293,20 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
       catch { case _: Throwable => () }
+    // bench_prior.json — next round's drift-taint reference — is refreshed
+    // ONLY by an explicitly-flagged, full, storm-free run (VERDICT r11 #1;
+    // gate logic pinned by BenchPriorSpec). The driver never sets the
+    // flag, so its runs can never raise a prior.
+    if (mayWritePrior(sys.env.get("SPARK_GRAFT_WRITE_PRIOR").contains("1"),
+                      only.isEmpty, unresolvedDrift)) {
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_prior.json"), fullLine + "\n")
+        System.err.println("[bench] bench_prior.json refreshed (clean close run)")
+      } catch { case _: Throwable => () }
+    }
     println(
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"queries_note":"slowest 30 of ${results.size}; full map in stderr [bench-full] and bench_full.json","failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","sentinel_median":${s3(med)},"n_tainted":${tainted.size},"n_drift":${driftTainted.size}}""")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_clean":${s3(valueClean)},"n_queries":${results.size},"queries":${qjson(slowest)},"queries_note":"slowest 30 of ${results.size}; full map in stderr [bench-full] and bench_full.json","failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","sentinel_median":${s3(med)},"n_tainted":${tainted.size},"n_drift":${driftTainted.size},"unresolved_drift":${names(unresolvedDrift)}}""")
     spark.stop()
   }
 }

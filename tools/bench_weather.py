@@ -6,15 +6,23 @@ with host-load evidence AFTER the fact).
 Usage: python3 tools/bench_weather.py [bench_full.json] [prior.json]
 
 Prints, in first-pass execution order: each query's start offset, its
-first-pass reading, taint flags (sentinel/drift), the rerun value when
-one exists, and the reading-vs-prior ratio when a prior map is given
-(default: compares the file against itself, ratio 1.0 — pass a previous
-round's bench_full.json or BENCH_rN.json to see cross-round movement).
-Contiguous runs of elevated ratios = a contention window; an isolated
-spike inside calm neighbours = the intra-query burst the sentinel can't
-see (the r10 q208 signature) — exactly what the drift taint now reruns.
+RAW first-pass reading (from the artifact's first_pass_s map — ADVICE
+r11: the recorded min(first, rerun) hides the contaminated reading, so
+the contention-facing column must come from the raw map; older
+artifacts without it fall back to max(recorded, rerun)), taint flags
+(S = sentinel, D = drift, U = unresolved drift — rerun still over
+threshold, a sustained storm), the rerun value when one exists, and the
+reading-vs-prior ratio when a prior map is given (default: compares the
+file against itself, ratio 1.0 — pass bench_prior.json or a previous
+round's BENCH_rN.json to see cross-round movement). Contiguous runs of
+elevated ratios = a contention window; an isolated spike inside calm
+neighbours = the intra-query burst the sentinel can't see (the r10 q208
+signature) — exactly what the drift taint now reruns.
 
-Builder-side dev aid only — not part of the shipped library.
+Builder-side dev aid only — not part of the shipped library. Run it
+after every full Bench as part of the close-run discipline (VERDICT r11
+#2): its verdict line plus the artifact's own unresolved_drift list is
+the weather adjudication, no judge solo re-runs needed.
 """
 import json
 import sys
@@ -27,9 +35,14 @@ def main():
     if len(sys.argv) > 2:
         prior = json.load(open(sys.argv[2])).get("queries", {})
     offs = d.get("start_offset_s", {})
+    raw = d.get("first_pass_s", {})
     reruns = d.get("reruns", {})
-    sent = set(d.get("tainted", []))
     drift = set(d.get("drift_tainted", []))
+    # sentinel_tainted ships separately since r12 (ADVICE r11: `tainted`
+    # is the union, so deriving S from it mislabeled drift-only queries).
+    sent = set(d.get("sentinel_tainted",
+                     [q for q in d.get("tainted", []) if q not in drift]))
+    unres = set(d.get("unresolved_drift", []))
     rows = sorted(offs.items(), key=lambda kv: kv[1]) if offs \
         else sorted(d["queries"].items(), key=lambda kv: kv[0])
     print(f"{'t0(s)':>8} {'first':>8} {'rerun':>8} {'vs prior':>9}  flags  query")
@@ -37,16 +50,27 @@ def main():
     for name, off in rows:
         rec = d["queries"].get(name)
         rr = reruns.get(name)
-        # recorded = min(first, rerun) → the WORST observed reading is
-        # max(recorded, rerun); that is the contention-facing number.
-        first = rec if rr is None else max(rec, rr)
+        # Contention-facing reading: the raw first-pass value when the
+        # artifact carries it; else the worst observed = max(recorded,
+        # rerun) (pre-r12 artifacts recorded only min(first, rerun)).
+        first = raw.get(name)
+        if first is None:
+            first = rec if rr is None else max(rec, rr)
         ratio = (first / prior[name]) if prior.get(name) else None
-        flags = ("S" if name in sent else "-") + ("D" if name in drift else "-")
+        flags = ("S" if name in sent else "-") + \
+                ("D" if name in drift else "-") + \
+                ("U" if name in unres else "-")
         if ratio and ratio > 3 and first > 2:
             hot.append(name)
         print(f"{off:8.1f} {first:8.2f} "
               f"{rr if rr is not None else float('nan'):8.2f} "
               f"{ratio if ratio else float('nan'):9.2f}  {flags:>5}  {name}")
+    if unres:
+        print(f"\nartifact self-labels {len(unres)} UNRESOLVED drift "
+              f"(sustained storm, values are weather): {sorted(unres)}")
+        if "value_clean" in d:
+            print(f"value={d['value']}  value_clean={d['value_clean']} "
+                  f"(unresolved readings substituted by priors)")
     if prior:
         print(f"\n{len(hot)} readings >3x prior and >2s: {hot}")
         untainted = [h for h in hot if h not in sent and h not in drift]
