@@ -5,7 +5,7 @@ import graft.io.Tables
 import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
-import graft.functions.GraftFunctions.{decOut, qdec, qround}
+import graft.functions.GraftFunctions.{decOut, qdec, qdecWide, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1468,8 +1468,9 @@ object AnalyticsQueries {
     * Per-nation medians use the repo's lower-median distinct-value walk
     * (cum count ≥ ⌈n/2⌉, all integer — the q167 shape, no global row
     * sort), so every |x − med| deviation is an EXACT integer in cents;
-    * group terms enter double once each from exact longs, quantized to
-    * DECIMAL(28,9) before the order-free cross-group sums. The F bar is
+    * group terms enter double once each from exact longs, quantized via
+    * the saturation-free qdecWide to DECIMAL(38,2) before the order-free
+    * cross-group sums (VERDICT r11 #3). The F bar is
     * pinned at 1.5173 = χ²₀.₀₅,₂₄/24 — the dof₁ = 24 fixture value,
     * asserted in the flag's CASE like q319's 9.488. */
   val q336: Q = (spark, dir) => {
@@ -1493,26 +1494,24 @@ object AnalyticsQueries {
           .as("sz2"))
     val tot = grp.agg(sum(col("n")).as("nn"), sum(col("sz")).as("szz"),
       count(lit(1)).as("k"))
-    // Group terms reach ~10¹²–10¹⁶ cents²: scale-2 quantization keeps
-    // qround's floor(x·10^s) long intermediate in range (scale 9 would
-    // saturate at Long.Max/10⁹ ≈ 9.2e9) while the ±0.005 absolute slop
-    // is ~10⁻¹¹ relative — invisible at the 6 dp F output.
-    // Scale-2 headroom (ADVICE r10): the long intermediate saturates at
-    // Long.Max/10² ≈ 9.2e16. wterm grows ~n_g·var ≈ 10¹⁶ cents² per
-    // nation at sf1 (n_g ~ 6·10⁴·sf·var 10¹²), so saturation is reached
-    // around sf ~ 100+ — DuckDB's floor stays double there, a
-    // cross-engine divergence OUTSIDE the gated scale factors. At that
-    // scale route the term through a decimal multiply (sz2 and sz²/n
-    // both fit DECIMAL(38,2) exactly) instead of the double-floor path;
-    // kept as-is here because the decimal subtraction loses the
-    // documented ±0.005-slop symmetry with q338's identical note.
+    // Group terms reach ~10¹²–10¹⁶ cents² and grow ~n_g·var with SF, so
+    // they go through the SATURATION-FREE quantizer (qdecWide, VERDICT
+    // r11 #3): qround's floor(x·100) long intermediate would saturate at
+    // Long.Max/10² ≈ 9.2e16 — reachable near sf100, where DuckDB's
+    // all-double floor keeps going and the engines diverge. qdecWide
+    // floors via the IEEE-exact y − fmod(y,1) identity (both terms are
+    // ≥ 0: a square and a Cauchy–Schwarz-nonneg variance numerator), so
+    // there is no long, no ceiling, and no cross-engine divergence at
+    // ANY scale factor; below 2⁵³ it is bit-identical to the old path,
+    // and the ±0.005 slop stays ~10⁻¹¹ relative — invisible at the
+    // 6 dp F output.
     val terms = grp.crossJoin(broadcast(tot))
-      .withColumn("bterm", qdec(col("n") *
+      .withColumn("bterm", qdecWide(col("n") *
         (col("sz").cast("double") / col("n") -
           col("szz").cast("double") / col("nn")) *
         (col("sz").cast("double") / col("n") -
           col("szz").cast("double") / col("nn")), 38, 2))
-      .withColumn("wterm", qdec(
+      .withColumn("wterm", qdecWide(
         expr("cast(sz2 as double)") -
           expr("cast(cast(sz as decimal(38,0)) * sz as double)") /
             col("n"), 38, 2))
@@ -1588,8 +1587,9 @@ object AnalyticsQueries {
     * slope/intercept come from exact integer sums (day/cents products
     * widened to DECIMAL(38,0)); residuals are computed in DOLLARS and
     * quantized to 6 dp so every downstream difference and square starts
-    * from bit-identical doubles, then quantized to DECIMAL(38,9) before
-    * the order-free sums. Verdict bands at the conventional 1.5/2.5. */
+    * from bit-identical doubles, then quantized via the saturation-free
+    * qdecWide to DECIMAL(38,2) before the order-free sums (VERDICT r11
+    * #3). Verdict bands at the conventional 1.5/2.5. */
   val q338: Q = (spark, dir) => {
     val daily = SharedFrames.dailyNationRevenue(spark, dir)
       .select(col("nation"), col("day"),
@@ -1614,15 +1614,16 @@ object AnalyticsQueries {
         (col("icept") + col("slope") * col("day")) / 100.0, 6))
       .withColumn("prev", lag(col("res"), 1).over(
         Window.partitionBy("nation").orderBy("day")))
-      // Squared residuals reach ~10¹²⁺ dollars²: scale-2 quantization
-      // keeps qround's long intermediate in range (see q336's note);
-      // the slop is ~1e-11 relative, invisible at the 6 dp DW output.
-      // Scale-2 headroom: the long saturates at ~9.2e16 — reachable
-      // around sf100+ where DuckDB's all-double floor diverges; see
-      // q336's note for the decimal-multiply escape at that scale.
-      .withColumn("d2", when(col("prev").isNotNull, qdec(
+      // Squared residuals reach ~10¹²⁺ dollars² and grow with SF, so
+      // they go through the saturation-free quantizer (qdecWide,
+      // VERDICT r11 #3 — see q336's note): no long intermediate, no
+      // ~9.2e16 ceiling, identical engine/oracle doubles at any scale
+      // factor; the slop stays ~1e-11 relative, invisible at the 6 dp
+      // DW output. Both terms are squares, satisfying qdecWide's ≥ 0
+      // input contract.
+      .withColumn("d2", when(col("prev").isNotNull, qdecWide(
         (col("res") - col("prev")) * (col("res") - col("prev")), 38, 2)))
-      .withColumn("e2", qdec(col("res") * col("res"), 38, 2))
+      .withColumn("e2", qdecWide(col("res") * col("res"), 38, 2))
     e.groupBy("nation")
       .agg(count(lit(1)).as("n_days"), max(col("slope")).as("b"),
         sum(col("d2")).as("sd"), sum(col("e2")).as("se"))
@@ -2528,15 +2529,20 @@ object AnalyticsQueries {
         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
         |          CAST(SUM(sz) AS BIGINT) AS szz,
         |          CAST(COUNT(*) AS BIGINT) AS k FROM grp),
+        |raw AS (
+        |  SELECT nn, k,
+        |    n * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
+        |      * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
+        |      * 100.0 + 0.5 AS by,
+        |    (CAST(sz2 AS DOUBLE)
+        |        - CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n)
+        |      * 100.0 + 0.5 AS wy
+        |  FROM grp, tot),
         |terms AS (
         |  SELECT nn, k,
-        |    CAST(floor(n * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
-        |        * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
-        |      * 100.0 + 0.5) / 100.0 AS DECIMAL(38,2)) AS bterm,
-        |    CAST(floor((CAST(sz2 AS DOUBLE)
-        |        - CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n)
-        |      * 100.0 + 0.5) / 100.0 AS DECIMAL(38,2)) AS wterm
-        |  FROM grp, tot),
+        |    CAST((by - fmod(by, 1.0)) / 100.0 AS DECIMAL(38,2)) AS bterm,
+        |    CAST((wy - fmod(wy, 1.0)) / 100.0 AS DECIMAL(38,2)) AS wterm
+        |  FROM raw),
         |s AS (SELECT nn, k, SUM(bterm) AS bsum, SUM(wterm) AS wsum
         |      FROM terms GROUP BY 1, 2)
         |SELECT k, nn AS n_total,
@@ -2627,14 +2633,17 @@ object AnalyticsQueries {
         |  SELECT nation, n, slope, res,
         |    LAG(res) OVER (PARTITION BY nation ORDER BY day) AS prev
         |  FROM r),
+        |ly AS (
+        |  SELECT nation, n, slope,
+        |    (res - prev) * (res - prev) * 100.0 + 0.5 AS dy,
+        |    res * res * 100.0 + 0.5 AS ey
+        |  FROM l),
         |t AS (
         |  SELECT nation, n, slope,
-        |    CASE WHEN prev IS NOT NULL THEN
-        |      CAST(floor((res - prev) * (res - prev) * 100.0 + 0.5)
-        |        / 100.0 AS DECIMAL(38,2)) END AS d2,
-        |    CAST(floor(res * res * 100.0 + 0.5)
-        |      / 100.0 AS DECIMAL(38,2)) AS e2
-        |  FROM l),
+        |    CASE WHEN dy IS NOT NULL THEN
+        |      CAST((dy - fmod(dy, 1.0)) / 100.0 AS DECIMAL(38,2)) END AS d2,
+        |    CAST((ey - fmod(ey, 1.0)) / 100.0 AS DECIMAL(38,2)) AS e2
+        |  FROM ly),
         |g AS (
         |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_days,
         |    MAX(slope) AS b, SUM(d2) AS sd, SUM(e2) AS se
