@@ -3758,16 +3758,17 @@ object OlapQueries {
     * rows is order-dependent across engines) and each iterate
     * re-quantizes at 9 dp so both engines walk identical doubles.
     *
-    * Mass-leakage caveat (ADVICE r10): each step joins the iterate on
-    * prev_type, so a type appearing ONLY as a next_type (absorbing
-    * state, no outgoing transitions) loses its mass on the following
-    * step and vanishes — the reported stationary_p then sums < 1 and is
-    * a true stationary distribution only when every type has outgoing
-    * transitions (the events fixture does: all 5 types occur mid-
-    * journey, asserted in TailChainSpec's mass-conservation check). The
-    * oracle walks the identical recurrence, so the gate is stable
-    * either way; renormalizing each iterate would restore Σ=1 at the
-    * cost of silently hiding genuine absorbing structure. */
+    * Each iterate is RENORMALIZED to unit mass (VERDICT r11 #4): a type
+    * appearing ONLY as a next_type (absorbing state, no outgoing
+    * transitions) sheds its mass on the following step — without the
+    * renormalization the reported stationary_p would sum < 1 on any
+    * feed with absorbing structure (the r10 documented caveat, now
+    * engineered away). Dividing each iterate by its exact decimal sum
+    * (engine and oracle walk the identical expression) makes
+    * stationary_p a TRUE distribution at every step: Σp = 1 up to
+    * output quantization, asserted with an absorbing-type fixture in
+    * TailChainSpec. The division adds one window aggregate over a
+    * |types|-sized frame per step — free at any scale. */
   val q367: Q = (spark, dir) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val cells = Tables.events(spark, dir)
@@ -3790,7 +3791,15 @@ object OlapQueries {
           "prev_type")
         .withColumn("term", qdec(col("r") * col("p"), 28, 9))
         .groupBy(col("next_type").as("event_type"))
-        .agg(qround(sum(col("term")).cast("double"), 9).as("r"))
+        .agg(sum(col("term")).as("s"))
+        // Renormalize (VERDICT r11 #4): the decimal sums are exact and
+        // order-free, so Σs is the same decimal in both engines; one
+        // double division + 9 dp re-quantization keeps the iterates
+        // bit-identical across engines while restoring unit mass shed
+        // through absorbing states.
+        .withColumn("r", qround(col("s").cast("double") /
+          sum(col("s")).over(Window.partitionBy()).cast("double"), 9))
+        .select("event_type", "r")
         .localCheckpoint()
     }
     r.select(col("event_type"),
@@ -4265,16 +4274,22 @@ object OlapQueries {
   }
 
   // One unrolled power-iteration step of the q367 oracle: r_{n} from
-  // r_{n-1}, products quantized to DECIMAL(28,9) before the grouped sum
-  // and the iterate re-quantized at 9 dp — textually the engine's step.
+  // r_{n-1}, products quantized to DECIMAL(28,9) before the grouped sum,
+  // the iterate RENORMALIZED by its exact decimal total (VERDICT r11 #4
+  // — absorbing states shed mass; the division restores Σ=1) and
+  // re-quantized at 9 dp — textually the engine's step.
   private def markovStepSql(n: Int): String =
-    s"""it$n AS (
+    s"""it${n}s AS (
        |  SELECT pm.next_type AS event_type,
-       |    floor(CAST(SUM(CAST(floor((it${n - 1}.r * pm.p)
-       |        * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9)))
-       |      AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0 AS r
+       |    SUM(CAST(floor((it${n - 1}.r * pm.p)
+       |      * 1000000000.0 + 0.5) / 1000000000.0 AS DECIMAL(28,9))) AS s
        |  FROM pm JOIN it${n - 1} ON it${n - 1}.event_type = pm.prev_type
-       |  GROUP BY 1)""".stripMargin
+       |  GROUP BY 1),
+       |it$n AS (
+       |  SELECT event_type,
+       |    floor(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE)
+       |      * 1000000000.0 + 0.5) / 1000000000.0 AS r
+       |  FROM it${n}s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q373_bounce_rate" ->

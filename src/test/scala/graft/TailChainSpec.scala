@@ -73,13 +73,44 @@ class TailChainSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val ps = rows.map(_.getAs[Double]("stationary_p"))
     assert(ps.forall(p => p >= 0 && p <= 1))
-    // row-stochastic matrix preserves total mass up to quantization
-    assert(math.abs(ps.sum - 1.0) < 1e-4 * rows.length,
+    // renormalized iterates (VERDICT r11 #4): Σp = 1 exactly, up to the
+    // per-type 6 dp output quantization
+    assert(math.abs(ps.sum - 1.0) < 1e-5,
       s"mass ${ps.sum} drifted")
     // the chain's stationary mass must dominate for types with heavy
     // inbound flow: compare against the empirical next-type share
     val trans = graft.queries.OlapQueries.queries(
       "q342_path_entropy")(spark, sf).collect()
     assert(trans.nonEmpty) // same matrix is gated there
+  }
+
+  test("q367 sums to 1 on a fixture WITH an absorbing event type") {
+    // VERDICT r11 #4: pre-r12, a type appearing only as next_type
+    // (absorbing — here C) shed its mass at each join and stationary_p
+    // summed < 1 (this chain leaks 25% of its mass at every step from
+    // it2 on). The renormalized iteration must report a true
+    // distribution AND keep the absorbing type's share positive.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-absorbing")
+    try {
+      // One user walking A,B,A,B,C → transitions A→B ×2, B→A, B→C:
+      // P(A→B)=1, P(B→A)=P(B→C)=0.5, C absorbing (no outgoing row).
+      Seq("A", "B", "A", "B", "C").zipWithIndex
+        .map { case (t, i) => (1L, i * 1000000000L, i.toLong, t) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val rows = graft.queries.OlapQueries.queries(
+        "q367_markov_stationary")(spark, d.toString).collect()
+      val p = rows.map(r => r.getString(0) -> r.getAs[Double](1)).toMap
+      assert(p.keySet == Set("A", "B", "C"))
+      assert(math.abs(p.values.sum - 1.0) < 1e-5,
+        s"absorbing chain mass ${p.values.sum} leaked")
+      assert(p("C") > 0.1, s"absorbing type lost its share: ${p("C")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(pth => java.nio.file.Files.deleteIfExists(pth))
+    }
   }
 }
