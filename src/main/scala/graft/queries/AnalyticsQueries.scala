@@ -2419,10 +2419,12 @@ object AnalyticsQueries {
         |    AS half_life_weeks
         |FROM fit ORDER BY cohort_week""".stripMargin,
     "q341_local_clustering" ->
-      """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
+      // Cap interpolated from the ONE engine constant (ADVICE r11).
+      s"""WITH pr AS (SELECT DISTINCT l_orderkey AS k,
         |                   l_partkey::VARCHAR AS p, l_partkey AS pn
         |            FROM lineitem),
-        |okb AS (SELECT k FROM pr GROUP BY k HAVING count(*) BETWEEN 2 AND 256),
+        |okb AS (SELECT k FROM pr GROUP BY k
+        |        HAVING count(*) BETWEEN 2 AND $BasketCap),
         |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
         |          FROM pr a JOIN okb ON okb.k = a.k
         |          JOIN pr b ON a.k = b.k AND a.pn < b.pn
@@ -3386,14 +3388,16 @@ object AnalyticsQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS auc
         |FROM a""".stripMargin,
     "q208_adamic_adar" ->
-      """WITH cs AS (
+      // Cap interpolated from the ONE engine constant (ADVICE r11):
+      // a literal here could silently desync from the engine's filter.
+      s"""WITH cs AS (
         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |w AS (
         |  SELECT c, CAST(floor((1.0 / ln(degc)) * 1000000.0 + 0.5)
         |    / 1000000.0 AS DECIMAL(10,6)) AS w
         |  FROM (SELECT c, count(*) AS degc FROM cs GROUP BY 1)
-        |  WHERE degc BETWEEN 2 AND 256),
+        |  WHERE degc BETWEEN 2 AND $HubDegreeCap),
         |p AS (
         |  SELECT a.s AS s1, b.s AS s2, w.w
         |  FROM cs a JOIN cs b ON b.c = a.c AND a.s < b.s
@@ -3637,10 +3641,12 @@ object AnalyticsQueries {
         |       CAST(MAX(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS max_total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q104_triangle_counts" ->
-      """WITH pr AS (SELECT DISTINCT l_orderkey AS k,
+      // Cap interpolated from the ONE engine constant (ADVICE r11).
+      s"""WITH pr AS (SELECT DISTINCT l_orderkey AS k,
         |                   l_partkey::VARCHAR AS p, l_partkey AS pn
         |            FROM lineitem),
-        |okb AS (SELECT k FROM pr GROUP BY k HAVING count(*) BETWEEN 2 AND 256),
+        |okb AS (SELECT k FROM pr GROUP BY k
+        |        HAVING count(*) BETWEEN 2 AND $BasketCap),
         |pairs AS (SELECT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
         |          FROM pr a JOIN okb ON okb.k = a.k
         |          JOIN pr b ON a.k = b.k AND a.pn < b.pn

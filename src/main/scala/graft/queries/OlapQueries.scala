@@ -6579,10 +6579,13 @@ object OlapQueries {
          |    (tot_cnt - cnt + 20)) * 1000000.0 + 0.5) / 1000000.0 AS enc_smooth
          |FROM e ORDER BY cat, fold""".stripMargin,
     "q137_basket_lift" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      // Cap interpolated from the ONE engine constant (ADVICE r11):
+      // a literal here could silently desync from the engine's filter.
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
         |pc AS (SELECT l_partkey, COUNT(*) AS n_p FROM b GROUP BY 1),
-        |okb AS (SELECT l_orderkey FROM b GROUP BY 1 HAVING COUNT(*) <= 256),
+        |okb AS (SELECT l_orderkey FROM b GROUP BY 1
+        |        HAVING COUNT(*) <= ${graft.queries.AnalyticsQueries.BasketCap}),
         |pairs AS (
         |  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b, COUNT(*) AS support
         |  FROM b a JOIN okb ON okb.l_orderkey = a.l_orderkey
