@@ -3583,7 +3583,9 @@ object OlapQueries {
     * whose first view stalls but whose later view converts within the
     * hour counts there and not here — the fixed anchor is the cheaper
     * single-aggregate semantics and is what both engine and oracle
-    * compute. Report per stage: users reaching it, reach share of all
+    * compute; [[q375]] is the sliding-anchor sibling with the
+    * windowFunnel semantics (VERDICT r11 #5). Report per stage: users
+    * reaching it, reach share of all
     * users, and step conversion from the previous stage — all exact
     * integer ppm. Each stage is one aggregate-join-aggregate on user_id
     * (the q90 plan with a deadline predicate); the report is a 3-row
@@ -3618,9 +3620,82 @@ object OlapQueries {
       .select(col("stage"), col("n_reached"), col("n_all_users"),
         expr("cast((2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
           .as("reach_ppm"),
-        expr("cast((2 * n_reached * 1000000 + prev) div (2 * prev) as bigint)")
+        // A dead stage (prev = 0) makes step conversion undefined — NULL,
+        // not a divide-by-zero crash (surfaced by q375's fixture spec).
+        expr("cast(if(prev = 0, null, " +
+          "(2 * n_reached * 1000000 + prev) div (2 * prev)) as bigint)")
           .as("step_ppm"))
       .orderBy("stage")
+  }
+
+  /** q375 — SLIDING-ANCHOR time-boxed strict-order funnel (VERDICT r11
+    * #5): the public ClickHouse `windowFunnel` semantics (strict-increase
+    * mode) that q353's fixed first-view anchor deliberately is not — the
+    * anchor slides over ALL candidate view events, so a user whose first
+    * view stalls but whose LATER view converts within the hour counts
+    * here. Per user the reported level is the maximum over anchors of
+    * the stages completed strictly-after-in-time within one hour of that
+    * anchor.
+    *
+    * Greedy is optimal (taking the EARLIEST eligible next-stage event
+    * maximizes remaining slack), so each anchor needs only two as-of
+    * lookups — never a per-anchor scan: ONE per-user RANGE window pass
+    * marks every event with the next click / next purchase strictly
+    * after it (linear, one shuffle on user_id — no view×click self-join,
+    * so a 10⁶-event bot user costs 10⁶ window rows, not 10¹² join
+    * pairs), and one exact-key join fetches the purchase lookup at the
+    * chosen click instant. Strictly-after is ts-strict (same-instant
+    * events never chain), matching q353's `ts > t0` convention, which
+    * also makes the next-purchase lookup a pure function of the instant
+    * — identical for every click row sharing a timestamp, so the
+    * distinct() on (user, ct, nxp) is sound. Report shape = q353's
+    * 3-row stage table (reach/step exact integer ppm), directly
+    * comparable side-by-side: the sliding anchor can only raise each
+    * stage's count. */
+  val q375: Q = (spark, dir) => {
+    val win = 3600L * 1000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val after = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val marked = ev
+      .withColumn("nxc",
+        min(when(col("event_type") === "click", col("ts"))).over(after))
+      .withColumn("nxp",
+        min(when(col("event_type") === "purchase", col("ts"))).over(after))
+    val anchors = marked.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vt"), col("nxc"))
+    val clickNp = marked.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("ts").as("ct"), col("nxp"))
+      .distinct()
+    val byUser = anchors
+      .join(clickNp, col("user_id") === col("u2") && col("nxc") === col("ct"),
+        "left")
+      .withColumn("lvl",
+        when(col("nxc").isNotNull && col("nxc") <= col("vt") + win &&
+          col("nxp").isNotNull && col("nxp") <= col("vt") + win, 3L)
+          .when(col("nxc").isNotNull && col("nxc") <= col("vt") + win, 2L)
+          .otherwise(1L))
+      .groupBy("user_id").agg(max(col("lvl")).as("lvl"))
+    val agg = byUser.agg(count(lit(1)).as("n1"),
+      sum(when(col("lvl") >= 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n3"))
+    val tot = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_all_users"))
+    val a = agg.crossJoin(broadcast(tot))
+    Seq(("1_view", "n1", "n_all_users"), ("2_click", "n2", "n1"),
+        ("3_purchase", "n3", "n2"))
+      .map { case (nm, c, p) =>
+        a.select(lit(nm).as("stage"), col(c).as("n_reached"),
+          col("n_all_users"),
+          expr(s"cast((2 * $c * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
+            .as("reach_ppm"),
+          // dead previous stage → step conversion undefined, NULL (q353's
+          // guard, same rationale)
+          expr(s"cast(if($p = 0, null, " +
+            s"(2 * $c * 1000000 + $p) div (2 * $p)) as bigint)")
+            .as("step_ppm"))
+      }.reduce(_ unionByName _).orderBy("stage")
   }
 
   /** q354 — event study with placebo inference: the 7-day mean daily
@@ -3888,6 +3963,7 @@ object OlapQueries {
     "q356_user_golden_profile" -> q356,
     "q352_croston_forecast" -> q352,
     "q353_window_funnel" -> q353,
+    "q375_sliding_funnel" -> q375,
     "q354_event_study" -> q354,
     "q342_path_entropy" -> q342,
     "q322_covariate_balance" -> q322,
@@ -4504,9 +4580,63 @@ object OlapQueries {
         |SELECT stage, n_reached, n_all_users,
         |  CAST((2 * n_reached * 1000000 + n_all_users)
         |    // (2 * n_all_users) AS BIGINT) AS reach_ppm,
-        |  CAST((2 * n_reached * 1000000 + prev) // (2 * prev) AS BIGINT)
+        |  CAST(CASE WHEN prev = 0 THEN NULL ELSE
+        |    (2 * n_reached * 1000000 + prev) // (2 * prev) END AS BIGINT)
         |    AS step_ppm
         |FROM wp ORDER BY stage""".stripMargin,
+    "q375_sliding_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+        |           FROM events),
+        |m AS (
+        |  SELECT user_id, event_type, t,
+        |    MIN(CASE WHEN event_type = 'click' THEN t END) OVER
+        |      (PARTITION BY user_id ORDER BY t
+        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxc,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN t END) OVER
+        |      (PARTITION BY user_id ORDER BY t
+        |       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxp
+        |  FROM e),
+        |a AS (SELECT user_id, t AS vt, nxc FROM m
+        |      WHERE event_type = 'view'),
+        |cn AS (SELECT DISTINCT user_id AS u2, t AS ct, nxp FROM m
+        |       WHERE event_type = 'click'),
+        |lv AS (
+        |  SELECT a.user_id, MAX(CASE
+        |      WHEN a.nxc IS NOT NULL AND a.nxc <= a.vt + 3600000000000
+        |       AND cn.nxp IS NOT NULL AND cn.nxp <= a.vt + 3600000000000
+        |        THEN 3
+        |      WHEN a.nxc IS NOT NULL AND a.nxc <= a.vt + 3600000000000
+        |        THEN 2
+        |      ELSE 1 END) AS lvl
+        |  FROM a LEFT JOIN cn ON cn.u2 = a.user_id AND cn.ct = a.nxc
+        |  GROUP BY 1),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN lvl >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM lv),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |          AS n_all_users FROM e)
+        |SELECT '1_view' AS stage, n1 AS n_reached, n_all_users,
+        |  CAST((2 * n1 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) AS BIGINT) AS reach_ppm,
+        |  CAST((2 * n1 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) AS BIGINT) AS step_ppm
+        |FROM agg, tot
+        |UNION ALL
+        |SELECT '2_click', n2, n_all_users,
+        |  CAST((2 * n2 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) AS BIGINT),
+        |  CAST(CASE WHEN n1 = 0 THEN NULL ELSE
+        |    (2 * n2 * 1000000 + n1) // (2 * n1) END AS BIGINT)
+        |FROM agg, tot
+        |UNION ALL
+        |SELECT '3_purchase', n3, n_all_users,
+        |  CAST((2 * n3 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) AS BIGINT),
+        |  CAST(CASE WHEN n2 = 0 THEN NULL ELSE
+        |    (2 * n3 * 1000000 + n2) // (2 * n2) END AS BIGINT)
+        |FROM agg, tot
+        |ORDER BY stage""".stripMargin,
     "q354_event_study" ->
       """WITH daily AS (
         |  SELECT (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,

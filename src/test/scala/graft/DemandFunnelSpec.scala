@@ -83,6 +83,58 @@ class DemandFunnelSpec extends AnyFunSuite {
     assert(q90.count(!_.isNullAt(3)) >= n(2)) // purchase_s reached
   }
 
+  test("q375 sliding anchor dominates q353 and catches a stalled first view") {
+    // Shared-data invariants: same 3-stage shape, monotone, and the
+    // sliding anchor can only RAISE each stage's count vs the fixed
+    // first-view anchor (every q353 conversion is also a q375 chain).
+    val sl = graft.queries.OlapQueries.queries(
+      "q375_sliding_funnel")(spark, sf).collect()
+      .sortBy(_.getAs[String]("stage"))
+    val fx = graft.queries.OlapQueries.queries(
+      "q353_window_funnel")(spark, sf).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(sl.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val ns = sl.map(_.getAs[Long]("n_reached"))
+    val nf = fx.map(_.getAs[Long]("n_reached"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"not monotone: ${ns.toSeq}")
+    assert(ns(0) == nf(0), "stage 1 (any view) must agree")
+    assert(ns(1) >= nf(1) && ns(2) >= nf(2),
+      s"sliding ${ns.toSeq} must dominate fixed ${nf.toSeq}")
+
+    // Discriminating fixture (VERDICT r11 #5): user 1's FIRST view
+    // stalls (no click within its hour) but a LATER view converts fully
+    // — windowFunnel counts it, the fixed anchor doesn't. User 2's
+    // click shares the view's instant: ts-strict chaining must refuse.
+    import spark.implicits._
+    val h = 3600L * 1000000000L
+    val d = java.nio.file.Files.createTempDirectory("graft-slide")
+    try {
+      Seq(
+        (1L, "view", 0L, 1L), (1L, "view", 2 * h, 2L),
+        (1L, "click", 2 * h + 10L, 3L), (1L, "purchase", 2 * h + 20L, 4L),
+        (2L, "view", 5 * h, 5L), (2L, "click", 5 * h, 6L),
+        (2L, "purchase", 5 * h + 1L, 7L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      def counts(q: String) = graft.queries.OlapQueries.queries(q)(
+        spark, d.toString).collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_reached"))
+        .toMap
+      val slide = counts("q375_sliding_funnel")
+      assert(slide == Map("1_view" -> 2L, "2_click" -> 1L,
+        "3_purchase" -> 1L), s"sliding: $slide")
+      val fixed = counts("q353_window_funnel")
+      assert(fixed == Map("1_view" -> 2L, "2_click" -> 0L,
+        "3_purchase" -> 0L), s"fixed: $fixed")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q354 event study reproduces a driver recompute") {
     val rows = graft.queries.OlapQueries.queries(
       "q354_event_study")(spark, sf).collect()
