@@ -826,6 +826,112 @@ object ScaleProbe {
       sets.unpersist(); edges.unpersist()
     }
 
+    if (probes("alsgrid")) {
+      // q55's ALS-grid cost decomposition at factor× the rating volume
+      // (VERDICT r11 #6; user-id translation — user count grows, item
+      // universe fixed, the MovieLens growth shape). Claims under test:
+      // (a) the shared memoized train prep is paid ONCE — the first fit
+      //     carries it, every later fit and the whole 16-cell grid hit
+      //     the memo, so grid wall ≈ Σ of 16 per-fit costs, not
+      //     16×(prep + fit);
+      // (b) per-fit shuffle bytes are linear in ratings (blocked ALS
+      //     exchanges the rating blocks each half-iteration) — compare
+      //     the printed fit shuffleMB across 3×/10× runs;
+      // (c) per-fit cost grows with rank (the normal-equation solve is
+      //     O(rank²·nnz + rank³·blocks)) — the r8/r40 single-cell
+      //     readings band the grid's 16 mixed-rank cells.
+      // Single-cell probes use (rank, reg) pairs OUTSIDE the 4×4 grid so
+      // the grid timing below gets 16 FRESH fits (same dataset memo key
+      // → shared prep, distinct combo memo keys → no fit reuse).
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def quiesce(): Long = {
+        var prev = -1L; var cur = shuffleBytes.get; var spins = 0
+        while (cur != prev && spins < 50) {
+          prev = cur; Thread.sleep(200); cur = shuffleBytes.get; spins += 1
+        }
+        cur
+      }
+      def aphase(name: String)(f: => Long): Unit = {
+        val b0 = quiesce()
+        val t0 = System.nanoTime()
+        val n = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $name%-28s $wall%8.1f s" +
+          f"   rows=$n   shuffleMB=${(quiesce() - b0) / 1e6}%9.1f")
+      }
+      val t = graft.rec.Popularity.withSplits(inflated)
+      val train = graft.rec.Popularity.train(t)
+      val valid = graft.rec.Popularity.validation(t)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      println(s"PROBE alsgrid: ${train.count()} train ratings at ${factor}x" +
+        s", ${valid.count()} validation")
+      val key = s"alsgrid-probe-$factor"
+      def mapAt20(recs: org.apache.spark.sql.DataFrame,
+                  v: org.apache.spark.sql.DataFrame): Double =
+        graft.metrics.RankingRelational
+          .metrics(spark, recs.select("user_id", "item_id", "rank"), v, k = 20)
+          .select("map_at_k").head().getDouble(0)
+      aphase(s"als_fit_r8_incl_prep_${factor}x")(
+        graft.rec.AlsRec.fit(train, rank = 8, regParam = 0.2,
+          cacheKey = key).userFactors.count())
+      aphase(s"als_fit_r8_prepped_${factor}x")(
+        graft.rec.AlsRec.fit(train, rank = 8, regParam = 0.3,
+          cacheKey = key).userFactors.count())
+      aphase(s"als_fit_r40_prepped_${factor}x")(
+        graft.rec.AlsRec.fit(train, rank = 40, regParam = 0.2,
+          cacheKey = key).userFactors.count())
+      aphase(s"als_grid16_${factor}x")(
+        graft.rec.AlsRec.gridSearch(train, valid,
+          ranks = Seq(5, 10, 20, 50), regs = Seq(0.01, 0.05, 0.1, 1.0),
+          topN = 20, maxIter = 10, evalFn = mapAt20, cacheKey = key).size)
+      spark.sparkContext.removeSparkListener(listener)
+      valid.unpersist(blocking = false)
+    }
+
+    if (probes("mmrceiling")) {
+      // q152's DESIGNED broadcast ceiling, measured at the boundary
+      // (VERDICT r11 #7): Diversify.MaxSimPairsDefault ≈ a 2000-item
+      // pool's symmetric pair count. A synthetic exactly-boundary-sized
+      // similarity frame (2000·1999 = 3,998,000 pairs) is collected and
+      // broadcast by mmrRerank — the two readings split the cost into
+      // (a) the driver collect that the guard's limit(max+1) bounds, and
+      // (b) the full rerank including broadcast ship + per-user greedy.
+      // The guard's loud failure ONE row past the cap is pinned in
+      // DiversifySpec (no 4M-row job needed there; the mechanism is
+      // cap-parameterized). factor is ignored: the ceiling is a design
+      // constant, which is the point.
+      val pool = 2000
+      val items = spark.range(pool).select(col("id").cast("int").as("ia"))
+      val sims = items
+        .crossJoin(spark.range(pool).select(col("id").cast("int").as("ib")))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("sim",
+          ((col("ia") * 31 + col("ib")) % 997).cast("double") / 997.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val nPairs = sims.count()
+      require(nPairs <= graft.rec.Diversify.MaxSimPairsDefault,
+        s"probe must sit AT the boundary, not past it: $nPairs")
+      println(s"PROBE mmrceiling: $nPairs sim pairs (cap " +
+        s"${graft.rec.Diversify.MaxSimPairsDefault}), pool=$pool")
+      time("mmr_simcollect_4M")(
+        sims.select(col("ia"), col("ib"), col("sim")).collect().length.toLong)
+      val cands = spark.range(2000).select(col("id").as("user_id"))
+        .crossJoin(spark.range(50).select(col("id").cast("int").as("item_id")))
+        .withColumn("rel",
+          ((col("user_id") * 7 + col("item_id")) % 101).cast("double") / 101.0)
+      time("mmr_rerank_pool2000")(
+        graft.rec.Diversify.mmrRerank(cands, sims,
+          relWeight = 0.7, divWeight = 0.3, k = 10).count())
+      sims.unpersist(blocking = false)
+    }
+
     if (probes("bootstrap")) {
       // Poisson bootstrap at factor× rows, B=200 replicas: the explode
       // feeds a map-side-combined groupBy(replica), so each task emits
