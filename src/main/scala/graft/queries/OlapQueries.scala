@@ -3682,20 +3682,22 @@ object OlapQueries {
       sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n3"))
     val tot = ev.select("user_id").distinct()
       .agg(count(lit(1)).as("n_all_users"))
-    val a = agg.crossJoin(broadcast(tot))
-    Seq(("1_view", "n1", "n_all_users"), ("2_click", "n2", "n1"),
-        ("3_purchase", "n3", "n2"))
-      .map { case (nm, c, p) =>
-        a.select(lit(nm).as("stage"), col(c).as("n_reached"),
-          col("n_all_users"),
-          expr(s"cast((2 * $c * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
-            .as("reach_ppm"),
-          // dead previous stage → step conversion undefined, NULL (q353's
-          // guard, same rationale)
-          expr(s"cast(if($p = 0, null, " +
-            s"(2 * $c * 1000000 + $p) div (2 * $p)) as bigint)")
-            .as("step_ppm"))
-      }.reduce(_ unionByName _).orderBy("stage")
+    // stack, not a 3-way union: union branches don't share work, so the
+    // whole window+join subtree would run once per stage row — stack
+    // unpivots the ONE aggregated row into the 3-row report.
+    agg.crossJoin(broadcast(tot))
+      .select(col("n_all_users"), expr(
+        "stack(3, '1_view', n1, n_all_users, '2_click', n2, n1, " +
+          "'3_purchase', n3, n2)").as(Seq("stage", "n_reached", "prev")))
+      .select(col("stage"), col("n_reached"), col("n_all_users"),
+        expr("cast((2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
+          .as("reach_ppm"),
+        // dead previous stage → step conversion undefined, NULL (q353's
+        // guard, same rationale)
+        expr("cast(if(prev = 0, null, " +
+          "(2 * n_reached * 1000000 + prev) div (2 * prev)) as bigint)")
+          .as("step_ppm"))
+      .orderBy("stage")
   }
 
   /** q354 — event study with placebo inference: the 7-day mean daily
