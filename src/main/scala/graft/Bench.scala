@@ -37,7 +37,7 @@ object Bench {
   def loadPrior(path: java.nio.file.Path): Map[String, Double] =
     loadPriorArtifact(path).queries
 
-  /** Gate on refreshing bench_prior.json (VERDICT r11 #1). Three
+  /** Gate on refreshing bench_prior.json (VERDICT r11 #1). Four
     * independent conditions, each closing a distinct hazard:
     *  - envFlag: only the builder's explicit close run sets
     *    SPARK_GRAFT_WRITE_PRIOR=1 — the driver's invocation never does,
@@ -45,10 +45,16 @@ object Bench {
     *  - fullRun: a dev subset run must not shrink the prior surface;
     *  - unresolvedDrift empty: a close run that itself hit a sustained
     *    storm (readings still over threshold after rerun) must not bake
-    *    hot values in as next round's reference. */
+    *    hot values in as next round's reference;
+    *  - failed empty: a failing query records its time-to-exception
+    *    (possibly 0.3 s for a 5 s query), and baking that in would
+    *    drift-taint the honest reading every round after the fix —
+    *    and, worse, each of those would land in unresolved_drift and
+    *    block every future refresh until the file was hand-repaired. */
   def mayWritePrior(envFlag: Boolean, fullRun: Boolean,
-                    unresolvedDrift: Seq[String]): Boolean =
-    envFlag && fullRun && unresolvedDrift.isEmpty
+                    unresolvedDrift: Seq[String],
+                    failed: Seq[String]): Boolean =
+    envFlag && fullRun && unresolvedDrift.isEmpty && failed.isEmpty
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -298,7 +304,7 @@ object Bench {
     // gate logic pinned by BenchPriorSpec). The driver never sets the
     // flag, so its runs can never raise a prior.
     if (mayWritePrior(sys.env.get("SPARK_GRAFT_WRITE_PRIOR").contains("1"),
-                      only.isEmpty, unresolvedDrift)) {
+                      only.isEmpty, unresolvedDrift, failed)) {
       try {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_prior.json"), fullLine + "\n")

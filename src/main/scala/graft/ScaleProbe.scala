@@ -19,6 +19,41 @@ import org.apache.spark.sql.functions._
   * factor×-replicated embedding corpus.
   */
 object ScaleProbe {
+
+  /** Shared shuffle-write-byte meter for the byte-measuring probes
+    * (graph, alsgrid — one definition, so a fix to the quiesce logic
+    * can't silently miss a copy). The listener bus is ASYNC:
+    * stage-completed events can still be in flight when an action
+    * returns, which would leak one phase's bytes into the next delta —
+    * [[quiesce]] waits until the counter stops moving (bounded) before
+    * reading it. */
+  private final class ShuffleMeter(spark: SparkSession) {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Long = {
+      var prev = -1L; var cur = bytes.get; var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(200); cur = bytes.get; spins += 1
+      }
+      cur
+    }
+    def phase(name: String)(f: => Long): Unit = {
+      val b0 = quiesce()
+      val t0 = System.nanoTime()
+      val n = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $name%-28s $wall%8.1f s" +
+        f"   rows=$n   shuffleMB=${(quiesce() - b0) / 1e6}%9.1f")
+    }
+    def remove(): Unit = spark.sparkContext.removeSparkListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val probes = args.lift(1).getOrElse("lsh").split(",").toSet
@@ -738,25 +773,7 @@ object ScaleProbe {
       // so bytes scale linearly with factor and iterations; the
       // checkpointEvery=5 cadence keeps the 10-iteration wall ≈
       // (10/3)× the 3-iteration wall — no lineage blow-up.
-      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-      val gListener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
-      spark.sparkContext.addSparkListener(gListener)
-      // The listener bus is ASYNC: stage-completed events can still be
-      // in flight when an action returns, which would leak one phase's
-      // bytes into the next delta. Quiesce = wait until the counter
-      // stops moving (bounded) before reading it.
-      def quiesce(): Long = {
-        var prev = -1L; var cur = shuffleBytes.get; var spins = 0
-        while (cur != prev && spins < 50) {
-          prev = cur; Thread.sleep(200); cur = shuffleBytes.get; spins += 1
-        }
-        cur
-      }
+      val meter = new ShuffleMeter(spark)
       val baseE = graft.queries.SharedFrames
         .coPurchaseEdges(spark, "/root/testdata/sf0.1")
       val infl = (0 until factor).map(i =>
@@ -764,21 +781,14 @@ object ScaleProbe {
             concat(col("dst"), lit("#"), lit(i)).as("dst")))
         .reduce(_ unionByName _).localCheckpoint()
       println(s"PROBE graph edges: ${infl.count()} at ${factor}x")
-      def gphase(name: String)(f: => Long): Unit = {
-        val b0 = quiesce()
-        val t0 = System.nanoTime()
-        val n = f
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(f"PROBE $name%-24s $wall%8.1f s" +
-          f"   rows=$n   shuffleMB=${(quiesce() - b0) / 1e6}%9.1f")
-      }
+      def gphase(name: String)(f: => Long): Unit = meter.phase(name)(f)
       gphase(s"pagerank3_${factor}x")(
         graft.graph.PageRank.pageRank(infl, iters = 3, damping = 0.85).count())
       gphase(s"pagerank10_${factor}x")(
         graft.graph.PageRank.pageRank(infl, iters = 10, damping = 0.85).count())
       gphase(s"kcore_k3r4_${factor}x")(
         graft.graph.KCore.peelCounts(spark, infl, k = 3, rounds = 4).count())
-      spark.sparkContext.removeSparkListener(gListener)
+      meter.remove()
     }
 
     if (probes("hubcap")) {
@@ -843,29 +853,8 @@ object ScaleProbe {
       // Single-cell probes use (rank, reg) pairs OUTSIDE the 4×4 grid so
       // the grid timing below gets 16 FRESH fits (same dataset memo key
       // → shared prep, distinct combo memo keys → no fit reuse).
-      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
-      spark.sparkContext.addSparkListener(listener)
-      def quiesce(): Long = {
-        var prev = -1L; var cur = shuffleBytes.get; var spins = 0
-        while (cur != prev && spins < 50) {
-          prev = cur; Thread.sleep(200); cur = shuffleBytes.get; spins += 1
-        }
-        cur
-      }
-      def aphase(name: String)(f: => Long): Unit = {
-        val b0 = quiesce()
-        val t0 = System.nanoTime()
-        val n = f
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(f"PROBE $name%-28s $wall%8.1f s" +
-          f"   rows=$n   shuffleMB=${(quiesce() - b0) / 1e6}%9.1f")
-      }
+      val meter = new ShuffleMeter(spark)
+      def aphase(name: String)(f: => Long): Unit = meter.phase(name)(f)
       val t = graft.rec.Popularity.withSplits(inflated)
       val train = graft.rec.Popularity.train(t)
       val valid = graft.rec.Popularity.validation(t)
@@ -891,7 +880,7 @@ object ScaleProbe {
         graft.rec.AlsRec.gridSearch(train, valid,
           ranks = Seq(5, 10, 20, 50), regs = Seq(0.01, 0.05, 0.1, 1.0),
           topN = 20, maxIter = 10, evalFn = mapAt20, cacheKey = key).size)
-      spark.sparkContext.removeSparkListener(listener)
+      meter.remove()
       valid.unpersist(blocking = false)
     }
 

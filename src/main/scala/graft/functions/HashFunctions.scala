@@ -204,27 +204,42 @@ object GraftFunctions {
     * value in BOTH engines. No long intermediate, no ceiling.
     * Input contract: c ≥ 0 (squares / variances) — callers quantizing
     * possibly-negative values keep [[qround]]. Oracle twin:
-    * [[qroundWideSql]]. */
+    * [[qroundWideSql]].
+    *
+    * NULL/NaN/±Inf pass through untouched, like [[qround]]: without the
+    * guard, ±Inf % 1.0 = NaN would turn an infinity into NaN, and the
+    * downstream decimal cast of a special value is NULL in Spark but a
+    * conversion ERROR in DuckDB — an engine-row-vs-oracle-error gate
+    * red. The SQL twin carries the same guard for the same reason. */
   def qroundWide(c: Column, s: Int): Column = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{isnan, lit, when}
     val f = lit(math.pow(10, s))
     val y = c * f + lit(0.5)
-    (y - (y % lit(1.0))) / f
+    when(c.isNull || isnan(c) ||
+      c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), c)
+      .otherwise((y - (y % lit(1.0))) / f)
   }
 
   /** [[qroundWide]] pinned to an exact DECIMAL(p,s). Below 2⁵³ the
     * quantized double is within 1 ulp of an exact scale-`s` decimal (the
     * [[qdec]] argument); above 2⁵³ every double IS an exact integer, so
     * the decimal cast is rounding-mode-independent at every magnitude.
+    * Like [[qdec]], the DECIMAL variant requires FINITE inputs: a
+    * NaN/Inf passed through the guard still reaches the decimal cast,
+    * where Spark yields NULL but DuckDB errors — only [[qroundWide]]'s
+    * DOUBLE surface carries special values safely across engines.
     * Oracle twin: [[qdecWideSql]]. */
   def qdecWide(c: Column, p: Int, s: Int): Column =
     qroundWide(c, s).cast(s"decimal($p,$s)")
 
-  /** Oracle-SQL twin of [[qroundWide]] — textually the same IEEE ops
-    * (DuckDB's fmod(double) is the same exact IEEE remainder). */
+  /** Oracle-SQL twin of [[qroundWide]] — the same IEEE ops (DuckDB's
+    * fmod(double) is the same exact IEEE remainder) behind the same
+    * special-value guard. */
   def qroundWideSql(x: String, s: Int): String = {
     val f = "1" + ("0" * s) + ".0"
-    s"((($x) * $f + 0.5) - fmod(($x) * $f + 0.5, 1.0)) / $f"
+    s"CASE WHEN ($x) IS NULL OR isnan($x) OR isinf($x) THEN ($x) ELSE " +
+      s"((($x) * $f + 0.5) - fmod(($x) * $f + 0.5, 1.0)) / $f END"
   }
 
   /** Oracle-SQL twin of [[qdecWide]]. */

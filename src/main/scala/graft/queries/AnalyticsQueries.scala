@@ -5,7 +5,7 @@ import graft.io.Tables
 import graft.ops.{Cohort, Drift, Features, Incremental, Merge, Outliers, Profile, Scd, Skyline, Sweep, TimeSeries, ZOrder}
 import graft.sketch.CountMin
 import graft.text.Fuzzy
-import graft.functions.GraftFunctions.{decOut, qdec, qdecWide, qround}
+import graft.functions.GraftFunctions.{decOut, qdec, qdecWide, qdecWideSql, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2507,7 +2507,9 @@ object AnalyticsQueries {
          |    AS significant
          |FROM w""".stripMargin,
     "q336_brown_forsythe" ->
-      """WITH x AS (
+      // group-term quantizer interpolated from qdecWideSql — ONE
+      // definition drives engine and oracle (the cap-literal rule)
+      s"""WITH x AS (
         |  SELECT c_nationkey AS g,
         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
         |  FROM customer),
@@ -2534,16 +2536,14 @@ object AnalyticsQueries {
         |raw AS (
         |  SELECT nn, k,
         |    n * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
-        |      * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn)
-        |      * 100.0 + 0.5 AS by,
-        |    (CAST(sz2 AS DOUBLE)
-        |        - CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n)
-        |      * 100.0 + 0.5 AS wy
+        |      * (CAST(sz AS DOUBLE) / n - CAST(szz AS DOUBLE) / nn) AS bt,
+        |    CAST(sz2 AS DOUBLE)
+        |      - CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n AS wt
         |  FROM grp, tot),
         |terms AS (
         |  SELECT nn, k,
-        |    CAST((by - fmod(by, 1.0)) / 100.0 AS DECIMAL(38,2)) AS bterm,
-        |    CAST((wy - fmod(wy, 1.0)) / 100.0 AS DECIMAL(38,2)) AS wterm
+        |    ${qdecWideSql("bt", 38, 2)} AS bterm,
+        |    ${qdecWideSql("wt", 38, 2)} AS wterm
         |  FROM raw),
         |s AS (SELECT nn, k, SUM(bterm) AS bsum, SUM(wterm) AS wsum
         |      FROM terms GROUP BY 1, 2)
@@ -2597,7 +2597,9 @@ object AnalyticsQueries {
         |    AS reject_normal
         |FROM j ORDER BY event_type""".stripMargin,
     "q338_durbin_watson" ->
-      """WITH daily AS (
+      // squared-residual quantizer interpolated from qdecWideSql — ONE
+      // definition drives engine and oracle (the cap-literal rule)
+      s"""WITH daily AS (
         |  SELECT n_name AS nation,
         |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
         |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
@@ -2637,14 +2639,13 @@ object AnalyticsQueries {
         |  FROM r),
         |ly AS (
         |  SELECT nation, n, slope,
-        |    (res - prev) * (res - prev) * 100.0 + 0.5 AS dy,
-        |    res * res * 100.0 + 0.5 AS ey
+        |    (res - prev) * (res - prev) AS dd,
+        |    res * res AS ee
         |  FROM l),
         |t AS (
         |  SELECT nation, n, slope,
-        |    CASE WHEN dy IS NOT NULL THEN
-        |      CAST((dy - fmod(dy, 1.0)) / 100.0 AS DECIMAL(38,2)) END AS d2,
-        |    CAST((ey - fmod(ey, 1.0)) / 100.0 AS DECIMAL(38,2)) AS e2
+        |    ${qdecWideSql("dd", 38, 2)} AS d2,
+        |    ${qdecWideSql("ee", 38, 2)} AS e2
         |  FROM ly),
         |g AS (
         |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_days,

@@ -65,17 +65,22 @@ class BenchPriorSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(f)
   }
 
-  test("mayWritePrior: driver runs and hot runs can never raise a prior") {
+  test("mayWritePrior: driver, hot, and failing runs can never raise a prior") {
     // The driver never sets SPARK_GRAFT_WRITE_PRIOR — envFlag=false alone
     // must veto, regardless of how clean the run looked.
-    assert(!Bench.mayWritePrior(envFlag = false, fullRun = true, Nil))
+    assert(!Bench.mayWritePrior(envFlag = false, fullRun = true, Nil, Nil))
     // A flagged close run that itself hit a sustained storm must refuse:
     // baking a hot reading into the prior is exactly the r11 poisoning.
     assert(!Bench.mayWritePrior(envFlag = true, fullRun = true,
-      unresolvedDrift = Seq("q55_als_grid")))
+      unresolvedDrift = Seq("q55_als_grid"), failed = Nil))
     // A subset dev run must not shrink the prior surface.
-    assert(!Bench.mayWritePrior(envFlag = true, fullRun = false, Nil))
-    // Only the explicit, full, storm-free close run writes.
-    assert(Bench.mayWritePrior(envFlag = true, fullRun = true, Nil))
+    assert(!Bench.mayWritePrior(envFlag = true, fullRun = false, Nil, Nil))
+    // A run with ANY failed query records a time-to-exception reading —
+    // a flatteringly tiny prior that would drift-taint the honest value
+    // forever after — and must refuse too.
+    assert(!Bench.mayWritePrior(envFlag = true, fullRun = true, Nil,
+      failed = Seq("q01_pricing_summary")))
+    // Only the explicit, full, storm-free, failure-free close run writes.
+    assert(Bench.mayWritePrior(envFlag = true, fullRun = true, Nil, Nil))
   }
 }

@@ -12,9 +12,11 @@ the contention-facing column must come from the raw map; older
 artifacts without it fall back to max(recorded, rerun)), taint flags
 (S = sentinel, D = drift, U = unresolved drift — rerun still over
 threshold, a sustained storm), the rerun value when one exists, and the
-reading-vs-prior ratio when a prior map is given (default: compares the
-file against itself, ratio 1.0 — pass bench_prior.json or a previous
-round's BENCH_rN.json to see cross-round movement). Contiguous runs of
+reading-vs-prior ratio when a prior file is given as the SECOND arg
+(pass bench_prior.json or a previous round's BENCH_rN.json; without it
+the ratio column is NaN and the >3x-prior adjudication lines are
+skipped — always pass the prior in the close-run workflow). Contiguous
+runs of
 elevated ratios = a contention window; an isolated spike inside calm
 neighbours = the intra-query burst the sentinel can't see (the r10 q208
 signature) — exactly what the drift taint now reruns.
@@ -34,6 +36,9 @@ def main():
     prior = {}
     if len(sys.argv) > 2:
         prior = json.load(open(sys.argv[2])).get("queries", {})
+    else:
+        print("NOTE: no prior file given — 'vs prior' is NaN and the "
+              ">3x-prior adjudication is skipped; pass bench_prior.json")
     offs = d.get("start_offset_s", {})
     raw = d.get("first_pass_s", {})
     reruns = d.get("reruns", {})
