@@ -13,16 +13,56 @@ import sys
 import glob
 
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def has_decimal(t):
+    """Recursive decimal detector: the r9 ban must also catch decimals
+    NESTED inside list/struct/map columns — pa.types.is_decimal on the
+    outer type alone lets list<decimal> slip through to the driver's
+    per-side canonicalization hash-red."""
+    if pa.types.is_decimal(t):
+        return True
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return has_decimal(t.value_type)
+    if pa.types.is_struct(t):
+        return any(has_decimal(f.type) for f in t)
+    if pa.types.is_map(t):
+        return has_decimal(t.key_type) or has_decimal(t.item_type)
+    return False
+
+
+def same(x, y):
+    # SQL NULL doubles come back as NaN; NaN != NaN would flag identical
+    # NULLs as mismatches. Array/list cells (collect_list outputs) come
+    # back as numpy arrays whose != is elementwise — compare recursively
+    # instead of letting bool(ndarray) raise and abort the whole gate.
+    if hasattr(x, "__len__") and not isinstance(x, str) or \
+       hasattr(y, "__len__") and not isinstance(y, str):
+        if x is None or y is None:
+            return (x is None) == (y is None)
+        xs, ys = list(x), list(y)
+        return len(xs) == len(ys) and all(same(a, b) for a, b in zip(xs, ys))
+    if x != x and y != y:
+        return True
+    return x == y
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception as e:
+            # Bind what exists: a dataset missing one table should fail
+            # only that table's queries (per-query [ERR]), not abort the
+            # whole run with a raw traceback before any check happened.
+            print(f"[WARN] table {t} not bound: {e}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
@@ -46,10 +86,9 @@ def main(sf_dir, out_dir):
         # r9 rule: no DECIMAL may reach the hashed surface on EITHER
         # side — the driver's hasher canonicalizes decimal differently
         # per side, so a value-equal decimal column can still hash-red.
-        import pyarrow as _pa
         deccols = sorted({f.name for t in (got_at, want_at)
                           for f in t.schema
-                          if _pa.types.is_decimal(f.type)})
+                          if has_decimal(f.type)})
         if deccols:
             print(f"[DEC ] {name}: decimal-typed column(s) {deccols}")
             fail += 1
@@ -66,13 +105,6 @@ def main(sf_dir, out_dir):
             print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
             fail += 1
             continue
-        def same(x, y):
-            # SQL NULL doubles come back as NaN from fetchdf; NaN != NaN
-            # would flag identical NULLs as mismatches.
-            if x != x and y != y:
-                return True
-            return x == y
-
         mismatch = None
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()
@@ -88,6 +120,12 @@ def main(sf_dir, out_dir):
             print(f"[ OK ] {name}: {len(got)} rows")
             ok += 1
     print(f"== {ok} ok, {fail} fail")
+    if ok == 0:
+        # An empty/truncated oracle_sql.json (typo'd subset, wrong
+        # outDir) must not read as a clean pass: nothing was verified.
+        print("FAIL: zero queries checked — empty oracle_sql.json or "
+              "wrong outDir?")
+        return 1
     return 1 if fail else 0
 
 
