@@ -100,7 +100,11 @@ def main():
     # column-name-sorted columns, row-sorted values).
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        except Exception as e:
+            print(f"[WARN] table {t} not bound: {e}")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     for name in reds:
         print(f"\n===== {name} =====")
