@@ -41,8 +41,13 @@ object Tables {
     * The arithmetic is exact integer (`unix_micros * 1000`), codegen'd,
     * and per-row-trivial; at 100 TB it rides the scan with zero extra
     * shuffle or pass. */
+  // Key is "relation-norm:", NOT load()'s "relation:" namespace: this
+  // build differs (ts normalized), and sharing load()'s key would let a
+  // future raw load(spark, dir, "events") poison every consumer with the
+  // UN-normalized frame (1000× mis-bucketing, silently) — SessionMemo's
+  // "two builds that could differ must not share a key" contract.
   def events(spark: SparkSession, dir: String): DataFrame =
-    graft.util.SessionMemo(spark, s"relation:$dir/events.parquet")(
+    graft.util.SessionMemo(spark, s"relation-norm:$dir/events.parquet")(
       normalizeEpochNs(spark.read.parquet(s"$dir/events.parquet"), "ts"))
 
   /** Normalize a time column of any supported physical type to
@@ -144,8 +149,8 @@ object Tables {
       sys.addShutdownHook(deleteRecursively(d))
       d.toString
     }
-    // basePath keeps column order stable; partition column comes back
-    // from the directory names with the pinned schema's type.
+    // The pinned schema keeps column order stable and gives the `lang`
+    // partition column (read back from the directory names) its type.
     spark.read.schema(schema).parquet(staged)
   }
 
@@ -241,8 +246,11 @@ object Tables {
     * LOCATION_ALREADY_EXISTS even under mode("overwrite") — every
     * bucketed-staging site must scrub before writing. */
   def scrubManagedTables(spark: SparkSession, names: Seq[String]): Unit = {
-    val wh = java.nio.file.Paths.get(java.net.URI.create(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    // Hadoop Path, not java.net.URI.create: Spark does not guarantee the
+    // conf value is percent-encoded, so a working directory with a space
+    // would make URI.create throw before any scrub happened.
+    val wh = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath)
     names.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = wh.resolve(t)
@@ -361,13 +369,29 @@ object Tables {
     * order-statistic float boundary at rank k, which the keyed-PRNG
     * keys make astronomically unlikely to straddle engines. Output:
     * (rank, row..., es·6dp). */
+  /** The A-ES ranking key ln(u)/w shared by [[weightedTopK]] and
+    * [[weightedTopKPerGroup]] — ONE definition so a boundary fix cannot
+    * silently diverge the global and per-group samplers. u = (h+1)/2^63
+    * with h the 63-bit keyed hash; the h = Long.MaxValue wrap (h+1
+    * overflows to Long.Min → u = −1 → ln null, dropping the row that
+    * should be the guaranteed winner u = 1.0) is special-cased — the
+    * DuckDB oracle's HUGEINT (h+1) needs no guard and already yields
+    * exactly 1.0 there, so this closes a (2⁻⁶³-probability) cross-engine
+    * divergence without changing any other value: every other h rides
+    * the identical exact-long-add-then-round double the oracle computes. */
+  private def esKey(key: String, weight: org.apache.spark.sql.Column,
+                    seed: Long): org.apache.spark.sql.Column = {
+    val h = graft.functions.GraftFunctions.md5_63(
+      concat(lit(s"$seed:"), col(key).cast("string")))
+    val u = when(h === lit(Long.MaxValue), lit(1.0))
+      .otherwise((h + lit(1L)).cast("double") / lit(math.pow(2, 63)))
+    log(u) / weight
+  }
+
   def weightedTopK(df: DataFrame, key: String,
                    weight: org.apache.spark.sql.Column, k: Int,
                    seed: Long): DataFrame = {
-    val h = graft.functions.GraftFunctions.md5_63(
-      concat(lit(s"$seed:"), col(key).cast("string")))
-    val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 63))
-    val ranked = df.withColumn("__es", log(u) / weight)
+    val ranked = df.withColumn("__es", esKey(key, weight, seed))
       .orderBy(col("__es").desc, col(key))
       .limit(k)
     // rank over the ≤k-row result — single-partition window on a tiny
@@ -394,13 +418,10 @@ object Tables {
   def weightedTopKPerGroup(df: DataFrame, groups: Seq[String], key: String,
                            weight: org.apache.spark.sql.Column, k: Int,
                            seed: Long): DataFrame = {
-    val h = graft.functions.GraftFunctions.md5_63(
-      concat(lit(s"$seed:"), col(key).cast("string")))
-    val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 63))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groups.map(col): _*)
       .orderBy(col("__es").desc, col(key))
-    df.withColumn("__es", log(u) / weight)
+    df.withColumn("__es", esKey(key, weight, seed))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("es", qround(col("__es"), 6)).drop("__es")

@@ -21,8 +21,13 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionMemo {
   /** Holder giving each key one evaluation lock; `peek` exposes the value
-    * only if already computed (so [[clear]] never forces a build). */
-  private final class Memo(build: () => Any) {
+    * only if already computed (so [[clear]] never forces a build). The
+    * build closure is RELEASED after evaluation: call sites pass by-name
+    * thunks capturing enclosing locals (intermediate frames, models),
+    * and entries live for the whole session — holding the closure would
+    * keep that entire captured scope unreclaimable alongside the value. */
+  private final class Memo(b: () => Any) {
+    private var build: () => Any = b // mutated only under `synchronized`
     @volatile private var result: Option[Any] = None
     def value: Any = result match {
       case Some(v) => v
@@ -32,6 +37,7 @@ object SessionMemo {
           case None =>
             val v = build()
             result = Some(v)
+            build = null
             v
         }
       }
