@@ -30,16 +30,41 @@ import json
 import sys
 
 
-def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "bench_full.json"
-    d = json.load(open(path))
+def unwrap(d):
+    """Accept BOTH artifact shapes (VERDICT r12 "what's wrong" #1): the
+    builder's bench_full.json carries the query maps at the top level;
+    the driver's BENCH_r{N}.json wraps them under `parsed` and its
+    queries map holds only the slowest-30. Returns (payload, note)."""
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    note = None
+    nq = d.get("n_queries")
+    if nq is not None and len(d.get("queries", {})) < nq:
+        note = (f"PARTIAL query map: {len(d['queries'])} of {nq} "
+                f"({d.get('queries_note', 'driver slowest-N artifact')}) "
+                f"— offsets/taint forensics cover only these; run on "
+                f"bench_full.json for the full table")
+    return d, note
+
+
+def main(argv=None):
+    argv = sys.argv if argv is None else argv
+    path = argv[1] if len(argv) > 1 else "bench_full.json"
+    d, coverage_note = unwrap(json.load(open(path)))
+    if coverage_note:
+        print(coverage_note)
     prior = {}
-    if len(sys.argv) > 2:
-        prior = json.load(open(sys.argv[2])).get("queries", {})
+    if len(argv) > 2:
+        prior = json.load(open(argv[2]))
+        prior, _ = unwrap(prior)
+        prior = prior.get("queries", {})
     else:
         print("NOTE: no prior file given — 'vs prior' is NaN and the "
               ">3x-prior adjudication is skipped; pass bench_prior.json")
-    offs = d.get("start_offset_s", {})
+    # Keep only offsets whose query has a recorded value: a partial
+    # (slowest-30) map would otherwise format None readings below.
+    offs = {k: v for k, v in d.get("start_offset_s", {}).items()
+            if k in d.get("queries", {}) or k in d.get("first_pass_s", {})}
     raw = d.get("first_pass_s", {})
     reruns = d.get("reruns", {})
     drift = set(d.get("drift_tainted", []))
@@ -48,8 +73,10 @@ def main():
     sent = set(d.get("sentinel_tainted",
                      [q for q in d.get("tainted", []) if q not in drift]))
     unres = set(d.get("unresolved_drift", []))
+    # No offsets in the artifact (driver `parsed` shape) → name order
+    # with t0 = NaN, NOT the query's value masquerading as an offset.
     rows = sorted(offs.items(), key=lambda kv: kv[1]) if offs \
-        else sorted(d["queries"].items(), key=lambda kv: kv[0])
+        else [(k, float("nan")) for k in sorted(d["queries"])]
     print(f"{'t0(s)':>8} {'first':>8} {'rerun':>8} {'vs prior':>9}  flags  query")
     hot = []
     for name, off in rows:

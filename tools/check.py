@@ -41,10 +41,27 @@ def same(x, y):
     # NULLs as mismatches. Array/list cells (collect_list outputs) come
     # back as numpy arrays whose != is elementwise — compare recursively
     # instead of letting bool(ndarray) raise and abort the whole gate.
-    if hasattr(x, "__len__") and not isinstance(x, str) or \
-       hasattr(y, "__len__") and not isinstance(y, str):
+    # Dicts (DuckDB MAP cells) must compare by sorted (key, value) ITEMS:
+    # list(dict) yields keys only, so equal-keyed maps with different
+    # values would false-green (ADVICE r12).
+    if isinstance(x, dict) or isinstance(y, dict):
+        if not (isinstance(x, dict) and isinstance(y, dict)):
+            return False
+        if len(x) != len(y):
+            return False
+        xs = sorted(x.items(), key=lambda kv: repr(kv[0]))
+        ys = sorted(y.items(), key=lambda kv: repr(kv[0]))
+        return all(same(a, c) and same(b, d) for (a, b), (c, d) in zip(xs, ys))
+    xseq = hasattr(x, "__len__") and not isinstance(x, (str, bytes))
+    yseq = hasattr(y, "__len__") and not isinstance(y, (str, bytes))
+    if xseq or yseq:
         if x is None or y is None:
             return (x is None) == (y is None)
+        # Sequence-vs-scalar type mismatch is a VALUE mismatch, not a
+        # crash: list(scalar) would raise and abort the gate run instead
+        # of recording a per-query [VAL] (ADVICE r12).
+        if not (xseq and yseq):
+            return False
         xs, ys = list(x), list(y)
         return len(xs) == len(ys) and all(same(a, b) for a, b in zip(xs, ys))
     if x != x and y != y:
@@ -52,7 +69,22 @@ def same(x, y):
     return x == y
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
+
+    def record(name, *, rows_match=False, schema_match=False,
+               hash_match=False, spark_rows=None, oracle_rows=None,
+               err=None):
+        # Same row shape as the driver's CORRECTNESS_r{N}.json so the
+        # sf0.1 gate artifact (CORRECTNESS_sf01.json, verdict r12 item 1)
+        # is directly comparable to the driver's sf0.01 artifact.
+        results[name] = {"rows_match": rows_match,
+                         "schema_match": schema_match,
+                         "hash_match": hash_match,
+                         "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows,
+                         "err": err}
+
     con = duckdb.connect()
     for t in TABLES:
         try:
@@ -69,6 +101,7 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"[MISS] {name}: no spark output")
+            record(name, err="no spark output")
             fail += 1
             continue
         try:
@@ -81,6 +114,7 @@ def main(sf_dir, out_dir):
             want_at = con.execute(sql).arrow()
         except Exception as e:
             print(f"[ERR ] {name}: {e}")
+            record(name, err=str(e))
             fail += 1
             continue
         # r9 rule: no DECIMAL may reach the hashed surface on EITHER
@@ -91,6 +125,7 @@ def main(sf_dir, out_dir):
                           if has_decimal(f.type)})
         if deccols:
             print(f"[DEC ] {name}: decimal-typed column(s) {deccols}")
+            record(name, err=f"decimal-typed column(s) {deccols}")
             fail += 1
             continue
         got = got_at.to_pandas()
@@ -99,10 +134,15 @@ def main(sf_dir, out_dir):
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
             print(f"[COLS] {name}: {list(got.columns)} vs {list(want.columns)}")
+            record(name, rows_match=len(got) == len(want),
+                   spark_rows=len(got), oracle_rows=len(want),
+                   err=f"columns {list(got.columns)} vs {list(want.columns)}")
             fail += 1
             continue
         if len(got) != len(want):
             print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
+            record(name, schema_match=True,
+                   spark_rows=len(got), oracle_rows=len(want))
             fail += 1
             continue
         mismatch = None
@@ -115,11 +155,22 @@ def main(sf_dir, out_dir):
         if mismatch:
             c, i, a, b = mismatch
             print(f"[VAL ] {name}: col={c} row={i} spark={a!r} duck={b!r}")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(got), oracle_rows=len(want),
+                   err=f"value mismatch col={c} row={i} "
+                       f"spark={a!r} duck={b!r}")
             fail += 1
         else:
             print(f"[ OK ] {name}: {len(got)} rows")
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=True, spark_rows=len(got),
+                   oracle_rows=len(want))
             ok += 1
     print(f"== {ok} ok, {fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True, default=str)
+        print(f"wrote {json_out} ({len(results)} queries)")
     if ok == 0:
         # An empty/truncated oracle_sql.json (typo'd subset, wrong
         # outDir) must not read as a clean pass: nothing was verified.
@@ -130,4 +181,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
