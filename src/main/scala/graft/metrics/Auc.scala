@@ -58,7 +58,12 @@ object Auc {
     * divides. The only unpartitioned window runs over DISTINCT scores. */
   def mannWhitneyU(df: DataFrame, score: Column,
                    isPositive: Column): DataFrame = {
+    // NULL scores are EXCLUDED (fuzz gate, r13): a missing measurement
+    // carries no rank. Without the filter the NULL group's window
+    // placement diverges cross-engine (Spark orders NULLS FIRST, DuckDB
+    // NULLS LAST) and every downstream rank shifts.
     val g = df.select(score.as("s"), isPositive.cast("long").as("y"))
+      .filter(col("s").isNotNull)
       .groupBy("s")
       .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nc"))
     val wBelow = Window.orderBy("s")
@@ -73,13 +78,20 @@ object Auc {
     val n1d = col("n1").cast("double")
     val n0d = col("n0").cast("double")
     val nd = (col("n1") + col("n0")).cast("double")
+    // Degenerate inputs → NULL, never a DIVIDE_BY_ZERO throw (fuzz
+    // gate, r13): z is undefined at n < 2 or zero tie-corrected
+    // variance (every value identical), auc at an empty class. DuckDB
+    // yields NULL on double x/0 natively, so the unguarded oracle
+    // already emits NULL there — these guards mirror that.
+    val tieTerm = when(nd > lit(1.0),
+      col("tcorr").cast("double") / (nd * (nd - lit(1.0))))
+    val varU = n1d * n0d / lit(12.0) * ((nd + lit(1.0)) - tieTerm)
     a.select(col("n1").as("n_pos"), col("n0").as("n_neg"), col("u2"),
-      qround((col("u2").cast("double") / lit(2.0) -
-        n1d * n0d / lit(2.0)) /
-        sqrt(n1d * n0d / lit(12.0) * ((nd + lit(1.0)) -
-          col("tcorr").cast("double") / (nd * (nd - lit(1.0))))), 6)
+      qround(when(varU > lit(0.0),
+        (col("u2").cast("double") / lit(2.0) -
+          n1d * n0d / lit(2.0)) / sqrt(varU)), 6)
         .as("z"),
-      qround(col("u2").cast("double") /
-        (lit(2.0) * n1d * n0d), 6).as("auc"))
+      qround(when(col("n1") > 0 && col("n0") > 0,
+        col("u2").cast("double") / (lit(2.0) * n1d * n0d)), 6).as("auc"))
   }
 }

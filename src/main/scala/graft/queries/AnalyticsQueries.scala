@@ -1428,23 +1428,39 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
         sum((d19(col("cents")) * d19(col("cents")))
           .cast("decimal(38,0)")).as("q"))
-    val a = arms.filter(col("arm") === "A")
-      .select(col("n").as("n_a"), col("s").as("s_a"), col("q").as("q_a"))
-    val b = arms.filter(col("arm") === "B")
-      .select(col("n").as("n_b"), col("s").as("s_b"), col("q").as("q_b"))
-    a.crossJoin(b)
-      .withColumn("va",
+    // ONE-ROW conditional pivot, not filter+crossJoin (fuzz gate, r13):
+    // with an arm entirely absent the crossJoin emitted ZERO rows while
+    // the oracle's scalar subqueries emit one NULL-armed row — the
+    // global aggregate below always returns exactly one row, NULLs
+    // where an arm is missing, the oracle's exact shape.
+    def armCol(arm: String, c: String) =
+      max(when(col("arm") === arm, col(c)))
+    val ab = arms.agg(
+      armCol("A", "n").as("n_a"), armCol("A", "s").as("s_a"),
+      armCol("A", "q").as("q_a"),
+      armCol("B", "n").as("n_b"), armCol("B", "s").as("s_b"),
+      armCol("B", "q").as("q_b"))
+    // Degenerate-arm guards (fuzz gate, r13): variance needs n ≥ 2,
+    // t and df need positive variance — DuckDB's double x/0 is NULL
+    // natively, so the guards mirror the oracle's NULLs instead of
+    // throwing ANSI DIVIDE_BY_ZERO on a one-user or zero-variance arm.
+    val dfDenom = (col("va") / col("n_a")) * (col("va") / col("n_a")) /
+      (col("n_a") - 1) +
+      (col("vb") / col("n_b")) * (col("vb") / col("n_b")) /
+      (col("n_b") - 1)
+    ab
+      .withColumn("va", when(col("n_a") > 1,
         (expr("cast(q_a as double)") -
           expr("cast(cast(s_a as decimal(38,0)) * s_a as double)") /
-            col("n_a")) / (col("n_a") - 1))
-      .withColumn("vb",
+            col("n_a")) / (col("n_a") - 1)))
+      .withColumn("vb", when(col("n_b") > 1,
         (expr("cast(q_b as double)") -
           expr("cast(cast(s_b as decimal(38,0)) * s_b as double)") /
-            col("n_b")) / (col("n_b") - 1))
+            col("n_b")) / (col("n_b") - 1)))
       .withColumn("se2", col("va") / col("n_a") + col("vb") / col("n_b"))
-      .withColumn("tstat",
+      .withColumn("tstat", when(col("se2") > 0.0,
         (col("s_a").cast("double") / col("n_a") -
-          col("s_b").cast("double") / col("n_b")) / sqrt(col("se2")))
+          col("s_b").cast("double") / col("n_b")) / sqrt(col("se2"))))
       .select(col("n_a"), col("n_b"),
         qround(col("s_a").cast("double") / col("n_a"), 6)
           .as("mean_a_cents"),
@@ -1453,11 +1469,8 @@ object AnalyticsQueries {
         qround(col("va"), 6).as("var_a"),
         qround(col("vb"), 6).as("var_b"),
         qround(col("tstat"), 6).as("t_stat"),
-        qround(col("se2") * col("se2") /
-          ((col("va") / col("n_a")) * (col("va") / col("n_a")) /
-            (col("n_a") - 1) +
-           (col("vb") / col("n_b")) * (col("vb") / col("n_b")) /
-            (col("n_b") - 1)), 6).as("df_welch"),
+        qround(when(dfDenom > 0.0, col("se2") * col("se2") / dfDenom), 6)
+          .as("df_welch"),
         when(abs(col("tstat")) > 1.96, 1L).otherwise(0L)
           .as("significant"))
   }
@@ -3357,7 +3370,8 @@ object AnalyticsQueries {
       """WITH ev AS (
         |  SELECT event_type,
         |    CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS v
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
         |g AS (
         |  SELECT v,
         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,

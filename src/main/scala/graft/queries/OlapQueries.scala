@@ -4,7 +4,7 @@ import graft.io.Tables
 import graft.ops.Relational.decSum
 import graft.ops.TimeSeries
 import graft.text.Fuzzy
-import graft.functions.GraftFunctions.{decFold, decOut, qdec, qdecSql, qround}
+import graft.functions.GraftFunctions.{decFold, decOut, qdec, qdecSql, qdecWideSql, qround}
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -166,8 +166,13 @@ object OlapQueries {
     val mad = dev.groupBy("event_type")
       .agg(qround(expr("percentile(adev, 0.5D)"), 6).as("mad"))
     dev.join(broadcast(mad), "event_type")
+      // MAD = 0 (identical values / singleton type) → robust z
+      // undefined → NULL → the filter drops the row, matching the
+      // oracle where x/0 is NULL and abs(NULL) >= 3.5 excludes — not an
+      // ANSI DIVIDE_BY_ZERO throw (fuzz gate, r13).
       .withColumn("rz",
-        qround(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+        qround(when(col("mad") > 0.0,
+          lit(0.6745) * (col("value") - col("med")) / col("mad")), 6))
       .filter(abs(col("rz")) >= 3.5)
       .select("event_id", "event_type", "value", "med", "mad", "rz")
       .orderBy("event_id")
@@ -2231,10 +2236,15 @@ object OlapQueries {
         sum(expr("cast(r2x * r2y as decimal(38,0))")).as("sxy"),
         sum(expr("cast(r2x * r2x as decimal(38,0))")).as("sxx"),
         sum(expr("cast(r2y * r2y as decimal(38,0))")).as("syy"))
+    // Zero rank variance (constant series / single day) → ρ undefined →
+    // NULL, not an ANSI DIVIDE_BY_ZERO throw (fuzz gate, r13). DuckDB's
+    // double x/0 is NULL natively, so the unguarded oracle already
+    // emits NULL there; this guard mirrors it.
+    val denom = sqrt(expr("cast(n * sxx - sx * sx as double)")) *
+      sqrt(expr("cast(n * syy - sy * sy as double)"))
     st.select(col("n").as("n_days"),
-      qround(expr("cast(n * sxy - sx * sy as double)") /
-        (sqrt(expr("cast(n * sxx - sx * sx as double)")) *
-         sqrt(expr("cast(n * syy - sy * sy as double)"))), 6)
+      qround(when(denom > 0.0,
+        expr("cast(n * sxy - sx * sy as double)") / denom), 6)
         .as("spearman_rho"))
   }
 
@@ -3320,7 +3330,7 @@ object OlapQueries {
     * flagged at the χ²₀.₀₅ bar for dof = k−1 (pinned 9.488 for this
     * fixture's 5 types, asserted against dof). */
   val q319: Q = (spark, dir) => {
-    import graft.functions.GraftFunctions.{decOut, qdec}
+    import graft.functions.GraftFunctions.{decOut, qdecWide}
     val vals = Tables.events(spark, dir)
       .groupBy("event_type", "value").agg(count(lit(1)).as("c_gv"))
     val perVal = vals.groupBy("value").agg(sum("c_gv").as("c_v"))
@@ -3335,8 +3345,15 @@ object OlapQueries {
     val ties = perVal.agg(
       sum("c_v").as("n"),
       sum(col("c_v") * col("c_v") * col("c_v") - col("c_v")).as("tie3"))
+    // qdecWide, NOT qdec (sf0.1 gate, r13 — the q336/q338 saturation
+    // class): a group's (r2_g/2)²/n_g ≈ n_g·meanRank² ≈ 2×10¹⁷ at
+    // sf0.1's ~10⁶ events, far past qdec's floor(double)→LONG ceiling
+    // (~9.2×10¹²) — the saturated sum drove H to −244663 while the
+    // oracle's double floor stayed exact. The fmod-based wide quantizer
+    // is magnitude-safe and IEEE-identical cross-engine; the oracle
+    // interpolates the SAME qdecWideSql below.
     val terms = groups.crossJoin(broadcast(ties))
-      .withColumn("term", qdec(
+      .withColumn("term", qdecWide(
         (col("r2_g").cast("double") / 2.0) *
           (col("r2_g").cast("double") / 2.0) / col("n_g"), 28, 6))
     terms.groupBy("n", "tie3")
@@ -3618,7 +3635,12 @@ object OlapQueries {
       .withColumn("prev",
         coalesce(last(col("n_reached")).over(w), col("n_all_users")))
       .select(col("stage"), col("n_reached"), col("n_all_users"),
-        expr("cast((2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
+        // ADVICE r12 #2: the n_all_users divisor gets the same zero guard
+        // as prev — an empty events fixture must yield NULL ppm on both
+        // engine and oracle, not an engine-NULL-vs-oracle-error asymmetry.
+        expr("cast(if(n_all_users = 0, null, " +
+          "(2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users)) " +
+          "as bigint)")
           .as("reach_ppm"),
         // A dead stage (prev = 0) makes step conversion undefined — NULL,
         // not a divide-by-zero crash (surfaced by q375's fixture spec).
@@ -3690,7 +3712,12 @@ object OlapQueries {
         "stack(3, '1_view', n1, n_all_users, '2_click', n2, n1, " +
           "'3_purchase', n3, n2)").as(Seq("stage", "n_reached", "prev")))
       .select(col("stage"), col("n_reached"), col("n_all_users"),
-        expr("cast((2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users) as bigint)")
+        // ADVICE r12 #2: the n_all_users divisor gets the same zero guard
+        // as prev — an empty events fixture must yield NULL ppm on both
+        // engine and oracle, not an engine-NULL-vs-oracle-error asymmetry.
+        expr("cast(if(n_all_users = 0, null, " +
+          "(2 * n_reached * 1000000 + n_all_users) div (2 * n_all_users)) " +
+          "as bigint)")
           .as("reach_ppm"),
         // dead previous stage → step conversion undefined, NULL (q353's
         // guard, same rationale)
@@ -4580,8 +4607,9 @@ object OlapQueries {
         |      AS prev
         |  FROM counts, tot)
         |SELECT stage, n_reached, n_all_users,
-        |  CAST((2 * n_reached * 1000000 + n_all_users)
-        |    // (2 * n_all_users) AS BIGINT) AS reach_ppm,
+        |  CAST(CASE WHEN n_all_users = 0 THEN NULL ELSE
+        |    (2 * n_reached * 1000000 + n_all_users)
+        |    // (2 * n_all_users) END AS BIGINT) AS reach_ppm,
         |  CAST(CASE WHEN prev = 0 THEN NULL ELSE
         |    (2 * n_reached * 1000000 + prev) // (2 * prev) END AS BIGINT)
         |    AS step_ppm
@@ -4619,22 +4647,26 @@ object OlapQueries {
         |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
         |          AS n_all_users FROM e)
         |SELECT '1_view' AS stage, n1 AS n_reached, n_all_users,
-        |  CAST((2 * n1 * 1000000 + n_all_users)
-        |    // (2 * n_all_users) AS BIGINT) AS reach_ppm,
-        |  CAST((2 * n1 * 1000000 + n_all_users)
-        |    // (2 * n_all_users) AS BIGINT) AS step_ppm
+        |  CAST(CASE WHEN n_all_users = 0 THEN NULL ELSE
+        |    (2 * n1 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) END AS BIGINT) AS reach_ppm,
+        |  CAST(CASE WHEN n_all_users = 0 THEN NULL ELSE
+        |    (2 * n1 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) END AS BIGINT) AS step_ppm
         |FROM agg, tot
         |UNION ALL
         |SELECT '2_click', n2, n_all_users,
-        |  CAST((2 * n2 * 1000000 + n_all_users)
-        |    // (2 * n_all_users) AS BIGINT),
+        |  CAST(CASE WHEN n_all_users = 0 THEN NULL ELSE
+        |    (2 * n2 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) END AS BIGINT),
         |  CAST(CASE WHEN n1 = 0 THEN NULL ELSE
         |    (2 * n2 * 1000000 + n1) // (2 * n1) END AS BIGINT)
         |FROM agg, tot
         |UNION ALL
         |SELECT '3_purchase', n3, n_all_users,
-        |  CAST((2 * n3 * 1000000 + n_all_users)
-        |    // (2 * n_all_users) AS BIGINT),
+        |  CAST(CASE WHEN n_all_users = 0 THEN NULL ELSE
+        |    (2 * n3 * 1000000 + n_all_users)
+        |    // (2 * n_all_users) END AS BIGINT),
         |  CAST(CASE WHEN n2 = 0 THEN NULL ELSE
         |    (2 * n3 * 1000000 + n2) // (2 * n2) END AS BIGINT)
         |FROM agg, tot
@@ -4904,7 +4936,11 @@ object OlapQueries {
         |    * 1000000.0 + 0.5) / 1000000.0 AS info_gain
         |FROM wh GROUP BY 1 ORDER BY feature""".stripMargin,
     "q319_kruskal_wallis" ->
-      """WITH vals AS (
+      // group-term quantizer interpolated from qdecWideSql — ONE
+      // definition drives engine and oracle (sf0.1 gate, r13: the
+      // previous plain-floor term saturated engine-side at sf0.1's
+      // magnitudes; see the engine comment at `terms`)
+      s"""WITH vals AS (
         |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c_gv
         |  FROM events GROUP BY 1, 2),
         |perval AS (
@@ -4930,9 +4966,8 @@ object OlapQueries {
         |  FROM perval),
         |terms AS (
         |  SELECT n, tie3,
-        |    CAST(floor(((CAST(r2_g AS DOUBLE) / 2.0)
-        |      * (CAST(r2_g AS DOUBLE) / 2.0) / n_g)
-        |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS term
+        |    ${qdecWideSql("(CAST(r2_g AS DOUBLE) / 2.0) " +
+             "* (CAST(r2_g AS DOUBLE) / 2.0) / n_g", 28, 6)} AS term
         |  FROM grp, ties),
         |s AS (
         |  SELECT n, tie3, CAST(COUNT(*) AS BIGINT) AS k,

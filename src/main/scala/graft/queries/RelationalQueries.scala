@@ -704,7 +704,7 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type, bin
-        |ORDER BY event_type, bin""".stripMargin,
+        |ORDER BY event_type, bin NULLS FIRST""".stripMargin,
     "q78_group_percentiles" ->
       """SELECT event_type, COUNT(*) AS n,
         |  floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
