@@ -249,6 +249,14 @@ object Bench {
     // and `value_clean` reports the total with each such reading
     // substituted by its prior — the run's own best estimate of the
     // weather-free figure, computed without external evidence.
+    // Scope note (ADVICE r12 #4): this filters the UNION tainted set on
+    // purpose — a sentinel-tainted query whose rerun is still over the
+    // drift threshold is just as much unadjudicated weather as a
+    // drift-tainted one, and must likewise veto the prior refresh and be
+    // substituted in value_clean. The artifact field keeps its
+    // `unresolved_drift` name (consumers: bench_weather.py, the driver's
+    // n_unresolved, BenchPriorSpec); read it as "tainted by EITHER
+    // mechanism and still hot after rerun".
     val resultMap = results.toMap
     val unresolvedDrift = tainted.toSeq.sorted.filter { name =>
       prior.contains(name) &&
@@ -258,8 +266,9 @@ object Bench {
       if (unresolvedDrift.contains(name)) prior(name) else v
     }.sum
     if (unresolvedDrift.nonEmpty)
-      System.err.println(s"[bench] UNRESOLVED drift (rerun still over " +
-        s"threshold — sustained host storm, values are weather not code): " +
+      System.err.println(s"[bench] UNRESOLVED hot readings (sentinel- or " +
+        s"drift-tainted, rerun still over threshold — sustained host " +
+        s"storm, values are weather not code): " +
         unresolvedDrift.mkString(","))
 
     // Stdout contract: the driver tail-captures the LAST ~2000 chars of

@@ -932,6 +932,101 @@ object ScaleProbe {
           col("event_id"), col("rating"), replicas = 200, seed = 1L)
           .count())
     }
+
+    if (probes("streamstate")) {
+      // Streaming state-scale probe (VERDICT r12 item 5): the stateful
+      // family (q64 watermark dedup, q93 session windows) has
+      // restart/exactly-once specs but no measured state-growth curve.
+      // Claim under test: state-store rows/bytes are bounded by the
+      // WATERMARK HORIZON's key population — NOT by total events ever
+      // streamed — so an unbounded stream runs in bounded memory.
+      //   session_window (keyed by user_id): state ∝ active users
+      //     (keys 1×/3×/10× → ~linear growth; 10× events per key at
+      //     fixed keys → flat);
+      //   dropDuplicatesWithinWatermark (keyed by event_id): state ∝
+      //     horizon × event RATE (rate 1×/3×/10× → ~linear), and FLAT
+      //     in stream LENGTH (span 10× at fixed rate → same state).
+      // Metrics come from the engine's own state-store instrumentation
+      // (StreamingQueryProgress.stateOperators: numRowsTotal,
+      // memoryUsedBytes), read at PEAK — after the final data batch,
+      // with the watermark trailing 2 h behind max event time — because
+      // the bound under test is the steady-state high-water mark, not
+      // the post-expiry floor.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val hourNs = 3600L * 1000000000L
+
+      // Replay nKeys users × evPerKeyHour events/hour over spanH hours,
+      // one micro-batch per hour ((event_id, ts, user_id, event_type,
+      // value, props) rows), then read the state gauge.
+      def replay(name: String, nKeys: Int, evPerKeyHour: Int, spanH: Int,
+                 build: org.apache.spark.sql.DataFrame =>
+                   org.apache.spark.sql.DataFrame): Unit = {
+        val input = MemoryStream[(Long, Long, Long, String, Double, String)]
+        val df = input.toDF()
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-ss-$name").toString
+        val q = build(df).writeStream
+          .outputMode(OutputMode.Append)
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          var id = 0L
+          val t0 = System.nanoTime()
+          (0 until spanH).foreach { h =>
+            val batch = (0 until nKeys).flatMap { u =>
+              (0 until evPerKeyHour).map { j =>
+                id += 1
+                (id, h * hourNs + (j * 60L + u % 60) * 1000000000L,
+                  u.toLong, "click", 1.0, "{}")
+              }
+            }
+            input.addData(batch)
+            q.processAllAvailable()
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val so = q.lastProgress.stateOperators
+          val rows = so.map(_.numRowsTotal).sum
+          val mem = so.map(_.memoryUsedBytes).sum
+          println(f"PROBE streamstate_$name%-22s keys=$nKeys%7d " +
+            f"events=$id%9d spanH=$spanH%3d " +
+            f"stateRows=$rows%8d stateMB=${mem / 1e6}%8.2f " +
+            f"wall=$wall%6.1f s perBatch=${wall / spanH}%5.2f s")
+        } finally {
+          q.stop()
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+              .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case _: Throwable => () }
+        }
+      }
+
+      def dedup(df: org.apache.spark.sql.DataFrame) =
+        graft.streaming.EventStreams.dedupEvents(df, Seq("event_id"))
+      def sessions(df: org.apache.spark.sql.DataFrame) =
+        graft.streaming.EventStreams.sessionWindowAgg(df)
+
+      val k = 3000 * factor / 10 // 1× base = 3k keys at default factor 10
+      // session state ∝ keys: 1×/3×/10× keys at fixed 5 ev/key/hour...
+      replay("sess_keys1x", k, 5, 4, sessions)
+      replay("sess_keys3x", k * 3, 5, 4, sessions)
+      replay("sess_keys10x", k * 10, 5, 4, sessions)
+      // ...and FLAT under 10× events per key at fixed keys
+      replay("sess_events10x", k, 50, 4, sessions)
+      // dedup state ∝ horizon × rate: 1×/3×/10× event rate...
+      replay("dedup_rate1x", k, 5, 4, dedup)
+      replay("dedup_rate3x", k * 3, 5, 4, dedup)
+      replay("dedup_rate10x", k * 10, 5, 4, dedup)
+      // ...and FLAT in stream LENGTH: 10× the span (10× total events)
+      // at the same rate — the horizon keeps expiring what it admits
+      replay("dedup_span10x", k, 5, 40, dedup)
+    }
     spark.stop()
   }
 }

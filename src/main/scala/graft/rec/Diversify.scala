@@ -86,14 +86,39 @@ object Diversify {
       i0 += 1
     }
     val order = Array.range(0, nSim).sortBy(packed(_))
-    val simKeys = new Array[Long](nSim)
-    val simVals = new Array[Double](nSim)
+    val simKeys0 = new Array[Long](nSim)
+    val simVals0 = new Array[Double](nSim)
     var p0 = 0
     while (p0 < nSim) {
-      simKeys(p0) = packed(order(p0))
-      simVals(p0) = simRows(order(p0)).getDouble(2)
+      simKeys0(p0) = packed(order(p0))
+      simVals0(p0) = simRows(order(p0)).getDouble(2)
       p0 += 1
     }
+    // Duplicate packed keys would make binarySearch return an ARBITRARY
+    // index among them (ADVICE r12 #3): the old Map build kept one value
+    // deterministically, the sorted-array form must too. Single-pass
+    // compaction — equal-value duplicates collapse, CONFLICTING
+    // duplicates fail loudly (run-dependent MMR scores could never match
+    // the unrolled-CTE oracle anyway).
+    var w0 = 0
+    var r0 = 0
+    while (r0 < nSim) {
+      if (w0 > 0 && simKeys0(r0) == simKeys0(w0 - 1)) {
+        require(simVals0(r0) == simVals0(w0 - 1), {
+          val k = simKeys0(r0)
+          s"mmrRerank sims carries conflicting duplicate pair " +
+            s"(ia=${(k >> 32).toInt}, ib=${k.toInt}): " +
+            s"${simVals0(w0 - 1)} vs ${simVals0(r0)} — dedupe upstream"
+        })
+      } else {
+        simKeys0(w0) = simKeys0(r0); simVals0(w0) = simVals0(r0); w0 += 1
+      }
+      r0 += 1
+    }
+    val simKeys = if (w0 == nSim) simKeys0
+      else java.util.Arrays.copyOf(simKeys0, w0)
+    val simVals = if (w0 == nSim) simVals0
+      else java.util.Arrays.copyOf(simVals0, w0)
     val simsB = c.sparkSession.sparkContext.broadcast((simKeys, simVals))
 
     val reranked = c.groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
