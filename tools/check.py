@@ -69,103 +69,96 @@ def same(x, y):
     return x == y
 
 
-def main(sf_dir, out_dir, json_out=None):
-    results = {}
-
-    def record(name, *, rows_match=False, schema_match=False,
-               hash_match=False, spark_rows=None, oracle_rows=None,
-               err=None):
-        # Same row shape as the driver's CORRECTNESS_r{N}.json so the
-        # sf0.1 gate artifact (CORRECTNESS_sf01.json, verdict r12 item 1)
-        # is directly comparable to the driver's sf0.01 artifact.
-        results[name] = {"rows_match": rows_match,
-                         "schema_match": schema_match,
-                         "hash_match": hash_match,
-                         "spark_rows": spark_rows,
-                         "oracle_rows": oracle_rows,
-                         "err": err}
-
-    con = duckdb.connect()
+def bind_tables(con, sf_dir):
+    """Bind each existing table as a view. Handles BOTH layouts: the
+    testdata single-file `<t>.parquet` and a Spark-written DIRECTORY
+    `<t>.parquet/part-*.parquet` (the fuzz fixtures' shape)."""
+    import os
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         try:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         except Exception as e:
             # Bind what exists: a dataset missing one table should fail
             # only that table's queries (per-query [ERR]), not abort the
             # whole run with a raw traceback before any check happened.
             print(f"[WARN] table {t} not bound: {e}")
+
+
+def compare_query(con, name, files, sql):
+    """Engine-parquet vs DuckDB-oracle compare for ONE query. Returns
+    (tag, detail, record) where tag is the 4-char status, detail the
+    human line, and record the CORRECTNESS_r{N}-shaped row. Shared by
+    the sf-gate main() below and tools/fuzz_check.py."""
+    def rec(*, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        return {"rows_match": rows_match, "schema_match": schema_match,
+                "hash_match": hash_match, "spark_rows": spark_rows,
+                "oracle_rows": oracle_rows, "err": err}
+
+    if not files:
+        return "MISS", "no spark output", rec(err="no spark output")
+    try:
+        # Fetch through Arrow so the DECIMAL ban below can read the
+        # declared column TYPE: value-sampling (the r9 head(3) probe)
+        # misses all-NULL / zero-row decimal columns, which still
+        # hash-red on the driver.
+        got_at = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").arrow()
+        want_at = con.execute(sql).arrow()
+    except Exception as e:
+        return "ERR ", str(e), rec(err=str(e))
+    # r9 rule: no DECIMAL may reach the hashed surface on EITHER
+    # side — the driver's hasher canonicalizes decimal differently
+    # per side, so a value-equal decimal column can still hash-red.
+    deccols = sorted({f.name for t in (got_at, want_at)
+                      for f in t.schema
+                      if has_decimal(f.type)})
+    if deccols:
+        return ("DEC ", f"decimal-typed column(s) {deccols}",
+                rec(err=f"decimal-typed column(s) {deccols}"))
+    got = got_at.to_pandas()
+    want = want_at.to_pandas()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    if list(got.columns) != list(want.columns):
+        d = f"{list(got.columns)} vs {list(want.columns)}"
+        return "COLS", d, rec(rows_match=len(got) == len(want),
+                              spark_rows=len(got), oracle_rows=len(want),
+                              err=f"columns {d}")
+    if len(got) != len(want):
+        return ("ROWS", f"{len(got)} vs {len(want)}",
+                rec(schema_match=True, spark_rows=len(got),
+                    oracle_rows=len(want)))
+    for c in got.columns:
+        a, b = got[c].tolist(), want[c].tolist()
+        bad = next((i for i in range(len(a)) if not same(a[i], b[i])), None)
+        if bad is not None:
+            d = f"col={c} row={bad} spark={a[bad]!r} duck={b[bad]!r}"
+            return "VAL ", d, rec(rows_match=True, schema_match=True,
+                                  spark_rows=len(got), oracle_rows=len(want),
+                                  err=f"value mismatch {d}")
+    return " OK ", f"{len(got)} rows", rec(
+        rows_match=True, schema_match=True, hash_match=True,
+        spark_rows=len(got), oracle_rows=len(want))
+
+
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
+    con = duckdb.connect()
+    bind_tables(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"[MISS] {name}: no spark output")
-            record(name, err="no spark output")
-            fail += 1
-            continue
-        try:
-            # Fetch through Arrow so the DECIMAL ban below can read the
-            # declared column TYPE: value-sampling (the r9 head(3) probe)
-            # misses all-NULL / zero-row decimal columns, which still
-            # hash-red on the driver.
-            got_at = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").arrow()
-            want_at = con.execute(sql).arrow()
-        except Exception as e:
-            print(f"[ERR ] {name}: {e}")
-            record(name, err=str(e))
-            fail += 1
-            continue
-        # r9 rule: no DECIMAL may reach the hashed surface on EITHER
-        # side — the driver's hasher canonicalizes decimal differently
-        # per side, so a value-equal decimal column can still hash-red.
-        deccols = sorted({f.name for t in (got_at, want_at)
-                          for f in t.schema
-                          if has_decimal(f.type)})
-        if deccols:
-            print(f"[DEC ] {name}: decimal-typed column(s) {deccols}")
-            record(name, err=f"decimal-typed column(s) {deccols}")
-            fail += 1
-            continue
-        got = got_at.to_pandas()
-        want = want_at.to_pandas()
-        got = got[sorted(got.columns)]
-        want = want[sorted(want.columns)]
-        if list(got.columns) != list(want.columns):
-            print(f"[COLS] {name}: {list(got.columns)} vs {list(want.columns)}")
-            record(name, rows_match=len(got) == len(want),
-                   spark_rows=len(got), oracle_rows=len(want),
-                   err=f"columns {list(got.columns)} vs {list(want.columns)}")
-            fail += 1
-            continue
-        if len(got) != len(want):
-            print(f"[ROWS] {name}: {len(got)} vs {len(want)}")
-            record(name, schema_match=True,
-                   spark_rows=len(got), oracle_rows=len(want))
-            fail += 1
-            continue
-        mismatch = None
-        for c in got.columns:
-            a, b = got[c].tolist(), want[c].tolist()
-            bad = next((i for i in range(len(a)) if not same(a[i], b[i])), None)
-            if bad is not None:
-                mismatch = (c, bad, a[bad], b[bad])
-                break
-        if mismatch:
-            c, i, a, b = mismatch
-            print(f"[VAL ] {name}: col={c} row={i} spark={a!r} duck={b!r}")
-            record(name, rows_match=True, schema_match=True,
-                   spark_rows=len(got), oracle_rows=len(want),
-                   err=f"value mismatch col={c} row={i} "
-                       f"spark={a!r} duck={b!r}")
-            fail += 1
-        else:
-            print(f"[ OK ] {name}: {len(got)} rows")
-            record(name, rows_match=True, schema_match=True,
-                   hash_match=True, spark_rows=len(got),
-                   oracle_rows=len(want))
+        tag, detail, record = compare_query(con, name, files, sql)
+        print(f"[{tag}] {name}: {detail}")
+        results[name] = record
+        if tag == " OK ":
             ok += 1
+        else:
+            fail += 1
     print(f"== {ok} ok, {fail} fail")
     if json_out:
         with open(json_out, "w") as f:
