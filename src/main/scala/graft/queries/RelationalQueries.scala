@@ -209,16 +209,25 @@ object RelationalQueries {
     * decimal-exact. One shuffle on suppkey; the frame is
     * rows-unbounded-preceding (streaming-friendly prefix sum). */
   val q17: Q = (spark, dir) => {
+    // l_extendedprice is the LAST window sort key (sf0.1 gate, r13):
+    // this synthetic lineitem repeats (orderkey, linenumber) — sf0.1
+    // carries one group where two rows share (suppkey, shipdate,
+    // orderkey, linenumber) with DIFFERENT prices, so the old key was
+    // not total and the mid-tie prefix sums were scan-order-dependent
+    // (one run green, the next off by exactly the 7,997.00 price gap).
+    // With the summed value itself as the tiebreak, any residual tie is
+    // between equal contributions, whose prefix sums are order-invariant
+    // — the window is value-deterministic without needing a total key.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
     Tables.lineitem(spark, dir)
       .withColumn("running_revenue",
         sum(qdec(col("l_extendedprice"), 18, 2))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_revenue")
-      // (orderkey, linenumber) repeats across shipdates, so it is not a
-      // total order; the prefix sum is strictly increasing per supplier
+      // the prefix sum is strictly increasing per supplier (prices > 0)
       // and reproduces the window order exactly.
       .orderBy("l_suppkey", "running_revenue")
   }
@@ -891,7 +900,7 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_revenue
         |FROM lineitem

@@ -2,7 +2,7 @@ package graft
 
 import graft.queries.Registry
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Floor, Round}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Floor, Remainder, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.scalatest.funsuite.AnyFunSuite
@@ -29,7 +29,12 @@ class RoundingAuditSpec extends AnyFunSuite {
   /** Flags: `round(double, _)` anywhere; Cast(double → decimal) whose
     * operand — resolved through Alias hops across the plan, so an
     * upstream-Project-quantized attribute conforms — does not come from
-    * the Floor quantizer. */
+    * a sanctioned quantizer. Two quantizer families are recognized:
+    * the `Floor` node (qround/qdec's floor(x·10ⁿ + 0.5)) and the
+    * `Remainder` node (qroundWide/qdecWide's saturation-free
+    * y − fmod(y, 1) identity — r13: q319's rank-sum terms carry no
+    * upstream Floor, so the wide quantizer must be recognized by its
+    * own fingerprint, not by luck of a floored input). */
   private def audit(plan: LogicalPlan): Seq[String] = {
     val defs = scala.collection.mutable.HashMap[Long, Expression]()
     plan.foreachWithSubqueries { p =>
@@ -41,6 +46,7 @@ class RoundingAuditSpec extends AnyFunSuite {
     def quantized(e: Expression, depth: Int): Boolean =
       depth <= 8 && e.exists {
         case _: Floor => true
+        case _: Remainder => true
         case ar: AttributeReference =>
           defs.get(ar.exprId.id).exists(quantized(_, depth + 1))
         case _ => false
