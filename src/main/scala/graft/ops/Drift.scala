@@ -76,9 +76,14 @@ object Drift {
           col("cum_b") * col("tot_a"))).as("dnum"))
       .select(col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
-        qround(col("dnum").cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6).as("d"),
-        qround(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"))
+        // one empty arm ⇒ n_a·n_b = 0: DuckDB's x/0 is NULL where Spark
+        // ANSI throws — mirror the NULL (fuzz gate, one_row/same_day)
+        when(col("n_a") * col("n_b") === 0, lit(null))
+          .otherwise(qround(col("dnum").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6)).as("d"),
+        when(col("n_a") * col("n_b") === 0, lit(null))
+          .otherwise(qround(lit(1.358) *
+            sqrt((col("n_a") + col("n_b")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")), 6)).as("crit_05"))
   }
 }

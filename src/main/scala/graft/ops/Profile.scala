@@ -58,11 +58,26 @@ object Profile {
       i <- columns.indices
       j <- (i + 1) until columns.size
     } yield (columns(i), columns(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a|$b") }
+    // r = covar_samp / (stddev_samp · stddev_samp), NOT the built-in
+    // `corr`: Spark 4's Corr divides by sqrt(m2x·m2y) inside its
+    // evaluateExpression, which THROWS DIVIDE_BY_ZERO under ANSI on any
+    // zero-variance column (fuzz gate, identical_prices class) where
+    // DuckDB's corr returns NULL. The factored form lets the zero/NULL
+    // denominator be guarded to the oracle's NULL; the co-moments are
+    // the same single-pass Welford reductions Corr uses, so the values
+    // agree with the prior built-in at the 6 dp output quantum.
+    val sds = columns.map(c => stddev_samp(col(c)).as(s"sd|$c"))
+    val cvs = pairs.map { case (a, b) =>
+      covar_samp(col(a), col(b)).as(s"cv|$a|$b")
+    }
+    val aggs = sds ++ cvs
     val row = df.agg(aggs.head, aggs.tail: _*)
     val perPair = pairs.map { case (a, b) =>
+      val den = col(s"sd|$a") * col(s"sd|$b")
+      val r = when(den.isNull || den === 0.0 || isnan(den), lit(null))
+        .otherwise(col(s"cv|$a|$b") / den)
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        qround(col(s"$a|$b"), 6).as("r"))
+        qround(r, 6).as("r"))
     }
     row.select(explode(array(perPair: _*)).as("p")).select("p.*")
   }

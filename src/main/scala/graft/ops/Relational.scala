@@ -45,12 +45,21 @@ object Relational {
     * straight to the output. */
   def centsSumDouble(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale)
-    val finite = when(c.isNull || isnan(c) ||
+    sum(floor(finiteOrNull(c) * f + lit(0.5))).cast("double") / f
+  }
+
+  /** [[centsSumDouble]] without the final divide: the exact scaled-LONG
+    * sum itself. Use where subtotals must be RE-AGGREGATED exactly
+    * (rollup/cube global rows rebuilt from subtotal frames — long adds
+    * stay associative where the divided doubles would drift 1 ulp). */
+  def centsSumLong(c: Column, scale: Int = 2): Column =
+    sum(floor(finiteOrNull(c) * math.pow(10, scale) + lit(0.5)))
+
+  private def finiteOrNull(c: Column): Column =
+    when(c.isNull || isnan(c) ||
       c === lit(Double.PositiveInfinity) ||
       c === lit(Double.NegativeInfinity), lit(null))
       .otherwise(c)
-    sum(floor(finite * f + lit(0.5))).cast("double") / f
-  }
 
   /** J1 + A1 + P5 — keep only rows of keys with ≥ minCount occurrences
     * (reference "active users", `top_100_pairs.py:34-36`). Implemented as

@@ -828,11 +828,15 @@ object AnalyticsQueries {
           .cast("decimal(38,0)")).as("sxx"),
         sum((col("dy").cast("decimal(38,0)") * col("dy"))
           .cast("decimal(38,0)")).as("syy"))
+    // constant degrees (every node degree-equal, e.g. a single edge) zero
+    // the variance terms: DuckDB's x/0 is NULL where Spark ANSI throws —
+    // guard to the oracle's NULL (fuzz gate, one_row class)
+    val den = sqrt(expr("cast(m * sxx - sx * sx as double)")) *
+      sqrt(expr("cast(m * syy - sy * sy as double)"))
     st.select(col("m").as("n_edges"),
-      qround(expr("cast(m * sxy - sx * sy as double)") /
-        (sqrt(expr("cast(m * sxx - sx * sx as double)")) *
-         sqrt(expr("cast(m * syy - sy * sy as double)"))), 6)
-        .as("assortativity"))
+      when(den.isNull || den === 0.0, lit(null))
+        .otherwise(qround(expr("cast(m * sxy - sx * sy as double)") / den,
+          6)).as("assortativity"))
   }
 
   /** q248 — CUPED variance-reduced A/B readout: adjust each user's

@@ -3155,11 +3155,14 @@ object OlapQueries {
     * the output rule. Emits the chart summary + violation count —
     * per-day flags are a filter away from the same frame. */
   val q313: Q = (spark, dir) => {
+    // localCheckpoint: the violations pass and the limit frame both read
+    // the days-sized daily aggregate — ONE fact scan total
     val daily = Tables.lineitem(spark, dir)
       .groupBy(expr("cast(cast(l_shipdate as timestamp) as long) div 86400")
         .as("day"))
       .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)))
         .as("cents"))
+      .localCheckpoint()
     val wd = Window.orderBy("day")
     val mr = daily
       .withColumn("mr", abs(col("cents") - lag("cents", 1).over(wd)))
@@ -3172,11 +3175,16 @@ object OlapQueries {
     val lim = s.select(col("n_days"), xbar.as("xbar"), mrbar.as("mrbar"),
       (xbar + lit(2.66) * mrbar).as("ucl"),
       (xbar - lit(2.66) * mrbar).as("lcl"))
-    daily.crossJoin(broadcast(lim))
-      .groupBy("n_days", "xbar", "mrbar", "ucl", "lcl")
+    // violations aggregate WITHOUT a group key, then rejoin the one-row
+    // limit frame: grouping by the limit columns returned ZERO rows on an
+    // empty lineitem where DuckDB's scalar aggregate emits the (0, NULL…)
+    // summary row (fuzz gate, empty_all class) — an ungrouped agg is
+    // 1-row on empty input in both engines
+    val viol = daily.crossJoin(broadcast(lim))
       .agg(sum(when(col("cents").cast("double") / 100.0 > col("ucl") ||
         col("cents").cast("double") / 100.0 < col("lcl"), 1L)
         .otherwise(0L)).as("n_violations"))
+    lim.crossJoin(broadcast(viol))
       .select(col("n_days"),
         qround(col("xbar"), 6).as("xbar_dollars"),
         qround(col("mrbar"), 6).as("mrbar_dollars"),
@@ -3845,11 +3853,16 @@ object OlapQueries {
         28, 9))
       .agg(count(lit(1)).as("n_top"), max(col("x_k1")).as("x_k1"),
         sum(col("term")).as("st"))
+      // a single spender (n_top = 1 ⇒ k = 0) or an all-tied top (st = 0)
+      // zeroes a divisor: DuckDB's x/0 is NULL where Spark ANSI throws —
+      // mirror the NULL (fuzz gate, one_row/single_customer classes)
       .select((col("n_top") - 1).as("k"), col("x_k1").as("x_k1_cents"),
-        qround(col("st").cast("double") /
-          (col("n_top") - 1).cast("double"), 6).as("gamma_hill"),
-        qround((col("n_top") - 1).cast("double") /
-          col("st").cast("double"), 6).as("alpha_pareto"))
+        when(col("n_top") === 1, lit(null))
+          .otherwise(qround(col("st").cast("double") /
+            (col("n_top") - 1).cast("double"), 6)).as("gamma_hill"),
+        when(col("n_top") === 1 || col("st") === 0, lit(null))
+          .otherwise(qround((col("n_top") - 1).cast("double") /
+            col("st").cast("double"), 6)).as("alpha_pareto"))
   }
 
   /** q367 — stationary distribution of the journey Markov chain: five

@@ -185,11 +185,35 @@ object RelationalQueries {
   /** q15 — hierarchical rollup (engine extension beyond the reference's
     * flat groupBys): per (returnflag, linestatus) with subtotals and a
     * grand total in one pass. */
-  val q15: Q = (spark, dir) =>
-    Tables.lineitem(spark, dir)
+  val q15: Q = (spark, dir) => {
+    // Spark's rollup emits ZERO rows on empty input where the SQL
+    // standard (and DuckDB) still emits the grand-total grouping set
+    // (n=0, qty NULL) — fuzz gate, empty_all class. Rebuild the global
+    // row from the flag-level subtotals (an ungrouped agg over ≤3 rows
+    // is 1-row on empty input in both engines, and the exact cents-long
+    // re-sum is value-identical to a one-pass global sum), and keep the
+    // one Expand pass for everything else.
+    // localCheckpoint: detail and the global rebuild both read the
+    // ≤ |flags·statuses|+|flags|+1-row level frame — ONE fact scan, not
+    // one per union branch
+    val levels = Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), centsSumDouble(col("l_quantity")).as("qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .agg(grouping_id().cast("long").as("_gid"),
+        count(lit(1)).as("n"),
+        centsSumLong(col("l_quantity")).as("_qc"))
+      .localCheckpoint()
+    val detail = levels.filter(col("_gid") =!= 3)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        (col("_qc").cast("double") / 100.0).as("qty"))
+    val global = levels.filter(col("_gid") === 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        (sum(col("_qc")).cast("double") / 100.0).as("qty"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("n"), col("qty"))
+    detail.unionByName(global)
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
 
   /** q16 — approximate distinct counting (HLL++ sketch): the cardinality
     * primitive of a 100 TB pipeline (exact countDistinct needs a full
@@ -481,14 +505,29 @@ object RelationalQueries {
     * a single Expand + hash aggregate — no rescan per grouping set).
     * Complements q15's ROLLUP. `gid` bit layout (first key = MSB) is the
     * SQL standard's, matched by DuckDB's `GROUPING(a, b)`. */
-  val q79: Q = (spark, dir) =>
-    Tables.lineitem(spark, dir)
+  val q79: Q = (spark, dir) => {
+    // same empty-input global-row rule as q15 (Spark's cube emits zero
+    // rows on empty input; DuckDB keeps the gid=3 grand total): rebuild
+    // the global row from the gid=1 subtotal level via an ungrouped agg
+    val levels = Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        centsSumDouble(col("l_quantity")).as("qty"))
+        centsSumLong(col("l_quantity")).as("_qc"))
+      .localCheckpoint() // one fact scan feeds both union branches
+    val detail = levels.filter(col("gid") =!= 3)
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), (col("_qc").cast("double") / 100.0).as("qty"))
+    val global = levels.filter(col("gid") === 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        (sum(col("_qc")).cast("double") / 100.0).as("qty"))
+      .select(lit(3L).as("gid"),
+        lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("n"), col("qty"))
+    detail.unionByName(global)
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+  }
 
   /** q83 — sliding (hopping) time windows: 1-hour windows every 30
     * minutes, so each event lands in exactly 2 windows (the overlap

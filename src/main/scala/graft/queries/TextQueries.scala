@@ -1604,28 +1604,32 @@ object TextQueries {
       .withColumn("yy", qdec(
         log(col("occ").cast("double")) * log(col("occ").cast("double")),
         28, 9))
+    // degenerate vocabularies zero an OLS denominator (one term ⇒ zero
+    // rank variance; every occ = 1 ⇒ zero frequency variance, r²'s
+    // divisor): DuckDB's x/0 is NULL where Spark ANSI throws — guard to
+    // the oracle's NULL (fuzz gate, disjoint_vocab class)
     t.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum("xy").as("sxy"), sum("xx").as("sxx"), sum("yy").as("syy"))
+      .withColumn("sxx_n",
+        col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("syy_n",
+        col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))
+      .withColumn("sxy_n",
+        col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
       .withColumn("slope",
-        (col("n").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-        (col("n").cast("double") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")))
+        when(col("sxx_n") === 0.0, lit(null))
+          .otherwise(col("sxy_n") / col("sxx_n")))
       .select(col("n").as("n_terms"),
         qround(col("slope"), 6).as("zipf_slope"),
         qround((col("sy").cast("double") - col("slope") *
           col("sx").cast("double")) / col("n").cast("double"), 6)
           .as("intercept"),
-        qround(
-          (col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) *
-          (col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          ((col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-           (col("n").cast("double") * col("syy").cast("double") -
-            col("sy").cast("double") * col("sy").cast("double"))), 6)
-          .as("r2"))
+        when(col("sxx_n") * col("syy_n") === 0.0, lit(null))
+          .otherwise(qround(col("sxy_n") * col("sxy_n") /
+            (col("sxx_n") * col("syy_n")), 6)).as("r2"))
   }
 
   /** q370 — dedup quality shift: does near-dup removal (q74's

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.Assertions._
+
+/** Shared runner for the differential fuzz sweeps (VERDICT r12 item 3).
+  *
+  * One sweep = (adversarial classes × seeds) fixtures written by a
+  * generator, each running a fixed `core` of highest-risk families plus
+  * a strided rotation pick, every result compared against DuckDB by ONE
+  * `tools/fuzz_check.py` process using the sf-gate's own
+  * `compare_query` (tools/check.py — shared code, not a reimpl).
+  *
+  * The stride rule mirrors the original events sweep: picks are
+  * `rotation((k + s) % rotation.size)` for each stride `s`, with `k`
+  * advancing one per fixture — across a class's consecutive seeds the
+  * picks sweep `seeds + max(strides)` consecutive rotation slots, so
+  * sizing `strides` to cover ≥ rotation.size keeps every family paired
+  * with every class at least once per sweep.
+  *
+  * Engine-side exceptions are SURVEYED, not aborted on: a degenerate
+  * fixture that throws (instead of emitting the NULL the oracle emits)
+  * is exactly the bug class this gate hunts, and one run must reveal
+  * ALL of them. A thrown query leaves no output → fuzz_check counts it
+  * [MISS] → the gate still fails; the engineErrors list names each
+  * (fixture, query, error) in the assertion message. A missing
+  * python3/duckdb fails the suite LOUDLY rather than skipping.
+  */
+object FuzzHarness {
+
+  def jsonEsc(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Run one full sweep; asserts green (see scaladoc above).
+    *
+    * @param name    sweep subdirectory under target/fuzz (and report name)
+    * @param classes adversarial class names, in fixture order
+    * @param seeds   seeds per class (0 until seeds)
+    * @param write   (spark, class, seed, fixtureDir) → materialize tables
+    * @param core    families run on EVERY fixture
+    * @param rotation families sampled by stride
+    * @param strides rotation offsets per fixture (picks must be distinct)
+    */
+  def sweep(spark: SparkSession, name: String, classes: Seq[String],
+            seeds: Int,
+            write: (SparkSession, String, Long, String) => Unit,
+            core: Vector[String], rotation: Vector[String],
+            strides: Seq[Int]): Unit = {
+    val root = new java.io.File(s"target/fuzz/$name").getAbsolutePath
+    val fxRoot = s"$root/fixtures"
+    val outRoot = s"$root/out"
+    val oracles = graft.queries.Registry.oracles
+    val all = graft.queries.Registry.all
+    (core ++ rotation).foreach { q =>
+      assert(all.contains(q), s"fuzz query $q not registered")
+      assert(oracles.contains(q), s"fuzz query $q has no oracle SQL")
+    }
+    assert(strides.distinct.size == strides.size &&
+      strides.forall(s => s >= 0 && s < rotation.size),
+      s"strides $strides must be distinct offsets into the rotation")
+
+    var k = 0
+    val engineErrors = scala.collection.mutable.ArrayBuffer[String]()
+    for (cls <- classes; seed <- 0 until seeds) {
+      val fx = f"fx$k%03d_$cls"
+      val fxDir = s"$fxRoot/$fx"
+      write(spark, cls, seed.toLong, fxDir)
+      val picked = core ++ strides.map(s => rotation((k + s) % rotation.size))
+      assert(picked.distinct.size == picked.size,
+        s"$fx picks collide: $picked")
+      picked.foreach { q =>
+        try {
+          all(q)(spark, fxDir).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outRoot/$fx/$q")
+        } catch { case e: Throwable =>
+          engineErrors += s"$fx/$q: ${e.getClass.getSimpleName} " +
+            Option(e.getMessage).getOrElse("")
+              .linesIterator.take(2).mkString(" | ")
+        }
+      }
+      val json = picked.sorted
+        .map(q => s"${jsonEsc(q)}: ${jsonEsc(oracles(q))}")
+        .mkString("{", ",", "}")
+      Files.createDirectories(Paths.get(s"$outRoot/$fx"))
+      Files.writeString(Paths.get(s"$outRoot/$fx/oracle_sql.json"), json)
+      k += 1
+    }
+    val nFixtures = classes.size * seeds
+    assert(k == nFixtures, s"fixture plan drifted: $k")
+
+    import scala.sys.process._
+    val out = new StringBuilder
+    val logger = ProcessLogger(
+      l => out.append(l).append('\n'),
+      l => out.append(l).append('\n'))
+    val code = Process(Seq("python3", "tools/fuzz_check.py", fxRoot,
+      outRoot, s"$root/fuzz_report.json"),
+      new java.io.File(".")).!(logger)
+    val text = out.toString
+    val tail = text.linesIterator.toSeq.takeRight(40).mkString("\n")
+    val engErrs =
+      if (engineErrors.isEmpty) ""
+      else s"\nENGINE exceptions (${engineErrors.size}):\n" +
+        engineErrors.mkString("\n")
+    assert(code == 0, s"fuzz_check.py failed (exit $code):\n$tail$engErrs")
+    assert(engineErrors.isEmpty, engErrs)
+    val summary = "FUZZ (\\d+) fixtures, (\\d+) ok, (\\d+) fail".r
+    summary.findFirstMatchIn(text) match {
+      case Some(m) =>
+        assert(m.group(1).toInt == nFixtures, s"fixture count: $tail")
+        assert(m.group(3).toInt == 0, s"fuzz failures: $tail$engErrs")
+        assert(m.group(2).toInt == nFixtures * (core.size + strides.size),
+          s"comparison count: $tail")
+      case None => fail(s"no FUZZ summary line:\n$tail")
+    }
+  }
+}

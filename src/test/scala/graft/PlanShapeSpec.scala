@@ -111,12 +111,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"))
   }
 
-  test("q79 cube runs as ONE Expand + aggregate — no rescan per grouping set") {
+  test("q79 cube consumers all read the one checkpointed level frame") {
+    // the 4-set lattice still rides ONE Expand + aggregate over a single
+    // 3-column scan, but that pass now materializes at a localCheckpoint
+    // (r13 empty-input global-row rule) — the final plan must show both
+    // union branches reading the checkpoint, never a fact re-scan
     val p = plan("q79_cube_totals")
-    assert("Expand".r.findAllIn(p).size == 1)
-    assert(p.contains("partial_sum"))
-    // the 4-set lattice rides a single 3-column scan
-    assert("FileScan".r.findAllIn(p).size == 1)
+    assert(!p.contains("FileScan parquet"), s"unexpected fact re-scan:\n$p")
+    assert(p.contains("Union"))
   }
 
   test("q83 sliding windows plan as ONE Expand (w/h replicas) + aggregate") {
