@@ -53,8 +53,11 @@ object PlanDump {
         s"BroadcastExchange ${b.mode.getClass.getSimpleName}"
       case _: ReusedExchangeExec => "ReusedExchange"
       case f: FileSourceScanExec =>
-        val table = f.relation.location.rootPaths.headOption
-          .map(_.getName).getOrElse("?")
+        // norm() the table name too: roundtrip/sink queries scan
+        // session-temp dirs like graft-part<random digits>, which would
+        // otherwise diff on every run
+        val table = norm(f.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("?"))
         val cols = f.requiredSchema.fieldNames.sorted.mkString(",")
         val pushed = norm(f.metadata.getOrElse("PushedFilters", ""))
         s"Scan $table cols=[$cols] pushed=$pushed"

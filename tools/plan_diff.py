@@ -1,19 +1,38 @@
 #!/usr/bin/env python3
 """Physical-plan fingerprint diff (VERDICT r12 item 2).
 
-Usage: python3 tools/plan_diff.py <prior_plans.json> <current_plans.json>
+Usage:
+  python3 tools/plan_diff.py <prior_plans.json> <current_plans.json>
+  python3 tools/plan_diff.py --merge <runA.json> <runB.json> <out.json>
 
-Compares two graft.PlanDump artifacts and prints, per query whose
-normalized operator tree changed, a unified diff of the fingerprint
-lines — plus added/removed query lists and a one-line summary:
+Diff mode compares two graft.PlanDump artifacts and prints, per query
+whose normalized operator tree changed, a unified diff of the
+fingerprint lines — plus added/removed query lists and a one-line
+summary:
 
-    PLANDIFF <n_same> same, <n_changed> changed, <n_added> added, <n_removed> removed
+    PLANDIFF <n_same> same, <n_changed> changed, <n_added> added, <n_removed> removed [, <n_volatile> volatile]
 
-Exit code 0 when nothing changed, 2 when any plan differs (added or
-removed queries alone also exit 2 — a silently vanishing query is a
-regression too). Close-run contract: every name this tool prints must
-be explained in COVERAGE.md for the round. Builder-side dev aid only —
-not part of the shipped library.
+Exit code 0 when nothing gated changed, 2 when any plan differs (added
+or removed queries alone also exit 2 — a silently vanishing query is a
+regression too). Queries flagged `volatile` in EITHER artifact are
+reported separately and do NOT fail the diff: those are the queries
+whose AQE outcome was measured to flap between identical-config runs
+(broadcast-side choice near a size threshold), so a cross-round change
+there is weather, not a regression. Close-run contract: every
+non-volatile name this tool prints must be explained in COVERAGE.md.
+
+Merge mode builds the committed baseline from TWO identical-config
+PlanDump runs: out.json carries runA's plans plus
+`volatile: [queries whose fingerprints differ between A and B]` — the
+self-measured exclusion list the diff mode consumes. Both runs must
+share sf_run and cpus.
+
+Config guard: AQE decisions depend on data size AND parallelism, so a
+cpus (shuffle-partition) mismatch between artifacts makes every diff
+apples-to-oranges — diff mode FAILS on a cpus mismatch instead of
+printing hundreds of spurious changes (sf_run mismatch stays a warning
+for deliberate cross-SF comparisons). Builder-side dev aid only — not
+part of the shipped library.
 """
 import difflib
 import json
@@ -25,24 +44,62 @@ def load(path):
     plans = d.get("plans", d)  # tolerate both the envelope and a flat map
     meta = {k: d.get(k) for k in ("sf_run", "cpus", "n_queries")
             if isinstance(d, dict) and k in d}
-    return plans, meta
+    volatile = set(d.get("volatile", [])) if isinstance(d, dict) else set()
+    return plans, meta, volatile
+
+
+def merge(a_path, b_path, out_path):
+    a, ameta, _ = load(a_path)
+    b, bmeta, _ = load(b_path)
+    for k in ("sf_run", "cpus"):
+        if ameta.get(k) != bmeta.get(k):
+            print(f"MERGE FAIL: {k} differs ({ameta.get(k)} vs "
+                  f"{bmeta.get(k)}) — volatility must be measured on "
+                  f"identical-config runs")
+            return 1
+    if set(a) != set(b):
+        only = sorted(set(a) ^ set(b))
+        print(f"MERGE FAIL: query sets differ: {', '.join(only)}")
+        return 1
+    volatile = sorted(n for n in a if a[n] != b[n])
+    envelope = dict(json.load(open(a_path)))
+    envelope["volatile"] = volatile
+    with open(out_path, "w") as f:
+        json.dump(envelope, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"MERGED {len(a)} queries, {len(volatile)} volatile: "
+          f"{', '.join(volatile) if volatile else '(none)'}")
+    print(f"wrote {out_path}")
+    return 0
 
 
 def main(prior_path, cur_path):
-    prior, pmeta = load(prior_path)
-    cur, cmeta = load(cur_path)
+    prior, pmeta, pvol = load(prior_path)
+    cur, cmeta, cvol = load(cur_path)
     if pmeta.get("sf_run") and cmeta.get("sf_run") and \
             pmeta["sf_run"] != cmeta["sf_run"]:
         print(f"WARNING: sf_run differs ({pmeta['sf_run']} vs "
               f"{cmeta['sf_run']}) — AQE decisions are data-sized, so "
               f"cross-SF plan diffs are expected noise")
+    if pmeta.get("cpus") and cmeta.get("cpus") and \
+            pmeta["cpus"] != cmeta["cpus"]:
+        print(f"PLANDIFF FAIL: cpus differs ({pmeta['cpus']} vs "
+              f"{cmeta['cpus']}) — shuffle-partition count drives AQE "
+              f"coalescing and broadcast choices; regenerate the current "
+              f"artifact with SPARK_GRAFT_CPUS={pmeta['cpus']}")
+        return 2
+    volatile_set = pvol | cvol
     added = sorted(set(cur) - set(prior))
     removed = sorted(set(prior) - set(cur))
     changed = []
+    volatile_changed = []
     same = 0
     for name in sorted(set(prior) & set(cur)):
         if prior[name] == cur[name]:
             same += 1
+            continue
+        if name in volatile_set:
+            volatile_changed.append(name)
             continue
         changed.append(name)
         a = prior[name].splitlines(keepends=True)
@@ -52,14 +109,20 @@ def main(prior_path, cur_path):
             difflib.unified_diff(a, b, fromfile=f"{name}@prior",
                                  tofile=f"{name}@current", lineterm=""))
         print()
+    if volatile_changed:
+        print(f"VOLATILE, not gated ({len(volatile_changed)}): "
+              f"{', '.join(volatile_changed)}")
     if added:
         print(f"ADDED ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"REMOVED ({len(removed)}): {', '.join(removed)}")
     print(f"PLANDIFF {same} same, {len(changed)} changed, "
-          f"{len(added)} added, {len(removed)} removed")
+          f"{len(added)} added, {len(removed)} removed, "
+          f"{len(volatile_changed)} volatile")
     return 2 if (changed or added or removed) else 0
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--merge":
+        sys.exit(merge(sys.argv[2], sys.argv[3], sys.argv[4]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
