@@ -73,6 +73,27 @@ def merge(a_path, b_path, out_path):
     return 0
 
 
+def add_volatile(path, names_csv):
+    """Append evidence-based volatile flags: queries OBSERVED flapping
+    across sessions/rounds with zero code change (the two-run --merge
+    can only catch flaps that happen within its own pair). Each addition
+    must be justified in COVERAGE.md with the observed flap."""
+    d = json.load(open(path))
+    names = [n.strip() for n in names_csv.split(",") if n.strip()]
+    plans = d.get("plans", d)
+    unknown = [n for n in names if n not in plans]
+    if unknown:
+        print(f"ADD-VOLATILE FAIL: unknown queries: {', '.join(unknown)}")
+        return 1
+    volatile = sorted(set(d.get("volatile", [])) | set(names))
+    d["volatile"] = volatile
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"volatile now {len(volatile)}: {', '.join(volatile)}")
+    return 0
+
+
 def main(prior_path, cur_path):
     prior, pmeta, pvol = load(prior_path)
     cur, cmeta, cvol = load(cur_path)
@@ -125,4 +146,6 @@ def main(prior_path, cur_path):
 if __name__ == "__main__":
     if sys.argv[1] == "--merge":
         sys.exit(merge(sys.argv[2], sys.argv[3], sys.argv[4]))
+    if sys.argv[1] == "--add-volatile":
+        sys.exit(add_volatile(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
