@@ -171,14 +171,22 @@ object SimilarityQueries {
         // them is off-boundary by construction (GraftFunctions.qround).
         graft.functions.GraftFunctions.qround(
           col("s").cast("double") / col("n"), 6).as("mu"),
+        // greatest(0, ·): on a CONSTANT dimension the 14 dp quantization
+        // residue can push the variance a few ulps NEGATIVE, where Spark
+        // sqrt yields NaN but DuckDB sqrt ERRORS — both engines clamp at
+        // 0 (oracle mirrors), which is also the true variance there
         graft.functions.GraftFunctions.qround(
-          sqrt(col("ssq").cast("double") / col("n") -
-            (col("s").cast("double") / col("n")) *
-            (col("s").cast("double") / col("n"))), 6).as("sigma"))
+          sqrt(greatest(lit(0.0),
+            col("ssq").cast("double") / col("n") -
+              (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n")))), 6).as("sigma"))
     x.join(stats, "p")
       .select(col("p"), col("n"), col("mu"), col("sigma"),
-        graft.functions.GraftFunctions.qdec(
-          (col("x") - col("mu")) / col("sigma"), 18, 6).as("z"))
+        // σ = 0 (constant dim, single row): DuckDB's x/0 is NULL where
+        // Spark ANSI throws — mirror the NULL (fuzz gate)
+        when(col("sigma") === 0.0, lit(null).cast("decimal(18,6)"))
+          .otherwise(graft.functions.GraftFunctions.qdec(
+            (col("x") - col("mu")) / col("sigma"), 18, 6)).as("z"))
       .groupBy("p", "n", "mu", "sigma")
       .agg(graft.functions.GraftFunctions.qround(
           sum(col("z")).cast("double") / count(lit(1)), 6).as("mean_z"),
@@ -474,8 +482,12 @@ object SimilarityQueries {
       // instead of re-evaluating the fold per branch (CollapseProject
       // keeps the split — the alias is non-cheap and multiply-referenced)
       .withColumn("dotp", dot(col("a_emb"), col("n_emb")))
+      // same zero-norm NULL rule as cosine6 (kept inline for the
+      // cheap-attribute split above)
       .withColumn("cos",
-        qround(col("dotp") / (col("a_norm") * col("n_norm")), 6))
+        when(col("a_norm") * col("n_norm") === 0.0, lit(null))
+          .otherwise(qround(col("dotp") /
+            (col("a_norm") * col("n_norm")), 6)))
       // drop the 64-float arrays BEFORE the rank window's exchange —
       // the shuffle otherwise carries ~1 KB of vectors per pair
       .select("a_id", "a_label", "n_id", "n_label", "cos")
@@ -527,8 +539,13 @@ object SimilarityQueries {
     val other = grp.filter(col("n_label") =!= col("a_label"))
       .groupBy("a_id").agg(min(col("mdist")).as("b_dist"))
     own.join(other, "a_id")
-      .withColumn("sil", qround((col("b_dist") - col("a_dist")) /
-        greatest(col("a_dist"), col("b_dist")), 6).cast("decimal(9,6)"))
+      // an all-identical corpus makes a = b = 0: DuckDB's 0/0 is NULL
+      // where Spark ANSI throws (fuzz gate, identical_vectors class)
+      .withColumn("sil", when(
+        greatest(col("a_dist"), col("b_dist")) === 0.0, lit(null))
+        .otherwise(qround((col("b_dist") - col("a_dist")) /
+          greatest(col("a_dist"), col("b_dist")), 6))
+        .cast("decimal(9,6)"))
       .groupBy(col("a_label").as("label"))
       .agg(count(lit(1)).as("n"),
         qround(sum(col("sil")).cast("double") /
@@ -652,8 +669,11 @@ object SimilarityQueries {
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
         .select(lit(np.toLong).as("nprobe"), col("n_truth"),
           col("n_overlap"),
-          qround(col("n_overlap").cast("double") /
-            col("n_truth").cast("double"), 6).as("recall_at_5"))
+          // no ground-truth neighbors (empty query or corpus side):
+          // DuckDB's x/0 is NULL where Spark ANSI throws (fuzz gate)
+          when(col("n_truth") === 0, lit(null))
+            .otherwise(qround(col("n_overlap").cast("double") /
+              col("n_truth").cast("double"), 6)).as("recall_at_5"))
     }.reduce(_ unionByName _)
       .orderBy("nprobe")
   }
@@ -1071,8 +1091,8 @@ object SimilarityQueries {
         |m AS (SELECT p, n,
         |        floor((CAST(s AS DOUBLE) / n) * 1000000.0 + 0.5)
         |          / 1000000.0 AS mu,
-        |        floor(sqrt(CAST(ssq AS DOUBLE) / n
-        |            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |        floor(sqrt(greatest(0.0, CAST(ssq AS DOUBLE) / n
+        |            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
         |          * 1000000.0 + 0.5) / 1000000.0 AS sigma
         |      FROM st),
         |z AS (SELECT x.p, n, mu, sigma,

@@ -29,9 +29,14 @@ object VectorOps {
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity rounded to 6 decimals (rounding absorbs any
-    * cross-engine summation-order residue; ranking ties then break on id). */
+    * cross-engine summation-order residue; ranking ties then break on
+    * id). NULL when either vector has zero norm: DuckDB's x/0 is NULL
+    * where Spark ANSI throws (fuzz gate, zero_vectors class) — and the
+    * oracles' DESC rankings put NULL similarities last, matching
+    * Spark's desc default, so rankings stay aligned. */
   def cosine6(a: Column, b: Column, normA: Column, normB: Column): Column =
-    qround(dot(a, b) / (normA * normB), 6)
+    when(normA * normB === 0.0, lit(null))
+      .otherwise(qround(dot(a, b) / (normA * normB), 6))
 
   /** Deterministic pseudo-random hyperplane weights for LSH: plane p,
     * dimension d → ((md5_63("p:d") mod 2001) − 1000) / 1000 ∈ [−1, 1].
