@@ -48,8 +48,15 @@ object PageRank {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
-    var rank = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
+    // Empty graph: n = 0 feeds the teleport constant — Spark ANSI throws
+    // DIVIDE_BY_ZERO at constant folding (before the zero-row frame could
+    // make it moot) where the SQL oracle's per-row division simply never
+    // evaluates; the Scala-side division is the same IEEE op on non-empty
+    // graphs and inert (rank frame has no rows) on empty ones (fuzz gate,
+    // empty_graph class).
+    val teleport = lit(if (n == 0) 0.0 else (1.0 - damping) / n.toDouble)
+    var rank = nodes.select(col("node"),
+      lit(if (n == 0) 0.0 else 1.0 / n.toDouble).as("r"))
     for (i <- 1 to iters) {
       val contrib = ed.join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -93,10 +100,15 @@ object PageRank {
         .withColumn("__seed", lit(true))), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(false)).as("is_seed"))
       .localCheckpoint()
+    // Zero in-graph seeds (cohort exists but owns no edges, or the graph
+    // itself is empty): the SQL oracle's CASE never evaluates its seed
+    // branch, so every rank is plain 0.0 — the walk has no teleport mass
+    // to inject. The old `require` threw here instead (fuzz gate,
+    // empty_graph class); mirroring DuckDB means teleport 0 for all.
     val nSeeds = nodes.filter(col("is_seed")).count()
-    require(nSeeds >= 1, "no seed is present in the graph")
-    val tele = when(col("is_seed"), lit(1.0) / lit(nSeeds.toDouble))
-      .otherwise(lit(0.0))
+    val tele =
+      if (nSeeds == 0) lit(0.0)
+      else when(col("is_seed"), lit(1.0 / nSeeds.toDouble)).otherwise(lit(0.0))
     var rank = nodes.select(col("node"), col("is_seed"), tele.as("r"))
     for (i <- 1 to iters) {
       val contrib = ed.join(rank.select(col("node").as("src"), col("r")), "src")
@@ -136,8 +148,11 @@ object PageRank {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    val teleport = (lit(1.0) - lit(damping)) / lit(n.toDouble)
-    var rank = nodes.select(col("node"), (lit(1.0) / lit(n.toDouble)).as("r"))
+    // Same empty-graph guard as [[pageRank]]: ANSI constant folding must
+    // not see a /0 the oracle never evaluates (fuzz gate, empty_graph).
+    val teleport = lit(if (n == 0) 0.0 else (1.0 - damping) / n.toDouble)
+    var rank = nodes.select(col("node"),
+      lit(if (n == 0) 0.0 else 1.0 / n.toDouble).as("r"))
     for (i <- 1 to iters) {
       val contrib = ed.join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
