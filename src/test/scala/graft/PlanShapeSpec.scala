@@ -119,6 +119,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q79_cube_totals")
     assert(!p.contains("FileScan parquet"), s"unexpected fact re-scan:\n$p")
     assert(p.contains("Union"))
+    // ADVICE r13: the lattice's one Expand executed when the checkpoint
+    // materialized, so the final plan shows NONE — a regression to
+    // per-grouping-set re-expansion over the checkpointed level frame
+    // would surface as Expand replicas here, and must not pass
+    assert("Expand".r.findAllIn(p).size <= 1,
+      s"per-grouping-set re-expansion over the checkpoint:\n$p")
   }
 
   test("q83 sliding windows plan as ONE Expand (w/h replicas) + aggregate") {

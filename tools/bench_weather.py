@@ -73,6 +73,15 @@ def main(argv=None):
     sent = set(d.get("sentinel_tainted",
                      [q for q in d.get("tainted", []) if q not in drift]))
     unres = set(d.get("unresolved_drift", []))
+    # r14 severity tier: ambient = ratio-gate-only sentinel exceedances
+    # (logged, never rerun); hot (S) = ratio gate AND the measured
+    # absolute-excess floor (sentinel_hot_threshold in the artifact).
+    ambient = set(d.get("ambient_tainted", []))
+    if "sentinel_hot_threshold" in d:
+        print(f"sentinel tiers: hot > {d['sentinel_hot_threshold']} s "
+              f"(median {d.get('sentinel_median', '?')} s) → "
+              f"{len(sent)} hot-tainted (rerun), "
+              f"{len(ambient)} ambient (logged only)")
     # No offsets in the artifact (driver `parsed` shape) → name order
     # with t0 = NaN, NOT the query's value masquerading as an offset.
     rows = sorted(offs.items(), key=lambda kv: kv[1]) if offs \
@@ -89,7 +98,8 @@ def main(argv=None):
         if first is None:
             first = rec if rr is None else max(rec, rr)
         ratio = (first / prior[name]) if prior.get(name) else None
-        flags = ("S" if name in sent else "-") + \
+        flags = ("S" if name in sent else
+                 ("A" if name in ambient else "-")) + \
                 ("D" if name in drift else "-") + \
                 ("U" if name in unres else "-")
         if ratio and ratio > 3 and first > 2:

@@ -4,6 +4,7 @@
 Usage:
   python3 tools/plan_diff.py <prior_plans.json> <current_plans.json>
   python3 tools/plan_diff.py --merge <runA.json> <runB.json> <out.json>
+  python3 tools/plan_diff.py --add-volatile <plans.json> <q1,q2,...> <reason>
 
 Diff mode compares two graft.PlanDump artifacts and prints, per query
 whose normalized operator tree changed, a unified diff of the
@@ -22,10 +23,22 @@ there is weather, not a regression. Close-run contract: every
 non-volatile name this tool prints must be explained in COVERAGE.md.
 
 Merge mode builds the committed baseline from TWO identical-config
-PlanDump runs: out.json carries runA's plans plus
-`volatile: [queries whose fingerprints differ between A and B]` — the
-self-measured exclusion list the diff mode consumes. Both runs must
-share sf_run and cpus.
+PlanDump runs: out.json carries runA's plans plus a `volatile` map
+{query: reason} for the queries whose fingerprints differ between A
+and B — the self-measured exclusion list the diff mode consumes. Both
+runs must share sf_run and cpus. Merge REBUILDS the volatile set from
+its own pair: prior-round flags are deliberately NOT carried forward
+(VERDICT r13 item 2 — membership must be re-earned each round; a query
+that stopped flapping leaves the list). Re-add still-flapping
+cross-session queries afterwards with --add-volatile.
+
+--add-volatile appends evidence-based flags for queries OBSERVED
+flapping across sessions/rounds with zero code change (the two-run
+merge only catches flaps inside its own pair). The reason argument is
+REQUIRED and stored in the artifact next to the name (ADVICE r13 —
+an exemption whose justification lives only in a commit message is one
+CLI call away from silent gate erosion). Older artifacts carrying a
+bare list of names still load (reason shown as "unrecorded").
 
 Config guard: AQE decisions depend on data size AND parallelism, so a
 cpus (shuffle-partition) mismatch between artifacts makes every diff
@@ -38,13 +51,27 @@ import difflib
 import json
 import sys
 
+# Envelope keys that are metadata, never query names. A flat (envelope-
+# less) artifact that something wrote `volatile` into must not have its
+# meta keys read back as queries (ADVICE r13: the fallback used to diff
+# `volatile` itself as an added/changed plan).
+META_KEYS = ("sf_run", "cpus", "n_queries", "n_failed", "volatile")
+
 
 def load(path):
     d = json.load(open(path))
-    plans = d.get("plans", d)  # tolerate both the envelope and a flat map
-    meta = {k: d.get(k) for k in ("sf_run", "cpus", "n_queries")
-            if isinstance(d, dict) and k in d}
-    volatile = set(d.get("volatile", [])) if isinstance(d, dict) else set()
+    if "plans" in d and isinstance(d["plans"], dict):
+        plans = d["plans"]
+    else:
+        plans = {k: v for k, v in d.items() if k not in META_KEYS}
+    meta = {k: d[k] for k in ("sf_run", "cpus", "n_queries") if k in d}
+    raw_vol = d.get("volatile", [])
+    # volatile is a {name: reason} map since r14; accept the r13 list form
+    if isinstance(raw_vol, dict):
+        volatile = dict(raw_vol)
+    else:
+        volatile = {n: "unrecorded (pre-r14 list-form artifact)"
+                    for n in raw_vol}
     return plans, meta, volatile
 
 
@@ -61,36 +88,40 @@ def merge(a_path, b_path, out_path):
         only = sorted(set(a) ^ set(b))
         print(f"MERGE FAIL: query sets differ: {', '.join(only)}")
         return 1
-    volatile = sorted(n for n in a if a[n] != b[n])
+    volatile = {n: "merge-measured: fingerprint differs between the two "
+                   "identical-config close runs"
+                for n in sorted(a) if a[n] != b[n]}
     envelope = dict(json.load(open(a_path)))
     envelope["volatile"] = volatile
     with open(out_path, "w") as f:
         json.dump(envelope, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"MERGED {len(a)} queries, {len(volatile)} volatile: "
-          f"{', '.join(volatile) if volatile else '(none)'}")
+          f"{', '.join(sorted(volatile)) if volatile else '(none)'}")
     print(f"wrote {out_path}")
     return 0
 
 
-def add_volatile(path, names_csv):
-    """Append evidence-based volatile flags: queries OBSERVED flapping
-    across sessions/rounds with zero code change (the two-run --merge
-    can only catch flaps that happen within its own pair). Each addition
-    must be justified in COVERAGE.md with the observed flap."""
+def add_volatile(path, names_csv, reason):
+    """Append evidence-based volatile flags with their justification."""
+    if not reason or not reason.strip():
+        print("ADD-VOLATILE FAIL: a non-empty reason is required "
+              "(what flap was observed, where)")
+        return 1
+    plans, _, volatile = load(path)
     d = json.load(open(path))
     names = [n.strip() for n in names_csv.split(",") if n.strip()]
-    plans = d.get("plans", d)
     unknown = [n for n in names if n not in plans]
     if unknown:
         print(f"ADD-VOLATILE FAIL: unknown queries: {', '.join(unknown)}")
         return 1
-    volatile = sorted(set(d.get("volatile", [])) | set(names))
-    d["volatile"] = volatile
+    for n in names:
+        volatile[n] = reason.strip()
+    d["volatile"] = dict(sorted(volatile.items()))
     with open(path, "w") as f:
         json.dump(d, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"volatile now {len(volatile)}: {', '.join(volatile)}")
+    print(f"volatile now {len(volatile)}: {', '.join(sorted(volatile))}")
     return 0
 
 
@@ -109,7 +140,7 @@ def main(prior_path, cur_path):
               f"coalescing and broadcast choices; regenerate the current "
               f"artifact with SPARK_GRAFT_CPUS={pmeta['cpus']}")
         return 2
-    volatile_set = pvol | cvol
+    volatile_set = set(pvol) | set(cvol)
     added = sorted(set(cur) - set(prior))
     removed = sorted(set(prior) - set(cur))
     changed = []
@@ -143,9 +174,26 @@ def main(prior_path, cur_path):
     return 2 if (changed or added or removed) else 0
 
 
+USAGE = """usage:
+  plan_diff.py <prior_plans.json> <current_plans.json>
+  plan_diff.py --merge <runA.json> <runB.json> <out.json>
+  plan_diff.py --add-volatile <plans.json> <q1,q2,...> <reason>
+(see module docstring for semantics and exit codes)"""
+
+
 if __name__ == "__main__":
-    if sys.argv[1] == "--merge":
-        sys.exit(merge(sys.argv[2], sys.argv[3], sys.argv[4]))
-    if sys.argv[1] == "--add-volatile":
-        sys.exit(add_volatile(sys.argv[2], sys.argv[3]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = sys.argv[1:]
+    if args and args[0] == "--merge":
+        if len(args) != 4:
+            print(USAGE)
+            sys.exit(1)
+        sys.exit(merge(args[1], args[2], args[3]))
+    if args and args[0] == "--add-volatile":
+        if len(args) != 4:
+            print(USAGE)
+            sys.exit(1)
+        sys.exit(add_volatile(args[1], args[2], args[3]))
+    if len(args) != 2:
+        print(USAGE)
+        sys.exit(1)
+    sys.exit(main(args[0], args[1]))
