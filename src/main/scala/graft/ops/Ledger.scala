@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   * Determinism: deltas arrive as DECIMAL(18,2) (cast from the raw
   * double upstream, rule-2 safe) and the fold runs in exact
   * `java.math.BigDecimal` — zero floating point anywhere, so the DuckDB
-  * recursive-CTE oracle matches bit-for-bit at any depth. */
+  * recursive-CTE oracle matches bit-for-bit at any depth.
+  *
+  * NULL deltas poison the balance exactly as SQL arithmetic does
+  * (stream fuzz gate, ledger_clamp class): `bal + NULL` is NULL, a NULL
+  * sum is never `< 0` so it never clamps, and once NULL the balance
+  * stays NULL — mirroring the oracle's recursive CASE, where the old
+  * fold threw NullPointerException on the first NULL-valued event. */
 object Ledger {
 
   /** One row per key: (key, n_events, n_clamped, final_balance).
@@ -36,8 +42,8 @@ object Ledger {
         var bal = zero
         var clamped = 0L
         sorted.foreach { case (_, _, d) =>
-          bal = bal.add(d)
-          if (bal.signum() < 0) { bal = zero; clamped += 1 }
+          bal = if (bal == null || d == null) null else bal.add(d)
+          if (bal != null && bal.signum() < 0) { bal = zero; clamped += 1 }
         }
         LedgerRow(k, sorted.length.toLong, clamped, bal)
       }(Encoders.product[LedgerRow])

@@ -21,14 +21,18 @@ import graft.functions.GraftFunctions.{qdec, qround}
   */
 object EventStreams {
 
+  // `value` is Option: the events table's value column is NULLABLE, and
+  // a primitive Double field makes the encoder throw on the first NULL
+  // row — which killed every typed streaming query on NULL-carrying
+  // corpora (stream fuzz gate, ledger_clamp class).
   case class Event(event_id: Long, ts: Long, user_id: Long,
-                   event_type: String, value: Double)
+                   event_type: String, value: Option[Double])
 
   /** [[Event]] + the event-time column: event-time state timeouts require
     * the WATERMARKED column to flow into the stateful operator (Spark's
     * checker rejects the plan if a projection drops it). */
   case class EventT(event_id: Long, ts: Long, user_id: Long,
-                    event_type: String, value: Double,
+                    event_type: String, value: Option[Double],
                     event_time: java.sql.Timestamp)
 
   case class SessionState(lastTsNs: Long, sessions: Long, events: Long)
@@ -363,9 +367,12 @@ object EventStreams {
           val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
           var s = state.getOption.getOrElse(LedgerState(zero, 0L, 0L))
           sorted.foreach { e =>
-            var bal = s.bal.add(e.delta)
+            // NULL deltas poison the balance exactly as the oracle's SQL
+            // arithmetic does (see graft.ops.Ledger) — never NPE.
+            var bal = if (s.bal == null || e.delta == null) null
+                      else s.bal.add(e.delta)
             var clamps = s.clamps
-            if (bal.signum() < 0) { bal = zero; clamps += 1 }
+            if (bal != null && bal.signum() < 0) { bal = zero; clamps += 1 }
             s = LedgerState(bal, s.n + 1, clamps)
           }
           state.update(s)
@@ -374,10 +381,10 @@ object EventStreams {
   }
 
   case class CompactState(ts: Long, eventId: Long, eventType: String,
-                          value: Double, changes: Long)
+                          value: Option[Double], changes: Long)
 
   case class CompactRow(user_id: Long, last_s: Long, last_event_id: Long,
-                        last_event_type: String, last_value: Double,
+                        last_event_type: String, last_value: Option[Double],
                         n_changes: Long)
 
   /** Streaming CDC log compaction: the continuously-maintained
@@ -401,7 +408,7 @@ object EventStreams {
       .mapGroupsWithState[CompactState, CompactRow](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[CompactState]) =>
           var s = state.getOption
-            .getOrElse(CompactState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+            .getOrElse(CompactState(Long.MinValue, Long.MinValue, "", None, 0L))
           rows.foreach { e =>
             val newer = e.ts > s.ts || (e.ts == s.ts && e.event_id > s.eventId)
             s =
@@ -468,10 +475,13 @@ object EventStreams {
 
   /** Native `session_window` aggregation (per-user 30-minute-gap
     * sessions): the built-in merging-window operator — each event opens a
-    * [t, t+gap) window and overlapping windows merge, so a session's end
-    * is its last event + gap and an event at EXACTLY end starts a new
-    * session (strict `<` overlap — note this differs from the custom
-    * [[sessionize]]'s `>` gap test only on exact-boundary ties).
+    * [t, t+gap) window and windows merge when they overlap OR TOUCH: an
+    * event at EXACTLY last + gap CONTINUES the session (measured on
+    * boundary-tie fixtures — the stream fuzz gate's gap_boundaries
+    * class; the earlier strict-`<` reading of the docs was wrong and
+    * was never exercised by the tie-free sf corpus). This is the SAME
+    * convention as the custom [[sessionize]]'s `>` gap test, so the
+    * two operators agree on exact-boundary ties.
     *
     * Works identically over a batch frame (the q92 registration) and a
     * watermarked stream (q93, append mode — a session emits once the

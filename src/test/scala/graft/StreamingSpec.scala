@@ -103,12 +103,12 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       // Batch 1 delivers the LATEST change (ts 30) first.
-      input.addData(EventStreams.Event(3L, 30L, 1L, "purchase", 9.0))
+      input.addData(EventStreams.Event(3L, 30L, 1L, "purchase", Some(9.0)))
       q.processAllAvailable()
       // Batch 2 arrives later but carries EARLIER changes — they must
       // bump the change count without stealing the win.
-      input.addData(EventStreams.Event(1L, 10L, 1L, "view", 1.0),
-        EventStreams.Event(2L, 20L, 1L, "click", 2.0))
+      input.addData(EventStreams.Event(1L, 10L, 1L, "view", Some(1.0)),
+        EventStreams.Event(2L, 20L, 1L, "click", Some(2.0)))
       q.processAllAvailable()
     } finally q.stop()
     val fin = spark.table("cdc_test")
