@@ -17,6 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * numbers are exactly reproducible, so the thin margin is stable, not
   * flaky. (On the reference's real MovieLens data the separation is
   * structural: twins ≈ 0.9 vs random ≈ 0.)
+  *
+  * Scale caveat (r14, VERDICT r13 item 5): the sf0.01 margin (twins
+  * 0.043771 vs max-random 0.042349) is a borderline accident of the
+  * fixed seed, not signal — the corpus's per-item mean dispersion is
+  * exactly σ/√n sampling noise at both SFs, i.e. the ratings are
+  * i.i.d. with NO planted taste structure. At sf0.1 the twins cohort
+  * regresses to −0.0097, inside the random band, as i.i.d. predicts;
+  * ReportPinsSf01Spec pins that measured NON-separation. This spec
+  * remains the deterministic pin of the fixed sf0.01 values.
   */
 class TwinsProtocolSpec extends AnyFunSuite {
   lazy val spark = GraftSpark.spark
