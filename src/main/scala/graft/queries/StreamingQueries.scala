@@ -1244,8 +1244,19 @@ object StreamingQueries {
         |    epoch_ns(ts) // 1000 AS ct
         |  FROM events WHERE event_type = 'click'),
         |wm AS (
-        |  SELECT least((SELECT max(pt) FROM p), (SELECT max(ct) FROM c))
-        |    - 7200000000 AS w),
+        |  -- Joint watermark under Spark's min policy: a side that never
+        |  -- saw a row keeps its watermark at epoch, so the joint
+        |  -- watermark never advances and NO outer row closes. DuckDB's
+        |  -- least() IGNORES a NULL arm, which silently closed every
+        |  -- purchase on a click-free stream (stream fuzz gate,
+        |  -- ledger_clamp class, 0 vs 25 rows) — the CASE makes the
+        |  -- empty-side watermark NULL, and NULL comparisons below
+        |  -- withhold every null-extension exactly like the engine.
+        |  SELECT CASE WHEN (SELECT max(pt) FROM p) IS NULL
+        |                OR (SELECT max(ct) FROM c) IS NULL THEN NULL
+        |              ELSE least((SELECT max(pt) FROM p),
+        |                         (SELECT max(ct) FROM c)) - 7200000000
+        |         END AS w),
         |j AS (
         |  SELECT p.purchase_id, c.click_id, p.user_id, p.pt
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id
