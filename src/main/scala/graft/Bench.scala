@@ -122,7 +122,22 @@ object Bench {
     // magnitude. Hot readings taint, rerun, and veto the prior refresh
     // exactly as before; ratio-only exceedances are AMBIENT — logged in
     // bench_full.json (`ambient_tainted`) for forensics, never rerun.
-    val HotExcessSecs = 0.5
+    //
+    // The floor is DERIVED from the run's own sentinel spread, not the
+    // hard-coded 0.5 s above (ADVICE r14: 0.5 was calibrated from ONE
+    // machine's clean trace; on a slower/noisier host, sustained
+    // contention adding 0.2–0.5 s per reading would tier AMBIENT forever
+    // and silently inflate value_clean). 2.5 × the trace's p95
+    // excess-over-median — the same multiple that turned the r13
+    // calibration (p95 excess ≈ 0.2 s) into 0.5 — clamped to
+    // [0.25, DefaultHotExcessSecs]: the lower clamp keeps clean-machine
+    // jitter (max observed clean excess ≈ 0.2 s) from flagging hot and
+    // vetoing the prior refresh; the upper keeps the r13-calibrated
+    // worst case, because deriving MORE than 0.5 from a contaminated
+    // trace would loosen the gate exactly when contention is sustained.
+    // SPARK_GRAFT_HOT_EXCESS_SECS overrides both (per-host operator
+    // knob). Computed after the trace exists — see hotExcessSecs below.
+    val DefaultHotExcessSecs = 0.5
 
     // --- Cross-round drift taint (VERDICT r10 #1) -----------------------
     // The sentinel's structural blind spot: a contention burst SHORTER
@@ -209,9 +224,19 @@ object Bench {
     // A query is tainted when EITHER bracketing sentinel reading spiked:
     // contention may start mid-window (caught by the closing reading) or
     // end mid-window (caught by the opening one). HOT needs the ratio
-    // gate AND the measured absolute-excess floor (see HotExcessSecs);
+    // gate AND the absolute-excess floor derived from this run's own
+    // trace (see DefaultHotExcessSecs scaladoc for the derivation);
     // ratio-only exceedances tier down to AMBIENT (logged, not rerun).
-    val hotThreshold = math.max(TaintFactor * med, med + HotExcessSecs)
+    val hotExcessSecs = sys.env.get("SPARK_GRAFT_HOT_EXCESS_SECS")
+      .map(_.toDouble).getOrElse {
+        val exc = sentinels.toSeq.map(v => math.max(0.0, v - med)).sorted
+        val p95 = exc(math.min(exc.size - 1, (exc.size * 95) / 100))
+        math.min(DefaultHotExcessSecs, math.max(0.25, 2.5 * p95))
+      }
+    System.err.println(f"[bench] hot excess floor $hotExcessSecs%.3f s" +
+      s" (${if (sys.env.contains("SPARK_GRAFT_HOT_EXCESS_SECS")) "env"
+      else "derived from this run's sentinel spread"})")
+    val hotThreshold = math.max(TaintFactor * med, med + hotExcessSecs)
     val hot = sentinels.zipWithIndex.collect {
       case (v, i) if v > hotThreshold => i
     }.toSet

@@ -20,7 +20,10 @@ import org.apache.spark.sql.{Row, SparkSession}
   * bursts scatter across 3 days (the watermark advances and evicts
   * mid-run under multi-batch replay), ties share exact instants
   * (chunk boundaries cut mid-tie), and session gaps sit exactly AT
-  * the 30-minute boundary (q92's strict-< vs q11/q62's > convention).
+  * the 30-minute boundary (an event exactly at last+gap CONTINUES the
+  * session under every convention in the engine — `session_window`
+  * merges touching windows and the q11/q62 islands CTE uses strict >,
+  * the r14 agreement these fixtures pin).
   *
   * Determinism contract identical to [[FuzzFixtures]]. Tables: events
   * (the [[FuzzFixtures]] schema — props carries the `{"k": n}` JSON
@@ -90,8 +93,10 @@ object StreamFuzzFixtures {
         }
       case "gap_boundaries" =>
         // per user: events at exactly 0, 30min, 60min, 90min — every
-        // consecutive pair exactly AT the session gap (q92 strict-<
-        // starts a NEW session; q11/q62's > keeps ONE); plus a ±1s pair
+        // consecutive pair exactly AT the session gap (one merged
+        // session under every convention: q92's session_window merges
+        // touching windows, q11/q62's islands CTE is strict > — the
+        // r14 agreement this class pins); plus a ±1s pair
         (1 to 8).foreach { u =>
           val base = u * 14400L
           Seq(0L, 1800L, 3600L, 5400L).foreach { d =>

@@ -51,19 +51,21 @@ import difflib
 import json
 import sys
 
-# Envelope keys that are metadata, never query names. A flat (envelope-
-# less) artifact that something wrote `volatile` into must not have its
-# meta keys read back as queries (ADVICE r13: the fallback used to diff
-# `volatile` itself as an added/changed plan).
-META_KEYS = ("sf_run", "cpus", "n_queries", "n_failed", "volatile")
-
-
 def load(path):
     d = json.load(open(path))
     if "plans" in d and isinstance(d["plans"], dict):
         plans = d["plans"]
     else:
-        plans = {k: v for k, v in d.items() if k not in META_KEYS}
+        # Flat (envelope-less) legacy artifact: plan fingerprints are the
+        # STRING-valued entries whose name looks like a query (qNN_...).
+        # The shape filter — not a hard-coded meta-key list — keeps any
+        # future envelope key (the ADVICE-r13/r14 failure mode: `volatile`
+        # was diffed as a plan, then `sf_run` would be next) from being
+        # read back as a query, whatever its type.
+        import re
+        qname = re.compile(r"^q\d+_")
+        plans = {k: v for k, v in d.items()
+                 if isinstance(v, str) and qname.match(k)}
     meta = {k: d[k] for k in ("sf_run", "cpus", "n_queries") if k in d}
     raw_vol = d.get("volatile", [])
     # volatile is a {name: reason} map since r14; accept the r13 list form
