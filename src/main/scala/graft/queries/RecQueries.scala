@@ -36,9 +36,17 @@ object RecQueries {
   private def alsRecs20(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"als-recs20:$dir") {
       val t = tagged(spark, dir)
-      val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
-      AlsRec.recommendFor(model,
-        Popularity.validation(t).select("user_id").distinct(), n = 20)
+      // Empty train (no trainable rows at all) ⇒ no model ⇒ no lists —
+      // the ML fuzz arm's empty_all fixture; a crash here took the whole
+      // ALS family down with it.
+      AlsRec.fitOpt(Popularity.train(t), cacheKey = s"$dir/train") match {
+        case Some(model) => AlsRec.recommendFor(model,
+          Popularity.validation(t).select("user_id").distinct(), n = 20)
+        case None =>
+          import spark.implicits._
+          Seq.empty[(Int, Int, Int, Double)]
+            .toDF("user_id", "rank", "item_id", "score")
+      }
     }
 
   /** Memoized q50 recommendation lists — q50/q51/q138/q150 all consume
@@ -80,11 +88,25 @@ object RecQueries {
   val q53: Q = (spark, dir) => {
     val t = tagged(spark, dir)
     val valid = Popularity.validation(t)
-    val model = AlsRec.fit(Popularity.train(t), cacheKey = s"$dir/train")
     val recs = alsRecs20(spark, dir).select("user_id", "item_id", "rank")
     val m = RankingRelational.metrics(spark, recs, valid, k = 20)
-    m.withColumn("rmse", qround(lit(AlsRec.rmse(model, valid)), 6))
+    m.withColumn("rmse", qround(alsRmseCol(spark, dir, valid), 6))
   }
+
+  /** The ALS validation/test RMSE as a literal column: NULL when no
+    * model fits (empty train) or the held-out eval frame is empty after
+    * cold-start drop (see [[AlsRec.rmse]]) — the SQL-NULL convention for
+    * an undefined aggregate, in place of the crash the ML fuzz arm
+    * surfaced. On the main gate the value is identical to the pre-guard
+    * literal. */
+  private def alsRmseCol(spark: SparkSession, dir: String,
+                         heldOut: DataFrame, rank: Int = 8,
+                         regParam: Double = 0.1): org.apache.spark.sql.Column =
+    AlsRec.fitOpt(Popularity.train(tagged(spark, dir)), rank = rank,
+        regParam = regParam, cacheKey = s"$dir/train")
+      .flatMap(model => AlsRec.rmse(model, heldOut))
+      .map(lit)
+      .getOrElse(lit(null).cast("double"))
 
   /** q54 — the bias hyperparameter sweep (reference Table 2,
     * `popularity_tuned.py:26-41`): one ranking-metrics row per bias ∈
@@ -122,9 +144,17 @@ object RecQueries {
       AlsRec.gridSearch(Popularity.train(t), valid,
         ranks = Seq(5, 10, 20, 50), regs = Seq(0.01, 0.05, 0.1, 1.0),
         topN = 20, maxIter = 10,
-        evalFn = (recs, v) => RankingRelational
-          .metrics(spark, recs.select("user_id", "item_id", "rank"), v, k = 20)
-          .select("map_at_k").head().getDouble(0),
+        evalFn = (recs, v) => {
+          // MAP over zero evaluable users is undefined (metrics' global
+          // aggregate emits NULL); the grid cell scores 0.0 — the
+          // "nothing recommended correctly" floor — so the 16-cell
+          // Table-3 shape survives degenerate splits (ML fuzz arm).
+          val row = RankingRelational
+            .metrics(spark, recs.select("user_id", "item_id", "rank"), v,
+              k = 20)
+            .select("map_at_k").head()
+          if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        },
         cacheKey = s"$dir/train")
     }
     import spark.implicits._
@@ -143,13 +173,18 @@ object RecQueries {
   val q56: Q = (spark, dir) => {
     val t = tagged(spark, dir)
     val test = Popularity.test(t)
-    val model = AlsRec.fit(Popularity.train(t), rank = 50, regParam = 0.05,
-      maxIter = 10, cacheKey = s"$dir/train")
-    val recs = AlsRec.recommendFor(model,
-      test.select("user_id").distinct(), n = 20)
-      .select("user_id", "item_id", "rank")
+    val recs = AlsRec.fitOpt(Popularity.train(t), rank = 50,
+        regParam = 0.05, maxIter = 10, cacheKey = s"$dir/train") match {
+      case Some(model) => AlsRec.recommendFor(model,
+          test.select("user_id").distinct(), n = 20)
+        .select("user_id", "item_id", "rank")
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Int, Int, Int)].toDF("user_id", "item_id", "rank")
+    }
     RankingRelational.metrics(spark, recs, test, k = 20)
-      .withColumn("rmse", qround(lit(AlsRec.rmse(model, test)), 6))
+      .withColumn("rmse",
+        qround(alsRmseCol(spark, dir, test, rank = 50, regParam = 0.05), 6))
   }
 
   /** q116 — negative sampling for implicit-feedback training (see
@@ -462,8 +497,24 @@ object RecQueries {
     * definition and pins every violation counter to zero — upgrading
     * the ALS family's gate from "produces rows" to "produces lists with
     * provably correct shape". Runs off the memoized q52/q53 top-20
-    * frame, so the audit adds no extra cross-scoring. */
+    * frame, so the audit adds no extra cross-scoring.
+    *
+    * The expected list length is NOT a hard-coded 20: ALS can only rank
+    * items that HAVE factors — the distinct trainable (non-NULL item,
+    * non-NULL rating) items of the train split — so the contract is
+    * `L = least(20, |trainable train items|)` per list (the ML fuzz
+    * arm's one-item/3-item/cold-catalog fixtures all produce exact-L
+    * lists, which the old 20-pin miscounted as violations). Likewise
+    * `covers_all_val_users` compares against the val users a model CAN
+    * cover: those with ≥1 trainable train row (a user absent from the
+    * factor matrix is silently omitted by recommendForUserSubset — on
+    * the main gate every val user trains, so the value is unchanged).
+    * Empty-list aggregates coalesce to the oracle's literal zeros. */
   val q186: Q = (spark, dir) => {
+    val t = tagged(spark, dir)
+    val trainable = col("item_id").isNotNull && col("rating").isNotNull
+    val li = Popularity.train(t).filter(trainable)
+      .agg(least(countDistinct(col("item_id")), lit(20L)).as("li"))
     val w = Window.partitionBy("user_id").orderBy("rank")
     val flagged = alsRecs20(spark, dir)
       .withColumn("prev_score", lag(col("score"), 1).over(w))
@@ -478,16 +529,20 @@ object RecQueries {
       sum(when(col("prev_rank").isNotNull &&
         col("rank") =!= col("prev_rank") + 1, 1L).otherwise(0L))
         .as("gap_viol"))
-    val nVal = Popularity.validation(tagged(spark, dir))
+    val nVal = Popularity.validation(t)
       .select("user_id").distinct()
+      .join(Popularity.train(t).filter(trainable)
+        .select("user_id").distinct(), Seq("user_id"), "left_semi")
       .agg(count(lit(1)).as("n_val_users"))
-    perUser.agg(
+    perUser.crossJoin(broadcast(li)).agg(
         count(lit(1)).as("n_users"),
-        sum(col("n")).as("n_rows"),
-        sum(when(col("n") =!= 20 || col("max_rank") =!= 20 ||
-          col("n_items") =!= 20, 1L).otherwise(0L)).as("shape_viol"),
-        sum(col("inc_viol")).as("score_viol"),
-        sum(col("gap_viol")).as("rank_viol"))
+        coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("n") =!= col("li") ||
+          col("max_rank") =!= col("li") ||
+          col("n_items") =!= col("li"), 1L).otherwise(0L)), lit(0L))
+          .as("shape_viol"),
+        coalesce(sum(col("inc_viol")), lit(0L)).as("score_viol"),
+        coalesce(sum(col("gap_viol")), lit(0L)).as("rank_viol"))
       .crossJoin(broadcast(nVal))
       .select(col("n_users"), col("n_rows"),
         (col("n_users") === col("n_val_users")).cast("long")
@@ -517,7 +572,11 @@ object RecQueries {
       .agg(count(lit(1)).as("n_overlap"))
     nVal.crossJoin(nOv)
       .select(col("n_val_pairs"), col("n_overlap"),
-        qround(col("n_overlap") * lit(100.0) / col("n_val_pairs"), 6)
+        // Empty validation: 0/0 throws under ANSI where DuckDB's native
+        // x/0 is NULL — mirror the NULL (ML fuzz arm, one_rating_users).
+        when(col("n_val_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(
+            qround(col("n_overlap") * lit(100.0) / col("n_val_pairs"), 6))
           .as("overlap_pct"))
   }
 
@@ -1343,26 +1402,34 @@ object RecQueries {
     "q186_als_audit" ->
       """WITH r AS (
         |  SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+        |    value AS rating,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY epoch_ns(ts), event_id) AS rn,
         |    COUNT(*) OVER (PARTITION BY user_id) AS n
         |  FROM events),
         |tagged AS (
-        |  SELECT user_id,
+        |  SELECT user_id, item_id, rating,
         |    CAST(FLOOR(((rn - 1)::DOUBLE / n) * 5) AS INT) AS split
         |  FROM r),
+        |tr AS (SELECT user_id, item_id FROM tagged
+        |       WHERE split <= 2 AND item_id IS NOT NULL
+        |         AND rating IS NOT NULL),
+        |li AS (SELECT least(CAST(count(DISTINCT item_id) AS BIGINT), 20)
+        |         AS li FROM tr),
         |u AS (SELECT user_id,
-        |        bool_or(split <= 2) AS has_train,
+        |        bool_or(split <= 2 AND item_id IS NOT NULL
+        |          AND rating IS NOT NULL) AS has_train,
         |        bool_or(split = 3) AS has_val
         |      FROM tagged GROUP BY 1),
         |v AS (SELECT CAST(count(*) AS BIGINT) AS nv
         |      FROM u WHERE has_train AND has_val)
-        |SELECT nv AS n_users, nv * 20 AS n_rows,
+        |SELECT nv AS n_users, nv * li AS n_rows,
         |  CAST(1 AS BIGINT) AS covers_all_val_users,
         |  CAST(0 AS BIGINT) AS shape_viol,
         |  CAST(0 AS BIGINT) AS score_viol,
         |  CAST(0 AS BIGINT) AS rank_viol
-        |FROM v""".stripMargin,
+        |FROM v CROSS JOIN li""".stripMargin,
     "q152_mmr_rerank" -> mmrOracle,
     "q153_list_quality" -> listQualityOracle,
     "q150_ips_eval" ->

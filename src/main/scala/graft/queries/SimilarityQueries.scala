@@ -5,7 +5,6 @@ import graft.ops.Relational.perKeyTopK
 import graft.sim.VectorOps._
 import graft.functions.GraftFunctions.{decOut, qdec, qround}
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -230,24 +229,32 @@ object SimilarityQueries {
     * fit is the expensive part and the frame is shared with re-runs. */
   /** The q33 featurized frame + seeded model, exposed for the golden
     * value pin (KMeansGoldenPinSpec) — the SPEC must fit exactly what
-    * the query fits or the pin guards nothing. */
+    * the query fits or the pin guards nothing. None on an empty corpus;
+    * k clamps to the distinct-vector count (see [[graft.sim.SafeKMeans]]
+    * — `array_to_vector` is injective on the embedding array, so the
+    * raw array is the exact distinct proxy). */
   private[graft] def kmeansEmb(spark: SparkSession, dir: String)
-      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+      : (DataFrame, Option[org.apache.spark.ml.clustering.KMeansModel]) = {
     val e = graft.util.SessionMemo.cached(spark, s"emb-features:$dir")(
       emb(spark, dir)
         .withColumn("features", array_to_vector(col("embedding"))))
     val model = graft.util.SessionMemo(spark, s"kmeans-emb:$dir:k10:seed42") {
-      new KMeans().setK(10).setSeed(42L).setMaxIter(10)
-        .setInitMode("random") // seeded; k-means|| costs ~5 extra passes
-        .setFeaturesCol("features")
-        .fit(e)
+      graft.sim.SafeKMeans.fit(e, k = 10, seed = 42L, maxIter = 10,
+        featuresCol = "features", distinctCols = Seq(col("embedding")))._2
     }
     (e, model)
   }
 
   val q33: Q = (spark, dir) => {
     val (e, model) = kmeansEmb(spark, dir)
-    model.transform(e)
+    val assigned = model match {
+      case Some(m) => m.transform(e)
+      // No model ⇔ fewer than two distinct vectors (ML fuzz arm): the
+      // trivial clustering is exact — empty stays empty, a single
+      // distinct point is one cluster holding everything.
+      case None => e.withColumn("prediction", lit(0))
+    }
+    assigned
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy("cluster")
@@ -351,33 +358,49 @@ object SimilarityQueries {
     * the RFM aggregate + crossJoin maxIter times) and the model is
     * memoized per (session, dir). */
   /** The q35 standardized frame + seeded model, exposed for the golden
-    * value pin (KMeansGoldenPinSpec) — same contract as [[kmeansEmb]]. */
+    * value pin (KMeansGoldenPinSpec) — same contract as [[kmeansEmb]].
+    *
+    * σ = 0 on a feature (every customer identical in that dimension —
+    * the ML fuzz arm's constant-RFM fixture) standardizes to z = 0, the
+    * q172 convention: the true z is 0/0, the dimension carries no
+    * information, and the raw divide throws under ANSI. The per-dim
+    * affine map is injective whenever σ > 0 and constant when σ = 0, so
+    * the RAW (recency, frequency, monetary) triple is an exact distinct
+    * proxy for the standardized vector (SafeKMeans clamp). */
   private[graft] def kmeansRfm(spark: SparkSession, dir: String)
-      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+      : (DataFrame, Option[org.apache.spark.ml.clustering.KMeansModel]) = {
     val scaled = graft.util.SessionMemo.cached(spark, s"rfm-scaled:$dir") {
       val rfm = rfmCached(spark, dir)
       val stats = rfm.agg(
         avg("recency_s").as("r_mu"), stddev_pop("recency_s").as("r_sd"),
         avg("frequency").as("f_mu"), stddev_pop("frequency").as("f_sd"),
         avg("monetary").as("m_mu"), stddev_pop("monetary").as("m_sd"))
+      def z(x: org.apache.spark.sql.Column, mu: String, sd: String) =
+        when(col(sd) === 0.0, lit(0.0)).otherwise((x - col(mu)) / col(sd))
       rfm.crossJoin(broadcast(stats))
         .withColumn("features", array_to_vector(array(
-          (col("recency_s") - col("r_mu")) / col("r_sd"),
-          (col("frequency") - col("f_mu")) / col("f_sd"),
-          (col("monetary") - col("m_mu")) / col("m_sd"))))
+          z(col("recency_s"), "r_mu", "r_sd"),
+          z(col("frequency"), "f_mu", "f_sd"),
+          z(col("monetary"), "m_mu", "m_sd"))))
     }
     val model = graft.util.SessionMemo(spark, s"kmeans-rfm:$dir:k4:seed42") {
-      new KMeans().setK(4).setSeed(42L).setMaxIter(10)
-        .setInitMode("random")
-        .setFeaturesCol("features")
-        .fit(scaled)
+      graft.sim.SafeKMeans.fit(scaled, k = 4, seed = 42L, maxIter = 10,
+        featuresCol = "features",
+        distinctCols = Seq(col("recency_s"), col("frequency"),
+          col("monetary")))._2
     }
     (scaled, model)
   }
 
   val q35: Q = (spark, dir) => {
     val (scaled, model) = kmeansRfm(spark, dir)
-    model.transform(scaled)
+    val assigned = model match {
+      case Some(m) => m.transform(scaled)
+      // < 2 distinct RFM points (ML fuzz arm, constant_ratings): one
+      // segment holds every customer — the exact trivial clustering.
+      case None => scaled.withColumn("prediction", lit(0))
+    }
+    assigned
       .groupBy(col("prediction").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
         qround(avg("frequency"), 4).as("avg_frequency"),

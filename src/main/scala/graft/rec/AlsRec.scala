@@ -19,15 +19,30 @@ object AlsRec {
   /** The (int user, int item, float rating) dedup'd projection ALS
     * consumes; memoized+persisted per dataset key so N fits over the same
     * train split (q52/q53/the q55 grid) share one aggregate instead of
-    * re-deduping per fit. */
+    * re-deduping per fit.
+    *
+    * NULL item/rating rows are dropped BEFORE the dedup: spark.ml ALS
+    * rejects NULL/NaN ratings outright ("Ratings MUST NOT be Null or
+    * NaN" — the ML fuzz arm's null_ratings fixture fired it), and a
+    * NULL item can't index a factor. Dropping first also keeps the
+    * dedup's max() from electing a NULL over a real rating — the same
+    * trainable-row definition q190's leakage audit already uses. */
   private def prepared(train: DataFrame, cacheKey: String): DataFrame = {
-    def build = Twins.userItemRatings(train)
+    def build = Twins.userItemRatings(
+        train.filter(col("item_id").isNotNull && col("rating").isNotNull))
       .select(col("user_id").cast("int"), col("item_id").cast("int"),
         col("rating").cast("float"))
     if (cacheKey.isEmpty) build
     else graft.util.SessionMemo.cached(train.sparkSession,
       s"als-train:$cacheKey")(build)
   }
+
+  /** Prepared-train row count, memoized per dataset key (shared by the
+    * blocking heuristic and the empty-train guard). */
+  private def trainRows(ratings: DataFrame, cacheKey: String): Long =
+    if (cacheKey.isEmpty) ratings.count()
+    else SessionMemo(ratings.sparkSession, s"als-train-rows:$cacheKey")(
+      ratings.count())
 
   /** Size-aware ALS blocking. spark.ml defaults to 10 user × 10 item
     * blocks regardless of input size, so every one of the solver's
@@ -46,10 +61,7 @@ object AlsRec {
   private val RatingsPerBlock = 1000000L
   private def numBlocks(ratings: DataFrame, cacheKey: String): Int = {
     def compute = {
-      val rows =
-        if (cacheKey.isEmpty) ratings.count()
-        else SessionMemo(ratings.sparkSession, s"als-train-rows:$cacheKey")(
-          ratings.count())
+      val rows = trainRows(ratings, cacheKey)
       val ideal = ((rows + RatingsPerBlock - 1) / RatingsPerBlock).toInt
       math.max(1, math.min(ratings.sparkSession.sparkContext.defaultParallelism,
         ideal))
@@ -95,6 +107,18 @@ object AlsRec {
       s"als:$cacheKey:$rank:$maxIter:$regParam:$seed")(doFit())
   }
 
+  /** [[fit]] with the empty-train case made total: spark.ml ALS rejects
+    * an empty ratings frame ("No ratings available" — the ML fuzz arm's
+    * empty_all fixture fired it through every ALS query), but a 100 TB
+    * pipeline's empty partition day must degrade to "no model → no
+    * recommendations", not a crash. None ⟺ zero trainable
+    * (non-NULL item, non-NULL rating) rows after the dedup. */
+  def fitOpt(train: DataFrame, rank: Int = 8, maxIter: Int = 10,
+             regParam: Double = 0.1, seed: Long = 42L,
+             cacheKey: String = ""): Option[ALSModel] =
+    if (trainRows(prepared(train, cacheKey), cacheKey) == 0L) None
+    else Some(fit(train, rank, maxIter, regParam, seed, cacheKey))
+
   /** Top-n per user of `users`, exploded to (user_id, rank, item_id,
     * score) rows with deterministic ordering. */
   def recommendFor(model: ALSModel, users: DataFrame, n: Int): DataFrame =
@@ -105,14 +129,30 @@ object AlsRec {
         col("rec.item_id").as("item_id"),
         col("rec.rating").cast("double").as("score"))
 
-  /** RMSE of model predictions on a held-out split (reference M11). */
-  def rmse(model: ALSModel, heldOut: DataFrame): Double = {
-    val scored = model.transform(Twins.userItemRatings(heldOut)
+  /** RMSE of model predictions on a held-out split (reference M11).
+    *
+    * None when the scored frame is empty — an empty held-out split, or
+    * every held-out pair cold-started away by `coldStartStrategy=drop`
+    * (the ML fuzz arm's cold_val_items fixture: all validation items
+    * unseen in train ⇒ every prediction row dropped ⇒
+    * RegressionEvaluator's summarizer throws "Nothing has been added").
+    * RMSE of nothing is undefined, and the SQL-NULL convention the
+    * oracle side of the repo uses for undefined aggregates is the
+    * honest value — never NaN, never a crash. */
+  def rmse(model: ALSModel, heldOut: DataFrame): Option[Double] = {
+    val scored = model.transform(Twins.userItemRatings(
+        heldOut.filter(col("item_id").isNotNull && col("rating").isNotNull))
       .select(col("user_id").cast("int"), col("item_id").cast("int"),
         col("rating").cast("float")))
-    new RegressionEvaluator()
-      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
-      .evaluate(scored)
+      .filter(!isnan(col("prediction")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (scored.isEmpty) None
+      else Some(new RegressionEvaluator()
+        .setMetricName("rmse").setLabelCol("rating")
+        .setPredictionCol("prediction")
+        .evaluate(scored))
+    } finally scored.unpersist(blocking = false)
   }
 
   /** Hyperparameter grid search by validation MAP-style score (reference
@@ -151,9 +191,14 @@ object AlsRec {
         // threads long after the caller has moved on.
         Future {
           scala.util.Try {
-            val model = fit(train, rank = r, maxIter = maxIter, regParam = g,
-              cacheKey = cacheKey)
-            (r, g, evalFn(recommendFor(model, users, topN), validation))
+            fitOpt(train, rank = r, maxIter = maxIter, regParam = g,
+                cacheKey = cacheKey) match {
+              case Some(model) =>
+                (r, g, evalFn(recommendFor(model, users, topN), validation))
+              // Empty train: no combo can fit; every cell scores the 0.0
+              // floor and the grid keeps its shape (ML fuzz arm).
+              case None => (r, g, 0.0)
+            }
           }
         }
       }

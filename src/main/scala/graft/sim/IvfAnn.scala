@@ -3,7 +3,6 @@ package graft.sim
 import graft.ops.Relational.perKeyTopK
 import graft.sim.VectorOps._
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -45,26 +44,45 @@ object IvfAnn {
     val feats =
       if (memoKey.isEmpty) featurized
       else graft.util.SessionMemo.cached(spark, keyed("feats"))(featurized)
-    def doFit = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
-      .setInitMode("random").setFeaturesCol("features")
-      .fit(feats)
-    val model =
+    // Degenerate corpora (ML fuzz arm): empty → no neighbors; a single
+    // distinct vector → one trivial cell (spark.ml rejects both the
+    // over-provisioned k AND k = 1, so SafeKMeans clamps and the
+    // 0/1-distinct cases run model-free); otherwise cells clamps to the
+    // distinct-vector count.
+    def doFit = SafeKMeans.fit(feats, k = cells, seed = seed, maxIter = 10,
+      featuresCol = "features", distinctCols = Seq(col("n_emb")))
+    val (nDistinct, model) =
       if (memoKey.isEmpty) doFit
       else graft.util.SessionMemo(spark, keyed("model"))(doFit)
+    if (nDistinct == 0L)
+      return queries.select(col(idCol).as("q_id")).limit(0)
+        .withColumn("rank", lit(1).cast("int"))
+        .withColumn("n_id", lit(null).cast(
+          corpus.schema(idCol).dataType))
+        .withColumn("cell", lit(0))
+        .withColumn("cos", lit(0.0))
     // The cell assignment + norms ARE the IVF index — memoized/persisted
     // so repeated query batches probe it instead of re-scanning the
     // corpus through model.transform every call.
-    def assigned = model.transform(feats)
-      .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))
-      .withColumn("n_norm", l2norm(col("n_emb")))
+    def assigned = (model match {
+      case Some(m) => m.transform(feats)
+        .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))
+      case None => // one distinct vector: everything is cell 0
+        feats.select(col("n_id"), col("n_emb"), lit(0).as("cell"))
+    }).withColumn("n_norm", l2norm(col("n_emb")))
     val corpusCells =
       if (memoKey.isEmpty) assigned
       else graft.util.SessionMemo.cached(spark, keyed("cells"))(assigned)
     // cells × dim doubles — broadcast by construction.
-    val centroids = {
-      import spark.implicits._
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toArray) }.toDF("cell", "centroid")
+    val centroids = model match {
+      case Some(m) =>
+        import spark.implicits._
+        m.clusterCenters.zipWithIndex.toSeq
+          .map { case (v, i) => (i, v.toArray) }.toDF("cell", "centroid")
+      case None => // the single distinct vector IS the centroid
+        feats.select(col("n_emb")).distinct().limit(1)
+          .select(lit(0).as("cell"),
+            transform(col("n_emb"), x => x.cast("double")).as("centroid"))
     }
     // Rank centroids per query by the quantizer's own metric (euclidean).
     val dist2 = aggregate(

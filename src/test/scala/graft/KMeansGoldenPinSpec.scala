@@ -27,8 +27,13 @@ object KMeansGoldenPinSpec {
   def computeGolden(spark: SparkSession, sf: String): Seq[String] = {
     def rowsFor(tag: String,
                 fm: (org.apache.spark.sql.DataFrame,
-                     org.apache.spark.ml.clustering.KMeansModel)): Seq[String] = {
-      val (frame, model) = fm
+                     Option[org.apache.spark.ml.clustering.KMeansModel]))
+        : Seq[String] = {
+      // The helpers are total since the ML fuzz arm (None ⇔ empty
+      // corpus); the golden fixture is never empty, so the model exists.
+      val (frame, model0) = fm
+      val model = model0.getOrElse(
+        sys.error(s"$tag: no KMeans model on the golden fixture"))
       val counts = model.transform(frame)
         .groupBy("prediction").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
