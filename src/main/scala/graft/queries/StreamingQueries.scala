@@ -471,17 +471,28 @@ object StreamingQueries {
   }
 
   /** Streaming file source for the documents corpus (same staging
-    * pattern as [[stagedDir]] for events). */
+    * pattern as [[stagedDir]] for events). Handles BOTH physical
+    * layouts of `documents.parquet`: the single file the test corpora
+    * ship, and the Spark directory layout the fuzz fixtures write (a
+    * flat `Files.copy` of a directory stages an empty dir — the
+    * document-stream arm's fixtures would silently stream zero rows). */
   private def stagedDocsDir(spark: SparkSession, dir: String): String =
     graft.util.SessionMemo(spark, s"stream-docs-stage:$dir") {
       val d = Files.createTempDirectory("graft-stream-docs")
-      val staged = d.resolve("documents.parquet")
-      Files.copy(Paths.get(s"$dir/documents.parquet"),
-        staged, StandardCopyOption.REPLACE_EXISTING)
-      sys.addShutdownHook {
-        try { Files.deleteIfExists(staged); Files.deleteIfExists(d) }
-        catch { case _: Throwable => () }
-      }
+      val src = Paths.get(s"$dir/documents.parquet")
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(src)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (p, i) =>
+            Files.copy(p, d.resolve(f"part$i%03d.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        finally ls.close()
+      } else Files.copy(src, d.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      graft.util.TempDirs.cleanupOnExit(d)
       d.toString
     }
 
