@@ -240,7 +240,7 @@ object SimilarityQueries {
         .withColumn("features", array_to_vector(col("embedding"))))
     val model = graft.util.SessionMemo(spark, s"kmeans-emb:$dir:k10:seed42") {
       graft.sim.SafeKMeans.fit(e, k = 10, seed = 42L, maxIter = 10,
-        featuresCol = "features", distinctCols = Seq(col("embedding")))._2
+        featuresCol = "features", distinctCols = Seq("embedding"))._2
     }
     (e, model)
   }
@@ -386,8 +386,7 @@ object SimilarityQueries {
     val model = graft.util.SessionMemo(spark, s"kmeans-rfm:$dir:k4:seed42") {
       graft.sim.SafeKMeans.fit(scaled, k = 4, seed = 42L, maxIter = 10,
         featuresCol = "features",
-        distinctCols = Seq(col("recency_s"), col("frequency"),
-          col("monetary")))._2
+        distinctCols = Seq("recency_s", "frequency", "monetary"))._2
     }
     (scaled, model)
   }

@@ -50,7 +50,7 @@ object IvfAnn {
     // 0/1-distinct cases run model-free); otherwise cells clamps to the
     // distinct-vector count.
     def doFit = SafeKMeans.fit(feats, k = cells, seed = seed, maxIter = 10,
-      featuresCol = "features", distinctCols = Seq(col("n_emb")))
+      featuresCol = "features", distinctCols = Seq("n_emb"))
     val (nDistinct, model) =
       if (memoKey.isEmpty) doFit
       else graft.util.SessionMemo(spark, keyed("model"))(doFit)

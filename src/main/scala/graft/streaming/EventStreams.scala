@@ -646,6 +646,19 @@ object EventStreams {
     false
   }
 
+  /** Restart-fuzz observability (ADVICE r15): nothing used to assert the
+    * injected crash actually FIRED — a replay with fewer micro-batches
+    * than the armed crash point completes its first drive cleanly and
+    * the arm silently degrades to an unbroken-run comparison. Every
+    * [[runToParquet]] drive armed under [[RestartCrashProp]] bumps
+    * `restartDrivesArmed`; every recognized injected crash bumps
+    * `restartCrashesFired`. FuzzStreamRestartSpec asserts the two deltas
+    * are equal (no armed drive survived uncrashed) and cover the sweep. */
+  private[graft] val restartDrivesArmed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val restartCrashesFired =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Convenience: run a streaming DataFrame to completion against a memory
     * sink and return the materialized result (test/batch-drive harness for
     * the streaming operators).
@@ -750,9 +763,12 @@ object EventStreams {
             .start()
         } finally spark.conf.set(confKey, prev)
       try q.processAllAvailable()
-      catch { case e: Throwable if isInjected(e) => () }
+      catch { case e: Throwable if isInjected(e) =>
+        restartCrashesFired.incrementAndGet(); ()
+      }
       finally q.stop()
     }
+    if (crashAt.isDefined) restartDrivesArmed.incrementAndGet()
     drive(crashAt)
     if (crashAt.isDefined) drive(None) // recover from the same checkpoint
     import scala.jdk.CollectionConverters._

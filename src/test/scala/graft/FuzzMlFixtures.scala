@@ -45,6 +45,8 @@ object FuzzMlFixtures {
     "null_ratings",     // NULL value / NULL props / propless-k mixtures
     "tiny_embeddings",  // 4 vectors, all vec_id < 10 (IVF corpus empty; k > n)
     "identical_embeddings", // byte-identical vectors (one distinct point)
+    "duplicated_embeddings", // 2 distinct vectors × many copies: k ≤ n yet
+                        // the row-sampled init can COLLAPSE (ADVICE r15)
     "rating_ties")      // same-instant bursts + duplicate (user,item) re-ratings
 
   /** 2024-01-01T00:00:00Z — keeps normalized ts ≥ 0 (day-math contract). */
@@ -142,7 +144,8 @@ object FuzzMlFixtures {
             } else add(u.toLong, r.nextInt(259200).toLong, item, v)
           }
         }
-      case "tiny_embeddings" | "identical_embeddings" =>
+      case "tiny_embeddings" | "identical_embeddings"
+         | "duplicated_embeddings" =>
         // healthy ratings — these classes stress the embeddings table
         (1 to 12).foreach { u =>
           (0 until 5 + r.nextInt(4)).foreach { _ =>
@@ -183,6 +186,15 @@ object FuzzMlFixtures {
       case "identical_embeddings" =>
         val v = vec()
         (0 until 30).map(i => Row(i.toLong, v, i % 3))
+      case "duplicated_embeddings" =>
+        // 2 distinct vectors, 27:3 — k clamps to 2, but spark.ml's
+        // row-sampled random init picks the majority vector twice with
+        // high probability, dedups to ONE center, and (unguarded) hits
+        // the blockified aggregator's AIOOBE even though k ≤ n_distinct.
+        // Exercises SafeKMeans' collapse retry through q33 AND the IVF
+        // quantizer (ids 10–29 form the q37 corpus side).
+        val a = vec(); val b = vec()
+        (0 until 30).map(i => Row(i.toLong, if (i % 10 == 9) b else a, i % 3))
       case _ =>
         (0 until 40).map(i => Row(i.toLong, vec(), r.nextInt(5)))
     }

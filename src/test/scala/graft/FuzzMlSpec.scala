@@ -13,8 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *     family's oracle-gated queries — q186 (the ALS structural audit,
   *     which fits the real seeded ALS on every fixture), q190 (split
   *     leakage), q234 (HLL register oracle), q187/q189/q191 (KMV
-  *     algebra). 12 classes × 3 seeds = 36 fixtures × 6 families
-  *     = 216 comparisons.
+  *     algebra). 13 classes × 3 seeds = 39 fixtures × 6 families
+  *     = 234 comparisons (r16 added `duplicated_embeddings`, the
+  *     sampled-center-collapse shape of ADVICE r15).
   *
   *  2. ENGINE INVARIANTS for the queries that have no SQL oracle by
   *     nature (q52/q53/q55/q56 ALS, q33/q35 KMeans, q37 IVF, q16 HLL):
@@ -37,7 +38,7 @@ class FuzzMlSpec extends AnyFunSuite {
     "q189_kmv_union",     // sketch merge algebra on empty/degenerate types
     "q191_kmv_intersect") // inclusion–exclusion under empty intersections
 
-  test("engine matches DuckDB on 36 seeded degenerate ML fixtures " +
+  test("engine matches DuckDB on 39 seeded degenerate ML fixtures " +
     "across 6 oracle-gated families") {
     FuzzHarness.sweep(GraftSpark.spark, "ml",
       FuzzMlFixtures.Classes, seeds = 3,

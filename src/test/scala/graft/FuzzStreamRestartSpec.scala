@@ -65,6 +65,13 @@ class FuzzStreamRestartSpec extends AnyFunSuite {
       k += 1
       StreamFuzzFixtures.write(spark, cls, seed, dir)
     }
+    // ADVICE r15: assert the injected crashes actually FIRED — if a
+    // replay yields fewer micro-batches than the armed crash point, the
+    // first drive completes cleanly and the arm silently degrades to an
+    // unbroken-run comparison. Every armed drive must crash (armed ==
+    // fired), and the sweep's 55 comparisons each drive ≥ 1 stream.
+    val armed0 = graft.streaming.EventStreams.restartDrivesArmed.get()
+    val fired0 = graft.streaming.EventStreams.restartCrashesFired.get()
     try {
       FuzzHarness.sweep(GraftSpark.spark, "streamrestart",
         StreamFuzzFixtures.Classes, seeds = 1, write = write,
@@ -73,5 +80,13 @@ class FuzzStreamRestartSpec extends AnyFunSuite {
       sys.props.remove(layoutProp)
       sys.props.remove(crashProp)
     }
+    val armed = graft.streaming.EventStreams.restartDrivesArmed.get() - armed0
+    val fired = graft.streaming.EventStreams.restartCrashesFired.get() - fired0
+    assert(armed == fired,
+      s"$armed drives armed with a crash but only $fired crashed — some " +
+        "replay had fewer micro-batches than its crash point and the arm " +
+        "silently compared an unbroken run")
+    assert(fired >= 55, s"only $fired injected crashes across the sweep " +
+      "— expected one per comparison (55); did queries bypass runToParquet?")
   }
 }

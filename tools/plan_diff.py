@@ -66,6 +66,18 @@ def load(path):
         qname = re.compile(r"^q\d+_")
         plans = {k: v for k, v in d.items()
                  if isinstance(v, str) and qname.match(k)}
+        # ADVICE r15: the shape filter silently DROPS any string-valued
+        # key that doesn't look like a query — a legacy fingerprint under
+        # a non-qNN_ name would vanish from both sides of the diff and
+        # mask its change as absence. Name every such key on stderr so a
+        # dropped plan is visible (known consumed meta keys excepted).
+        dropped = [k for k, v in d.items()
+                   if isinstance(v, str) and not qname.match(k)
+                   and k not in ("sf_run", "cpus", "n_queries")]
+        if dropped:
+            print(f"NOTE: flat artifact {path}: ignored "
+                  f"{len(dropped)} non-query string key(s): "
+                  f"{', '.join(sorted(dropped))}", file=sys.stderr)
     meta = {k: d[k] for k in ("sf_run", "cpus", "n_queries") if k in d}
     raw_vol = d.get("volatile", [])
     # volatile is a {name: reason} map since r14; accept the r13 list form

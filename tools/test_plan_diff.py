@@ -42,12 +42,39 @@ def test_flat_artifact_filters_every_envelope_key():
     assert meta.get("sf_run") == "sf0.1" and meta.get("cpus") == 32
 
 
-def test_envelope_artifact_unchanged():
-    plans, meta, vol = plan_diff.load(os.path.join(ROOT, "plans.json"))
-    assert len(plans) >= 374 and all(isinstance(v, str)
-                                     for v in plans.values())
+def test_flat_artifact_names_dropped_string_keys_on_stderr():
+    # ADVICE r15: a string key the qNN_ filter drops must be NAMED, not
+    # silently absent — it could be a legacy plan fingerprint.
+    import contextlib
+    import io
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        plans, _, _ = load_tmp({
+            "q01_totals": "fp-a",
+            "legacy_fingerprint": "== Physical Plan ==",  # non-qNN_ plan
+            "note": "free text",
+            "sf_run": "sf0.1", "cpus": 32})               # consumed meta
+    assert plans == {"q01_totals": "fp-a"}
+    text = err.getvalue()
+    assert "legacy_fingerprint" in text and "note" in text
+    assert "sf_run" not in text  # consumed as meta, not dropped
+
+
+def test_envelope_artifact_loads():
+    # Synthetic envelope fixture (ADVICE r15: don't couple the loader
+    # test to the live round's query count / cpu config)...
+    plans, meta, vol = load_tmp({
+        "plans": {"q01_totals": "fp-a", "q02_x": "fp-b"},
+        "volatile": {"q02_x": "AQE flip"},
+        "sf_run": "sf0.1", "cpus": 32, "n_queries": 2})
+    assert plans == {"q01_totals": "fp-a", "q02_x": "fp-b"}
+    assert vol == {"q02_x": "AQE flip"}
+    assert meta == {"sf_run": "sf0.1", "cpus": 32, "n_queries": 2}
+    # ...and keep only SHAPE assertions against the live plans.json.
+    plans, _, vol = plan_diff.load(os.path.join(ROOT, "plans.json"))
+    assert plans and all(isinstance(k, str) and isinstance(v, str)
+                         for k, v in plans.items())
     assert isinstance(vol, dict)
-    assert meta.get("cpus") == 32
 
 
 def test_pre_r14_list_volatile_still_loads():
@@ -60,6 +87,7 @@ def test_pre_r14_list_volatile_still_loads():
 
 if __name__ == "__main__":
     test_flat_artifact_filters_every_envelope_key()
-    test_envelope_artifact_unchanged()
+    test_flat_artifact_names_dropped_string_keys_on_stderr()
+    test_envelope_artifact_loads()
     test_pre_r14_list_volatile_still_loads()
-    print("OK: 3 plan_diff loader guards green")
+    print("OK: 4 plan_diff loader guards green")
