@@ -1,9 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** A parsed prior artifact: the run's self-described scale factor plus
-    * per-query readings (VERDICT r11 #1 / ADVICE r11). */
-  final case class Prior(sfRun: Option[String], queries: Map[String, Double])
+  /** A parsed prior artifact: the run's self-described scale factor and
+    * sentinel median (its WEATHER — VERDICT r15 #1) plus per-query
+    * readings (VERDICT r11 #1 / ADVICE r11). */
+  final case class Prior(sfRun: Option[String], queries: Map[String, Double],
+                         sentinelMedian: Option[Double] = None)
 
   /** Per-query prior readings for the cross-round drift taint
     * (VERDICT r10 #1). Since r12 the taint reads `bench_prior.json` — a
@@ -31,8 +33,39 @@ object Bench {
       }.toMap
       case _ => Map.empty[String, Double]
     }
-    Prior(sfRun, qs)
+    val sMed = parsed \ "sentinel_median" match {
+      case JDouble(v) => Some(v)
+      case JDecimal(v) => Some(v.toDouble)
+      case JInt(v) => Some(v.toDouble)
+      case _ => None
+    }
+    Prior(sfRun, qs, sMed)
   } catch { case _: Throwable => Prior(None, Map.empty) }
+
+  /** λ-weather normalization (VERDICT r15 #1): the committed model
+    * (ARCHITECTURE "Sentinel-to-wall-time weather correction", fit on
+    * the r13/r14 windows and corroborated out-of-sample on r15) says a
+    * run's wall-clock scales as Δtotal/total ≈ λ·Δsentinel/sentinel
+    * with λ ≈ 0.41 on this host. The drift taint used to compare RAW
+    * seconds against a prior taken in a different weather regime — once
+    * the host floor drifted to ~2× the r13 sentinel, every driver run
+    * tainted ~15 hot + ~176 ambient queries on zero code regressions
+    * and each round needed a prose adjudication. The factor returned
+    * here scales the prior's per-query readings into THIS run's
+    * weather before the 3× comparison: 1 + λ·(s_run/s_prior − 1),
+    * clamped to [0.5, 5] (a >5× sentinel ratio is a storm the sentinel
+    * taint itself handles; < 0.5 would mean the prior was taken in
+    * weather twice as bad as now — tighten, but not without bound).
+    * Identity when either sentinel is unknown (legacy artifacts) or
+    * the ratio is 1. λ overridable via SPARK_GRAFT_LAMBDA (same
+    * override discipline as the other SPARK_GRAFT_* knobs). */
+  val DefaultLambda = 0.41
+  def weatherFactor(runSentinel: Double, priorSentinel: Option[Double],
+                    lambda: Double): Double = priorSentinel match {
+    case Some(s) if s > 0.0 && runSentinel > 0.0 =>
+      math.min(5.0, math.max(0.5, 1.0 + lambda * (runSentinel / s - 1.0)))
+    case _ => 1.0
+  }
 
   def loadPrior(path: java.nio.file.Path): Map[String, Double] =
     loadPriorArtifact(path).queries
@@ -251,9 +284,25 @@ object Bench {
       case ((name, _), i) if ambientReadings(sentinelIdx(i)) ||
         ambientReadings(sentinelIdx(i) + 1) => name
     }.toSet -- sentinelTainted
+    // λ-normalize the prior into this run's weather before the 3×
+    // comparison (VERDICT r15 #1 — see weatherFactor scaladoc): the
+    // per-query drift threshold becomes
+    //   max(DriftFactor × prior × wf, DriftFloor)
+    // so a prior taken at sentinel 0.067 compared in a 0.127 window
+    // stops crying weather on every heavy query, while a genuine 3×
+    // plan regression still clears the (≤ ~1.4×-scaled) bar.
+    val lambda = sys.env.get("SPARK_GRAFT_LAMBDA").map(_.toDouble)
+      .getOrElse(DefaultLambda)
+    val wf = weatherFactor(med, priorArt.sentinelMedian, lambda)
+    if (prior.nonEmpty)
+      System.err.println(f"[bench] weather factor $wf%.3f (lambda=$lambda%.2f, " +
+        f"run sentinel $med%.3f vs prior " +
+        s"${priorArt.sentinelMedian.map(v => f"$v%.3f").getOrElse("?")})")
+    def driftThreshold(name: String): Double =
+      math.max(DriftFactor * prior(name) * wf, DriftFloor)
     val driftTainted = firstPass.collect {
       case (name, secs) if prior.contains(name) &&
-        secs > math.max(DriftFactor * prior(name), DriftFloor) => name
+        secs > driftThreshold(name) => name
     }.toSet
     val tainted = sentinelTainted ++ driftTainted
     if (ambientTainted.nonEmpty)
@@ -314,11 +363,14 @@ object Bench {
     // mechanism and still hot after rerun".
     val resultMap = results.toMap
     val unresolvedDrift = tainted.toSeq.sorted.filter { name =>
-      prior.contains(name) &&
-        resultMap(name) > math.max(DriftFactor * prior(name), DriftFloor)
+      prior.contains(name) && resultMap(name) > driftThreshold(name)
     }
+    // value_clean substitutes the λ-ADJUSTED prior (prior × wf) since
+    // r16: the substituted figure estimates the reading in THIS run's
+    // ambient weather, so value_clean stays comparable to the run's
+    // other (untouched) readings instead of mixing two weather regimes.
     val valueClean = results.map { case (name, v) =>
-      if (unresolvedDrift.contains(name)) prior(name) else v
+      if (unresolvedDrift.contains(name)) prior(name) * wf else v
     }.sum
     if (unresolvedDrift.nonEmpty)
       System.err.println(s"[bench] UNRESOLVED hot readings (sentinel- or " +
@@ -355,7 +407,7 @@ object Bench {
     // sentinel_tainted ships separately from the union `tainted` so the
     // forensic output can attribute WHICH mechanism fired (ADVICE r11).
     val fullLine =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_clean":${s3(valueClean)},"n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","total_first_pass":${s3(totalFirst)},"first_pass_s":${qjson(firstPass)},"sentinel":$sentinelJson,"sentinel_median":${s3(med)},"sentinel_every":$SentinelEvery,"tainted":${names(tainted)},"sentinel_tainted":${names(sentinelTainted)},"ambient_tainted":${names(ambientTainted)},"sentinel_hot_threshold":${s3(hotThreshold)},"drift_tainted":${names(driftTainted)},"unresolved_drift":${names(unresolvedDrift)},"reruns":${qjson(reruns.toSeq.sortBy(_._1))},"run_epoch_ms":$runEpochMs,"start_offset_s":${qjson(startOffset.toSeq)},"rerun_offset_s":${qjson(rerunOffset.toSeq)}}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","value_clean":${s3(valueClean)},"n_queries":${results.size},"queries":${qjson(results)},"failed":$failedJson,"sf":"$sfDir","sf_run":"$sfRun","total_first_pass":${s3(totalFirst)},"first_pass_s":${qjson(firstPass)},"sentinel":$sentinelJson,"sentinel_median":${s3(med)},"sentinel_every":$SentinelEvery,"lambda":${s3(lambda)},"weather_factor":${s3(wf)},"prior_sentinel_median":${priorArt.sentinelMedian.map(s3).getOrElse("null")},"tainted":${names(tainted)},"sentinel_tainted":${names(sentinelTainted)},"ambient_tainted":${names(ambientTainted)},"sentinel_hot_threshold":${s3(hotThreshold)},"drift_tainted":${names(driftTainted)},"unresolved_drift":${names(unresolvedDrift)},"reruns":${qjson(reruns.toSeq.sortBy(_._1))},"run_epoch_ms":$runEpochMs,"start_offset_s":${qjson(startOffset.toSeq)},"rerun_offset_s":${qjson(rerunOffset.toSeq)}}"""
     System.err.println(s"[bench-full] $fullLine")
     // Only a FULL run may write the artifact: a dev subset run would
     // silently clobber the full-surface record the docs cite.
@@ -363,6 +415,25 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
       catch { case _: Throwable => () }
+    // bench_ledger.jsonl (VERDICT r15 #3): one appended line per FULL
+    // run — the accumulating (sentinel, total) evidence the λ-model
+    // refits from (tools/bench_weather.py --lambda) instead of the
+    // three hand-picked windows it was born on. Tolerant like every
+    // other artifact write; committed at close like bench_full.json.
+    if (only.isEmpty) {
+      try {
+        val head =
+          try scala.sys.process.Process(
+            Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+          catch { case _: Throwable => "?" }
+        val ledgerLine =
+          s"""{"run_epoch_ms":$runEpochMs,"sf_run":"$sfRun","sentinel_median":${s3(med)},"total":${s3(total)},"value_clean":${s3(valueClean)},"n_queries":${results.size},"lambda":${s3(lambda)},"weather_factor":${s3(wf)},"n_unresolved":${unresolvedDrift.size},"head":"$head"}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_ledger.jsonl"), ledgerLine + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => () }
+    }
     // bench_prior.json — next round's drift-taint reference — is refreshed
     // ONLY by an explicitly-flagged, full, storm-free run (VERDICT r11 #1;
     // gate logic pinned by BenchPriorSpec). The driver never sets the

@@ -65,6 +65,33 @@ class BenchPriorSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("prior artifact self-describes its weather (sentinel_median) and " +
+    "weatherFactor normalizes across regimes") {
+    val p = java.nio.file.Paths.get("bench_prior.json")
+    assume(java.nio.file.Files.exists(p), "artifact not in working dir")
+    // The committed prior must carry the sentinel its readings were
+    // taken at — without it the λ-normalization (VERDICT r15 #1)
+    // silently degrades to the raw-seconds comparison.
+    val sMed = Bench.loadPriorArtifact(p).sentinelMedian
+    assert(sMed.exists(v => v > 0.0 && v < 1.0),
+      s"prior sentinel_median missing or implausible: $sMed")
+    // Identity cases: unknown prior sentinel (legacy artifact), equal
+    // weather.
+    assert(Bench.weatherFactor(0.127, None, 0.41) == 1.0)
+    assert(Bench.weatherFactor(0.067, Some(0.067), 0.41) == 1.0)
+    // The r15-close-vs-r13-prior shape the fix exists for: 0.127 vs
+    // 0.067 at λ=0.41 scales the prior by 1 + 0.41·(0.127/0.067 − 1)
+    // ≈ 1.367 — the drift gate stops crying weather on every heavy
+    // query while a genuine 3× regression still clears 3 × 1.367.
+    val wf = Bench.weatherFactor(0.127, Some(0.067), 0.41)
+    assert(math.abs(wf - (1.0 + 0.41 * (0.127 / 0.067 - 1.0))) < 1e-12)
+    assert(wf > 1.3 && wf < 1.4, s"wf $wf")
+    // Clamps: a >5× scaled factor is a storm (sentinel taint's job);
+    // quieter-than-prior tightens but never below 0.5.
+    assert(Bench.weatherFactor(10.0, Some(0.067), 1.0) == 5.0)
+    assert(Bench.weatherFactor(0.001, Some(0.5), 1.0) == 0.5)
+  }
+
   test("mayWritePrior: driver, hot, and failing runs can never raise a prior") {
     // The driver never sets SPARK_GRAFT_WRITE_PRIOR — envFlag=false alone
     // must veto, regardless of how clean the run looked.

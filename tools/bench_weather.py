@@ -4,6 +4,7 @@ the per-query start offsets exist so a damaged reading can be aligned
 with host-load evidence AFTER the fact).
 
 Usage: python3 tools/bench_weather.py [bench_full.json] [prior.json]
+       python3 tools/bench_weather.py --lambda [bench_ledger.jsonl]
 
 Prints, in first-pass execution order: each query's start offset, its
 RAW first-pass reading (from the artifact's first_pass_s map — ADVICE
@@ -47,8 +48,70 @@ def unwrap(d):
     return d, note
 
 
+def lambda_refit(ledger_path="bench_ledger.jsonl", anchor=0.067):
+    """Refit the sentinel-to-wall-time weather model (VERDICT r15 #3)
+    from the accumulated per-run ledger instead of the three hand-picked
+    windows it was born on.
+
+    Model: total(s) = T0 * (1 + lambda * (s/anchor - 1)) — linear in the
+    sentinel median s, so an ordinary least-squares line total = a + b*s
+    recovers T0 = a + b*anchor (the clean-equivalent total AT the anchor
+    weather) and lambda = b*anchor / T0. The anchor is the r13 close
+    sentinel (0.067 s), keeping the fitted lambda comparable with the
+    hand-derived ARCHITECTURE values (0.41 from the r13/r14 windows).
+    Residuals are printed per point: weather explains what the line
+    explains; a point far off the line at equal weather is a CODE speed
+    change, which is exactly what the residual column is for."""
+    pts = []
+    for line in open(ledger_path):
+        line = line.strip()
+        if line:
+            pts.append(json.loads(line))
+    pts = [p for p in pts if p.get("sf_run") == "sf0.1"
+           and p.get("sentinel_median") and p.get("total")]
+    if len(pts) < 2:
+        print(f"LAMBDA: only {len(pts)} usable sf0.1 points in "
+              f"{ledger_path} — need >= 2 to fit")
+        return None
+    nq = sorted({p.get("n_queries") for p in pts})
+    if len(nq) > 1:
+        print(f"NOTE: ledger mixes query-surface sizes {nq} — totals are "
+              f"only comparable within one surface; fitting anyway, read "
+              f"residuals accordingly")
+    xs = [p["sentinel_median"] for p in pts]
+    ys = [p["total"] for p in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    if sxx == 0:
+        print("LAMBDA: all points share one sentinel — cannot fit a slope")
+        return None
+    b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+    a = my - b * mx
+    t0 = a + b * anchor
+    lam = b * anchor / t0 if t0 else float("nan")
+    print(f"LAMBDA fit over {n} ledger points (anchor sentinel "
+          f"{anchor:.3f} s): lambda = {lam:.3f}, clean-equivalent total "
+          f"at anchor = {t0:.1f} s  [total = {a:.1f} + {b:.1f} * sentinel]")
+    print(f"{'sentinel':>9} {'total':>8} {'predicted':>10} {'resid':>8} "
+          f"{'resid%':>7}  source")
+    for p in sorted(pts, key=lambda p: p.get("run_epoch_ms", 0)):
+        pred = a + b * p["sentinel_median"]
+        res = p["total"] - pred
+        src = p.get("seeded") or p.get("head", "?")
+        print(f"{p['sentinel_median']:9.3f} {p['total']:8.1f} {pred:10.1f} "
+              f"{res:+8.1f} {100 * res / pred:+6.1f}%  {src}")
+    rms = (sum((p["total"] - (a + b * p["sentinel_median"])) ** 2
+               for p in pts) / n) ** 0.5
+    print(f"RMS residual {rms:.1f} s over {n} points")
+    return lam
+
+
 def main(argv=None):
     argv = sys.argv if argv is None else argv
+    if len(argv) > 1 and argv[1] == "--lambda":
+        lambda_refit(*argv[2:3])
+        return
     path = argv[1] if len(argv) > 1 else "bench_full.json"
     d, coverage_note = unwrap(json.load(open(path)))
     if coverage_note:

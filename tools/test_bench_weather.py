@@ -44,8 +44,34 @@ def test_driver_artifact_no_prior():
     assert "no prior file given" in out
 
 
+def test_lambda_refit_on_committed_ledger():
+    out = run("--lambda", os.path.join(ROOT, "bench_ledger.jsonl"))
+    assert "LAMBDA fit" in out and "RMS residual" in out
+    lam = float(out.split("lambda = ")[1].split(",")[0])
+    # The hand-derived model said 0.41-0.6; the 5-window fit lands ~0.35.
+    # A fit far outside [0.1, 1.0] means the ledger or model broke.
+    assert 0.1 < lam < 1.0, lam
+
+
+def test_lambda_refit_needs_two_points():
+    import json
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                     delete=False) as f:
+        f.write(json.dumps({"sf_run": "sf0.1", "sentinel_median": 0.1,
+                            "total": 100.0}) + "\n")
+        path = f.name
+    try:
+        out = run("--lambda", path)
+        assert "need >= 2" in out
+    finally:
+        os.unlink(path)
+
+
 if __name__ == "__main__":
     test_bench_full_shape()
     test_driver_artifact_shape()
     test_driver_artifact_no_prior()
+    test_lambda_refit_on_committed_ledger()
+    test_lambda_refit_needs_two_points()
     print("bench_weather shape guards OK")
