@@ -21,8 +21,22 @@ object Media {
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
                       source: String)
 
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                           width: Int, height: Int, fp: String)
+  /** NULL-payload totality (media fuzz arm, round 16): a 100 TB crawl
+    * WILL present rows whose payload column is NULL (failed fetch, GDPR
+    * scrub), and the typed `mapPartitions` path used to NPE on the
+    * first one. Semantics mirror the DuckDB oracles' native NULL
+    * arithmetic, probed directly (FuzzMediaSpec):
+    * `strlen(NULL)`/`md5(NULL)`/`substring(NULL)` → NULL, so features,
+    * frame offsets/bytes, and resampled payloads are NULL; gradient
+    * hashes fold zero set bits over a NULL payload → phash/fhash 0
+    * (matching the oracle's `COALESCE(SUM(CASE …), 0)` shape); and
+    * `LEAST(NULL, t)` SKIPS the NULL in both engines, so a NULL
+    * payload's `target_len`/frame length echo the REQUESTED size, not
+    * NULL. Metric fields go `Option[_]` to carry the NULLs through the
+    * Encoders. */
+  case class MediaFeatures(media_id: Long, kind: String,
+                           n_bytes: Option[Int], width: Option[Int],
+                           height: Option[Int], fp: String)
 
   /** Build a media table from `documents`: text bytes stand in for the
     * opaque binary payload; kind cycles image/audio/video by id. */
@@ -48,10 +62,14 @@ object Media {
     media.as[MediaRow].mapPartitions { rows =>
       // One-time per-partition setup would go here (decoder init).
       rows.map { m =>
-        val h = HashUtil.md5Lower63(m.content)
-        val (w, ht) = fakeDims(h)
-        MediaFeatures(m.media_id, m.kind, m.content.length, w, ht,
-          md5Hex(m.content))
+        if (m.content == null)
+          MediaFeatures(m.media_id, m.kind, None, None, None, null)
+        else {
+          val h = HashUtil.md5Lower63(m.content)
+          val (w, ht) = fakeDims(h)
+          MediaFeatures(m.media_id, m.kind, Some(m.content.length),
+            Some(w), Some(ht), md5Hex(m.content))
+        }
       }
     }
   }
@@ -61,11 +79,12 @@ object Media {
   def fakeDims(h: Long): (Int, Int) =
     ((64L + h % 1024L).toInt, (64L + (h / 1024L) % 1024L).toInt)
 
-  case class MediaFrame(media_id: Long, frame_idx: Int, off: Long,
+  case class MediaFrame(media_id: Long, frame_idx: Int, off: Option[Long],
                         frame: Array[Byte])
 
-  case class ResizedMedia(media_id: Long, kind: String, n_bytes: Int,
-                          target_len: Int, resized: Array[Byte])
+  case class ResizedMedia(media_id: Long, kind: String,
+                          n_bytes: Option[Int], target_len: Option[Int],
+                          resized: Array[Byte])
 
   /** Resize / resample a payload to `targetLen` bytes by uniform stride
     * sampling: output byte i = content[(i·L) div T]. The byte-stream
@@ -79,17 +98,23 @@ object Media {
     require(targetLen >= 1, s"target length must be >= 1, got $targetLen")
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val len = m.content.length
-        if (len <= targetLen)
-          ResizedMedia(m.media_id, m.kind, len, len, m.content)
+        if (m.content == null)
+          // target_len echoes the REQUEST: LEAST(NULL, t) = t in both
+          // engines (see the NULL-totality note on MediaFeatures).
+          ResizedMedia(m.media_id, m.kind, None, Some(targetLen), null)
         else {
-          val out = new Array[Byte](targetLen)
-          var i = 0
-          while (i < targetLen) {
-            out(i) = m.content((i.toLong * len / targetLen).toInt)
-            i += 1
+          val len = m.content.length
+          if (len <= targetLen)
+            ResizedMedia(m.media_id, m.kind, Some(len), Some(len), m.content)
+          else {
+            val out = new Array[Byte](targetLen)
+            var i = 0
+            while (i < targetLen) {
+              out(i) = m.content((i.toLong * len / targetLen).toInt)
+              i += 1
+            }
+            ResizedMedia(m.media_id, m.kind, Some(len), Some(targetLen), out)
           }
-          ResizedMedia(m.media_id, m.kind, len, targetLen, out)
         }
       }
     }
@@ -112,12 +137,19 @@ object Media {
     media.filter(col("kind") === "video").as[MediaRow].mapPartitions { rows =>
       // One-time per-partition setup would go here (decoder init).
       rows.flatMap { m =>
-        val len = m.content.length
-        val f = math.min(frameLen, len)
-        (0 until n).iterator.map { i =>
-          val off = if (n == 1) 0L else i.toLong * (len - f) / (n - 1)
-          MediaFrame(m.media_id, i, off,
-            java.util.Arrays.copyOfRange(m.content, off.toInt, off.toInt + f))
+        if (m.content == null)
+          // NULL payload still yields its n frame ROWS (the oracle's
+          // CROSS JOIN over frame indices), each with NULL offset/bytes.
+          (0 until n).iterator.map(i => MediaFrame(m.media_id, i, None, null))
+        else {
+          val len = m.content.length
+          val f = math.min(frameLen, len)
+          (0 until n).iterator.map { i =>
+            val off = if (n == 1) 0L else i.toLong * (len - f) / (n - 1)
+            MediaFrame(m.media_id, i, Some(off),
+              java.util.Arrays.copyOfRange(m.content, off.toInt,
+                off.toInt + f))
+          }
         }
       }
     }
@@ -138,17 +170,27 @@ object Media {
                   frameLen: Int = 256): Dataset[FrameHash] = {
     import spark.implicits._
     frameSample(spark, media, n, frameLen).map { fr =>
-      val b = fr.frame
-      var h = 0L
-      var bit = 0
-      while (bit < 60) {
-        val i = 2 * bit
-        if (i + 1 < b.length && (b(i) & 0xff) > (b(i + 1) & 0xff))
-          h |= 1L << bit
-        bit += 1
-      }
-      FrameHash(fr.media_id, fr.frame_idx, h)
+      FrameHash(fr.media_id, fr.frame_idx, gradientBits(fr.frame))
     }
+  }
+
+  /** 60 gradient bits (dHash core): bit b set when byte 2b compares
+    * greater (unsigned) than byte 2b+1. A NULL or empty payload folds
+    * ZERO set bits → hash 0 — exactly the oracle's
+    * `COALESCE(SUM(CASE …), 0)` over NULL comparisons (media fuzz arm:
+    * NULL-payload assets hash to the all-zero bucket on both engines
+    * rather than crashing one of them). */
+  private def gradientBits(b: Array[Byte]): Long = {
+    if (b == null) return 0L
+    var h = 0L
+    var bit = 0
+    while (bit < 60) {
+      val i = 2 * bit
+      if (i + 1 < b.length && (b(i) & 0xff) > (b(i + 1) & 0xff))
+        h |= 1L << bit
+      bit += 1
+    }
+    h
   }
 
   private def md5Hex(bytes: Array[Byte]): String = {
@@ -173,16 +215,7 @@ object Media {
                      targetLen: Int = 128): Dataset[MediaHash] = {
     import spark.implicits._
     resample(spark, media, targetLen).map { r =>
-      val b = r.resized
-      var h = 0L
-      var bit = 0
-      while (bit < 60) {
-        val i = 2 * bit
-        if (i + 1 < b.length && (b(i) & 0xff) > (b(i + 1) & 0xff))
-          h |= 1L << bit
-        bit += 1
-      }
-      MediaHash(r.media_id, r.kind, h)
+      MediaHash(r.media_id, r.kind, gradientBits(r.resized))
     }
   }
 }

@@ -20,10 +20,17 @@ object MediaQueries {
   private val H = "9223372036854775807"
 
   /** q60 — media feature extraction over the binary payloads. */
+  // Ordering note (media fuzz arm, r16): the driver comparator is
+  // POSITIONAL, so every query's ORDER BY must be a total order on its
+  // output. Under duplicate asset ids (a real crawl shape) `media_id`
+  // alone ties rows whose payload-derived columns differ — the arm
+  // caught q325 flapping on exactly that — so the media family orders
+  // by its full deterministic column set, NULLS FIRST on both engines
+  // (Spark's asc default).
   val q60: Q = (spark, dir) =>
     Media.featurize(spark, Media.mediaTable(Tables.documents(spark, dir)))
       .toDF()
-      .orderBy("media_id")
+      .orderBy("media_id", "n_bytes", "fp")
 
   /** q67 — video frame sampling (4 evenly-spaced 256-byte stub frames
     * per video payload; see [[Media.frameSample]] for the decode seam).
@@ -37,7 +44,7 @@ object MediaQueries {
       .toDF()
       .select(col("media_id"), col("frame_idx"), col("off"),
         lower(hex(col("frame"))).as("frame_hex"))
-      .orderBy("media_id", "frame_idx")
+      .orderBy("media_id", "frame_idx", "off", "frame_hex")
 
   /** q68 — media resample to 128 bytes by uniform stride sampling (the
     * image-resize / audio-resample seam; see [[Media.resample]]). Output
@@ -48,7 +55,7 @@ object MediaQueries {
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("target_len"),
         lower(hex(col("resized"))).as("resized_hex"))
-      .orderBy("media_id")
+      .orderBy("media_id", "n_bytes", "resized_hex")
 
   /** q195 — multimodal near-duplicate detection: perceptual
     * difference-hash over the resampled payloads
@@ -77,7 +84,7 @@ object MediaQueries {
       .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
+      .orderBy("id_a", "id_b", "hamming")
   }
 
   /** q324 — per-modality data card: the q305 governance shape over the
@@ -127,7 +134,7 @@ object MediaQueries {
       .select(col("media_id"), col("kind"), col("source"),
         col("caption_tokens"), size(col("embedding")).as("dim"),
         qround(l2norm(col("embedding")), 6).as("l2norm"), col("label"))
-      .orderBy("media_id")
+      .orderBy("media_id", "source", "caption_tokens", "l2norm", "label")
   }
 
   /** q326 — CROSS-modal near-duplicate candidates: sign-LSH bucket join
@@ -157,7 +164,7 @@ object MediaQueries {
       .withColumn("cos", cosine6(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("cos") >= 0.4)
       .select("id_a", "id_b", "kind_a", "kind_b", "bucket", "cos")
-      .orderBy("id_a", "id_b")
+      .orderBy("id_a", "id_b", "bucket", "cos")
   }
 
   /** q327 — frame-level perceptual dedup: [[Media.frameHashes]] (4
@@ -237,7 +244,7 @@ object MediaQueries {
       .withColumn("cos", cosine6(col("ea"), col("eb"), col("na"), col("nb")))
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("cos"),
         when(col("cos") >= 0.4, 1L).otherwise(0L).as("agree"))
-      .orderBy("id_a", "id_b")
+      .orderBy("id_a", "id_b", "cos")
   }
 
   val queries: Map[String, Q] = Map(
@@ -266,7 +273,7 @@ object MediaQueries {
         |  floor(quantile_cont(nb, 0.5) * 1000000.0 + 0.5) / 1000000.0
         |    AS p50_bytes,
         |  CAST(MAX(nb) AS BIGINT) AS max_bytes
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM m GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "q325_caption_embedding_link" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
@@ -281,7 +288,8 @@ object MediaQueries {
         |    AS l2norm,
         |  CAST(e.label AS BIGINT) AS label
         |FROM m JOIN embeddings e ON m.media_id = e.vec_id
-        |ORDER BY media_id""".stripMargin,
+        |ORDER BY media_id, source NULLS FIRST, caption_tokens NULLS FIRST,
+        |  l2norm NULLS FIRST, label NULLS FIRST""".stripMargin,
     "q326_crossmodal_neardup" ->
       s"""WITH proj AS (
          |  SELECT vec_id, p,
@@ -309,7 +317,7 @@ object MediaQueries {
          |  WHERE a.kind <> b.kind)
          |SELECT id_a, id_b, kind_a, kind_b, bucket, cos
          |FROM scored WHERE cos >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin,
+         |ORDER BY id_a, id_b, bucket, cos""".stripMargin,
     // Frames per q67's offset arithmetic, dHash per q195's gradient
     // bits, pigeonhole bands per frame, exact Hamming on candidates.
     "q327_frame_phash_dedup" ->
@@ -360,7 +368,7 @@ object MediaQueries {
         |  floor((CAST(total_bytes AS DOUBLE) /
         |    CAST(SUM(total_bytes) OVER (PARTITION BY source) AS DOUBLE))
         |    * 1000000.0 + 0.5) / 1000000.0 AS byte_share
-        |FROM g ORDER BY source, kind""".stripMargin,
+        |FROM g ORDER BY source NULLS FIRST, kind""".stripMargin,
     "q329_crossmodal_agreement" ->
       s"""WITH ${TextQueries.lshPairsCte},
          |p AS (SELECT id_a, id_b, est_jaccard FROM est
@@ -378,7 +386,7 @@ object MediaQueries {
          |         JOIN e b ON p.id_b = b.vec_id)
          |SELECT id_a, id_b, est_jaccard, cos,
          |  CAST(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS agree
-         |FROM s ORDER BY id_a, id_b""".stripMargin,
+         |FROM s ORDER BY id_a, id_b, cos NULLS FIRST""".stripMargin,
     // Resample (q68's arithmetic) → 60 gradient bits → 4×15-bit bands →
     // exact Hamming on candidates. ASCII corpus ⇒ the Spark side's raw
     // resampled BYTES equal the oracle's character codepoints (ascii()).
@@ -411,7 +419,7 @@ object MediaQueries {
         |  WHERE a.media_id < b.media_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b, hamming""".stripMargin,
     "q60_media_features" ->
       s"""WITH m AS (
          |  SELECT doc_id AS media_id,
@@ -423,7 +431,8 @@ object MediaQueries {
          |  CAST(64 + h % 1024 AS INT) AS width,
          |  CAST(64 + (h // 1024) % 1024 AS INT) AS height,
          |  md5(text) AS fp
-         |FROM m ORDER BY media_id""".stripMargin,
+         |FROM m
+         |ORDER BY media_id, n_bytes NULLS FIRST, fp NULLS FIRST""".stripMargin,
     // ASCII corpus ⇒ byte offsets == char offsets, so the byte-window
     // frames are substrings; integer div keeps offsets exact.
     "q67_media_frames" ->
@@ -437,8 +446,10 @@ object MediaQueries {
         |    (frame_idx * (l - f)) // 3 AS off, f, text
         |  FROM v CROSS JOIN idx)
         |SELECT media_id, frame_idx, CAST(off AS BIGINT) AS off,
-        |  lower(hex(CAST(substring(text, CAST(off + 1 AS INT), CAST(f AS INT)) AS BLOB))) AS frame_hex
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+        |  lower(hex(encode(substring(text, CAST(off + 1 AS INT), CAST(f AS INT))))) AS frame_hex
+        |FROM fr
+        |ORDER BY media_id, frame_idx, off NULLS FIRST,
+        |  frame_hex NULLS FIRST""".stripMargin,
     // Stride sampling: out[i] = content[(i*L) // T] — reproduced with a
     // per-index substring list folded back to a string. ASCII corpus ⇒
     // byte == char addressing.
@@ -450,9 +461,11 @@ object MediaQueries {
         |  FROM documents)
         |SELECT media_id, kind, CAST(l AS INT) AS n_bytes,
         |  CAST(LEAST(l, 128) AS INT) AS target_len,
-        |  lower(hex(CAST(CASE WHEN l <= 128 THEN text ELSE
+        |  lower(hex(encode(CASE WHEN l <= 128 THEN text ELSE
         |    array_to_string(list_transform(generate_series(0, 127),
         |      i -> substring(text, CAST((i * l) // 128 AS INT) + 1, 1)), '')
-        |  END AS BLOB))) AS resized_hex
-        |FROM m ORDER BY media_id""".stripMargin)
+        |  END))) AS resized_hex
+        |FROM m
+        |ORDER BY media_id, n_bytes NULLS FIRST,
+        |  resized_hex NULLS FIRST""".stripMargin)
 }
