@@ -444,6 +444,24 @@ object SimilarityQueries {
       k = 5, cells = 16, nprobe = 2)
       .orderBy("q_id", "rank")
 
+  /** q375 — incremental IVF index update
+    * ([[graft.sim.IvfAnn.incrementalUpdate]], VERDICT r15 #5): the
+    * corpus splits into the already-indexed BASE (vec_id % 5 ≠ 4) and
+    * an append DELTA batch (vec_id % 5 = 4); the delta is assigned to
+    * the base's EXISTING fixed quantizer — no refit — and the output is
+    * the per-cell occupancy audit (base/delta/total, growth, load
+    * share) that decides when a re-quantize is finally due. q37/q192
+    * answer "query the index"; this answers "maintain it under
+    * append", which is what a 100 TB corpus actually does daily. */
+  val q375: Q = (spark, dir) => {
+    val c = emb(spark, dir).filter(col("vec_id") >= 10)
+    graft.sim.IvfAnn.incrementalUpdate(
+      base = c.filter(col("vec_id") % 5 =!= 4),
+      delta = c.filter(col("vec_id") % 5 === 4),
+      idCol = "vec_id", embCol = "embedding", cells = 16)
+      .orderBy("cell")
+  }
+
   /** q232 — embedding-truncation recall audit (the Matryoshka/MRL
     * serving question): if ANN serves on the FIRST 32 of 64 dimensions
     * (2× memory/compute cut), what fraction of each query's true
@@ -701,6 +719,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q375_ivf_incremental" -> q375,
     "q351_ivf_nprobe_sweep" -> q351,
     "q347_label_centroids" -> q347,
     "q261_pq_audit" -> q261,
@@ -980,6 +999,60 @@ object SimilarityQueries {
         |FROM (SELECT DISTINCT q_id FROM q) q
         |LEFT JOIN ov ON q.q_id = ov.q_id
         |ORDER BY q.q_id""".stripMargin,
+    // Same fixed-quantizer arithmetic as q192 (seed pick by keyed hash,
+    // argmin by the bit-identical fold rel = ||c||^2 - 2 q.c), then the
+    // occupancy audit: per-cell base/delta counts over the two snapshot
+    // sides, growth NULL on an empty base cell, load share over the
+    // |cells|-row frame.
+    "q375_ivf_incremental" ->
+      s"""WITH b0 AS (
+         |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 4),
+         |d0 AS (
+         |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 = 4),
+         |sd AS (
+         |  SELECT n_id, emb,
+         |    row_number() OVER (ORDER BY
+         |      md5_number_lower('ivfseed:' || n_id::VARCHAR) & $H, n_id)
+         |      AS rn
+         |  FROM b0),
+         |seeds AS (
+         |  SELECT CAST(rn - 1 AS INT) AS cell, emb AS cen
+         |  FROM sd WHERE rn <= 16),
+         |ab AS (
+         |  SELECT n_id, cell FROM (
+         |    SELECT b0.n_id, s.cell,
+         |      row_number() OVER (PARTITION BY b0.n_id ORDER BY
+         |        list_dot_product(s.cen, s.cen)
+         |          - 2.0 * list_dot_product(b0.emb, s.cen), s.cell) AS r
+         |    FROM b0 CROSS JOIN seeds s) WHERE r = 1),
+         |ad AS (
+         |  SELECT n_id, cell FROM (
+         |    SELECT d0.n_id, s.cell,
+         |      row_number() OVER (PARTITION BY d0.n_id ORDER BY
+         |        list_dot_product(s.cen, s.cen)
+         |          - 2.0 * list_dot_product(d0.emb, s.cen), s.cell) AS r
+         |    FROM d0 CROSS JOIN seeds s) WHERE r = 1),
+         |nb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base
+         |       FROM ab GROUP BY cell),
+         |nd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_delta
+         |       FROM ad GROUP BY cell),
+         |t AS (
+         |  SELECT s.cell,
+         |    COALESCE(nb.n_base, CAST(0 AS BIGINT)) AS n_base,
+         |    COALESCE(nd.n_delta, CAST(0 AS BIGINT)) AS n_delta,
+         |    COALESCE(nb.n_base, CAST(0 AS BIGINT))
+         |      + COALESCE(nd.n_delta, CAST(0 AS BIGINT)) AS n_total
+         |  FROM seeds s LEFT JOIN nb USING (cell) LEFT JOIN nd USING (cell))
+         |SELECT cell, n_base, n_delta, n_total,
+         |  floor((CAST(n_delta AS DOUBLE)
+         |    / NULLIF(CAST(n_base AS DOUBLE), 0.0))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS growth_pct,
+         |  floor((CAST(n_total AS DOUBLE)
+         |    / NULLIF(CAST(SUM(n_total) OVER () AS DOUBLE), 0.0))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS load_share
+         |FROM t ORDER BY cell""".stripMargin,
     "q192_ann_ivf_fixed" ->
       s"""WITH c0 AS (
          |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -358,6 +358,25 @@ object TextQueries {
       graft.text.Dedup.nearDupClusters(lshPairsCached(spark, dir), "id_a", "id_b"))
       .orderBy("doc_id")
 
+  /** q376 — cross-snapshot dedup-ledger compaction
+    * ([[graft.text.Dedup.ledgerCompact]], VERDICT r15 #5): yesterday's
+    * ledger (even doc_ids) merged with today's crawl increment (odd
+    * doc_ids) into one row per distinct fingerprint — first-seen
+    * provenance, carried canonical, per-side counts, and the
+    * cross-snapshot duplicate count that is the whole point of keeping
+    * a ledger (q97 answers "dedup this corpus"; this answers "dedup
+    * today against every corpus before it"). Ordered by canonical then
+    * fp — a total order: fp is unique per row apart from the two
+    * per-side NULL-fingerprint rows, whose canonicals differ. */
+  val q376: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    graft.text.Dedup.ledgerCompact(
+      prev = d.filter(col("doc_id") % 2 === 0),
+      batch = d.filter(col("doc_id") % 2 === 1),
+      idCol = "doc_id", textCol = "text")
+      .orderBy("canonical_id", "fp")
+  }
+
   /** q84 — token chunking ([[TextAnalysis.chunkDocuments]], 32-token
     * chunks, stride 24 → 8 tokens of shared context between consecutive
     * chunks): the sequence-prep map that fans each document onto its
@@ -1810,6 +1829,7 @@ object TextQueries {
     "q95_vocab_spectrum" -> q95,
     "q96_jsonl_roundtrip" -> q96,
     "q97_dedup_ledger" -> q97,
+    "q376_dedup_ledger_compact" -> q376,
     "q98_minhash_rowsig" -> q98,
     "q107_bigram_loglik" -> q107,
     "q108_bpe_pairs" -> q108,
@@ -3170,6 +3190,28 @@ object TextQueries {
          |       ELSE ex.doc_id END AS canonical_id
          |FROM ex LEFT JOIN comp ON comp.id = ex.doc_id
          |ORDER BY ex.doc_id""".stripMargin,
+    "q376_dedup_ledger_compact" ->
+      """WITH pg AS (
+        |  SELECT md5(text) AS fp, MIN(doc_id) AS prev_canonical,
+        |    CAST(COUNT(*) AS BIGINT) AS n_prev
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |bg AS (
+        |  SELECT md5(text) AS fp, MIN(doc_id) AS new_min,
+        |    CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(pg.fp, bg.fp) AS fp,
+        |    COALESCE(pg.prev_canonical, bg.new_min) AS canonical_id,
+        |    CASE WHEN pg.n_prev IS NOT NULL THEN 'prev' ELSE 'curr' END
+        |      AS first_seen,
+        |    COALESCE(pg.n_prev, CAST(0 AS BIGINT)) AS n_prev,
+        |    COALESCE(bg.n_new, CAST(0 AS BIGINT)) AS n_new
+        |  FROM pg FULL OUTER JOIN bg ON pg.fp = bg.fp)
+        |SELECT fp, canonical_id, first_seen, n_prev, n_new,
+        |  n_prev + n_new AS n_total,
+        |  CASE WHEN first_seen = 'prev' THEN n_new
+        |       ELSE CAST(0 AS BIGINT) END AS n_cross_dups
+        |FROM m ORDER BY canonical_id, fp NULLS FIRST""".stripMargin,
     "q80_tfidf_cosine_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

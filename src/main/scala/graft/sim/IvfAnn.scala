@@ -156,4 +156,65 @@ object IvfAnn {
       "q_id", Seq(col("cos").desc, col("n_id")), k = k)
       .select("q_id", "rank", "n_id", "cell", "cos")
   }
+
+  /** Incremental IVF index UPDATE (VERDICT r15 #5): a 100 TB corpus
+    * APPENDS — it does not refit its quantizer per batch. The update
+    * path assigns a delta batch to the EXISTING quantizer (the fixed
+    * seeded centroids of [[topKFixed]], built from the BASE corpus
+    * only — the index predates the append) and emits the per-cell
+    * occupancy audit an index maintainer reads: base/delta/total
+    * counts per cell (empty cells included — a cell the append never
+    * touches is itself a signal), the delta-over-base growth, and each
+    * cell's share of total load. `growth_pct` spiking on one cell, or
+    * `load_share` drifting far from 1/cells, is exactly the
+    * re-quantize trigger; until it fires, appends are one
+    * broadcast-assign pass, no refit, no index rebuild.
+    *
+    * 100 TB posture: the quantizer is `cells` × dim doubles —
+    * broadcast by construction; each side's assignment is the same
+    * argmin-over-broadcast-centroids map [[topKFixed]] runs; the only
+    * shuffles are the two per-cell count aggregates (map-side partial,
+    * |cells| rows out) and the final dimension-sized joins. The
+    * load-share window runs over |cells| rows, never the fact scan.
+    * Cross-engine determinism: identical to [[topKFixed]] — the
+    * centroid argmin ranks by the bit-identical sequential-fold dot
+    * product, ties on cell id. */
+  def incrementalUpdate(base: DataFrame, delta: DataFrame, idCol: String,
+                        embCol: String, cells: Int): DataFrame = {
+    val b0 = base.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    val d0 = delta.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("n_id"))
+    val seeds = b0
+      .withColumn("h", graft.functions.GraftFunctions.md5_63(
+        concat(lit("ivfseed:"), col("n_id").cast("string"))))
+      .orderBy(col("h"), col("n_id")).limit(cells)
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"), col("n_emb").as("centroid"))
+    def assign(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(seeds))
+      .withColumn("rel", dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(col("n_emb"), col("centroid")))
+      .transform(d => perKeyTopK(d, "n_id",
+        Seq(col("rel").asc, col("cell")), k = 1))
+      .select(col("n_id"), col("cell"))
+    val nb = assign(b0).groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val nd = assign(d0).groupBy("cell").agg(count(lit(1)).as("n_delta"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy() // |cells| rows — dimension-sized, never the scan
+    seeds.select("cell")
+      .join(nb, Seq("cell"), "left").join(nd, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("n_total", col("n_base") + col("n_delta"))
+      .withColumn("growth_pct", graft.functions.GraftFunctions.qround(
+        when(col("n_base") === 0L, lit(null))
+          .otherwise(col("n_delta").cast("double") /
+            col("n_base").cast("double")), 6))
+      .withColumn("load_share", graft.functions.GraftFunctions.qround(
+        when(sum(col("n_total")).over(tw) === 0L, lit(null))
+          .otherwise(col("n_total").cast("double") /
+            sum(col("n_total")).over(tw).cast("double")), 6))
+  }
 }

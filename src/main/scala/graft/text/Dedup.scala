@@ -131,4 +131,51 @@ object Dedup {
           .when(col("__near_canon").isNotNull, col("__near_canon"))
           .otherwise(col(idCol)).as("canonical_id"))
   }
+
+  /** Cross-snapshot dedup-ledger COMPACTION (VERDICT r15 #5): q97's
+    * ledger is within-corpus; production dedup is corpus-vs-yesterday —
+    * every crawl increment must be checked against the accumulated
+    * fingerprint ledger, and the ledger itself compacted forward. Input:
+    * `prev` (the documents behind yesterday's ledger) and `batch`
+    * (today's increment). Output: ONE row per distinct fingerprint
+    * across both snapshots — the compacted ledger — carrying
+    *
+    *  - `canonical_id`: the ledger's first-seen canonical (yesterday's
+    *    canonical wins; a fingerprint new today canonicalizes to the
+    *    batch's min id),
+    *  - `first_seen`: 'prev' | 'curr' (provenance of the entry),
+    *  - `n_prev` / `n_new` / `n_total`: occurrence counts per side,
+    *  - `n_cross_dups`: today's occurrences of a fingerprint ALREADY in
+    *    yesterday's ledger — the rows cross-snapshot dedup removes (and
+    *    the token-savings numerator a mix report quotes).
+    *
+    * Tomorrow's `prev` is today's output — the compaction is closed
+    * under iteration, which is what makes it a ledger and not a report.
+    *
+    * 100 TB posture: two map-side-partial hash aggregates on the
+    * fingerprint plus ONE fp-keyed full-outer shuffle join at
+    * |distinct fp| scale; no payload ever crosses the shuffle (only
+    * 16-byte fingerprints and counts). NULL payloads hash to a NULL
+    * fingerprint, which standard join semantics keep as separate
+    * per-side ledger rows (NULL ≠ NULL) — both engines agree. */
+  def ledgerCompact(prev: DataFrame, batch: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def side(df: DataFrame, canon: String, n: String) =
+      df.select(col(idCol).as("id"), md5(col(textCol)).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("id")).as(canon), count(lit(1)).as(n))
+    val pg = side(prev, "prev_canonical", "n_prev")
+    val bg = side(batch, "new_min", "n_new")
+    pg.join(bg, pg("fp") === bg("fp"), "full_outer")
+      .select(
+        coalesce(pg("fp"), bg("fp")).as("fp"),
+        coalesce(col("prev_canonical"), col("new_min")).as("canonical_id"),
+        when(col("n_prev").isNotNull, lit("prev")).otherwise(lit("curr"))
+          .as("first_seen"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_prev") + col("n_new"))
+      .withColumn("n_cross_dups",
+        when(col("first_seen") === "prev", col("n_new")).otherwise(lit(0L)))
+  }
 }

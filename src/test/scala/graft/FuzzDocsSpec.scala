@@ -39,10 +39,12 @@ class FuzzDocsSpec extends AnyFunSuite {
     "q332_duplicate_ngram_mass", // dup 8-gram share (doc < 8 tokens)
     "q333_length_lognormal", // ln(n_chars) moments (n_chars = 0)
     "q344_stopword_discovery", // df ratios (every token in every doc)
-    "q368_zipf_slope")       // ln-ln OLS (vocabulary of one type)
+    "q368_zipf_slope",       // ln-ln OLS (vocabulary of one type)
+    "q376_dedup_ledger_compact") // cross-snapshot ledger (r16: empty
+                             // snapshots, all-identical fps, NULL-free)
 
   test("engine matches DuckDB on 88 seeded adversarial document " +
-    "fixtures across 19 query families") {
+    "fixtures across 20 query families") {
     FuzzHarness.sweep(GraftSpark.spark, "docs", FuzzDocsFixtures.Classes,
       seeds = 8, write = FuzzDocsFixtures.write,
       core = core, rotation = rotation, strides = Seq(0, 5, 11))

@@ -36,10 +36,12 @@ class FuzzEmbeddingsSpec extends AnyFunSuite {
     "q244_knn_loo_accuracy",  // leave-one-out kNN vote (ties, n=1)
     "q261_pq_audit",          // product-quantization error (zero vecs)
     "q347_label_centroids",   // centroid table (singleton labels)
-    "q351_ivf_nprobe_sweep")  // nprobe recall curve (degenerate cells)
+    "q351_ivf_nprobe_sweep",  // nprobe recall curve (degenerate cells)
+    "q375_ivf_incremental")   // append-path audit (r16: empty base/delta,
+                              // single-vector snapshots)
 
   test("engine matches DuckDB on 80 seeded adversarial embedding " +
-    "fixtures across 16 query families") {
+    "fixtures across 17 query families") {
     FuzzHarness.sweep(GraftSpark.spark, "embeddings",
       FuzzEmbeddingsFixtures.Classes, seeds = 8,
       write = FuzzEmbeddingsFixtures.write,
