@@ -427,7 +427,7 @@ object Bench {
             Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
           catch { case _: Throwable => "?" }
         val ledgerLine =
-          s"""{"run_epoch_ms":$runEpochMs,"sf_run":"$sfRun","sentinel_median":${s3(med)},"total":${s3(total)},"value_clean":${s3(valueClean)},"n_queries":${results.size},"lambda":${s3(lambda)},"weather_factor":${s3(wf)},"n_unresolved":${unresolvedDrift.size},"head":"$head"}"""
+          s"""{"run_epoch_ms":$runEpochMs,"sf_run":"$sfRun","sentinel_median":${s3(med)},"total":${s3(total)},"value_clean":${s3(valueClean)},"n_queries":${results.size},"lambda":${s3(lambda)},"weather_factor":${s3(wf)},"n_unresolved":${unresolvedDrift.size},"n_failed":${failed.size},"head":"$head"}"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_ledger.jsonl"), ledgerLine + "\n",
           java.nio.file.StandardOpenOption.CREATE,

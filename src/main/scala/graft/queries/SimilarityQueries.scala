@@ -444,7 +444,7 @@ object SimilarityQueries {
       k = 5, cells = 16, nprobe = 2)
       .orderBy("q_id", "rank")
 
-  /** q375 — incremental IVF index update
+  /** q377 — incremental IVF index update
     * ([[graft.sim.IvfAnn.incrementalUpdate]], VERDICT r15 #5): the
     * corpus splits into the already-indexed BASE (vec_id % 5 ≠ 4) and
     * an append DELTA batch (vec_id % 5 = 4); the delta is assigned to
@@ -453,7 +453,7 @@ object SimilarityQueries {
     * share) that decides when a re-quantize is finally due. q37/q192
     * answer "query the index"; this answers "maintain it under
     * append", which is what a 100 TB corpus actually does daily. */
-  val q375: Q = (spark, dir) => {
+  val q377: Q = (spark, dir) => {
     val c = emb(spark, dir).filter(col("vec_id") >= 10)
     graft.sim.IvfAnn.incrementalUpdate(
       base = c.filter(col("vec_id") % 5 =!= 4),
@@ -719,7 +719,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    "q375_ivf_incremental" -> q375,
+    "q377_ivf_incremental" -> q377,
     "q351_ivf_nprobe_sweep" -> q351,
     "q347_label_centroids" -> q347,
     "q261_pq_audit" -> q261,
@@ -1004,7 +1004,7 @@ object SimilarityQueries {
     // occupancy audit: per-cell base/delta counts over the two snapshot
     // sides, growth NULL on an empty base cell, load share over the
     // |cells|-row frame.
-    "q375_ivf_incremental" ->
+    "q377_ivf_incremental" ->
       s"""WITH b0 AS (
          |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS emb
          |  FROM embeddings WHERE vec_id >= 10 AND vec_id % 5 <> 4),

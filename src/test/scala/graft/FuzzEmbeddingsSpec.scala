@@ -37,7 +37,7 @@ class FuzzEmbeddingsSpec extends AnyFunSuite {
     "q261_pq_audit",          // product-quantization error (zero vecs)
     "q347_label_centroids",   // centroid table (singleton labels)
     "q351_ivf_nprobe_sweep",  // nprobe recall curve (degenerate cells)
-    "q375_ivf_incremental")   // append-path audit (r16: empty base/delta,
+    "q377_ivf_incremental")   // append-path audit (r16: empty base/delta,
                               // single-vector snapshots)
 
   test("engine matches DuckDB on 80 seeded adversarial embedding " +

@@ -111,7 +111,7 @@ object FuzzMediaFixtures {
         (1L to 15L).foreach(id => add(id, t))
       case "null_payloads" =>
         (1L to 18L).foreach { id =>
-          if (id % 3 == 0 || id == 4L) add(id, null)        // incl. a video (id 3? 3%3=0 image; 6%3=0... careful below)
+          if (id % 3 == 0 || id == 4L) add(id, null) // images + one audio
           else if (id % 5 == 0) add(id, soup(20), null, null) // NULL lang+source
           else add(id, soup(10 + r.nextInt(40)))
         }

@@ -67,8 +67,18 @@ def lambda_refit(ledger_path="bench_ledger.jsonl", anchor=0.067):
         line = line.strip()
         if line:
             pts.append(json.loads(line))
+    # Fit on value_clean (== total on storm-free runs; on a run with
+    # unresolved storms it is the run's own weather-free estimate, so it
+    # is the cleaner fit point). Runs with FAILED queries are excluded:
+    # a time-to-exception total measures nothing.
+    skipped = [p for p in pts if p.get("n_failed")]
+    if skipped:
+        print(f"NOTE: excluding {len(skipped)} ledger point(s) with "
+              f"failed queries from the fit")
     pts = [p for p in pts if p.get("sf_run") == "sf0.1"
-           and p.get("sentinel_median") and p.get("total")]
+           and p.get("sentinel_median")
+           and (p.get("value_clean") or p.get("total"))
+           and not p.get("n_failed")]
     if len(pts) < 2:
         print(f"LAMBDA: only {len(pts)} usable sf0.1 points in "
               f"{ledger_path} — need >= 2 to fit")
@@ -79,7 +89,7 @@ def lambda_refit(ledger_path="bench_ledger.jsonl", anchor=0.067):
               f"only comparable within one surface; fitting anyway, read "
               f"residuals accordingly")
     xs = [p["sentinel_median"] for p in pts]
-    ys = [p["total"] for p in pts]
+    ys = [p.get("value_clean") or p["total"] for p in pts]
     n = len(pts)
     mx, my = sum(xs) / n, sum(ys) / n
     sxx = sum((x - mx) ** 2 for x in xs)
@@ -96,12 +106,14 @@ def lambda_refit(ledger_path="bench_ledger.jsonl", anchor=0.067):
     print(f"{'sentinel':>9} {'total':>8} {'predicted':>10} {'resid':>8} "
           f"{'resid%':>7}  source")
     for p in sorted(pts, key=lambda p: p.get("run_epoch_ms", 0)):
+        y = p.get("value_clean") or p["total"]
         pred = a + b * p["sentinel_median"]
-        res = p["total"] - pred
+        res = y - pred
         src = p.get("seeded") or p.get("head", "?")
-        print(f"{p['sentinel_median']:9.3f} {p['total']:8.1f} {pred:10.1f} "
+        print(f"{p['sentinel_median']:9.3f} {y:8.1f} {pred:10.1f} "
               f"{res:+8.1f} {100 * res / pred:+6.1f}%  {src}")
-    rms = (sum((p["total"] - (a + b * p["sentinel_median"])) ** 2
+    rms = (sum(((p.get("value_clean") or p["total"])
+                - (a + b * p["sentinel_median"])) ** 2
                for p in pts) / n) ** 0.5
     print(f"RMS residual {rms:.1f} s over {n} points")
     return lam
