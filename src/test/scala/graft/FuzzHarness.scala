@@ -69,6 +69,22 @@ object FuzzHarness {
         math.min(seeds, 1)
       } else seeds
     val root = new java.io.File(s"target/fuzz/$name").getAbsolutePath
+    // Clean slate: fuzz_check globs EVERY fixture directory under the
+    // root, so stale dirs from a prior run with a different class list
+    // or ordering (r16: inserting a class shifted every later fixture
+    // index, leaving the old ordering's tail dirs behind) would be
+    // compared against nothing and fail the count gate. Delete the
+    // whole sweep root before writing fixture 0.
+    locally {
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
     val fxRoot = s"$root/fixtures"
     val outRoot = s"$root/out"
     val oracles = graft.queries.Registry.oracles

@@ -86,7 +86,12 @@ class FuzzStreamRestartSpec extends AnyFunSuite {
       s"$armed drives armed with a crash but only $fired crashed — some " +
         "replay had fewer micro-batches than its crash point and the arm " +
         "silently compared an unbroken run")
-    assert(fired >= 55, s"only $fired injected crashes across the sweep " +
-      "— expected one per comparison (55); did queries bypass runToParquet?")
+    // 10 of the 11 picks per fixture drive a stream: q92 is the BATCH
+    // session-window form (the oracle twin q93 exercises) and never
+    // touches runToParquet — measured 50 fires over 5 fixtures when the
+    // counters first landed (r16).
+    assert(fired >= 50, s"only $fired injected crashes across the sweep " +
+      "— expected one per streaming drive (>= 50); did queries bypass " +
+      "runToParquet?")
   }
 }
