@@ -574,11 +574,29 @@ object TextAnalysis {
     */
   def setJaccardPairsDense(sets: DataFrame, id: String, item: String,
                            minJaccard: Double): DataFrame = {
+    // Materialized ONCE (r16, guide §2.4/§1): without the checkpoint the
+    // stream side and the broadcast side each re-ran the whole set-build
+    // lineage — for q71 that is the percent_rank window + df-cap
+    // semi-join + collect_set chain, measured as the plan's dominant
+    // duplicated subtree (plans/r16/q71_*_before.txt shows the identical
+    // 50-operator chain under BOTH join sides; exchange reuse cannot
+    // dedupe a ShuffleExchange against a BroadcastExchange).
     val packed = sets.groupBy(col(id))
       .agg(sort_array(collect_set(col(item))).as("items"))
       .select(col(id), col("items"), size(col("items")).as("n"))
-    val a = packed.select(col(id).as("id_a"), col("items").as("items_a"),
-      col("n").as("n_a"))
+      .localCheckpoint()
+    // Spread the quadratic pair scan (r16, guide §2.5 idle-capacity):
+    // the packed frame is a few hundred KB, so AQE coalesces its
+    // exchange to ONE partition and the n²/2 merge-walk ran on a single
+    // core (measured: q71's 1500×1500 scan was the whole 6.7 s). An
+    // explicit round-robin repartition to the session's core count is
+    // exempt from AQE coalescing and parallelizes the scan on any
+    // cluster size; the shuffled frame is tiny by the dense-path
+    // precondition (≤1e5 entities).
+    val a = packed
+      .repartition(sets.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id).as("id_a"), col("items").as("items_a"),
+        col("n").as("n_a"))
     val b = packed.select(col(id).as("id_b"), col("items").as("items_b"),
       col("n").as("n_b"))
     // Codegen'd merge-walk (int/long/string elements); generic
