@@ -63,6 +63,44 @@ object OptProbe {
       }
     }
 
+    if (probes("theil")) {
+      val pts = graft.queries.SharedFrames.dailyNationRevenue(spark, sfDir)
+        .select(col("nation"), col("day"), col("rev").cast("double").as("y"))
+      noop(pts)
+      val rows = pts.collect()
+      val byKey = rows.groupBy(_.getString(0))
+      println(s"PROBE theil:nations=${byKey.size} " +
+        s"L=${byKey.map(_._2.length).toSeq.sorted.mkString(",")}")
+      // pure driver-side replay of the fitPerGroup inner loop, all keys
+      // sequential — the single-core CPU floor of the flatMapGroups work
+      val t0 = System.nanoTime()
+      byKey.foreach { case (k, rs) =>
+        val arr = rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+        val n = arr.length
+        val slopes = Array.newBuilder[Long]
+        slopes.sizeHint(n * (n - 1) / 2)
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dx = arr(j)._1 - arr(i)._1
+            if (dx != 0) {
+              val m = (arr(j)._2 - arr(i)._2) / dx.toDouble
+              slopes += math.floor(m * 1e6 + 0.5).toLong
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val s = slopes.result()
+        java.util.Arrays.sort(s)
+      }
+      println(f"PROBE theil:driver-side all-keys loop ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      phase("theil:fitPerGroup noop") {
+        noop(graft.metrics.TheilSen.fitPerGroup(pts, "nation", "day", "y"))
+      }
+    }
+
     if (probes("q71")) {
       import graft.segment.Twins
       val ratings = graft.io.Tables.ratingsCached(spark, sfDir)

@@ -45,13 +45,46 @@ object TheilSen {
                   y: String): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // Explicit hash repartition + in-partition group walk instead of
+    // groupByKey/flatMapGroups (r16, guide §2.5 idle-capacity): the
+    // series frame is calendar-bounded (~60k rows ≈ 2 MB at sf0.1), so
+    // AQE coalesced groupByKey's exchange to ONE partition and the
+    // whole Σ_key L²/2 slope scan ran on a single core — measured 9.3 s
+    // single-threaded vs the ~0.4 s/key inner loop. A user-specified
+    // repartition(n, key) is exempt from AQE coalescing; sorting within
+    // partitions by (key, x) makes groups contiguous, and the walk
+    // emits one row per key exactly like flatMapGroups did. Equal-x
+    // row order within a group is immaterial: dx = 0 pairs are skipped
+    // and both medians sort their arrays. Same one-shuffle plan shape
+    // at any scale — partition count tracks the cluster's parallelism.
     val ds = points
       .select(col(key).cast("string"), col(x).cast("long"),
         col(y).cast("double"))
       .as[(String, Long, Double)]
-    ds.groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      .repartition(spark.sparkContext.defaultParallelism, col(key))
+      .sortWithinPartitions(col(key), col(x))
+    ds.mapPartitions { it =>
+        val rows = it.buffered
+        val groups = new Iterator[(String, Array[(Long, Double)])] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (String, Array[(Long, Double)]) = {
+            val k = rows.head._1
+            val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+            while (rows.hasNext && rows.head._1 == k) {
+              val t = rows.next(); buf += ((t._2, t._3))
+            }
+            (k, buf.toArray)
+          }
+        }
+        groups.flatMap { case (k, arr) => fitOne(k, arr) }
+      }
+      .toDF(key, "n_pairs", "slope", "intercept")
+  }
+
+  /** One key's fit — the exact inner loop the flatMapGroups form ran;
+    * `arr` must be sorted by x (the partition walk guarantees it). */
+  private def fitOne(k: String, arr: Array[(Long, Double)])
+      : Option[(String, Long, Double, Double)] = {
         val n = arr.length
         require(n <= MaxSeriesLen,
           s"TheilSen: series for key '$k' has $n points (> $MaxSeriesLen); " +
@@ -74,7 +107,7 @@ object TheilSen {
           i += 1
         }
         val s = slopes.result()
-        if (s.isEmpty) Iterator.empty
+        if (s.isEmpty) None
         else {
           java.util.Arrays.sort(s)
           val nPairs = s.length.toLong
@@ -84,9 +117,7 @@ object TheilSen {
             math.floor((p._2 - slope * p._1.toDouble) * 1e6 + 0.5).toLong)
           java.util.Arrays.sort(resid)
           val intercept = resid(((resid.length + 1) / 2) - 1).toDouble / 1e6
-          Iterator.single((k, nPairs, slope, intercept))
+          Some((k, nPairs, slope, intercept))
         }
-      }
-      .toDF(key, "n_pairs", "slope", "intercept")
   }
 }
