@@ -29,6 +29,14 @@ object OptProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B lever: disable AQE partition coalescing for the whole probe
+    // session — if a query speeds up markedly under this, its hot
+    // stage is a tiny-input/huge-compute shape AQE serialized onto too
+    // few partitions (the q205/q71 failure mode).
+    if (sys.env.get("SPARK_GRAFT_PROBE_NOCOALESCE").contains("1")) {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      println("PROBE session: AQE partition coalescing DISABLED")
+    }
     // bench-identical warmup
     spark.range(100000).selectExpr("sum(xxhash64(id) % 1024)").collect()
 
@@ -137,6 +145,15 @@ object OptProbe {
       phase("q159:bfs hops") {
         noop(graft.graph.Bfs.hops(edges, seeds, maxHops = 3))
       }
+    }
+
+    // Generic probe: any registered query name runs through the noop
+    // sink (twice — cold then memo-warm), so a candidate's cost can be
+    // read without the bench's neighbours.
+    probes.filter(SparkEntry.queries.contains).toSeq.sorted.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      phase(s"$name:cold") { noop(fn(spark, sfDir)) }
+      phase(s"$name:warm") { noop(fn(spark, sfDir)) }
     }
 
     spark.stop()

@@ -789,8 +789,11 @@ object TextQueries {
         .filter(col("df") <= 100).select("shingle"),
       Seq("shingle"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = kept.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(kept.select(col("doc_id").as("id_b"), col("shingle")),
+    // spreadByKey (r16): same quadratic-output join fix as q267.
+    val pairs = graft.text.TextAnalysis.spreadByKey(
+        kept.select(col("doc_id").as("id_a"), col("shingle")), "shingle")
+      .join(graft.text.TextAnalysis.spreadByKey(
+        kept.select(col("doc_id").as("id_b"), col("shingle")), "shingle"),
         Seq("shingle"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
@@ -868,9 +871,16 @@ object TextQueries {
         .filter(col("df") <= 100).select("shingle"),
       Seq("shingle"))
     val tot = kept.groupBy("doc_id").agg(sum(col("c")).as("tot"))
-    kept.select(col("doc_id").as("id_a"), col("shingle"), col("c").as("ca"))
-      .join(kept.select(col("doc_id").as("id_b"), col("shingle"),
-        col("c").as("cb")), Seq("shingle"))
+    // spreadByKey (r16): the co-occurrence join's inputs are MBs but its
+    // output is Σ df² — AQE's input-sized coalescing serialized the pair
+    // scan (see TextAnalysis.spreadByKey).
+    graft.text.TextAnalysis.spreadByKey(
+        kept.select(col("doc_id").as("id_a"), col("shingle"),
+          col("c").as("ca")), "shingle")
+      .join(graft.text.TextAnalysis.spreadByKey(
+        kept.select(col("doc_id").as("id_b"), col("shingle"),
+          col("c").as("cb")), "shingle"),
+        Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(sum(least(col("ca"), col("cb"))).as("smin"))

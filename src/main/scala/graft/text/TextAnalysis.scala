@@ -297,7 +297,12 @@ object TextAnalysis {
   def cosineTopPairs(w: DataFrame, id: String, k: Int): DataFrame = {
     val norms = w.groupBy(col(id))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
-    val wj = w.filter(col("df") >= 2).select(col(id), col("shingle"), col("w"))
+    // spreadByKey: same tiny-input/quadratic-output shape as
+    // setJaccardPairs — the inverted-index dot-product join otherwise
+    // runs on the 1-2 partitions AQE coalesces the weight frame to.
+    val wj = spreadByKey(
+      w.filter(col("df") >= 2).select(col(id), col("shingle"), col("w")),
+      "shingle")
     val dots = wj.as("a")
       .join(wj.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -503,6 +508,16 @@ object TextAnalysis {
     * (AQE broadcasts it when small; a 100 TB vocabulary stays a
     * shuffle semi-join on the item key). Assumes (id, item) rows are
     * distinct — the [[setJaccardPairs]] input contract. */
+  /** Hash-repartition a join input by its join key to the session's
+    * default parallelism — the tiny-input/quadratic-output join fix
+    * (r16): AQE coalesces exchanges by INPUT size, so an inverted-index
+    * self-join whose posting lists explode quadratically can end up on
+    * one partition. A user-specified repartition is exempt from AQE
+    * coalescing, keys the exchange exactly like the join (no extra
+    * shuffle), and tracks cluster size instead of a local constant. */
+  private[graft] def spreadByKey(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   private def capUniverseByDf(sets: DataFrame, item: String,
                               cap: Long): DataFrame = {
     val keep = sets.groupBy(col(item))
@@ -533,8 +548,15 @@ object TextAnalysis {
       if (maxDf == Long.MaxValue) sets
       else capUniverseByDf(sets, item, maxDf)
     val sizes = universe.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val a = universe.select(col(id).as("id_a"), col(item))
-    val b = universe.select(col(id).as("id_b"), col(item))
+    // spreadByKey (r16, guide §2.5/§8): the co-occurrence join's INPUTS
+    // are a few MB here, so AQE coalesced the exchange to 1-2 partitions
+    // — but its OUTPUT is Σ_item df² pair partials, quadratic in the
+    // posting lists, and ran near-single-core. The optimizer sizes
+    // partitions by input bytes; we know the output explodes, so the
+    // explicit hash repartition (AQE-exempt) keeps the pair scan at the
+    // cluster's parallelism at any scale.
+    val a = spreadByKey(universe.select(col(id).as("id_a"), col(item)), item)
+    val b = spreadByKey(universe.select(col(id).as("id_b"), col(item)), item)
     val shared = a.join(b, item)
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
