@@ -35,6 +35,11 @@ object Bfs {
     // edge-building lineage (scan + join + distinct) from scratch.
     val e = edges.toDF("src", "dst").localCheckpoint()
     var frontier = seeds.toDF("node").distinct().localCheckpoint()
+    // `visited` stays a LAZY union of the (already-checkpointed,
+    // node-sized) frontiers (r16, guide §2.4): checkpointing it per hop
+    // paid one extra materialization job per round for a frame whose
+    // every constituent is materialized anyway; the union's plan depth
+    // is maxHops-bounded by construction.
     var visited = frontier
     var out = frontier.withColumn("hop", lit(0))
     var h = 1
@@ -44,7 +49,7 @@ object Bfs {
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint()
       out = out.union(frontier.withColumn("hop", lit(h)))
-      visited = visited.union(frontier).localCheckpoint()
+      visited = visited.union(frontier)
       h += 1
     }
     out

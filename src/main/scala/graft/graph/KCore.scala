@@ -23,20 +23,36 @@ object KCore {
     * (peel_round 0 → surviving core size). */
   def peelCounts(spark: SparkSession, edges: DataFrame, k: Int,
                  rounds: Int): DataFrame = {
-    var g = edges.toDF("src", "dst").localCheckpoint()
+    // The live graph stays LAZY (r16, guide §2.4): removal is cumulative
+    // — an edge is live in round r iff neither endpoint was removed in
+    // ANY earlier round — so each round re-derives the live view as two
+    // anti-joins of the ONE materialized edge list against the
+    // accumulated removed-node frame, instead of checkpointing the full
+    // |E|-sized graph every round (the old shape paid an extra edge-set
+    // materialization job per round; the removed frames are node-sized
+    // and already materialized by the count the peel decision needs).
+    // Plan depth stays bounded: `rounds` is caller-bounded and each
+    // round adds one broadcast-sized anti-join pair over the
+    // checkpointed base.
+    val e = edges.toDF("src", "dst").localCheckpoint()
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var removed: Option[DataFrame] = None
+    def live: DataFrame = removed match {
+      case None => e
+      case Some(rm) =>
+        e.join(rm, e("src") === rm("node"), "left_anti")
+          .join(rm, e("dst") === rm("node"), "left_anti")
+    }
     var r = 1
     while (r <= rounds) {
-      val low = g.groupBy("src").agg(count(lit(1)).as("d"))
+      val low = live.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") < k).select(col("src").as("node"))
         .localCheckpoint()
       counts += ((r, low.count()))
-      g = g.join(low, g("src") === low("node"), "left_anti")
-        .join(low, g("dst") === low("node"), "left_anti")
-        .localCheckpoint()
+      removed = Some(removed.map(_.union(low)).getOrElse(low))
       r += 1
     }
-    counts += ((0, g.select("src").distinct().count()))
+    counts += ((0, live.select("src").distinct().count()))
     import spark.implicits._
     counts.toSeq.toDF("peel_round", "n_nodes")
   }
