@@ -109,6 +109,27 @@ object OptProbe {
       }
     }
 
+    if (probes("q98x")) {
+      val docs = graft.io.Tables.documents(spark, sfDir)
+      phase("q98x:sig UNSPREAD") {
+        noop(graft.text.TextAnalysis.minhashSignatureArray(
+          docs, "doc_id", "text", n = 3, numPerm = 16))
+      }
+      phase("q98x:sig spread") {
+        noop(graft.text.TextAnalysis.minhashSignatureArray(
+          graft.io.Tables.spreadScan(docs), "doc_id", "text", n = 3,
+          numPerm = 16))
+      }
+      phase("q98x:sig spread again") {
+        noop(graft.text.TextAnalysis.minhashSignatureArray(
+          graft.io.Tables.spreadScan(docs), "doc_id", "text", n = 3,
+          numPerm = 16))
+      }
+      phase("q98x:posexplode+sort full") {
+        noop(SparkEntry.queries("q98_minhash_rowsig")(spark, sfDir))
+      }
+    }
+
     if (probes("q71")) {
       import graft.segment.Twins
       val ratings = graft.io.Tables.ratingsCached(spark, sfDir)

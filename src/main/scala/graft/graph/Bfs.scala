@@ -33,7 +33,14 @@ object Bfs {
     // Materialize the edge list once — every hop joins against it, and
     // without the checkpoint each hop would re-run the upstream
     // edge-building lineage (scan + join + distinct) from scratch.
-    val e = edges.toDF("src", "dst").localCheckpoint()
+    // Pre-partitioned by the per-hop join key (r16, guide §2.4):
+    // localCheckpoint preserves the partitioning, so each hop's
+    // expansion join reuses it instead of re-shuffling the edge list
+    // from the shared cache's (AQE-coalesced, 1–2-partition) layout.
+    // Frontier/visited math is set-membership — order-free.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val e = edges.toDF("src", "dst").repartition(p, col("src"))
+      .localCheckpoint()
     var frontier = seeds.toDF("node").distinct().localCheckpoint()
     // `visited` stays a LAZY union of the (already-checkpointed,
     // node-sized) frontiers (r16, guide §2.4): checkpointing it per hop

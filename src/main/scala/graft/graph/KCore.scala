@@ -34,7 +34,13 @@ object KCore {
     // Plan depth stays bounded: `rounds` is caller-bounded and each
     // round adds one broadcast-sized anti-join pair over the
     // checkpointed base.
-    val e = edges.toDF("src", "dst").localCheckpoint()
+    // Pre-partitioned by src (r16, guide §2.4): the per-round degree
+    // aggregate groups by src, so the checkpointed layout serves every
+    // round's grouping without a fresh exchange (localCheckpoint
+    // preserves partitioning); counts are integers — order-free.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val e = edges.toDF("src", "dst").repartition(p, col("src"))
+      .localCheckpoint()
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     var removed: Option[DataFrame] = None
     def live: DataFrame = removed match {

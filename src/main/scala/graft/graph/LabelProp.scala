@@ -36,22 +36,37 @@ object LabelProp {
     * @return (node, community) after `rounds` synchronous votes. */
   def communities(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.toDF("src", "dst").localCheckpoint()
+    // Pre-partition the checkpointed edge list by the per-round join key
+    // (r16, guide §2.4 "two operations keyed the same way can share one
+    // exchange"): localCheckpoint preserves the partitioning, so every
+    // round's labels⋈edges join reuses it and only the |V|-sized label
+    // frame moves — the edge list was otherwise re-shuffled (from
+    // whatever partitioning the shared cache happened to have) every
+    // round. Explicit parallelism because the upstream cache is
+    // AQE-coalesced to 1–2 partitions at small inputs (the q205 class
+    // of serialization); vote counts are integers, so partitioning
+    // cannot move a value.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val e = edges.toDF("src", "dst").repartition(p, col("dst"))
+      .localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("community", col("node"))
       .localCheckpoint()
-    val w = Window.partitionBy("node")
-      .orderBy(col("votes").desc, col("community"))
     for (_ <- 1 to rounds) {
+      // Per-node argmax as one hash aggregate — min(struct(−votes,
+      // community)) is (votes DESC, community ASC) — instead of the
+      // row_number window's exchange + SORT (r16): same deterministic
+      // winner, integer keys, one cheaper operator per round.
       labels = e
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("community"))
         .unionByName(labels)
         .groupBy("node", "community")
         .agg(count(lit(1)).as("votes"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select("node", "community")
+        .groupBy("node")
+        .agg(min(struct(negate(col("votes")).as("nv"),
+          col("community").as("community"))).as("win"))
+        .select(col("node"), col("win.community").as("community"))
         .localCheckpoint()
     }
     labels

@@ -261,6 +261,26 @@ object Tables {
   private def deleteRecursively(d: java.nio.file.Path): Unit =
     graft.util.TempDirs.deleteRecursively(d)
 
+  /** Spread a SCAN-rooted frame to the session's parallelism when the
+    * scan would otherwise execute in fewer partitions (r16, guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"). The bench inputs are single parquet files with
+    * one row group, so every scan-rooted pipeline — including the
+    * CPU-heavy per-row text maps (shingle explodes, md5 signature
+    * folds) and the map side of each first aggregation — ran on ONE
+    * core until its first exchange. The guard makes this scale-honest:
+    * a production corpus scan already has ≥ parallelism splits, so the
+    * repartition (and its shuffle of the payload) simply doesn't
+    * happen there — no 100 TB corpus is ever shuffled for parallelism
+    * it already has. Use ONLY on frames whose downstream reductions
+    * are order-free (per-row maps, integer/decimal aggregates):
+    * repartitioning reorders float partial sums.
+    * `df.rdd` plans (does not run) the scan-rooted query. */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** CSV source with a fixed schema (reference S1,
     * `top_100_pairs.py:26` — but without `inferSchema`, which costs an
     * extra full scan; SURVEY.md §1.2). */

@@ -32,9 +32,11 @@ object SimilarityQueries {
     * corpus (vec_id ≥ 10); see [[graft.sim.VectorOps.bruteForceTopK]]. */
   val q30: Q = (spark, dir) => {
     val e = emb(spark, dir)
+    // Tables.spreadScan (r16): the corpus side of the brute-force scoring
+    // is a single-file scan — the |corpus|x|queries| fold ran on one task.
     bruteForceTopK(
-      e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      Tables.spreadScan(e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))),
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       k = 5)
@@ -63,7 +65,8 @@ object SimilarityQueries {
     val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
         col("embedding").as("n_emb"))
       .withColumn("n_norm", l2norm(col("n_emb")))
-    val scored = c.crossJoin(broadcast(a))
+    // Tables.spreadScan (r16): same single-task corpus-scan fix as q244.
+    val scored = Tables.spreadScan(c).crossJoin(broadcast(a))
       .filter(col("n_id") =!= col("a_id"))
       .withColumn("cos",
         cosine6(col("a_emb"), col("n_emb"), col("a_norm"), col("n_norm")))
@@ -302,8 +305,10 @@ object SimilarityQueries {
     * `md5_number_lower('rp:p:d')` and takes the same sequential
     * `list_dot_product`. */
   val q110: Q = (spark, dir) =>
-    graft.sim.VectorOps.randomProject(emb(spark, dir), "vec_id",
-        "embedding", outDim = 16, dim = 64)
+    // Tables.spreadScan (r16): 64->16 JL folds are per-row CPU over a
+    // single-file scan.
+    graft.sim.VectorOps.randomProject(Tables.spreadScan(emb(spark, dir)),
+        "vec_id", "embedding", outDim = 16, dim = 64)
       .orderBy("vec_id", "p")
 
   /** q39 — symmetric per-vector int8 quantization (the serving/storage
@@ -413,7 +418,10 @@ object SimilarityQueries {
     * by construction — the query validates the dedup shape, not corpus
     * structure. */
   val q36: Q = (spark, dir) => {
-    val e = withLshBucket(emb(spark, dir), "embedding", planes = 8, dim = 64)
+    // Tables.spreadScan (r16): the 8-hyperplane md5 bucket projection is
+    // per-row CPU over a single-file scan — parallelize it.
+    val e = withLshBucket(Tables.spreadScan(emb(spark, dir)),
+      "embedding", planes = 8, dim = 64)
       .withColumn("nrm", l2norm(col("embedding")))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"), col("bucket"))
@@ -515,7 +523,9 @@ object SimilarityQueries {
       .withColumn("n_norm", l2norm(col("n_emb")))
     // the corpus parquet is ONE file → without an explicit repartition
     // the whole |corpus|×|anchors| scoring stage runs as a single task
-    val scored = c.repartition(32).crossJoin(broadcast(a))
+    // (r16: Tables.spreadScan parameterizes the old hard-coded 32 —
+    // no-op when the scan already has >= parallelism splits)
+    val scored = Tables.spreadScan(c).crossJoin(broadcast(a))
       .filter(col("n_id") =!= col("a_id"))
       // two-step projection: the 64-element dot fold lands in its own
       // alias so qround's 7-branch guard references a cheap attribute

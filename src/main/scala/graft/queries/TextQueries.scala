@@ -20,9 +20,15 @@ object TextQueries {
   // Session-scoped memoized intermediates: the 3-gram shingle sets feed
   // q25/q26/q27, the MinHash signatures feed q25/q27, and the SimHash
   // fingerprints feed q24/q28 — materialize each once per (session, dir).
+  // Tables.spreadScan (r16): the documents scan is a single row group
+  // at bench scale, so the shingle explode — and the map side of every
+  // consumer's first aggregation over the CACHED frame, which inherits
+  // the build's partitioning — ran on one core. Downstream reductions
+  // are integer counts (order-free). No-op on multi-split corpora.
   private def shinglesCached(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"doc-shingles3:$dir")(
-      shingles(Tables.documents(spark, dir), "doc_id", "text", n = 3))
+      shingles(Tables.spreadScan(Tables.documents(spark, dir)),
+        "doc_id", "text", n = 3))
 
   private[queries] def sigsCached(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"doc-minhash16:$dir")(
@@ -32,7 +38,8 @@ object TextQueries {
 
   private def simhashCached(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"doc-simhash:$dir")(
-      simhash(Tables.documents(spark, dir), "doc_id", "text"))
+      simhash(Tables.spreadScan(Tables.documents(spark, dir)),
+        "doc_id", "text"))
 
   /** q20 — per-document token statistics + md5 fingerprint. n_subtokens
     * is a BPE-ish proxy count (each word contributes ceil(len/4) units). */
@@ -228,7 +235,7 @@ object TextQueries {
   val q80: Q = (spark, dir) =>
     cosineTopPairs(
       graft.util.SessionMemo.cached(spark, s"doc-tfidf-w3:$dir")(
-        tfidfWeights(Tables.documents(spark, dir),
+        tfidfWeights(Tables.spreadScan(Tables.documents(spark, dir)),
           "doc_id", "text", n = 3, maxDf = 20)),
       "doc_id", k = 100)
 
@@ -442,7 +449,8 @@ object TextQueries {
     * wants. Same hash family as q25 — one oracle pins all three
     * signature paths to identical values. */
   val q98: Q = (spark, dir) =>
-    minhashSignatureArray(Tables.documents(spark, dir), "doc_id", "text",
+    minhashSignatureArray(Tables.spreadScan(Tables.documents(spark, dir)),
+      "doc_id", "text",
       n = 3, numPerm = 16)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("p", "mh")))
       .orderBy("doc_id", "p")
@@ -783,7 +791,8 @@ object TextQueries {
     * never |docs|². */
   val q242: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
-    val sh = graft.text.TextAnalysis.shingles(docs, "doc_id", "text", 3)
+    val sh = graft.text.TextAnalysis.shingles(Tables.spreadScan(docs),
+      "doc_id", "text", 3)
     val kept = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 100).select("shingle"),
@@ -864,7 +873,7 @@ object TextQueries {
   val q267: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir)
     val sh = graft.text.TextAnalysis
-      .shinglesAll(docs, "doc_id", "text", 3)
+      .shinglesAll(Tables.spreadScan(docs), "doc_id", "text", 3)
       .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
     val kept = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -180,8 +180,16 @@ object AlsRec {
     val users = validation.select("user_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     users.count()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(combos.size, 8))
+    // Concurrency = enough chains to cover the grid in one wave on a
+    // wide session (each chain's stages are 1-task at the single-block
+    // sf0.1 shape, so idle cores are the cost of a narrow pool), capped
+    // by half the session's parallelism so cluster-scale multi-block
+    // fits don't oversubscribe. SPARK_GRAFT_ALS_GRID_POOL overrides
+    // (same knob discipline as the other SPARK_GRAFT_* settings).
+    val poolSize = sys.env.get("SPARK_GRAFT_ALS_GRID_POOL").map(_.toInt)
+      .getOrElse(math.min(combos.size, math.max(8,
+        train.sparkSession.sparkContext.defaultParallelism / 2)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fs = combos.map { case (r, g) =>

@@ -193,10 +193,15 @@ object Diversify {
         floor(col("rating") * 100.0 + lit(0.5)).as("rr"))
     val stats = r.groupBy("item_id")
       .agg(sum(col("rr") * col("rr")).as("norm2"))
-    val a = r.select(col("user_id"), col("item_id").as("ia"),
-      col("rr").as("ra"))
-    val b = r.select(col("user_id"), col("item_id").as("ib"),
-      col("rr").as("rb"))
+    // spreadByKey (r16): pool²-per-user pair fan-out from a tiny input —
+    // same AQE-coalescing fix as ItemCf.itemNeighbors; the dot is an
+    // exact integer (cents-long) sum, so partitioning cannot move it.
+    val a = graft.text.TextAnalysis.spreadByKey(
+      r.select(col("user_id"), col("item_id").as("ia"),
+        col("rr").as("ra")), "user_id")
+    val b = graft.text.TextAnalysis.spreadByKey(
+      r.select(col("user_id"), col("item_id").as("ib"),
+        col("rr").as("rb")), "user_id")
     val pairs = a.join(b, a("user_id") === b("user_id") &&
         col("ia") < col("ib"))
       .groupBy("ia", "ib")

@@ -69,10 +69,17 @@ object ItemCf {
     val stats = r.groupBy("item_id")
       .agg(sum(col("r") * col("r")).as("norm2"))
 
-    val a = r.select(col("user_id"), col("item_id").as("ia"),
-      col("r").as("ra"))
-    val b = r.select(col("user_id"), col("item_id").as("ib"),
-      col("r").as("rb"))
+    // spreadByKey (r16): the co-rating self-join fans out n_u² rows per
+    // user from a few-MB input — AQE's input-sized coalescing serialized
+    // the pair scan (see TextAnalysis.spreadByKey). The dot/support
+    // aggregates are decimal/integer sums, so partitioning cannot move
+    // a value.
+    val a = graft.text.TextAnalysis.spreadByKey(
+      r.select(col("user_id"), col("item_id").as("ia"),
+        col("r").as("ra")), "user_id")
+    val b = graft.text.TextAnalysis.spreadByKey(
+      r.select(col("user_id"), col("item_id").as("ib"),
+        col("r").as("rb")), "user_id")
     val pairs = a.join(b, a("user_id") === b("user_id") &&
         col("ia") < col("ib"))
       .groupBy("ia", "ib")
