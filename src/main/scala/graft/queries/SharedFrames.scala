@@ -30,11 +30,23 @@ object SharedFrames {
     * ones, so the exploded set is already distinct. */
   def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"co-purchase-edges:$dir") {
+      // Spread the build past AQE's input-sized coalescing (r16): both
+      // inputs are single-file scans and the distinct's exchange
+      // coalesces to 1–2 partitions, so the dedup, the explode AND the
+      // persist write of the edge set ran near-single-task (measured:
+      // the build is the single biggest charge on q159, its first
+      // consumer). An explicit repartition on the distinct key feeds a
+      // no-extra-exchange in-place aggregate and leaves the CACHED
+      // frame at the session's parallelism, so every consumer's first
+      // stage over it is parallel too. The edge SET is identical under
+      // any partitioning.
+      val p = spark.sparkContext.defaultParallelism
       val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
       val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("s"))
+        .repartition(p, col("c"), col("s"))
         .distinct()
         .select(explode(array(
           struct(col("c").as("src"), col("s").as("dst")),
