@@ -168,6 +168,329 @@ object OptProbe {
       }
     }
 
+    // Round-17 probe: co-purchase edge-cache LAYOUT A/B (VERDICT r16 #1).
+    // Three cached-frame variants built inline (persist + noop, mimicking
+    // SessionMemo.cached), each consumer timed on each, interleaved over
+    // two rounds so a weather burst can't masquerade as a layout effect.
+    //   A_cur32 — HEAD (fc8a212): repartition(p,c,s) before the distinct,
+    //             cached frame left at session parallelism.
+    //   B_r15   — pre-fc8a212: distinct's exchange AQE-coalesced (1–2
+    //             partitions), build near-single-task.
+    //   C_keyed — parallel build + one extra AQE-coalescible exchange
+    //             keyed by src (REPARTITION_BY_COL) before the persist:
+    //             build parallel, cached layout small AND src-keyed.
+    if (probes("copq")) {
+      import org.apache.spark.storage.StorageLevel
+      val p = spark.sparkContext.defaultParallelism
+      def base = {
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey")
+        val o = graft.io.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("s"))
+      }
+      def sym(df: DataFrame) = df
+        .select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst")),
+          struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      def adamicAdar(edges: DataFrame) = {
+        val cs = edges.filter(col("src").startsWith("c"))
+          .select(col("src").as("c"), col("dst").as("s"))
+        cs.groupBy("c").agg(sort_array(collect_set(col("s"))).as("ss"))
+          .filter(size(col("ss")).between(2,
+            graft.queries.AnalyticsQueries.HubDegreeCap))
+          .withColumn("w",
+            (lit(1.0) / log(size(col("ss")).cast("double")))
+              .cast("decimal(10,6)"))
+          .select(col("w"), explode(expr(
+            """flatten(transform(ss,
+              |  (x, i) -> transform(slice(ss, i + 2, size(ss)),
+              |    y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+          .select(col("p.s1").as("s1"), col("p.s2").as("s2"), col("w"))
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n_common"), sum("w").as("aa_score"))
+          .orderBy(col("aa_score").desc, col("s1"), col("s2"))
+          .limit(25)
+      }
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        ("A_cur32", () => sym(base.repartition(p, col("c"), col("s")).distinct())),
+        ("B_r15", () => sym(base.distinct())),
+        ("C_keyed", () => sym(base.repartition(p, col("c"), col("s")).distinct())
+          .repartition(col("src"))))
+      for (round <- 1 to 2; (vn, build) <- variants) {
+        val edges = build().persist(StorageLevel.MEMORY_AND_DISK)
+        phase(s"copq[$round/$vn]:build+persist") { noop(edges) }
+        println(s"PROBE copq[$round/$vn] cached partitions=" +
+          edges.rdd.getNumPartitions)
+        phase(s"copq[$round/$vn]:q208 body") { noop(adamicAdar(edges)) }
+        phase(s"copq[$round/$vn]:pageRank3 (q49)") {
+          noop(graft.graph.PageRank.pageRank(edges, iters = 3, damping = 0.85))
+        }
+        phase(s"copq[$round/$vn]:lpa3 (q217)") {
+          noop(graft.graph.LabelProp.communities(edges, rounds = 3))
+        }
+        edges.unpersist(blocking = true)
+      }
+    }
+
+    // Round-17 probe: q215 weighted-PageRank sub-pieces (its edge build
+    // is NOT the shared cache — wpair is rebuilt per call).
+    if (probes("q215x")) {
+      def wpair = {
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey")
+        val o = graft.io.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+      }
+      phase("q215x:wpair build") { noop(wpair) }
+      phase("q215x:wpair build again") { noop(wpair) }
+      def edges(wp: DataFrame) =
+        wp.union(wp.select(col("dst"), col("src"), col("w")))
+      phase("q215x:full wpr3") {
+        noop(graft.graph.PageRank.weightedPageRank(edges(wpair), iters = 3,
+          damping = 0.85))
+      }
+      phase("q215x:full wpr3 again") {
+        noop(graft.graph.PageRank.weightedPageRank(edges(wpair), iters = 3,
+          damping = 0.85))
+      }
+    }
+
+    // Round-17 probe: q215 variants — (a) symmetrize wpair by in-row
+    // explode instead of self-union (the union recomputes the whole
+    // li⋈o groupBy once per branch; exchange reuse dedupes only the
+    // exchange), (b) pre-partition the degree-annotated edge list by
+    // src before its localCheckpoint (KCore/Bfs pattern, guide §2.4) so
+    // every iteration's rank⋈edges join reuses the layout.
+    if (probes("q215y")) {
+      def wpair = {
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey")
+        val o = graft.io.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+      }
+      def edgesUnion = wpair.union(wpair.select(col("dst"), col("src"), col("w")))
+      def edgesExplode = wpair
+        .select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+          .as("e"))
+        .select("e.src", "e.dst", "e.w")
+      def wprSpread(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+        val p = spark.sparkContext.defaultParallelism
+        val e = edges.toDF("src", "dst", "w").repartition(p, col("src"))
+        val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
+        val ed = e.join(wdeg, "src").localCheckpoint()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct()
+          .localCheckpoint()
+        val n = nodes.count()
+        val teleport = lit(if (n == 0) 0.0 else (1.0 - damping) / n.toDouble)
+        var rank = nodes.select(col("node"),
+          lit(if (n == 0) 0.0 else 1.0 / n.toDouble).as("r"))
+        for (_ <- 1 to iters) {
+          val contrib = ed.join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("r") * col("w") / col("wdeg")).as("s"))
+          rank = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (teleport + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+        }
+        rank
+      }
+      for (round <- 1 to 2) {
+        phase(s"q215y[$round]:cur (union + wpr)") {
+          noop(graft.graph.PageRank.weightedPageRank(edgesUnion, iters = 3,
+            damping = 0.85))
+        }
+        phase(s"q215y[$round]:explode-sym + wpr") {
+          noop(graft.graph.PageRank.weightedPageRank(edgesExplode, iters = 3,
+            damping = 0.85))
+        }
+        phase(s"q215y[$round]:explode-sym + spread wpr") {
+          noop(wprSpread(edgesExplode, iters = 3, damping = 0.85))
+        }
+      }
+    }
+
+    // Round-17 probe: q215 second-stage levers — spread the li⋈o join
+    // inputs (keeps map-side partial agg, unlike repartitioning by the
+    // groupBy key), and drop the per-iteration nodes⋈contrib left join
+    // (on a symmetrized graph every node has in-edges, so contrib's key
+    // set IS the node set and teleport+d*s is bitwise-identical).
+    if (probes("q215z")) {
+      val p = spark.sparkContext.defaultParallelism
+      def wpairSpread = {
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey").repartition(p, col("l_orderkey"))
+        val o = graft.io.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey").repartition(p, col("o_orderkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+      }
+      def wpairCur = {
+        val li = graft.io.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey")
+        val o = graft.io.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+      }
+      def sym(wp: DataFrame) = wp
+        .select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+          .as("e"))
+        .select("e.src", "e.dst", "e.w")
+      def wprNoNodesJoin(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+        val e = edges.toDF("src", "dst", "w")
+        val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
+        val ed = e.join(wdeg, "src").localCheckpoint()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct()
+          .localCheckpoint()
+        val n = nodes.count()
+        val teleport = lit(if (n == 0) 0.0 else (1.0 - damping) / n.toDouble)
+        var rank = nodes.select(col("node"),
+          lit(if (n == 0) 0.0 else 1.0 / n.toDouble).as("r"))
+        for (_ <- 1 to iters) {
+          val contrib = ed.join(rank.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("r") * col("w") / col("wdeg")).as("s"))
+          rank = contrib.select(col("node"),
+            (teleport + lit(damping) * col("s")).as("r"))
+        }
+        rank
+      }
+      for (round <- 1 to 2) {
+        phase(s"q215z[$round]:wpair cur") { noop(wpairCur) }
+        phase(s"q215z[$round]:wpair spread-join") { noop(wpairSpread) }
+        phase(s"q215z[$round]:sym+wpr cur-lib") {
+          noop(graft.graph.PageRank.weightedPageRank(sym(wpairCur), iters = 3,
+            damping = 0.85))
+        }
+        phase(s"q215z[$round]:spread sym+wpr no-nodes-join") {
+          noop(wprNoNodesJoin(sym(wpairSpread), iters = 3, damping = 0.85))
+        }
+        phase(s"q215z[$round]:spread sym+wpr cur-lib") {
+          noop(graft.graph.PageRank.weightedPageRank(sym(wpairSpread), iters = 3,
+            damping = 0.85))
+        }
+      }
+    }
+
+    // Round-17 probe: q104 variants — spread the basket groupBy (the
+    // collect_set explode ran on AQE-coalesced 1–2 partitions) and the
+    // wedge self-join inside triangleCounts.
+    if (probes("q104y")) {
+      val p = spark.sparkContext.defaultParallelism
+      def coEdges(spread: Boolean) = {
+        val li0 = graft.io.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey")
+        val li = if (spread) li0.repartition(p, col("l_orderkey")) else li0
+        val pairs = li
+          .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+          .filter(size(col("ps")).between(2,
+            graft.queries.AnalyticsQueries.BasketCap))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps)),
+              |            y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"""
+              .stripMargin)).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("src", "dst")
+      }
+      def triSpread(edges: DataFrame): DataFrame = {
+        val und = edges.select(col("src").cast("string").as("a"),
+            col("dst").cast("string").as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"))
+          .distinct()
+        val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val oriented = und
+          .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("s"), col("v").as("t")))
+              .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+          .select(col("e.s").as("s"), col("e.t").as("t"))
+          .repartition(p, col("s"))
+          .localCheckpoint()
+        val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
+        val e2 = oriented.select(col("s").as("a"), col("t").as("c"))
+        val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+        val closer = oriented.select(
+          least(col("s"), col("t")).as("b"), greatest(col("s"), col("t")).as("c"))
+        val tris = wedges.join(closer, Seq("b", "c"))
+        tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      }
+      for (round <- 1 to 2) {
+        phase(s"q104y[$round]:cur full") {
+          noop(graft.graph.Triangles.triangleCounts(coEdges(spread = false)))
+        }
+        phase(s"q104y[$round]:spread coEdges") {
+          noop(graft.graph.Triangles.triangleCounts(coEdges(spread = true)))
+        }
+        phase(s"q104y[$round]:spread coEdges + spread tri") {
+          noop(triSpread(coEdges(spread = true)))
+        }
+      }
+    }
+
+    // Round-17 probe: q104 triangle sub-pieces.
+    if (probes("q104x")) {
+      def coEdges = {
+        val pairs = graft.io.Tables.lineitem(spark, sfDir)
+          .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
+          .filter(size(col("ps")).between(2,
+            graft.queries.AnalyticsQueries.BasketCap))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps)),
+              |            y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"""
+              .stripMargin)).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        pairs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("src", "dst")
+      }
+      phase("q104x:partCoEdges build") { noop(coEdges) }
+      phase("q104x:partCoEdges again") { noop(coEdges) }
+      val cached = coEdges.persist()
+      noop(cached)
+      phase("q104x:triangleCounts on cached") {
+        noop(graft.graph.Triangles.triangleCounts(cached))
+      }
+      phase("q104x:triangleCounts again") {
+        noop(graft.graph.Triangles.triangleCounts(cached))
+      }
+      cached.unpersist(blocking = true)
+    }
+
     // Generic probe: any registered query name runs through the noop
     // sink (twice — cold then memo-warm), so a candidate's cost can be
     // read without the bench's neighbours.

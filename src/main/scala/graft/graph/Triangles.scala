@@ -49,6 +49,15 @@ object Triangles {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      // r17: checkpoint the oriented list PRE-PARTITIONED by the wedge
+      // key (guide §2.4 — localCheckpoint preserves partitioning, and
+      // alias projection carries it to both wedge sides), so the wedge
+      // self-join below needs NO exchange on either side and its
+      // Σ outdeg² explode runs at the session's parallelism instead of
+      // the 1–2 AQE-coalesced partitions the orientation join left.
+      // One keyed exchange of the m-row list replaces the join's two.
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("s"))
       .localCheckpoint() // read 3× below (two wedge sides + the closer)
     // Wedges (a; b, c) from a's oriented out-neighbours, b < c so each
     // unordered pair appears once; close when b—c is an oriented edge

@@ -192,7 +192,17 @@ object AnalyticsQueries {
     * nondeterministic ordering is harmless. */
   private def partCoEdges(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"part-co-edges:$dir") {
+      // r17: user-keyed repartition ahead of the basket groupBy (guide
+      // §2.5 — the groupBy shuffles by l_orderkey either way; keying
+      // the exchange ourselves keeps AQE's input-sized coalescing from
+      // running the C(k,2) in-row pair explode on 1–2 partitions).
+      // Integer counts downstream and per-order pair sets normalized by
+      // least/greatest — order-safe. Probe (OptProbe q104y, 2 rounds):
+      // q104 full 1.6–3.0 → 1.2–1.6 s.
+      val p = spark.sparkContext.defaultParallelism
       val pairs = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey")
+        .repartition(p, col("l_orderkey"))
         .groupBy("l_orderkey").agg(collect_set("l_partkey").as("ps"))
         .filter(size(col("ps")).between(2, BasketCap))
         .select(explode(expr(
@@ -624,14 +634,34 @@ object AnalyticsQueries {
     * w/wdeg instead of uniformly — q49's recurrence with volume-aware
     * semantics. Same one-shuffle-per-iteration plan. */
   val q215: Q = (spark, dir) => {
+    // r17 execution shape (values unchanged, oracle re-verified at 3
+    // SFs): (1) the li⋈o join inputs are user-repartitioned on the join
+    // key (guide §2.5/§8 — the join shuffles by orderkey EITHER WAY;
+    // keying the exchange ourselves exempts it from AQE's input-sized
+    // coalescing, which serialized the join + the groupBy's map-side
+    // partial agg onto 1–2 partitions at small inputs; probe: wpair
+    // build 1.6 → 1.2 s warm). (2) The reversed-edge side comes from an
+    // in-row explode AFTER the aggregate instead of a self-union: union
+    // branches do not share work, so the union form ran the whole
+    // li⋈o⋈groupBy once PER BRANCH (same fix as the r16
+    // coPurchaseEdges build; probe: wpr chain −0.5–1 s). The c/s
+    // prefixes keep the two directions disjoint, so the edge MULTISET
+    // is identical.
+    val p = spark.sparkContext.defaultParallelism
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      .repartition(p, col("l_orderkey"))
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .repartition(p, col("o_orderkey"))
     val wpair = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .agg(count(lit(1)).as("w"))
-    val edges = wpair.union(
-      wpair.select(col("dst"), col("src"), col("w")))
+    val edges = wpair
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+        .as("e"))
+      .select("e.src", "e.dst", "e.w")
     PageRank.weightedPageRank(edges, iters = 3, damping = 0.85)
       .select(col("node"), qround(col("r"), 6).as("rank"))
       .orderBy("node")

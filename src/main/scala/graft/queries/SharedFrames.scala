@@ -36,10 +36,24 @@ object SharedFrames {
       // persist write of the edge set ran near-single-task (measured:
       // the build is the single biggest charge on q159, its first
       // consumer). An explicit repartition on the distinct key feeds a
-      // no-extra-exchange in-place aggregate and leaves the CACHED
-      // frame at the session's parallelism, so every consumer's first
-      // stage over it is parallel too. The edge SET is identical under
-      // any partitioning.
+      // no-extra-exchange in-place aggregate. The edge SET is identical
+      // under any partitioning.
+      //
+      // r17 (VERDICT r16 #1): the explode destroys the (c,s) hash
+      // partitioning (src/dst are new attributes), so the r16 cached
+      // frame had 32 OPAQUE partitions — every consumer re-shuffled it,
+      // and the driver measured q208 2× slower. One extra src-keyed
+      // exchange before the persist (guide §2.4 "two operations keyed
+      // the same way can share one exchange") gives the cached frame a
+      // partitioning every consumer's first hot exchange already wants:
+      // q208's groupBy(c=src), q49/q200/q215-family degree aggs and
+      // rank⋈edges joins, q246's degree agg, KCore/Bfs's own
+      // repartition(p, src). Probe-paired (OptProbe `copq`, 2 rounds ×
+      // 3 layouts): q208 body 2.1 s keyed vs 4.1–5.9 s opaque-32 vs
+      // 3.4–3.5 s r15-coalesced; pageRank/LPA at-or-better. Keyed by
+      // COLUMN (not numPartitions): REPARTITION_BY_COL stays
+      // AQE-coalescible on a cluster, and HashPartitioning(src, n)
+      // satisfies the consumers' ClusteredDistribution for any n.
       val p = spark.sparkContext.defaultParallelism
       val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
       val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
@@ -52,6 +66,7 @@ object SharedFrames {
           struct(col("c").as("src"), col("s").as("dst")),
           struct(col("s").as("src"), col("c").as("dst")))).as("e"))
         .select("e.src", "e.dst")
+        .repartition(col("src"))
     }
 
   /** Daily revenue per nation: (nation, day, rev DECIMAL(18,2)-summed).
