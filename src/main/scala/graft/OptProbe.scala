@@ -491,6 +491,35 @@ object OptProbe {
       cached.unpersist(blocking = true)
     }
 
+    // Round-17 probe: ALS grid pool same-JVM A/B (VERDICT r16 #3). Each
+    // trial uses a FRESH cacheKey so every one of the 16 combos refits
+    // (the per-combo model memo would otherwise make trial 2+ a lookup).
+    // Alternating 8/16/8/16 so JIT warm-up and drift can't pick a side.
+    if (probes("alspool")) {
+      import graft.queries.RecQueries
+      import graft.rec.{AlsRec, Popularity}
+      import graft.metrics.RankingRelational
+      val t = RecQueries.tagged(spark, sfDir)
+      val valid = Popularity.validation(t)
+      val train = Popularity.train(t)
+      def evalFn(recs: DataFrame, v: DataFrame): Double = {
+        val row = RankingRelational
+          .metrics(spark, recs.select("user_id", "item_id", "rank"), v, k = 20)
+          .select("map_at_k").head()
+        if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      }
+      for (trial <- 1 to 4) {
+        val pool = if (trial % 2 == 1) 8 else 16
+        val t0 = System.nanoTime()
+        AlsRec.gridSearch(train, valid,
+          ranks = Seq(5, 10, 20, 50), regs = Seq(0.01, 0.05, 0.1, 1.0),
+          topN = 20, maxIter = 10, evalFn = evalFn,
+          cacheKey = s"alspool-trial-$trial", poolOverride = Some(pool))
+        println(f"PROBE alspool trial=$trial pool=$pool%-3d " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+
     // Generic probe: any registered query name runs through the noop
     // sink (twice — cold then memo-warm), so a candidate's cost can be
     // read without the bench's neighbours.

@@ -164,7 +164,8 @@ object AlsRec {
   def gridSearch(train: DataFrame, validation: DataFrame,
                  ranks: Seq[Int], regs: Seq[Double], topN: Int,
                  evalFn: (DataFrame, DataFrame) => Double,
-                 cacheKey: String = "", maxIter: Int = 10): Seq[(Int, Double, Double)] = {
+                 cacheKey: String = "", maxIter: Int = 10,
+                 poolOverride: Option[Int] = None): Seq[(Int, Double, Double)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     val combos = for (r <- ranks; g <- regs) yield (r, g)
     if (combos.isEmpty) return Seq.empty
@@ -186,7 +187,10 @@ object AlsRec {
     // by half the session's parallelism so cluster-scale multi-block
     // fits don't oversubscribe. SPARK_GRAFT_ALS_GRID_POOL overrides
     // (same knob discipline as the other SPARK_GRAFT_* settings).
-    val poolSize = sys.env.get("SPARK_GRAFT_ALS_GRID_POOL").map(_.toInt)
+    // `poolOverride` is a dev-probe hook (OptProbe's same-JVM pool A/B);
+    // production callers leave it None.
+    val poolSize = poolOverride.orElse(
+      sys.env.get("SPARK_GRAFT_ALS_GRID_POOL").map(_.toInt))
       .getOrElse(math.min(combos.size, math.max(8,
         train.sparkSession.sparkContext.defaultParallelism / 2)))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
@@ -198,6 +202,14 @@ object AlsRec {
         // in-flight fits, which keep submitting Spark jobs on non-daemon
         // threads long after the caller has moved on.
         Future {
+          // Pin the active session on the pool thread: these threads
+          // inherit the SUBMITTER's thread-local, which in multi-thread
+          // callers (test runners) may be unset — and any AQE
+          // QueryStageCreator worker lazily created from a session-less
+          // thread builds plan nodes with SparkPlan.session = null that
+          // later NPE in resetMetrics (VERDICT r16 #2).
+          org.apache.spark.sql.SparkSession.setActiveSession(
+            train.sparkSession)
           scala.util.Try {
             fitOpt(train, rank = r, maxIter = maxIter, regParam = g,
                 cacheKey = cacheKey) match {
