@@ -41,6 +41,48 @@ object TextQueries {
       simhash(Tables.spreadScan(Tables.documents(spark, dir)),
         "doc_id", "text"))
 
+  // r17 sweep-family shared passes (VERDICT r16 #5). The dedup-audit
+  // queries (q27-family memo, q230, q249, q355's r=4 arm, q374) each
+  // re-derived the SAME three intermediates from the memoized signature
+  // frame: the packed per-doc signature arrays, the rowsPerBand=4 LSH
+  // candidate pairs, and the estimated Jaccard over those candidates.
+  // All three are deterministic functions of sigsCached (and tiny —
+  // |docs| and |candidate-pair| sized), so they memoize like the frames
+  // they derive from; each arm's VALUES are untouched (the fused pass
+  // is the same expression tree, computed once per session).
+  private def packedSigsCached(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"doc-minhash16-packed:$dir")(
+      packedSignatures(sigsCached(spark, dir), "doc_id"))
+
+  private def cands4Cached(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"doc-lsh-cands-r4:$dir")(
+      lshCandidatePairs(sigsCached(spark, dir), "doc_id", rowsPerBand = 4))
+
+  /** Estimated Jaccard for every rowsPerBand=4 candidate pair — the
+    * [[graft.text.TextAnalysis.estimatedJaccard]] expression tree over
+    * the memoized packed signatures (identical values; the in-row
+    * agreement fold is deterministic). */
+  private def est4Cached(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"doc-lsh-est-r4:$dir") {
+      val packed = packedSigsCached(spark, dir)
+      cands4Cached(spark, dir)
+        .join(packed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(packed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .withColumn("est_jaccard",
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+            .cast("double") / lit(16.0))
+        .select("id_a", "id_b", "est_jaccard")
+    }
+
+  /** Exact 3-gram Jaccard pairs at the 0.4 bar — shared verbatim by q26
+    * and q249's recall audit (same threshold, same df-cap). */
+  private def exactPairs04Cached(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(spark, s"doc-exact-jaccard-04:$dir")(
+      shingleJaccardPairs(shinglesCached(spark, dir), "doc_id",
+        minJaccard = 0.4))
+
   /** q20 — per-document token statistics + md5 fingerprint. n_subtokens
     * is a BPE-ish proxy count (each word contributes ceil(len/4) units). */
   val q20: Q = (spark, dir) =>
@@ -119,17 +161,14 @@ object TextQueries {
     * in every document — the ScaleProbe `boiler` row measures exactly
     * that corpus. */
   val q26: Q = (spark, dir) =>
-    shingleJaccardPairs(shinglesCached(spark, dir), "doc_id", minJaccard = 0.4)
+    exactPairs04Cached(spark, dir)
       .orderBy("id_a", "id_b")
 
   /** Memoized near-dup pair list (tiny — |pairs| rows): q27 serves it
     * sorted, q73/q74 resolve it into clusters / the deduplicated corpus. */
   private[queries] def lshPairsCached(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(spark, s"doc-lsh-pairs:$dir") {
-      val sigs = sigsCached(spark, dir)
-      val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
-      estimatedJaccard(cands, sigs, "doc_id", numPerm = 16)
-        .filter(col("est_jaccard") >= 0.4)
+      est4Cached(spark, dir).filter(col("est_jaccard") >= 0.4)
     }
 
   /** q27 — full distributed MinHash + LSH near-dup pipeline (the
@@ -743,9 +782,8 @@ object TextQueries {
     * full 4-row band ⇒ a16 ≥ 4, so k=4 reads "all candidates"). One
     * agreement pass; the 5-row threshold frame fans it out. */
   val q230: Q = (spark, dir) => {
-    val sigs = sigsCached(spark, dir)
-    val cands = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
-    val packed = packedSignatures(sigs, "doc_id")
+    val cands = cands4Cached(spark, dir)
+    val packed = packedSigsCached(spark, dir)
     val agree = cands
       .join(packed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
         Seq("id_a"))
@@ -836,11 +874,9 @@ object TextQueries {
     * integer ppm. Everything reuses the memoized shingle/signature
     * frames — no new scan. */
   val q249: Q = (spark, dir) => {
-    val ex = shingleJaccardPairs(shinglesCached(spark, dir), "doc_id",
-        minJaccard = 0.4)
+    val ex = exactPairs04Cached(spark, dir)
       .withColumn("bucket", least(lit(9L), floor(col("jaccard") * 10)))
-    val cands = lshCandidatePairs(sigsCached(spark, dir), "doc_id",
-      rowsPerBand = 4)
+    val cands = cands4Cached(spark, dir)
     val byBucket = ex
       .join(cands.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(0L)))
@@ -1517,8 +1553,13 @@ object TextQueries {
     val sigs = sigsCached(spark, dir)
     Seq(2, 4, 8).map { r =>
       val b = 16 / r
-      val pairs = lshCandidatePairs(sigs, "doc_id", rowsPerBand = r)
-      val est = estimatedJaccard(pairs, sigs, "doc_id", numPerm = 16)
+      // r=4 is the pipeline's production banding — its candidate+estimate
+      // pass is the session-shared one (q27/q230/q249/q374); the other
+      // two arms are sweep-only configs computed here.
+      val est =
+        if (r == 4) est4Cached(spark, dir)
+        else estimatedJaccard(lshCandidatePairs(sigs, "doc_id",
+          rowsPerBand = r), sigs, "doc_id", numPerm = 16)
       est.agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)),
             lit(0L)).as("n_above_05"))
@@ -1748,9 +1789,8 @@ object TextQueries {
     * broadcast is candidates-bounded; pairs sharing nothing keep
     * exact = 0 via the left join. */
   val q374: Q = (spark, dir) => {
-    val sigs = sigsCached(spark, dir)
-    val pairs = lshCandidatePairs(sigs, "doc_id", rowsPerBand = 4)
-    val est = estimatedJaccard(pairs, sigs, "doc_id", numPerm = 16)
+    val pairs = cands4Cached(spark, dir)
+    val est = est4Cached(spark, dir)
     val candIds = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
     val packed = shinglesCached(spark, dir)
