@@ -491,6 +491,127 @@ object OptProbe {
       cached.unpersist(blocking = true)
     }
 
+    // Round-17 probe: LPA per-round exchange count (VERDICT r16 #7).
+    // Current: union → groupBy(node,community) [exchange 1] →
+    // groupBy(node) [exchange 2] → checkpoint. Variant: repartition(p,
+    // node) after the union — HashPartitioning(node) satisfies BOTH
+    // groupings (clustering by a subset key covers the superset), so
+    // the two aggregates run in place: one exchange per round, and the
+    // checkpointed labels come out node-partitioned so the next round's
+    // dst-join reuses the layout.
+    if (probes("lpax")) {
+      import org.apache.spark.storage.StorageLevel
+      def lpaOneExchange(edges: DataFrame, rounds: Int): DataFrame = {
+        val p = spark.sparkContext.defaultParallelism
+        val e = edges.toDF("src", "dst").repartition(p, col("dst"))
+          .localCheckpoint()
+        var labels = e.select(col("src").as("node")).distinct()
+          .withColumn("community", col("node"))
+          .localCheckpoint()
+        for (_ <- 1 to rounds) {
+          labels = e
+            .join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(col("src").as("node"), col("community"))
+            .unionByName(labels)
+            .repartition(p, col("node"))
+            .groupBy("node", "community")
+            .agg(count(lit(1)).as("votes"))
+            .groupBy("node")
+            .agg(min(struct(negate(col("votes")).as("nv"),
+              col("community").as("community"))).as("win"))
+            .select(col("node"), col("win.community").as("community"))
+            .localCheckpoint()
+        }
+        labels
+      }
+      val edges = graft.queries.SharedFrames.coPurchaseEdges(spark, sfDir)
+      noop(edges) // build once outside the timed phases
+      def q217Body(comm: DataFrame): DataFrame = {
+        val sizes = comm.groupBy("community")
+          .agg(count(lit(1)).as("community_size"))
+        comm.join(sizes, "community")
+          .select("node", "community", "community_size")
+          .orderBy("node")
+      }
+      for (round <- 1 to 2) {
+        phase(s"lpax[$round]:cur lpa3+body") {
+          noop(q217Body(graft.graph.LabelProp.communities(edges, rounds = 3)))
+        }
+        phase(s"lpax[$round]:one-exchange lpa3+body") {
+          noop(q217Body(lpaOneExchange(edges, rounds = 3)))
+        }
+      }
+    }
+
+    // Round-17 probe: q149 plan truncation (VERDICT r16 #6) — the
+    // conformal pipeline's plan embeds the tagged-split scan ~6× (pred
+    // under two broadcasts, g under four, qhat's whole calib subtree
+    // under the test-side crossJoin); all those frames are item- or
+    // row-sized, so localCheckpoints cost three tiny jobs and collapse
+    // the 2267-line plan the consumer must re-plan + codegen each call.
+    if (probes("q149x")) {
+      import graft.rec.Popularity
+      import graft.functions.GraftFunctions.{qdec, qround}
+      import org.apache.spark.sql.expressions.Window
+      def conformalCk(train: DataFrame, calib: DataFrame,
+                      test: DataFrame, bias: Int,
+                      alpha: Double): DataFrame = {
+        def clean(df: DataFrame) = df
+          .filter(col("item_id").isNotNull && col("rating").isNotNull)
+          .select(col("item_id"), qdec(col("rating"), 18, 2).as("r"))
+        val tr = clean(train)
+        val g = tr.agg(qround(sum("r").cast("double") /
+          count(lit(1)).cast("double"), 6).as("g")).localCheckpoint()
+        val pred = tr.groupBy("item_id")
+          .agg(count(lit(1)).as("cnt"), sum("r").as("s"))
+          .crossJoin(broadcast(g))
+          .select(col("item_id"),
+            qround((col("s").cast("double") + lit(bias.toDouble) * col("g")) /
+              (col("cnt") + lit(bias)).cast("double"), 6)
+              .cast("decimal(18,6)").as("pred"))
+          .localCheckpoint()
+        def scored(df: DataFrame) = clean(df)
+          .join(broadcast(pred), Seq("item_id"), "left")
+          .crossJoin(broadcast(g))
+          .withColumn("p",
+            coalesce(col("pred"), qround(col("g"), 6).cast("decimal(18,6)")))
+          .withColumn("res", abs(col("r") - col("p")))
+        val byRes = scored(calib).groupBy("res").agg(count(lit(1)).as("m"))
+        val cum = byRes.withColumn("cum",
+          sum("m").over(Window.orderBy("res")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val nC = cum.agg(sum("m").as("n_calib"))
+        val qhat = cum.crossJoin(broadcast(nC))
+          .withColumn("k",
+            least(ceil((col("n_calib") + 1) * lit(1.0 - alpha)).cast("long"),
+              col("n_calib")))
+          .filter(col("cum") >= col("k"))
+          .agg(min("res").as("qhat"), min("n_calib").as("n_calib"))
+          .localCheckpoint()
+        scored(test).crossJoin(broadcast(qhat))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("res") <= col("qhat"), 1L).otherwise(0L)).as("cov"),
+            min("qhat").as("q"), min("n_calib").as("nc"))
+          .select(lit(alpha).as("alpha"), col("nc").as("n_calib"),
+            col("q").cast("double").as("qhat"), col("n_test"),
+            qround(col("cov").cast("double") / col("n_test").cast("double"), 6)
+              .as("coverage"))
+      }
+      val t = graft.queries.RecQueries.tagged(spark, sfDir)
+      noop(t) // build the memoized split frame outside the timed phases
+      for (round <- 1 to 2) {
+        phase(s"q149x[$round]:cur") {
+          noop(graft.rec.Conformal.itemMeanIntervals(Popularity.train(t),
+            Popularity.validation(t), Popularity.test(t), bias = 20,
+            alpha = 0.1))
+        }
+        phase(s"q149x[$round]:checkpointed") {
+          noop(conformalCk(Popularity.train(t), Popularity.validation(t),
+            Popularity.test(t), bias = 20, alpha = 0.1))
+        }
+      }
+    }
+
     // Round-17 probe: ALS grid pool same-JVM A/B (VERDICT r16 #3). Each
     // trial uses a FRESH cacheKey so every one of the 16 combos refits
     // (the per-combo model memo would otherwise make trial 2+ a lookup).

@@ -57,10 +57,19 @@ object LabelProp {
       // community)) is (votes DESC, community ASC) — instead of the
       // row_number window's exchange + SORT (r16): same deterministic
       // winner, integer keys, one cheaper operator per round.
+      // One exchange per round (r17): the user repartition on `node`
+      // satisfies BOTH aggregates below — HashPartitioning(node) covers
+      // the (node, community) grouping (a subset clustering key keeps
+      // every (node, community) group whole) and trivially the per-node
+      // argmax — so the two groupBys run in place where they previously
+      // each paid an exchange. The checkpointed labels also come out
+      // node-partitioned, so the next round's dst-join reuses the
+      // layout. Probe (OptProbe lpax): 4.7 → 3.7 s warm.
       labels = e
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("community"))
         .unionByName(labels)
+        .repartition(p, col("node"))
         .groupBy("node", "community")
         .agg(count(lit(1)).as("votes"))
         .groupBy("node")

@@ -36,8 +36,18 @@ object Conformal {
       .select(col("item_id"), qdec(col("rating"), 18, 2).as("r"))
 
     val tr = clean(train)
+    // r17 plan truncation (guide §3.3 "materialising an intermediate
+    // truncates the plan"): g, pred and qhat are scalar- or item-sized,
+    // but each is EMBEDDED several times downstream (g under four
+    // crossJoins, pred under two broadcast joins, qhat's whole
+    // calibration subtree under the test-side crossJoin), so the final
+    // plan re-planned + re-codegen'd the tagged-split lineage ~6x —
+    // 2267 formatted-plan lines for ~30k rows of data. Three tiny
+    // localCheckpoint jobs collapse it (values bit-identical: the
+    // checkpoints only materialize already-quantized frames).
+    // Probe (OptProbe q149x, 2 rounds): 10.5-11.9 -> 6.4-7.2 s.
     val g = tr.agg(qround(sum("r").cast("double") /
-      count(lit(1)).cast("double"), 6).as("g"))
+      count(lit(1)).cast("double"), 6).as("g")).localCheckpoint()
     val pred = tr.groupBy("item_id")
       .agg(count(lit(1)).as("cnt"), sum("r").as("s"))
       .crossJoin(broadcast(g))
@@ -45,6 +55,7 @@ object Conformal {
         qround((col("s").cast("double") + lit(bias.toDouble) * col("g")) /
           (col("cnt") + lit(bias)).cast("double"), 6)
           .cast("decimal(18,6)").as("pred"))
+      .localCheckpoint()
 
     def scored(df: DataFrame) = clean(df)
       .join(broadcast(pred), Seq("item_id"), "left")
@@ -64,6 +75,7 @@ object Conformal {
           col("n_calib")))
       .filter(col("cum") >= col("k"))
       .agg(min("res").as("qhat"), min("n_calib").as("n_calib"))
+      .localCheckpoint()
 
     scored(test).crossJoin(broadcast(qhat))
       .agg(count(lit(1)).as("n_test"),

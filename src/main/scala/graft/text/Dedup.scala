@@ -44,8 +44,21 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, idA: String, idB: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+    // r17: symmetrize by in-row explode and materialize ONCE. The old
+    // self-union re-ran the caller's edge lineage once per branch (union
+    // branches share no work), and `sym` stayed LAZY — so every
+    // iteration's neighborMin join re-ran it all again (for q181 that
+    // lineage is the sorted-neighborhood windows + the Jaro-Winkler
+    // scoring pass, re-executed per label round). One localCheckpoint
+    // follows the PageRank/Bfs/KCore edge-list discipline (guide §2.4);
+    // the edge MULTISET is identical, and min-label propagation is
+    // order-free.
+    val sym = edges
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select("e.src", "e.dst")
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
