@@ -662,6 +662,12 @@ object AnalyticsQueries {
         struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
         .as("e"))
       .select("e.src", "e.dst", "e.w")
+      // Materialize once (guide §2.4): weightedPageRank reads its edge
+      // frame four times before iterating (wdeg agg, the ed join's
+      // probe side, both node-set projections) — unlike q49/q200 this
+      // frame is a raw lineage, not the shared persisted cache, so each
+      // read re-ran the li⋈o groupBy.
+      .localCheckpoint()
     PageRank.weightedPageRank(edges, iters = 3, damping = 0.85)
       .select(col("node"), qround(col("r"), 6).as("rank"))
       .orderBy("node")

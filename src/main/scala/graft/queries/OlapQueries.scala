@@ -313,7 +313,11 @@ object OlapQueries {
     * doubled cumulative weight reaches the total — all-integer/decimal,
     * tie-free by construction. */
   val q167: Q = (spark, dir) => {
-    val li = Tables.lineitem(spark, dir)
+    // spreadScan (r17): both dim joins broadcast, so the whole
+    // quantize + partial-agg map side ran on the single-file scan's one
+    // task; the guarded spread parallelizes it (no-op on multi-split
+    // corpora). Decimal sums — order-free.
+    val li = Tables.spreadScan(Tables.lineitem(spark, dir))
       .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .join(Tables.nation(spark, dir),

@@ -54,9 +54,16 @@ object SharedFrames {
       // COLUMN (not numPartitions): REPARTITION_BY_COL stays
       // AQE-coalescible on a cluster, and HashPartitioning(src, n)
       // satisfies the consumers' ClusteredDistribution for any n.
+      // The li⋈o join inputs are user-repartitioned on the join key
+      // (r17, same fix as q215's wpair build): the join shuffles by
+      // orderkey either way, and keying the exchange ourselves stops
+      // AQE's input-sized coalescing from running the join + the
+      // distinct's map-side partial on 1–2 partitions.
       val p = spark.sparkContext.defaultParallelism
       val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+        .repartition(p, col("l_orderkey"))
       val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        .repartition(p, col("o_orderkey"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("s"))

@@ -206,8 +206,16 @@ object Diversify {
         col("ia") < col("ib"))
       .groupBy("ia", "ib")
       .agg(sum(col("ra") * col("rb")).as("dot"))
-    val sym = pairs.unionByName(pairs.select(col("ib").as("ia"),
-      col("ia").as("ib"), col("dot")))
+    // r17: symmetrize by in-row explode — the self-union ran the whole
+    // pair join + dot aggregate once per branch (exchange reuse dedupes
+    // only the exchanges); ia < ib keeps the two directions disjoint,
+    // so the row multiset is identical.
+    val sym = pairs
+      .select(explode(array(
+        struct(col("ia"), col("ib"), col("dot")),
+        struct(col("ib").as("ia"), col("ia").as("ib"), col("dot"))))
+        .as("e"))
+      .select("e.ia", "e.ib", "e.dot")
     sym
       .join(stats.select(col("item_id").as("ia"), col("norm2").as("na")),
         "ia")

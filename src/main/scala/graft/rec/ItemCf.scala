@@ -87,10 +87,17 @@ object ItemCf {
         count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
 
-    val sym = pairs.select(col("ia").as("item_id"),
-        col("ib").as("neighbor_id"), col("dot"), col("support"))
-      .unionByName(pairs.select(col("ib").as("item_id"),
-        col("ia").as("neighbor_id"), col("dot"), col("support")))
+    // r17: symmetrize by in-row explode — the self-union ran the whole
+    // co-rating join + aggregate once per branch (exchange reuse
+    // dedupes only the exchanges); ia < ib keeps the directions
+    // disjoint, so the row multiset is identical.
+    val sym = pairs
+      .select(explode(array(
+        struct(col("ia").as("item_id"), col("ib").as("neighbor_id"),
+          col("dot"), col("support")),
+        struct(col("ib").as("item_id"), col("ia").as("neighbor_id"),
+          col("dot"), col("support")))).as("e"))
+      .select("e.item_id", "e.neighbor_id", "e.dot", "e.support")
 
     val na = stats.select(col("item_id"), col("norm2").as("na"))
     val nb = stats.select(col("item_id").as("neighbor_id"),
