@@ -227,6 +227,12 @@ object Tables {
     val (liName, ordName) = (s"li_bkt_$tag", s"ord_bkt_$tag")
     graft.util.SessionMemo(spark, s"bucketed-stage:$dir") {
       scrubManagedTables(spark, Seq(liName, ordName))
+      // r17 probe note: spreading the scan before the bucketed write
+      // (to parallelize the single-task write) was A/B'd over 5
+      // fresh-JVM pairs and REJECTED — 32 writer tasks × 8 buckets emit
+      // 256 small files, Spark drops the per-bucket sortedness
+      // assumption, and the read side's open + re-sort overhead costs
+      // more than the parallel write saves (median 5.1 → 6.9 s).
       lineitem(spark, dir)
         .select("l_orderkey", "l_extendedprice", "l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

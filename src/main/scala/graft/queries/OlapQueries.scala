@@ -942,8 +942,12 @@ object OlapQueries {
     * shuffle from its measured size. Top-100 by lift is a
     * TakeOrderedAndProject, not a global sort. */
   val q137: Q = (spark, dir) => {
+    // r17: materialize the deduped basket frame once — it fed FIVE
+    // subtrees (marginals, the cap aggregate, the semi-join probe, and
+    // both pair-join sides), each re-running the scan + distinct.
     val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nOrders = Tables.lineitem(spark, dir)
       .agg(countDistinct("l_orderkey").as("n_orders"))
     val marginals = baskets.groupBy("l_partkey")
@@ -956,8 +960,16 @@ object OlapQueries {
         .filter(col("bk") <= graft.queries.AnalyticsQueries.BasketCap)
         .select("l_orderkey"),
       Seq("l_orderkey"), "left_semi")
-    val a = capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = capped.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    // spreadByKey (r17): the basket self-join's inputs are a few MB but
+    // its output is Σ basket² pair partials — AQE's input-sized
+    // coalescing serialized the fan-out (the q26/q267 fix; integer
+    // counts downstream, order-free).
+    val a = graft.text.TextAnalysis.spreadByKey(
+      capped.select(col("l_orderkey"), col("l_partkey").as("part_a")),
+      "l_orderkey")
+    val b = graft.text.TextAnalysis.spreadByKey(
+      capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+      "l_orderkey")
     val pairs = a.join(b, Seq("l_orderkey"))
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
